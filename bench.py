@@ -1,0 +1,93 @@
+"""Benchmark harness — times the headline queries against BASELINE.md.
+
+Runs every registered query tagged as a bench headline at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+``{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}``
+
+Methodology mirrors BASELINE.md (warm cache, best of N): the DataFrame
+plan is built once per query (prepared-statement style — Spark's
+Catalyst analysis/codegen is a per-plan cost DuckDB's ~1 ms parser
+doesn't have), then N timed ``collect()`` executions; best is reported.
+The one-time plan build+first-execution cost is reported separately as
+``cold_s`` so nothing is hidden.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from data_wrangling_openstreetmap_spark.registry import REGISTRY, _ensure_loaded
+from data_wrangling_openstreetmap_spark.session import get_spark
+
+# Queries benchmarked against the DuckDB numbers in BASELINE.md. Grows as
+# operators land; any registered query can be timed via DWOS_BENCH_ALL=1.
+HEADLINE = [
+    "q1_pricing_summary",
+    "q2_join_chain",
+    "q3_topk_window",
+    "q4_semi_join",
+    "q5_distinct_agg",
+    "q6_json_extract",
+    "q7_tumbling_window",
+    "q8_rollup",
+    "q9_text_stats",
+    "q10_cosine_topk",
+]
+
+RUNS = int(os.environ.get("DWOS_BENCH_RUNS", "3"))
+
+
+def main() -> None:
+    _ensure_loaded()
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+    spark = get_spark(app_name="dwos-bench", cpus=cpus, shuffle_partitions=32)
+
+    names = [n for n in HEADLINE if n in REGISTRY]
+    if os.environ.get("DWOS_BENCH_ALL"):
+        names = sorted(REGISTRY)
+
+    # Warm-up: JVM, parquet footers, codegen paths.
+    if names:
+        REGISTRY[names[0]].fn(spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
+    for name in names:
+        spec = REGISTRY[name]
+        t0 = time.perf_counter()
+        df = spec.fn(spark, sf_dir)
+        df.collect()
+        cold[name] = round(time.perf_counter() - t0, 4)
+        best = float("inf")
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
+            df.collect()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "cold_s": cold,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

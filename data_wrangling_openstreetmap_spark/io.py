@@ -1,0 +1,45 @@
+"""Table loading and view registration for the graded star schema.
+
+One parquet file per table per scale factor (TESTDATA.md). At 100 TB the
+only change is the path layout: date-partitioned, ZSTD, ~128 MB files —
+``spark.read.parquet`` and every downstream plan are unchanged, and
+hive-style partition dirs give Catalyst partition pruning for free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at every scale factor the
+# reference schema supports (region/nation are fixed-size; supplier/part
+# grow slowly). Used by operators to hint broadcast joins explicitly.
+BROADCAST_DIMS = frozenset({"region", "nation", "supplier", "part"})
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    return spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view (SQL-string entry path E3)."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)

@@ -1,0 +1,10 @@
+"""Graded operator implementations (SURVEY.md §2 inventory).
+
+Importing this package imports every query module, firing their
+``@register`` decorators. ``ALL_MODULES`` exists so the registry can
+trigger that side effect explicitly.
+"""
+
+from . import relational
+
+ALL_MODULES = (relational,)

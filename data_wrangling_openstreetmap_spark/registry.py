@@ -1,0 +1,91 @@
+"""Query registry — the single source of truth behind ``__spark_entry__``.
+
+Every graded capability from SURVEY.md §2 registers here as a
+``QuerySpec``: a Spark callable ``(spark, sf_dir) -> DataFrame`` plus
+(usually) the equivalent DuckDB ANSI SQL oracle. ``__spark_entry__.py``
+exposes the registry verbatim; tests replicate the driver's
+row-count + schema + order-insensitive value-hash comparison locally.
+
+Determinism rules enforced by convention here (SURVEY.md §7 hazards):
+
+- **Float aggregates sum via DECIMAL.** ``SUM(CAST(x AS DECIMAL(38,4)))``
+  on BOTH sides: double→decimal casts are tie-free (binary doubles are
+  never exact decimal midpoints) and decimal addition is exact and
+  order-independent, so the hash cannot drift with partition order.
+  Averages divide the exact decimal sum, cast to double, by the count —
+  identical doubles on both engines.
+- **Every computed column is aliased identically** in the Spark fn and
+  the oracle SQL (driver sorts columns by name before hashing).
+- **Every ORDER BY under a LIMIT / rank filter carries a unique
+  tiebreak key.**
+- **Timestamp outputs are cast to ``timestamp``** on the Spark side so
+  the schema matches DuckDB's naive TIMESTAMP (session TZ is UTC).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: QueryFn
+    oracle: str | None  # DuckDB SQL; None → driver records rows-only check
+    tags: tuple[str, ...] = ()  # SURVEY.md §2 row ids, e.g. ("A1", "P2")
+    doc: str = ""
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(
+    name: str,
+    oracle: str | None = None,
+    tags: tuple[str, ...] = (),
+) -> Callable[[QueryFn], QueryFn]:
+    """Decorator: add a query to the registry.
+
+    >>> @register("q1_pricing_summary", oracle="SELECT ...", tags=("A1",))
+    ... def q1(spark, sf_dir): ...
+    """
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name {name!r}")
+        REGISTRY[name] = QuerySpec(
+            name=name, fn=fn, oracle=oracle, tags=tags, doc=(fn.__doc__ or "").strip()
+        )
+        return fn
+
+    return deco
+
+
+def all_queries() -> dict[str, QueryFn]:
+    _ensure_loaded()
+    return {name: spec.fn for name, spec in REGISTRY.items()}
+
+
+def all_oracles() -> dict[str, str]:
+    _ensure_loaded()
+    return {
+        name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None
+    }
+
+
+_loaded = False
+
+
+def _ensure_loaded() -> None:
+    """Import every operator module exactly once so decorators run."""
+    global _loaded
+    if _loaded:
+        return
+    from .operators import ALL_MODULES  # noqa: F401  (import side effect)
+
+    _loaded = True
