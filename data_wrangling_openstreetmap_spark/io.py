@@ -9,6 +9,7 @@ hive-style partition dirs give Catalyst partition pruning for free.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = (
     "region",
@@ -32,7 +33,25 @@ BROADCAST_DIMS = frozenset({"region", "nation", "supplier", "part"})
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        return _load_events(spark, sf_dir)
     return spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+
+
+def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to
+    read natively (PARQUET_TYPE_ILLEGAL) while DuckDB truncates to µs.
+    Read it as raw nanos (legacy conf, runtime-settable) and rebuild the
+    µs-truncated timestamp_ntz so both engines see identical values.
+
+    ``ts DIV 1000`` is integer division — a double ``/1000`` would lose
+    precision at 1.7e18 nanos (53-bit mantissa) and round some µs wrong.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet")
+    return raw.withColumn(
+        "ts", F.timestamp_micros(F.expr("ts DIV 1000")).cast("timestamp_ntz")
+    )
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -71,3 +71,700 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
+
+
+# ---------------------------------------------------------------------------
+# q2 — FK join chain + aggregation (J1, J5, A1). Headline bench query.
+# ---------------------------------------------------------------------------
+
+_Q2_ORACLE = f"""
+SELECT
+  r_name,
+  n_name,
+  COUNT(*) AS n_orders,
+  {oracle_dsum('o_totalprice')} AS total_revenue
+FROM region
+JOIN nation   ON n_regionkey = r_regionkey
+JOIN customer ON c_nationkey = n_nationkey
+JOIN orders   ON o_custkey   = c_custkey
+GROUP BY r_name, n_name
+"""
+
+
+@register("q2_join_chain", oracle=_Q2_ORACLE, tags=("J1", "J5", "A1"))
+def q2_join_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Four-table FK chain region⋈nation⋈customer⋈orders, revenue per nation.
+
+    Scale: region/nation are fixed-size → explicit broadcast (no shuffle
+    for the dim side at any SF). customer⋈orders is the only real
+    shuffle; at 100 TB both sides hash-partition on custkey and AQE
+    handles skew. Dim joins happen after the fact join so the broadcast
+    applies to the already-reduced row set.
+    """
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum("o_totalprice").alias("total_revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q4 — EXISTS semi-join + aggregation (J3, A1). Headline bench query.
+# ---------------------------------------------------------------------------
+
+_Q4_ORACLE = f"""
+SELECT
+  o_orderpriority,
+  COUNT(*) AS n_orders,
+  {oracle_dsum('o_totalprice')} AS total_price
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey AND l_discount > 0.05
+)
+GROUP BY o_orderpriority
+"""
+
+
+@register("q4_semi_join", oracle=_Q4_ORACLE, tags=("J3", "A1"))
+def q4_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders having at least one deep-discount lineitem (EXISTS →
+    left-semi join), counted per priority.
+
+    Scale: semi-join shuffles both sides on orderkey but emits each
+    left row at most once — no fan-out; the discount filter pushes to
+    the lineitem scan before the shuffle.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_discount") > 0.05)
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum("o_totalprice").alias("total_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q5 — COUNT(DISTINCT) per group (A3). Headline bench query.
+# ---------------------------------------------------------------------------
+
+_Q5_ORACLE = """
+SELECT
+  event_type,
+  COUNT(DISTINCT user_id) AS n_users,
+  COUNT(*) AS n_events
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("q5_distinct_agg", oracle=_Q5_ORACLE, tags=("A3",))
+def q5_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct active users per event type.
+
+    Scale: Catalyst expands distinct-agg into a two-stage plan
+    (partial distinct on (event_type, user_id), then final count) —
+    shuffle volume is bounded by distinct pairs, not events. The
+    approx_count_distinct variant for 100 TB is q_approx_distinct.
+    """
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q8 — ROLLUP multi-level aggregate (A6). Headline bench query.
+# ---------------------------------------------------------------------------
+
+_Q8_ORACLE = f"""
+SELECT
+  r_name,
+  n_name,
+  COUNT(*) AS n_customers,
+  {oracle_dsum('c_acctbal')} AS total_acctbal
+FROM region
+JOIN nation   ON n_regionkey = r_regionkey
+JOIN customer ON c_nationkey = n_nationkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
+@register("q8_rollup", oracle=_Q8_ORACLE, tags=("A6", "J1"))
+def q8_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer counts/balances at nation, region, and grand-total
+    levels in one pass (ROLLUP).
+
+    Scale: Spark expands rollup groups map-side (Expand node) before a
+    single shuffle — cheaper than three separate aggregations over
+    100 TB because the fact table is scanned once.
+    """
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            dsum("c_acctbal").alias("total_acctbal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# P-family: projection / predicates / regex / normalization / conditionals.
+# The reference's audit-and-clean layer (street-name normalization,
+# tag-key triage regexes, postcode extraction) re-expressed as sargable
+# Column expressions over the graded tables.
+# ---------------------------------------------------------------------------
+
+_P1_ORACLE = """
+SELECT
+  p_partkey AS part_id,
+  UPPER(p_name) AS part_name,
+  p_size,
+  CAST(CAST(p_retailprice AS DECIMAL(12,2)) * CAST(1.1 AS DECIMAL(2,1)) AS DECIMAL(18,3)) AS marked_up_price
+FROM part
+"""
+
+
+@register("p1_projection", oracle=_P1_ORACLE, tags=("P1", "F1"))
+def p1_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection + rename + computed column (the shaping idiom: select
+    attributes, rename, derive). Narrow ReadSchema: only 4 of part's
+    columns reach the scan."""
+    part = load_table(spark, sf_dir, "part")
+    markup = (money("p_retailprice") * F.lit(1.1).cast("decimal(2,1)")).cast(
+        "decimal(18,3)"
+    )
+    return part.select(
+        F.col("p_partkey").alias("part_id"),
+        F.upper("p_name").alias("part_name"),
+        F.col("p_size"),
+        markup.alias("marked_up_price"),
+    )
+
+
+_P2_ORACLE = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+FROM lineitem
+WHERE l_returnflag IN ('A', 'R')
+  AND l_quantity BETWEEN 10 AND 20
+  AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND (l_discount > 0.06 OR l_tax < 0.02)
+"""
+
+
+@register("p2_filter_predicates", oracle=_P2_ORACLE, tags=("P2",))
+def p2_filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compound predicate filter: IN + BETWEEN + range + OR. All
+    sargable — every conjunct reaches PushedFilters in the parquet scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        F.col("l_returnflag").isin("A", "R")
+        & F.col("l_quantity").between(10, 20)
+        & (F.col("l_shipdate") >= "1997-01-01 00:00:00")
+        & ((F.col("l_discount") > 0.06) | (F.col("l_tax") < 0.02))
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+
+
+_P3_ORACLE = """
+SELECT
+  CASE
+    WHEN regexp_matches(p_type, '^[a-z_]+$') THEN 'lower'
+    WHEN regexp_matches(p_type, '^[a-z_]+:[a-z_]+$') THEN 'lower_colon'
+    WHEN regexp_matches(p_type, '[=\\+/&<>;''"\\?%#$@\\,\\. \\t\\r\\n]') THEN 'problemchars'
+    ELSE 'other'
+  END AS key_class,
+  COUNT(*) AS n
+FROM part
+GROUP BY 1
+"""
+
+
+@register("p3_regex_classify", oracle=_P3_ORACLE, tags=("P3", "P6"))
+def p3_regex_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tag-key triage (the reference's audit idiom: classify keys into
+    lower / lower_colon / problemchars buckets via regexes) applied to
+    part.p_type. Chained when() == CASE; rlike == regexp_matches."""
+    part = load_table(spark, sf_dir, "part")
+    key_class = (
+        F.when(F.col("p_type").rlike("^[a-z_]+$"), "lower")
+        .when(F.col("p_type").rlike("^[a-z_]+:[a-z_]+$"), "lower_colon")
+        .when(F.col("p_type").rlike("[=\\+/&<>;'\"\\?%#$@,. \\t\\r\\n]"), "problemchars")
+        .otherwise("other")
+    )
+    return part.groupBy(key_class.alias("key_class")).agg(F.count("*").alias("n"))
+
+
+_P4_ORACLE = """
+SELECT
+  regexp_extract(p_name, '(\\S+)$', 1) AS last_word,
+  COUNT(*) AS n
+FROM part
+GROUP BY 1
+"""
+
+
+@register("p4_regex_extract", oracle=_P4_ORACLE, tags=("P4",))
+def p4_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Street-type extraction idiom: last whitespace-delimited token of a
+    name (the reference audits street types with exactly this regex
+    shape), grouped and counted."""
+    part = load_table(spark, sf_dir, "part")
+    last_word = F.regexp_extract(F.col("p_name"), r"(\S+)$", 1)
+    return part.groupBy(last_word.alias("last_word")).agg(F.count("*").alias("n"))
+
+
+_P5_ORACLE = """
+SELECT
+  CASE o_orderpriority
+    WHEN '1-URGENT' THEN 'urgent'
+    WHEN '2-HIGH' THEN 'high'
+    WHEN '3-MEDIUM' THEN 'medium'
+    ELSE o_orderpriority
+  END AS priority_norm,
+  COUNT(*) AS n
+FROM orders
+GROUP BY 1
+"""
+
+
+@register("p5_dict_normalize", oracle=_P5_ORACLE, tags=("P5", "J5"))
+def p5_dict_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary-based value normalization (the reference's
+    update_name(name, mapping) street-cleaning): broadcast-join against
+    a mapping table, fall back to the original on no match.
+
+    Scale: the mapping is a broadcast dim — the fact side never
+    shuffles; this is how a cleaning dictionary behaves at 100 TB.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    mapping = spark.createDataFrame(
+        [("1-URGENT", "urgent"), ("2-HIGH", "high"), ("3-MEDIUM", "medium")],
+        ["prio_raw", "prio_mapped"],
+    )
+    return (
+        orders.join(
+            F.broadcast(mapping),
+            orders.o_orderpriority == mapping.prio_raw,
+            "left",
+        )
+        .withColumn("priority_norm", F.coalesce("prio_mapped", "o_orderpriority"))
+        .groupBy("priority_norm")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+_P6_ORACLE = f"""
+SELECT
+  CASE
+    WHEN c_acctbal < 0 THEN 'negative'
+    WHEN c_acctbal < 1000 THEN 'low'
+    WHEN c_acctbal < 5000 THEN 'mid'
+    ELSE 'high'
+  END AS balance_tier,
+  COUNT(*) AS n_customers,
+  {oracle_dsum('c_acctbal')} AS tier_balance
+FROM customer
+GROUP BY 1
+"""
+
+
+@register("p6_conditional", oracle=_P6_ORACLE, tags=("P6", "A1"))
+def p6_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional routing (valid/invalid bucketing during cleaning) as
+    a CASE expression feeding an aggregate."""
+    customer = load_table(spark, sf_dir, "customer")
+    tier = (
+        F.when(F.col("c_acctbal") < 0, "negative")
+        .when(F.col("c_acctbal") < 1000, "low")
+        .when(F.col("c_acctbal") < 5000, "mid")
+        .otherwise("high")
+    )
+    return customer.groupBy(tier.alias("balance_tier")).agg(
+        F.count("*").alias("n_customers"),
+        dsum("c_acctbal").alias("tier_balance"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J-family: outer / anti / broadcast / range joins.
+# ---------------------------------------------------------------------------
+
+_J2_ORACLE = """
+SELECT
+  n_name,
+  COUNT(DISTINCT c_custkey) AS n_customers,
+  COUNT(o_orderkey) AS n_orders,
+  COUNT(DISTINCT CASE WHEN o_orderkey IS NULL THEN c_custkey END) AS n_inactive
+FROM nation
+JOIN customer ON c_nationkey = n_nationkey
+LEFT JOIN orders ON o_custkey = c_custkey
+GROUP BY n_name
+"""
+
+
+@register("j2_outer_join", oracle=_J2_ORACLE, tags=("J2", "A3"))
+def j2_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer enrichment: every customer kept, order-less customers
+    surfaced via NULL probes (the reference's missing-tag detection)."""
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("n_name")
+        .agg(
+            F.countDistinct("c_custkey").alias("n_customers"),
+            F.count("o_orderkey").alias("n_orders"),
+            F.countDistinct(
+                F.when(F.col("o_orderkey").isNull(), F.col("c_custkey"))
+            ).alias("n_inactive"),
+        )
+    )
+
+
+_J4_ORACLE = """
+SELECT c_custkey, c_name
+FROM customer
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey
+    AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
+)
+"""
+
+
+@register("j4_anti_join", oracle=_J4_ORACLE, tags=("J4",))
+def j4_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orphan detection (NOT EXISTS → left-anti join): customers with no
+    recent order — the reference's elements-without-address audit.
+    The date filter pushes into the right side before the anti join."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= "2001-01-01 00:00:00"
+    )
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+_J5_ORACLE = f"""
+SELECT
+  p_brand,
+  {oracle_dsum('l_quantity')} AS total_qty,
+  COUNT(*) AS n_lines
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+GROUP BY p_brand
+"""
+
+
+@register("j5_broadcast_join", oracle=_J5_ORACLE, tags=("J5", "J1", "A1"))
+def j5_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit broadcast of the part dimension into the lineitem fact —
+    zero shuffle on the fact side (plan-shape test asserts
+    BroadcastHashJoin). At 100 TB part may exceed the broadcast
+    threshold; then this degrades to a bucketed sort-merge join on
+    l_partkey without changing the expression."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            dsum("l_quantity").alias("total_qty"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+_J6_ORACLE = f"""
+SELECT
+  b.band,
+  COUNT(*) AS n_events,
+  {oracle_dsum('e.value')} AS band_value
+FROM events e
+JOIN (
+  VALUES ('p0_small', -1e18, 10.0), ('p1_mid', 10.0, 100.0),
+         ('p2_large', 100.0, 1000.0), ('p3_huge', 1000.0, 1e18)
+) AS b(band, lo, hi)
+  ON e.value >= b.lo AND e.value < b.hi
+GROUP BY b.band
+"""
+
+
+@register("j6_range_join", oracle=_J6_ORACLE, tags=("J6",))
+def j6_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (range/theta) join: events bucketed into value bands.
+
+    Scale: Spark executes this as a broadcast nested-loop join — fine
+    because the band side is O(10) rows. For two large sides, bucketize
+    the range key into an equi-join key first (same trick the as-of
+    join uses); never BNLJ two facts.
+    """
+    events = load_table(spark, sf_dir, "events")
+    bands = spark.createDataFrame(
+        [
+            ("p0_small", -1e18, 10.0),
+            ("p1_mid", 10.0, 100.0),
+            ("p2_large", 100.0, 1000.0),
+            ("p3_huge", 1000.0, 1e18),
+        ],
+        ["band", "lo", "hi"],
+    )
+    return (
+        events.join(
+            F.broadcast(bands),
+            (events.value >= bands.lo) & (events.value < bands.hi),
+        )
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_events"),
+            dsum("value").alias("band_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A-family: global / distinct / having / date-bucket aggregates.
+# ---------------------------------------------------------------------------
+
+_A2_ORACLE = f"""
+SELECT
+  COUNT(*) AS n_rows,
+  COUNT(DISTINCT l_orderkey) AS n_orders,
+  {oracle_dsum('l_quantity')} AS total_qty,
+  MIN(l_shipdate) AS first_ship,
+  MAX(l_shipdate) AS last_ship
+FROM lineitem
+"""
+
+
+@register("a2_global_agg", oracle=_A2_ORACLE, tags=("A2", "A3"))
+def a2_global_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global (no-group) aggregate — the reference's total node/way
+    counts. Single-row output; partial aggregation means the shuffle
+    carries one row per partition."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        dsum("l_quantity").alias("total_qty"),
+        F.min("l_shipdate").alias("first_ship"),
+        F.max("l_shipdate").alias("last_ship"),
+    )
+
+
+_A5_ORACLE = """
+SELECT COUNT(*) AS n_single_order_customers
+FROM (
+  SELECT o_custkey FROM orders GROUP BY o_custkey HAVING COUNT(*) = 1
+)
+"""
+
+
+@register("a5_having", oracle=_A5_ORACLE, tags=("A5",))
+def a5_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING / post-aggregation filter — the reference's
+    users-with-exactly-one-contribution query."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") == 1)
+        .agg(F.count("*").alias("n_single_order_customers"))
+    )
+
+
+_A7_ORACLE = f"""
+SELECT
+  CAST(ts AS DATE) AS day,
+  COUNT(*) AS n_events,
+  {oracle_dsum('value')} AS day_value
+FROM events
+GROUP BY 1
+"""
+
+
+@register("a7_date_bucket", oracle=_A7_ORACLE, tags=("A7", "F3"))
+def a7_date_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate on a computed date key — contributions-per-day. DATE
+    output (not timestamp) keeps the comparison timezone-free."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").alias("n_events"),
+        dsum("value").alias("day_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# O-family: sort / limit / set operations / distinct.
+# ---------------------------------------------------------------------------
+
+_O2_ORACLE = """
+SELECT o_orderkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 10
+"""
+
+
+@register("o2_top_k", oracle=_O2_ORACLE, tags=("O1", "O2"))
+def o2_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k (ORDER BY ... LIMIT) with a unique tiebreak key.
+    Catalyst compiles this to TakeOrderedAndProject — each partition
+    keeps only its local top-10, no global sort. That property is what
+    makes top-k viable over 100 TB."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .select("o_orderkey", "o_totalprice")
+        .limit(10)
+    )
+
+
+_O3_ORACLE = """
+SELECT kind, COUNT(*) AS n, COUNT(DISTINCT nationkey) AS n_nations
+FROM (
+  SELECT 'customer' AS kind, c_nationkey AS nationkey FROM customer
+  UNION ALL
+  SELECT 'supplier' AS kind, s_nationkey AS nationkey FROM supplier
+)
+GROUP BY kind
+"""
+
+
+@register("o3_union_all", oracle=_O3_ORACLE, tags=("O3",))
+def o3_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL across entity kinds (the reference's nodes_tags ∪
+    ways_tags global-tag-statistics idiom)."""
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    both = customer.select(
+        F.lit("customer").alias("kind"), F.col("c_nationkey").alias("nationkey")
+    ).unionByName(
+        supplier.select(
+            F.lit("supplier").alias("kind"), F.col("s_nationkey").alias("nationkey")
+        )
+    )
+    return both.groupBy("kind").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("nationkey").alias("n_nations"),
+    )
+
+
+_O4_ORACLE = """
+SELECT c_nationkey AS nationkey FROM customer
+UNION
+SELECT s_nationkey FROM supplier
+"""
+
+
+@register("o4_union_distinct", oracle=_O4_ORACLE, tags=("O4", "O6"))
+def o4_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct): nations seen across customers ∪ suppliers."""
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    return (
+        customer.select(F.col("c_nationkey").alias("nationkey"))
+        .unionByName(supplier.select(F.col("s_nationkey").alias("nationkey")))
+        .distinct()
+    )
+
+
+_O5A_ORACLE = """
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT
+SELECT s_nationkey FROM supplier
+"""
+
+
+@register("o5_intersect", oracle=_O5A_ORACLE, tags=("O5",))
+def o5_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct): nations with both customers and suppliers."""
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    return customer.select(F.col("c_nationkey").alias("nationkey")).intersect(
+        supplier.select(F.col("s_nationkey").alias("nationkey"))
+    )
+
+
+_O5B_ORACLE = """
+SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 0
+EXCEPT
+SELECT c_nationkey FROM customer WHERE c_acctbal < -700
+"""
+
+
+@register("o5_except", oracle=_O5B_ORACLE, tags=("O5",))
+def o5_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct): nations that have positive-balance customers
+    but no deeply-negative ones."""
+    customer = load_table(spark, sf_dir, "customer")
+    pos = customer.filter(F.col("c_acctbal") > 0).select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    neg = customer.filter(F.col("c_acctbal") < -700).select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    return pos.subtract(neg)
+
+
+_O6_ORACLE = """
+SELECT DISTINCT lang, source FROM documents
+"""
+
+
+@register("o6_distinct", oracle=_O6_ORACLE, tags=("O6",))
+def o6_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT row dedup (the reference's distinct-postcode listing)."""
+    return load_table(spark, sf_dir, "documents").select("lang", "source").distinct()
+
+
+_S3_ORACLE = """
+SELECT doc_id, lang
+FROM (
+  SELECT doc_id, lang, row_number() OVER (ORDER BY doc_id) AS rn
+  FROM documents
+)
+WHERE (rn - 1) % 10 = 0
+"""
+
+
+@register("s3_systematic_sample", oracle=_S3_ORACLE, tags=("S3", "W1"))
+def s3_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic every-k-th sampling (the reference's sample.py keeps
+    every k-th top-level element) over a deterministic order.
+
+    Scale: a global row_number forces a single-partition sort — fine
+    for a sampling utility, but the statistical twin ``df.sample(frac,
+    seed)`` is the 100 TB path (embarrassingly parallel); both are
+    provided, this one is the graded deterministic form.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    w = Window.orderBy("doc_id")
+    return (
+        docs.select("doc_id", "lang", F.row_number().over(w).alias("rn"))
+        .filter((F.col("rn") - 1) % 10 == 0)
+        .select("doc_id", "lang")
+    )
