@@ -5,6 +5,6 @@ Importing this package imports every query module, firing their
 trigger that side effect explicitly.
 """
 
-from . import relational
+from . import relational, windows
 
-ALL_MODULES = (relational,)
+ALL_MODULES = (relational, windows)

@@ -1,0 +1,363 @@
+"""Window functions and advanced aggregates (SURVEY.md §2.4–2.5).
+
+W1–W5 (ranking, top-k per group, lag/lead, frame aggregates, as-of
+fill), A4 (approx distinct), A8 (collect_list re-nesting), A9
+(deterministic mode), J7 (as-of join via union + carry-forward window).
+
+The reference's "top N per category" queries are LIMIT-based
+exploratory SQL; windows are the Spark-idiomatic generalization and the
+building block for sessionization and as-of semantics.
+
+Determinism: every window ORDER BY carries a unique tiebreak key
+(SURVEY.md §7 hazard 3), so rank/ntile/frames are reproducible across
+partitionings and engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..registry import register
+from ._helpers import dsum, money
+
+# ---------------------------------------------------------------------------
+# q3 — top-k per group (W1 + W2). Headline bench query.
+# ---------------------------------------------------------------------------
+
+_Q3_ORACLE = """
+SELECT c_mktsegment, c_custkey, c_name, c_acctbal
+FROM (
+  SELECT c_mktsegment, c_custkey, c_name, c_acctbal,
+         row_number() OVER (
+           PARTITION BY c_mktsegment
+           ORDER BY c_acctbal DESC, c_custkey
+         ) AS rk
+  FROM customer
+)
+WHERE rk <= 3
+"""
+
+
+@register("q3_topk_window", oracle=_Q3_ORACLE, tags=("W1", "W2"))
+def q3_topk_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 customers by balance per market segment.
+
+    Scale: one shuffle on the partition key; within each partition
+    Spark sorts and streams — with AQE, skewed segments split. For
+    huge groups a pre-aggregation (local top-k per input partition via
+    the same window on mapPartitions order) bounds memory; at this
+    schema's cardinalities the plain window is optimal.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return (
+        customer.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("c_mktsegment", "c_custkey", "c_name", "c_acctbal")
+    )
+
+
+# ---------------------------------------------------------------------------
+# W1 — the four ranking kinds side by side.
+# ---------------------------------------------------------------------------
+
+_W1_ORACLE = """
+SELECT o_orderkey, o_orderpriority,
+       row_number() OVER w AS rn,
+       rank()       OVER w AS rnk,
+       dense_rank() OVER w AS drnk,
+       ntile(4)     OVER w AS quartile
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)
+"""
+
+
+@register("w1_rank_kinds", oracle=_W1_ORACLE, tags=("W1",))
+def w1_rank_kinds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number / rank / dense_rank / ntile over one window — all four
+    share a single sort, Catalyst evaluates them in one Window node."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= "2001-01-01 00:00:00"
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W3 — lag/lead event deltas (sessionization precursor).
+# ---------------------------------------------------------------------------
+
+_W3_ORACLE = """
+SELECT user_id,
+       COUNT(*) AS n_gaps,
+       CAST(SUM(gap_us) AS DOUBLE) / COUNT(*) / 1e6 AS avg_gap_s,
+       CAST(MAX(gap_us) AS DOUBLE) / 1e6 AS max_gap_s
+FROM (
+  SELECT user_id,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS gap_us
+  FROM events
+)
+WHERE gap_us IS NOT NULL
+GROUP BY user_id
+"""
+
+
+@register("w3_lag_lead", oracle=_W3_ORACLE, tags=("W3",))
+def w3_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-to-event time deltas per user (lag), aggregated to per-user
+    gap statistics. Gap arithmetic stays in integer microseconds until
+    the final division, so sums are exact and order-independent."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    return (
+        events.select("user_id", "event_id", "ts")
+        .withColumn("gap_us", ts_us - F.lag(ts_us).over(w))
+        .filter(F.col("gap_us").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_gaps"),
+            (F.sum("gap_us").cast("double") / F.count("*") / 1e6).alias("avg_gap_s"),
+            (F.max("gap_us").cast("double") / 1e6).alias("max_gap_s"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# W4 — frame-spec aggregates: running total per customer.
+# ---------------------------------------------------------------------------
+
+_W4_ORACLE = """
+SELECT o_orderkey, o_custkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS DECIMAL(38,2)) AS running_spend
+FROM orders
+"""
+
+
+@register("w4_running_sum", oracle=_W4_ORACLE, tags=("W4",))
+def w4_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running spend per customer (cumulative frame). Decimal input
+    keeps every prefix sum exact, so each row is engine-identical."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.sum(money("o_totalprice")).over(w).cast("decimal(38,2)").alias("running_spend"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W5 — last(ignorenulls): carry-forward fill.
+# ---------------------------------------------------------------------------
+
+_W5_ORACLE = """
+SELECT event_id, user_id,
+       last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_value
+FROM events
+"""
+
+
+@register("w5_last_ignorenulls", oracle=_W5_ORACLE, tags=("W5",))
+def w5_last_ignorenulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Carry the most recent purchase value forward across each user's
+    event stream (as-of fill) — NULL until the first purchase."""
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    purchase_value = F.when(F.col("event_type") == "purchase", F.col("value"))
+    return events.select(
+        "event_id",
+        "user_id",
+        F.last(purchase_value, ignorenulls=True).over(w).alias("last_purchase_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A8 — collect_list / re-nesting (rebuild node_refs-style arrays).
+# ---------------------------------------------------------------------------
+
+_A8_ORACLE = """
+SELECT n_name,
+       list_sort(list(s_name)) AS suppliers,
+       COUNT(*) AS n_suppliers
+FROM nation
+JOIN supplier ON s_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+@register("a8_collect_list", oracle=_A8_ORACLE, tags=("A8",))
+def a8_collect_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-nest flat rows into per-group arrays (the reference rebuilds a
+    way's ordered node_refs from junction rows). sort_array makes the
+    collected order deterministic — collect_list order is not."""
+    nation = load_table(spark, sf_dir, "nation")
+    supplier = load_table(spark, sf_dir, "supplier")
+    return (
+        supplier.join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sort_array(F.collect_list("s_name")).alias("suppliers"),
+            F.count("*").alias("n_suppliers"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A9 — mode / top-1 per group, deterministically (count + window).
+# ---------------------------------------------------------------------------
+
+_A9_ORACLE = """
+SELECT o_orderstatus, o_orderpriority AS modal_priority, cnt
+FROM (
+  SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
+         row_number() OVER (
+           PARTITION BY o_orderstatus
+           ORDER BY COUNT(*) DESC, o_orderpriority
+         ) AS rk
+  FROM orders
+  GROUP BY o_orderstatus, o_orderpriority
+)
+WHERE rk = 1
+"""
+
+
+@register("a9_mode", oracle=_A9_ORACLE, tags=("A9", "W2"))
+def a9_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most common priority per order status. Built as count + window
+    rather than mode() because mode's tie-break is engine-arbitrary;
+    this formulation pins ties lexicographically (the reference's
+    most-common-street-type audit needs the same determinism)."""
+    orders = load_table(spark, sf_dir, "orders")
+    counts = orders.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("cnt")
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("cnt").desc(), F.col("o_orderpriority")
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("modal_priority"),
+            "cnt",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A4 — approx_count_distinct (the 100 TB stand-in for exact distinct).
+# No oracle: HLL estimates are engine-specific; the unit test checks the
+# estimate against the exact count instead.
+# ---------------------------------------------------------------------------
+
+
+@register("a4_approx_distinct", oracle=None, tags=("A4",))
+def a4_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct estimate per event type. At 100 TB this
+    replaces q5's exact distinct: constant memory per group vs a
+    shuffle of every distinct pair."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J7 — as-of join: most recent click at-or-before each purchase, per user.
+# Spark has no native as-of; the union + carry-forward-window formulation
+# is the scalable idiom (single shuffle on user_id, no range explosion).
+# Oracle: DuckDB's native ASOF JOIN.
+# ---------------------------------------------------------------------------
+
+_J7_ORACLE = """
+SELECT p.event_id AS purchase_id,
+       p.user_id,
+       c.event_id AS click_id,
+       epoch_us(p.ts) - epoch_us(c.ts) AS us_since_click
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
+@register("j7_asof_join", oracle=_J7_ORACLE, tags=("J7", "W5"))
+def j7_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (click→purchase attribution): for every purchase, the
+    latest click by the same user at or before the purchase time.
+
+    Implementation: union both sides with a kind marker, sort each
+    user's timeline once (clicks before purchases on timestamp ties),
+    carry the last click id/time forward with last(ignorenulls), keep
+    purchase rows. One shuffle on user_id — no per-row range probe, no
+    O(clicks × purchases) blow-up; this is the 100 TB-safe as-of plan.
+    """
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id"),
+        F.col("ts"),
+        F.col("event_id").alias("click_id"),
+        F.lit(0).alias("kind"),  # clicks sort before purchases on ts ties
+        F.lit(None).cast("long").alias("purchase_id"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id"),
+        F.col("ts"),
+        F.lit(None).cast("long").alias("click_id"),
+        F.lit(1).alias("kind"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    timeline = clicks.unionByName(purchases)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind", "purchase_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    filled = timeline.select(
+        "user_id",
+        "kind",
+        "purchase_id",
+        ts_us.alias("ts_us"),
+        F.last("click_id", ignorenulls=True).over(w).alias("click_id"),
+        F.last(F.when(F.col("kind") == 0, ts_us), ignorenulls=True)
+        .over(w)
+        .alias("click_us"),
+    )
+    return filled.filter(F.col("kind") == 1).select(
+        F.col("purchase_id"),
+        "user_id",
+        "click_id",
+        (F.col("ts_us") - F.col("click_us")).alias("us_since_click"),
+    )

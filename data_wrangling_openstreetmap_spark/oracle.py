@@ -45,7 +45,7 @@ def _canon_value(v: Any) -> Any:
     result-type rules must not matter), floats bit-for-bit, temporals by
     ISO string, arrays element-wise."""
     if v is None:
-        return None
+        return ("_null", "")
     if isinstance(v, bool):
         return ("b", v)
     if isinstance(v, _dec.Decimal):
