@@ -1,0 +1,350 @@
+"""Scalar function sweep (SURVEY.md §2.7 F1–F9).
+
+The reference's cleaning layer is built from exactly these families:
+string normalization, regex standardization (phones/postcodes), date
+handling, arithmetic, list/tag manipulation, casts. Each family gets a
+focused query; everything is built-in Column expressions (JVM-side).
+
+Float determinism: graded outputs avoid libm-dependent functions
+(log/pow/trig) except where explicitly rounded — `+ - * / sqrt round
+abs floor ceil` are IEEE-exact and engine-identical per row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.geospatial import euclidean_deg, grid_cell, haversine_m, in_bbox
+from ..io import load_table
+from ..registry import register
+
+# ---------------------------------------------------------------------------
+# q6 — JSON extraction + aggregation (F7). Headline bench query.
+# ---------------------------------------------------------------------------
+
+_Q6_ORACLE = """
+SELECT
+  event_type,
+  COUNT(*) AS n,
+  SUM(CAST(props->>'k' AS BIGINT)) AS sum_k,
+  CAST(SUM(CAST(props->>'k' AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_k
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("q6_json_extract", oracle=_Q6_ORACLE, tags=("F7", "A1"))
+def q6_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extract an integer field from the JSON props column and
+    aggregate. get_json_object is JVM-side (Jackson); for a fixed
+    schema at scale, from_json with an explicit schema is cheaper —
+    both stay in codegen."""
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            (F.sum("k").cast("double") / F.count("*")).alias("avg_k"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# F1 — string functions.
+# ---------------------------------------------------------------------------
+
+_F1_ORACLE = """
+SELECT
+  c_custkey,
+  lower(c_name) AS name_lower,
+  upper(c_mktsegment) AS seg_upper,
+  length(c_name) AS name_len,
+  substring(c_name, 1, 8) AS name_prefix,
+  trim(concat('  ', c_name, '  ')) AS name_trimmed,
+  lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS key_padded,
+  replace(c_name, '#', '-') AS name_dashed,
+  len(string_split(c_name, '0')) AS n_zero_splits
+FROM customer
+"""
+
+
+@register("f1_string_funcs", oracle=_F1_ORACLE, tags=("F1",))
+def f1_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function battery (lower/upper/length/substring/trim/lpad/
+    replace/split) — the reference's name-cleaning idioms."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.lower("c_name").alias("name_lower"),
+        F.upper("c_mktsegment").alias("seg_upper"),
+        F.length("c_name").alias("name_len"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.trim(F.concat(F.lit("  "), F.col("c_name"), F.lit("  "))).alias(
+            "name_trimmed"
+        ),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("key_padded"),
+        F.replace(F.col("c_name"), F.lit("#"), F.lit("-")).alias("name_dashed"),
+        F.size(F.split("c_name", "0")).alias("n_zero_splits"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F2 — regex standardization (the phone/postcode cleaning idiom).
+# ---------------------------------------------------------------------------
+
+_F2_ORACLE = """
+SELECT
+  s_suppkey,
+  regexp_extract(s_name, '([0-9]+)$', 1) AS trailing_digits,
+  CAST(regexp_extract(s_name, '([0-9]+)$', 1) AS BIGINT) AS supplier_num,
+  regexp_replace(s_name, '[^0-9]+', '', 'g') AS digits_only
+FROM supplier
+"""
+
+
+@register("f2_regex_standardize", oracle=_F2_ORACLE, tags=("F2", "F8"))
+def f2_regex_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex extraction + global replace — postcode/phone
+    standardization as the reference does it, minus the dirty data."""
+    s = load_table(spark, sf_dir, "supplier")
+    return s.select(
+        "s_suppkey",
+        F.regexp_extract("s_name", r"([0-9]+)$", 1).alias("trailing_digits"),
+        F.regexp_extract("s_name", r"([0-9]+)$", 1)
+        .cast("long")
+        .alias("supplier_num"),
+        F.regexp_replace("s_name", r"[^0-9]+", "").alias("digits_only"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F3 — date/time functions.
+# ---------------------------------------------------------------------------
+
+_F3_ORACLE = """
+SELECT
+  year(o_orderdate) AS order_year,
+  month(o_orderdate) AS order_month,
+  COUNT(*) AS n_orders,
+  MIN(CAST(o_orderdate AS DATE)) AS first_day,
+  MAX(day(o_orderdate)) AS max_dom,
+  COUNT(DISTINCT CAST(date_trunc('week', o_orderdate) AS DATE)) AS n_weeks,
+  SUM(datediff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01')) AS total_days_before_2002
+FROM orders
+GROUP BY 1, 2
+"""
+
+
+@register("f3_datetime", oracle=_F3_ORACLE, tags=("F3", "A7"))
+def f3_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-part extraction, truncation, and date arithmetic bucketed
+    monthly. All integer/date outputs — timezone-free."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").alias("order_year"),
+            F.month("o_orderdate").alias("order_month"),
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.min(F.to_date("o_orderdate")).alias("first_day"),
+            F.max(F.dayofmonth("o_orderdate")).alias("max_dom"),
+            F.countDistinct(F.date_trunc("week", "o_orderdate").cast("date")).alias(
+                "n_weeks"
+            ),
+            F.sum(
+                F.datediff(F.lit("2002-01-01").cast("date"), F.to_date("o_orderdate"))
+            ).alias("total_days_before_2002"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# F4 — math functions (IEEE-exact subset, per-row).
+# ---------------------------------------------------------------------------
+
+_F4_ORACLE = """
+SELECT
+  l_orderkey,
+  l_linenumber,
+  round(l_extendedprice, 1) AS price_r1,
+  abs(l_discount - 0.05) AS disc_dev,
+  CAST(floor(l_quantity) AS BIGINT) AS qty_floor,
+  CAST(ceil(l_quantity / 7) AS BIGINT) AS qty_ceil7,
+  sqrt(l_quantity) AS qty_sqrt,
+  CAST(l_quantity AS BIGINT) % 5 AS qty_mod5
+FROM lineitem
+WHERE l_orderkey < 200
+"""
+
+
+@register("f4_math", oracle=_F4_ORACLE, tags=("F4",))
+def f4_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math battery restricted to correctly-rounded IEEE ops
+    (round/abs/floor/ceil/sqrt/mod) so per-row values are bit-identical
+    on both engines; log/pow live in ungraded demos because libm
+    implementations differ."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 200)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice", 1).alias("price_r1"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.floor("l_quantity").alias("qty_floor"),
+        F.ceil(F.col("l_quantity") / 7).alias("qty_ceil7"),
+        F.sqrt("l_quantity").alias("qty_sqrt"),
+        (F.col("l_quantity").cast("long") % 5).alias("qty_mod5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F5 — array functions over split text.
+# ---------------------------------------------------------------------------
+
+_F5_ORACLE = """
+SELECT
+  doc_id,
+  len(string_split(text, ' ')) AS n_words,
+  list_slice(list_sort(string_split(text, ' ')), 1, 3) AS first3_sorted,
+  list_contains(string_split(text, ' '), 'data') AS has_data,
+  len(list_distinct(string_split(text, ' '))) AS n_distinct_words
+FROM documents
+WHERE doc_id < 100
+"""
+
+
+@register("f5_array_funcs", oracle=_F5_ORACLE, tags=("F5",))
+def f5_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array battery (split/size/sort/slice/contains/distinct) — the
+    node_refs / tag-list manipulation family."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    words = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.size(words).alias("n_words"),
+        F.slice(F.sort_array(words), 1, 3).alias("first3_sorted"),
+        F.array_contains(words, "data").alias("has_data"),
+        F.size(F.array_distinct(words)).alias("n_distinct_words"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F6 — map functions (the open tag-schema idiom).
+# ---------------------------------------------------------------------------
+
+_F6_ORACLE = """
+SELECT doc_id, lang AS lang_from_map, source AS source_from_map, 2 AS n_keys
+FROM documents
+WHERE doc_id < 100
+"""
+
+
+@register("f6_map_funcs", oracle=_F6_ORACLE, tags=("F6",))
+def f6_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a string→string map per row (the OSM open tag schema:
+    MapType carries arbitrary k/v tags), then read it back via
+    element_at / map_keys. The oracle checks the round-trip, which is
+    the point: map in, correct values out."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    tags = F.create_map(
+        F.lit("lang"), F.col("lang"), F.lit("source"), F.col("source")
+    )
+    return d.select(
+        "doc_id",
+        F.element_at(tags, "lang").alias("lang_from_map"),
+        F.element_at(tags, "source").alias("source_from_map"),
+        F.size(F.map_keys(tags)).alias("n_keys"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F8 — casts / null handling.
+# ---------------------------------------------------------------------------
+
+_F8_ORACLE = """
+SELECT
+  p_partkey,
+  CAST(p_size AS VARCHAR) AS size_str,
+  TRY_CAST(regexp_extract(p_name, '([0-9]+)', 1) AS BIGINT) AS name_num,
+  COALESCE(NULLIF(p_brand, 'Brand#1'), 'OTHER') AS brand_or_other,
+  CAST(p_retailprice AS DECIMAL(12,2)) AS price_dec,
+  CAST(floor(p_retailprice) AS BIGINT) AS price_floor_int
+FROM part
+WHERE p_partkey < 300
+"""
+
+
+@register("f8_casts_nulls", oracle=_F8_ORACLE, tags=("F8",))
+def f8_casts_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cast battery + coalesce/nullif — the postcode-digits-to-int
+    cleaning idiom."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") < 300)
+    return p.select(
+        "p_partkey",
+        F.col("p_size").cast("string").alias("size_str"),
+        F.regexp_extract("p_name", r"([0-9]+)", 1)
+        .try_cast("long")
+        .alias("name_num"),
+        F.coalesce(F.nullif("p_brand", F.lit("Brand#1")), F.lit("OTHER")).alias(
+            "brand_or_other"
+        ),
+        F.col("p_retailprice").cast("decimal(12,2)").alias("price_dec"),
+        F.floor("p_retailprice").alias("price_floor_int"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F9 — geospatial (haversine, bbox, grid cell) over synthetic lat/lon
+# derived deterministically from customer keys (the testdata has no
+# native coordinates; the reference's domain is OSM points).
+# ---------------------------------------------------------------------------
+
+_F9_ORACLE = """
+WITH pts AS (
+  SELECT c_custkey,
+         (c_custkey % 170) * CAST(0.5 AS DOUBLE) - CAST(42.0 AS DOUBLE) AS lat,
+         (c_custkey % 355) * CAST(0.5 AS DOUBLE) - CAST(88.0 AS DOUBLE) AS lon
+  FROM customer
+)
+SELECT
+  c_custkey,
+  lat, lon,
+  CAST(floor((lat + 90.0) * 10.0) AS BIGINT) * 3600
+    + CAST(floor((lon + 180.0) * 10.0) AS BIGINT) AS cell_id,
+  (lat BETWEEN 40.0 AND 55.0 AND lon BETWEEN -5.0 AND 15.0) AS in_europe_box,
+  sqrt((lat - 48.9) * (lat - 48.9) + (lon - 2.35) * (lon - 2.35)) AS deg_dist_paris,
+  round(2 * 6371000.0 * asin(sqrt(
+      sin(radians(48.9 - lat) / 2) * sin(radians(48.9 - lat) / 2)
+      + cos(radians(lat)) * cos(radians(48.9))
+        * sin(radians(2.35 - lon) / 2) * sin(radians(2.35 - lon) / 2)
+  )), 0) AS hav_m_paris
+FROM pts
+"""
+
+
+@register("f9_geospatial", oracle=_F9_ORACLE, tags=("F9",))
+def f9_geospatial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geospatial battery: grid-cell bucketing, bbox containment,
+    exact planar distance, and haversine (rounded to whole meters —
+    trig is libm-dependent, sub-meter bits may differ across engines).
+
+    Lat/lon are synthesized deterministically from c_custkey — integer
+    % and *0.5 are exact in doubles, so the points are engine-identical.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    lat = (F.col("c_custkey") % 170) * 0.5 - 42.0
+    lon = (F.col("c_custkey") % 355) * 0.5 - 88.0
+    paris_lat, paris_lon = F.lit(48.9), F.lit(2.35)
+    return c.select(
+        "c_custkey",
+        lat.alias("lat"),
+        lon.alias("lon"),
+        grid_cell(lat, lon, 10).alias("cell_id"),
+        in_bbox(lat, lon, 40.0, -5.0, 55.0, 15.0).alias("in_europe_box"),
+        euclidean_deg(lat, lon, paris_lat, paris_lon).alias("deg_dist_paris"),
+        F.round(haversine_m(lat, lon, paris_lat, paris_lon), 0).alias("hav_m_paris"),
+    )
