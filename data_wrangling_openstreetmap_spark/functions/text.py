@@ -1,0 +1,142 @@
+"""Text-analysis Column expressions (SURVEY.md §2.10 L1/L2/L4).
+
+Tokenization, shingling, MinHash signatures, fingerprints, quality
+scoring, and a language-ID heuristic — all built-in expressions (split /
+transform / xxhash64 / array ops), no Python UDFs, so every operator
+scales as a map-side projection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization; empty string → empty array (split of ''
+    yields [''], which we filter)."""
+    return F.filter(F.split(text, r"\s+"), lambda t: t != "")
+
+
+def bpe_ish_tokens(text: Column) -> Column:
+    """Sub-word-ish tokenization: split on word boundaries AND keep
+    punctuation runs as tokens (a BPE-flavored regex approximation for
+    token counting when no real tokenizer is shippable)."""
+    return F.filter(
+        F.split(text, r"(?<=\W)(?=\w)|(?<=\w)(?=\W)|\s+"),
+        lambda t: (t != "") & (t != " "),
+    )
+
+
+def distinct_tokens(text: Column) -> Column:
+    return F.array_distinct(tokens(text))
+
+
+def token_set_key(text: Column) -> Column:
+    """Canonical token-set fingerprint key: sorted distinct tokens
+    joined — identical token sets ⇒ identical key. Hash with xxhash64
+    for a compact 64-bit fingerprint when the string key is too wide."""
+    return F.array_join(F.sort_array(distinct_tokens(text)), " ")
+
+
+def fingerprint64(text: Column) -> Column:
+    """64-bit document fingerprint of the canonical token set."""
+    return F.xxhash64(token_set_key(text))
+
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """Word k-gram shingles (the MinHash unit). Documents shorter than
+    k words yield their full token string as a single shingle."""
+    toks = tokens(text)
+    n = F.size(toks)
+    return F.when(
+        n <= k, F.array(F.array_join(toks, " "))
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n - k + 1),
+            lambda i: F.array_join(F.slice(toks, i, k), " "),
+        )
+    )
+
+
+def minhash_signature(shingle_col: Column, n_hashes: int = 16) -> Column:
+    """MinHash signature: per hash function i, min over shingles of
+    xxhash64(i ⊕ shingle). Deterministic, JVM-side, seed-varied by
+    prefixing the hash index."""
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    shingle_col,
+                    lambda s, i=i: F.xxhash64(F.concat(F.lit(f"mh{i}:"), s)),
+                )
+            )
+            for i in range(n_hashes)
+        ]
+    )
+
+
+def lsh_band_keys(signature: Column, bands: int = 4, rows: int = 4) -> Column:
+    """LSH banding: hash each band of `rows` signature slots to one
+    64-bit bucket key; docs sharing any band key become candidates.
+    Returns array<struct<band:int, key:long>> for posexplode."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.element_at(signature, b * rows + r + 1).cast("string")
+                            for r in range(rows)
+                        ],
+                    )
+                ).alias("key"),
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def quality_score(text: Column) -> Column:
+    """Deterministic document quality heuristic in [0,1]: rewards
+    reasonable length and lexical diversity (type-token ratio). All
+    integer ratios → engine-identical doubles."""
+    toks = tokens(text)
+    n = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    length_component = F.least(F.lit(1.0), n.cast("double") / F.lit(50.0))
+    ttr = F.when(n > 0, n_distinct.cast("double") / n.cast("double")).otherwise(0.0)
+    return length_component * ttr
+
+
+_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "for", "on"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "por", "con", "los"],
+    "fr": ["le", "la", "de", "et", "les", "des", "un", "une", "du", "est"],
+    "de": ["der", "die", "das", "und", "in", "den", "von", "zu", "mit", "ist"],
+    "zh": ["的", "是", "在", "了", "和", "有", "我", "不", "人", "这"],
+}
+
+
+def lang_id(text: Column) -> Column:
+    """Stopword-overlap language ID (n-gram-free heuristic): score each
+    language by how many of its top stopwords appear; deterministic
+    argmax with lexicographic tie-break ('und' = undetermined when no
+    stopword hits). Real pipelines swap in fastText — the Spark-side
+    shape (pure projection, no shuffle) is what matters at 100 TB."""
+    toks = distinct_tokens(F.lower(text))
+    scored = [
+        F.struct(
+            F.size(
+                F.array_intersect(toks, F.array(*[F.lit(w) for w in words]))
+            ).alias("hits"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang, words in sorted(_STOPWORDS.items())
+    ]
+    # array_max on struct orders by (hits, lang); lexicographically
+    # larger lang wins ties — deterministic.
+    best = F.array_max(F.array(*scored))
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))

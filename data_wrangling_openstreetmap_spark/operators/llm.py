@@ -1,0 +1,652 @@
+"""LLM-data-pipeline operators (SURVEY.md §2.10 L1–L6).
+
+Dedup (exact, token-set fingerprint, Jaccard, MinHash-LSH, SimHash,
+embedding-cosine), similarity search (exact top-k + LSH-bucketed ANN),
+text analysis (stats, word frequency, quality scoring, language ID),
+and embedding math (norms, centroids) over the `documents` and
+`embeddings` tables.
+
+Every graded query compiles to built-in Column expressions (split /
+higher-order array functions / xxhash64) — zero Python in the hot path,
+so each text operator is a map-side projection that scales linearly and
+the only shuffles are the explicit groupBy/join keys documented per
+query. The MinHash/SimHash/LSH variants are the 100 TB path for what
+the exact O(n²) forms compute at test scale; both are registered so the
+oracle grades the exact form and tests cross-check the approximate one
+against it.
+
+Determinism: integer-ratio math (Jaccard, quality) is IEEE-exact on
+both engines; float aggregates (cosine, centroids) are rounded to 6
+decimals on BOTH sides; every top-k orders with a unique id tiebreak.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+from ..functions import vectors as V
+from ..io import load_table
+from ..registry import register
+
+# DuckDB expression for the same token array Spark's T.tokens() builds.
+_ORACLE_TOKS = r"list_filter(string_split_regex(text, '\s+'), x -> x != '')"
+_ORACLE_DTOKS = f"list_distinct({_ORACLE_TOKS})"
+
+
+# ---------------------------------------------------------------------------
+# L1 — exact dedup: drop duplicate texts keeping the min doc_id.
+# ---------------------------------------------------------------------------
+
+_L1_ORACLE = """
+SELECT doc_id, lang, source, n_chars
+FROM documents
+QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
+"""
+
+
+@register("l1_exact_dedup", oracle=_L1_ORACLE, tags=("L1",))
+def l1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact text dedup, keep-min-doc_id (deterministic, unlike
+    dropDuplicates whose survivor is partition-order dependent).
+
+    Scale: one shuffle hash-partitioned by `text` (at 100 TB, by
+    xxhash64(text) to keep shuffle keys narrow); each duplicate group is
+    colocated so the window never spills across executors. The sf0.1
+    fixture's 8 planted duplicate pairs collapse; smaller SFs are a
+    no-op that must still hash-match (FIXTURES.md).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("text").orderBy("doc_id")
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "source", "n_chars")
+    )
+
+
+# ---------------------------------------------------------------------------
+# L2a — token-set fingerprint dedup: docs with identical distinct-token
+# sets (the canonical-key form of near-dup detection).
+# ---------------------------------------------------------------------------
+
+_L2_FPRINT_ORACLE = f"""
+SELECT
+  array_to_string(list_sort({_ORACLE_DTOKS}), ' ') AS tokenset_key,
+  COUNT(*) AS n_docs,
+  MIN(doc_id) AS min_doc_id
+FROM documents
+GROUP BY tokenset_key
+HAVING COUNT(*) > 1
+"""
+
+
+@register("l2_fingerprint_dupsets", oracle=_L2_FPRINT_ORACLE, tags=("L2", "L4"))
+def l2_fingerprint_dupsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-set detection by canonical token-set fingerprint:
+    groups of documents whose sorted distinct-token strings coincide.
+
+    Scale: group key is the canonical string here (oracle-comparable);
+    the production form groups by T.fingerprint64 (xxhash64 of the same
+    key) so the shuffle carries 8 bytes per row instead of the text.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(T.token_set_key(F.col("text")).alias("tokenset_key"), "doc_id")
+        .groupBy("tokenset_key")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# L2b — n-gram/token Jaccard near-dup pair join, inverted-index style.
+# ---------------------------------------------------------------------------
+
+_L2_JACCARD_ORACLE = rf"""
+WITH toks AS (
+  SELECT doc_id, {_ORACLE_DTOKS} AS ts FROM documents
+)
+SELECT
+  a.doc_id AS doc_a,
+  b.doc_id AS doc_b,
+  CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+    / (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))) AS jaccard
+FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+WHERE jaccard >= 0.9
+"""
+
+
+@register("l2_jaccard_pairs", oracle=_L2_JACCARD_ORACLE, tags=("L2", "J8"))
+def l2_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs by distinct-token Jaccard ≥ 0.9, computed as
+    an inverted-index join (explode tokens → self-join on token → count
+    common per pair) — never materializes the O(n²) cross product the
+    oracle's pairwise form implies.
+
+    Scale: shuffle is by token; hot tokens (stopwords) are the skew
+    risk — at 100 TB drop tokens with document frequency above a cap
+    (they can't distinguish near-dups) or switch to the registered
+    MinHash-LSH variant. Jaccard here is exact integer-ratio math, so
+    both engines produce bit-identical doubles — no rounding needed.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.col("doc_id"),
+        F.size(T.distinct_tokens(F.col("text"))).alias("n_toks"),
+        F.explode(T.distinct_tokens(F.col("text"))).alias("tok"),
+    )
+    a = toks.alias("a")
+    b = toks.alias("b")
+    common = (
+        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_toks").alias("na"),
+            F.col("b.n_toks").alias("nb"),
+        )
+        .agg(F.count("*").alias("common"))
+    )
+    jac = F.col("common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("common")
+    )
+    return (
+        common.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= 0.9)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# L2c — MinHash + LSH banding candidates (the 100 TB near-dup path).
+# Algorithm-specific hashes (xxhash64) aren't oracle-expressible →
+# rows-only check; tests assert every exact duplicate pair is recalled.
+# ---------------------------------------------------------------------------
+
+
+@register("l2_minhash_lsh", oracle=None, tags=("L2",))
+def l2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16 hashes) → LSH(4 bands × 4 rows) candidate pairs.
+
+    shingle → signature → band keys is one map-side projection; the only
+    shuffle groups by (band, key) — candidates meet in buckets, so cost
+    is O(n·bands + Σ bucket²) instead of O(n²). Identical texts share
+    every band key, so exact-duplicate recall is 1.0 by construction;
+    the 0.9-Jaccard recall of this parameterization is cross-checked in
+    tests against l2_jaccard_pairs.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sig = docs.select(
+        "doc_id",
+        T.minhash_signature(T.shingles(F.col("text"), k=3), n_hashes=16).alias("sig"),
+    )
+    banded = sig.select(
+        "doc_id", F.explode(T.lsh_band_keys(F.col("sig"), bands=4, rows=4)).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# L2d — SimHash fingerprints (bit-majority over token hashes).
+# ---------------------------------------------------------------------------
+
+
+@register("l2_simhash", oracle=None, tags=("L2",))
+def l2_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document: for each bit, majority vote of
+    xxhash64(token) bits over all tokens (occurrence-weighted). Hamming
+    neighbors ⇒ near-duplicates; identical token multisets ⇒ identical
+    fingerprints (asserted in tests).
+
+    Scale: pure projection, no shuffle at all — the downstream near-dup
+    join buckets on 16-bit fingerprint chunks (pigeonhole: hamming ≤ 3
+    ⇒ at least one of 4 chunks identical), same meet-in-bucket shape as
+    MinHash-LSH.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    th = F.transform(T.tokens(F.col("text")), lambda t: F.xxhash64(t))
+
+    def vote_for_bit(b: int):
+        # HOF lambdas must take exactly (acc, x) — no captured default args.
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    bit_votes = [F.aggregate(th, F.lit(0), vote_for_bit(b)) for b in range(64)]
+    simhash = None
+    for b, vote in enumerate(bit_votes):
+        bit = F.when(vote > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, b)
+        simhash = term if simhash is None else simhash.bitwiseOR(term)
+    return docs.select("doc_id", simhash.alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# L2e — embedding-cosine near-dup pairs (vector-space dedup).
+# ---------------------------------------------------------------------------
+
+_L2_EMB_ORACLE = """
+SELECT
+  a.vec_id AS vec_a,
+  b.vec_id AS vec_b,
+  ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4
+"""
+
+
+@register("l2_embedding_neardup", oracle=_L2_EMB_ORACLE, tags=("L2", "L3", "J8"))
+def l2_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cosine ≥ 0.4 — sized to
+    the fixture, whose max pairwise cosine is ~0.51).
+
+    Scale: the exact pair join is O(n²); at 100 TB the same threshold
+    query runs on l3_ann_lsh buckets (random-hyperplane partitioning)
+    instead — registered separately so the exact form stays gradable.
+    Norms are computed once per row before the join, not per pair.
+    """
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", V.norm(F.col("embedding")).alias("nrm")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    cos = F.round(
+        V.dot(F.col("a.embedding"), F.col("b.embedding"))
+        / (F.col("a.nrm") * F.col("b.nrm")),
+        6,
+    )
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.4)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q9 — headline text-analysis stats (L4).
+# ---------------------------------------------------------------------------
+
+_Q9_ORACLE = rf"""
+SELECT
+  lang,
+  COUNT(*) AS n_docs,
+  SUM(len({_ORACLE_TOKS})) AS total_tokens,
+  CAST(SUM(len({_ORACLE_TOKS})) AS DOUBLE) / COUNT(*) AS avg_tokens,
+  SUM(n_chars) AS total_chars,
+  COUNT(DISTINCT source) AS n_sources
+FROM documents
+GROUP BY lang
+"""
+
+
+@register("q9_text_stats", oracle=_Q9_ORACLE, tags=("L4", "A1", "A3"))
+def q9_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus stats: doc count, token totals, average
+    tokens per doc, character volume, distinct sources.
+
+    Scale: tokenization is a projection; one low-cardinality shuffle on
+    lang with partial aggregation map-side. avg is exact-integer sum ÷
+    count → identical doubles on both engines.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    with_toks = docs.withColumn("n_toks", F.size(T.tokens(F.col("text"))))
+    return with_toks.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_toks").alias("total_tokens"),
+        (F.sum("n_toks").cast("double") / F.count("*")).alias("avg_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# L4 — word frequency (explode + count, the classic).
+# ---------------------------------------------------------------------------
+
+_L4_FREQ_ORACLE = rf"""
+SELECT tok, COUNT(*) AS cnt
+FROM (SELECT unnest({_ORACLE_TOKS}) AS tok FROM documents)
+GROUP BY tok
+ORDER BY cnt DESC, tok
+LIMIT 20
+"""
+
+
+@register("l4_word_freq", oracle=_L4_FREQ_ORACLE, tags=("L4", "F5", "O2"))
+def l4_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 tokens by global frequency (tie-broken by token).
+
+    Scale: explode multiplies rows ~50×, but partial aggregation
+    collapses each partition to its distinct tokens before the shuffle,
+    so the exchange carries |vocab|×|partitions| rows; orderBy+limit
+    compiles to TakeOrderedAndProject (no global sort).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(T.tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "tok")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# L4 — quality scoring (length + type-token-ratio heuristic).
+# ---------------------------------------------------------------------------
+
+_L4_QUALITY_ORACLE = rf"""
+SELECT
+  doc_id,
+  len({_ORACLE_TOKS}) AS n_tokens,
+  len({_ORACLE_DTOKS}) AS n_distinct_tokens,
+  LEAST(1.0, len({_ORACLE_TOKS}) / 50.0)
+    * (CASE WHEN len({_ORACLE_TOKS}) > 0
+            THEN CAST(len({_ORACLE_DTOKS}) AS DOUBLE) / len({_ORACLE_TOKS})
+            ELSE 0.0 END) AS quality
+FROM documents
+"""
+
+
+@register("l4_quality_score", oracle=_L4_QUALITY_ORACLE, tags=("L4",))
+def l4_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality heuristic: length component × type-token
+    ratio, in [0,1] (T.quality_score).
+
+    Pure projection (no shuffle); all math is integer-ratio IEEE
+    division — bit-identical across engines without rounding.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(T.tokens(F.col("text"))).alias("n_tokens"),
+        F.size(T.distinct_tokens(F.col("text"))).alias("n_distinct_tokens"),
+        T.quality_score(F.col("text")).alias("quality"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# L4 — language ID heuristic vs. the labeled lang column.
+# ---------------------------------------------------------------------------
+
+
+def _oracle_lang_hits(lang: str, words: list[str]) -> str:
+    arr = ", ".join(f"'{w}'" for w in words)
+    return f"len(list_intersect(list_distinct(list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '')), [{arr}]))"
+
+
+def _lang_id_oracle() -> str:
+    hits = {
+        lang: _oracle_lang_hits(lang, words) for lang, words in T._STOPWORDS.items()
+    }
+    # Tie-break mirrors T.lang_id: among max-hit languages the
+    # lexicographically LARGEST lang wins → test in reverse-lex order.
+    reverse_lex = sorted(hits, reverse=True)
+    case = " ".join(
+        f"WHEN h_{lang} = best THEN '{lang}'" for lang in reverse_lex
+    )
+    hit_cols = ", ".join(f"{expr} AS h_{lang}" for lang, expr in hits.items())
+    greatest = "GREATEST(" + ", ".join(f"h_{lang}" for lang in sorted(hits)) + ")"
+    return f"""
+WITH scored AS (
+  SELECT lang, {hit_cols} FROM documents
+),
+picked AS (
+  SELECT lang, {greatest} AS best,
+         CASE WHEN {greatest} = 0 THEN 'und' {case} END AS lang_pred
+  FROM scored
+)
+SELECT lang, lang_pred, COUNT(*) AS n_docs
+FROM picked
+GROUP BY lang, lang_pred
+"""
+
+
+@register("l4_lang_id", oracle=_lang_id_oracle(), tags=("L4",))
+def l4_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion counts of the stopword-overlap language-ID heuristic
+    against the labeled lang column ('und' = no stopword hit — the
+    expected outcome on this synthetic word-salad corpus; real-text
+    behavior is unit-tested on multilingual fixtures).
+
+    Scale: projection + one tiny shuffle on (lang, lang_pred).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", T.lang_id(F.col("text")).alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q10 — headline exact cosine top-k similarity search (L3).
+# ---------------------------------------------------------------------------
+
+_Q10_ORACLE = """
+SELECT
+  a.vec_id AS vec_id,
+  b.vec_id AS neighbor_id,
+  ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+QUALIFY row_number() OVER (
+  PARTITION BY a.vec_id
+  ORDER BY ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) DESC,
+           b.vec_id
+) <= 5
+"""
+
+
+@register("q10_cosine_topk", oracle=_Q10_ORACLE, tags=("L3", "J8", "W2"))
+def q10_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact k-NN: top-5 cosine neighbors for every embedding.
+
+    Scale: norms are precomputed per row (O(n·d)) so the pair loop is a
+    dot product only; the window tie-breaks on rounded score then
+    neighbor id. O(n²·d) is exact-by-definition at fixture scale and is
+    the recall oracle for the LSH path (l3_ann_lsh) that replaces it at
+    100 TB. Scores rounded to 6 dp on both engines (f64 fold order).
+    """
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", V.norm(F.col("embedding")).alias("nrm")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    cos = F.round(
+        V.dot(F.col("a.embedding"), F.col("b.embedding"))
+        / (F.col("a.nrm") * F.col("b.nrm")),
+        6,
+    )
+    pairs = a.join(b, F.col("a.vec_id") != F.col("b.vec_id")).select(
+        F.col("a.vec_id").alias("vec_id"),
+        F.col("b.vec_id").alias("neighbor_id"),
+        cos.alias("cosine"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cosine").desc(), "neighbor_id")
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("vec_id", "neighbor_id", "cosine")
+    )
+
+
+# ---------------------------------------------------------------------------
+# L3 — LSH-bucketed approximate NN (the scale path for q10).
+# ---------------------------------------------------------------------------
+
+def _hyperplanes(n_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (builtin LCG — keeps the
+    operator dependency-free and reproducible across runs)."""
+    import random
+
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
+@register("l3_ann_lsh", oracle=None, tags=("L3",))
+def l3_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 cosine neighbors via random-hyperplane LSH with
+    OR-amplification: 6 independent hash tables × 4 sign bits (16
+    buckets each); candidates meet if they collide in ANY table.
+
+    Scale: replaces q10's O(n²·d) with O(tables · Σ bucket²·d) — at 16
+    buckets/table that's ~6/16 ≈ 3/8 the exact cost here and shrinks
+    quadratically as buckets grow with n (planes ≈ log2(n/target_bucket)).
+    Everything up to the bucket self-join is a projection; the join
+    shuffles on (table, bucket) — a narrow int pair. More tables raise
+    recall (tests measure it against q10: ~0.6 at this setting, vs 1/16
+    chance); DuckDB can't express meet-in-bucket, hence rows-only
+    grading with the exact form as the in-repo recall oracle.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    n_tables, n_planes = 6, 4
+    tables = [
+        _hyperplanes(n_planes, 64, seed=1000 + t) for t in range(n_tables)
+    ]
+    bucket_entries = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                F.concat_ws(
+                    "",
+                    *[
+                        F.when(
+                            V.dot(F.col("embedding"), F.array(*[F.lit(x) for x in p]))
+                            > 0,
+                            "1",
+                        ).otherwise("0")
+                        for p in planes
+                    ],
+                ).alias("bucket"),
+            )
+            for t, planes in enumerate(tables)
+        ]
+    )
+    e = e.select(
+        "vec_id",
+        "embedding",
+        V.norm(F.col("embedding")).alias("nrm"),
+        F.explode(bucket_entries).alias("bk"),
+    ).select("vec_id", "embedding", "nrm", "bk.tbl", "bk.bucket")
+    a, b = e.alias("a"), e.alias("b")
+    cos = F.round(
+        V.dot(F.col("a.embedding"), F.col("b.embedding"))
+        / (F.col("a.nrm") * F.col("b.nrm")),
+        6,
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_id"),
+            F.col("b.vec_id").alias("neighbor_id"),
+            cos.alias("cosine"),
+        )
+        .distinct()  # collapse multi-table collisions of the same pair
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cosine").desc(), "neighbor_id")
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("vec_id", "neighbor_id", "cosine")
+    )
+
+
+# ---------------------------------------------------------------------------
+# L5 — multimodal columns flow through relational ops.
+# ---------------------------------------------------------------------------
+
+_L5_ORACLE = """
+SELECT
+  d.lang,
+  e.label,
+  COUNT(*) AS n,
+  ROUND(AVG(sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))), 6) AS avg_norm
+FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+GROUP BY d.lang, e.label
+"""
+
+
+@register("l5_multimodal_join", oracle=_L5_ORACLE, tags=("L5", "J1"))
+def l5_multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding columns as first-class relational citizens: join docs
+    to their vectors, aggregate a vector expression (L2 norm) per
+    (lang, label).
+
+    Scale: array columns ride the shuffle like any other column; the
+    norm is computed pre-aggregation (projection), so the groupBy only
+    carries a double. avg rounded to 6 dp (f64 fold order).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        docs.join(emb, docs.doc_id == emb.vec_id)
+        .select("lang", "label", V.norm(F.col("embedding")).alias("nrm"))
+        .groupBy("lang", "label")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("nrm"), 6).alias("avg_norm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# L6 — per-label centroids: posexplode → per-dim avg → ordered repack.
+# ---------------------------------------------------------------------------
+
+_L6_ORACLE = """
+WITH per_dim AS (
+  SELECT label, i AS dim, ROUND(AVG(embedding[i]::DOUBLE), 6) AS c
+  FROM embeddings, generate_series(1, 64) t(i)
+  GROUP BY label, i
+)
+SELECT label, list(c ORDER BY dim) AS centroid
+FROM per_dim
+GROUP BY label
+"""
+
+
+@register("l6_centroids", oracle=_L6_ORACLE, tags=("L6", "A8", "F5"))
+def l6_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid vectors: explode to (label, dim, value),
+    average per dim, re-pack into an ordered array.
+
+    Scale: the explode-shuffle carries (label, dim) keys — 64×|labels|
+    groups, perfectly parallel and skew-free; the repack groups 64 rows
+    per label. This is the shuffle-friendly formulation of columnar
+    mean — no per-partition vector accumulation needed. Rounded to 6 dp
+    per dimension on both sides.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    per_dim = (
+        e.select(
+            "label",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v"),
+        )
+        .groupBy("label", (F.col("pos") + 1).alias("dim"))
+        .agg(F.round(F.avg("v"), 6).alias("c"))
+    )
+    return per_dim.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "c"))), lambda s: s["c"]
+        ).alias("centroid")
+    )
