@@ -5,6 +5,6 @@ Importing this package imports every query module, firing their
 trigger that side effect explicitly.
 """
 
-from . import functions_sweep, llm, multimodal, relational, windows
+from . import functions_sweep, llm, multimodal, relational, streaming_ops, windows
 
-ALL_MODULES = (relational, windows, functions_sweep, llm, multimodal)
+ALL_MODULES = (relational, windows, functions_sweep, llm, multimodal, streaming_ops)

@@ -1,0 +1,202 @@
+"""Graded batch-equivalent forms of the streaming operators (§2.9
+ST1–ST3, ST5–ST7).
+
+The oracle is batch DuckDB SQL, so each streaming operator is graded on
+its batch-equivalent DataFrame form here; the `readStream` forms in
+streaming/replay.py and streaming/stateful.py reuse the SAME transform
+functions (streaming/transforms.py), and tests assert the replayed
+stream converges to these batch results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..registry import register
+from ..streaming import transforms as TR
+from ._helpers import money, oracle_dsum
+
+# ---------------------------------------------------------------------------
+# q7 / ST1 — tumbling window aggregation. Headline bench query.
+# ---------------------------------------------------------------------------
+
+_Q7_ORACLE = f"""
+SELECT
+  date_trunc('hour', ts) AS window_start,
+  date_trunc('hour', ts) + INTERVAL '1 hour' AS window_end,
+  event_type,
+  COUNT(*) AS n_events,
+  {oracle_dsum('value')} AS total_value
+FROM events
+GROUP BY window_start, window_end, event_type
+"""
+
+
+@register("q7_tumbling_window", oracle=_Q7_ORACLE, tags=("ST1", "A7"))
+def q7_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling windows × event_type: count + exact value total.
+
+    Scale: identical expression runs incrementally under readStream
+    with a watermark (tests prove equality); batch side is one
+    partial+final hash agg on (window, type).
+    """
+    return TR.tumbling_counts(load_table(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# ST2 — sliding windows: every event lands in duration/slide windows.
+# ---------------------------------------------------------------------------
+
+_ST2_ORACLE = f"""
+WITH expanded AS (
+  SELECT
+    unnest(generate_series(
+      time_bucket(INTERVAL '15 minutes', ts) - INTERVAL '45 minutes',
+      time_bucket(INTERVAL '15 minutes', ts),
+      INTERVAL '15 minutes'
+    )) AS window_start,
+    event_type,
+    value
+  FROM events
+)
+SELECT window_start, event_type, COUNT(*) AS n_events,
+       {oracle_dsum('value')} AS total_value
+FROM expanded
+GROUP BY window_start, event_type
+"""
+
+
+@register("st2_sliding_window", oracle=_ST2_ORACLE, tags=("ST2",))
+def st2_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 15 minutes (4 windows per event).
+
+    The oracle reconstructs Spark's epoch-aligned window assignment by
+    enumerating the four covering starts per event. Scale: the 4×
+    expansion happens inside the aggregation operator, not as a
+    materialized explode.
+    """
+    return TR.sliding_counts(load_table(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# ST3 — session windows (gap-based), ANSI lag/cumsum oracle.
+# ---------------------------------------------------------------------------
+
+_ST3_ORACLE = f"""
+WITH lagged AS (
+  SELECT user_id, event_id, ts, value,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+), flagged AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN prev_ts IS NULL
+                OR ts - prev_ts > INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS new_sess
+  FROM lagged
+), sess AS (
+  SELECT user_id, ts, value,
+         SUM(new_sess) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS UNBOUNDED PRECEDING
+         ) AS sess_id
+  FROM flagged
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL '30 minutes' AS session_end,
+       COUNT(*) AS n_events,
+       {oracle_dsum('value')} AS total_value
+FROM sess
+GROUP BY user_id, sess_id
+"""
+
+
+@register("st3_session_window", oracle=_ST3_ORACLE, tags=("ST3", "W3", "W4"))
+def st3_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user gap sessions via F.session_window (gap 30 min; events
+    exactly GAP apart merge — measured semantics, mirrored by the
+    oracle's strict `>` new-session test; session end = last + gap).
+
+    Scale: session merging is a per-user sorted scan after one shuffle
+    on user_id — the ANSI lag/cumsum oracle formulation is also exactly
+    how you'd hand-roll it on an engine without session_window.
+    """
+    return TR.sessionize(load_table(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# ST5 — dedup: first event per (user_id, event_type).
+# ---------------------------------------------------------------------------
+
+_ST5_ORACLE = """
+SELECT event_id, user_id, event_type, ts, value
+FROM events
+QUALIFY row_number() OVER (
+  PARTITION BY user_id, event_type ORDER BY ts, event_id
+) = 1
+"""
+
+
+@register("st5_dedup_first", oracle=_ST5_ORACLE, tags=("ST5", "L1"))
+def st5_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep the earliest event per (user_id, event_type) — the
+    deterministic batch image of streaming `dropDuplicates`, whose state
+    is exactly one row per key (watermark-bounded in the
+    dropDuplicatesWithinWatermark form)."""
+    return TR.dedup_keep_first(load_table(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# ST6 — stream-static join.
+# ---------------------------------------------------------------------------
+
+_ST6_ORACLE = f"""
+SELECT c_mktsegment, COUNT(*) AS n_events, {oracle_dsum('value')} AS total_value
+FROM events e JOIN customer c ON e.user_id + 1 = c.c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+@register("st6_stream_static_join", oracle=_ST6_ORACLE, tags=("ST6", "J1", "J5"))
+def st6_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Enrich the event stream with the customer dimension and roll up
+    per market segment. The dimension broadcasts — a streaming micro
+    batch never repartitions, so this holds at any stream rate."""
+    return TR.enrich_with_customer(
+        load_table(spark, sf_dir, "events"),
+        load_table(spark, sf_dir, "customer"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ST7 — arbitrary stateful op, batch-equivalent: running per-user totals.
+# ---------------------------------------------------------------------------
+
+_ST7_ORACLE = """
+SELECT event_id, user_id, ts,
+       row_number() OVER w AS event_seq,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w AS DECIMAL(38,2)) AS running_value
+FROM events
+WINDOW w AS (
+  PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING
+)
+"""
+
+
+@register("st7_running_user_totals", oracle=_ST7_ORACLE, tags=("ST7", "W4"))
+def st7_running_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-user event counter and value total — the batch image
+    of the applyInPandasWithState demo (streaming/stateful.py), which
+    keeps {count, total} per user as its state dict."""
+    events = load_table(spark, sf_dir, "events")
+    w_order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_frame = w_order.rowsBetween(Window.unboundedPreceding, 0)
+    return events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.row_number().over(w_order).alias("event_seq"),
+        F.sum(money("value")).over(w_frame).cast("decimal(38,2)").alias("running_value"),
+    )

@@ -1,0 +1,98 @@
+"""Event-stream transformations, batch/streaming agnostic.
+
+Each function takes the `events` DataFrame (static or streaming — the
+expressions are identical; streaming only adds watermarks at the call
+site) and returns the transformed DataFrame. Graded batch forms and
+readStream demos both call these, so the two paths cannot drift.
+
+Scale notes (100 TB stream): all aggregations key on low-cardinality
+(window, type) or hash-partitionable (user_id) columns; state size is
+bounded by watermarks (replay.py) and RocksDB state store is the
+production state backend. `value` is an exact 2-decimal double →
+DECIMAL sums (operators/_helpers.py) keep every total order-independent
+and engine-identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..operators._helpers import dsum
+
+GAP = "30 minutes"
+
+
+def tumbling_counts(events: DataFrame) -> DataFrame:
+    """ST1: 1-hour tumbling windows × event_type."""
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), dsum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sliding_counts(events: DataFrame) -> DataFrame:
+    """ST2: 1-hour windows sliding every 15 minutes (each event lands in
+    4 windows; Spark expands them JVM-side, no explode needed)."""
+    return (
+        events.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), dsum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sessionize(events: DataFrame) -> DataFrame:
+    """ST3: gap-based session windows per user (merge while the gap to
+    the previous event is <= GAP — measured Spark semantics; session end
+    = last event + GAP)."""
+    return (
+        events.groupBy(F.session_window("ts", GAP).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), dsum("value").alias("total_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def dedup_keep_first(events: DataFrame) -> DataFrame:
+    """ST5 batch form: first event per (user_id, event_type) by event
+    time, deterministically tie-broken by event_id. The streaming form
+    is `dropDuplicates` on the same keys (replay.py), whose survivor is
+    arrival-order — identical when replay is time-ordered."""
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id", "event_type", "ts", "value")
+    )
+
+
+def enrich_with_customer(events: DataFrame, customer: DataFrame) -> DataFrame:
+    """ST6: stream-static join — map the stream's user_id onto the
+    customer dimension (fixture ids are 0-based, custkeys 1-based), then
+    aggregate per market segment. The static side broadcasts: no stream
+    repartitioning at any scale."""
+    joined = events.join(
+        F.broadcast(customer),
+        events.user_id + 1 == customer.c_custkey,
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_events"),
+        dsum("value").alias("total_value"),
+    )

@@ -1,0 +1,167 @@
+"""Structured Streaming convergence tests (§2.9): replay the events
+table through a file-source stream and assert the memory-sink state
+equals the batch-equivalent graded results. Also covers watermark
+late-data drop (ST4) and the applyInPandasWithState operator (ST7)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_wrangling_openstreetmap_spark.io import load_table
+from data_wrangling_openstreetmap_spark.streaming import transforms as TR
+from data_wrangling_openstreetmap_spark.streaming.replay import (
+    EVENTS_SCHEMA,
+    SENTINEL_USER,
+    read_event_stream,
+    run_to_memory,
+    stage_replay_dir,
+    write_ordered_chunks,
+)
+from data_wrangling_openstreetmap_spark.streaming.stateful import (
+    running_user_totals_stream,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def replay_dir(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("replay") / "events")
+    return stage_replay_dir(spark, SF, out, n_chunks=4, sentinel_hours=48)
+
+
+def _rows(df, drop_sentinel=True):
+    if drop_sentinel and "user_id" in df.columns:
+        df = df.filter(F.col("user_id") != SENTINEL_USER)
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_stream_tumbling_equals_batch(spark, replay_dir):
+    run_to_memory(
+        read_event_stream(spark, replay_dir),
+        TR.tumbling_counts,
+        "sink_tumbling",
+        output_mode="complete",
+    )
+    got = spark.table("sink_tumbling").filter(F.col("event_type") != "sentinel")
+    want = TR.tumbling_counts(load_table(spark, SF, "events"))
+    assert _rows(got) == _rows(want)
+
+
+def test_stream_session_window_with_watermark_equals_batch(spark, replay_dir):
+    """Append mode + watermark: the 48 h sentinel pushes the watermark
+    past every real session, so all of them flush to the sink."""
+    run_to_memory(
+        read_event_stream(spark, replay_dir),
+        TR.sessionize,
+        "sink_sessions",
+        output_mode="append",
+        watermark="1 hour",
+    )
+    got = spark.table("sink_sessions")
+    want = TR.sessionize(load_table(spark, SF, "events"))
+    assert _rows(got) == _rows(want)
+
+
+def test_stream_dedup_equals_batch_keep_first(spark, replay_dir):
+    """Time-ordered replay makes dropDuplicates' arrival-order survivor
+    the event-time-first one."""
+    run_to_memory(
+        read_event_stream(spark, replay_dir),
+        lambda df: df.dropDuplicates(["user_id", "event_type"]).select(
+            "event_id", "user_id", "event_type", "ts", "value"
+        ),
+        "sink_dedup",
+        output_mode="append",
+    )
+    got = spark.table("sink_dedup").filter(F.col("user_id") != SENTINEL_USER)
+    want = TR.dedup_keep_first(load_table(spark, SF, "events"))
+    assert _rows(got) == _rows(want)
+
+
+def test_stream_static_join_equals_batch(spark, replay_dir):
+    customer = load_table(spark, SF, "customer")
+    run_to_memory(
+        read_event_stream(spark, replay_dir).filter(
+            F.col("user_id") != SENTINEL_USER
+        ),
+        lambda df: TR.enrich_with_customer(df, customer),
+        "sink_enrich",
+        output_mode="complete",
+    )
+    got = spark.table("sink_enrich")
+    want = TR.enrich_with_customer(
+        load_table(spark, SF, "events"), customer
+    )
+    assert _rows(got) == _rows(want)
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """ST4: an event arriving behind the watermark is excluded from its
+    (already finalized) window."""
+    d = dt.datetime(2024, 6, 1, 0, 0, 0)
+    out = str(tmp_path / "late")
+    on_time = [
+        (1, d + dt.timedelta(minutes=5), 1, "click", 1.0, "{}"),
+        (2, d + dt.timedelta(minutes=10), 1, "click", 1.0, "{}"),
+    ]
+    advance = [(3, d + dt.timedelta(hours=6), 1, "click", 1.0, "{}")]
+    # The batch in which the watermark first crosses a window still
+    # MERGES late rows before evicting (measured) — the drop guarantee
+    # starts one batch later, hence the spacer between advance and late.
+    spacer = [(6, d + dt.timedelta(hours=6, minutes=1), 1, "click", 1.0, "{}")]
+    late = [(4, d + dt.timedelta(minutes=20), 1, "click", 1.0, "{}")]
+    flush = [(5, d + dt.timedelta(hours=12), 1, "click", 1.0, "{}")]
+    write_ordered_chunks(
+        (
+            spark.createDataFrame(b, EVENTS_SCHEMA)
+            for b in (on_time, advance, spacer, late, flush)
+        ),
+        out,
+    )
+    run_to_memory(
+        read_event_stream(spark, out),
+        TR.tumbling_counts,
+        "sink_late",
+        output_mode="append",
+        watermark="10 minutes",
+    )
+    by_window = {
+        r["window_start"]: r["n_events"] for r in spark.table("sink_late").collect()
+    }
+    # event 4 (00:20, behind the 06:00-advanced watermark) must NOT count
+    assert by_window[d] == 2
+
+
+def test_stateful_running_totals_converge_to_batch(spark, replay_dir):
+    """ST7: last emitted update per user == batch per-user totals."""
+    run_to_memory(
+        read_event_stream(spark, replay_dir).filter(
+            F.col("user_id") != SENTINEL_USER
+        ),
+        running_user_totals_stream,
+        "sink_state",
+        output_mode="update",
+    )
+    updates = spark.table("sink_state")
+    final = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in updates.orderBy("n_events").collect()
+    }  # later updates have strictly larger n_events → dict keeps the last
+    batch = {
+        r["user_id"]: (r["n"], float(r["tv"]))
+        for r in load_table(spark, SF, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.round(F.col("value"), 2)), 2).alias("tv"),
+        )
+        .collect()
+    }
+    assert set(final) == set(batch)
+    for uid, (n, tv) in batch.items():
+        assert final[uid][0] == n
+        assert abs(final[uid][1] - tv) < 0.02  # float accumulation in pandas
