@@ -5,6 +5,22 @@ Importing this package imports every query module, firing their
 trigger that side effect explicitly.
 """
 
-from . import functions_sweep, llm, multimodal, relational, streaming_ops, windows
+from . import (
+    functions_sweep,
+    llm,
+    multimodal,
+    osm_demo,
+    relational,
+    streaming_ops,
+    windows,
+)
 
-ALL_MODULES = (relational, windows, functions_sweep, llm, multimodal, streaming_ops)
+ALL_MODULES = (
+    relational,
+    windows,
+    functions_sweep,
+    llm,
+    multimodal,
+    streaming_ops,
+    osm_demo,
+)
