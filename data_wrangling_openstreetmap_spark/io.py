@@ -30,12 +30,26 @@ TABLES = (
 BROADCAST_DIMS = frozenset({"region", "nation", "supplier", "part"})
 
 
+# Scan-plan cache: building `spark.read.parquet` re-lists files and
+# re-reads footers (~50-200 ms) on every query construction; the
+# resulting DataFrame is just a plan, so reusing it never caches data.
+# Keyed per session so a fresh (e.g. driver-owned) session never sees
+# another session's plans.
+_scan_cache: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
-    if name == "events":
-        return _load_events(spark, sf_dir)
-    return spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+    key = (id(spark), sf_dir.rstrip("/"), name)
+    df = _scan_cache.get(key)
+    if df is None:
+        if name == "events":
+            df = _load_events(spark, sf_dir)
+        else:
+            df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+        _scan_cache[key] = df
+    return df
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -17,7 +17,17 @@ from pyspark.sql import functions as F
 
 from ..io import load_table
 from ..registry import register
-from ._helpers import davg, dsum, dsum_expr, money, oracle_davg, oracle_dsum, oracle_dsum_expr
+from ._helpers import (
+    cents,
+    davg,
+    dsum,
+    money,
+    oracle_cents,
+    oracle_davg,
+    oracle_dsum,
+    oracle_units_sum,
+    units_sum,
+)
 
 # ---------------------------------------------------------------------------
 # q1 — flagship: TPC-H-Q1-style pricing summary (scan S1, filter P2,
@@ -30,8 +40,8 @@ SELECT
   l_linestatus,
   {oracle_dsum('l_quantity')} AS sum_qty,
   {oracle_dsum('l_extendedprice')} AS sum_base_price,
-  {oracle_dsum_expr('CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))', 'DECIMAL(38,4)')} AS sum_disc_price,
-  {oracle_dsum_expr('CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) * (1 + CAST(l_tax AS DECIMAL(12,2)))', 'DECIMAL(38,6)')} AS sum_charge,
+  {oracle_units_sum(f"{oracle_cents('l_extendedprice')} * (100 - {oracle_cents('l_discount')})", 4)} AS sum_disc_price,
+  {oracle_units_sum(f"{oracle_cents('l_extendedprice')} * (100 - {oracle_cents('l_discount')}) * (100 + {oracle_cents('l_tax')})", 6)} AS sum_charge,
   {oracle_davg('l_quantity')} AS avg_qty,
   {oracle_davg('l_extendedprice')} AS avg_price,
   {oracle_davg('l_discount')} AS avg_disc,
@@ -54,16 +64,19 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     shipdate predicate pushes down to parquet row-group stats.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    disc_price = money("l_extendedprice") * (1 - money("l_discount"))
-    charge = disc_price * (1 + money("l_tax"))
+    # Exact integer units: price in cents, discount/tax in percent points
+    # → disc_price at scale 4, charge at scale 6 (headroom notes in
+    # _helpers; at 100 TB shard the scale-6 sum per date partition).
+    disc_price = cents("l_extendedprice") * (100 - cents("l_discount"))
+    charge = disc_price * (100 + cents("l_tax"))
     return (
         li.filter(F.col("l_shipdate") <= "1998-09-02 00:00:00")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             dsum("l_quantity").alias("sum_qty"),
             dsum("l_extendedprice").alias("sum_base_price"),
-            dsum_expr(disc_price, "decimal(38,4)").alias("sum_disc_price"),
-            dsum_expr(charge, "decimal(38,6)").alias("sum_charge"),
+            units_sum(disc_price, 4).alias("sum_disc_price"),
+            units_sum(charge, 6).alias("sum_charge"),
             davg("l_quantity").alias("avg_qty"),
             davg("l_extendedprice").alias("avg_price"),
             davg("l_discount").alias("avg_disc"),
