@@ -1,0 +1,70 @@
+"""Plan-shape guards: the physical plans behind the scale claims.
+
+These are the assertions that keep 100 TB posture honest — a filter
+that stops pushing down or a dimension that stops broadcasting would
+still pass value checks at sf0.01 while regressing 10× at scale.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from data_wrangling_openstreetmap_spark.plans import (
+    assert_in_plan,
+    assert_no_python_eval,
+    plan_string,
+)
+from data_wrangling_openstreetmap_spark.registry import REGISTRY, _ensure_loaded
+
+_ensure_loaded()
+SF = "/root/testdata/sf0.001"
+
+# Queries allowed to cross the JVM↔Python boundary (vectorized by
+# design: broadcast-matmul k-NN, Arrow-batched multimodal decode).
+PYTHON_ALLOWED = {"q10_cosine_topk", "m1_multimodal_decode"}
+# Driver-side generators (XML demo) — plan built over generated input.
+SLOW_BUILD = {"osm_wrangle_demo"}
+
+
+def test_q1_pushdown_and_pruning(spark):
+    df = REGISTRY["q1_pricing_summary"].fn(spark, SF)
+    plan = assert_in_plan(df, "PushedFilters", "LessThanOrEqual(l_shipdate")
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_partkey" not in read_schema  # column pruning reached the scan
+    assert "l_quantity" in read_schema
+
+
+def test_q2_broadcasts_dimensions(spark):
+    df = REGISTRY["q2_join_chain"].fn(spark, SF)
+    assert_in_plan(df, "BroadcastHashJoin")
+
+
+def test_topk_compiles_to_take_ordered(spark):
+    df = REGISTRY["o2_top_k"].fn(spark, SF)
+    assert_in_plan(df, "TakeOrderedAndProject")
+
+
+def test_word_freq_partial_aggregates_before_shuffle(spark):
+    plan = plan_string(REGISTRY["l4_word_freq"].fn(spark, SF))
+    # partial_count before the exchange = map-side combine of exploded tokens
+    assert "partial_count" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_semi_and_anti_joins_stay_joins(spark):
+    assert_in_plan(REGISTRY["q4_semi_join"].fn(spark, SF), "LeftSemi")
+    assert_in_plan(REGISTRY["j4_anti_join"].fn(spark, SF), "LeftAnti")
+
+
+def test_whole_stage_codegen_covers_flagship(spark):
+    df = REGISTRY["q1_pricing_summary"].fn(spark, SF)
+    df.collect()  # AQE reveals codegen spans only in the executed final plan
+    assert_in_plan(df, "== Final Plan ==", "codegen id :")
+
+
+@pytest.mark.parametrize(
+    "name", sorted(set(REGISTRY) - PYTHON_ALLOWED - SLOW_BUILD)
+)
+def test_graded_queries_never_cross_into_python(spark, name):
+    df = REGISTRY[name].fn(spark, SF)
+    assert_no_python_eval(df, name)
