@@ -11,7 +11,9 @@ from . import (
     multimodal,
     osm_demo,
     relational,
+    scale,
     streaming_ops,
+    udfs,
     windows,
 )
 
@@ -23,4 +25,6 @@ ALL_MODULES = (
     multimodal,
     streaming_ops,
     osm_demo,
+    scale,
+    udfs,
 )

@@ -20,8 +20,15 @@ _ensure_loaded()
 SF = "/root/testdata/sf0.001"
 
 # Queries allowed to cross the JVM↔Python boundary (vectorized by
-# design: broadcast-matmul k-NN, Arrow-batched multimodal decode).
-PYTHON_ALLOWED = {"q10_cosine_topk", "m1_multimodal_decode"}
+# design: broadcast-matmul k-NN, Arrow-batched multimodal decode, and
+# the §2.8 U-surface whose point is the crossing).
+PYTHON_ALLOWED = {
+    "q10_cosine_topk",
+    "m1_multimodal_decode",
+    "u2_pandas_udf_score",
+    "u3_grouped_map_zscore",
+    "u5_udtf_tag_split",
+}
 # Driver-side generators (XML demo) — plan built over generated input.
 SLOW_BUILD = {"osm_wrangle_demo"}
 

