@@ -1,0 +1,135 @@
+"""Property-based invariants (hypothesis) over generated micro-tables.
+
+Each property pins an algebraic law the oracle comparison can't state:
+idempotence, symmetry, containment, conservation. Examples are kept
+small (Spark job per example) — the laws, not the volume, do the work.
+"""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from data_wrangling_openstreetmap_spark.functions import text as T
+from data_wrangling_openstreetmap_spark.functions import vectors as V
+
+SETTINGS = dict(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+words = st.sampled_from(["alpha", "beta", "gamma", "delta", "epsilon", "zeta"])
+texts = st.lists(words, min_size=0, max_size=12).map(" ".join)
+
+
+def _dedup_keep_min(df):
+    w = Window.partitionBy("text").orderBy("doc_id")
+    return (
+        df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+@given(st.lists(texts, min_size=1, max_size=8))
+@settings(**SETTINGS)
+def test_exact_dedup_idempotent(spark, docs):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    once = _dedup_keep_min(df)
+    twice = _dedup_keep_min(once)
+    a = sorted(map(tuple, once.collect()))
+    b = sorted(map(tuple, twice.collect()))
+    assert a == b
+    assert len(a) == len(set(docs))  # one survivor per distinct text
+
+
+@given(st.lists(texts, min_size=2, max_size=6))
+@settings(**SETTINGS)
+def test_union_all_conserves_rows(spark, docs):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    half = df.filter(F.col("doc_id") % 2 == 0)
+    rest = df.filter(F.col("doc_id") % 2 == 1)
+    assert half.unionByName(rest).count() == df.count()
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(-100, 100)),
+        min_size=1,
+        max_size=12,
+    ),
+    st.integers(1, 3),
+)
+@settings(**SETTINGS)
+def test_topk_per_group_containment(spark, rows, k):
+    df = spark.createDataFrame(
+        [(g, v, i) for i, (g, v) in enumerate(rows)], "g int, v long, id long"
+    )
+    w = Window.partitionBy("g").orderBy(F.col("v").desc(), "id")
+    top = df.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+    all_rows = {(r.g, r.v, r.id) for r in df.collect()}
+    top_rows = [(r.g, r.v, r.id) for r in top.collect()]
+    assert set(top_rows) <= all_rows
+    sizes = {}
+    for g, _, _ in all_rows:
+        sizes[g] = sizes.get(g, 0) + 1
+    got = {}
+    for g, _, _ in top_rows:
+        got[g] = got.get(g, 0) + 1
+    assert got == {g: min(k, n) for g, n in sizes.items()}
+
+
+@given(
+    st.lists(st.floats(-1, 1, allow_nan=False), min_size=4, max_size=4),
+    st.lists(st.floats(-1, 1, allow_nan=False), min_size=4, max_size=4),
+)
+@settings(**SETTINGS)
+def test_cosine_symmetry_and_self_unit(spark, a, b):
+    if all(abs(x) < 1e-6 for x in a) or all(abs(x) < 1e-6 for x in b):
+        return  # zero vectors have undefined cosine
+    df = spark.createDataFrame([(a, b)], "a array<double>, b array<double>")
+    r = df.select(
+        V.cosine(F.col("a"), F.col("b")).alias("ab"),
+        V.cosine(F.col("b"), F.col("a")).alias("ba"),
+        V.cosine(F.col("a"), F.col("a")).alias("aa"),
+        V.norm(V.l2_normalize(F.col("a"))).alias("unit"),
+    ).collect()[0]
+    assert math.isclose(r.ab, r.ba, rel_tol=1e-12)
+    assert math.isclose(r.aa, 1.0, rel_tol=1e-9)
+    assert math.isclose(r.unit, 1.0, rel_tol=1e-9)
+    assert -1.0 - 1e-9 <= r.ab <= 1.0 + 1e-9
+
+
+@given(texts, texts)
+@settings(**SETTINGS)
+def test_minhash_respects_text_identity(spark, t1, t2):
+    df = spark.createDataFrame([(0, t1), (1, t2)], "doc_id long, text string")
+    sigs = df.select(
+        "doc_id",
+        T.minhash_signature(T.shingles(F.col("text"), k=2), n_hashes=8).alias("s"),
+    ).collect()
+    s = {r.doc_id: tuple(r.s) for r in sigs}
+    if t1 == t2:
+        assert s[0] == s[1]
+    assert len(s[0]) == 8 and len(s[1]) == 8
+
+
+@given(st.lists(st.integers(0, 50), min_size=1, max_size=10))
+@settings(**SETTINGS)
+def test_running_sum_last_equals_total(spark, values):
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(values)], "id long, v long"
+    )
+    w = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, 0)
+    out = df.withColumn("rs", F.sum("v").over(w)).orderBy("id").collect()
+    assert out[-1].rs == sum(values)
+    for prev, cur in zip(out, out[1:]):
+        assert cur.rs == prev.rs + cur.v
