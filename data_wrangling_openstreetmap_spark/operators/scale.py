@@ -102,3 +102,84 @@ def a6_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.cube("r_name", "o_orderpriority").agg(
         F.count("*").alias("n_orders"), dsum("o_totalprice").alias("revenue")
     )
+
+
+# ---------------------------------------------------------------------------
+# Grid-bucketed spatial neighbor join (F9 × J6): the scale pattern for
+# "all point pairs within radius r". The oracle brute-forces O(n²), the
+# Spark side only joins within 3×3 grid-cell neighborhoods — value
+# equality PROVES the bucketing loses no pair (requires r ≤ cell size).
+# ---------------------------------------------------------------------------
+
+_RADIUS_DEG = 0.5  # ≤ 1.0 (the cell size) or 3×3 coverage breaks
+
+_GEO_ORACLE = f"""
+WITH pts AS (
+  SELECT c_custkey AS id,
+         (c_custkey % 170) * 0.5 - 42.0 AS lat,
+         (c_custkey % 355) * 0.5 - 88.0 AS lon
+  FROM customer
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       sqrt((a.lat - b.lat) * (a.lat - b.lat)
+          + (a.lon - b.lon) * (a.lon - b.lon)) AS dist_deg
+FROM pts a JOIN pts b ON a.id < b.id
+WHERE sqrt((a.lat - b.lat) * (a.lat - b.lat)
+         + (a.lon - b.lon) * (a.lon - b.lon)) <= {_RADIUS_DEG}
+"""
+
+
+@register("j6_grid_spatial_join", oracle=_GEO_ORACLE, tags=("F9", "J6", "J8"))
+def j6_grid_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All point pairs within {radius} degrees, via 1°-grid bucketing:
+    one side indexes points by cell, the other replicates each point to
+    its 9 neighboring cells, so the join is a narrow equi-join on
+    (cell_row, cell_col) instead of a cross product. Distances use
+    explicit multiplication (pow() is not correctly-rounded everywhere;
+    * + sqrt are) so both engines produce bit-identical doubles.
+
+    Scale: shuffle keys are int cell coords; density skew (cities) is
+    the hot-key risk — shrink cells or salt dense ones. This is the
+    same meet-in-bucket shape as MinHash-LSH, in 2-D.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    lat = (F.col("c_custkey") % 170) * 0.5 - 42.0
+    lon = (F.col("c_custkey") % 355) * 0.5 - 88.0
+    pts = customer.select(
+        F.col("c_custkey").alias("id"),
+        lat.alias("lat"),
+        lon.alias("lon"),
+        F.floor(lat).cast("long").alias("cell_row"),
+        F.floor(lon).cast("long").alias("cell_col"),
+    )
+    offsets = F.expr(
+        "explode(flatten(transform(sequence(-1,1), dr -> "
+        "transform(sequence(-1,1), dc -> struct(dr, dc)))))"
+    )
+    replicated = pts.select(
+        "id", "lat", "lon", "cell_row", "cell_col", offsets.alias("o")
+    ).select(
+        "id",
+        "lat",
+        "lon",
+        (F.col("cell_row") + F.col("o.dr")).alias("probe_row"),
+        (F.col("cell_col") + F.col("o.dc")).alias("probe_col"),
+    )
+    a, b = replicated.alias("a"), pts.alias("b")
+    dx = F.col("a.lat") - F.col("b.lat")
+    dy = F.col("a.lon") - F.col("b.lon")
+    dist = F.sqrt(dx * dx + dy * dy)
+    return (
+        a.join(
+            b,
+            (F.col("a.probe_row") == F.col("b.cell_row"))
+            & (F.col("a.probe_col") == F.col("b.cell_col"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            dist.alias("dist_deg"),
+        )
+        .filter(F.col("dist_deg") <= _RADIUS_DEG)
+    )

@@ -136,6 +136,26 @@ def test_watermark_drops_late_data(spark, tmp_path):
     assert by_window[d] == 2
 
 
+def test_dedup_within_watermark_bounds_state(spark, replay_dir):
+    """ST5 production form: dropDuplicatesWithinWatermark keeps state
+    only inside the watermark horizon. With a horizon wider than the
+    replay span, results match unbounded dropDuplicates exactly."""
+    run_to_memory(
+        read_event_stream(spark, replay_dir),
+        lambda df: df.dropDuplicatesWithinWatermark(
+            ["user_id", "event_type"]
+        ).select("event_id", "user_id", "event_type", "value"),
+        "sink_dedup_wm",
+        output_mode="append",
+        watermark="60 days",  # wider than the fixture's ~30-day span
+    )
+    got = spark.table("sink_dedup_wm").filter(F.col("user_id") != SENTINEL_USER)
+    want = TR.dedup_keep_first(load_table(spark, SF, "events")).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    assert _rows(got) == _rows(want)
+
+
 def test_stateful_running_totals_converge_to_batch(spark, replay_dir):
     """ST7: last emitted update per user == batch per-user totals."""
     run_to_memory(
