@@ -55,9 +55,14 @@ def main() -> None:
     if os.environ.get("DWOS_BENCH_ALL"):
         names = sorted(REGISTRY)
 
-    # Warm-up: JVM, parquet footers, codegen paths.
+    # Warm-up: JVM, parquet footers, codegen paths, AND the Python
+    # worker pool (first Arrow-batched stage pays ~2 s of interpreter
+    # startup that says nothing about the operators).
     if names:
         REGISTRY[names[0]].fn(spark, sf_dir).collect()
+    spark.range(32).mapInPandas(
+        lambda it: it, "id long"
+    ).collect()
 
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
