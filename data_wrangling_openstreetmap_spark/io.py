@@ -33,15 +33,15 @@ BROADCAST_DIMS = frozenset({"region", "nation", "supplier", "part"})
 # Scan-plan cache: building `spark.read.parquet` re-lists files and
 # re-reads footers (~50-200 ms) on every query construction; the
 # resulting DataFrame is just a plan, so reusing it never caches data.
-# Keyed per session so a fresh (e.g. driver-owned) session never sees
-# another session's plans.
-_scan_cache: dict[tuple[int, str, str], DataFrame] = {}
+# Keyed on the session OBJECT (not id(): address reuse after a stopped
+# session is garbage-collected could alias a dead session's plans).
+_scan_cache: dict[tuple[SparkSession, str, str], DataFrame] = {}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
-    key = (id(spark), sf_dir.rstrip("/"), name)
+    key = (spark, sf_dir.rstrip("/"), name)
     df = _scan_cache.get(key)
     if df is None:
         if name == "events":
