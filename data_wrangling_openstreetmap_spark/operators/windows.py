@@ -361,3 +361,70 @@ def j7_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "click_id",
         (F.col("ts_us") - F.col("click_us")).alias("us_since_click"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A10 — exact percentiles (median / p90). Both engines linearly
+# interpolate ((1-h)·x_lo + h·x_hi); rounding absorbs the last-ulp
+# differences of that arithmetic.
+# ---------------------------------------------------------------------------
+
+_A10_ORACLE = """
+SELECT o_orderpriority,
+       round(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+       round(quantile_cont(o_totalprice, 0.9), 4) AS p90_price,
+       COUNT(*) AS n
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@register("a10_percentiles", oracle=_A10_ORACLE, tags=("A1",))
+def a10_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median and p90 order value per priority.
+
+    Scale: exact percentiles need the group's values together (Spark
+    sorts within the aggregation buffer) — at 100 TB switch to
+    approx_percentile (t-digest; bounded memory, one pass) and grade
+    rows-only, exactly as a4_approx_distinct does for COUNT DISTINCT.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("median_price"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90_price"),
+        F.count("*").alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A11 — statistical aggregates: stddev/variance/correlation.
+# ---------------------------------------------------------------------------
+
+_A11_ORACLE = """
+SELECT o_orderpriority,
+       round(stddev_pop(o_totalprice), 2) AS sd_price,
+       round(var_pop(o_totalprice), 0)    AS var_price,
+       round(corr(o_totalprice, o_custkey), 6) AS corr_price_cust
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@register("a11_stats_agg", oracle=_A11_ORACLE, tags=("A1",))
+def a11_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stddev/variance of order value and its (null)
+    correlation with customer key, per priority.
+
+    Determinism: variance accumulations differ across engines (Welford
+    vs naive sums) by ~1e-15 relative; the absolute drift scales with
+    Σx², so variance rounds to whole units and stddev to 2 dp (√ halves
+    the exponent), while corr is normalized to [-1,1] → 6 dp is safe.
+    Scale: single-pass partial+final moment aggregation — same shuffle
+    shape as any sum.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.round(F.stddev_pop("o_totalprice"), 2).alias("sd_price"),
+        F.round(F.var_pop("o_totalprice"), 0).alias("var_price"),
+        F.round(F.corr("o_totalprice", "o_custkey"), 6).alias("corr_price_cust"),
+    )
