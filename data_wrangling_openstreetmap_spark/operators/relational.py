@@ -781,3 +781,114 @@ def s3_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("rn") - 1) % 10 == 0)
         .select("doc_id", "lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# q11 — market-share-style ratio of conditional aggregates over the full
+# join chain (the TPC-H Q8 shape): compose joins, date bucketing,
+# conditional sums, and exact-ratio math in one query.
+# ---------------------------------------------------------------------------
+
+_Q11_ORACLE = f"""
+WITH flat AS (
+  SELECT date_part('year', o_orderdate) AS order_year,
+         r_name,
+         {oracle_cents('o_totalprice')} AS price_units
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+)
+SELECT order_year,
+       SUM(CASE WHEN r_name = 'ASIA' THEN price_units ELSE 0 END)
+         / CAST(SUM(price_units) AS DOUBLE) AS asia_share,
+       SUM(price_units) / 100.0 AS total_revenue,
+       COUNT(*) AS n_orders
+FROM flat
+GROUP BY order_year
+"""
+
+
+@register("q11_market_share", oracle=_Q11_ORACLE, tags=("J1", "J5", "A1", "A7", "P6"))
+def q11_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASIA's share of total order revenue per order year — a ratio of
+    conditional integer-unit sums (exact numerator and denominator ⇒
+    the double quotient is engine-identical, no rounding).
+
+    Scale: one fact shuffle (orders⋈customer on custkey), dims
+    broadcast, then a tiny groupBy on year. The conditional sum is a
+    projection-side CASE — no second pass over the data.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    price_units = cents("o_totalprice")
+    flat = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select(
+            F.year("o_orderdate").alias("order_year"),
+            F.col("r_name"),
+            price_units.alias("price_units"),
+        )
+    )
+    asia_units = F.sum(
+        F.when(F.col("r_name") == "ASIA", F.col("price_units")).otherwise(F.lit(0))
+    )
+    total_units = F.sum("price_units")
+    return flat.groupBy("order_year").agg(
+        (asia_units / total_units.cast("double")).alias("asia_share"),
+        (total_units / 100.0).alias("total_revenue"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q12 — top returned-revenue customers (the TPC-H Q10 shape): fact-fact
+# join + flag filter + agg + deterministic top-k.
+# ---------------------------------------------------------------------------
+
+_Q12_ORACLE = f"""
+SELECT c_custkey, c_name, n_name,
+       {oracle_units_sum(f"{oracle_cents('l_extendedprice')} * (100 - {oracle_cents('l_discount')})", 4)} AS lost_revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY lost_revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+@register("q12_returned_revenue", oracle=_Q12_ORACLE, tags=("J1", "A1", "O1", "O2", "P2"))
+def q12_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 customers by revenue lost to returned items.
+
+    Scale: the returnflag filter pushes to the lineitem scan (cuts the
+    fact-fact shuffle ~4×); lineitem⋈orders co-partitions on orderkey;
+    orderBy+limit compiles to TakeOrderedAndProject. Tie-broken by
+    custkey for a deterministic hash.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    lost = cents("l_extendedprice") * (100 - cents("l_discount"))
+    return (
+        lineitem.filter(F.col("l_returnflag") == "R")
+        .join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            units_sum(lost, 4).alias("lost_revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy(F.col("lost_revenue").desc(), "c_custkey")
+        .limit(20)
+    )
