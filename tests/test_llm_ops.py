@@ -12,6 +12,7 @@ from data_wrangling_openstreetmap_spark.functions import text as T
 from data_wrangling_openstreetmap_spark.operators.llm import (
     l2_minhash_lsh,
     l2_simhash,
+    l3_ann_ivf,
     l3_ann_lsh,
     q10_cosine_topk,
 )
@@ -89,6 +90,24 @@ def test_ann_lsh_subset_of_exact_and_recall(spark):
     # ANN never invents a neighbor id outside the table
     ids = {r.vec_id for r in approx}
     assert ids  # every bucket produced candidates for someone
+
+
+def test_ann_ivf_recall_beats_lsh_floor(spark):
+    """IVF with nprobe=4/16 cells should recall most exact neighbors
+    (multi-probe covers the cell-boundary cases LSH misses)."""
+    exact = {
+        (r.vec_id, r.neighbor_id) for r in q10_cosine_topk(spark, SF_SMALL).collect()
+    }
+    approx = {
+        (r.vec_id, r.neighbor_id) for r in l3_ann_ivf(spark, SF_SMALL).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall > 0.5, f"IVF recall collapsed: {recall:.3f}"
+    # determinism: rerun produces identical candidates
+    again = {
+        (r.vec_id, r.neighbor_id) for r in l3_ann_ivf(spark, SF_SMALL).collect()
+    }
+    assert approx == again
 
 
 def test_multimodal_decode_schema_and_determinism(spark):

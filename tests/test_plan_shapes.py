@@ -24,6 +24,7 @@ SF = "/root/testdata/sf0.001"
 # the §2.8 U-surface whose point is the crossing).
 PYTHON_ALLOWED = {
     "q10_cosine_topk",
+    "l3_ann_ivf",
     "m1_multimodal_decode",
     "u2_pandas_udf_score",
     "u3_grouped_map_zscore",
