@@ -527,6 +527,83 @@ def l4_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# L4 — token counting, whitespace vs BPE-ish (subword) tokenization.
+# ---------------------------------------------------------------------------
+
+
+@register("l4_token_counts", oracle=None, tags=("L4", "F2"))
+def l4_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counts under two tokenizers: whitespace and a
+    BPE-flavored word/punctuation-boundary regex (the training-data
+    budget estimator). Rows-only graded: the boundary regex uses
+    lookarounds, which DuckDB's RE2 engine cannot run — goldens pin the
+    values instead.
+
+    Scale: pure projection; a real BPE vocab would ride in as a
+    broadcast trie with the same shape.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(T.tokens(F.col("text"))).alias("ws_tokens"),
+        F.size(T.bpe_ish_tokens(F.col("text"))).alias("bpe_ish_tokens"),
+        T.fingerprint64(F.col("text")).alias("fingerprint64"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# L6 — pairwise centroid distances (completes "pairwise distance").
+# ---------------------------------------------------------------------------
+
+_L6_DIST_ORACLE = """
+WITH per_dim AS (
+  SELECT label, i AS dim, ROUND(AVG(embedding[i]::DOUBLE), 6) AS c
+  FROM embeddings, generate_series(1, 64) t(i)
+  GROUP BY label, i
+)
+SELECT a.label AS label_a, b.label AS label_b,
+       ROUND(sqrt(SUM((a.c - b.c) * (a.c - b.c))), 6) AS euclidean
+FROM per_dim a JOIN per_dim b ON a.dim = b.dim AND a.label < b.label
+GROUP BY label_a, label_b
+"""
+
+
+@register("l6_centroid_distances", oracle=_L6_DIST_ORACLE, tags=("L6", "J8"))
+def l6_centroid_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Euclidean distance between every pair of label centroids, in the
+    exploded (label, dim, value) form: per-dim averages (rounded 6 —
+    identical inputs on both engines) join on dim, squared differences
+    sum per label pair. |labels|²·d rows total — trivially parallel.
+
+    Scale: the exploded form never materializes vectors driver-side and
+    reuses the l6_centroids shuffle shape; for millions of centroids
+    this becomes the q10 broadcast-matmul instead.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    per_dim = (
+        e.select(
+            "label",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v"),
+        )
+        .groupBy("label", (F.col("pos") + 1).alias("dim"))
+        .agg(F.round(F.avg("v"), 6).alias("c"))
+    )
+    a, b = per_dim.alias("a"), per_dim.alias("b")
+    diff = F.col("a.c") - F.col("b.c")
+    return (
+        a.join(
+            b,
+            (F.col("a.dim") == F.col("b.dim"))
+            & (F.col("a.label") < F.col("b.label")),
+        )
+        .groupBy(
+            F.col("a.label").alias("label_a"), F.col("b.label").alias("label_b")
+        )
+        .agg(F.round(F.sqrt(F.sum(diff * diff)), 6).alias("euclidean"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # q10 — headline exact cosine top-k similarity search (L3).
 # ---------------------------------------------------------------------------
 
