@@ -156,6 +156,29 @@ def test_dedup_within_watermark_bounds_state(spark, replay_dir):
     assert _rows(got) == _rows(want)
 
 
+def test_rocksdb_state_store_matches_batch(spark, replay_dir):
+    """The production state backend (RocksDB, bundled with Spark 4):
+    same tumbling aggregation, state spilled to RocksDB instead of the
+    in-memory HDFS-backed store — results must be identical."""
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        run_to_memory(
+            read_event_stream(spark, replay_dir),
+            TR.tumbling_counts,
+            "sink_rocks",
+            output_mode="complete",
+        )
+        got = spark.table("sink_rocks").filter(F.col("event_type") != "sentinel")
+        want = TR.tumbling_counts(load_table(spark, SF, "events"))
+        assert _rows(got) == _rows(want)
+    finally:
+        spark.conf.unset(provider_key)
+
+
 def test_stateful_running_totals_converge_to_batch(spark, replay_dir):
     """ST7: last emitted update per user == batch per-user totals."""
     run_to_memory(
