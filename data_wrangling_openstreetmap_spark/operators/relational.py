@@ -892,3 +892,71 @@ def q12_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("lost_revenue").desc(), "c_custkey")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# A12 — PIVOT: long → wide conditional aggregation.
+# ---------------------------------------------------------------------------
+
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+_PIVOT_COLS = ", ".join(
+    "COUNT(*) FILTER (o_orderpriority = '{p}') AS \"{p}\"".format(p=p)
+    for p in _PRIORITIES
+)
+
+_A12_ORACLE = f"""
+SELECT date_part('year', o_orderdate) AS order_year, {_PIVOT_COLS}
+FROM orders
+GROUP BY order_year
+"""
+
+
+@register("a12_pivot", oracle=_A12_ORACLE, tags=("A1", "P6"))
+def a12_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order counts per year pivoted to one column per priority. The
+    pivot values are pinned explicitly — dynamic value discovery would
+    add a blocking pre-pass AND make the output schema data-dependent
+    (both wrong at scale and for grading).
+
+    Scale: Catalyst rewrites pivot to a single conditional-aggregation
+    pass (exactly the oracle's FILTER form) — one shuffle, no extra
+    scan per pivot column.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.withColumn("order_year", F.year("o_orderdate"))
+        .groupBy("order_year")
+        .pivot("o_orderpriority", _PRIORITIES)
+        .agg(F.count(F.lit(1)))  # count(*) is rejected inside Pivot
+    )
+
+
+# ---------------------------------------------------------------------------
+# A13 — UNPIVOT/melt: wide → long.
+# ---------------------------------------------------------------------------
+
+_A13_ORACLE = """
+SELECT c_custkey, 'acctbal' AS measure, c_acctbal AS value FROM customer
+UNION ALL
+SELECT c_custkey, 'nationkey' AS measure, CAST(c_nationkey AS DOUBLE) AS value
+FROM customer
+"""
+
+
+@register("a13_unpivot", oracle=_A13_ORACLE, tags=("O3", "P1"))
+def a13_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Melt customer measures into (key, measure, value) rows — the
+    inverse of a12_pivot, and the normalizer that turns wide exports
+    back into the tags-style long form the reference's relational
+    layer uses.
+
+    Scale: unpivot is a projection (each input row emits k rows
+    map-side) — no shuffle at all.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    return customer.select(
+        "c_custkey",
+        F.col("c_acctbal").alias("acctbal"),
+        F.col("c_nationkey").cast("double").alias("nationkey"),
+    ).unpivot("c_custkey", ["acctbal", "nationkey"], "measure", "value")
