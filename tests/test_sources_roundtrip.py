@@ -1,0 +1,57 @@
+"""Source/sink format coverage beyond parquet (SURVEY.md §2.1): ORC,
+header CSV with declared schema, and line-delimited JSON each roundtrip
+the same rows. The OSM demo covers CSV/JSON on wrangled output; this
+pins the star schema itself through each format."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_wrangling_openstreetmap_spark.io import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _canon(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    src = load_table(spark, SF, "nation")
+    path = str(tmp_path / "nation_orc")
+    src.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    assert back.schema == src.schema
+    assert _canon(back) == _canon(src)
+
+
+def test_csv_roundtrip_with_declared_schema(spark, tmp_path):
+    """CSV is schemaless — the read side must declare types (the
+    reference's csv.DictWriter + cerberus-style validation analog)."""
+    src = load_table(spark, SF, "region")
+    path = str(tmp_path / "region_csv")
+    src.write.mode("overwrite").option("header", True).csv(path)
+    back = spark.read.option("header", True).schema(
+        "r_regionkey int, r_name string"
+    ).csv(path)
+    assert _canon(back) == _canon(src)
+
+
+def test_json_roundtrip_preserves_nested_structs(spark, tmp_path):
+    nested = load_table(spark, SF, "customer").select(
+        "c_custkey",
+        F.struct("c_name", "c_acctbal").alias("profile"),
+        F.array("c_nationkey").alias("keys"),
+    )
+    path = str(tmp_path / "cust_json")
+    nested.write.mode("overwrite").json(path)
+    back = spark.read.json(path)
+    got = {
+        r.c_custkey: (r.profile.c_name, r.profile.c_acctbal, tuple(r.keys))
+        for r in back.collect()
+    }
+    want = {
+        r.c_custkey: (r.profile.c_name, r.profile.c_acctbal, tuple(r.keys))
+        for r in nested.collect()
+    }
+    assert got == want
