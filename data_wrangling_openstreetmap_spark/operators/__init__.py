@@ -6,6 +6,7 @@ trigger that side effect explicitly.
 """
 
 from . import (
+    composites,
     functions_sweep,
     llm,
     multimodal,
@@ -19,6 +20,7 @@ from . import (
 
 ALL_MODULES = (
     relational,
+    composites,
     windows,
     functions_sweep,
     llm,

@@ -1,0 +1,464 @@
+"""Composite analytics queries #2 — classic TPC-H shapes adapted to the
+graded star schema, plus an event-funnel query.
+
+These extend the q11/q12 composites in ``relational.py`` with the three
+remaining canonical decision-support shapes (order-count distribution,
+conditional revenue share, argmax-per-window) and a sequence-style
+funnel over the events table. Each compiles to built-in Column
+expressions — no Python in the hot path — and uses the exact
+integer-unit money recipe from ``_helpers`` so value-hashes match the
+DuckDB oracle at any partition count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..registry import register
+from ._helpers import cents, oracle_cents
+
+# ---------------------------------------------------------------------------
+# q13 — order-count distribution (the TPC-H Q13 shape): left outer join
+# so zero-order customers survive, per-customer count, then a histogram
+# of counts. Two cascaded aggregations, all-integer → exact.
+# ---------------------------------------------------------------------------
+
+_Q13_ORACLE = """
+WITH per_customer AS (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+SELECT c_count, COUNT(*) AS custdist
+FROM per_customer
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+@register("q13_order_count_distribution", oracle=_Q13_ORACLE, tags=("J2", "A1", "A5", "O1"))
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many customers placed exactly N orders, including N=0 (left
+    outer join keeps order-less customers; COUNT(o_orderkey) skips the
+    null-padded rows).
+
+    Scale: first agg shuffles on c_custkey (same key as the join — AQE
+    reuses the exchange); second agg's input is |customers| rows
+    collapsing to a handful of distinct counts, with map-side partial
+    aggregation doing almost all of the work.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_customer = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_customer.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+# ---------------------------------------------------------------------------
+# q14 — promo revenue share per month (the TPC-H Q14 shape):
+# conditional aggregate ratio over a part-enriched lineitem scan.
+# ---------------------------------------------------------------------------
+
+_Q14_ORACLE = f"""
+WITH flat AS (
+  SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS ship_month,
+         {oracle_cents('l_extendedprice')} * (100 - {oracle_cents('l_discount')}) AS rev_units,
+         starts_with(p_type, 'PROMO') AS is_promo
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+)
+SELECT ship_month,
+       CAST(SUM(CASE WHEN is_promo THEN rev_units ELSE 0 END) AS DOUBLE)
+         / CAST(SUM(rev_units) AS DOUBLE) AS promo_share,
+       SUM(CASE WHEN is_promo THEN rev_units ELSE 0 END) / 10000.0 AS promo_revenue,
+       SUM(rev_units) / 10000.0 AS total_revenue
+FROM flat
+GROUP BY ship_month
+ORDER BY ship_month
+"""
+
+
+@register("q14_promo_share", oracle=_Q14_ORACLE, tags=("J1", "J5", "A1", "A7", "P6", "F4"))
+def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly share of revenue from PROMO-type parts during 1996.
+
+    The ratio divides two exact scale-4 integer-unit sums as doubles —
+    longs below 2^53 map to exact doubles and IEEE division is
+    correctly rounded, so both engines produce the identical bits with
+    no rounding step.
+
+    Scale: part is the small side (p_partkey, p_type only after
+    pruning) → broadcast-hash join, no fact shuffle; the shipdate range
+    prunes parquet row groups. One shuffle on the 12 month keys.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev_units = cents("l_extendedprice") * (100 - cents("l_discount"))
+    flat = (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01 00:00:00")
+            & (F.col("l_shipdate") < "1997-01-01 00:00:00")
+        )
+        .join(F.broadcast(part.select("p_partkey", "p_type")), li.l_partkey == F.col("p_partkey"))
+        .select(
+            F.to_date(F.date_trunc("month", "l_shipdate")).alias("ship_month"),
+            rev_units.alias("rev_units"),
+            F.col("p_type").startswith("PROMO").alias("is_promo"),
+        )
+    )
+    promo_units = F.sum(F.when(F.col("is_promo"), F.col("rev_units")).otherwise(F.lit(0)))
+    total_units = F.sum("rev_units")
+    return (
+        flat.groupBy("ship_month")
+        .agg(
+            (promo_units.cast("double") / total_units.cast("double")).alias("promo_share"),
+            (promo_units / 10000.0).alias("promo_revenue"),
+            (total_units / 10000.0).alias("total_revenue"),
+        )
+        .orderBy("ship_month")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q15 — top supplier by revenue in a quarter (the TPC-H Q15 shape):
+# argmax over an aggregate, expressed as agg → broadcast-joined global
+# max rather than an all-rows-in-one-partition window.
+# ---------------------------------------------------------------------------
+
+_Q15_ORACLE = f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         SUM({oracle_cents('l_extendedprice')} * (100 - {oracle_cents('l_discount')})) AS rev_units
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, rev_units / 10000.0 AS total_revenue
+FROM revenue JOIN supplier ON supplier_no = s_suppkey
+WHERE rev_units = (SELECT MAX(rev_units) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+@register("q15_top_supplier", oracle=_Q15_ORACLE, tags=("J1", "J5", "A1", "A2", "O1"))
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier(s) with the maximum revenue over 1996 Q1. Ties all
+    surface (exact integer-unit equality, no float epsilon), ordered by
+    key for determinism.
+
+    Scale: the per-supplier agg shuffles once on l_suppkey; the global
+    max is a 1-row aggregate broadcast back, and supplier is a
+    broadcast dim — no second fact shuffle, unlike the
+    Window.partitionBy() (single-partition) formulation.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    revenue = (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01 00:00:00")
+            & (F.col("l_shipdate") < "1996-04-01 00:00:00")
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(cents("l_extendedprice") * (100 - cents("l_discount"))).alias("rev_units"))
+    )
+    top = revenue.agg(F.max("rev_units").alias("max_units"))
+    return (
+        revenue.join(F.broadcast(top), revenue.rev_units == top.max_units)
+        .join(
+            F.broadcast(supplier.select("s_suppkey", "s_name")),
+            F.col("supplier_no") == F.col("s_suppkey"),
+        )
+        .select("s_suppkey", "s_name", (F.col("rev_units") / 10000.0).alias("total_revenue"))
+        .orderBy("s_suppkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q16 — click→purchase funnel over events: per-user first-click /
+# first-purchase timestamps, converting users only, with the gap in
+# seconds. Sequence analysis as min-aggregates, not a window scan.
+# ---------------------------------------------------------------------------
+
+_Q16_ORACLE = """
+WITH firsts AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'click'    THEN ts END) AS first_click,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+  FROM events
+  GROUP BY user_id
+)
+SELECT user_id, first_click, first_purchase,
+       date_diff('second', first_click, first_purchase) AS seconds_to_convert
+FROM firsts
+WHERE first_click IS NOT NULL AND first_purchase > first_click
+ORDER BY user_id
+"""
+
+
+@register("q16_funnel", oracle=_Q16_ORACLE, tags=("A1", "P6", "F3", "W5"))
+def q16_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Users whose first purchase followed their first click, with the
+    conversion gap in whole seconds (integer — cross-engine exact;
+    session TZ is pinned UTC so unix_timestamp on the ntz values agrees
+    with DuckDB's naive date_diff).
+
+    Scale: one shuffle on user_id with map-side partial MIN — no
+    per-user window sort. The conditional-MIN idiom is the scalable
+    form of "first event of type X per key".
+    """
+    events = load_table(spark, sf_dir, "events")
+    firsts = events.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("first_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("first_purchase"),
+    )
+    return (
+        firsts.filter(
+            F.col("first_click").isNotNull()
+            & (F.col("first_purchase") > F.col("first_click"))
+        )
+        .select(
+            "user_id",
+            "first_click",
+            "first_purchase",
+            (
+                F.unix_timestamp("first_purchase") - F.unix_timestamp("first_click")
+            ).alias("seconds_to_convert"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# a6b — explicit GROUPING SETS with grouping_id (completes A6 alongside
+# the rollup/cube queries): region-level and nation-level revenue in one
+# pass, distinguishable via the grouping bit vector.
+# ---------------------------------------------------------------------------
+
+_A6GS_ORACLE = f"""
+SELECT r_name, n_name,
+       GROUPING(r_name, n_name) AS gid,
+       SUM({oracle_cents('o_totalprice')}) / 100.0 AS revenue,
+       COUNT(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY GROUPING SETS ((r_name), (r_name, n_name))
+ORDER BY gid, r_name, n_name
+"""
+
+
+@register("a6_grouping_sets", oracle=_A6GS_ORACLE, tags=("A6", "J1", "A1"))
+def a6_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue at region and region+nation grain in one aggregation via
+    GROUPING SETS; ``grouping_id`` (same bit-vector semantics as
+    DuckDB's GROUPING, column order fixed on both sides) labels the
+    grain. Spark expands grouping sets into a single Expand + hash agg
+    — one shuffle for both grains, vs two queries + union.
+
+    Scale: same posture as q8_rollup — Expand doubles the shuffled rows
+    but keys stay low-cardinality, so partial agg absorbs the blowup.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    flat = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        flat.groupingSets(
+            [["r_name"], ["r_name", "n_name"]],
+            "r_name",
+            "n_name",
+        )
+        .agg(
+            F.grouping_id().alias("gid"),
+            (F.sum(cents("o_totalprice")) / 100.0).alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+        .orderBy("gid", "r_name", "n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q17 — small-quantity revenue vs per-part average (the TPC-H Q17
+# shape): a correlated-subquery filter expressed as a self-aggregating
+# join, then a global aggregate.
+# ---------------------------------------------------------------------------
+
+_Q17_ORACLE = f"""
+WITH per_part AS (
+  SELECT l_partkey AS pk,
+         SUM({oracle_cents('l_quantity')}) / 100.0 / COUNT(l_quantity) AS avg_qty
+  FROM lineitem
+  GROUP BY l_partkey
+)
+SELECT SUM({oracle_cents('l_extendedprice')}) / 100.0 / 7.0 AS avg_yearly,
+       COUNT(*) AS n_small_lines
+FROM lineitem JOIN per_part ON l_partkey = pk
+WHERE {oracle_cents('l_quantity')} < 0.5 * 100.0 * avg_qty
+"""
+
+
+@register("q17_small_quantity_revenue", oracle=_Q17_ORACLE, tags=("J1", "A1", "A2", "P2"))
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yearly-average revenue from lineitems whose quantity is below
+    half their part's average quantity (a correlated subquery,
+    decorrelated into an aggregate-then-join).
+
+    Determinism: the threshold compares exact quantity cents against
+    0.5*100*avg where avg = exact-long-sum/100.0/count — every term is
+    the identical double on both engines, so the boundary predicate
+    cannot flicker.
+
+    Scale: both sides shuffle on l_partkey (AQE reuses the exchange for
+    the join); per_part is |parts| rows. The final agg is global but
+    partial-aggregated map-side to one row per partition.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (F.sum(cents("l_quantity")) / 100.0 / F.count("l_quantity")).alias("avg_qty")
+    )
+    return (
+        li.join(per_part, li.l_partkey == per_part.pk)
+        .filter(cents("l_quantity") < 0.5 * 100.0 * F.col("avg_qty"))
+        .agg(
+            (F.sum(cents("l_extendedprice")) / 100.0 / 7.0).alias("avg_yearly"),
+            F.count("*").alias("n_small_lines"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q18 — large-volume customers (the TPC-H Q18 shape): HAVING over a
+# per-order aggregate, joined back to orders and customers, top-N by
+# order value.
+# ---------------------------------------------------------------------------
+
+_Q18_ORACLE = f"""
+WITH big AS (
+  SELECT l_orderkey AS ok, SUM({oracle_cents('l_quantity')}) / 100.0 AS total_qty
+  FROM lineitem
+  GROUP BY l_orderkey
+  HAVING SUM({oracle_cents('l_quantity')}) > 30000
+)
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, total_qty
+FROM big
+JOIN orders   ON o_orderkey = ok
+JOIN customer ON c_custkey = o_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 20
+"""
+
+
+@register("q18_large_volume_customers", oracle=_Q18_ORACLE, tags=("J1", "A1", "A5", "O1", "O2"))
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 highest-value orders among those whose lineitems total
+    more than 300 quantity units (HAVING on exact integer cents — the
+    300.00 boundary cannot drift), with the customer attached.
+
+    Scale: per-order agg shuffles on l_orderkey and collapses to the
+    HAVING survivors (small) → that side broadcasts into orders; the
+    final TakeOrderedAndProject keeps only 20 rows per partition.
+    o_orderkey is the unique tiebreak under the LIMIT.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy(F.col("l_orderkey").alias("ok"))
+        .agg(F.sum(cents("l_quantity")).alias("qty_units"))
+        .filter(F.col("qty_units") > 30000)
+        .select("ok", (F.col("qty_units") / 100.0).alias("total_qty"))
+    )
+    return (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.ok)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q22 — dormant high-balance customers per nation (the TPC-H Q22
+# shape): global scalar-aggregate threshold + anti-join + grouped
+# aggregate, composing A2, J4 and A1 in one query.
+# ---------------------------------------------------------------------------
+
+_Q22_ORACLE = f"""
+WITH threshold AS (
+  SELECT SUM(CASE WHEN c_acctbal > 0 THEN {oracle_cents('c_acctbal')} ELSE 0 END) / 100.0
+         / COUNT(CASE WHEN c_acctbal > 0 THEN 1 END) AS avg_pos_bal
+  FROM customer
+)
+SELECT n_name,
+       COUNT(*) AS n_dormant,
+       SUM({oracle_cents('c_acctbal')}) / 100.0 AS total_bal
+FROM customer, threshold
+JOIN nation ON c_nationkey = n_nationkey
+WHERE c_acctbal > avg_pos_bal
+  AND NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey
+      AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+
+@register("q22_dormant_customers", oracle=_Q22_ORACLE, tags=("A2", "J4", "A1", "P6", "O1"))
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation count and balance of customers who sit above the
+    average positive account balance yet placed no order since
+    2000-01-01 (every fixture customer has *some* order, so "dormant"
+    is defined against the recent window to keep the anti-join
+    non-vacuous).
+
+    Determinism: the threshold is exact-long-sum/100.0/count — the
+    identical double on both engines — so the > comparison is stable;
+    remaining aggregates are exact integer units.
+
+    Scale: the threshold is a 1-row broadcast; the anti-join shuffles
+    customer vs orders.o_custkey (orders projected to the single key
+    column first); nation broadcasts. One grouped shuffle on 25 keys.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    threshold = customer.agg(
+        (
+            F.sum(F.when(F.col("c_acctbal") > 0, cents("c_acctbal")).otherwise(F.lit(0))) / 100.0
+            / F.count(F.when(F.col("c_acctbal") > 0, F.lit(1)))
+        ).alias("avg_pos_bal")
+    )
+    return (
+        customer.join(F.broadcast(threshold))
+        .filter(F.col("c_acctbal") > F.col("avg_pos_bal"))
+        .join(
+            orders.filter(F.col("o_orderdate") >= "2000-01-01 00:00:00").select("o_custkey"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_dormant"),
+            (F.sum(cents("c_acctbal")) / 100.0).alias("total_bal"),
+        )
+        .orderBy("n_name")
+    )
