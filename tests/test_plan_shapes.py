@@ -76,3 +76,24 @@ def test_whole_stage_codegen_covers_flagship(spark):
 def test_graded_queries_never_cross_into_python(spark, name):
     df = REGISTRY[name].fn(spark, SF)
     assert_no_python_eval(df, name)
+
+
+def test_q14_broadcasts_part_and_pushes_date_filter(spark):
+    df = REGISTRY["q14_promo_share"].fn(spark, SF)
+    plan = assert_in_plan(df, "BroadcastHashJoin")
+    assert "PushedFilters" in plan and "l_shipdate" in plan
+
+
+def test_q15_argmax_avoids_single_partition_window(spark):
+    df = REGISTRY["q15_top_supplier"].fn(spark, SF)
+    plan = assert_in_plan(df, "BroadcastHashJoin")
+    assert "Window" not in plan  # agg + broadcast max, not a global window
+
+
+def test_q18_having_side_broadcasts_and_topk_pushes_down(spark):
+    df = REGISTRY["q18_large_volume_customers"].fn(spark, SF)
+    assert_in_plan(df, "BroadcastHashJoin", "TakeOrderedAndProject")
+
+
+def test_q22_anti_join_survives(spark):
+    assert_in_plan(REGISTRY["q22_dormant_customers"].fn(spark, SF), "LeftAnti")
