@@ -81,3 +81,76 @@ def m1_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("application/x-fake-image").alias("mime"),
     )
     return payload.mapInPandas(fake_decode_batch, DECODED_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# m2 — video-style frame sampling: one binary payload → N frame rows.
+# ---------------------------------------------------------------------------
+
+FRAME_SCHEMA = (
+    "doc_id bigint, frame_idx int, frame_ts_ms int, frame_bytes binary, frame_checksum bigint"
+)
+
+# Deterministic sampling policy: every ~5th "frame" of a fake 25-frame
+# payload, i.e. the stride a real pipeline would pass to the demuxer.
+FRAME_STRIDE = 5
+FAKE_TOTAL_FRAMES = 25
+FAKE_FRAME_MS = 40  # 25 fps
+
+
+def extract_frames(payload: bytes) -> list[bytes]:
+    """Real demux hook — requires ffmpeg/pyav, absent in this
+    container. Swap in when deployable."""
+    raise NotImplementedError(
+        "frame extraction requires ffmpeg/pyav; use fake_frame_sample_batch "
+        "for the deterministic test double"
+    )
+
+
+def fake_frame_sample_batch(batches):
+    """Deterministic stand-in demuxer: slices the payload into
+    FAKE_TOTAL_FRAMES byte windows and emits every FRAME_STRIDE-th one,
+    preserving the 1→N Arrow-batch fan-out shape (one input row yields
+    several frame rows inside the same batch) of a real frame sampler."""
+    import zlib
+
+    import pandas as pd
+
+    for pdf in batches:
+        out = {"doc_id": [], "frame_idx": [], "frame_ts_ms": [], "frame_bytes": [], "frame_checksum": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            window = max(1, len(payload) // FAKE_TOTAL_FRAMES)
+            for idx in range(0, FAKE_TOTAL_FRAMES, FRAME_STRIDE):
+                frame = payload[idx * window : (idx + 1) * window]
+                out["doc_id"].append(doc_id)
+                out["frame_idx"].append(idx)
+                out["frame_ts_ms"].append(idx * FAKE_FRAME_MS)
+                out["frame_bytes"].append(frame)
+                out["frame_checksum"].append(zlib.crc32(frame))
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                "frame_idx": pd.Series(out["frame_idx"], dtype="int32"),
+                "frame_ts_ms": pd.Series(out["frame_ts_ms"], dtype="int32"),
+                "frame_bytes": out["frame_bytes"],
+                "frame_checksum": pd.Series(out["frame_checksum"], dtype="int64"),
+            }
+        )
+
+
+@register("m2_frame_sample", oracle=None, tags=("L5", "U3"))
+def m2_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling pipeline: each document's payload (standing in for
+    a video blob) fans out to every 5th frame as its own row with a
+    timestamp and checksum — the shape a training pipeline feeds to a
+    vision encoder. Rows-only graded; determinism, fan-out cardinality
+    (5 frames/doc), and schema are unit-tested.
+
+    Scale: mapInPandas streams batches worker-parallel and the 1→N
+    fan-out happens inside the Python worker — no explode-shuffle of
+    binary data; downstream ops should aggregate frame features before
+    any exchange so blobs never ride a shuffle.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    payload = docs.select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
+    return payload.mapInPandas(fake_frame_sample_batch, FRAME_SCHEMA)

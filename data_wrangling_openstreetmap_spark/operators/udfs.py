@@ -123,3 +123,48 @@ def u5_udtf_tag_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT key, s.part, s.position "
         "FROM u5_keys, LATERAL tag_splitter(key) s"
     )
+
+
+# ---------------------------------------------------------------------------
+# U1 — row-at-a-time scalar Python UDF (the discouraged-but-supported
+# surface; the reference's update_name()-style cleaning function).
+# ---------------------------------------------------------------------------
+
+_STREET_SUFFIX = {"St.": "Street", "St": "Street", "Ave": "Avenue", "Rd.": "Road"}
+
+
+def _make_normalize_suffix():
+    from pyspark.sql.functions import udf
+
+    @udf("string")
+    def normalize_suffix(name: str) -> str:
+        """The reference's dictionary-based last-word normalization as a
+        plain Python function — per-row pickle round trip, no Arrow."""
+        if name is None:
+            return None
+        words = name.split(" ")
+        words[-1] = _STREET_SUFFIX.get(words[-1], words[-1])
+        return " ".join(words)
+
+    return normalize_suffix
+
+
+@register("u1_scalar_udf_normalize", oracle=None, tags=("U1", "P5"))
+def u1_scalar_udf_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time scalar UDF applying the street-suffix mapping to
+    synthetic addresses built from part names. Registered to complete
+    the §2.8 surface; p5_dict_normalize is the production form
+    (broadcast mapping join, stays in codegen) and tests assert this
+    UDF agrees with it row-for-row.
+
+    Scale: the worst crossing — one pickle round trip per row. A 100 TB
+    pipeline uses this only where semantics genuinely need arbitrary
+    Python; here it exists to prove the surface works.
+    """
+    part = load_table(spark, sf_dir, "part")
+    addr = F.concat_ws(" ", F.col("p_name"), F.lit("St."))
+    return part.select(
+        "p_partkey",
+        addr.alias("raw_name"),
+        _make_normalize_suffix()(addr).alias("clean_name"),
+    )

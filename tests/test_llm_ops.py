@@ -18,6 +18,7 @@ from data_wrangling_openstreetmap_spark.operators.llm import (
 )
 from data_wrangling_openstreetmap_spark.operators.multimodal import (
     m1_multimodal_decode,
+    m2_frame_sample,
 )
 
 SF_SMALL = "/root/testdata/sf0.001"
@@ -126,3 +127,20 @@ def test_multimodal_decode_schema_and_determinism(spark):
     for doc_id, _mime, n_bytes, width, height, _ck in a[:20]:
         assert n_bytes == docs[doc_id]
         assert 64 <= width < 576 and 64 <= height < 576
+
+
+def test_frame_sample_fanout_and_determinism(spark):
+    df = m2_frame_sample(spark, SF_SMALL)
+    assert df.columns == ["doc_id", "frame_idx", "frame_ts_ms", "frame_bytes", "frame_checksum"]
+    rows = df.collect()
+    assert len(rows) == 500 * 5  # every doc fans out to 5 sampled frames
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    sample = by_doc[min(by_doc)]
+    assert sorted(r.frame_idx for r in sample) == [0, 5, 10, 15, 20]
+    assert all(r.frame_ts_ms == r.frame_idx * 40 for r in sample)
+    import zlib
+    assert all(zlib.crc32(bytes(r.frame_bytes)) == r.frame_checksum for r in sample)
+    again = sorted(map(tuple, m2_frame_sample(spark, SF_SMALL).collect()))
+    assert sorted(map(tuple, rows)) == again

@@ -26,6 +26,8 @@ PYTHON_ALLOWED = {
     "q10_cosine_topk",
     "l3_ann_ivf",
     "m1_multimodal_decode",
+    "m2_frame_sample",
+    "u1_scalar_udf_normalize",
     "u2_pandas_udf_score",
     "u3_grouped_map_zscore",
     "u5_udtf_tag_split",

@@ -57,3 +57,16 @@ def test_u5_udtf_matches_explode_split(spark):
         "key", F.posexplode(F.split("key", ":")).alias("position", "part")
     ).select("key", "part", "position")
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_u1_scalar_udf_matches_builtin_mapping(spark):
+    got = {
+        r.p_partkey: r.clean_name
+        for r in REGISTRY["u1_scalar_udf_normalize"].fn(spark, SF).collect()
+    }
+    # Built-in form: every synthetic address ends in "St." → "Street".
+    part = load_table(spark, SF, "part")
+    want = {
+        r.p_partkey: f"{r.p_name} Street" for r in part.select("p_partkey", "p_name").collect()
+    }
+    assert got == want
