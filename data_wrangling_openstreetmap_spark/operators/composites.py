@@ -462,3 +462,116 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# q19 — disjunctive predicate revenue (the TPC-H Q19 shape): an OR of
+# conjunctive (brand × size × quantity) clauses over a part join —
+# exercises Catalyst's OR-predicate pushdown and constant folding.
+# ---------------------------------------------------------------------------
+
+_Q19_ORACLE = f"""
+SELECT SUM({oracle_cents('l_extendedprice')} * (100 - {oracle_cents('l_discount')})) / 10000.0
+         AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 30 AND l_quantity BETWEEN 10 AND 40)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 50 AND l_quantity BETWEEN 20 AND 50)
+"""
+
+
+@register("q19_disjunctive_revenue", oracle=_Q19_ORACLE, tags=("J1", "J5", "P2", "A2"))
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue from lineitems matching any of three brand/size/quantity
+    clause bundles — the disjunctive-predicate shape that defeats naive
+    single-column pushdown.
+
+    Scale: Catalyst splits the OR into a common `l_quantity BETWEEN 1
+    AND 50`-style envelope it can push to the scan, broadcasts part,
+    and evaluates the residual disjunction post-join in codegen; the
+    global sum partial-aggregates to one row per partition.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    q = F.col("l_quantity")
+    clause = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & q.between(1, 20))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 30) & q.between(10, 40))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 50) & q.between(20, 50))
+    )
+    rev_units = cents("l_extendedprice") * (100 - cents("l_discount"))
+    return (
+        li.join(F.broadcast(part.select("p_partkey", "p_brand", "p_size")),
+                li.l_partkey == F.col("p_partkey"))
+        .filter(clause)
+        .agg(
+            (F.sum(rev_units) / 10000.0).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q20 — trade-flow matrix (the TPC-H Q7 shape): the nation dimension
+# joined TWICE under different roles — customer nation via orders,
+# supplier nation via lineitem — yielding a nation-pair revenue matrix.
+# ---------------------------------------------------------------------------
+
+_Q20_ORACLE = f"""
+SELECT cn.n_name AS cust_nation,
+       sn.n_name AS supp_nation,
+       SUM({oracle_cents('l_extendedprice')} * (100 - {oracle_cents('l_discount')})) / 10000.0
+         AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+WHERE cn.n_name < sn.n_name
+GROUP BY cust_nation, supp_nation
+ORDER BY cust_nation, supp_nation
+"""
+
+
+@register("q20_trade_flows", oracle=_Q20_ORACLE, tags=("J1", "J5", "A1", "O1", "J8"))
+def q20_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue between ordered customer-nation/supplier-nation pairs:
+    the same dimension participates twice under different join roles
+    (aliased self-use, the TPC-H Q7 trade-volume shape). The `<`
+    predicate keeps one row per unordered pair.
+
+    Scale: both nation copies and supplier broadcast; the fact chain
+    shuffles once on l_orderkey↔o_orderkey (the only big-big join),
+    then the pair aggregate runs on ≤300 keys. At 100 TB, bucketing
+    orders and lineitem on orderkey makes the remaining shuffle
+    co-located.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    cn = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    rev_units = cents("l_extendedprice") * (100 - cents("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .filter(F.col("cust_nation") < F.col("supp_nation"))
+        .groupBy("cust_nation", "supp_nation")
+        .agg(
+            (F.sum(rev_units) / 10000.0).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+        .orderBy("cust_nation", "supp_nation")
+    )
