@@ -948,3 +948,71 @@ def l6_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_sort(F.collect_list(F.struct("dim", "c"))), lambda s: s["c"]
         ).alias("centroid")
     )
+
+
+# ---------------------------------------------------------------------------
+# L4/L2 — winnowing document fingerprint (true rolling-hash scheme).
+# ---------------------------------------------------------------------------
+
+_WINNOW_K = 8  # k-gram width (characters)
+_WINNOW_W = 4  # winnowing window (grams)
+_WINNOW_MOD = 2147483647
+_POW31 = [31**p for p in range(_WINNOW_K - 1, -1, -1)]
+
+_WINNOW_ORACLE = f"""
+WITH g AS (
+  SELECT doc_id,
+         list_transform(range(1, len(text) - {_WINNOW_K} + 2), i ->
+           ({" + ".join(f"CAST(ascii(text[i+{j}]) AS BIGINT)*{p}" for j, p in enumerate(_POW31))})
+           % {_WINNOW_MOD}) AS grams
+  FROM documents WHERE len(text) >= {_WINNOW_K + _WINNOW_W - 1}
+)
+SELECT doc_id,
+       len(grams) AS n_grams,
+       list_sort(list_distinct(list_transform(
+         range(1, len(grams) - {_WINNOW_W} + 2),
+         p -> list_min(grams[p:p+{_WINNOW_W - 1}])))) AS fingerprint
+FROM g
+ORDER BY doc_id
+"""
+
+
+@register("l4_winnow_fingerprint", oracle=_WINNOW_ORACLE, tags=("L4", "L2", "F5"))
+def l4_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint (the MOSS scheme): polynomial rolling hash
+    of every 8-char gram, then the minimum of each 4-gram sliding
+    window, deduplicated and sorted. Two documents sharing a long-enough
+    substring share fingerprint members regardless of position — the
+    classic plagiarism/near-dup primitive, here with full oracle parity
+    because both engines evaluate the identical base-31 integer
+    arithmetic (codepoints agree cross-engine even for the zh docs).
+
+    Scale: pure per-row higher-order-function arithmetic — no shuffle,
+    no Python; at 100 TB, explode the fingerprint and group by member
+    to build the candidate-pair index (the winnowed analogue of the
+    MinHash band join in l2_minhash_lsh).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+
+    def gram_hash(i: Column) -> Column:
+        total = F.lit(0).cast("long")
+        for j, p in enumerate(_POW31):
+            total = total + F.ascii(t.substr(i + F.lit(j), F.lit(1))).cast("long") * F.lit(p)
+        return total % _WINNOW_MOD
+
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length(t) - _WINNOW_K + 1), gram_hash
+    )
+    docs = docs.filter(F.length(t) >= _WINNOW_K + _WINNOW_W - 1).select(
+        "doc_id", grams.alias("grams")
+    )
+    wins = F.transform(
+        F.sequence(F.lit(1), F.size(F.col("grams")) - _WINNOW_W + 1),
+        lambda p: F.array_min(F.slice(F.col("grams"), p, _WINNOW_W)),
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.col("grams")).alias("n_grams"),
+        F.array_sort(F.array_distinct(wins)).alias("fingerprint"),
+    ).orderBy("doc_id")
