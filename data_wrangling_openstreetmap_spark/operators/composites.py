@@ -575,3 +575,82 @@ def q20_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cust_nation", "supp_nation")
     )
+
+
+# ---------------------------------------------------------------------------
+# q21 — sole-fault supplier (the TPC-H Q21 shape): semi-join ("order had
+# multiple suppliers") + anti-join ("no OTHER supplier returned goods")
+# composed in one query — the EXISTS/NOT-EXISTS pair over the same
+# derived relation.
+# ---------------------------------------------------------------------------
+
+_Q21_ORACLE = """
+WITH multi AS (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+  HAVING COUNT(DISTINCT l_suppkey) >= 2
+),
+r_pairs AS (
+  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+)
+SELECT s_name, COUNT(*) AS numwait
+FROM r_pairs a
+JOIN multi    ON a.l_orderkey = multi.l_orderkey
+JOIN supplier ON a.l_suppkey = s_suppkey
+WHERE NOT EXISTS (
+  SELECT 1 FROM r_pairs b
+  WHERE b.l_orderkey = a.l_orderkey AND b.l_suppkey <> a.l_suppkey)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 10
+"""
+
+
+@register("q21_sole_fault_supplier", oracle=_Q21_ORACLE, tags=("J3", "J4", "A1", "A3", "O2"))
+def q21_sole_fault_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers most often the ONLY one with returned ('R') lineitems
+    in orders that involved at least two suppliers — EXISTS (semi on
+    the multi-supplier order set) and NOT EXISTS (anti on "another
+    supplier also returned") composed over one derived pair relation.
+
+    The NOT EXISTS is decorrelated into an anti-join against the pair
+    relation keyed (orderkey, other-supplier); equivalently a count
+    window — the join form keeps both sides shuffle-partitioned on
+    l_orderkey so every stage reuses one exchange.
+
+    Scale: r_pairs and multi are both per-order aggregates of the same
+    scan (shuffle on l_orderkey, reused); the anti-join self-pairs
+    r_pairs on the same key. Final agg is 25 supplier keys; top-10 is
+    TakeOrderedAndProject with s_name as the unique tiebreak.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    multi = (
+        li.groupBy("l_orderkey")
+        .agg(F.countDistinct("l_suppkey").alias("n_supp"))
+        .filter(F.col("n_supp") >= 2)
+        .select("l_orderkey")
+    )
+    r_pairs = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    others = r_pairs.select(
+        F.col("l_orderkey").alias("b_orderkey"), F.col("l_suppkey").alias("b_suppkey")
+    )
+    sole = (
+        r_pairs.join(multi, "l_orderkey", "left_semi")
+        .join(
+            others,
+            (F.col("l_orderkey") == F.col("b_orderkey"))
+            & (F.col("l_suppkey") != F.col("b_suppkey")),
+            "left_anti",
+        )
+    )
+    return (
+        sole.join(F.broadcast(supplier), sole.l_suppkey == supplier.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(10)
+    )
