@@ -1,13 +1,17 @@
-"""Composite analytics queries #2 — classic TPC-H shapes adapted to the
-graded star schema, plus an event-funnel query.
+"""Composite analytics queries #2 — classic TPC-H decision-support
+shapes adapted to the graded star schema, plus an event-funnel query.
 
-These extend the q11/q12 composites in ``relational.py`` with the three
-remaining canonical decision-support shapes (order-count distribution,
-conditional revenue share, argmax-per-window) and a sequence-style
-funnel over the events table. Each compiles to built-in Column
-expressions — no Python in the hot path — and uses the exact
-integer-unit money recipe from ``_helpers`` so value-hashes match the
-DuckDB oracle at any partition count.
+These extend the q11/q12 composites in ``relational.py`` with the
+remaining canonical shapes: order-count distribution (q13), conditional
+revenue share (q14), argmax over an aggregate (q15), a click→purchase
+funnel (q16), explicit GROUPING SETS (a6b), correlated-subquery
+decorrelation (q17), HAVING-joined top-N (q18), disjunctive predicate
+pushdown (q19), a dimension joined twice by role (q20), EXISTS + NOT
+EXISTS over one derived relation (q21), and scalar-threshold + anti-join
+(q22). Each compiles to built-in Column expressions — no Python in the
+hot path — and uses the exact integer-unit money recipe from
+``_helpers`` so value-hashes match the DuckDB oracle at any partition
+count.
 """
 
 from __future__ import annotations
