@@ -428,3 +428,43 @@ def a11_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.var_pop("o_totalprice"), 0).alias("var_price"),
         F.round(F.corr("o_totalprice", "o_custkey"), 6).alias("corr_price_cust"),
     )
+
+
+# ---------------------------------------------------------------------------
+# W1b — fractional rank kinds (percent_rank / cume_dist), completing
+# the analytic-rank family next to w1's integer kinds.
+# ---------------------------------------------------------------------------
+
+_W6_ORACLE = """
+SELECT o_orderkey, o_orderpriority,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist()    OVER w AS cume
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)
+"""
+
+
+@register("w6_rank_fractions", oracle=_W6_ORACLE, tags=("W1",))
+def w6_rank_fractions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank ((rank-1)/(n-1)) and cume_dist (rows≤current / n)
+    over the same window as w1 — both are ratios of exact integers, so
+    the doubles agree bit-for-bit across engines with no rounding.
+
+    Scale: one partitioned sort shared by both functions (single Window
+    node); partitions are the 5 priority values — at 100 TB a
+    finer-grained partition key (or pre-bucketed sort) bounds per-task
+    sort memory.
+    """
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= "2001-01-01 00:00:00"
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
