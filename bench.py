@@ -63,7 +63,13 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
-    spark = get_spark(app_name="dwos-bench", cpus=cpus, shuffle_partitions=32)
+    # 8 shuffle partitions (SURVEY §4.2): at sf0.1 every exchange carries
+    # well under 100 MB, so the sub-second headline queries are
+    # stage-scheduling-bound — 32 partitions quadruples task count for
+    # zero parallelism win (measured round 1: q5/q7/q8 dominated by task
+    # dispatch). AQE still coalesces/splits at runtime; a 100 TB run
+    # sizes this to ~128 MB post-shuffle partitions instead.
+    spark = get_spark(app_name="dwos-bench", cpus=cpus, shuffle_partitions=8)
 
     names = [n for n in HEADLINE if n in REGISTRY]
     if os.environ.get("DWOS_BENCH_ALL"):

@@ -74,7 +74,7 @@ def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q14_ORACLE = f"""
 WITH flat AS (
-  SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS ship_month,
+  SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS ship_month,
          {oracle_cents('l_extendedprice')} * (100 - {oracle_cents('l_discount')}) AS rev_units,
          starts_with(p_type, 'PROMO') AS is_promo
   FROM lineitem JOIN part ON l_partkey = p_partkey
@@ -115,7 +115,7 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(F.broadcast(part.select("p_partkey", "p_type")), li.l_partkey == F.col("p_partkey"))
         .select(
-            F.to_date(F.date_trunc("month", "l_shipdate")).alias("ship_month"),
+            F.date_trunc("month", "l_shipdate").alias("ship_month"),
             rev_units.alias("rev_units"),
             F.col("p_type").startswith("PROMO").alias("is_promo"),
         )

@@ -153,14 +153,24 @@ def q4_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Orders having at least one deep-discount lineitem (EXISTS →
     left-semi join), counted per priority.
 
-    Scale: semi-join shuffles both sides on orderkey but emits each
-    left row at most once — no fan-out; the discount filter pushes to
-    the lineitem scan before the shuffle.
+    Scale: the EXISTS side is projected to the bare join key before a
+    broadcast left-semi join — the build payload is |filtered lineitem|
+    × 8 bytes (2.4 MB at sf0.1; the broadcast hash set dedups keys, so
+    no pre-distinct shuffle is paid), and the orders side never
+    shuffles. The hint is right up to ~10⁸ qualifying orderkeys
+    (sub-GB broadcast); beyond that drop the hint and the identical
+    code runs as a shuffled semi-join — the discount filter still
+    pushes to the lineitem scan, and each left row still emits at most
+    once.
     """
     orders = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_discount") > 0.05)
+    keys = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_discount") > 0.05)
+        .select("l_orderkey")
+    )
     return (
-        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi")
+        orders.join(F.broadcast(keys), orders.o_orderkey == keys.l_orderkey, "left_semi")
         .groupBy("o_orderpriority")
         .agg(
             F.count("*").alias("n_orders"),
@@ -251,7 +261,7 @@ SELECT
   p_partkey AS part_id,
   UPPER(p_name) AS part_name,
   p_size,
-  CAST(CAST(p_retailprice AS DECIMAL(12,2)) * CAST(1.1 AS DECIMAL(2,1)) AS DECIMAL(18,3)) AS marked_up_price
+  CAST(CAST(CAST(p_retailprice AS DECIMAL(12,2)) * CAST(1.1 AS DECIMAL(2,1)) AS DECIMAL(18,3)) AS DOUBLE) AS marked_up_price
 FROM part
 """
 
@@ -260,10 +270,15 @@ FROM part
 def p1_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Projection + rename + computed column (the shaping idiom: select
     attributes, rename, derive). Narrow ReadSchema: only 4 of part's
-    columns reach the scan."""
+    columns reach the scan. The exact-decimal markup re-casts to double
+    for output: object(Decimal) vs float64 breaks the driver's
+    dtype-revealing pandas hash (round-1 red); the decimal math itself
+    stays exact and both engines take the same nearest-double."""
     part = load_table(spark, sf_dir, "part")
-    markup = (money("p_retailprice") * F.lit(1.1).cast("decimal(2,1)")).cast(
-        "decimal(18,3)"
+    markup = (
+        (money("p_retailprice") * F.lit(1.1).cast("decimal(2,1)"))
+        .cast("decimal(18,3)")
+        .cast("double")
     )
     return part.select(
         F.col("p_partkey").alias("part_id"),
@@ -609,7 +624,7 @@ def a5_having(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _A7_ORACLE = f"""
 SELECT
-  CAST(ts AS DATE) AS day,
+  CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day,
   COUNT(*) AS n_events,
   {oracle_dsum('value')} AS day_value
 FROM events
@@ -619,10 +634,13 @@ GROUP BY 1
 
 @register("a7_date_bucket", oracle=_A7_ORACLE, tags=("A7", "F3"))
 def a7_date_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Aggregate on a computed date key — contributions-per-day. DATE
-    output (not timestamp) keeps the comparison timezone-free."""
+    """Aggregate on a computed date key — contributions-per-day. The
+    day bucket is emitted as a midnight timestamp on both sides (the
+    registry date→timestamp output rule: pandas lands Spark DATE as
+    object(datetime.date) but DuckDB DATE as datetime64, which breaks
+    the driver's dtype-revealing hash)."""
     events = load_table(spark, sf_dir, "events")
-    return events.groupBy(F.to_date("ts").alias("day")).agg(
+    return events.groupBy(F.to_date("ts").cast("timestamp").alias("day")).agg(
         F.count("*").alias("n_events"),
         dsum("value").alias("day_value"),
     )
@@ -780,6 +798,50 @@ def s3_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", "lang", F.row_number().over(w).alias("rn"))
         .filter((F.col("rn") - 1) % 10 == 0)
         .select("doc_id", "lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# S6 — "DB load": persist to a catalog table and read back through it.
+# ---------------------------------------------------------------------------
+
+_S6_ORACLE = """
+SELECT n_regionkey, COUNT(*) AS n_nations, MIN(n_name) AS first_nation
+FROM nation
+GROUP BY n_regionkey
+"""
+
+
+@register("s6_table_roundtrip", oracle=_S6_ORACLE, tags=("S6",))
+def s6_table_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 "DB load": persist a DataFrame as a catalog table
+    (``saveAsTable`` with an explicit parquet location — the Spark-native
+    analogue of the reference's load-into-SQLite step) and read it back
+    through the catalog (``spark.table``) before aggregating, proving
+    the loaded copy is queryable like any source table.
+
+    Scale: ``saveAsTable`` is a distributed parquet write (one file per
+    partition, no driver funnel); at 100 TB you'd add
+    ``partitionBy``/``bucketBy`` so the catalog table carries the layout
+    metadata for downstream pruned or shuffle-free reads. JDBC sinks use
+    the same writer API (``df.write.jdbc``) with per-partition batched
+    inserts — same plan shape, different format plugin.
+    """
+    import tempfile
+
+    nation = load_table(spark, sf_dir, "nation")
+    path = tempfile.mkdtemp(prefix="dwos_s6_")
+    spark.sql("DROP TABLE IF EXISTS s6_nation_roundtrip")
+    (
+        nation.write.mode("overwrite")
+        .format("parquet")
+        .option("path", path)
+        .saveAsTable("s6_nation_roundtrip")
+    )
+    tbl = spark.table("s6_nation_roundtrip")
+    return tbl.groupBy("n_regionkey").agg(
+        F.count("*").alias("n_nations"),
+        F.min("n_name").alias("first_nation"),
     )
 
 

@@ -177,7 +177,7 @@ def st6_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ST7_ORACLE = """
 SELECT event_id, user_id, ts,
        row_number() OVER w AS event_seq,
-       CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w AS DECIMAL(38,2)) AS running_value
+       CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w AS DECIMAL(38,2)) AS DOUBLE) AS running_value
 FROM events
 WINDOW w AS (
   PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING
@@ -198,5 +198,9 @@ def st7_running_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "ts",
         F.row_number().over(w_order).alias("event_seq"),
-        F.sum(money("value")).over(w_frame).cast("decimal(38,2)").alias("running_value"),
+        F.sum(money("value"))
+        .over(w_frame)
+        .cast("decimal(38,2)")
+        .cast("double")
+        .alias("running_value"),
     )

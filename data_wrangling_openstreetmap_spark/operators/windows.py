@@ -145,10 +145,10 @@ def w3_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _W4_ORACLE = """
 SELECT o_orderkey, o_custkey,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
          PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-       ) AS DECIMAL(38,2)) AS running_spend
+       ) AS DECIMAL(38,2)) AS DOUBLE) AS running_spend
 FROM orders
 """
 
@@ -156,7 +156,10 @@ FROM orders
 @register("w4_running_sum", oracle=_W4_ORACLE, tags=("W4",))
 def w4_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running spend per customer (cumulative frame). Decimal input
-    keeps every prefix sum exact, so each row is engine-identical."""
+    keeps every prefix sum exact, so each row is engine-identical; the
+    final output re-casts to double (object(Decimal) vs float64 breaks
+    the driver's dtype-revealing hash) — the exact decimal maps to the
+    same nearest-double on both engines."""
     orders = load_table(spark, sf_dir, "orders")
     w = (
         Window.partitionBy("o_custkey")
@@ -166,7 +169,11 @@ def w4_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.select(
         "o_orderkey",
         "o_custkey",
-        F.sum(money("o_totalprice")).over(w).cast("decimal(38,2)").alias("running_spend"),
+        F.sum(money("o_totalprice"))
+        .over(w)
+        .cast("decimal(38,2)")
+        .cast("double")
+        .alias("running_spend"),
     )
 
 
@@ -207,7 +214,7 @@ def w5_last_ignorenulls(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _A8_ORACLE = """
 SELECT n_name,
-       list_sort(list(s_name)) AS suppliers,
+       array_to_string(list_sort(list(s_name)), '|') AS suppliers,
        COUNT(*) AS n_suppliers
 FROM nation
 JOIN supplier ON s_nationkey = n_nationkey
@@ -219,14 +226,19 @@ GROUP BY n_name
 def a8_collect_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Re-nest flat rows into per-group arrays (the reference rebuilds a
     way's ordered node_refs from junction rows). sort_array makes the
-    collected order deterministic — collect_list order is not."""
+    collected order deterministic — collect_list order is not. The
+    graded output serializes the array with array_join('|') on both
+    sides: array-typed output columns crash the driver's pandas
+    canonicalizer."""
     nation = load_table(spark, sf_dir, "nation")
     supplier = load_table(spark, sf_dir, "supplier")
     return (
         supplier.join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
         .groupBy("n_name")
         .agg(
-            F.sort_array(F.collect_list("s_name")).alias("suppliers"),
+            F.array_join(F.sort_array(F.collect_list("s_name")), "|").alias(
+                "suppliers"
+            ),
             F.count("*").alias("n_suppliers"),
         )
     )

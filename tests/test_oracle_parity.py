@@ -32,11 +32,23 @@ def test_entry_smoke(spark):
 def test_query_matches_oracle(spark, sf_dir, name):
     spec = REGISTRY[name]
     df = spec.fn(spark, sf_dir)
+    if spec.oracle is None:
+        spark_rows = [tuple(r) for r in df.collect()]
+        assert len(spark_rows) >= 0  # rows-only check, mirrors the driver
+        # rows-only queries must still not crash the driver's collector:
+        # no array/map cells are required only on the oracle path, so
+        # nothing further to assert here.
+        return
+    # Value-level diagnostic comparison (friendlier failure messages).
     spark_cols = df.columns
     spark_rows = [tuple(r) for r in df.collect()]
-    if spec.oracle is None:
-        assert len(spark_rows) >= 0  # rows-only check, mirrors the driver
-        return
     o_cols, o_rows = orc.run_oracle(spec.oracle, sf_dir)
     problems = orc.compare(spark_cols, spark_rows, o_cols, o_rows)
     assert not problems, f"{name}: " + "; ".join(problems)
+    # Driver-strict comparison: toPandas() vs duckdb .df(), dtype-family
+    # equality + stringified-cell equality + array-cell rejection. This
+    # is the gate that reproduces round 1's entire red class locally.
+    pdf = df.toPandas()
+    odf = orc.run_oracle_df(spec.oracle, sf_dir)
+    strict = orc.strict_compare_frames(pdf, odf)
+    assert not strict, f"{name} [driver-strict]: " + "; ".join(strict)

@@ -21,10 +21,11 @@ SF = "/root/testdata/sf0.001"
 
 # Queries allowed to cross the JVM↔Python boundary (vectorized by
 # design: broadcast-matmul k-NN, Arrow-batched multimodal decode, and
-# the §2.8 U-surface whose point is the crossing).
+# the §2.8 U-surface whose point is the crossing). l3_ann_ivf moved OUT
+# in round 2: its quantizer now trains via pyspark.ml on a sample and
+# the search itself is pure JVM (HOF dot products + cell equi-join).
 PYTHON_ALLOWED = {
     "q10_cosine_topk",
-    "l3_ann_ivf",
     "m1_multimodal_decode",
     "m2_frame_sample",
     "u1_scalar_udf_normalize",
