@@ -1016,3 +1016,218 @@ def l4_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.col("grams")).alias("n_grams"),
         F.explode(F.array_distinct(wins)).alias("fp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# L4 — Gopher-style repetition filters: duplicate-word fraction and
+# top-bigram mass per document, with a keep/drop verdict.
+# ---------------------------------------------------------------------------
+
+_REP_ORACLE = f"""
+WITH t AS (SELECT doc_id, {_ORACLE_TOKS} AS toks FROM documents),
+tokstats AS (
+  SELECT doc_id, len(toks) AS n_tokens, len(list_distinct(toks)) AS n_distinct
+  FROM t WHERE len(toks) >= 2
+),
+bg0 AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(toks)-1),
+                i -> toks[i] || ' ' || toks[i+1])) AS bigram
+  FROM t WHERE len(toks) >= 2
+),
+bgc AS (SELECT doc_id, bigram, COUNT(*) AS c FROM bg0 GROUP BY doc_id, bigram),
+bg AS (SELECT doc_id, MAX(c) AS top_c, CAST(SUM(c) AS BIGINT) AS n_bigrams
+       FROM bgc GROUP BY doc_id)
+SELECT tokstats.doc_id,
+       n_tokens,
+       1.0 - CAST(n_distinct AS DOUBLE) / n_tokens AS dup_word_frac,
+       CAST(top_c AS DOUBLE) / n_bigrams AS top_bigram_frac,
+       (1.0 - CAST(n_distinct AS DOUBLE) / n_tokens <= 0.75
+        AND CAST(top_c AS DOUBLE) / n_bigrams <= 0.10) AS keep
+FROM tokstats JOIN bg USING (doc_id)
+"""
+
+
+@register("l4_repetition_stats", oracle=_REP_ORACLE, tags=("L4", "F5"))
+def l4_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality filters (the Gopher/C4 pretraining-data
+    recipe): per document, the duplicate-word fraction
+    (1 − distinct/total tokens) and the mass of the single most
+    frequent word bigram, plus a keep/drop verdict at the classic
+    thresholds. Documents dominated by one repeated phrase — boilerplate,
+    scraped menus, keyword stuffing — fail exactly these two tests.
+
+    Scale: tokenization and bigram construction are per-row projections
+    (JVM higher-order functions); the only shuffle groups by
+    (doc_id, bigram), whose cardinality is bounded by total token count
+    — linear, skew-free, and partial-aggregated map-side. All ratios
+    are exact integer-ratio doubles, so both engines agree bit-for-bit
+    with no rounding.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = T.tokens(F.col("text"))
+    t = docs.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= 2)
+    tokstats = t.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).alias("n_distinct"),
+    )
+    bigrams = F.expr(
+        "transform(sequence(1, size(toks)-1),"
+        " i -> concat(element_at(toks, i), ' ', element_at(toks, i+1)))"
+    )
+    bg = (
+        t.select("doc_id", F.explode(bigrams).alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_c"), F.sum("c").alias("n_bigrams"))
+    )
+    dup_frac = 1.0 - F.col("n_distinct").cast("double") / F.col("n_tokens")
+    top_frac = F.col("top_c").cast("double") / F.col("n_bigrams")
+    return tokstats.join(bg, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        dup_frac.alias("dup_word_frac"),
+        top_frac.alias("top_bigram_frac"),
+        ((dup_frac <= 0.75) & (top_frac <= 0.10)).alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# L4 — TF-IDF top terms per document.
+# ---------------------------------------------------------------------------
+
+_TFIDF_ORACLE = f"""
+WITH tok AS (SELECT doc_id, unnest({_ORACLE_TOKS}) AS tok FROM documents),
+tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tok GROUP BY doc_id, tok),
+df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY tok),
+n AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT doc_id, tok,
+       ROUND(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+FROM tf JOIN df USING (tok) CROSS JOIN n
+QUALIFY row_number() OVER (
+  PARTITION BY doc_id
+  ORDER BY ROUND(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) DESC, tok
+) <= 3
+"""
+
+
+@register("l4_tfidf_topk", oracle=_TFIDF_ORACLE, tags=("L4", "W2", "A1"))
+def l4_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document: tf × ln(N/df), the classic
+    salient-term extraction over a corpus.
+
+    Scale: tf is a (doc_id, tok) groupBy (linear in tokens, map-side
+    combined); df is a (tok) groupBy over distinct pairs; the corpus
+    size N is a one-row aggregate broadcast into the join — no driver
+    action, no collect. The per-doc top-3 is a bounded window.
+    Cross-engine floats: ln() is libm on DuckDB and java.lang.Math on
+    Spark — agreeing to ≤1 ulp — so the score is rounded to 6 dp on
+    BOTH sides and the window orders by the ROUNDED score with a token
+    tiebreak, making rank deterministic on each engine.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("tok"))
+    tf = tok.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    df = tok.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    ndf = docs.agg(F.count("*").alias("n_docs"))
+    score = F.round(
+        F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "tok")
+    return (
+        tf.join(F.broadcast(df), "tok")
+        .crossJoin(F.broadcast(ndf))
+        .select("doc_id", "tok", score.alias("tfidf"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "tok", "tfidf")
+    )
+
+
+# ---------------------------------------------------------------------------
+# L2/L1 — duplicate-cluster resolution: connected components over the
+# near-dup pair graph (transitive closure), canonical survivor = min id.
+# ---------------------------------------------------------------------------
+
+_DUP_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE pairs AS ({_L2_NGRAM_ORACLE}),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs),
+reach AS (SELECT a, b FROM edges
+          UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+comp AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+         FROM reach GROUP BY a)
+SELECT doc_id, cluster_id, (doc_id = cluster_id) AS is_canonical
+FROM comp
+"""
+
+
+@register("l2_dup_clusters", oracle=_DUP_CLUSTERS_ORACLE, tags=("L2", "L1"))
+def l2_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-CLUSTER resolution: pairwise near-dup evidence
+    (l2_ngram_jaccard's ≥0.8 trigram pairs) is transitively closed into
+    connected components via iterative min-label propagation; each
+    document gets its component's minimum doc_id as cluster_id, and the
+    minimum itself is flagged canonical — the survivor a dedup pipeline
+    keeps. Pairwise thresholds alone under-merge (A≈B, B≈C, A≉C);
+    training-data dedup needs the component, not the pair list.
+
+    The DuckDB oracle computes the same components by recursive
+    transitive closure — engine-independent ground truth for an
+    iterative distributed algorithm.
+
+    Scale: each round is one (edge ⋈ label) shuffle + min-aggregate —
+    the Pregel pattern as plain DataFrames; rounds ≤ graph diameter
+    (dup clusters are shallow; 17-doc clusters here converge in ≤4).
+    At 100 TB: edges come from the LSH/MinHash candidate stage, labels
+    localCheckpoint per round to cut lineage, and the large-star/
+    small-star variant bounds rounds to O(log n). The convergence
+    check is one count per round, not a collect of the labels.
+    """
+    pairs = l2_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    edges = edges.persist()
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .persist()
+    )
+    try:
+        for _ in range(20):  # ≥ any realistic dup-cluster diameter
+            nbr_min = (
+                edges.join(labels, edges.dst == labels.doc_id)
+                .groupBy("src")
+                .agg(F.min("label").alias("nbr_min"))
+            )
+            new_labels = (
+                labels.join(nbr_min, labels.doc_id == nbr_min.src, "left")
+                .select(
+                    "doc_id",
+                    F.least(
+                        F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
+                    ).alias("label"),
+                )
+                .persist()
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "doc_id")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+        return labels.select(
+            "doc_id",
+            F.col("label").alias("cluster_id"),
+            (F.col("doc_id") == F.col("label")).alias("is_canonical"),
+        )
+    finally:
+        edges.unpersist()

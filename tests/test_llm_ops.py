@@ -10,7 +10,9 @@ from pyspark.sql import functions as F
 
 from data_wrangling_openstreetmap_spark.functions import text as T
 from data_wrangling_openstreetmap_spark.operators.llm import (
+    l2_dup_clusters,
     l2_minhash_lsh,
+    l2_ngram_jaccard,
     l2_simhash,
     l3_ann_ivf,
     l3_ann_lsh,
@@ -173,3 +175,23 @@ def test_winnow_fingerprint_shared_substring_overlap(spark):
     for r in l4_winnow_fingerprint(spark, SF_SMALL).collect():
         again.setdefault(r.doc_id, set()).add(r.fp)
     assert fps == again
+
+
+def test_dup_clusters_close_the_pair_graph(spark):
+    """Connected-components invariants: every near-dup pair lands in one
+    cluster, the cluster id is the minimum member (the canonical
+    survivor), and the iterative propagation is deterministic."""
+    pairs = l2_ngram_jaccard(spark, SF_SMALL).collect()
+    assert pairs  # fixture has planted near-dups
+    comp = {r.doc_id: r.cluster_id for r in l2_dup_clusters(spark, SF_SMALL).collect()}
+    for r in pairs:
+        assert comp[r.doc_a] == comp[r.doc_b], (r.doc_a, r.doc_b)
+    members: dict[int, list[int]] = {}
+    for d, c in comp.items():
+        members.setdefault(c, []).append(d)
+    for c, ms in members.items():
+        assert c == min(ms)
+    again = {
+        r.doc_id: r.cluster_id for r in l2_dup_clusters(spark, SF_SMALL).collect()
+    }
+    assert comp == again
