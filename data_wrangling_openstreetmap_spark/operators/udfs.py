@@ -1,9 +1,17 @@
-"""Python UDF surface (SURVEY.md §2.8 U2–U5): the intentional
+"""Python UDF surface (SURVEY.md §2.8 U1–U5): the intentional
 JVM↔Python crossings, Arrow-batched, for logic built-ins can't express.
 
-Graded rows-only (Python-side float paths aren't oracle-hashable);
-tests cross-check each against an equivalent built-in formulation.
-The design rule stands: these exist as the *surface* for custom logic —
+Fully oracle-graded since round 2: each Python-side computation is
+paired with a DuckDB SQL formulation of the identical math. String
+logic (U1, U5) is trivially engine-identical; U3's z-score uses an
+exact integer recipe — z = (cents·n − Σcents) / √(n·Σcents² − (Σcents)²)
+evaluated with arbitrary-precision integers Python-side and HUGEINT
+SQL-side, so the one double division and sqrt are bit-identical on
+both engines, no rounding needed. U2 rounds its sigmoid to 6 dp on
+both sides (numpy exp and libm exp agree to ~1 ulp; a 6-dp boundary
+hit needs a ~1e-10 coincidence per row). Tests additionally
+cross-check each against an equivalent built-in formulation. The
+design rule stands: these exist as the *surface* for custom logic —
 every §2 relational operator stays UDF-free.
 """
 
@@ -16,6 +24,7 @@ from pyspark.sql.functions import pandas_udf
 
 from ..io import load_table
 from ..registry import register
+from ._helpers import oracle_cents
 
 # ---------------------------------------------------------------------------
 # U2 — vectorized scalar pandas_udf.
@@ -36,17 +45,27 @@ def _sigmoid_balance_udf():
     return sigmoid_balance
 
 
-@register("u2_pandas_udf_score", oracle=None, tags=("U2",))
+_U2_ORACLE = """
+SELECT c_custkey,
+       ROUND(1.0 / (1.0 + exp(-c_acctbal / 1000.0)), 6) AS score
+FROM customer
+"""
+
+
+@register("u2_pandas_udf_score", oracle=_U2_ORACLE, tags=("U2",))
 def u2_pandas_udf_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar pandas_udf over customer balances: rows stream through the
     Python worker in Arrow batches (~10-100× row-at-a-time UDFs).
+    Graded at 6 dp on both sides (numpy vs libm exp differ ≤ ~1 ulp;
+    score is strictly positive so Spark HALF_UP and DuckDB ROUND agree).
 
     Scale: pure projection — parallel per partition, no shuffle, no
     state; batch size bounded by arrow.maxRecordsPerBatch.
     """
     customer = load_table(spark, sf_dir, "customer")
     return customer.select(
-        "c_custkey", _sigmoid_balance_udf()(F.col("c_acctbal")).alias("score")
+        "c_custkey",
+        F.round(_sigmoid_balance_udf()(F.col("c_acctbal")), 6).alias("score"),
     )
 
 
@@ -56,12 +75,38 @@ def u2_pandas_udf_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register("u3_grouped_map_zscore", oracle=None, tags=("U3", "U4"))
+_U3_ORACLE = f"""
+WITH c AS (
+  SELECT c_custkey, c_mktsegment, {oracle_cents('c_acctbal')} AS cents
+  FROM customer
+),
+s AS (
+  SELECT c_mktsegment, COUNT(*) AS n, SUM(cents) AS sx,
+         SUM(cents * cents) AS sxx
+  FROM c GROUP BY c_mktsegment
+)
+SELECT c_custkey, c.c_mktsegment,
+       CASE WHEN n * sxx - sx * sx = 0 THEN 0.0
+            ELSE (cents * n - sx) / sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+       END AS z
+FROM c JOIN s USING (c_mktsegment)
+"""
+
+
+@register("u3_grouped_map_zscore", oracle=_U3_ORACLE, tags=("U3", "U4"))
 def u3_grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-market-segment z-score of account balances via
     applyInPandas — the reference's 'learn a normalization per city'
     shape (U3), and the way to write a Python UDAF (U4): the whole
     group arrives as one pandas frame.
+
+    Exact cross-engine recipe: balances are 2-decimal money, so in
+    integer cents z = (x·n − Σx) / √(n·Σx² − (Σx)²) — the moments are
+    computed as arbitrary-precision Python ints here and HUGEINTs in
+    the oracle, leaving exactly one double division and one sqrt, both
+    IEEE-correctly-rounded, hence bit-identical. (The naive
+    pandas mean()/std() uses numpy pairwise summation whose fold order
+    differs from SQL engines — that formulation can't hash-match.)
 
     Scale: one shuffle on the group key; each group must fit a worker's
     memory — for huge groups, pre-aggregate the moments with built-ins
@@ -70,10 +115,18 @@ def u3_grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load_table(spark, sf_dir, "customer")
 
     def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
-        mean = pdf["c_acctbal"].mean()
-        std = pdf["c_acctbal"].std(ddof=0)
+        import math
+
+        cents = (pdf["c_acctbal"] * 100).round().astype("int64")
+        n = len(pdf)
+        sx = int(cents.sum())
+        sxx = int((cents * cents).sum())
+        den = n * sxx - sx * sx  # exact: python ints never overflow
         out = pdf[["c_custkey", "c_mktsegment"]].copy()
-        out["z"] = 0.0 if std == 0 else (pdf["c_acctbal"] - mean) / std
+        if den == 0:
+            out["z"] = 0.0
+        else:
+            out["z"] = (cents * n - sx).astype("float64") / math.sqrt(float(den))
         return out
 
     return customer.groupBy("c_mktsegment").applyInPandas(
@@ -104,12 +157,25 @@ def _make_tag_splitter():
     return TagSplitter
 
 
-@register("u5_udtf_tag_split", oracle=None, tags=("U5",))
+_U5_ORACLE = """
+WITH k AS (
+  SELECT concat_ws(':', 'brand', p_brand, p_type) AS key FROM part
+),
+s AS (SELECT key, string_split(key, ':') AS parts FROM k)
+SELECT key,
+       unnest(parts) AS part,
+       unnest(generate_series(0, len(parts) - 1)) AS position
+FROM s
+"""
+
+
+@register("u5_udtf_tag_split", oracle=_U5_ORACLE, tags=("U5",))
 def u5_udtf_tag_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Python UDTF exploding synthetic colon-namespaced keys built from
     part brands. Prefer `explode(split(...))` (same semantics, no
     Python) — registered to cover the UDTF surface; tests assert the
-    explode formulation matches exactly.
+    explode formulation matches exactly. String-only logic → full
+    oracle (DuckDB zips the parallel unnests positionally).
     """
     TagSplitter = _make_tag_splitter()
     spark.udtf.register("tag_splitter", TagSplitter)
@@ -149,13 +215,22 @@ def _make_normalize_suffix():
     return normalize_suffix
 
 
-@register("u1_scalar_udf_normalize", oracle=None, tags=("U1", "P5"))
+_U1_ORACLE = """
+SELECT p_partkey,
+       p_name || ' St.' AS raw_name,
+       p_name || ' Street' AS clean_name
+FROM part
+"""
+
+
+@register("u1_scalar_udf_normalize", oracle=_U1_ORACLE, tags=("U1", "P5"))
 def u1_scalar_udf_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-at-a-time scalar UDF applying the street-suffix mapping to
     synthetic addresses built from part names. Registered to complete
     the §2.8 surface; p5_dict_normalize is the production form
     (broadcast mapping join, stays in codegen) and tests assert this
-    UDF agrees with it row-for-row.
+    UDF agrees with it row-for-row. The synthetic address always ends
+    in "St.", so the oracle is the closed-form string rewrite.
 
     Scale: the worst crossing — one pickle round trip per row. A 100 TB
     pipeline uses this only where semantics genuinely need arbitrary
