@@ -195,3 +195,41 @@ def test_dup_clusters_close_the_pair_graph(spark):
         r.doc_id: r.cluster_id for r in l2_dup_clusters(spark, SF_SMALL).collect()
     }
     assert comp == again
+
+
+def test_resize_preserves_aspect_and_determinism(spark):
+    from data_wrangling_openstreetmap_spark.operators.multimodal import (
+        m3_image_resize,
+    )
+
+    df = m3_image_resize(spark, SF_SMALL)
+    rows = df.collect()
+    assert df.columns == [
+        "doc_id", "in_width", "in_height", "out_width", "out_height",
+        "scale_num", "resized_checksum",
+    ]
+    assert len(rows) == 500
+    for r in rows[:50]:
+        long_in = max(r.in_width, r.in_height)
+        assert max(r.out_width, r.out_height) == 224
+        # integer rescale: out = in * 224 // long_edge, aspect preserved
+        assert r.out_width == r.in_width * 224 // long_in
+        assert r.out_height == r.in_height * 224 // long_in
+    again = sorted(map(tuple, m3_image_resize(spark, SF_SMALL).collect()))
+    assert sorted(map(tuple, rows)) == again
+
+
+def test_feature_extract_unit_norms_and_determinism(spark):
+    from data_wrangling_openstreetmap_spark.operators.multimodal import (
+        m4_feature_extract,
+    )
+
+    df = m4_feature_extract(spark, SF_SMALL)
+    rows = df.collect()
+    assert df.columns == ["doc_id", "feat_dim", "feat_norm", "feat_checksum"]
+    assert len(rows) == 500
+    # L1-normalized 8-bin histogram → dim 8 and L2 norm in (0, 1]
+    assert all(r.feat_dim == 8 for r in rows)
+    assert all(0.0 < r.feat_norm <= 1.0 for r in rows)
+    again = sorted(map(tuple, m4_feature_extract(spark, SF_SMALL).collect()))
+    assert sorted(map(tuple, rows)) == again

@@ -28,6 +28,8 @@ PYTHON_ALLOWED = {
     "q10_cosine_topk",
     "m1_multimodal_decode",
     "m2_frame_sample",
+    "m3_image_resize",
+    "m4_feature_extract",
     "u1_scalar_udf_normalize",
     "u2_pandas_udf_score",
     "u3_grouped_map_zscore",
