@@ -45,8 +45,11 @@ ALL_MODULES = (
 
 # First 50 registry entries = the driver's grading window. One query per
 # SURVEY §2 row (tags in parentheses where the name doesn't say it), the
-# bench headliners q1–q10, and all round-1 reds. Order within the window
-# is thematic, not significance-ranked — only membership matters.
+# bench headliners q1–q10, and all round-1 reds. Since the S/P/U/A4
+# upgrades, every window entry carries a full DuckDB oracle — the
+# driver's 50 slots are all value-hash-graded, none rows-only. Order
+# within the window is thematic, not significance-ranked — only
+# membership matters.
 DRIVER_WINDOW = (
     # bench headliners (q1–q10) — also cover S1/P2/F4/F7/A1/A3/A6/J1/J3/
     # J5/W1/W2/ST1/L3/L4/U2/O1
@@ -60,12 +63,19 @@ DRIVER_WINDOW = (
     "q8_rollup",
     "q9_text_stats",
     "q10_cosine_topk",
-    # sources (S2–S6)
-    "osm_wrangle_demo",
+    # sources (S2–S6) — format roundtrips are value-graded; the OSM
+    # XML demo (rows-only) moved to the tail once s2/s4/s5 covered its
+    # S-tags with real oracles
+    "s2_xml_roundtrip",
     "s3_systematic_sample",
+    "s4_csv_roundtrip",
+    "s5_json_roundtrip",
     "s6_table_roundtrip",
-    # projection / predicates tail (P1, P6)
+    # projection / predicates tail (P1, P3–P6)
     "p1_projection",
+    "p3_regex_classify",
+    "p4_regex_extract",
+    "p5_dict_normalize",
     "p6_conditional",
     # join family tail (J2, J4 via q21+q13, J6, J7, J8)
     "q13_order_count_distribution",
@@ -78,19 +88,15 @@ DRIVER_WINDOW = (
     "a4_approx_distinct",
     "a8_collect_list",
     "a9_mode",
-    # window family tail (W3, W4; W5 via j7_asof_join)
+    # window family tail (W3; W4 via st7/st3, W5 via j7_asof_join)
     "w3_lag_lead",
-    "w4_running_sum",
-    # order / set ops (O2–O6)
-    "o2_top_k",
+    # order / set ops (O3–O6; O1 via q1/q13, O2 via q21)
     "o3_union_all",
     "o4_union_distinct",
     "o5_intersect",
-    # function sweep (F1–F9)
-    "f1_string_funcs",
+    # function sweep (F2–F9; F1 via p1_projection, F4 via q1)
     "f2_regex_standardize",
     "f3_datetime",
-    "f4_math",
     "f5_array_funcs",
     "f6_map_funcs",
     "f8_casts_nulls",
@@ -105,8 +111,8 @@ DRIVER_WINDOW = (
     "st5_dedup_first",
     "st6_stream_static_join",
     "st7_running_user_totals",
-    # LLM-pipeline ops (L1, L5, L6; L2 above, L3/L4 via q9/q10)
-    "l1_exact_dedup",
+    # LLM-pipeline ops (L5, L6; L1 via st5_dedup_first, L2 above,
+    # L3/L4 via q9/q10)
     "l5_multimodal_join",
     "l6_centroids",
     "l4_winnow_fingerprint",

@@ -851,6 +851,116 @@ def s6_table_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# S2/S4/S5 — format roundtrips, value-graded: write the table out in the
+# format under test, read it back through that format's reader, and
+# aggregate — the oracle runs on the original table, so any loss or
+# corruption in the sink/scan pair breaks the hash.
+# ---------------------------------------------------------------------------
+
+_S2_ORACLE = """
+SELECT n_regionkey, COUNT(*) AS n_nations, MIN(n_name) AS first_nation
+FROM nation
+GROUP BY n_regionkey
+"""
+
+
+@register("s2_xml_roundtrip", oracle=_S2_ORACLE, tags=("S2",))
+def s2_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML sink + scan (Spark 4 built-in xml source, the reference's
+    native format): write nation as <nation> row elements, read it back
+    via rowTag streaming parse, aggregate. The oracle runs on the
+    original parquet, so the XML encode/decode pair must be lossless.
+
+    Scale: the XML reader splits files and streams elements (the
+    iterparse discipline built in); at 100 TB the layout is many
+    XML parts read in parallel — same reader, same rowTag.
+    """
+    import tempfile
+
+    nation = load_table(spark, sf_dir, "nation")
+    path = tempfile.mkdtemp(prefix="dwos_s2_") + "/nation_xml"
+    (
+        nation.select("n_nationkey", "n_regionkey", "n_name")
+        .write.format("xml")
+        .option("rowTag", "nation")
+        .mode("overwrite")
+        .save(path)
+    )
+    back = spark.read.format("xml").option("rowTag", "nation").load(path)
+    return back.groupBy(F.col("n_regionkey").cast("int").alias("n_regionkey")).agg(
+        F.count("*").alias("n_nations"),
+        F.min("n_name").alias("first_nation"),
+    )
+
+
+_S4_ORACLE = """
+SELECT c_mktsegment, COUNT(*) AS n_customers, MIN(c_name) AS first_name
+FROM customer
+GROUP BY c_mktsegment
+"""
+
+
+@register("s4_csv_roundtrip", oracle=_S4_ORACLE, tags=("S4",))
+def s4_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink with header + schema-declared scan back (the reference's
+    shaped-rows-to-DictWriter step). Integer/string columns round-trip
+    exactly; the oracle on the original table proves it.
+
+    Scale: CSV writes one file per partition in parallel; the read back
+    declares the schema explicitly — at 100 TB schema inference would
+    cost a full extra pass.
+    """
+    import tempfile
+
+    customer = load_table(spark, sf_dir, "customer")
+    path = tempfile.mkdtemp(prefix="dwos_s4_") + "/customer_csv"
+    (
+        customer.select("c_custkey", "c_mktsegment", "c_name")
+        .write.option("header", True)
+        .mode("overwrite")
+        .csv(path)
+    )
+    back = spark.read.schema("c_custkey bigint, c_mktsegment string, c_name string") \
+        .option("header", True).csv(path)
+    return back.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_customers"),
+        F.min("c_name").alias("first_name"),
+    )
+
+
+_S5_ORACLE = """
+SELECT s_nationkey, COUNT(*) AS n_suppliers, MIN(s_name) AS first_supplier
+FROM supplier
+GROUP BY s_nationkey
+"""
+
+
+@register("s5_json_roundtrip", oracle=_S5_ORACLE, tags=("S5",))
+def s5_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-delimited JSON sink + schema-declared scan back (the
+    reference's json.dump-per-element step feeding its DB load).
+
+    Scale: JSONL is the splittable interchange format — one JSON doc
+    per line, files split at line boundaries, read parallel. Schema
+    declared on read (inference = extra pass, as with CSV).
+    """
+    import tempfile
+
+    supplier = load_table(spark, sf_dir, "supplier")
+    path = tempfile.mkdtemp(prefix="dwos_s5_") + "/supplier_json"
+    (
+        supplier.select("s_suppkey", "s_nationkey", "s_name")
+        .write.mode("overwrite")
+        .json(path)
+    )
+    back = spark.read.schema("s_suppkey bigint, s_nationkey bigint, s_name string").json(path)
+    return back.groupBy(F.col("s_nationkey").cast("int").alias("s_nationkey")).agg(
+        F.count("*").alias("n_suppliers"),
+        F.min("s_name").alias("first_supplier"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # q11 — market-share-style ratio of conditional aggregates over the full
 # join chain (the TPC-H Q8 shape): compose joins, date bucketing,
 # conditional sums, and exact-ratio math in one query.

@@ -183,3 +183,110 @@ def j6_grid_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("dist_deg") <= _RADIUS_DEG)
     )
+
+
+# ---------------------------------------------------------------------------
+# D1 — hive-partitioned layout + partition-pruned scan, value-graded.
+# The 100 TB first lever: lay data out so filters never read dead files.
+# ---------------------------------------------------------------------------
+
+_D1_ORACLE = f"""
+SELECT o_orderpriority, COUNT(*) AS n_orders,
+       {oracle_dsum('o_totalprice')} AS revenue
+FROM orders
+WHERE year(o_orderdate) = 2001
+GROUP BY o_orderpriority
+"""
+
+
+@register("d1_partition_pruned_scan", oracle=_D1_ORACLE, tags=("S1", "P2", "A7"))
+def d1_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write orders into a hive-partitioned layout (one directory per
+    order year), then answer a single-year question through it — the
+    filter resolves to directory pruning, so non-matching years are
+    never opened. Values are identical to filtering the flat table
+    (same oracle); tests/test_scale_layouts.py asserts the plan's
+    PartitionFilters carries the year predicate.
+
+    Scale: THE first lever at 100 TB — date-partitioned parquet turns
+    a full scan into |matching partitions| of IO, before any of
+    Catalyst's row-group or predicate pushdown applies. The write here
+    is the per-query demo form; production lays data out once.
+    """
+    import tempfile
+
+    orders = load_table(spark, sf_dir, "orders")
+    path = tempfile.mkdtemp(prefix="dwos_d1_")
+    (
+        orders.withColumn("order_year", F.year("o_orderdate"))
+        .write.mode("overwrite")
+        .partitionBy("order_year")
+        .parquet(path)
+    )
+    laid_out = spark.read.parquet(path)
+    return (
+        laid_out.filter(F.col("order_year") == 2001)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum("o_totalprice").alias("revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# D2 — bucketed co-located join, value-graded. Pre-shuffling both fact
+# tables into the same bucket layout removes the join exchange entirely.
+# ---------------------------------------------------------------------------
+
+_D2_ORACLE = f"""
+SELECT c_mktsegment, COUNT(*) AS n_orders,
+       {oracle_dsum('o_totalprice')} AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+@register("d2_bucketed_colocated_join", oracle=_D2_ORACLE, tags=("J1", "S6"))
+def d2_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket BOTH join sides by the join key (8 buckets, sorted) into
+    catalog tables, then join through the bucketed layout: matching
+    bucket counts let Spark align bucket i with bucket i directly, so
+    the join needs NO shuffle of either side — the exchange moved into
+    the one-time layout write. Values identical to the plain join
+    (same oracle); tests/test_scale_layouts.py asserts the exchange-free
+    plan under a no-broadcast session.
+
+    Scale: for a fact⋈fact join repeated across a 100 TB pipeline,
+    bucketing amortizes the dominant shuffle into the ingest write;
+    bucket count sizes to target-file-size × cluster width. The write
+    per call is the demo form of that one-time layout.
+    """
+    import tempfile
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    base = tempfile.mkdtemp(prefix="dwos_d2_")
+    for name, df, key in (
+        ("d2_orders_b", orders.select("o_custkey", "o_totalprice"), "o_custkey"),
+        ("d2_customer_b", customer.select("c_custkey", "c_mktsegment"), "c_custkey"),
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            df.write.mode("overwrite")
+            .format("parquet")
+            .option("path", f"{base}/{name}")
+            .bucketBy(8, key)
+            .sortBy(key)
+            .saveAsTable(name)
+        )
+    ob = spark.table("d2_orders_b")
+    cb = spark.table("d2_customer_b")
+    return (
+        ob.join(cb, ob.o_custkey == cb.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum("o_totalprice").alias("revenue"),
+        )
+    )

@@ -546,3 +546,63 @@ def w6_rank_fractions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cume"),
     )
+
+
+# ---------------------------------------------------------------------------
+# W4b — RANGE-interval frame: trailing-30-day spend per customer. ROWS
+# frames (w4) count rows; RANGE frames bound by ORDER-BY value — the
+# sliding time-window aggregate of dashboards and feature pipelines.
+# ---------------------------------------------------------------------------
+
+_W7_ORACLE = """
+WITH o AS (
+  SELECT o_orderkey, o_custkey,
+         datediff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) AS day_num,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+)
+SELECT o_orderkey, o_custkey, day_num,
+       SUM(cents) OVER (
+         PARTITION BY o_custkey ORDER BY day_num
+         RANGE BETWEEN 29 PRECEDING AND CURRENT ROW
+       ) / 100.0 AS trailing_30d_spend
+FROM o
+"""
+
+
+@register("w7_range_interval_frame", oracle=_W7_ORACLE, tags=("W4", "F3"))
+def w7_range_interval_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-30-day spend per customer via a RANGE frame over an
+    integer day number (days since 1990-01-01): the frame is bounded by
+    ORDER-BY *value*, so same-day orders are peers and a gap of months
+    contributes nothing — semantics a ROWS frame cannot express. The
+    integer day key keeps the whole query timezone-free (the
+    timestamp_ntz column is only ever date-truncated), and cents sums
+    make every frame total exact on both engines.
+
+    Scale: one shuffle on o_custkey; within each partition Spark keeps
+    a sliding frame pointer over the sorted run — O(n) per partition,
+    no per-row rescan. The 100 TB form is identical.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    day_num = F.datediff(F.to_date("o_orderdate"), F.lit("1990-01-01").cast("date"))
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("day_num")
+        .rangeBetween(-29, Window.currentRow)
+    )
+    return (
+        orders.select(
+            "o_orderkey",
+            "o_custkey",
+            day_num.alias("day_num"),
+            cents.alias("cents"),
+        )
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "day_num",
+            (F.sum("cents").over(w) / 100.0).alias("trailing_30d_spend"),
+        )
+    )

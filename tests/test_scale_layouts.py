@@ -1,7 +1,10 @@
 """Storage-layout scale evidence (SURVEY.md §4.3): bucketed co-located
 joins skip their shuffle; hive-partitioned layouts prune at the source.
-These need a writable warehouse, so they live in tests rather than the
-read-only graded path."""
+Since round 2 the graded registry carries the same layouts as
+d1_partition_pruned_scan / d2_bucketed_colocated_join (they write to
+tempdirs per call); these tests pin the PLAN properties — pruned
+PartitionFilters, exchange-free bucket join — that the value-level
+oracle can't see."""
 
 from __future__ import annotations
 
@@ -10,6 +13,9 @@ from pyspark.sql import functions as F
 
 from data_wrangling_openstreetmap_spark.io import load_table
 from data_wrangling_openstreetmap_spark.plans import plan_string
+from data_wrangling_openstreetmap_spark.registry import REGISTRY, _ensure_loaded
+
+_ensure_loaded()
 
 SF = "/root/testdata/sf0.001"
 
@@ -63,3 +69,27 @@ def test_partition_pruning_reads_one_day(spark, tmp_path):
         F.col("event_date") == F.lit(one_day)
     )
     assert scanned.count() == want
+
+
+def test_d1_graded_query_prunes_partitions(spark):
+    df = REGISTRY["d1_partition_pruned_scan"].fn(spark, SF)
+    plan = plan_string(df)
+    # the year filter must resolve to directory pruning, not a row filter
+    assert "PartitionFilters" in plan
+    assert "order_year" in plan.split("PartitionFilters", 1)[1][:200]
+
+
+def test_d2_graded_query_joins_without_exchange(spark):
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = REGISTRY["d2_bucketed_colocated_join"].fn(spark, SF)
+        plan = plan_string(df)
+        assert "SortMergeJoin" in plan
+        # the aggregation above the join may exchange on the group key;
+        # the JOIN inputs must not — in the plan TREE (the part before
+        # the node details), no Exchange may appear below the join node.
+        tree = plan.split("\n\n", 1)[0].splitlines()
+        join_line = next(i for i, l in enumerate(tree) if "SortMergeJoin" in l)
+        assert not any("Exchange" in l for l in tree[join_line + 1 :]), plan
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
