@@ -658,3 +658,78 @@ def q21_sole_fault_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Calendar densification (gap fill): every customer × every month of
+# their active 1996–97 span, zero-filled where no orders exist. The
+# missing-period densification every time-series pipeline needs before
+# windowed math — a LEFT JOIN against a generated calendar spine.
+# ---------------------------------------------------------------------------
+
+_GAPFILL_ORACLE = """
+WITH m AS (
+  SELECT o_custkey,
+         (year(o_orderdate) - 1990) * 12 + month(o_orderdate) - 1 AS midx,
+         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS spend_units
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+  GROUP BY 1, 2
+),
+spans AS (SELECT o_custkey, MIN(midx) AS lo, MAX(midx) AS hi FROM m GROUP BY o_custkey),
+spine AS (SELECT o_custkey, unnest(generate_series(lo, hi)) AS month_idx FROM spans)
+SELECT spine.o_custkey AS custkey,
+       spine.month_idx AS month_idx,
+       COALESCE(m.spend_units, 0) / 100.0 AS month_spend,
+       (m.midx IS NULL) AS gap_filled
+FROM spine LEFT JOIN m
+  ON spine.o_custkey = m.o_custkey AND spine.month_idx = m.midx
+"""
+
+
+@register("w8_gap_fill_calendar", oracle=_GAPFILL_ORACLE, tags=("A7", "J2", "F5"))
+def w8_gap_fill_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar densification: per customer, one row for EVERY month
+    between their first and last 1996–97 order, spend zero-filled and
+    flagged where the source had no rows. Time-series pipelines need
+    the dense spine before moving averages / forward fills make sense;
+    the capability is the generated-sequence spine + left join, which
+    no plain aggregation expresses.
+
+    Scale: the spine explodes to |customers| × span-months rows — at
+    100 TB that's generated distributively from each customer's (lo,
+    hi) pair, never materialized driver-side; the join key
+    (custkey, month) is the aggregation key, so spine and sums
+    co-partition on custkey and the join is skew-free. Integer month
+    index keeps the whole query timezone-free; cents sums exact.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    midx = (F.year("o_orderdate") - 1990) * 12 + F.month("o_orderdate") - 1
+    m = (
+        orders.filter(
+            (F.col("o_orderdate") >= "1996-01-01 00:00:00")
+            & (F.col("o_orderdate") < "1998-01-01 00:00:00")
+        )
+        .groupBy("o_custkey", midx.alias("midx"))
+        .agg(F.sum(cents("o_totalprice")).alias("spend_units"))
+    )
+    spine = (
+        m.groupBy("o_custkey")
+        .agg(F.min("midx").alias("lo"), F.max("midx").alias("hi"))
+        .select(
+            "o_custkey",
+            F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("month_idx"),
+        )
+    )
+    joined = spine.join(
+        m,
+        (spine.o_custkey == m.o_custkey) & (spine.month_idx == m.midx),
+        "left",
+    )
+    return joined.select(
+        spine.o_custkey.alias("custkey"),
+        "month_idx",
+        (F.coalesce(F.col("spend_units"), F.lit(0)) / 100.0).alias("month_spend"),
+        F.col("midx").isNull().alias("gap_filled"),
+    )
