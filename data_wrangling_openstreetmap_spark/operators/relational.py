@@ -1137,3 +1137,82 @@ def a13_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_acctbal").alias("acctbal"),
         F.col("c_nationkey").cast("double").alias("nationkey"),
     ).unpivot("c_custkey", ["acctbal", "nationkey"], "measure", "value")
+
+
+# ---------------------------------------------------------------------------
+# P7 — corrupt-record handling: PERMISSIVE parse of dirty JSON lines.
+# The reference's whole reason to exist is dirty input; this grades the
+# malformed-row quarantine path end to end.
+# ---------------------------------------------------------------------------
+
+_P7_ORACLE = """
+SELECT s_nationkey,
+       COUNT(*) AS n_good,
+       CAST(MIN(s_suppkey) AS BIGINT) AS min_suppkey
+FROM supplier
+WHERE s_suppkey % 10 <> 0
+GROUP BY s_nationkey
+UNION ALL
+SELECT -1 AS s_nationkey,
+       CAST((SELECT COUNT(*) FROM supplier WHERE s_suppkey % 10 = 0) + 3 AS BIGINT) AS n_good,
+       CAST(NULL AS BIGINT) AS min_suppkey
+"""
+
+
+@register("p7_corrupt_record_handling", oracle=_P7_ORACLE, tags=("P2", "S5", "F7"))
+def p7_corrupt_record_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quarantine malformed rows instead of failing the job: a JSONL
+    file is built with every 10th line truncated mid-object plus three
+    garbage lines, then read back in PERMISSIVE mode with a
+    _corrupt_record column. Good rows aggregate per nation exactly as
+    the clean table does (the oracle proves no good row was lost or
+    altered); corrupt rows land in a quarantine bucket keyed -1 whose
+    count the oracle derives from the same construction rule.
+
+    Scale: PERMISSIVE is the only mode that keeps a 100 TB ingest
+    running when one file in a million is damaged — FAILFAST dies,
+    DROPMALFORMED silently under-counts. The quarantine count feeds the
+    data-quality ledger; reprocessing reads only the _corrupt_record
+    rows.
+    """
+    import tempfile
+
+    supplier = load_table(spark, sf_dir, "supplier")
+    # Build dirty JSONL deterministically: every 10th record truncated,
+    # plus three garbage lines appended.
+    good = supplier.select(
+        F.to_json(F.struct("s_suppkey", "s_nationkey", "s_name")).alias("line"),
+        F.col("s_suppkey"),
+    )
+    dirty = good.select(
+        F.when(
+            F.col("s_suppkey") % 10 == 0, F.expr("substring(line, 1, 12)")
+        )
+        .otherwise(F.col("line"))
+        .alias("value")
+    ).unionAll(
+        spark.createDataFrame(
+            [("{broken",), ("not json at all",), ("[}",)], "value string"
+        )
+    )
+    path = tempfile.mkdtemp(prefix="dwos_p7_") + "/dirty_jsonl"
+    dirty.coalesce(1).write.mode("overwrite").text(path)
+
+    parsed = spark.read.schema(
+        "s_suppkey bigint, s_nationkey int, s_name string, _corrupt_record string"
+    ).option("mode", "PERMISSIVE").option(
+        "columnNameOfCorruptRecord", "_corrupt_record"
+    ).json(path)
+    parsed = parsed.cache()  # Spark requires caching to query _corrupt_record
+    good_rows = parsed.filter(F.col("_corrupt_record").isNull())
+    bad_rows = parsed.filter(F.col("_corrupt_record").isNotNull())
+    return good_rows.groupBy("s_nationkey").agg(
+        F.count("*").alias("n_good"),
+        F.min("s_suppkey").alias("min_suppkey"),
+    ).unionAll(
+        bad_rows.agg(
+            F.lit(-1).alias("s_nationkey"),
+            F.count("*").alias("n_good"),
+            F.lit(None).cast("bigint").alias("min_suppkey"),
+        )
+    )
