@@ -733,3 +733,70 @@ def w8_gap_fill_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.coalesce(F.col("spend_units"), F.lit(0)) / 100.0).alias("month_spend"),
         F.col("midx").isNull().alias("gap_filled"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Nested-document shaping (the reference's JSON-document / Mongo-load
+# step): re-nest order lines into an items array inside each order
+# document, then compute over the NESTED shape with higher-order
+# functions. The oracle computes the same numbers from the flat tables,
+# proving nest → compute-over-nest loses nothing.
+# ---------------------------------------------------------------------------
+
+_NEST_ORACLE = """
+SELECT o_orderkey,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_units,
+       CAST(MAX(l_linenumber) AS BIGINT) AS max_line
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey < 1000
+GROUP BY o_orderkey
+"""
+
+
+@register("n1_nested_doc_shaping", oracle=_NEST_ORACLE, tags=("F5", "A8", "P1"))
+def n1_nested_doc_shaping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document shaping: each order becomes a nested document with an
+    ordered `items` array of (linenumber, quantity) structs — the shape
+    the reference feeds to its JSON sink / document-DB load — and every
+    output is then computed FROM the nested array with higher-order
+    functions (size / aggregate / array_max over transform), never from
+    the flat rows. Matching the flat-side oracle proves the
+    nest-then-consume pipeline is lossless.
+
+    Scale: one shuffle on the order key builds each document where its
+    lines already are; struct packing is a projection. Downstream
+    consumers read documents without re-joining — the point of
+    materializing the nested shape at 100 TB.
+    """
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1000)
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 1000)
+    docs = (
+        li.join(orders.select("o_orderkey"), li.l_orderkey == F.col("o_orderkey"))
+        .groupBy("o_orderkey")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("l_linenumber").alias("line"),
+                        F.round(F.col("l_quantity") * 100)
+                        .cast("long")
+                        .alias("qty_units"),
+                    )
+                )
+            ).alias("items")
+        )
+    )
+    items = F.col("items")
+    return docs.select(
+        "o_orderkey",
+        F.size(items).cast("long").alias("n_items"),
+        F.aggregate(
+            F.transform(items, lambda s: s["qty_units"]),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("qty_units"),
+        F.array_max(F.transform(items, lambda s: s["line"]))
+        .cast("long")
+        .alias("max_line"),
+    )
