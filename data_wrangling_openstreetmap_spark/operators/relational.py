@@ -806,6 +806,41 @@ def s3_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_S3B_ORACLE = """
+SELECT doc_id, lang
+FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+  FROM documents
+)
+WHERE (rn - 1) % 5 = 0
+"""
+
+
+@register("s3b_stratified_sample", oracle=_S3B_ORACLE, tags=("S3", "W1"))
+def s3b_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified systematic sample: every 5th document PER LANGUAGE in
+    doc_id order, so each stratum keeps proportional representation —
+    the per-city sampling the reference's exploration needs, and the
+    class-balanced subset a training pipeline draws.
+
+    Scale: unlike s3's global row_number (one sort), the per-stratum
+    window parallelizes across strata — one shuffle on lang, each
+    partition numbered independently. The statistical twin is
+    ``df.sampleBy(col, fractions, seed)``; this is the deterministic
+    graded form.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    return (
+        docs.select("doc_id", "lang", F.row_number().over(w).alias("rn"))
+        .filter((F.col("rn") - 1) % 5 == 0)
+        .select("doc_id", "lang")
+    )
+
+
 # ---------------------------------------------------------------------------
 # S6 — "DB load": persist to a catalog table and read back through it.
 # ---------------------------------------------------------------------------
