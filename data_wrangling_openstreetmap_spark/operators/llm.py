@@ -1231,3 +1231,245 @@ def l2_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         edges.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# L4 — PII redaction (regex scrub, the pre-training privacy pass).
+# ---------------------------------------------------------------------------
+
+_EMAIL_RE = r"[a-z0-9._]+@[a-z][a-z0-9.]*\.[a-z]+"
+_PHONE_RE = r"\+1-[0-9]{3}-[0-9]{4}"
+
+_PII_ORACLE = f"""
+WITH notes AS (
+  SELECT c_custkey,
+         'Reach ' || c_name
+         || CASE WHEN c_custkey % 3 > 0
+                 THEN ' via user' || CAST(c_custkey AS VARCHAR) || '@'
+                      || lower(c_mktsegment) || '.example.com'
+                 ELSE '' END
+         || CASE WHEN c_custkey % 2 = 0
+                 THEN ' or +1-'
+                      || lpad(CAST(c_custkey * 7 % 1000 AS VARCHAR), 3, '0')
+                      || '-'
+                      || lpad(CAST(c_custkey * 31 % 10000 AS VARCHAR), 4, '0')
+                 ELSE '' END
+         || ' before Friday' AS note
+  FROM customer)
+SELECT c_custkey,
+       regexp_replace(
+         regexp_replace(note, '{_EMAIL_RE}', '[EMAIL]', 'g'),
+         '{_PHONE_RE}', '[PHONE]', 'g') AS redacted,
+       len(regexp_extract_all(note, '{_EMAIL_RE}')) AS n_emails,
+       len(regexp_extract_all(note, '{_PHONE_RE}')) AS n_phones
+FROM notes
+"""
+
+
+@register("l4_pii_redact", oracle=_PII_ORACLE, tags=("L4", "F2", "P4"))
+def l4_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction — the regex scrub every pre-training pipeline runs
+    before text leaves quarantine: find email addresses and phone
+    numbers, replace them with typed placeholder tags, and count what
+    was removed per record (the redaction audit trail).
+
+    The corpus fixture carries no organic PII, so the input is
+    synthesized deterministically from the customer dimension (key-
+    derived addresses/numbers, with ~1/3 of rows email-free and 1/2
+    phone-free so the zero-match path is graded too); the graded
+    operator is the scrub itself.
+
+    Scale: pure per-row projection — regexp_replace/regexp_count are
+    JVM codegen'd, no shuffle, no UDF; at 100 TB this is a map-only
+    pass fused into whatever scan precedes it. Patterns are anchored
+    simple character classes (identical semantics in Java regex and
+    RE2), counts are small ints — engine-identical output.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    key = F.col("c_custkey")
+    email = F.concat(
+        F.lit(" via user"),
+        key.cast("string"),
+        F.lit("@"),
+        F.lower(F.col("c_mktsegment")),
+        F.lit(".example.com"),
+    )
+    phone = F.concat(
+        F.lit(" or +1-"),
+        F.lpad((key * 7 % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((key * 31 % 10000).cast("string"), 4, "0"),
+    )
+    note = F.concat(
+        F.lit("Reach "),
+        F.col("c_name"),
+        F.when(key % 3 > 0, email).otherwise(""),
+        F.when(key % 2 == 0, phone).otherwise(""),
+        F.lit(" before Friday"),
+    )
+    notes = cust.select("c_custkey", note.alias("note"))
+    return notes.select(
+        "c_custkey",
+        F.regexp_replace(
+            F.regexp_replace(F.col("note"), _EMAIL_RE, "[EMAIL]"),
+            _PHONE_RE,
+            "[PHONE]",
+        ).alias("redacted"),
+        F.regexp_count(F.col("note"), F.lit(_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(F.col("note"), F.lit(_PHONE_RE)).alias("n_phones"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# L4 — Gopher/C4-style quality-rule battery (named filters, per-language
+# funnel counts).
+# ---------------------------------------------------------------------------
+
+_GOPHER_ORACLE = f"""
+WITH m AS (
+  SELECT lang,
+         len(toks) AS n_words,
+         CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+           / len(toks) AS mean_word_len,
+         CAST(len(list_filter(toks, x -> x IN ('a', 'the'))) AS DOUBLE)
+           / len(toks) AS stop_frac,
+         CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr
+  FROM (SELECT lang, {_ORACLE_TOKS} AS toks FROM documents)
+  WHERE len(toks) > 0)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN n_words BETWEEN 30 AND 1000 THEN 1 ELSE 0 END)
+            AS BIGINT) AS pass_word_count,
+       CAST(SUM(CASE WHEN mean_word_len BETWEEN 3.0 AND 10.0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS pass_mean_word_len,
+       CAST(SUM(CASE WHEN stop_frac >= 0.01 THEN 1 ELSE 0 END)
+            AS BIGINT) AS pass_stopword,
+       CAST(SUM(CASE WHEN ttr >= 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS pass_ttr,
+       CAST(SUM(CASE WHEN n_words BETWEEN 30 AND 1000
+                      AND mean_word_len BETWEEN 3.0 AND 10.0
+                      AND stop_frac >= 0.01
+                      AND ttr >= 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+FROM m GROUP BY lang
+"""
+
+
+@register("l4_gopher_rules", oracle=_GOPHER_ORACLE, tags=("L4", "P6", "A1"))
+def l4_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style quality-rule battery: the NAMED document filters
+    a pre-training corpus pass applies — word-count bounds, mean word
+    length bounds, minimum stopword fraction, minimum type-token ratio
+    — evaluated per document and rolled up as a per-language funnel
+    (docs passing each rule, docs passing all). Complements
+    l4_quality_score (one scalar) and l4_repetition_stats (repetition
+    rules) with the length/lexical battery from the published recipes.
+
+    Scale: every rule is a JVM higher-order-function projection over
+    the token array (no explode, no Python); the only shuffle is the
+    low-cardinality groupBy(lang) with map-side partial aggregation.
+    All ratios are exact integer-ratio doubles, and rule thresholds
+    compare those exact values — engine-identical booleans, so counts
+    match bit-for-bit with no rounding anywhere.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = T.tokens(F.col("text"))
+    n = F.size(toks)
+    sum_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    mean_len = sum_len.cast("double") / n
+    stop_frac = (
+        F.size(F.filter(toks, lambda t: t.isin("a", "the"))).cast("double") / n
+    )
+    ttr = F.size(F.array_distinct(toks)).cast("double") / n
+    m = docs.select(
+        "lang",
+        n.alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        stop_frac.alias("stop_frac"),
+        ttr.alias("ttr"),
+    ).filter(F.col("n_words") > 0)
+    r_words = F.col("n_words").between(30, 1000)
+    r_mwl = F.col("mean_word_len").between(3.0, 10.0)
+    r_stop = F.col("stop_frac") >= 0.01
+    r_ttr = F.col("ttr") >= 0.2
+    as_cnt = lambda c, name: F.sum(c.cast("long")).alias(name)  # noqa: E731
+    return m.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        as_cnt(r_words, "pass_word_count"),
+        as_cnt(r_mwl, "pass_mean_word_len"),
+        as_cnt(r_stop, "pass_stopword"),
+        as_cnt(r_ttr, "pass_ttr"),
+        as_cnt(r_words & r_mwl & r_stop & r_ttr, "n_keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# L2 — cross-document shingle contamination: per-doc fraction of 5-gram
+# shingles that also occur in other documents.
+# ---------------------------------------------------------------------------
+
+_SHINGLE_DUP_ORACLE = f"""
+WITH g AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, len(toks) - 3),
+           i -> array_to_string(list_slice(toks, i, i + 4), ' '))) AS shs
+  FROM (SELECT doc_id, {_ORACLE_TOKS} AS toks FROM documents)
+  WHERE len(toks) >= 5),
+s AS (SELECT doc_id, unnest(shs) AS sh FROM g),
+c AS (SELECT sh, COUNT(*) AS ndocs FROM s GROUP BY sh)
+SELECT s.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN c.ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_shared,
+       CAST(SUM(CASE WHEN c.ndocs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) AS shared_frac
+FROM s JOIN c USING (sh)
+GROUP BY s.doc_id
+"""
+
+
+@register("l2_shingle_dup_frac", oracle=_SHINGLE_DUP_ORACLE, tags=("L2", "L4"))
+def l2_shingle_dup_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document shingle contamination — for every document, the
+    fraction of its distinct word 5-grams that occur in at least one
+    OTHER document. This is the corpus-level statistic behind
+    exact-substring dedup decisions (RefinedWeb-style): near-1 means
+    the document is assembled from boilerplate the corpus already has;
+    near-0 means novel text. Pairwise ops (l2_*_jaccard) say WHO the
+    duplicate partner is; this says HOW MUCH of each doc is recycled,
+    without enumerating pairs at all.
+
+    Scale: distinct-shingles is a per-row projection; the plan is two
+    hash shuffles on the shingle string (document frequency, then the
+    join back) plus one on doc_id — all linear in total shingle count
+    with map-side partial aggregation, never O(n²) in documents. At
+    100 TB, join on xxhash64(shingle) instead of the raw 5-gram to cut
+    shuffle width ~10×; a hot boilerplate shingle is bounded by its
+    own document frequency and AQE skew-split covers the tail.
+    shared_frac is an exact integer ratio — engine-identical.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", T.tokens(F.col("text")).alias("toks")).filter(
+        F.size("toks") >= 5
+    )
+    sh5 = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - 4),
+            lambda i: F.array_join(F.slice("toks", i, 5), " "),
+        )
+    )
+    s = t.select("doc_id", F.explode(sh5).alias("sh"))
+    c = s.groupBy("sh").agg(F.count("*").alias("ndocs"))
+    shared = (F.col("ndocs") > 1).cast("long")
+    return (
+        s.join(c, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(shared).alias("n_shared"),
+            (F.sum(shared).cast("double") / F.count("*")).alias("shared_frac"),
+        )
+    )
