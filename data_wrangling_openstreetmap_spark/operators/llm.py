@@ -1473,3 +1473,72 @@ def l2_shingle_dup_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(shared).cast("double") / F.count("*")).alias("shared_frac"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# L6 — int8 embedding quantization, graded as a reconstruction-error
+# contract (the 4x storage/bandwidth cut every vector store applies).
+# ---------------------------------------------------------------------------
+
+_QUANT_ORACLE = """
+WITH b AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xd
+  FROM embeddings),
+s AS (
+  SELECT vec_id, label, xd,
+         list_max(list_transform(xd, x -> abs(x))) AS scale
+  FROM b),
+e AS (
+  SELECT vec_id, label, scale,
+         list_max(list_transform(
+           xd, x -> abs(x - round(x * 127.0 / scale) * scale / 127.0)))
+           AS max_err
+  FROM s WHERE scale > 0)
+SELECT vec_id, label,
+       ROUND(scale, 6) AS scale_r,
+       ROUND(max_err, 8) AS max_abs_err,
+       max_err <= scale * (0.5000001 / 127.0) AS within_half_step
+FROM e
+"""
+
+
+@register("l6_int8_quantize", oracle=_QUANT_ORACLE, tags=("L6", "L5"))
+def l6_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 scalar quantization of the embedding column —
+    q_i = round(x_i · 127 / max|x|) — graded as a reconstruction-error
+    CONTRACT: the query emits each vector's scale and worst-element
+    dequantization error plus the verdict that the error is within the
+    half-step bound scale/254 that correct rounding guarantees. This is
+    the 4× storage/shuffle-bandwidth cut (fp32 → int8) a 100 TB vector
+    corpus takes before ANN indexing; the contract breaks the hash if
+    the quantizer ever stops rounding correctly.
+
+    Scale: pure per-row higher-order-function projection — no shuffle,
+    no Python; at 100 TB this fuses into the scan that feeds the ANN
+    build. Cross-engine: both engines evaluate the identical IEEE
+    double expression tree element-wise (float→double widening is
+    exact), so even the error floats are bit-identical; outputs are
+    still rounded (6/8 dp) for belt-and-braces.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    xd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = e.select("vec_id", "label", xd.alias("xd"))
+    scale = F.array_max(F.transform(F.col("xd"), lambda x: F.abs(x)))
+    s = base.select("vec_id", "label", "xd", scale.alias("scale")).filter(
+        F.col("scale") > 0
+    )
+    sc = F.col("scale")
+    max_err = F.array_max(
+        F.transform(
+            F.col("xd"),
+            lambda x: F.abs(x - F.round(x * 127.0 / sc) * sc / 127.0),
+        )
+    )
+    return s.select(
+        "vec_id",
+        "label",
+        F.round(sc, 6).alias("scale_r"),
+        F.round(max_err, 8).alias("max_abs_err"),
+        (max_err <= sc * (0.5000001 / 127.0)).alias("within_half_step"),
+    )

@@ -290,3 +290,91 @@ def d2_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("o_totalprice").alias("revenue"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# D3 — Z-order (Morton) clustering key: the multi-dimensional file-
+# skipping layout (Delta/Iceberg OPTIMIZE ZORDER) computed as exact
+# integer bit-interleaving on both engines.
+# ---------------------------------------------------------------------------
+
+_Z_BITS = 9  # grid coords here fit 9 bits (gx < 170, gy < 355)
+
+
+def _z_terms(gx: str, gy: str) -> str:
+    """SQL bit-interleave: even bits ← gx, odd bits ← gy."""
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(f"((({gx} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({gy} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+_D3_ORACLE = f"""
+WITH pts AS (
+  SELECT c_custkey,
+         c_custkey % 170 AS gx,
+         c_custkey % 355 AS gy
+  FROM customer),
+z AS (
+  SELECT c_custkey, gx, gy, {_z_terms('gx', 'gy')} AS zkey
+  FROM pts)
+SELECT CAST(zkey // 1024 AS BIGINT) AS z_block,
+       CAST(COUNT(*) AS BIGINT) AS n_points,
+       MIN(gx) AS min_gx, MAX(gx) AS max_gx,
+       MIN(gy) AS min_gy, MAX(gy) AS max_gy,
+       MAX(gx) - MIN(gx) AS span_x,
+       MAX(gy) - MIN(gy) AS span_y
+FROM z GROUP BY CAST(zkey // 1024 AS BIGINT)
+"""
+
+
+@register("d3_zorder_curve", oracle=_D3_ORACLE, tags=("F9", "S1", "A1"))
+def d3_zorder_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over a 2-D grid — the layout
+    trick behind Delta/Iceberg ``OPTIMIZE ZORDER BY``: interleaving the
+    bits of the two grid coordinates gives a 1-D sort key whose
+    contiguous ranges are spatially compact TILES, so min/max file
+    statistics prune scans filtered on EITHER dimension (a plain sort
+    clusters only its leading column). Points use the same key-derived
+    grid as f9_geospatial; the graded output aggregates per 1024-key
+    z-block and reports each block's bounding box — the spans being
+    tile-sized (≤32×32 per 2^10 z-range, vs the full 170/355 extent for
+    a 1-D layout) IS the observable clustering property, and
+    tests/test_scale_layouts.py pins the file-level consequence by
+    writing z-sorted parquet and comparing per-file bounding boxes
+    against a 1-D-sorted layout.
+
+    Scale: the z-key is a pure integer bit-interleave projection (no
+    shuffle, exact on both engines); at 100 TB the write path is
+    ``repartitionByRange(zkey).sortWithinPartitions(zkey)`` feeding the
+    parquet writer, and readers get two-dimensional row-group skipping
+    for free from the stats Spark already records.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    key = F.col("c_custkey")
+    pts = cust.select(
+        "c_custkey",
+        (key % 170).alias("gx"),
+        (key % 355).alias("gy"),
+    )
+    zkey = None
+    for i in range(_Z_BITS):
+        for col, off in (("gx", 0), ("gy", 1)):
+            term = F.shiftleft(
+                F.shiftright(F.col(col), i).bitwiseAND(F.lit(1)), 2 * i + off
+            )
+            zkey = term if zkey is None else zkey + term
+    z = pts.withColumn("zkey", zkey.cast("long"))
+    return (
+        z.groupBy((F.col("zkey") / 1024).cast("long").alias("z_block"))
+        .agg(
+            F.count("*").alias("n_points"),
+            F.min("gx").alias("min_gx"),
+            F.max("gx").alias("max_gx"),
+            F.min("gy").alias("min_gy"),
+            F.max("gy").alias("max_gy"),
+            (F.max("gx") - F.min("gx")).alias("span_x"),
+            (F.max("gy") - F.min("gy")).alias("span_y"),
+        )
+    )

@@ -93,3 +93,76 @@ def test_d2_graded_query_joins_without_exchange(spark):
         assert not any("Exchange" in l for l in tree[join_line + 1 :]), plan
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_zorder_layout_clusters_both_dims(spark, tmp_path):
+    """Writing files in z-key order bounds every file's bounding box in
+    BOTH grid dimensions, so min/max file stats can prune a filter on
+    EITHER dim. A 1-D gy-sorted layout is perfect for gy filters and
+    useless for gx filters (every file spans the full gx extent). The
+    metric is the expected number of files a uniform single-dimension
+    point filter must read: z-order beats the 1-D layout on the
+    worst-case dimension AND on the two-dimension average.
+
+    The grid here is decorrelated via multiplicative mixing (the
+    fixture's f9 grid has gcd-induced gx↔gy correlation that would
+    flatter the 1-D layout); the graded d3_zorder_curve keeps the f9
+    grid, whose per-z-block tile bound is asserted at the end.
+    """
+    from data_wrangling_openstreetmap_spark.operators.scale import d3_zorder_curve
+
+    sf = "/root/testdata/sf0.01"  # sf0.001 keys stay under one grid wrap
+    cust = load_table(spark, sf, "customer")
+    key = F.col("c_custkey")
+    pts = cust.select(
+        "c_custkey",
+        ((key * 2654435761) % 256).alias("gx"),
+        ((key * 40503 + 7) % 256).alias("gy"),
+    )
+    zkey = None
+    for i in range(8):
+        for col, off in (("gx", 0), ("gy", 1)):
+            term = F.shiftleft(
+                F.shiftright(F.col(col), i).bitwiseAND(F.lit(1)), 2 * i + off
+            )
+            zkey = term if zkey is None else zkey + term
+    z = pts.withColumn("zkey", zkey.cast("long"))
+
+    def expected_files_read(sort_col, out):
+        """Per dimension: sum over files of (span+1)/256 = expected
+        files a uniform random point filter on that dim reads."""
+        (
+            z.repartitionByRange(16, F.col(sort_col))
+            .sortWithinPartitions(sort_col)
+            .write.mode("overwrite")
+            .parquet(str(out))
+        )
+        back = spark.read.parquet(str(out)).withColumn(
+            "file", F.input_file_name()
+        )
+        spans = (
+            back.groupBy("file")
+            .agg(
+                (F.max("gx") - F.min("gx")).alias("sx"),
+                (F.max("gy") - F.min("gy")).alias("sy"),
+            )
+            .collect()
+        )
+        ex = sum((r.sx + 1) / 256 for r in spans)
+        ey = sum((r.sy + 1) / 256 for r in spans)
+        return ex, ey
+
+    zx, zy = expected_files_read("zkey", tmp_path / "zsorted")
+    lx, ly = expected_files_read("gy", tmp_path / "gysorted")
+
+    # 1-D layout: near-perfect on gy, near-total scan on gx.
+    assert ly < 2.0 and lx > 12.0, (lx, ly)
+    # z-order: bounded on BOTH dims — worst dim far better than the
+    # 1-D layout's worst dim, and better on the two-dim average.
+    assert max(zx, zy) < lx / 2, (zx, zy, lx)
+    assert (zx + zy) / 2 < (lx + ly) / 2, (zx, zy, lx, ly)
+
+    # And the graded query's own tile claim: a 1024-aligned z-range is
+    # a 32x32 tile, whatever the data distribution.
+    graded = d3_zorder_curve(spark, sf).collect()
+    assert all(r.span_x <= 31 and r.span_y <= 31 for r in graded)
