@@ -800,3 +800,86 @@ def n1_nested_doc_shaping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("max_line"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q23 — activation-cohort weekly retention: the canonical product-
+# analytics matrix (cohort week × week offset → active users + rate).
+# ---------------------------------------------------------------------------
+
+_Q23_ORACLE = """
+WITH uw AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS week
+  FROM events WHERE value > 220.0),
+activation AS (
+  SELECT user_id, MIN(CAST(date_trunc('week', ts) AS TIMESTAMP)) AS cohort_week
+  FROM events WHERE value > 220.0 GROUP BY user_id),
+act AS (
+  SELECT a.cohort_week, u.week, u.user_id
+  FROM uw u JOIN activation a USING (user_id)
+  WHERE u.week >= a.cohort_week),
+per AS (
+  SELECT cohort_week,
+         date_diff('day', CAST(cohort_week AS DATE), CAST(week AS DATE)) // 7
+           AS week_offset,
+         COUNT(DISTINCT user_id) AS n_active
+  FROM act GROUP BY 1, 2),
+sizes AS (
+  SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS cohort_size
+  FROM activation GROUP BY 1)
+SELECT p.cohort_week,
+       CAST(p.week_offset AS BIGINT) AS week_offset,
+       CAST(p.n_active AS BIGINT) AS n_active,
+       s.cohort_size,
+       CAST(p.n_active AS DOUBLE) / s.cohort_size AS retention
+FROM per p JOIN sizes s USING (cohort_week)
+"""
+
+
+@register(
+    "q23_retention_cohorts", oracle=_Q23_ORACLE, tags=("A7", "A3", "J1", "W3")
+)
+def q23_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activation-cohort weekly retention — the canonical product-
+    analytics matrix: users are cohorted by the week of their first
+    HIGH-VALUE event (value > 220, ~the fixture's p99 — activation, not
+    mere presence, so cohorts actually spread across weeks), then each
+    (cohort week, week offset) cell counts how many of that cohort were
+    ACTIVE AT THE SAME BAR (another value > 220 event) in that later
+    week, with the retention rate against the cohort size — high-value
+    retention, not mere presence (the fixture's users emit ~2 events a
+    day, so presence-retention is a wall of 1.0s).
+
+    Scale: two distinct-aggregations (user-week activity, per-user
+    activation min) shuffling on user_id, one join back on user_id, and
+    a low-cardinality final rollup — all partial-aggregated, no window
+    over the full event stream. At 100 TB the user-week distinct is the
+    big shuffle; it is exactly the pre-aggregation that makes the rest
+    cheap (events collapse to ≤ users × weeks rows before any join).
+    Weeks are Monday-truncated in both engines; the offset divides an
+    exact day difference by 7; retention is an exact integer ratio.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    wk = F.date_trunc("week", F.col("ts"))
+    hv = ev.filter(F.col("value") > 220.0)
+    uw = hv.select("user_id", wk.alias("week")).distinct()
+    activation = hv.groupBy("user_id").agg(F.min(wk).alias("cohort_week"))
+    act = uw.join(activation, "user_id").filter(
+        F.col("week") >= F.col("cohort_week")
+    )
+    per = act.groupBy(
+        "cohort_week",
+        (F.datediff("week", "cohort_week") / 7).cast("long").alias("week_offset"),
+    ).agg(F.countDistinct("user_id").alias("n_active"))
+    sizes = activation.groupBy("cohort_week").agg(
+        F.count("*").alias("cohort_size")
+    )
+    return per.join(sizes, "cohort_week").select(
+        "cohort_week",
+        "week_offset",
+        "n_active",
+        "cohort_size",
+        (F.col("n_active").cast("double") / F.col("cohort_size")).alias(
+            "retention"
+        ),
+    )
