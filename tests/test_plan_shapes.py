@@ -8,6 +8,7 @@ still pass value checks at sf0.01 while regressing 10× at scale.
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from data_wrangling_openstreetmap_spark.plans import (
     assert_in_plan,
@@ -102,3 +103,51 @@ def test_q18_having_side_broadcasts_and_topk_pushes_down(spark):
 
 def test_q22_anti_join_survives(spark):
     assert_in_plan(REGISTRY["q22_dormant_customers"].fn(spark, SF), "LeftAnti")
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark):
+    """A selective dimension-side filter injects a runtime Bloom filter
+    (`might_contain(xxhash64(key))`) into the fact-side scan — Spark's
+    semi-join reduction, which at 100 TB drops most fact rows at the
+    scan instead of carrying them to the shuffle. Enabled by default
+    (spark.sql.optimizer.runtime.bloomFilter.enabled); only the
+    size thresholds are lowered here because the test tables are far
+    below the 10 GB application-side default that production data
+    exceeds naturally."""
+    from data_wrangling_openstreetmap_spark.io import load_table
+
+    old_bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_thresh = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    )
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        orders = load_table(spark, SF, "orders").filter(
+            F.col("o_totalprice") > 400000
+        )
+        li = load_table(spark, SF, "lineitem")
+        j = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        plan = plan_string(j)
+        assert "might_contain" in plan, plan
+        assert "bloom_filter_agg" in plan, plan
+        # Semantics unchanged: bloom is a may-contain pre-filter; the
+        # join still returns exactly the matching lineitems.
+        expected = (
+            li.join(
+                load_table(spark, SF, "orders"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .filter(F.col("o_totalprice") > 400000)
+            .count()
+        )
+        assert j.count() == expected
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bcast)
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            old_thresh,
+        )
