@@ -883,3 +883,84 @@ def q23_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "retention"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# scd2 — slowly-changing-dimension type-2 history build: the MERGE
+# pattern expressed as join + union (vanilla Spark has no MERGE INTO;
+# Delta/Iceberg compile theirs to exactly this shape).
+# ---------------------------------------------------------------------------
+
+_SCD2_ORACLE = """
+WITH updates AS (
+  SELECT c_custkey,
+         c_mktsegment || '/R2' AS c_mktsegment,
+         c_acctbal + 100.0 AS c_acctbal
+  FROM customer WHERE c_custkey % 7 = 3),
+closed AS (
+  SELECT c.c_custkey, c.c_mktsegment, c.c_acctbal,
+         TIMESTAMP '2024-01-01 00:00:00' AS valid_from,
+         CASE WHEN u.c_custkey IS NOT NULL
+              THEN TIMESTAMP '2024-06-01 00:00:00' END AS valid_to,
+         (u.c_custkey IS NULL) AS is_current
+  FROM customer c LEFT JOIN updates u USING (c_custkey)),
+fresh AS (
+  SELECT c_custkey, c_mktsegment, c_acctbal,
+         TIMESTAMP '2024-06-01 00:00:00' AS valid_from,
+         CAST(NULL AS TIMESTAMP) AS valid_to,
+         TRUE AS is_current
+  FROM updates)
+SELECT * FROM closed UNION ALL SELECT * FROM fresh
+"""
+
+
+@register(
+    "scd2_dimension_history",
+    oracle=_SCD2_ORACLE,
+    tags=("J2", "O3", "P6", "F3"),
+)
+def scd2_dimension_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 history build — the warehouse
+    MERGE pattern: an incoming update batch (synthesized
+    deterministically: every 7th customer changes segment and balance
+    at the 2024-06-01 snapshot) is merged into the current dimension as
+    versioned rows. Matched rows are CLOSED (valid_to stamped, no
+    longer current) and re-inserted with the new attributes as the open
+    version; unmatched rows stay open. Vanilla Spark has no MERGE INTO
+    — Delta and Iceberg compile theirs to exactly this left-join +
+    union-all plan, which is what a user migrating dimension-
+    maintenance jobs needs.
+
+    Scale: one equi-join on the dimension key (broadcast when the
+    update batch is small — the common case; sort-merge otherwise)
+    plus a union-all that never shuffles. History grows by the update
+    count, not the dimension size. The balance update is a single IEEE
+    double add (identical on both engines); timestamps are ntz
+    literals on the Spark side matching DuckDB's naive TIMESTAMP.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    t1 = F.lit("2024-01-01 00:00:00").cast("timestamp_ntz")
+    t2 = F.lit("2024-06-01 00:00:00").cast("timestamp_ntz")
+    updates = cust.filter(F.col("c_custkey") % 7 == 3).select(
+        "c_custkey",
+        F.concat(F.col("c_mktsegment"), F.lit("/R2")).alias("u_segment"),
+        (F.col("c_acctbal") + 100.0).alias("u_acctbal"),
+    )
+    merged = cust.join(F.broadcast(updates), "c_custkey", "left")
+    closed = merged.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        t1.alias("valid_from"),
+        F.when(F.col("u_segment").isNotNull(), t2).alias("valid_to"),
+        F.col("u_segment").isNull().alias("is_current"),
+    )
+    fresh = updates.select(
+        "c_custkey",
+        F.col("u_segment").alias("c_mktsegment"),
+        F.col("u_acctbal").alias("c_acctbal"),
+        t2.alias("valid_from"),
+        F.lit(None).cast("timestamp_ntz").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    return closed.unionAll(fresh)
