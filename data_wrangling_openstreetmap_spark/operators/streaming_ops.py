@@ -204,3 +204,40 @@ def st7_running_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("running_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ST6b — stream-STREAM interval join, batch image (the streaming form
+# with two watermarked sides converges to this exactly;
+# tests/test_streaming.py::test_stream_stream_interval_join_equals_batch).
+# ---------------------------------------------------------------------------
+
+_ST8_ORACLE = """
+SELECT p.event_id AS purchase_id,
+       p.user_id,
+       p.ts AS purchase_ts,
+       c.event_id AS click_id,
+       c.ts AS click_ts
+FROM events p JOIN events c
+  ON p.user_id = c.user_id
+ AND c.ts <= p.ts
+ AND c.ts >= p.ts - INTERVAL 30 MINUTE
+WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+"""
+
+
+@register("st8_stream_stream_join", oracle=_ST8_ORACLE, tags=("ST6", "J6", "J7"))
+def st8_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join, batch image: every purchase matched
+    to the same user's clicks within the preceding 30 minutes (ALL such
+    clicks — multi-touch attribution; j7_asof_join keeps only the
+    latest). Shares its transform with the real two-sided streaming
+    join (streaming/transforms.purchase_attribution_pairs), whose
+    watermark + event-time bound make click state evictable; the
+    streaming convergence test pins stream == batch.
+
+    Scale: an equi-join on user_id with a range residual — shuffles
+    hash-partition on the user key, so the range check is local to each
+    partition; output is bounded by clicks-per-user within the window.
+    """
+    return TR.purchase_attribution_pairs(load_table(spark, sf_dir, "events"))

@@ -606,3 +606,68 @@ def w7_range_interval_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("cents").over(w) / 100.0).alias("trailing_30d_spend"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# A4b — MERGEABLE sketch rollup: daily HLL sketches unioned into weekly
+# estimates. Reaggregatability is the property that makes distinct
+# counts tractable at 100 TB; graded (like a4) as an accuracy contract.
+# ---------------------------------------------------------------------------
+
+_A4B_ORACLE = """
+SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS week,
+       CAST(COUNT(DISTINCT CAST(date_trunc('day', ts) AS DATE)) AS BIGINT)
+         AS n_days,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+       TRUE AS merged_within_5pct
+FROM events
+GROUP BY 1
+"""
+
+
+@register("a4b_hll_mergeable_rollup", oracle=_A4B_ORACLE, tags=("A4", "A7"))
+def a4b_hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup: per-DAY HyperLogLog sketches of user_id
+    (Datasketches ``hll_sketch_agg``) are UNIONED per week and only then
+    estimated — the pre-aggregation pattern behind every scale distinct
+    count: materialize small per-partition sketches once, then answer
+    any coarser rollup (week, month, arbitrary range) by merging
+    sketches instead of re-shuffling raw IDs. A plain
+    approx_count_distinct (a4) cannot do this — its per-group estimate
+    is final; the sketch column is what makes the aggregate
+    reaggregatable.
+
+    Graded like a4 as an ACCURACY CONTRACT: the output carries the
+    exact weekly distinct plus the verdict that the merged-sketch
+    estimate landed within 5% (lgConfigK=12 ⇒ ~1.6% rsd); the sketch
+    bytes never cross engines. n_days pins that the union really
+    merged one sketch per day.
+
+    Scale: two shuffles — (week, day) sketch build with partial
+    aggregation map-side (sketch bytes, not IDs, cross the wire), then
+    a tiny week-level union of ~7 sketches per group. At 100 TB the
+    daily sketches are a persisted rollup table a few KB per key;
+    every range query reads sketches, not events.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    week = F.date_trunc("week", F.col("ts"))
+    day = F.date_trunc("day", F.col("ts"))
+    daily = ev.groupBy(week.alias("week"), day.alias("day")).agg(
+        F.hll_sketch_agg("user_id", 12).alias("sk")
+    )
+    merged = daily.groupBy("week").agg(
+        F.count("*").alias("n_days"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("n_est"),
+    )
+    exact = ev.groupBy(week.alias("week")).agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    return merged.join(exact, "week").select(
+        "week",
+        "n_days",
+        "n_exact",
+        (
+            F.abs(F.col("n_est") - F.col("n_exact"))
+            <= 0.05 * F.col("n_exact")
+        ).alias("merged_within_5pct"),
+    )

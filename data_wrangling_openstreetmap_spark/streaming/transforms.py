@@ -96,3 +96,36 @@ def enrich_with_customer(events: DataFrame, customer: DataFrame) -> DataFrame:
         F.count("*").alias("n_events"),
         dsum("value").alias("total_value"),
     )
+
+
+ATTRIBUTION_WINDOW = "30 minutes"
+
+
+def purchase_attribution_pairs(events: DataFrame) -> DataFrame:
+    """ST6b: stream-STREAM interval join — every purchase matched to
+    the same user's clicks in the preceding 30 minutes. Both sides
+    derive from the (watermarked) event stream; the event-time interval
+    bound in the join condition is what lets Spark evict click state
+    once the watermark passes click_ts + 30 min, so state stays
+    proportional to the window, not the stream. The identical
+    expression runs as a plain interval self-join in batch."""
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    return purchases.join(
+        clicks,
+        (purchases.user_id == clicks.c_user)
+        & (clicks.click_ts <= purchases.purchase_ts)
+        & (
+            clicks.click_ts
+            >= purchases.purchase_ts - F.expr(f"INTERVAL {ATTRIBUTION_WINDOW}")
+        ),
+        "inner",
+    ).select("purchase_id", "user_id", "purchase_ts", "click_id", "click_ts")

@@ -208,3 +208,22 @@ def test_stateful_running_totals_converge_to_batch(spark, replay_dir):
     for uid, (n, tv) in batch.items():
         assert final[uid][0] == n
         assert abs(final[uid][1] - tv) < 0.02  # float accumulation in pandas
+
+
+def test_stream_stream_interval_join_equals_batch(spark, replay_dir):
+    """ST6b: stream-stream interval self-join (purchases ⋈ clicks
+    within 30 min, same user). The watermark + event-time bound in the
+    join condition let Spark evict click state as time advances; an
+    inner join emits matches as both sides arrive, so the drained sink
+    must equal the batch interval join exactly."""
+    run_to_memory(
+        read_event_stream(spark, replay_dir),
+        TR.purchase_attribution_pairs,
+        "sink_ssjoin",
+        output_mode="append",
+        watermark="1 hour",
+    )
+    got = spark.table("sink_ssjoin")
+    want = TR.purchase_attribution_pairs(load_table(spark, SF, "events"))
+    assert _rows(got) == _rows(want)
+    assert got.count() > 0
