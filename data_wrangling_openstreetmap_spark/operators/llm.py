@@ -1542,3 +1542,58 @@ def l6_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(max_err, 8).alias("max_abs_err"),
         (max_err <= sc * (0.5000001 / 127.0)).alias("within_half_step"),
     )
+
+
+# ---------------------------------------------------------------------------
+# L4/S3 — deterministic train/valid/test split (the hash-split every
+# training pipeline applies before anything else).
+# ---------------------------------------------------------------------------
+
+_SPLIT_ORACLE = f"""
+WITH assigned AS (
+  SELECT lang,
+         CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'
+              WHEN (doc_id * 2654435761) % 100 < 90 THEN 'valid'
+              ELSE 'test' END AS split,
+         len({_ORACLE_TOKS}) AS n_toks
+  FROM documents)
+SELECT lang, split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_toks) AS BIGINT) AS total_tokens
+FROM assigned
+GROUP BY lang, split
+"""
+
+
+@register("s7_train_test_split", oracle=_SPLIT_ORACLE, tags=("S3", "L4", "P6"))
+def s7_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/valid/test split by multiplicative
+    key hash — the assignment every training pipeline needs to be (a)
+    stable across runs and engines, (b) a pure projection (no
+    sampling state, no shuffle), and (c) disjoint and exhaustive by
+    construction. Graded as the per-(lang, split) doc/token census; a
+    Knuth-style odd multiplier decorrelates the split from any key
+    ordering, so stratification comes out proportional per language.
+
+    Scale: split assignment is one integer expression in the scan
+    projection; the census is a 15-group aggregate. At 100 TB the same
+    expression feeds ``partitionBy(split)`` at write time — stable
+    splits with zero extra passes. All-integer → engine-identical.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    h = (F.col("doc_id") * 2654435761) % 100
+    split = (
+        F.when(h < 80, "train").when(h < 90, "valid").otherwise("test")
+    )
+    return (
+        docs.select(
+            "lang",
+            split.alias("split"),
+            F.size(T.tokens(F.col("text"))).alias("n_toks"),
+        )
+        .groupBy("lang", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_toks").alias("total_tokens"),
+        )
+    )
