@@ -1597,3 +1597,147 @@ def s7_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_toks").alias("total_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# L2 — benchmark decontamination: flag training docs sharing 8-gram
+# shingles with a held-out benchmark set.
+# ---------------------------------------------------------------------------
+
+_DECON_GRAMS = (
+    "list_distinct(list_transform(range(1, len(toks) - 6),"
+    " i -> array_to_string(list_slice(toks, i, i + 7), ' ')))"
+)
+
+_DECON_ORACLE = f"""
+WITH toks AS (SELECT doc_id, {_ORACLE_TOKS} AS toks FROM documents),
+grams AS (
+  SELECT doc_id, unnest({_DECON_GRAMS}) AS g
+  FROM toks WHERE len(toks) >= 8),
+bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0),
+train AS (SELECT doc_id, g FROM grams WHERE doc_id % 50 <> 0),
+hits AS (
+  SELECT t.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_grams,
+         CAST(SUM(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_hits
+  FROM train t LEFT JOIN bench b USING (g)
+  GROUP BY t.doc_id)
+SELECT doc_id, n_grams, n_hits, (n_hits > 0) AS contaminated
+FROM hits
+"""
+
+
+@register("l2_benchmark_decontam", oracle=_DECON_ORACLE, tags=("L2", "L4", "J3"))
+def l2_benchmark_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — the n-gram overlap check every
+    training pipeline runs before a corpus ships: every 50th document
+    plays the held-out benchmark set, and each remaining training
+    document is flagged if ANY of its 8-gram shingles appears verbatim
+    in the benchmark (the GPT-3/PaLM 8-to-13-gram collision rule).
+    Distinct from l2_shingle_dup_frac: that measures symmetric
+    corpus-internal recycling; this is an asymmetric membership test
+    against a small protected set.
+
+    Scale: training-side shingles join the (comparatively tiny,
+    distinct) benchmark gram set — at 100 TB the benchmark grams
+    broadcast (or become a Bloom filter pushed into the scan), so the
+    pass is map-only with one doc_id re-aggregation; nothing ever
+    pairs documents. All-integer output → engine-identical.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", T.tokens(F.col("text")).alias("toks")).filter(
+        F.size("toks") >= 8
+    )
+    g8 = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - 7),
+            lambda i: F.array_join(F.slice("toks", i, 8), " "),
+        )
+    )
+    grams = t.select("doc_id", F.explode(g8).alias("g"))
+    bench = (
+        grams.filter(F.col("doc_id") % 50 == 0).select("g").distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    train = grams.filter(F.col("doc_id") % 50 != 0)
+    return (
+        train.join(F.broadcast(bench), "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hits"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_hits",
+            (F.col("n_hits") > 0).alias("contaminated"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# L4 — sequence packing census: concat-then-chunk assignment of docs to
+# fixed token-budget bins (the pre-training batch-construction step).
+# ---------------------------------------------------------------------------
+
+_PACK_BUDGET = 512
+
+_PACK_ORACLE = f"""
+WITH d AS (
+  SELECT lang, doc_id, len({_ORACLE_TOKS}) AS n FROM documents),
+c AS (
+  SELECT lang, doc_id, n,
+         SUM(n) OVER (PARTITION BY lang ORDER BY doc_id
+                      ROWS UNBOUNDED PRECEDING) AS cum
+  FROM d)
+SELECT lang,
+       CAST((cum - n) // {_PACK_BUDGET} AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n) AS BIGINT) AS n_tokens,
+       MIN(doc_id) AS first_doc,
+       MAX(doc_id) AS last_doc
+FROM c GROUP BY lang, CAST((cum - n) // {_PACK_BUDGET} AS BIGINT)
+"""
+
+
+@register("l4_sequence_packing", oracle=_PACK_ORACLE, tags=("L4", "W4", "A1"))
+def l4_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing census — the concat-then-chunk batch
+    construction GPT-style pre-training uses: documents stream in a
+    deterministic order (doc_id) per language, token counts accumulate,
+    and each document is assigned to the 512-token bin where its first
+    token lands. The graded output is the per-(lang, bin)
+    census: docs, token mass, first/last doc — the manifest a packing
+    writer needs.
+
+    Scale: the prefix sum here is a per-language window — fine while
+    partitions are bounded; at 100 TB a single ordered window would
+    serialize, so the same assignment is computed as a two-phase
+    distributed prefix sum: per-partition token subtotals, an exclusive
+    scan over the (tiny) subtotal list to get partition offsets, then a
+    map-side cumsum with the offset added — identical bins, no global
+    sort. All-integer arithmetic → engine-identical.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "lang", "doc_id", F.size(T.tokens(F.col("text"))).alias("n")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = d.withColumn("cum", F.sum("n").over(w))
+    bin_ = F.floor((F.col("cum") - F.col("n")) / _PACK_BUDGET).cast("long")
+    return (
+        c.select("lang", bin_.alias("bin"), "doc_id", "n")
+        .groupBy("lang", "bin")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n").alias("n_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
