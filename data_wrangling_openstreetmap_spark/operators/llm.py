@@ -1741,3 +1741,142 @@ def l4_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("last_doc"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# L3/L4 — BM25 retrieval scoring (the lexical ranking function behind
+# corpus search / retrieval-based curation).
+# ---------------------------------------------------------------------------
+
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_QUERY = ("spark", "table", "query")
+
+_BM25_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, {_ORACLE_TOKS} AS toks FROM documents),
+dl AS (SELECT doc_id, len(toks) AS dl FROM d),
+stats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+         CAST(SUM(len(toks)) AS DOUBLE) / COUNT(*) AS avgdl
+  FROM d),
+tf AS (
+  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS tok FROM d)
+  WHERE tok IN {_BM25_QUERY!r}
+  GROUP BY doc_id, tok),
+df AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY tok),
+scored AS (
+  SELECT tf.doc_id,
+         SUM(
+           ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+           * (tf * ({_BM25_K1} + 1.0))
+           / (tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dl / avgdl))
+         ) AS score
+  FROM tf JOIN df USING (tok)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id)
+SELECT doc_id, ROUND(score, 6) AS bm25
+FROM scored
+ORDER BY ROUND(score, 6) DESC, doc_id
+LIMIT 10
+"""
+
+
+@register("l3_bm25_topk", oracle=_BM25_ORACLE, tags=("L3", "L4", "O2"))
+def l3_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 — the lexical retrieval scorer (Okapi BM25,
+    k1=1.2 b=0.75) for a fixed query, the ranking half of every
+    retrieval-based curation loop (hybrid search pairs it with
+    l3_cosine_topk). idf uses the +1-smoothed form so scores stay
+    positive; tf saturates via k1 and long documents are damped by the
+    b·dl/avgdl length normalization.
+
+    Scale: tokens are filtered to the query's terms BEFORE the
+    (doc, term) groupBy, so the shuffled volume is query-sized, not
+    corpus-sized; df and the global (N, avgdl) are tiny broadcast
+    aggregates; the final top-10 compiles to TakeOrderedAndProject.
+    Cross-engine: ln() agrees to ≤1 ulp, so the score is rounded to
+    6 dp on BOTH sides and ranked on the rounded value with a doc_id
+    tiebreak.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", T.tokens(F.col("text")).alias("toks"))
+    dl = d.select("doc_id", F.size("toks").alias("dl"))
+    stats = d.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        (F.sum(F.size("toks")).cast("double") / F.count("*")).alias("avgdl"),
+    )
+    tf = (
+        d.select("doc_id", F.explode("toks").alias("tok"))
+        .filter(F.col("tok").isin(*_BM25_QUERY))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("tok").agg(F.count("*").cast("double").alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    term_score = idf * (F.col("tf") * (_BM25_K1 + 1.0)) / (
+        F.col("tf")
+        + _BM25_K1
+        * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(df), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(term_score).alias("score"))
+    )
+    return (
+        scored.select("doc_id", F.round("score", 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# L4/S3 — class-balanced downsampling: cap each class at K docs chosen
+# by deterministic hash order (the language-rebalancing step).
+# ---------------------------------------------------------------------------
+
+_BALANCE_CAP = 40
+
+_BALANCE_ORACLE = f"""
+SELECT lang, doc_id,
+       row_number() OVER (
+         PARTITION BY lang
+         ORDER BY (doc_id * 2654435761) % 10000, doc_id
+       ) AS rk
+FROM documents
+QUALIFY rk <= {_BALANCE_CAP}
+"""
+
+
+@register("s3c_class_balanced_sample", oracle=_BALANCE_ORACLE, tags=("S3", "L4", "W2"))
+def s3c_class_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced downsampling: every language keeps at most
+    40 documents, chosen by deterministic multiplicative-hash order
+    — the rebalancing step that stops a head language from dominating
+    a training mix while staying reproducible across runs and engines
+    (no RNG state; the hash IS the sample). Complements s3b's
+    proportional stratified sample: this one EQUALIZES classes instead
+    of preserving their shares.
+
+    Scale: one window per class ordered by the hash — the shuffle keys
+    on lang, so heavily skewed class sizes make this the textbook
+    place for the two-phase variant: per-partition top-K first (K rows
+    survive each partition), then the global per-class top-K —
+    identical output, bounded memory. All-integer hash + unique
+    doc_id tiebreak → engine-identical selection.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    h = (F.col("doc_id") * 2654435761) % 10000
+    w = Window.partitionBy("lang").orderBy(h, "doc_id")
+    return (
+        docs.select("lang", "doc_id")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _BALANCE_CAP)
+    )
