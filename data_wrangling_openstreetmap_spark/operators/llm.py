@@ -1880,3 +1880,92 @@ def s3c_class_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= _BALANCE_CAP)
     )
+
+
+# ---------------------------------------------------------------------------
+# L3 — hybrid retrieval: reciprocal-rank fusion of BM25 (lexical) and
+# cosine (dense) rankings.
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60
+
+_RRF_ORACLE = f"""
+WITH bm25_ranked AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r
+  FROM ({_BM25_ORACLE.strip()})),
+cos_ranked AS (
+  SELECT b.vec_id AS doc_id,
+         row_number() OVER (
+           ORDER BY ROUND(list_cosine_similarity(
+                      a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) DESC,
+                    b.vec_id) AS r
+  FROM embeddings a JOIN embeddings b ON b.vec_id <> 0
+  WHERE a.vec_id = 0
+  QUALIFY r <= 10),
+fused AS (
+  SELECT COALESCE(b.doc_id, c.doc_id) AS doc_id,
+         COALESCE(1.0 / ({_RRF_K} + b.r), 0.0)
+           + COALESCE(1.0 / ({_RRF_K} + c.r), 0.0) AS rrf
+  FROM bm25_ranked b FULL OUTER JOIN cos_ranked c USING (doc_id))
+SELECT doc_id, ROUND(rrf, 6) AS rrf_score
+FROM fused
+ORDER BY ROUND(rrf, 6) DESC, doc_id
+LIMIT 10
+"""
+
+
+@register("l3_hybrid_rrf", oracle=_RRF_ORACLE, tags=("L3", "J2", "O2"))
+def l3_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval by reciprocal-rank fusion: the BM25 top-10
+    (lexical, l3_bm25_topk's fixed query) and the cosine top-10 against
+    a fixed query embedding (vec_id 0) are fused as
+    Σ 1/(60 + rank) — the standard RRF that needs no score calibration
+    between the two retrievers, only their RANKS, which is why it's the
+    default hybrid combiner in production search. Docs found by both
+    lists outrank docs found by one; the full outer join keeps
+    single-retriever hits.
+
+    Scale: each branch is already scale-shaped (BM25's query-sized
+    shuffle; dense retrieval over a broadcast query vector is one
+    map-side pass + TakeOrderedAndProject); the fusion itself joins two
+    k-row lists — negligible. Ranks are exact integers, so the
+    reciprocal sums are IEEE-identical across engines; the fused score
+    is rounded at 6 dp with a doc_id tiebreak for deterministic order.
+    """
+    bm = l3_bm25_topk(spark, sf_dir)
+    w_bm = Window.orderBy(F.col("bm25").desc(), "doc_id")
+    bm_ranked = bm.select("doc_id", F.row_number().over(w_bm).alias("r_bm"))
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb")
+    )
+    cos = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(V.cosine(F.col("embedding"), F.col("q_emb")), 6).alias(
+                "cos"
+            ),
+        )
+    )
+    w_cos = Window.orderBy(F.col("cos").desc(), "doc_id")
+    cos_ranked = (
+        cos.withColumn("r_cos", F.row_number().over(w_cos))
+        .filter(F.col("r_cos") <= 10)
+        .select("doc_id", "r_cos")
+    )
+    fused = bm_ranked.join(cos_ranked, "doc_id", "full_outer").select(
+        "doc_id",
+        (
+            F.coalesce(1.0 / (_RRF_K + F.col("r_bm")), F.lit(0.0))
+            + F.coalesce(1.0 / (_RRF_K + F.col("r_cos")), F.lit(0.0))
+        ).alias("rrf"),
+    )
+    return (
+        fused.select("doc_id", F.round("rrf", 6).alias("rrf_score"))
+        .orderBy(F.col("rrf_score").desc(), "doc_id")
+        .limit(10)
+    )
