@@ -53,19 +53,28 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to
-    read natively (PARQUET_TYPE_ILLEGAL) while DuckDB truncates to µs.
-    Read it as raw nanos (legacy conf, runtime-settable) and rebuild the
-    µs-truncated timestamp_ntz so both engines see identical values.
+    """Normalize events.ts to µs-truncated timestamp_ntz across fixture
+    generations. Round-1 testdata wrote parquet TIMESTAMP(NANOS), which
+    Spark 4 refuses to read natively (PARQUET_TYPE_ILLEGAL) while DuckDB
+    truncates to µs — that encoding is read as raw nanos (legacy conf,
+    runtime-settable) and rebuilt. Round-2 testdata writes timestamp[us]
+    directly, which Spark infers as TIMESTAMP_NTZ (parquet
+    isAdjustedToUTC=false); only the ntz cast is needed there. Both
+    paths land on identical values in both engines.
 
     ``ts DIV 1000`` is integer division — a double ``/1000`` would lose
     precision at 1.7e18 nanos (53-bit mantissa) and round some µs wrong.
     """
+    from pyspark.sql import types as T
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet")
-    return raw.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts DIV 1000")).cast("timestamp_ntz")
-    )
+    ts_type = raw.schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
+        ts = F.timestamp_micros(F.expr("ts DIV 1000"))
+    else:
+        ts = F.col("ts")
+    return raw.withColumn("ts", ts.cast("timestamp_ntz"))
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
