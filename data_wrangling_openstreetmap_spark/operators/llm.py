@@ -308,21 +308,9 @@ def l2_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     MinHash-LSH.
     """
     docs = load_table(spark, sf_dir, "documents")
-    th = F.transform(T.tokens(F.col("text")), lambda t: F.xxhash64(t))
-
-    def vote_for_bit(b: int):
-        # HOF lambdas must take exactly (acc, x) — no captured default args.
-        return lambda acc, h: acc + F.when(
-            F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
-        ).otherwise(-1)
-
-    bit_votes = [F.aggregate(th, F.lit(0), vote_for_bit(b)) for b in range(64)]
-    simhash = None
-    for b, vote in enumerate(bit_votes):
-        bit = F.when(vote > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        term = F.shiftleft(bit, b)
-        simhash = term if simhash is None else simhash.bitwiseOR(term)
-    return docs.select("doc_id", simhash.alias("simhash"))
+    return docs.select(
+        "doc_id", T.simhash64(T.tokens(F.col("text"))).alias("simhash")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1969,3 +1957,177 @@ def l3_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rrf_score").desc(), "doc_id")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# L2 — MinHash-LSH recall CONTRACT (makes the rows-only sketch gradable).
+# The candidate pairs themselves hinge on xxhash64, which DuckDB cannot
+# reproduce — but the property a user relies on CAN be graded: every
+# pair whose true shingle-Jaccard clears the sketch's design threshold
+# must surface as an LSH candidate. The oracle computes the exact
+# hi-similarity pair count in pure SQL and expects the recall verdict
+# true, so the hash breaks iff the sketch parameterization regresses —
+# the same accuracy-contract pattern as a4's HLL.
+# ---------------------------------------------------------------------------
+
+_MH_RECALL_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x != '') AS ts
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, list_distinct(
+    CASE WHEN len(ts) <= 3 THEN [array_to_string(ts, ' ')]
+         ELSE list_transform(generate_series(1, len(ts) - 2),
+                             i -> array_to_string(ts[i:i+2], ' '))
+    END) AS sh
+  FROM toks
+),
+pairs AS (
+  SELECT len(list_intersect(a.sh, b.sh)) AS c,
+         len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS u
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_hi_pairs, TRUE AS recall_ge_09
+FROM pairs WHERE CAST(c AS DOUBLE) / u >= 0.9
+"""
+
+
+@register("l2_minhash_recall", oracle=_MH_RECALL_ORACLE, tags=("L2", "A4"))
+def l2_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accuracy contract for l2_minhash_lsh: recall of true
+    shingle-Jaccard ≥ 0.9 pairs among the LSH candidates must be ≥ 0.9
+    (theory for 4 bands × 4 rows at s = 0.9: 1-(1-s⁴)⁴ ≈ 0.986;
+    measured 1.0 at sf0.01 — candidates are exactly the 25 hi pairs).
+
+    The true hi pairs are computed in-plan with the same inverted-index
+    join shape as l2_jaccard_pairs (explode shingles → join on shingle
+    → count common), so the contract itself never materializes O(n²).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        F.array_distinct(T.shingles(F.col("text"), k=3)).alias("sh"),
+    )
+    g = sh.select(
+        "doc_id", F.size("sh").alias("n"), F.explode("sh").alias("s")
+    )
+    a, b = g.alias("a"), g.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    jac = F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c"))
+    hi = common.filter(jac >= 0.9).select("doc_a", "doc_b")
+    cand = l2_minhash_lsh(spark, sf_dir)
+    recalled = hi.join(cand, ["doc_a", "doc_b"], "left_semi")
+    stats = hi.agg(F.count("*").alias("n_hi")).crossJoin(
+        recalled.agg(F.count("*").alias("n_rec"))
+    )
+    return stats.select(
+        F.col("n_hi").alias("n_hi_pairs"),
+        F.coalesce(
+            F.col("n_rec").cast("double") / F.col("n_hi") >= 0.9, F.lit(True)
+        ).alias("recall_ge_09"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# L2 — SimHash invariance CONTRACT: the fingerprint is a majority vote
+# over the token MULTISET, so reordering a document's tokens must not
+# change it — a non-vacuous property checked on every document (unlike
+# identical-text pairs, which the sf0.01 fixture has none of).
+# ---------------------------------------------------------------------------
+
+_SIMHASH_INV_ORACLE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       TRUE AS order_invariant,
+       TRUE AS all_nonzero
+FROM documents
+"""
+
+
+@register("l2_simhash_invariance", oracle=_SIMHASH_INV_ORACLE, tags=("L2",))
+def l2_simhash_invariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract for l2_simhash: simhash64(tokens) == simhash64(reversed
+    tokens) for every document (vote sums are order-free), and no
+    fingerprint collapses to 0 (P ≈ 2⁻⁶⁴ under uniform hash bits — a 0
+    would mean the vote pipeline broke). The oracle pins the document
+    count and expects both verdicts true.
+
+    Scale: two map-side projections and one global bool_and — no
+    shuffle of document contents.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = T.tokens(F.col("text"))
+    per_doc = docs.select(
+        T.simhash64(toks).alias("h1"),
+        T.simhash64(F.reverse(toks)).alias("h2"),
+    )
+    return per_doc.agg(
+        F.count("*").alias("n_docs"),
+        F.bool_and(F.col("h1") == F.col("h2")).alias("order_invariant"),
+        F.bool_and(F.col("h1") != 0).alias("all_nonzero"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# L3 — ANN recall CONTRACT: grades both approximate-NN paths (LSH
+# buckets, IVF cells) against the exact top-5, as a driver-checkable
+# verdict. DuckDB cannot express meet-in-bucket search, but it can pin
+# the query count and expect the recall floor to hold.
+# ---------------------------------------------------------------------------
+
+_ANN_RECALL_ORACLE = """
+SELECT 'ivf' AS method, CAST(COUNT(*) AS BIGINT) AS n_queries,
+       TRUE AS recall_ge_045
+FROM embeddings
+UNION ALL
+SELECT 'lsh', CAST(COUNT(*) AS BIGINT), TRUE FROM embeddings
+"""
+
+
+@register("l3_ann_recall_contract", oracle=_ANN_RECALL_ORACLE, tags=("L3", "A4"))
+def l3_ann_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accuracy contract for l3_ann_lsh and l3_ann_ivf: top-5 recall
+    against the exact broadcast-matmul k-NN (q10) must stay ≥ 0.45 per
+    method (measured at sf0.01: LSH 0.576, IVF 0.547 — both
+    deterministic under their fixed seeds; the floor leaves margin for
+    fixture regeneration). Recall here is micro-averaged: |ANN ∩
+    exact| / |exact| over all (query, neighbor) pairs.
+
+    Scale: the contract reuses each method's own plan; the comparison
+    itself is two left-semi joins on (vec_id, neighbor_id) int pairs —
+    negligible next to the searches.
+    """
+    exact = q10_cosine_topk(spark, sf_dir).select("vec_id", "neighbor_id")
+    out = None
+    for method, fn in (("ivf", l3_ann_ivf), ("lsh", l3_ann_lsh)):
+        ann = fn(spark, sf_dir).select("vec_id", "neighbor_id")
+        matched = exact.join(ann, ["vec_id", "neighbor_id"], "left_semi")
+        row = (
+            exact.agg(
+                (F.count("*") / 5).cast("long").alias("n_queries"),
+                F.count("*").alias("n_exact"),
+            )
+            .crossJoin(matched.agg(F.count("*").alias("n_match")))
+            .select(
+                F.lit(method).alias("method"),
+                "n_queries",
+                (
+                    F.col("n_match").cast("double") / F.col("n_exact") >= 0.45
+                ).alias("recall_ge_045"),
+            )
+        )
+        out = row if out is None else out.unionAll(row)
+    return out

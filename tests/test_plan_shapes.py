@@ -27,6 +27,7 @@ SF = "/root/testdata/sf0.001"
 # the search itself is pure JVM (HOF dot products + cell equi-join).
 PYTHON_ALLOWED = {
     "q10_cosine_topk",
+    "l3_ann_recall_contract",  # grades ANN recall against q10's matmul
     "m1_multimodal_decode",
     "m2_frame_sample",
     "m3_image_resize",
