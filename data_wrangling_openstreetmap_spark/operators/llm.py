@@ -2131,3 +2131,145 @@ def l3_ann_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionAll(row)
     return out
+
+
+# ---------------------------------------------------------------------------
+# S3/L4 — temperature resampling (T=2): the multilingual data-mixing
+# standard. Sampling shares ∝ n_s^(1/T) = sqrt(n_s) flatten the language
+# distribution without equalizing it (s3c) or preserving it (s7's
+# stratified split) — head languages shrink, tail languages keep
+# everything they can. Selection is the same deterministic
+# multiplicative-hash order as s3c: the hash IS the sample.
+# ---------------------------------------------------------------------------
+
+_TEMP_RESAMPLE_ORACLE = """
+WITH c AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY lang
+),
+st AS (SELECT ROUND(SUM(sqrt(n)), 6) AS s, MIN(n) AS n_min FROM c),
+q AS (
+  SELECT lang,
+         FLOOR(ROUND(FLOOR(s * sqrt(n_min)) * sqrt(n) / s, 6)) AS quota
+  FROM c, st
+),
+rk AS (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY (doc_id * 2654435761) % 10000, doc_id
+         ) AS rk
+  FROM documents
+)
+SELECT r.doc_id, r.lang FROM rk r JOIN q USING (lang) WHERE r.rk <= q.quota
+"""
+
+
+@register("s9_temperature_resample", oracle=_TEMP_RESAMPLE_ORACLE, tags=("S3", "L4", "W2"))
+def s9_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-T=2 language rebalancing: per-language quotas ∝
+    sqrt(n_lang), scaled to the largest total budget for which every
+    quota is feasible (T_total = floor(Σsqrt · sqrt(min n)) — the min
+    language is the binding constraint and keeps ~everything). At
+    sf0.01 this keeps 383 of 500 docs: en 218→117 while fr keeps 63 of
+    64. Share math is double sqrt/divide with the SAME expression tree
+    on both engines (IEEE ops are correctly rounded, so identical
+    shapes give identical bits), rounded at 6 dp before the floor;
+    selection per language is the multiplicative-hash window with
+    doc_id tiebreak.
+
+    Scale: one tiny aggregate (|langs| rows, broadcast back) + one
+    window keyed on lang — same two-phase-top-K escape as s3c if a
+    language's quota is huge.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy("lang").agg(F.count("*").alias("n"))
+    st = c.agg(
+        F.round(F.sum(F.sqrt(F.col("n"))), 6).alias("s"),
+        F.min("n").alias("n_min"),
+    )
+    q = (
+        c.crossJoin(F.broadcast(st))
+        .select(
+            "lang",
+            F.floor(
+                F.round(
+                    F.floor(F.col("s") * F.sqrt(F.col("n_min")))
+                    * F.sqrt(F.col("n"))
+                    / F.col("s"),
+                    6,
+                )
+            ).alias("quota"),
+        )
+    )
+    h = (F.col("doc_id") * 2654435761) % 10000
+    w = Window.partitionBy("lang").orderBy(h, "doc_id")
+    return (
+        docs.select("doc_id", "lang")
+        .withColumn("rk", F.row_number().over(w))
+        .join(F.broadcast(q), "lang")
+        .filter(F.col("rk") <= F.col("quota"))
+        .select("doc_id", "lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# L4 — corpus-trained unigram LM scoring (the CCNet-style quality
+# filter shape: score every document by how typical its tokens are of
+# the corpus, then gate on the score). Two passes: global token
+# frequencies, then per-document mean log-probability.
+# ---------------------------------------------------------------------------
+
+_UNIGRAM_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(text, '\s+'), x -> x != '')) AS tok
+  FROM documents
+),
+freq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY tok),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM freq)
+SELECT t.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       ROUND(AVG(ln(CAST(f.c AS DOUBLE) / CAST(tot.n AS DOUBLE))), 6) AS avg_logprob
+FROM toks t JOIN freq f USING (tok), tot
+GROUP BY t.doc_id
+"""
+
+
+@register("l4_unigram_logprob", oracle=_UNIGRAM_ORACLE, tags=("L4", "A1", "J1"))
+def l4_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram log-probability per document under the corpus's own
+    unigram LM: mean over the document's tokens of ln(count(token) /
+    total tokens). Documents full of rare tokens score low — the cheap
+    stand-in for the KenLM perplexity gate in CCNet-style pipelines
+    (no smoothing needed: every scored token is in the vocabulary by
+    construction). Mean rounds at 6 dp — the log-sum fold order
+    differs between engines at ~1e-14.
+
+    Scale: frequency table is a token-keyed aggregate (hot stopwords
+    partial-aggregate map-side); the score join broadcasts it when the
+    vocab is small and shuffle-joins on token otherwise — either way
+    the document text itself is never shuffled, only (doc_id, token)
+    pairs.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(T.tokens(F.col("text"))).alias("tok")
+    )
+    freq = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    tot = freq.agg(F.sum("c").alias("n"))
+    return (
+        toks.join(F.broadcast(freq), "tok")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(
+                F.avg(
+                    F.log(
+                        F.col("c").cast("double") / F.col("n").cast("double")
+                    )
+                ),
+                6,
+            ).alias("avg_logprob"),
+        )
+    )
