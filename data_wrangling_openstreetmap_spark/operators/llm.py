@@ -2273,3 +2273,88 @@ def l4_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_logprob"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# L4 — DSIR-style importance selection (Xie et al. 2023, "Data
+# Selection for Language Models via Importance Resampling" — public
+# method): score every candidate document by how much more likely its
+# tokens are under a TARGET-domain unigram LM than under the general
+# corpus LM, and keep the top-k. Here the target domain is the English
+# sub-corpus and candidates are the non-English docs (the cross-lingual
+# form: which zh/es/de/fr docs look most like the en distribution).
+# ---------------------------------------------------------------------------
+
+_DSIR_K = 50
+_DSIR_ORACLE = rf"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         unnest(list_filter(string_split_regex(text, '\s+'), x -> x != '')) AS tok
+  FROM documents
+),
+tgt AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM toks WHERE lang = 'en' GROUP BY tok
+),
+tgt_tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM tgt),
+corp AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY tok),
+corp_tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM corp),
+vocab AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM corp),
+scored AS (
+  SELECT t.doc_id,
+         ROUND(AVG(
+           ln((COALESCE(g.c, 0) + 1.0) / (tgt_tot.n + vocab.v))
+           - ln((cp.c + 1.0) / (corp_tot.n + vocab.v))
+         ), 6) AS importance
+  FROM toks t
+  LEFT JOIN tgt g USING (tok)
+  JOIN corp cp USING (tok), tgt_tot, corp_tot, vocab
+  WHERE t.lang <> 'en'
+  GROUP BY t.doc_id
+)
+SELECT doc_id, importance
+FROM scored
+ORDER BY importance DESC, doc_id
+LIMIT {_DSIR_K}
+"""
+
+
+@register("l4_dsir_selection", oracle=_DSIR_ORACLE, tags=("L4", "J2", "O2"))
+def l4_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance selection: per candidate (non-en) document, the
+    mean per-token log-likelihood ratio between the en-trained and the
+    corpus-trained unigram LMs (both add-one smoothed over the shared
+    vocabulary), top-{k} kept with a doc_id tiebreak. High scorers use
+    tokens the target domain over-represents — the cheap importance
+    weight the DSIR paper feeds to resampling.
+
+    Scale: two frequency aggregates over the same exploded token
+    stream (one filtered), both broadcast to the scoring join — the
+    token stream is read once and only (doc_id, token) pairs shuffle.
+    The top-k compiles to TakeOrderedAndProject. The ratio's AVG
+    rounds at 6 dp (fold order); smoothing constants are exact
+    integers on both engines.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", F.explode(T.tokens(F.col("text"))).alias("tok")
+    )
+    tgt = toks.filter(F.col("lang") == "en").groupBy("tok").agg(
+        F.count("*").alias("gc")
+    )
+    corp = toks.groupBy("tok").agg(F.count("*").alias("cc"))
+    consts = corp.agg(
+        F.sum("cc").alias("corp_n"), F.count("*").alias("vocab_v")
+    ).crossJoin(tgt.agg(F.sum("gc").alias("tgt_n")))
+    llr = F.log(
+        (F.coalesce(F.col("gc"), F.lit(0)) + 1.0)
+        / (F.col("tgt_n") + F.col("vocab_v"))
+    ) - F.log((F.col("cc") + 1.0) / (F.col("corp_n") + F.col("vocab_v")))
+    scored = (
+        toks.filter(F.col("lang") != "en")
+        .join(F.broadcast(tgt), "tok", "left")
+        .join(F.broadcast(corp), "tok")
+        .crossJoin(F.broadcast(consts))
+        .groupBy("doc_id")
+        .agg(F.round(F.avg(llr), 6).alias("importance"))
+    )
+    return scored.orderBy(F.col("importance").desc(), "doc_id").limit(_DSIR_K)

@@ -298,3 +298,73 @@ def m4_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("feat_checksum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# m5 — the graded parity form of the m-pipeline: every metadata column
+# the fake codec derives with integer arithmetic (decode dims + resize
+# dims) is recomputed by DuckDB from octet_length alone, so the oracle
+# grades the REAL Arrow/mapInPandas crossing — batch iteration, dtype
+# mapping, schema — value-by-value. Only the checksums (zlib.crc32, not
+# in DuckDB) stay rows-only with m1–m3.
+# ---------------------------------------------------------------------------
+
+M5_SCHEMA = (
+    "doc_id bigint, n_bytes int, width int, height int, out_width int, out_height int"
+)
+
+_M5_ORACLE = """
+WITH b AS (
+  SELECT doc_id,
+         octet_length(encode(text)) AS n,
+         64 + octet_length(encode(text)) % 512 AS w,
+         64 + (octet_length(encode(text)) * 7) % 512 AS h
+  FROM documents
+)
+SELECT doc_id, n AS n_bytes, w AS width, h AS height,
+       w * 224 // greatest(w, h) AS out_width,
+       h * 224 // greatest(w, h) AS out_height
+FROM b
+"""
+
+
+def _decode_resize_batch(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+    """Fake decode + resize metadata in one Arrow pass (the checksum-free
+    projection of fake_decode_batch ∘ fake_resize_batch)."""
+    import pandas as pd
+
+    for pdf in batches:
+        raw = pdf["payload"]
+        n = raw.map(len).astype("int32")
+        in_w = (64 + n % 512).astype("int32")
+        in_h = (64 + (n * 7) % 512).astype("int32")
+        long_edge = pd.concat([in_w, in_h], axis=1).max(axis=1)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": n,
+                "width": in_w,
+                "height": in_h,
+                "out_width": (in_w * TARGET_EDGE // long_edge).astype("int32"),
+                "out_height": (in_h * TARGET_EDGE // long_edge).astype("int32"),
+            }
+        )
+
+
+@register("m5_decode_parity", oracle=_M5_ORACLE, tags=("L5", "U3"))
+def m5_decode_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-graded multimodal metadata: the fake decoder's dimension
+    math (m1) and the integer resize (m3) run through the REAL
+    mapInPandas pipeline, and DuckDB re-derives every output from
+    octet_length in pure SQL — a cross-engine check that the Arrow
+    batch crossing preserves values and dtypes exactly.
+
+    Scale: identical plan shape to m1/m3 (worker-parallel projection,
+    binary never shuffled); this query exists so the driver can grade
+    that shape, not just trust the goldens.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    payload = docs.select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    return payload.mapInPandas(_decode_resize_batch, M5_SCHEMA)

@@ -233,3 +233,96 @@ def test_feature_extract_unit_norms_and_determinism(spark):
     assert all(0.0 < r.feat_norm <= 1.0 for r in rows)
     again = sorted(map(tuple, m4_feature_extract(spark, SF_SMALL).collect()))
     assert sorted(map(tuple, rows)) == again
+
+
+def test_temperature_resample_flattens_language_mix(spark):
+    from data_wrangling_openstreetmap_spark.io import load_table
+    from data_wrangling_openstreetmap_spark.operators.llm import (
+        s9_temperature_resample,
+    )
+
+    orig = {
+        r.lang: r.n
+        for r in load_table(spark, SF_SMALL, "documents")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    kept = {
+        r.lang: r.n
+        for r in s9_temperature_resample(spark, SF_SMALL)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    # feasible: never keeps more than exists
+    assert all(kept[lang] <= orig[lang] for lang in kept)
+    # flattening: the head/tail ratio strictly shrinks (T=2 compresses
+    # shares toward uniform without equalizing)
+    ratio_orig = max(orig.values()) / min(orig.values())
+    ratio_kept = max(kept.values()) / min(kept.values())
+    assert ratio_kept < ratio_orig
+    # the binding (smallest) language keeps nearly everything
+    tail = min(orig, key=orig.get)
+    assert kept[tail] >= orig[tail] - 1
+
+
+def test_unigram_logprob_scores_are_valid_log_probabilities(spark):
+    from data_wrangling_openstreetmap_spark.operators.llm import (
+        l4_unigram_logprob,
+    )
+
+    rows = l4_unigram_logprob(spark, SF_SMALL).collect()
+    assert len(rows) == 500
+    # every token probability < 1 ⇒ every mean log-probability < 0
+    assert all(r.avg_logprob < 0 for r in rows)
+    assert all(r.n_tokens > 0 for r in rows)
+
+
+def test_dsir_selects_only_candidates_in_rank_order(spark):
+    from data_wrangling_openstreetmap_spark.io import load_table
+    from data_wrangling_openstreetmap_spark.operators.llm import (
+        _DSIR_K,
+        l4_dsir_selection,
+    )
+
+    sel = l4_dsir_selection(spark, SF_SMALL)
+    rows = sel.collect()
+    assert len(rows) == _DSIR_K
+    scores = [r.importance for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    langs = {
+        r.lang
+        for r in sel.join(
+            load_table(spark, SF_SMALL, "documents"), "doc_id"
+        ).collect()
+    }
+    assert "en" not in langs  # candidates exclude the target domain
+
+
+def test_st4_late_split_is_a_partition_of_events(spark):
+    from data_wrangling_openstreetmap_spark.io import load_table
+    from data_wrangling_openstreetmap_spark.operators.streaming_ops import (
+        st4_late_data_policy,
+    )
+
+    rows = st4_late_data_policy(spark, SF_SMALL).collect()
+    total = load_table(spark, SF_SMALL, "events").count()
+    assert sum(r.n_events for r in rows) == total
+    assert all(r.n_late + r.n_kept == r.n_events for r in rows)
+    late_frac = sum(r.n_late for r in rows) / total
+    assert 0 < late_frac < 0.2  # jitter makes SOME rows late, not most
+
+
+def test_m5_parity_metadata_agrees_with_m1_decode(spark):
+    from data_wrangling_openstreetmap_spark.operators.multimodal import (
+        m5_decode_parity,
+    )
+
+    m1 = {
+        r.doc_id: (r.n_bytes, r.width, r.height)
+        for r in m1_multimodal_decode(spark, SF_SMALL).collect()
+    }
+    for r in m5_decode_parity(spark, SF_SMALL).collect():
+        assert m1[r.doc_id] == (r.n_bytes, r.width, r.height)
+        assert max(r.out_width, r.out_height) == 224

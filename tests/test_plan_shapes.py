@@ -29,6 +29,7 @@ PYTHON_ALLOWED = {
     "q10_cosine_topk",
     "l3_ann_recall_contract",  # grades ANN recall against q10's matmul
     "m1_multimodal_decode",
+    "m5_decode_parity",
     "m2_frame_sample",
     "m3_image_resize",
     "m4_feature_extract",
