@@ -90,8 +90,11 @@ DRIVER_WINDOW = (
     "a4_approx_distinct",
     "a8_collect_list",
     "a9_mode",
-    # window family tail (W3; W4 via st7/st3, W5 via j7_asof_join)
-    "w3_lag_lead",
+    # aggregate/window tails: A2's one-row global agg; W3 stays covered
+    # via st3_session_window's lag-gap formulation (w3_lag_lead moved
+    # out when st4 joined the window — every tag verified covered by
+    # tests/test_plan_shapes.py::test_driver_window_covers_all_tags)
+    "a2_global_agg",
     # order / set ops (O3–O6; O1 via q1/q13, O2 via q21)
     "o3_union_all",
     "o4_union_distinct",

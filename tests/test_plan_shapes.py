@@ -153,3 +153,19 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark):
             "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
             old_thresh,
         )
+
+
+def test_driver_window_covers_all_tags():
+    """The driver grades only the first 50 registry entries
+    (operators/__init__.DRIVER_WINDOW); every SURVEY §2 capability tag
+    that exists anywhere in the registry must have a representative
+    inside that window, or the capability silently loses its driver
+    correctness signal (round 1's biggest coverage hole)."""
+    names = list(REGISTRY)[:50]
+    covered = {t for n in names for t in REGISTRY[n].tags}
+    all_tags = {t for s in REGISTRY.values() for t in s.tags}
+    assert not all_tags - covered, f"uncovered §2 tags: {sorted(all_tags - covered)}"
+    # and every windowed slot must carry a full oracle — no rows-only
+    # entries inside the graded window
+    rows_only = [n for n in names if REGISTRY[n].oracle is None]
+    assert not rows_only, f"rows-only queries in the driver window: {rows_only}"

@@ -227,3 +227,48 @@ def test_stream_stream_interval_join_equals_batch(spark, replay_dir):
     want = TR.purchase_attribution_pairs(load_table(spark, SF, "events"))
     assert _rows(got) == _rows(want)
     assert got.count() > 0
+
+
+def test_restart_from_checkpoint_is_exactly_once(spark, tmp_path):
+    """Checkpoint recovery contract: a file-sink query stopped after
+    phase 1 and RESTARTED from the same checkpoint (a) does not re-emit
+    phase-1 output, and (b) still remembers dropDuplicates state from
+    before the restart — five phase-1 rows replayed verbatim in phase 2
+    must be dropped by the recovered state store, so the sink holds
+    each event_id exactly once. This is the §2.9 exactly-once story:
+    source offsets + state live in the checkpoint, the parquet sink's
+    transaction log makes replayed batches idempotent."""
+    events = load_table(spark, SF, "events")
+    phase1 = events.filter(F.col("event_id") % 2 == 0)
+    replayed_dups = phase1.orderBy("event_id").limit(5)
+    phase2 = events.filter(F.col("event_id") % 2 == 1).unionAll(replayed_dups)
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    cp = str(tmp_path / "cp")
+
+    def drain():
+        q = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .dropDuplicates(["event_id"])
+            .select("event_id", "user_id", "event_type", "value")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", cp)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    write_ordered_chunks([phase1], src)
+    drain()
+    n_phase1 = spark.read.parquet(out).count()
+    assert n_phase1 == phase1.count()
+
+    write_ordered_chunks([phase2], src)
+    drain()  # new query object, same checkpoint → resumes, not replays
+    sink = spark.read.parquet(out)
+    assert sink.count() == events.count()  # dups dropped, nothing re-emitted
+    assert sink.select("event_id").distinct().count() == events.count()
