@@ -671,3 +671,221 @@ def a4b_hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.05 * F.col("n_exact")
         ).alias("merged_within_5pct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# W9 — linear interpolation over a dense calendar spine: the
+# sensor/finance resampling primitive (fill each gap day with the
+# value linearly between its surrounding observations). Composes the
+# w8 spine-join with IGNORE NULLS carry windows — no Python, no UDF.
+# ---------------------------------------------------------------------------
+
+_W9_ORACLE = """
+WITH sub AS (
+  SELECT event_type,
+         date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day_idx,
+         CAST(round(value * 100) AS BIGINT) AS v_units
+  FROM events WHERE user_id % 97 = 0
+),
+obs AS (
+  SELECT event_type, day_idx, CAST(SUM(v_units) AS BIGINT) AS day_units
+  FROM sub GROUP BY event_type, day_idx
+),
+spans AS (
+  SELECT event_type, MIN(day_idx) AS lo, MAX(day_idx) AS hi FROM obs GROUP BY event_type
+),
+spine AS (
+  SELECT event_type, unnest(generate_series(lo, hi)) AS day_idx FROM spans
+),
+j AS (
+  SELECT spine.event_type, spine.day_idx, obs.day_units,
+         last_value(obs.day_units IGNORE NULLS) OVER (
+           PARTITION BY spine.event_type ORDER BY spine.day_idx
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+         last_value(CASE WHEN obs.day_units IS NOT NULL THEN spine.day_idx END IGNORE NULLS)
+           OVER (PARTITION BY spine.event_type ORDER BY spine.day_idx
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_d,
+         first_value(obs.day_units IGNORE NULLS) OVER (
+           PARTITION BY spine.event_type ORDER BY spine.day_idx
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+         first_value(CASE WHEN obs.day_units IS NOT NULL THEN spine.day_idx END IGNORE NULLS)
+           OVER (PARTITION BY spine.event_type ORDER BY spine.day_idx
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_d
+  FROM spine LEFT JOIN obs
+    ON spine.event_type = obs.event_type AND spine.day_idx = obs.day_idx
+)
+SELECT event_type, day_idx,
+       ROUND(CASE WHEN day_units IS NOT NULL THEN day_units / 100.0
+             ELSE (prev_v + (next_v - prev_v)
+                   * CAST(day_idx - prev_d AS DOUBLE)
+                   / CAST(next_d - prev_d AS DOUBLE)) / 100.0
+             END, 6) AS day_value,
+       (day_units IS NULL) AS interpolated
+FROM j
+"""
+
+
+@register("w9_linear_interpolate", oracle=_W9_ORACLE, tags=("W4", "W5", "A7", "J2"))
+def w9_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily per-type value series (a deterministic ~1% user slice, so
+    real gaps exist), densified to a calendar spine and linearly
+    interpolated: each missing day gets prev + (next−prev)·frac from
+    its surrounding observed days via IGNORE NULLS carry-forward /
+    carry-backward windows. Observed days pass through exactly.
+
+    Determinism: daily totals are exact cents integers; the
+    interpolation is one double expression over integers with the SAME
+    shape on both engines (identical IEEE bits), rounded at 6 dp.
+    Spine endpoints are observed minima/maxima, so every gap has both
+    neighbors — no extrapolation branch.
+
+    Scale: the spine generates distributively from per-type (lo, hi);
+    both windows and the join partition on event_type — at high
+    cardinality (sensor ids) the same plan shards per key with no
+    global ordering anywhere.
+    """
+    events = load_table(spark, sf_dir, "events")
+    sub = events.filter(F.col("user_id") % 97 == 0).select(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")).alias(
+            "day_idx"
+        ),
+        F.round(F.col("value") * 100).cast("long").alias("v_units"),
+    )
+    obs = sub.groupBy("event_type", "day_idx").agg(
+        F.sum("v_units").alias("day_units")
+    )
+    spine = (
+        obs.groupBy("event_type")
+        .agg(F.min("day_idx").alias("lo"), F.max("day_idx").alias("hi"))
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("day_idx"),
+        )
+    )
+    j = spine.join(obs, ["event_type", "day_idx"], "left")
+    w_back = (
+        Window.partitionBy("event_type")
+        .orderBy("day_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy("event_type")
+        .orderBy("day_idx")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_day = F.when(F.col("day_units").isNotNull(), F.col("day_idx"))
+    j = j.select(
+        "event_type",
+        "day_idx",
+        "day_units",
+        F.last("day_units", ignorenulls=True).over(w_back).alias("prev_v"),
+        F.last(obs_day, ignorenulls=True).over(w_back).alias("prev_d"),
+        F.first("day_units", ignorenulls=True).over(w_fwd).alias("next_v"),
+        F.first(obs_day, ignorenulls=True).over(w_fwd).alias("next_d"),
+    )
+    interp = (
+        F.col("prev_v")
+        + (F.col("next_v") - F.col("prev_v"))
+        * (F.col("day_idx") - F.col("prev_d")).cast("double")
+        / (F.col("next_d") - F.col("prev_d")).cast("double")
+    ) / 100.0
+    return j.select(
+        "event_type",
+        "day_idx",
+        F.round(
+            F.when(
+                F.col("day_units").isNotNull(), F.col("day_units") / 100.0
+            ).otherwise(interp),
+            6,
+        ).alias("day_value"),
+        F.col("day_units").isNull().alias("interpolated"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W10 — trailing rolling correlation between two daily series (count vs
+# value), computed from exact INTEGER windowed sums so the closed-form
+# correlation is one identical double expression on both engines — the
+# repo's integer-unit recipe extended to second moments.
+# ---------------------------------------------------------------------------
+
+_W10_ORACLE = """
+WITH daily AS (
+  SELECT event_type,
+         date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day_idx,
+         CAST(COUNT(*) AS BIGINT) AS x,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+  FROM events GROUP BY event_type, day_idx
+),
+s AS (
+  SELECT event_type, day_idx,
+         CAST(COUNT(*) OVER w AS BIGINT) AS n,
+         CAST(SUM(x) OVER w AS BIGINT) AS sx,
+         CAST(SUM(y) OVER w AS BIGINT) AS sy,
+         CAST(SUM(x * x) OVER w AS BIGINT) AS sxx,
+         CAST(SUM(y * y) OVER w AS BIGINT) AS syy,
+         CAST(SUM(x * y) OVER w AS BIGINT) AS sxy
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day_idx
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, day_idx,
+       ROUND((n * sxy - sx * sy)
+             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS rolling_corr
+FROM s
+WHERE n = 7
+  AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+"""
+
+
+@register("w10_rolling_corr", oracle=_W10_ORACLE, tags=("W4", "A11", "A7"))
+def w10_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day trailing correlation between daily event count and daily
+    value total, per event type. Instead of each engine's streaming
+    corr kernel (different accumulation orders ⇒ different low bits),
+    the window aggregates SIX exact integer sums (n, Σx, Σy, Σx², Σy²,
+    Σxy — counts and cents never overflow bigint here) and the Pearson
+    closed form is evaluated once as the same double expression on both
+    sides — bit-identical before the 6 dp round. Degenerate windows
+    (zero variance, or fewer than 7 days) are excluded on both sides.
+
+    Scale: one partial-aggregated groupBy to daily grain, then a
+    per-key ROWS frame — bounded state, no global sort; identical to
+    production rolling metrics over per-entity time series.
+    """
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type",
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+        ).alias("day_idx"),
+    ).agg(
+        F.count("*").alias("x"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("y"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day_idx")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    s = daily.select(
+        "event_type",
+        "day_idx",
+        F.count("*").over(w).alias("n"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum("y").over(w).alias("sy"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(w).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).over(w).alias("sxy"),
+    )
+    var_x = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    var_y = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    corr = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(
+        var_x.cast("double") * var_y.cast("double")
+    )
+    return (
+        s.filter((F.col("n") == 7) & (var_x > 0) & (var_y > 0))
+        .select("event_type", "day_idx", F.round(corr, 6).alias("rolling_corr"))
+    )
