@@ -2358,3 +2358,107 @@ def l4_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.avg(llr), 6).alias("importance"))
     )
     return scored.orderBy(F.col("importance").desc(), "doc_id").limit(_DSIR_K)
+
+
+# ---------------------------------------------------------------------------
+# L2/graph — PageRank over the near-duplicate graph (3 unrolled
+# iterations). Iterative algorithms are where engines usually diverge
+# (float accumulation order per iteration compounds); here every
+# iteration is EXACT integer arithmetic — rank in micro-units, floored
+# integer division for each neighbor contribution — so both engines
+# walk bit-identical states. The standard "which documents sit at the
+# center of a duplication cluster" centrality signal.
+# ---------------------------------------------------------------------------
+
+_PR_SCALE = 1_000_000  # rank 1.0 in integer micro-units
+
+_PAGERANK_ORACLE = rf"""
+WITH toks AS (
+  SELECT doc_id, {_ORACLE_DTOKS} AS ts FROM documents
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+        / (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))) >= 0.9
+),
+e AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY src),
+r0 AS (SELECT src AS id, CAST({_PR_SCALE} AS BIGINT) AS r FROM deg),
+it1 AS (
+  SELECT e.dst AS id,
+         CAST(150000 + (85 * SUM(r0.r // deg.d)) // 100 AS BIGINT) AS r
+  FROM e JOIN r0 ON e.src = r0.id JOIN deg ON e.src = deg.src
+  GROUP BY e.dst
+),
+it2 AS (
+  SELECT e.dst AS id,
+         CAST(150000 + (85 * SUM(it1.r // deg.d)) // 100 AS BIGINT) AS r
+  FROM e JOIN it1 ON e.src = it1.id JOIN deg ON e.src = deg.src
+  GROUP BY e.dst
+),
+it3 AS (
+  SELECT e.dst AS id,
+         CAST(150000 + (85 * SUM(it2.r // deg.d)) // 100 AS BIGINT) AS r
+  FROM e JOIN it2 ON e.src = it2.id JOIN deg ON e.src = deg.src
+  GROUP BY e.dst
+)
+SELECT id AS doc_id, ROUND(r / {_PR_SCALE}.0, 6) AS pagerank
+FROM it3
+ORDER BY r DESC, id
+LIMIT 20
+"""
+
+
+@register("g1_pagerank_neardup", oracle=_PAGERANK_ORACLE, tags=("L2", "J1", "A1", "O2"))
+def g1_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 PageRank centrality over the token-Jaccard ≥ 0.9
+    near-duplicate graph, 3 unrolled iterations with damping 0.85.
+    Rank lives in integer micro-units: each neighbor contribution is
+    `r DIV deg` (floored integer division) and the damped update is
+    `150000 + (85·Σ) DIV 100` — every iteration is an exact integer
+    state identical on both engines, immune to the float accumulation
+    ordering that usually makes iterative algorithms ungradable. The
+    ~1e-6 quantization per step is noise for a centrality ranking.
+
+    Scale: each iteration is one shuffle (groupBy dst) joined against
+    an edge list partitioned by src — textbook distributed PageRank; 3
+    static iterations unroll into one Catalyst plan with no
+    driver-side loop state. At 100 TB the same loop runs
+    checkpoint-per-iteration to cut lineage, and the dup graph is
+    pre-bucketed by the LSH candidate stage instead of the exact
+    pair join.
+    """
+    pairs = l2_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    e = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionAll(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    deg = e.groupBy("src").agg(F.count("*").alias("d"))
+    ranks = deg.select(
+        F.col("src").alias("id"), F.lit(_PR_SCALE).cast("long").alias("r")
+    )
+    for _ in range(3):
+        contrib = (
+            e.join(ranks, e.src == ranks.id)
+            .join(deg, "src")
+            .select("dst", F.expr("r DIV d").alias("c"))
+        )
+        ranks = contrib.groupBy("dst").agg(
+            (F.lit(150000) + F.expr("85 * sum(c) DIV 100"))
+            .cast("long")
+            .alias("r")
+        ).select(F.col("dst").alias("id"), "r")
+    return (
+        ranks.select(
+            F.col("id").alias("doc_id"),
+            F.round(F.col("r") / _PR_SCALE, 6).alias("pagerank"),
+        )
+        .orderBy(F.col("pagerank").desc(), "doc_id")
+        .limit(20)
+    )
