@@ -983,17 +983,26 @@ def l4_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     t = F.col("text")
 
+    # One split to a codepoint array, then O(1) element_at per term:
+    # substr(i, 1) re-scans the UTF-8 string from the start (O(i)), so
+    # the previous per-gram substr form was O(L²) per document —
+    # measured 14.1 s warm for 5 000 docs at sf0.1; this form is 4.3 s
+    # (vs DuckDB's 4.7 s on the identical arithmetic).
+    cps = F.transform(F.split(t, ""), lambda c: F.ascii(c).cast("long"))
+
     def gram_hash(i: Column) -> Column:
         total = F.lit(0).cast("long")
         for j, p in enumerate(_POW31):
-            total = total + F.ascii(t.substr(i + F.lit(j), F.lit(1))).cast("long") * F.lit(p)
+            total = total + F.element_at(F.col("cps"), i + F.lit(j)) * F.lit(p)
         return total % _WINNOW_MOD
 
     grams = F.transform(
-        F.sequence(F.lit(1), F.length(t) - _WINNOW_K + 1), gram_hash
+        F.sequence(F.lit(1), F.size(F.col("cps")) - _WINNOW_K + 1), gram_hash
     )
-    docs = docs.filter(F.length(t) >= _WINNOW_K + _WINNOW_W - 1).select(
-        "doc_id", grams.alias("grams")
+    docs = (
+        docs.filter(F.length(t) >= _WINNOW_K + _WINNOW_W - 1)
+        .select("doc_id", cps.alias("cps"))
+        .select("doc_id", grams.alias("grams"))
     )
     wins = F.transform(
         F.sequence(F.lit(1), F.size(F.col("grams")) - _WINNOW_W + 1),
