@@ -2382,14 +2382,25 @@ def l4_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PR_SCALE = 1_000_000  # rank 1.0 in integer micro-units
 
 _PAGERANK_ORACLE = rf"""
-WITH toks AS (
-  SELECT doc_id, {_ORACLE_DTOKS} AS ts FROM documents
+WITH g0 AS (
+  SELECT doc_id, unnest(gs) AS gram FROM (
+    SELECT doc_id, {_CHARGRAMS} AS gs FROM documents)
+),
+dfreq AS (SELECT gram, count(*) AS df FROM g0 GROUP BY gram),
+g AS (SELECT g0.doc_id, g0.gram FROM g0 JOIN dfreq USING(gram)
+      WHERE df <= {_NGRAM_DF_CAP}),
+sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+cpairs AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS common
+  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY da, db
 ),
 pairs AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM toks a JOIN toks b ON a.doc_id < b.doc_id
-  WHERE CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
-        / (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))) >= 0.9
+  SELECT da AS doc_a, db AS doc_b
+  FROM cpairs
+  JOIN sizes sa ON sa.doc_id = da
+  JOIN sizes sb ON sb.doc_id = db
+  WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= 0.8
 ),
 e AS (
   SELECT doc_a AS src, doc_b AS dst FROM pairs
@@ -2425,8 +2436,10 @@ LIMIT 20
 
 @register("g1_pagerank_neardup", oracle=_PAGERANK_ORACLE, tags=("L2", "J1", "A1", "O2"))
 def g1_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-20 PageRank centrality over the token-Jaccard ≥ 0.9
-    near-duplicate graph, 3 unrolled iterations with damping 0.85.
+    """Top-20 PageRank centrality over the df-capped trigram-Jaccard
+    ≥ 0.8 near-duplicate graph (l2_ngram_jaccard's bounded pair join —
+    the token-Jaccard graph degenerates to ~O(n²) edges on this
+    fixture's 31-word vocabulary), 3 unrolled iterations, damping 0.85.
     Rank lives in integer micro-units: each neighbor contribution is
     `r DIV deg` (floored integer division) and the damped update is
     `150000 + (85·Σ) DIV 100` — every iteration is an exact integer
@@ -2438,11 +2451,11 @@ def g1_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     an edge list partitioned by src — textbook distributed PageRank; 3
     static iterations unroll into one Catalyst plan with no
     driver-side loop state. At 100 TB the same loop runs
-    checkpoint-per-iteration to cut lineage, and the dup graph is
-    pre-bucketed by the LSH candidate stage instead of the exact
-    pair join.
+    checkpoint-per-iteration to cut lineage; the edge list's df cap
+    already bounds per-gram join fan-out, and the LSH candidate stage
+    can replace it wholesale without touching the rank loop.
     """
-    pairs = l2_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = l2_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
     e = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionAll(
