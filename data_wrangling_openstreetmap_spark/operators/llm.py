@@ -2484,3 +2484,77 @@ def g1_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pagerank").desc(), "doc_id")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# L6 — embedding covariance matrix (the input to PCA/whitening/ZCA —
+# what a feature-decorrelation stage consumes). Upper triangle only:
+# 64·65/2 = 2080 (dim_i, dim_j) cells from one pass over the vectors.
+# ---------------------------------------------------------------------------
+
+_COV_ORACLE = """
+WITH cells AS (
+  SELECT i.i AS dim_i, j.j AS dim_j,
+         SUM(e.embedding[i.i]::DOUBLE * e.embedding[j.j]::DOUBLE) AS sxy,
+         SUM(e.embedding[i.i]::DOUBLE) AS sx,
+         SUM(e.embedding[j.j]::DOUBLE) AS sy,
+         COUNT(*) AS n
+  FROM embeddings e, generate_series(1, 64) i(i), generate_series(1, 64) j(j)
+  WHERE j.j >= i.i
+  GROUP BY i.i, j.j
+)
+SELECT dim_i, dim_j,
+       ROUND((sxy - sx * sy / n) / (n - 1), 6) + 0 AS cov
+FROM cells
+"""
+
+
+@register("l6_covariance_matrix", oracle=_COV_ORACLE, tags=("L6", "A11", "F5"))
+def l6_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample covariance of the 64-d embedding space, upper triangle as
+    (dim_i, dim_j, cov) rows — the sufficient statistics for PCA /
+    whitening computed without ever collecting a vector. Each row emits
+    its 2080 upper-triangle products as struct rows in one projection;
+    the groupBy partial-aggregates map-side, so the shuffle carries
+    2080 cells × partitions, not 2080 × rows. cov = (Σxy − ΣxΣy/n)/
+    (n−1) is the same expression tree on both engines, rounded at 6 dp
+    (double fold order differs at ~1e-13).
+
+    Scale: one pass, one narrow shuffle — the classic distributed
+    second-moment pattern; at 1000 dims the triangle (≈500 k cells)
+    still partial-aggregates the same way, and the eigen-solve on the
+    64×64 (or 1000×1000) result is a driver-side O(d³) afterthought.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    cells = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(64)),
+            lambda i: F.transform(
+                F.sequence(i, F.lit(64)),
+                lambda j: F.struct(
+                    i.alias("dim_i"),
+                    j.alias("dim_j"),
+                    (F.element_at(v, i) * F.element_at(v, j)).alias("xy"),
+                    F.element_at(v, i).alias("x"),
+                    F.element_at(v, j).alias("y"),
+                ),
+            ),
+        )
+    )
+    exploded = e.select(F.explode(cells).alias("c")).select("c.*")
+    agg = exploded.groupBy("dim_i", "dim_j").agg(
+        F.sum("xy").alias("sxy"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.count("*").alias("n"),
+    )
+    cov = (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")) / (
+        F.col("n") - 1
+    )
+    # `+ 0.0` normalizes IEEE negative zero: a cell whose true cov sits
+    # just below 0 can round to -0.0 on one engine and 0.0 on the other
+    # (observed: one cell at sf0.01), and the driver hashes the strings.
+    return agg.select(
+        "dim_i", "dim_j", (F.round(cov, 6) + F.lit(0.0)).alias("cov")
+    )
