@@ -76,7 +76,10 @@ DRIVER_WINDOW = (
     "p3_regex_classify",
     "p4_regex_extract",
     "p5_dict_normalize",
-    "p6_conditional",
+    # P6 stays covered via p3_regex_classify's CASE battery; the slot
+    # carries the A11 stats family instead (rolling Pearson from exact
+    # integer moments — also deepens W4/A7)
+    "w10_rolling_corr",
     # join family tail (J2, J4 via q21+q13, J6, J7, J8)
     "q13_order_count_distribution",
     "q21_sole_fault_supplier",

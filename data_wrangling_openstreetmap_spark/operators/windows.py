@@ -488,7 +488,7 @@ GROUP BY o_orderpriority
 """
 
 
-@register("a11_stats_agg", oracle=_A11_ORACLE, tags=("A1",))
+@register("a11_stats_agg", oracle=_A11_ORACLE, tags=("A11", "A1"))
 def a11_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population stddev/variance of order value and its (null)
     correlation with customer key, per priority.
