@@ -326,3 +326,60 @@ def test_m5_parity_metadata_agrees_with_m1_decode(spark):
     for r in m5_decode_parity(spark, SF_SMALL).collect():
         assert m1[r.doc_id] == (r.n_bytes, r.width, r.height)
         assert max(r.out_width, r.out_height) == 224
+
+
+def test_interpolation_passes_observed_days_through(spark):
+    from data_wrangling_openstreetmap_spark.io import load_table
+    from data_wrangling_openstreetmap_spark.operators.windows import (
+        w9_linear_interpolate,
+    )
+
+    out = w9_linear_interpolate(spark, SF_SMALL)
+    rows = out.collect()
+    n_obs = (
+        load_table(spark, SF_SMALL, "events")
+        .filter(F.col("user_id") % 97 == 0)
+        .select("event_type", F.col("ts").cast("date").alias("d"))
+        .distinct()
+        .count()
+    )
+    assert sum(1 for r in rows if not r.interpolated) == n_obs
+    # interpolated values sit strictly between some observed neighbors'
+    # range — weak sanity: all values finite and the series is dense
+    # (one row per day per type between endpoints)
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r.day_idx)
+    for days in by_type.values():
+        days.sort()
+        assert days == list(range(days[0], days[-1] + 1))
+
+
+def test_rolling_corr_is_a_valid_correlation(spark):
+    from data_wrangling_openstreetmap_spark.operators.windows import (
+        w10_rolling_corr,
+    )
+
+    rows = w10_rolling_corr(spark, SF_SMALL).collect()
+    assert rows, "expected at least one full 7-day window"
+    assert all(-1.0 <= r.rolling_corr <= 1.0 for r in rows)
+
+
+def test_fuzzy_join_pairs_are_within_bound_and_blocked(spark):
+    from data_wrangling_openstreetmap_spark.io import load_table
+    from data_wrangling_openstreetmap_spark.operators.llm import (
+        j9_fuzzy_name_join,
+    )
+
+    pairs = j9_fuzzy_name_join(spark, SF_SMALL)
+    rows = pairs.collect()
+    assert rows, "fixture should contain near-identical part names"
+    assert all(0 <= r.edit_dist <= 2 for r in rows)
+    assert all(r.key_a < r.key_b for r in rows)
+    names = {
+        r.p_partkey: r.p_name
+        for r in load_table(spark, SF_SMALL, "part").collect()
+    }
+    for r in rows[:50]:
+        wa, wb = names[r.key_a].split(" "), names[r.key_b].split(" ")
+        assert wa[0] == wb[0] or wa[1] == wb[1]  # blocking respected
