@@ -133,3 +133,53 @@ def test_running_sum_last_equals_total(spark, values):
     assert out[-1].rs == sum(values)
     for prev, cur in zip(out, out[1:]):
         assert cur.rs == prev.rs + cur.v
+
+
+@given(st.lists(words, min_size=1, max_size=12))
+@settings(**SETTINGS)
+def test_simhash_is_token_order_invariant(spark, toks):
+    """simhash64 votes over the token MULTISET — any permutation of the
+    tokens (here: reversal, and a sorted copy) must fingerprint
+    identically, while remaining sensitive to multiset changes."""
+    text = " ".join(toks)
+    rev = " ".join(reversed(toks))
+    srt = " ".join(sorted(toks))
+    df = spark.createDataFrame(
+        [(text, rev, srt)], "a string, b string, c string"
+    ).select(
+        T.simhash64(T.tokens(F.col("a"))).alias("ha"),
+        T.simhash64(T.tokens(F.col("b"))).alias("hb"),
+        T.simhash64(T.tokens(F.col("c"))).alias("hc"),
+    )
+    r = df.collect()[0]
+    assert r.ha == r.hb == r.hc
+
+
+@given(st.lists(st.integers(min_value=0, max_value=1000), min_size=2, max_size=9))
+@settings(**SETTINGS)
+def test_rolling_corr_moments_match_python(spark, xs):
+    """The integer-moment Pearson closed form used by w10 agrees with a
+    direct Python computation on the full window."""
+    ys = [(v * 7 + 3) % 101 for v in xs]  # deterministic second series
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(v * v for v in xs)
+    syy = sum(v * v for v in ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    vx, vy = n * sxx - sx * sx, n * syy - sy * sy
+    if vx <= 0 or vy <= 0:
+        return  # degenerate window — excluded by the operator too
+    want = (n * sxy - sx * sy) / math.sqrt(vx * vy)
+    df = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in zip(xs, ys)], "x long, y long"
+    ).agg(
+        (
+            (F.count("*") * F.sum(F.col("x") * F.col("y")) - F.sum("x") * F.sum("y"))
+            / F.sqrt(
+                (F.count("*") * F.sum(F.col("x") * F.col("x")) - F.sum("x") * F.sum("x")).cast("double")
+                * (F.count("*") * F.sum(F.col("y") * F.col("y")) - F.sum("y") * F.sum("y")).cast("double")
+            )
+        ).alias("corr")
+    )
+    got = df.collect()[0].corr
+    assert abs(got - want) < 1e-9
