@@ -2638,3 +2638,89 @@ def j9_fuzzy_name_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.filter(dist <= _FUZZY_ED)
         .select("key_a", "key_b", dist.cast("long").alias("edit_dist"))
     )
+
+
+# ---------------------------------------------------------------------------
+# A14 — frequent co-occurrence mining (market-basket pairs): which part
+# pairs appear together in the same order more often than chance. The
+# association-rule primitive (support + lift) as one bounded self-join —
+# per-basket item counts cap the fan-out, so this is NOT an n² join.
+# ---------------------------------------------------------------------------
+
+_COPURCHASE_MIN_SUP = 3
+
+_COPURCHASE_ORACLE = f"""
+WITH li AS (
+  SELECT l_orderkey, l_partkey
+  FROM lineitem GROUP BY l_orderkey, l_partkey
+),
+n_orders AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n FROM li),
+item_cnt AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS c FROM li GROUP BY l_partkey),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         CAST(COUNT(*) AS BIGINT) AS support
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY part_a, part_b
+  HAVING COUNT(*) >= {_COPURCHASE_MIN_SUP}
+)
+SELECT part_a, part_b, support,
+       ROUND(CAST(support AS DOUBLE) * n_orders.n
+             / (ca.c * cb.c), 6) AS lift
+FROM pairs
+JOIN item_cnt ca ON ca.l_partkey = part_a
+JOIN item_cnt cb ON cb.l_partkey = part_b, n_orders
+"""
+
+
+@register("a14_copurchase_pairs", oracle=_COPURCHASE_ORACLE, tags=("A1", "J8", "A3"))
+def a14_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair mining: distinct (order, part) baskets
+    self-join on the order key, pair support counted, kept at support ≥
+    {sup}, with lift = support·N / (count_a·count_b) — the association
+    strength that separates genuinely coupled items from popular ones.
+    Lift is one double expression over exact integers, identical on
+    both engines, rounded at 6 dp.
+
+    Scale: the self-join fans out only within a basket (≤13 items in
+    this fixture ⇒ ≤78 pairs per order), so cost is Σ basket², not n² —
+    the reason every production frequent-itemset pass starts from the
+    basket-grouped form. The support HAVING partial-aggregates before
+    its exchange; item counts broadcast to the final lift join.
+    """
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n_orders = li.agg(F.countDistinct("l_orderkey").alias("n"))
+    item_cnt = li.groupBy("l_partkey").agg(F.count("*").alias("c"))
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= _COPURCHASE_MIN_SUP)
+    )
+    ca = item_cnt.select(
+        F.col("l_partkey").alias("part_a"), F.col("c").alias("ca")
+    )
+    cb = item_cnt.select(
+        F.col("l_partkey").alias("part_b"), F.col("c").alias("cb")
+    )
+    lift = F.round(
+        F.col("support").cast("double") * F.col("n") / (F.col("ca") * F.col("cb")), 6
+    )
+    return (
+        pairs.join(F.broadcast(ca), "part_a")
+        .join(F.broadcast(cb), "part_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select("part_a", "part_b", "support", lift.alias("lift"))
+    )
