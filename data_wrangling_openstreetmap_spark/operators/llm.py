@@ -2724,3 +2724,93 @@ def a14_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(n_orders))
         .select("part_a", "part_b", "support", lift.alias("lift"))
     )
+
+
+# ---------------------------------------------------------------------------
+# S3/L3 — deterministic negative sampling for contrastive training:
+# every anchor embedding gets K pseudo-random negatives drawn by
+# multiplicative hashing over the id rank space — no RNG state, the
+# hash IS the sample (same rule as s3c/s9), so the pairing reproduces
+# bit-for-bit across runs, engines, and partitionings.
+# ---------------------------------------------------------------------------
+
+_NEG_K = 4
+
+_NEG_SAMPLE_ORACLE = f"""
+WITH r AS (
+  SELECT vec_id, label,
+         row_number() OVER (ORDER BY vec_id) - 1 AS rk,
+         COUNT(*) OVER () AS n
+  FROM embeddings
+),
+drawn AS (
+  SELECT a.vec_id AS anchor_id, k.k AS k, a.label AS a_label,
+         (a.rk * 2654435761 + k.k * 40503) % a.n AS neg_rk0,
+         a.rk, a.n
+  FROM r a, generate_series(1, {_NEG_K}) k(k)
+),
+fixed AS (
+  SELECT anchor_id, k, a_label,
+         CASE WHEN neg_rk0 = rk THEN (neg_rk0 + 1) % n ELSE neg_rk0 END AS neg_rk
+  FROM drawn
+)
+SELECT f.anchor_id, f.k, b.vec_id AS neg_id,
+       (f.a_label = b.label) AS same_label
+FROM fixed f JOIN r b ON f.neg_rk = b.rk
+"""
+
+
+@register("s10_negative_sampling", oracle=_NEG_SAMPLE_ORACLE, tags=("S3", "L3", "J1"))
+def s10_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K={k} negatives per anchor for contrastive training: anchor rank
+    r draws negative ranks (r·2654435761 + k·40503) mod n (bumped by
+    one when it lands on itself), resolved back to vec_ids by an
+    equi-join on rank. `same_label` flags collisions with the anchor's
+    own class — downstream losses either drop or weight them; the flag
+    makes the false-negative rate auditable.
+
+    Scale: the rank spine is one window over vec_id (at 100 TB use the
+    id directly when dense, or zipWithIndex-style monotonic ranks per
+    partition + offset); the draw is a projection and the resolve is a
+    shuffle-join on an int key, uniformly distributed by construction
+    — no hot keys, no RNG coordination across executors.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    w = Window.orderBy("vec_id")
+    r = e.select(
+        "vec_id",
+        "label",
+        (F.row_number().over(w) - 1).alias("rk"),
+    ).crossJoin(F.broadcast(e.agg(F.count("*").alias("n"))))
+    ks = spark.range(1, _NEG_K + 1).select(F.col("id").cast("int").alias("k"))
+    drawn = r.crossJoin(F.broadcast(ks)).select(
+        F.col("vec_id").alias("anchor_id"),
+        "k",
+        F.col("label").alias("a_label"),
+        ((F.col("rk") * 2654435761 + F.col("k") * 40503) % F.col("n")).alias(
+            "neg_rk0"
+        ),
+        "rk",
+        "n",
+    )
+    fixed = drawn.select(
+        "anchor_id",
+        "k",
+        "a_label",
+        F.when(
+            F.col("neg_rk0") == F.col("rk"), (F.col("neg_rk0") + 1) % F.col("n")
+        )
+        .otherwise(F.col("neg_rk0"))
+        .alias("neg_rk"),
+    )
+    b = r.select(
+        F.col("rk").alias("neg_rk"),
+        F.col("vec_id").alias("neg_id"),
+        F.col("label").alias("b_label"),
+    )
+    return fixed.join(b, "neg_rk").select(
+        "anchor_id",
+        "k",
+        "neg_id",
+        (F.col("a_label") == F.col("b_label")).alias("same_label"),
+    )
