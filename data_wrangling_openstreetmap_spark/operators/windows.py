@@ -889,3 +889,81 @@ def w10_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.filter((F.col("n") == 7) & (var_x > 0) & (var_y > 0))
         .select("event_type", "day_idx", F.round(corr, 6).alias("rolling_corr"))
     )
+
+
+# ---------------------------------------------------------------------------
+# A15 — robust outlier statistics: median + MAD and the count of
+# |x − med| > 3·1.4826·MAD points per group — the cleaning gate that
+# survives the heavy tails that break mean/stddev z-scores. Two exact
+# percentile passes (group medians, then deviation medians) joined
+# back; the a10 percentile recipe proves the cross-engine interpolation
+# agrees, and the deviation pipeline reuses it verbatim.
+# ---------------------------------------------------------------------------
+
+_A15_ORACLE = """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY event_type
+),
+dev AS (
+  SELECT e.event_type,
+         quantile_cont(abs(e.value - med.med), 0.5) AS mad
+  FROM events e JOIN med USING (event_type)
+  GROUP BY e.event_type
+)
+SELECT med.event_type,
+       round(med.med, 4) AS median_value,
+       round(dev.mad, 4) AS mad_value,
+       CAST(SUM(CASE WHEN abs(e.value - med.med) > 3 * 1.4826 * dev.mad
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events e
+JOIN med USING (event_type)
+JOIN dev ON dev.event_type = med.event_type
+GROUP BY med.event_type, med.med, dev.mad
+"""
+
+
+@register("a15_robust_outliers", oracle=_A15_ORACLE, tags=("A11", "A1", "J1"))
+def a15_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD outlier census per event type: the robust analogue of
+    the 3σ rule (1.4826·MAD estimates σ under normality, so the gate
+    is familiar but resists the very outliers it hunts). Both medians
+    are exact interpolated percentiles — the a10-proven cross-engine
+    recipe — and the outlier comparison uses the UNROUNDED statistics
+    on both engines, so the census is value-deterministic; outputs
+    round at 4 dp like a10.
+
+    Scale: two grouped exact percentiles (same caveat as a10: switch
+    to approx_percentile's t-digest at 100 TB) + one broadcast of the
+    |groups|-row statistics back across the fact scan — the outlier
+    count itself partial-aggregates map-side.
+    """
+    events = load_table(spark, sf_dir, "events")
+    med = events.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = (
+        events.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(F.expr("percentile(abs(value - med), 0.5)").alias("mad"))
+    )
+    gate = 3 * 1.4826 * F.col("mad")
+    return (
+        events.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(dev), "event_type")
+        .groupBy("event_type", "med", "mad")
+        .agg(
+            F.sum(
+                F.when(F.abs(F.col("value") - F.col("med")) > gate, 1).otherwise(0)
+            ).alias("n_outliers"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            "event_type",
+            F.round("med", 4).alias("median_value"),
+            F.round("mad", 4).alias("mad_value"),
+            "n_outliers",
+            "n",
+        )
+    )
