@@ -166,3 +166,38 @@ def test_zorder_layout_clusters_both_dims(spark, tmp_path):
     # a 32x32 tile, whatever the data distribution.
     graded = d3_zorder_curve(spark, sf).collect()
     assert all(r.span_x <= 31 and r.span_y <= 31 for r in graded)
+
+
+def test_cbo_uses_analyzed_stats_for_join_strategy(spark):
+    """Cost-based decisions at 100 TB come from ANALYZE TABLE stats,
+    not file sizes: a catalog table with computed statistics reports
+    its row count / size to the optimizer, and the join side whose
+    STATS (not its on-disk footprint) fit under
+    autoBroadcastJoinThreshold is the one that broadcasts."""
+    from data_wrangling_openstreetmap_spark.io import load_table
+    from data_wrangling_openstreetmap_spark.plans import plan_string
+
+    load_table(spark, SF, "nation").write.mode("overwrite").saveAsTable(
+        "nation_stats"
+    )
+    load_table(spark, SF, "orders").write.mode("overwrite").saveAsTable(
+        "orders_stats"
+    )
+    try:
+        spark.sql("ANALYZE TABLE nation_stats COMPUTE STATISTICS")
+        spark.sql("ANALYZE TABLE orders_stats COMPUTE STATISTICS")
+        stats = spark.sql("DESCRIBE EXTENDED nation_stats").filter(
+            "col_name = 'Statistics'"
+        ).collect()
+        assert stats and "rows" in stats[0].data_type  # stats recorded
+        j = spark.table("orders_stats").join(
+            spark.table("nation_stats"),
+            spark.table("orders_stats").o_custkey % 25
+            == spark.table("nation_stats").n_nationkey,
+        )
+        plan = plan_string(j)
+        # the 25-row analyzed dimension broadcasts; the fact side doesn't
+        assert "BroadcastHashJoin" in plan, plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS nation_stats")
+        spark.sql("DROP TABLE IF EXISTS orders_stats")
