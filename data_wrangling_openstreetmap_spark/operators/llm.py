@@ -2814,3 +2814,85 @@ def s10_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         "neg_id",
         (F.col("a_label") == F.col("b_label")).alias("same_label"),
     )
+
+
+# ---------------------------------------------------------------------------
+# L4 — bigram LM scoring: the conditional-probability upgrade of
+# l4_unigram_logprob (fluency, not just vocabulary typicality — word
+# ORDER now matters). Add-one smoothing over the corpus vocabulary
+# keeps unseen transitions finite without a backoff table.
+# ---------------------------------------------------------------------------
+
+_BIGRAM_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x != '') AS ts
+  FROM documents
+),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(ts)-1),
+                i -> ts[i] || ' ' || ts[i+1])) AS bigram,
+         unnest(list_transform(generate_series(1, len(ts)-1), i -> ts[i])) AS w1
+  FROM t WHERE len(ts) >= 2
+),
+bgc AS (SELECT bigram, CAST(COUNT(*) AS BIGINT) AS cb FROM bg GROUP BY bigram),
+uni AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS cu
+  FROM (SELECT unnest(ts) AS tok FROM t) GROUP BY tok
+),
+vocab AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM uni)
+SELECT b.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       ROUND(AVG(ln((bgc.cb + 1.0) / (uni.cu + vocab.v))), 6) AS avg_bigram_logprob
+FROM bg b
+JOIN bgc USING (bigram)
+JOIN uni ON uni.tok = b.w1, vocab
+GROUP BY b.doc_id
+"""
+
+
+@register("l4_bigram_logprob", oracle=_BIGRAM_ORACLE, tags=("L4", "A1", "J1"))
+def l4_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean add-one-smoothed bigram log-probability per document under
+    the corpus's own bigram LM: ln((C(w1 w2)+1)/(C(w1)+V)) averaged
+    over the document's transitions. Where the unigram gate scores
+    vocabulary typicality, this scores FLUENCY — shuffled or
+    glitch-concatenated text collapses even when every word is common
+    (the next rung toward CCNet's KenLM gate). 6 dp round on the mean
+    (fold order); the probability ratio itself is exact-integer in
+    double.
+
+    Scale: bigram and unigram count tables are token-keyed aggregates
+    over one exploded pass; both broadcast to the scoring join at this
+    vocab (shuffle-join on the bigram key when they outgrow it) — the
+    document text never shuffles, only (doc_id, bigram) pairs.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", T.tokens(F.col("text")).alias("ts")).filter(
+        F.size("ts") >= 2
+    )
+    bg = t.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, size(ts)-1), i -> struct(concat(ts[i-1], ' ', ts[i]) AS bigram, ts[i-1] AS w1))")
+        ).alias("p"),
+    ).select("doc_id", "p.bigram", "p.w1")
+    bgc = bg.groupBy("bigram").agg(F.count("*").alias("cb"))
+    uni = (
+        docs.select(F.explode(T.tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("cu"))
+    )
+    vocab = uni.agg(F.count("*").alias("v"))
+    return (
+        bg.join(F.broadcast(bgc), "bigram")
+        .join(F.broadcast(uni.withColumnRenamed("tok", "w1")), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(
+                F.avg(F.log((F.col("cb") + 1.0) / (F.col("cu") + F.col("v")))), 6
+            ).alias("avg_bigram_logprob"),
+        )
+    )
