@@ -96,13 +96,16 @@ def main() -> None:
         sfk = sf_dir.rstrip("/")
         # Partition counts follow rows-per-task, not core count: ~10⁵
         # rows/task keeps every stage one wave while minimizing task
-        # launches, the dominant cost at sub-GB scale (measured: facts
-        # at 8 partitions beat 32 by ~35% per query). embeddings stays
-        # wider — q10's Arrow-batched matmul wants the parallelism.
-        # This is the bench-local image of the 128 MB-per-partition
-        # sizing rule a 100 TB run uses.
+        # launches, the dominant cost at sub-GB scale. Measured sweep on
+        # the 600 k-row lineitem: 16 partitions (~4·10⁴ rows/task) beats
+        # both 8 (scan-bound: q1 0.38→0.26 s) and 32 (task-dispatch-
+        # bound: total 1.95 vs 1.67 s); the 10⁴–10⁵-row tables stay at
+        # 8 where dispatch dominates. embeddings stays wider — q10's
+        # Arrow-batched matmul wants the parallelism. This is the
+        # bench-local image of the 128 MB-per-partition sizing rule a
+        # 100 TB run uses.
         parts = {
-            "lineitem": 8,
+            "lineitem": 16,
             "orders": 8,
             "events": 8,
             "documents": 8,
