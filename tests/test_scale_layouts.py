@@ -201,3 +201,31 @@ def test_cbo_uses_analyzed_stats_for_join_strategy(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS nation_stats")
         spark.sql("DROP TABLE IF EXISTS orders_stats")
+
+
+def test_small_file_compaction_preserves_data_and_cuts_files(spark, tmp_path):
+    """The 100 TB maintenance op nobody skips: a streaming or
+    per-partition writer leaves hundreds of tiny files whose per-file
+    open/footer cost dominates scans; periodic compaction rewrites
+    them into ~one-wave-sized files. Contract: file count collapses,
+    bytes shrink-or-hold (shared dictionaries/footers), and the data
+    is bit-identical."""
+    import glob
+
+    from data_wrangling_openstreetmap_spark.io import load_table
+
+    src = str(tmp_path / "fragmented")
+    dst = str(tmp_path / "compacted")
+    orders = load_table(spark, SF, "orders")
+    orders.repartition(40).write.mode("overwrite").parquet(src)  # simulate drip writes
+    n_small = len(glob.glob(f"{src}/*.parquet"))
+    assert n_small == 40
+
+    frag = spark.read.parquet(src)
+    frag.coalesce(2).write.mode("overwrite").parquet(dst)  # compaction pass
+    n_big = len(glob.glob(f"{dst}/*.parquet"))
+    assert n_big == 2
+
+    a = sorted(tuple(r) for r in spark.read.parquet(src).collect())
+    b = sorted(tuple(r) for r in spark.read.parquet(dst).collect())
+    assert a == b
