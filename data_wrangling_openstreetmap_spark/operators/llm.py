@@ -2896,3 +2896,72 @@ def l4_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_bigram_logprob"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# L1/L2 — incremental cross-corpus dedup: the ingestion-time form of
+# dedup (every crawl snapshot is cleaned AGAINST the corpus you already
+# kept, not just within itself). Splitting the fixture by doc_id parity
+# stands in for (existing corpus, incoming batch).
+# ---------------------------------------------------------------------------
+
+_XDEDUP_ORACLE = r"""
+WITH keyed AS (
+  SELECT doc_id, lang,
+         array_to_string(list_sort(list_distinct(
+           list_filter(string_split_regex(text, '\s+'), x -> x != ''))), ' ')
+           AS tokenset_key
+  FROM documents
+),
+corpus AS (SELECT * FROM keyed WHERE doc_id % 2 = 0),
+incoming AS (SELECT * FROM keyed WHERE doc_id % 2 = 1)
+SELECT i.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_incoming,
+       CAST(SUM(CASE WHEN c.tokenset_key IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_vs_corpus,
+       CAST(SUM(CASE WHEN c.tokenset_key IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_admitted
+FROM incoming i
+LEFT JOIN (SELECT DISTINCT tokenset_key FROM corpus) c USING (tokenset_key)
+GROUP BY i.lang
+"""
+
+
+@register("l1_cross_corpus_dedup", oracle=_XDEDUP_ORACLE, tags=("L1", "L2", "J4"))
+def l1_cross_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-time dedup audit: incoming docs (odd ids) whose
+    canonical token-set fingerprint already exists in the kept corpus
+    (even ids) are rejected; per-language admit/reject counts. The
+    within-batch form is l1_exact_dedup — this is the ACROSS-snapshots
+    form every recurring crawl needs, shaped as a left join against
+    the corpus's distinct fingerprint set (anti-join semantics with an
+    audit trail).
+
+    Scale: the corpus side reduces to distinct fingerprints before the
+    join — at 100 TB that set lives as a bucketed/sorted table keyed
+    by xxhash64(fingerprint) so each snapshot's join is co-located and
+    incremental (append new fingerprints after admission); the
+    incoming batch never shuffles its text, only its keys.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id", "lang", T.token_set_key(F.col("text")).alias("tokenset_key")
+    )
+    corpus_keys = (
+        keyed.filter(F.col("doc_id") % 2 == 0).select("tokenset_key").distinct()
+        .withColumn("in_corpus", F.lit(1))
+    )
+    incoming = keyed.filter(F.col("doc_id") % 2 == 1)
+    return (
+        incoming.join(F.broadcast(corpus_keys), "tokenset_key", "left")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_incoming"),
+            F.sum(
+                F.when(F.col("in_corpus").isNotNull(), 1).otherwise(0)
+            ).alias("n_dup_vs_corpus"),
+            F.sum(F.when(F.col("in_corpus").isNull(), 1).otherwise(0)).alias(
+                "n_admitted"
+            ),
+        )
+    )
