@@ -2965,3 +2965,132 @@ def l1_cross_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# L3 — MMR (maximal marginal relevance) diversified re-ranking: the
+# standard fix for near-duplicate retrieval results (RAG context
+# stuffing, search page diversity). Greedy is inherently sequential —
+# here the 5 picks unroll into a static plan (and a matching CTE
+# chain), with every score a rounded-6dp expression and a unique id
+# tiebreak, so both engines select the identical sequence.
+# ---------------------------------------------------------------------------
+
+_MMR_K = 5
+_MMR_POOL = 20
+_MMR_LAMBDA = 0.7
+_MMR_MU = 0.3  # NOT computed as 1-λ: double(1-0.7)=0.30000000000000004 ≠ double(0.3)
+
+
+def _mmr_oracle() -> str:
+    head = f"""
+WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+cand AS (
+  SELECT b.vec_id AS id,
+         ROUND(list_cosine_similarity(b.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) AS rel
+  FROM embeddings b, q WHERE b.vec_id <> 0
+  ORDER BY rel DESC, id LIMIT {_MMR_POOL}
+),
+sims AS (
+  SELECT a.id AS ia, b.id AS ib,
+         ROUND(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 6) AS sim
+  FROM cand a JOIN cand b ON a.id <> b.id
+  JOIN embeddings ea ON ea.vec_id = a.id
+  JOIN embeddings eb ON eb.vec_id = b.id
+),
+s1 AS (SELECT id, rel, 1 AS pick FROM cand ORDER BY rel DESC, id LIMIT 1)"""
+    ctes = [head]
+    for k in range(2, _MMR_K + 1):
+        prev = " UNION ALL ".join(f"SELECT id FROM s{i}" for i in range(1, k))
+        ctes.append(f""",
+s{k} AS (
+  SELECT c.id, c.rel, {k} AS pick
+  FROM cand c JOIN sims ON sims.ia = c.id AND sims.ib IN ({prev})
+  WHERE c.id NOT IN ({prev})
+  GROUP BY c.id, c.rel
+  ORDER BY {_MMR_LAMBDA} * c.rel - {_MMR_MU} * MAX(sims.sim) DESC, c.id
+  LIMIT 1
+)""")
+    union = " UNION ALL ".join(
+        f"SELECT pick, id AS vec_id, rel FROM s{i}" for i in range(1, _MMR_K + 1)
+    )
+    return "".join(ctes) + "\n" + union
+
+
+@register("l3_mmr_rerank", oracle=_mmr_oracle(), tags=("L3", "O2", "W2"))
+def l3_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR re-ranking of the query-0 cosine top-{pool}: greedily pick
+    {k} results maximizing λ·relevance − (1−λ)·max-similarity-to-
+    already-picked (λ={lam}). The first pick is pure relevance; each
+    later pick penalizes redundancy against everything selected so far
+    — near-duplicate hits that dominate plain top-k drop out.
+
+    Determinism: relevance and pairwise sims round at 6 dp BEFORE the
+    greedy loop, the MMR score is one identical double expression, and
+    every argmax carries the id tiebreak — both engines walk the same
+    5-step selection path.
+
+    Scale: the pool is a TakeOrderedAndProject over one broadcast-query
+    scan; the {pool}×{pool} sim matrix and the 5 unrolled argmaxes are
+    driver-trivial by construction (MMR cost is quadratic in the POOL,
+    never in the corpus — that's the point of re-ranking a candidate
+    pool instead of the collection).
+    """
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", V.norm(F.col("embedding")).alias("nrm")
+    )
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb"), F.col("nrm").alias("q_nrm")
+    )
+    cand = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("id"),
+            "embedding",
+            "nrm",
+            F.round(
+                V.dot(F.col("embedding"), F.col("q_emb"))
+                / (F.col("nrm") * F.col("q_nrm")),
+                6,
+            ).alias("rel"),
+        )
+        .orderBy(F.col("rel").desc(), "id")
+        .limit(_MMR_POOL)
+    )
+    a, b = cand.alias("a"), cand.alias("b")
+    sims = a.join(b, F.col("a.id") != F.col("b.id")).select(
+        F.col("a.id").alias("ia"),
+        F.col("b.id").alias("ib"),
+        F.round(
+            V.dot(F.col("a.embedding"), F.col("b.embedding"))
+            / (F.col("a.nrm") * F.col("b.nrm")),
+            6,
+        ).alias("sim"),
+    )
+    # Pool relevances and the pool×pool sim matrix are computed
+    # DISTRIBUTED (identical rounded expressions to the oracle), then
+    # collected — ≤ pool + pool² tiny rows — and the greedy argmax runs
+    # driver-side, the same documented pattern as q10's index build:
+    # MMR cost is quadratic in the POOL, never the corpus.
+    pool = cand.select("id", "rel").collect()
+    sim_rows = sims.collect()
+    sim = {(r.ia, r.ib): r.sim for r in sim_rows}
+    rel = {r.id: r.rel for r in pool}
+    remaining = sorted(rel)
+    selected: list[int] = []
+    out_rows = []
+    for k in range(1, _MMR_K + 1):
+        if k == 1:
+            best = max(remaining, key=lambda i: (rel[i], -i))
+        else:
+            def mmr_score(i: int) -> float:
+                return _MMR_LAMBDA * rel[i] - _MMR_MU * max(
+                    sim[(i, s)] for s in selected
+                )
+
+            best = max(remaining, key=lambda i: (mmr_score(i), -i))
+        selected.append(best)
+        remaining.remove(best)
+        out_rows.append((k, best, rel[best]))
+    return spark.createDataFrame(out_rows, "pick int, vec_id bigint, rel double")
