@@ -3094,3 +3094,66 @@ def l3_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         remaining.remove(best)
         out_rows.append((k, best, rel[best]))
     return spark.createDataFrame(out_rows, "pick int, vec_id bigint, rel double")
+
+
+# ---------------------------------------------------------------------------
+# L4 — quality-score decile calibration: equal-frequency bins over the
+# corpus's quality distribution, the lookup a mixing pipeline uses to
+# turn raw scores into sampling tiers ("take everything above decile 8,
+# downsample deciles 4–7, drop the rest") without trusting the score's
+# absolute scale.
+# ---------------------------------------------------------------------------
+
+_QDECILE_ORACLE = rf"""
+WITH scored AS (
+  SELECT doc_id,
+         LEAST(1.0, len({_ORACLE_TOKS}) / 50.0)
+           * (CASE WHEN len({_ORACLE_TOKS}) > 0
+                   THEN CAST(len({_ORACLE_DTOKS}) AS DOUBLE) / len({_ORACLE_TOKS})
+                   ELSE 0.0 END) AS quality
+  FROM documents
+),
+binned AS (
+  SELECT quality,
+         ntile(10) OVER (ORDER BY quality, doc_id) AS decile
+  FROM scored
+)
+SELECT decile,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(AVG(quality), 6) AS mean_quality,
+       MIN(quality) AS lo,
+       MAX(quality) AS hi
+FROM binned
+GROUP BY decile
+"""
+
+
+@register("l4_quality_deciles", oracle=_QDECILE_ORACLE, tags=("L4", "W1", "A1"))
+def l4_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency decile bins over l4_quality_score's distribution:
+    per decile, the document count and the score range — the empirical
+    CDF a data-mixing config quotes its thresholds against. ntile's
+    ORDER BY carries the doc_id tiebreak, so bin assignment (and thus
+    lo/hi edges) is engine-identical; the raw scores are integer-ratio
+    doubles needing no rounding, only the fold-ordered mean rounds.
+
+    Scale: the global ntile is the audit formulation (one sort of
+    scalar scores); at 100 TB the same bins come from
+    approx_percentile's t-digest edges (a10b's graded path) with this
+    query as the exactness reference.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", T.quality_score(F.col("text")).alias("quality")
+    )
+    w = Window.orderBy("quality", "doc_id")
+    return (
+        scored.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("quality"), 6).alias("mean_quality"),
+            F.min("quality").alias("lo"),
+            F.max("quality").alias("hi"),
+        )
+    )
