@@ -1317,3 +1317,48 @@ def s8_schema_evolution_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
             (F.col("loyalty_tier") == "GOLD").cast("long")
         ).alias("n_gold"),
     )
+
+
+# ---------------------------------------------------------------------------
+# O2b — keyset pagination: the scale-safe "next page" (OFFSET n scans
+# and discards n rows — at 100 TB deep pages cost as much as the whole
+# result; seeking past the last-seen composite key costs one pushed
+# filter + top-k). Page anchor is a fixed (date, orderkey) cursor.
+# ---------------------------------------------------------------------------
+
+_O7_ORACLE = """
+SELECT o_orderkey, o_orderdate, o_totalprice
+FROM orders
+WHERE (o_orderdate > TIMESTAMP '2001-06-01 00:00:00')
+   OR (o_orderdate = TIMESTAMP '2001-06-01 00:00:00' AND o_orderkey > 1000)
+ORDER BY o_orderdate, o_orderkey
+LIMIT 25
+"""
+
+
+@register("o7_keyset_pagination", oracle=_O7_ORACLE, tags=("O2", "O1", "P2"))
+def o7_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One page of 25 orders AFTER the cursor (2001-06-01, key 1000)
+    in (o_orderdate, o_orderkey) order — the keyset form of
+    pagination. Unlike OFFSET, the seek predicate is sargable: the
+    date branch pushes to the parquet scan (row groups before the
+    cursor date never decompress) and the sort+limit compiles to
+    TakeOrderedAndProject — per-page cost stays flat no matter how
+    deep the page. The composite key is unique, so pages never skip
+    or duplicate rows across requests.
+
+    Scale: this is THE access pattern for paging a 100 TB result set —
+    each page is an independent pushed-filter + top-k job; no state
+    between pages beyond the last row's key.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cursor_date = F.lit("2001-06-01 00:00:00").cast("timestamp_ntz")
+    after_cursor = (F.col("o_orderdate") > cursor_date) | (
+        (F.col("o_orderdate") == cursor_date) & (F.col("o_orderkey") > 1000)
+    )
+    return (
+        orders.filter(after_cursor)
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+        .orderBy("o_orderdate", "o_orderkey")
+        .limit(25)
+    )
