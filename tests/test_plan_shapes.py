@@ -27,6 +27,12 @@ SF = "/root/testdata/sf0.001"
 # the search itself is pure JVM (HOF dot products + cell equi-join).
 PYTHON_ALLOWED = {
     "q10_cosine_topk",
+    "l3_knn_block_matmul",  # distributed exact kNN: Arrow matmul per block cell
+    "l3_mmr_rerank",  # intentional driver-side crossing: collects a BOUNDED
+    # candidate pool (size-capped by construction) and runs the greedy MMR
+    # loop on the driver; the returned LocalTableScan has no Python eval
+    # nodes, so the plan sweep can't see it — listed here so the allowlist
+    # documents the crossing instead of the sweep passing vacuously.
     "l3_ann_recall_contract",  # grades ANN recall against q10's matmul
     "m1_multimodal_decode",
     "m5_decode_parity",
@@ -153,6 +159,45 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark):
             "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
             old_thresh,
         )
+
+
+def test_q10_index_build_is_size_guarded(spark):
+    """q10's broadcast-index build must refuse loudly past the row cap
+    instead of collecting an unbounded table to the driver (VERDICT r2
+    finding #1). Probe with a cap of 1: the sf0.001 embeddings table
+    exceeds it, so the guarded builder must raise and name the
+    distributed/ANN alternatives."""
+    from data_wrangling_openstreetmap_spark.io import load_table
+    from data_wrangling_openstreetmap_spark.operators.llm import (
+        _guarded_index_arrays,
+    )
+
+    e = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    with pytest.raises(ValueError, match="l3_knn_block_matmul"):
+        _guarded_index_arrays(e, cap_rows=1)
+
+
+def test_q10_has_no_unconditional_collect():
+    """Source-level guard: the graded q10 path may only build its index
+    through the size-guarded helper — a bare .collect()/.toArrow()
+    reappearing in its body is the 100 TB driver-OOM regression."""
+    import inspect
+
+    src = inspect.getsource(REGISTRY["q10_cosine_topk"].fn)
+    assert "_guarded_index_arrays" in src
+    assert ".collect()" not in src
+    assert ".toArrow()" not in src  # only the guarded helper may collect
+
+
+def test_block_matmul_knn_is_distributed():
+    """The distributed exact-kNN twin must stay driver-free: no collect
+    in its source, and its final top-k window is partitioned by vec_id
+    (never a global sort)."""
+    import inspect
+
+    src = inspect.getsource(REGISTRY["l3_knn_block_matmul"].fn)
+    assert ".collect()" not in src and ".toArrow()" not in src
+    assert "partitionBy" in src
 
 
 def test_driver_window_covers_all_tags():
