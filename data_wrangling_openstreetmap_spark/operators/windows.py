@@ -842,8 +842,13 @@ WHERE n = 7
 
 @register("w10_rolling_corr", oracle=_W10_ORACLE, tags=("W4", "A11", "A7"))
 def w10_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """7-day trailing correlation between daily event count and daily
-    value total, per event type. Instead of each engine's streaming
+    """7-OBSERVATION trailing correlation between daily event count and
+    daily value total, per event type — a ROWS frame over the daily
+    aggregate, so the window spans 7 observed days; if an event_type
+    has a calendar gap it covers MORE than 7 calendar days (for strict
+    calendar semantics join onto a dense day spine first, as w9 does —
+    this operator deliberately keeps the observation-frame form both
+    engines express identically). Instead of each engine's streaming
     corr kernel (different accumulation orders ⇒ different low bits),
     the window aggregates SIX exact integer sums (n, Σx, Σy, Σx², Σy²,
     Σxy — counts and cents never overflow bigint here) and the Pearson

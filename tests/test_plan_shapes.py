@@ -161,6 +161,24 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark):
         )
 
 
+@pytest.mark.parametrize("name", sorted(set(REGISTRY) - SLOW_BUILD))
+def test_no_unpartitioned_window_over_unbounded_input(spark, name):
+    """Hard scale invariant (VERDICT r2 #3): no registered query's plan
+    may funnel an unbounded input through a single-partition exchange
+    into a Window — the shape that serializes the whole dataset through
+    one task at 100 TB. The four round-2 offenders (s3 systematic
+    sample, s10 rank spine, quality deciles' ntile, RRF's dense-branch
+    rank) were rewritten onto scalable_row_number / TakeOrderedAndProject
+    pre-truncation; bounded global windows (over a prior limit's ≤k
+    rows) compile without the SinglePartition exchange, so the
+    allowlist is EMPTY — keep it that way."""
+    df = REGISTRY[name].fn(spark, SF)
+    plan = plan_string(df)
+    assert not (
+        "Exchange SinglePartition" in plan and "Window" in plan
+    ), f"{name}: single-partition exchange feeding a Window\n{plan}"
+
+
 def test_q10_index_build_is_size_guarded(spark):
     """q10's broadcast-index build must refuse loudly past the row cap
     instead of collecting an unbounded table to the driver (VERDICT r2
