@@ -51,8 +51,18 @@ ALL_MODULES = (
 # within the window is thematic, not significance-ranked — only
 # membership matters.
 DRIVER_WINDOW = (
-    # bench headliners (q1–q10) — also cover S1/P2/F4/F7/A1/A3/A6/J1/J3/
-    # J5/W1/W2/ST1/L3/L4/U2/O1
+    # ROUND-3 ROTATION (VERDICT r2 #2): rounds 1–2 proved the original
+    # 50 green under the driver; those slots' queries stay green under
+    # the driver-strict local replica (tests/test_oracle_parity.py), so
+    # 25 slots rotate to queries that have NEVER seen the driver —
+    # converting self-graded local signal into hard signal. Coverage
+    # invariant unchanged: every §2 tag in the registry has a
+    # representative below, all 50 carry full DuckDB oracles
+    # (tests/test_plan_shapes.py::test_driver_window_covers_all_tags).
+    #
+    # bench headliners (q1–q10) — stay: graded AND benched, and q10 was
+    # rewritten this round (size-guarded index) so its regrade matters.
+    # Cover S1/P2/F4/F7/A1/A3/A6/J1/J3/J5/W1/W2/ST1/L3/L4/U2/O1.
     "q1_pricing_summary",
     "q2_join_chain",
     "q3_topk_window",
@@ -63,67 +73,57 @@ DRIVER_WINDOW = (
     "q8_rollup",
     "q9_text_stats",
     "q10_cosine_topk",
-    # sources (S2–S6) — format roundtrips are value-graded; the OSM
-    # XML demo (rows-only) moved to the tail once s2/s4/s5 covered its
-    # S-tags with real oracles
+    # forced keepers — each is the window's only carrier of a tag:
+    # S2, S4, P3, U1(+P5), U3+U4, U5, ST2, ST3(+W3), ST4, ST5(+L1),
+    # ST7, A9, O4+O6, O5, F6
     "s2_xml_roundtrip",
-    "s3_systematic_sample",
     "s4_csv_roundtrip",
-    "s5_json_roundtrip",
-    "s6_table_roundtrip",
-    # projection / predicates tail (P1, P3–P6)
-    "p1_projection",
     "p3_regex_classify",
-    "p4_regex_extract",
-    "p5_dict_normalize",
-    # P6 stays covered via p3_regex_classify's CASE battery; the slot
-    # carries the A11 stats family instead (rolling Pearson from exact
-    # integer moments — also deepens W4/A7)
-    "w10_rolling_corr",
-    # join family tail (J2, J4 via q21+q13, J6, J7, J8)
-    "q13_order_count_distribution",
-    "q21_sole_fault_supplier",
-    "j6_range_join",
-    "j7_asof_join",
-    "l2_jaccard_pairs",
-    # aggregate family tail (A4, A8, A9; A2 via q19's one-row global agg)
-    # + ST4's graded late-data policy (swapped in for a2_global_agg in
-    # round 2 — ST4 was the only §2.9 row with no driver-visible form)
-    "st4_late_data_policy",
-    "a4_approx_distinct",
-    "a8_collect_list",
-    "a9_mode",
-    # aggregate/window tails: A2's one-row global agg; W3 stays covered
-    # via st3_session_window's lag-gap formulation (w3_lag_lead moved
-    # out when st4 joined the window — every tag verified covered by
-    # tests/test_plan_shapes.py::test_driver_window_covers_all_tags)
-    "a2_global_agg",
-    # order / set ops (O3–O6; O1 via q1/q13, O2 via q21)
-    "o3_union_all",
-    "o4_union_distinct",
-    "o5_intersect",
-    # function sweep (F2–F9; F1 via p1_projection, F4 via q1)
-    "f2_regex_standardize",
-    "f3_datetime",
-    "f5_array_funcs",
-    "f6_map_funcs",
-    "f8_casts_nulls",
-    "f9_geospatial",
-    # UDF surface (U1, U3+U4, U5; U2 via q10)
     "u1_scalar_udf_normalize",
     "u3_grouped_map_zscore",
     "u5_udtf_tag_split",
-    # streaming batch-image forms (ST2, ST3, ST5, ST6, ST7; ST1 via q7)
     "st2_sliding_window",
     "st3_session_window",
+    "st4_late_data_policy",
     "st5_dedup_first",
-    "st6_stream_static_join",
     "st7_running_user_totals",
-    # LLM-pipeline ops (L5, L6; L1 via st5_dedup_first, L2 above,
-    # L3/L4 via q9/q10)
-    "l5_multimodal_join",
-    "l6_centroids",
-    "l4_winnow_fingerprint",
+    "a9_mode",
+    "o4_union_distinct",
+    "o5_intersect",
+    "f6_map_funcs",
+    # first-time driver-graded (25) — the strongest never-graded
+    # queries, chosen so the tags their outgoing peers carried stay
+    # covered: st8 takes ST6/J6/J7 (frees st6/j6/j7), scd2 takes
+    # J2/O3/P6/F3 (frees o3/f3), w9 takes W4/W5, q22 takes A2/J4,
+    # p7 takes S5/F7, s8 takes F8/S6, n1 takes P1/A8/F5, j9 takes
+    # J8/F1, l4_pii takes F2/P4, l6_covariance takes A11/L6,
+    # m5 takes L5, s7 takes S3, a4b + the two recall contracts take A4,
+    # o7 takes O2.
+    "m5_decode_parity",
+    "st8_stream_stream_join",
+    "w9_linear_interpolate",
+    "scd2_dimension_history",
+    "q23_retention_cohorts",
+    "d1_partition_pruned_scan",
+    "d2_bucketed_colocated_join",
+    "d3_zorder_curve",
+    "a4b_hll_mergeable_rollup",
+    "l2_dup_clusters",
+    "l2_minhash_recall",
+    "l3_ann_recall_contract",
+    "l2_benchmark_decontam",
+    "l4_gopher_rules",
+    "l4_pii_redact",
+    "s7_train_test_split",
+    "l3_knn_block_matmul",
+    "p7_corrupt_record_handling",
+    "n1_nested_doc_shaping",
+    "j9_fuzzy_name_join",
+    "q22_dormant_customers",
+    "o7_keyset_pagination",
+    "l6_covariance_matrix",
+    "a5_having",
+    "s8_schema_evolution_roundtrip",
 )
 
 assert len(DRIVER_WINDOW) == 50, len(DRIVER_WINDOW)
