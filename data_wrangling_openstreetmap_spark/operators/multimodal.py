@@ -368,3 +368,114 @@ def m5_decode_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
     )
     return payload.mapInPandas(_decode_resize_batch, M5_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# m2b/m4b — parity companions for the remaining rows-only m-stages
+# (VERDICT r2 #6): every integer/float output the fake codecs derive is
+# re-derived by DuckDB from octet_length / per-character arithmetic, so
+# the REAL Arrow crossings (m2's 1→N fan-out, m4's array<float> encode)
+# are value-hash-graded, not just row-counted. With m5 covering m1/m3,
+# no m-stage now relies solely on a rows-only check — only the zlib
+# checksums (no DuckDB equivalent) stay ungraded.
+# ---------------------------------------------------------------------------
+
+_M2B_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id,
+         octet_length(encode(text)) AS n,
+         GREATEST(1, octet_length(encode(text)) // {FAKE_TOTAL_FRAMES}) AS w
+  FROM documents
+)
+SELECT d.doc_id,
+       CAST(k.k AS INT) AS frame_idx,
+       CAST(k.k * {FAKE_FRAME_MS} AS INT) AS frame_ts_ms,
+       CAST(LEAST(n, (k.k + 1) * w) - LEAST(n, k.k * w) AS INT) AS frame_len
+FROM d, (SELECT unnest(generate_series(0, {FAKE_TOTAL_FRAMES - 1},
+                                       {FRAME_STRIDE})) AS k) k
+"""
+
+
+@register("m2b_frame_parity", oracle=_M2B_ORACLE, tags=("L5", "U3"))
+def m2b_frame_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-graded frame sampling: m2's REAL mapInPandas demux double
+    (1 payload → 5 frame rows) runs unchanged, and DuckDB re-derives
+    every frame's index, timestamp, and byte length from octet_length
+    alone (slice length = clip(stop) − clip(start), exactly Python's
+    slicing rule) — so the fan-out cardinality, ordering metadata, and
+    per-frame byte accounting of the Arrow crossing are all
+    hash-graded. Only the crc32 frame checksum stays rows-only (m2).
+
+    Scale: identical plan to m2 — worker-parallel, binary never
+    shuffled; the graded projection drops frame_bytes before any
+    exchange.
+    """
+    frames = m2_frame_sample(spark, sf_dir)
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        "frame_ts_ms",
+        F.length("frame_bytes").cast("int").alias("frame_len"),
+    )
+
+
+_M4B_ORACLE = """
+WITH chars AS (
+  SELECT doc_id, ascii(unnest(string_to_array(text, ''))) // 32 AS bin
+  FROM documents
+),
+hist AS (
+  SELECT doc_id, bin, COUNT(*) AS c FROM chars GROUP BY doc_id, bin
+),
+tot AS (SELECT doc_id, length(text) AS n FROM documents),
+f AS (
+  SELECT t.doc_id,
+         (CAST(COALESCE(h.c, 0) AS DOUBLE) / t.n)::REAL AS fv
+  FROM tot t
+  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS bin) b
+  LEFT JOIN hist h ON h.doc_id = t.doc_id AND h.bin = b.bin
+)
+SELECT doc_id,
+       8 AS feat_dim,
+       ROUND(SUM(CAST(fv AS DOUBLE)), 6) AS feat_l1,
+       ROUND(SQRT(SUM(CAST(fv AS DOUBLE) * CAST(fv AS DOUBLE))), 6) AS feat_norm
+FROM f
+GROUP BY doc_id
+"""
+
+
+@register("m4b_feature_parity", oracle=_M4B_ORACLE, tags=("L5", "U3", "L6"))
+def m4b_feature_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-graded feature extraction: m4's REAL encoder double (8-bin
+    byte histogram, L1-normalized float32) runs through the actual
+    mapInPandas crossing, and DuckDB recomputes the same vector from
+    per-character arithmetic — valid because the fixture corpus is pure
+    ASCII (byte == codepoint; asserted in tests), so ascii(ch) // 32
+    reproduces byte >> 5 exactly. Both engines divide in double and
+    round through REAL/float32 (double-rounding is exact at these
+    magnitudes), then the L1 and L2 norms round at 6 dp — grading the
+    array<float> dtype mapping across the Arrow boundary value-by-value.
+
+    Scale: same plan as m4 — one Python crossing, 32 B/row features,
+    payloads never shuffled.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    payload = docs.select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    feats = payload.mapInPandas(fake_feature_batch, FEATURE_SCHEMA)
+    vec = F.col("feat").cast("array<double>")
+    l1 = F.aggregate(vec, F.lit(0.0), lambda acc, x: acc + x)
+    l2 = F.sqrt(
+        F.aggregate(
+            F.zip_with(vec, vec, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return feats.select(
+        "doc_id",
+        F.lit(8).alias("feat_dim"),
+        F.round(l1, 6).alias("feat_l1"),
+        F.round(l2, 6).alias("feat_norm"),
+    )

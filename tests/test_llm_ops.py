@@ -328,6 +328,45 @@ def test_m5_parity_metadata_agrees_with_m1_decode(spark):
         assert max(r.out_width, r.out_height) == 224
 
 
+def test_m2b_parity_mirrors_m2_fanout(spark):
+    """m2b must be exactly m2's frame rows minus the binary column —
+    same (doc_id, frame_idx) keys, frame_len == len(frame_bytes)."""
+    from data_wrangling_openstreetmap_spark.operators.multimodal import (
+        m2_frame_sample,
+        m2b_frame_parity,
+    )
+
+    m2 = {
+        (r.doc_id, r.frame_idx): (r.frame_ts_ms, len(r.frame_bytes))
+        for r in m2_frame_sample(spark, SF_SMALL).collect()
+    }
+    m2b_rows = m2b_frame_parity(spark, SF_SMALL).collect()
+    assert len(m2b_rows) == len(m2)
+    for r in m2b_rows:
+        assert m2[(r.doc_id, r.frame_idx)] == (r.frame_ts_ms, r.frame_len)
+
+
+def test_m4b_ascii_precondition_and_norms(spark):
+    """m4b's oracle derives byte bins from ascii(char)//32, valid only
+    while the corpus is pure ASCII — assert that precondition on the
+    fixture, and that the graded norms are internally consistent
+    (L1 == 1 for non-empty docs, 1/√8 ≤ L2 ≤ 1)."""
+    from data_wrangling_openstreetmap_spark.io import load_table
+    from data_wrangling_openstreetmap_spark.operators.multimodal import (
+        m4b_feature_parity,
+    )
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    non_ascii = docs.filter(
+        F.octet_length(F.col("text")) != F.length(F.col("text"))
+    ).count()
+    assert non_ascii == 0, "fixture no longer ASCII; m4b oracle invalid"
+    for r in m4b_feature_parity(spark, SF_SMALL).collect():
+        assert r.feat_dim == 8
+        assert abs(r.feat_l1 - 1.0) < 1e-5
+        assert 1 / (8**0.5) - 1e-6 <= r.feat_norm <= 1.0 + 1e-6
+
+
 def test_interpolation_passes_observed_days_through(spark):
     from data_wrangling_openstreetmap_spark.io import load_table
     from data_wrangling_openstreetmap_spark.operators.windows import (

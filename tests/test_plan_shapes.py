@@ -37,8 +37,10 @@ PYTHON_ALLOWED = {
     "m1_multimodal_decode",
     "m5_decode_parity",
     "m2_frame_sample",
+    "m2b_frame_parity",
     "m3_image_resize",
     "m4_feature_extract",
+    "m4b_feature_parity",
     "u1_scalar_udf_normalize",
     "u2_pandas_udf_score",
     "u3_grouped_map_zscore",
