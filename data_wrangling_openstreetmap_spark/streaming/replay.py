@@ -133,3 +133,51 @@ def run_to_memory(
         .start()
     )
     q.awaitTermination()
+
+
+def stage_jittered_replay_dir(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    n_chunks: int = 6,
+    jitter_secs: int = 900,
+    sentinel_hours: int | None = None,
+) -> str:
+    """Like ``stage_replay_dir`` but chunked by ARRIVAL order: event
+    time plus a deterministic 0–jitter_secs transit delay (the same
+    Knuth multiplicative hash st4's late-data policy audits), so each
+    micro-batch carries event-time disorder bounded by ``jitter_secs``
+    — the out-of-order ingestion a watermark must absorb. Convergence
+    tests replay through this to prove a streaming operator's result
+    is arrival-order independent as long as the watermark horizon
+    exceeds the disorder bound.
+    """
+    events = load_table(spark, sf_dir, "events")
+    jitter = (F.col("event_id") * F.lit(2654435761)) % int(jitter_secs)
+    staged = events.withColumn(
+        "_arrival", F.col("ts") + F.make_dt_interval(secs=jitter.cast("double"))
+    )
+    rows = staged.count()
+    per = (rows + n_chunks - 1) // n_chunks
+    from pyspark.sql import Window
+
+    w = Window.orderBy("_arrival", "event_id")
+    ranked = staged.withColumn(
+        "chunk", ((F.row_number().over(w) - 1) / per).cast("int")
+    )
+    chunks = [
+        ranked.filter(F.col("chunk") == c).select(*events.columns)
+        for c in range(n_chunks)
+    ]
+    if sentinel_hours is not None:
+        max_ts = staged.agg(F.max("_arrival")).collect()[0][0]
+        chunks.append(
+            spark.createDataFrame(
+                [(-(10**9), max_ts, SENTINEL_USER, "sentinel", 0.0, "{}")],
+                EVENTS_SCHEMA,
+            ).withColumn(
+                "ts", F.col("ts") + F.expr(f"INTERVAL {sentinel_hours} HOURS")
+            )
+        )
+    write_ordered_chunks(chunks, out_dir)
+    return out_dir
