@@ -238,7 +238,14 @@ def q8_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: Spark expands rollup groups map-side (Expand node) before a
     single shuffle — cheaper than three separate aggregations over
-    100 TB because the fact table is scanned once.
+    100 TB because the fact table is scanned once. Audited round 3: the
+    two-phase alternative (agg at (r,n) grain, then rollup the 25-row
+    result) measures SLOWER at sf0.1 (0.231 s vs 0.203 s warm) — the
+    extra reduce stage costs more than Expand's 3× map-side rows save,
+    and at scale the partial agg collapses the expanded rows before the
+    shuffle anyway. Round-2's 0.204→0.213 s delta was run noise, not a
+    lost partial-agg (plan re-verified: partial_count/partial_sum before
+    the lone Exchange).
     """
     region = load_table(spark, sf_dir, "region")
     nation = load_table(spark, sf_dir, "nation")
