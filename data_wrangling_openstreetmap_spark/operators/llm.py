@@ -3308,3 +3308,147 @@ def l4_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("quality").alias("hi"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# L4 — k-anonymity audit: equivalence-class sizes over quasi-identifier
+# columns, flagging classes below k — the tabular-privacy gate that runs
+# next to l4_pii_redact before a corpus (or its metadata sidecar) ships.
+# ---------------------------------------------------------------------------
+
+_K_ANON = 5
+
+_KANON_ORACLE = f"""
+SELECT c_nationkey, c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS class_size,
+       COUNT(*) < {_K_ANON} AS at_risk
+FROM customer
+GROUP BY c_nationkey, c_mktsegment
+"""
+
+
+@register("l4_k_anonymity", oracle=_KANON_ORACLE, tags=("L4", "A1", "P6"))
+def l4_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (k=5) over the (nation, market-segment)
+    quasi-identifier pair: every equivalence class with fewer than k
+    members is re-identifiable by linking those two public attributes,
+    so it must be suppressed or generalized before release. The
+    operator emits every class with its size and an at_risk flag —
+    the shape a suppression pass consumes directly.
+
+    Scale: one partial-aggregated groupBy on the QID columns — class
+    count is bounded by the QID domain product (25×5 here), so the
+    reduce side is tiny at any input size. Generalization ladders
+    (nation → region) just re-run the same agg on the coarser column.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count("*").alias("class_size"),
+        (F.count("*") < _K_ANON).alias("at_risk"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# S11 — temporal train/test split with leakage audit: unlike s7's hash
+# split, a TEMPORAL holdout trains on the past and evaluates on the
+# future — and the audit column makes cross-boundary users (the ones
+# whose behavior leaks across the cutoff) explicit instead of silent.
+# ---------------------------------------------------------------------------
+
+_S11_CUTOFF = "2024-01-22"
+
+_S11_ORACLE = f"""
+SELECT user_id,
+       CAST(COUNT(*) FILTER (WHERE ts <  TIMESTAMP '{_S11_CUTOFF}') AS BIGINT) AS n_train,
+       CAST(COUNT(*) FILTER (WHERE ts >= TIMESTAMP '{_S11_CUTOFF}') AS BIGINT) AS n_test,
+       CASE
+         WHEN COUNT(*) FILTER (WHERE ts < TIMESTAMP '{_S11_CUTOFF}') > 0
+          AND COUNT(*) FILTER (WHERE ts >= TIMESTAMP '{_S11_CUTOFF}') > 0
+           THEN 'both'
+         WHEN COUNT(*) FILTER (WHERE ts < TIMESTAMP '{_S11_CUTOFF}') > 0
+           THEN 'train_only'
+         ELSE 'test_only'
+       END AS split_class
+FROM events
+GROUP BY user_id
+"""
+
+
+@register("s11_temporal_split", oracle=_S11_ORACLE, tags=("S3", "A7", "P6"))
+def s11_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal holdout at a fixed cutoff with a per-user leakage
+    audit: events before the cutoff are train, at-or-after are test,
+    and each user is classified train_only / test_only / both — the
+    'both' class is where entity-level leakage lives (a model that
+    memorized a user's past is evaluated on that same user's future),
+    so evaluation pipelines either drop it or report it separately.
+
+    Scale: a single conditional aggregation over one shuffle on
+    user_id — the cutoff predicate also prunes cleanly when events are
+    date-partitioned (d1's layout), making the train-side scan skip
+    future partitions entirely.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    is_train = F.col("ts") < F.lit(_S11_CUTOFF).cast("timestamp_ntz")
+    n_train = F.count(F.when(is_train, 1))
+    n_test = F.count(F.when(~is_train, 1))
+    return ev.groupBy("user_id").agg(
+        n_train.alias("n_train"),
+        n_test.alias("n_test"),
+        F.when((n_train > 0) & (n_test > 0), "both")
+        .when(n_train > 0, "train_only")
+        .otherwise("test_only")
+        .alias("split_class"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# L4 — corpus report ("corpus card"): the per-source summary table a
+# dataset release ships — volume, token mass, duplication, language
+# spread, and quality — in one pass over the documents table.
+# ---------------------------------------------------------------------------
+
+_CORPUS_REPORT_ORACLE = f"""
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len({_ORACLE_TOKS})) AS BIGINT) AS total_tokens,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(COUNT(*) - COUNT(DISTINCT text) AS BIGINT) AS n_dup_texts,
+       CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+       CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+       ROUND(AVG(
+         LEAST(1.0, len({_ORACLE_TOKS}) / 50.0)
+           * (CASE WHEN len({_ORACLE_TOKS}) > 0
+                   THEN CAST(len({_ORACLE_DTOKS}) AS DOUBLE) / len({_ORACLE_TOKS})
+                   ELSE 0.0 END)), 6) AS mean_quality
+FROM documents
+GROUP BY source
+"""
+
+
+@register("l4_corpus_report", oracle=_CORPUS_REPORT_ORACLE, tags=("L4", "A1", "A3"))
+def l4_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus card: per source, document count, whitespace-token mass,
+    language spread, exact duplicate count (docs minus distinct
+    texts), char-length range, and mean quality score — the one-table
+    summary a dataset release documents itself with (and the drift
+    monitor an ingestion pipeline diffs between snapshots).
+
+    Scale: one shuffle on source; COUNT(DISTINCT text) is the one
+    heavy part — Spark expands distinct aggregates into a two-phase
+    plan automatically, and at 100 TB the text column would first be
+    projected to xxhash64(text) so the distinct count shuffles 8-byte
+    keys instead of documents (same count, hash collisions
+    negligible at 2⁻⁶⁴). Everything else is map-side arithmetic.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = T.tokens(F.col("text"))
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(toks)).cast("bigint").alias("total_tokens"),
+        F.countDistinct("lang").alias("n_langs"),
+        (F.count("*") - F.countDistinct("text")).alias("n_dup_texts"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.round(F.avg(T.quality_score(F.col("text"))), 6).alias("mean_quality"),
+    )

@@ -378,3 +378,70 @@ def d3_zorder_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.max("gy") - F.min("gy")).alias("span_y"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# d4 — MERGE INTO semantics (SCD-1 upsert) as a full-outer join. Spark
+# without a table format (Delta/Iceberg) has no MERGE statement, but the
+# semantics an ingestion pipeline needs — update matched keys, insert
+# unmatched ones, keep the rest — are a single full-outer join plus
+# coalesce, and that IS what the formats execute under the hood.
+# ---------------------------------------------------------------------------
+
+_D4_ORACLE = """
+WITH updates AS (
+  SELECT c_custkey AS k, c_acctbal + 100.00 AS new_bal
+  FROM customer WHERE c_custkey % 10 = 3
+  UNION ALL
+  SELECT c_custkey + 1000000 AS k, 50.00 AS new_bal
+  FROM customer WHERE c_custkey % 97 = 0
+)
+SELECT
+  COALESCE(u.k, t.c_custkey) AS c_custkey,
+  COALESCE(u.new_bal, t.c_acctbal) AS acctbal,
+  CASE WHEN u.k IS NULL THEN 'kept'
+       WHEN t.c_custkey IS NULL THEN 'inserted'
+       ELSE 'updated' END AS merge_action
+FROM customer t FULL OUTER JOIN updates u ON t.c_custkey = u.k
+"""
+
+
+@register("d4_merge_upsert", oracle=_D4_ORACLE, tags=("J2", "S6", "P6"))
+def d4_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO (SCD-1 upsert): a deterministic updates batch (every
+    custkey ≡ 3 mod 10 gets +100.00 balance; every ≡ 0 mod 97 spawns a
+    new key at +10⁶) merges into the customer dimension — matched rows
+    update, unmatched insert, the rest pass through, each tagged with
+    its merge_action so downstream audits can count the three classes.
+
+    Scale: one full-outer shuffle join hash-partitioned on the key —
+    exactly the join Delta/Iceberg MERGE compiles to before file
+    rewriting. The +100.00 update is exact in doubles (2-decimal value
+    plus integer), so no rounding is needed for cross-engine parity.
+    At 100 TB the win over rewrite-everything is partition pruning on
+    the update batch's key range; the join shape is unchanged.
+    """
+    t = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    base = load_table(spark, sf_dir, "customer")
+    updates = (
+        base.filter(F.col("c_custkey") % 10 == 3)
+        .select(
+            F.col("c_custkey").alias("k"),
+            (F.col("c_acctbal") + 100.00).alias("new_bal"),
+        )
+        .unionByName(
+            base.filter(F.col("c_custkey") % 97 == 0).select(
+                (F.col("c_custkey") + 1000000).alias("k"),
+                F.lit(50.00).alias("new_bal"),
+            )
+        )
+    )
+    merged = t.join(updates, t.c_custkey == updates.k, "full_outer")
+    return merged.select(
+        F.coalesce(F.col("k"), F.col("c_custkey")).alias("c_custkey"),
+        F.coalesce(F.col("new_bal"), F.col("c_acctbal")).alias("acctbal"),
+        F.when(F.col("k").isNull(), "kept")
+        .when(F.col("c_custkey").isNull(), "inserted")
+        .otherwise("updated")
+        .alias("merge_action"),
+    )

@@ -972,3 +972,87 @@ def a15_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# W11 — exponentially weighted moving average (EWMA) over the last 20
+# observations per series. Weights are powers of 1/2, which doubles are
+# EXACT at (scaling by 2⁻ʲ only shifts the exponent), so both engines
+# compute bit-identical products and the 6 dp round is safe — the trick
+# that makes a recursive-looking smoother cross-engine gradable.
+# ---------------------------------------------------------------------------
+
+_EWMA_SPAN = 20
+
+_W11_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type,
+         datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day_idx,
+         SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 AS x
+  FROM events GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY day_idx) AS rk
+  FROM daily
+)
+SELECT a.event_type AS event_type, a.day_idx AS day_idx,
+       ROUND(SUM(b.x * pow(0.5, a.rk - b.rk))
+               / SUM(pow(0.5, a.rk - b.rk)), 6) AS ewma20
+FROM ranked a JOIN ranked b
+  ON a.event_type = b.event_type
+ AND b.rk BETWEEN a.rk - {_EWMA_SPAN - 1} AND a.rk
+GROUP BY a.event_type, a.day_idx
+"""
+
+
+@register("w11_ewma", oracle=_W11_ORACLE, tags=("W4", "A7", "J6"))
+def w11_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized EWMA over the trailing 20 observations of each event
+    type's daily value series: y_t = Σⱼ xₜ₋ⱼ·2⁻ʲ / Σⱼ 2⁻ʲ (j < 20) —
+    the smoother monitoring dashboards and drift detectors run. Weights
+    are halving (α = ½) so every product is exact in IEEE doubles
+    (power-of-two scaling shifts the exponent, never the mantissa);
+    only the final fold order differs across engines, bounded well
+    under the 6 dp round.
+
+    Formulated as a bounded self-join on observation rank (≤20 partners
+    per row) rather than a frame trick like Σx·2^rk · 2^(−rk), which
+    overflows once a series exceeds ~1000 observations. The rank comes
+    from a PARTITIONED window (per event_type), and daily inputs are
+    integer-cent sums — the _helpers recipe.
+
+    Scale: daily grain is O(types × days); the rank window
+    parallelizes across types and the self-join is an equi-join on
+    event_type with a ±20 rank residual — each partition joins
+    locally, output 20× the daily rows. No global sort anywhere.
+    """
+    from ._helpers import cents
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+        ).alias("day_idx"),
+    ).agg((F.sum(cents("value")) / 100.0).alias("x"))
+    w = Window.partitionBy("event_type").orderBy("day_idx")
+    ranked = daily.withColumn("rk", F.row_number().over(w))
+    a, b = ranked.alias("a"), ranked.alias("b")
+    wgt = F.pow(F.lit(0.5), F.col("a.rk") - F.col("b.rk"))
+    pairs = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("b.rk") >= F.col("a.rk") - (_EWMA_SPAN - 1))
+        & (F.col("b.rk") <= F.col("a.rk")),
+    )
+    return (
+        pairs.groupBy(
+            F.col("a.event_type").alias("event_type"),
+            F.col("a.day_idx").alias("day_idx"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("b.x") * wgt) / F.sum(wgt), 6
+            ).alias("ewma20")
+        )
+    )
