@@ -964,3 +964,69 @@ def scd2_dimension_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(True).alias("is_current"),
     )
     return closed.unionAll(fresh)
+
+
+# ---------------------------------------------------------------------------
+# q24 — hierarchy closure: iterative parent-chain traversal (the BOM /
+# org-chart / category-tree walk every warehouse eventually needs).
+# Spark has no recursive CTE; the idiomatic form is an iterative
+# DataFrame loop with a KNOWN depth bound — the same
+# Pregel-as-DataFrames pattern as l2_dup_clusters, here over a tree.
+# ---------------------------------------------------------------------------
+
+_Q24_ORACLE = """
+WITH RECURSIVE chain AS (
+  SELECT c_custkey AS node, c_custkey AS cur, 0 AS depth FROM customer
+  UNION ALL
+  SELECT node, cur // 10, depth + 1 FROM chain WHERE cur >= 10
+)
+SELECT node AS c_custkey, cur AS root_key, CAST(depth AS INT) AS depth
+FROM chain WHERE cur < 10
+"""
+
+
+@register("q24_hierarchy_closure", oracle=_Q24_ORACLE, tags=("J1", "A2", "P6"))
+def q24_hierarchy_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Root + depth for every node of a synthetic decimal hierarchy
+    (parent(k) = k div 10; keys under 10 are roots — the fixture has no
+    organic tree, so the edge rule is arithmetic, which also gives the
+    oracle a recursive CTE to grade the closure against).
+
+    The loop ITERATES depth times, not once per node: each pass
+    advances every unfinished node one level in a single map-side
+    projection, so the work is O(depth × n) with depth known up front
+    (⌈log₁₀ max_key⌉ — one tiny agg action, the only driver
+    synchronization). No joins at all here because the parent rule is
+    arithmetic; with a materialized edge table each pass becomes an
+    equi-join against the (parent, child) relation — same shape as
+    l2_dup_clusters' label propagation, which handles the general
+    graph case.
+
+    Scale: depth passes over n rows, all map-side; a 100 TB
+    organizational/category hierarchy is still depth ≤ ~20, so the
+    loop count stays trivial while each pass is embarrassingly
+    parallel.
+    """
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    max_key = cust.agg(F.max("c_custkey")).collect()[0][0]
+    depth_bound = max(1, len(str(int(max_key))))
+    frontier = cust.select(
+        F.col("c_custkey"),
+        F.col("c_custkey").alias("cur"),
+        F.lit(0).alias("depth"),
+    )
+    for _ in range(depth_bound):
+        frontier = frontier.select(
+            "c_custkey",
+            F.when(F.col("cur") >= 10, (F.col("cur") / 10).cast("long"))
+            .otherwise(F.col("cur"))
+            .alias("cur"),
+            F.when(F.col("cur") >= 10, F.col("depth") + 1)
+            .otherwise(F.col("depth"))
+            .alias("depth"),
+        )
+    return frontier.select(
+        "c_custkey",
+        F.col("cur").alias("root_key"),
+        F.col("depth").cast("int").alias("depth"),
+    )

@@ -3452,3 +3452,76 @@ def l4_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_chars").alias("max_chars"),
         F.round(F.avg(T.quality_score(F.col("text"))), 6).alias("mean_quality"),
     )
+
+
+# ---------------------------------------------------------------------------
+# L1 — corpus snapshot diff: the added/removed/changed/unchanged ledger
+# between two corpus versions — what an ingestion pipeline publishes
+# with every release so downstream training jobs know exactly what
+# moved. v2 is derived deterministically from the fixture (no second
+# snapshot exists): drop every 31st doc, edit every 17th, add a new doc
+# for every 101st.
+# ---------------------------------------------------------------------------
+
+_DIFF_ORACLE = """
+WITH v2 AS (
+  SELECT doc_id, text || ' [rev2]' AS text
+  FROM documents WHERE doc_id % 31 <> 0 AND doc_id % 17 = 0
+  UNION ALL
+  SELECT doc_id, text FROM documents
+  WHERE doc_id % 31 <> 0 AND doc_id % 17 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, 'new in v2 #' || CAST(doc_id AS VARCHAR) AS text
+  FROM documents WHERE doc_id % 101 = 0
+)
+SELECT
+  COALESCE(a.doc_id, b.doc_id) AS doc_id,
+  CASE WHEN b.doc_id IS NULL THEN 'removed'
+       WHEN a.doc_id IS NULL THEN 'added'
+       WHEN a.text <> b.text THEN 'changed'
+       ELSE 'unchanged' END AS diff_status
+FROM documents a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id
+"""
+
+
+@register("l1_corpus_diff", oracle=_DIFF_ORACLE, tags=("L1", "J2", "P6"))
+def l1_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff between corpus v1 (the documents table) and a
+    deterministically derived v2: every doc keyed and classified
+    removed / added / changed / unchanged by a full-outer join on
+    doc_id with a content comparison — the release ledger that makes
+    corpus updates auditable (and incremental re-training possible:
+    only 'added' + 'changed' need re-processing).
+
+    Scale: one full-outer shuffle join on the id. The content equality
+    here compares text directly; at 100 TB both sides project to
+    xxhash64(text) first so the join compares 8-byte fingerprints and
+    the texts never ride the shuffle — same ledger, collision odds
+    2⁻⁶⁴.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    kept = docs.filter(F.col("doc_id") % 31 != 0)
+    v2 = (
+        kept.filter(F.col("doc_id") % 17 == 0)
+        .select("doc_id", F.concat(F.col("text"), F.lit(" [rev2]")).alias("text"))
+        .unionByName(kept.filter(F.col("doc_id") % 17 != 0).select("doc_id", "text"))
+        .unionByName(
+            docs.filter(F.col("doc_id") % 101 == 0).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"),
+                F.concat(F.lit("new in v2 #"), F.col("doc_id").cast("string")).alias(
+                    "text"
+                ),
+            )
+        )
+    )
+    a = docs.alias("a")
+    b = v2.alias("b")
+    j = a.join(b, F.col("a.doc_id") == F.col("b.doc_id"), "full_outer")
+    return j.select(
+        F.coalesce(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_id"),
+        F.when(F.col("b.doc_id").isNull(), "removed")
+        .when(F.col("a.doc_id").isNull(), "added")
+        .when(F.col("a.text") != F.col("b.text"), "changed")
+        .otherwise("unchanged")
+        .alias("diff_status"),
+    )

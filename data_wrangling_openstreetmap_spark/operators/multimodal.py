@@ -479,3 +479,61 @@ def m4b_feature_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(l1, 6).alias("feat_l1"),
         F.round(l2, 6).alias("feat_norm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# m0 — binaryFile INGEST: how blobs enter the pipeline in the first
+# place. Spark's `binaryFile` format reads whole files as (path,
+# modificationTime, length, content) rows — the front door for image /
+# audio / video corpora before m1's decode. Staged here from a small
+# deterministic document sample (the fixture ships no real blob files).
+# ---------------------------------------------------------------------------
+
+_M0_ORACLE = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS file_len,
+       n_chars
+FROM documents
+WHERE doc_id % 50 = 0
+"""
+
+
+@register("m0_binary_ingest", oracle=_M0_ORACLE, tags=("L5", "S1"))
+def m0_binary_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """binaryFile-source ingest: every 50th document's payload staged
+    as an individual `.bin` file, read back through
+    ``spark.read.format("binaryFile")``, the doc id recovered from the
+    filename, and the blob length joined against the catalog's
+    n_chars — the arrival pattern of a real image/audio corpus (one
+    object per file) with the catalog join that every multimodal
+    pipeline does first. Staging writes the bounded sample
+    driver-side (it IS the external filesystem here); the graded path
+    — scan, filename parse, length accounting, catalog join — is all
+    executors.
+
+    Scale: binaryFile scans parallelize per file and never split one
+    blob across tasks; `pathGlobFilter`/`recursiveFileLookup` handle
+    object-store layouts, and the catalog join broadcasts the metadata
+    side. The oracle grades length-vs-catalog agreement end to end.
+    """
+    import os
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    sample = docs.filter(F.col("doc_id") % 50 == 0).select("doc_id", "text")
+    stage = tempfile.mkdtemp(prefix="dwos_m0_") + "/blobs"
+    os.makedirs(stage, exist_ok=True)
+    for r in sample.collect():  # bounded staging: |docs|/50 small files
+        with open(os.path.join(stage, f"{r.doc_id}.bin"), "wb") as fh:
+            fh.write(r.text.encode("utf-8"))
+    blobs = spark.read.format("binaryFile").load(stage)
+    parsed = blobs.select(
+        F.regexp_extract(F.col("path"), r"(\d+)\.bin$", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        F.col("length").alias("file_len"),
+    )
+    meta = docs.select("doc_id", "n_chars")
+    return parsed.join(F.broadcast(meta), "doc_id").select(
+        "doc_id", "file_len", "n_chars"
+    )

@@ -1373,3 +1373,50 @@ def o7_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("o_orderdate", "o_orderkey")
         .limit(25)
     )
+
+
+# ---------------------------------------------------------------------------
+# S12 — ORC sink + scan-back: the second columnar format Spark ships
+# built-in. Parquet is the repo default; ORC round-trips prove the
+# engine isn't parquet-coupled (predicate pushdown and column pruning
+# work identically through the ORC reader).
+# ---------------------------------------------------------------------------
+
+_S12_ORACLE = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       MIN(o_orderkey) AS first_order
+FROM orders
+WHERE o_totalprice > 150000
+GROUP BY o_orderpriority
+"""
+
+
+@register("s12_orc_roundtrip", oracle=_S12_ORACLE, tags=("S1", "S6", "P2"))
+def s12_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + scan-back: high-value orders written to ORC, read
+    back through the ORC reader with the selective filter applied on
+    the scan, then aggregated — the oracle on the ORIGINAL table
+    proves the format round-trip is lossless for int/string/double
+    columns and that the predicate semantics survive the format swap.
+
+    Scale: ORC writes one stripe-set per partition in parallel and its
+    reader supports the same pushdown/pruning contract as parquet
+    (min/max stripe stats); the only 100 TB consideration is stripe
+    size vs `maxPartitionBytes`, identical in kind to parquet row
+    groups.
+    """
+    import tempfile
+
+    orders = load_table(spark, sf_dir, "orders")
+    path = tempfile.mkdtemp(prefix="dwos_s12_") + "/orders_orc"
+    (
+        orders.select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .write.mode("overwrite")
+        .orc(path)
+    )
+    back = spark.read.orc(path).filter(F.col("o_totalprice") > 150000)
+    return back.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.min("o_orderkey").alias("first_order"),
+    )
