@@ -183,3 +183,58 @@ def test_rolling_corr_moments_match_python(spark, xs):
     )
     got = df.collect()[0].corr
     assert abs(got - want) < 1e-9
+
+
+@given(
+    st.lists(
+        st.integers(min_value=-(10**6), max_value=10**6),
+        min_size=1,
+        max_size=40,
+        unique=True,
+    ),
+    st.sampled_from([1, 3, 16, 256]),
+)
+@settings(**SETTINGS)
+def test_scalable_row_number_equals_global_window(spark, keys, width):
+    """The two-level rank must equal row_number() OVER (ORDER BY key)
+    for ANY key distribution and ANY bucket width — including negative
+    keys (floor bucketing) and widths smaller than the gaps."""
+    from data_wrangling_openstreetmap_spark.operators._helpers import (
+        scalable_row_number,
+    )
+
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    got = {
+        r.k: r.rn
+        for r in scalable_row_number(df, "k", bucket_width=width).collect()
+    }
+    want = {k: i + 1 for i, k in enumerate(sorted(keys))}
+    assert got == want
+
+
+@given(st.integers(min_value=1, max_value=97))
+@settings(**SETTINGS)
+def test_ntile_closed_form_matches_spark_ntile(spark, n):
+    """The l4_quality_deciles closed-form bucket arithmetic must equal
+    Spark's own ntile(10) for every input size, including n < 10 where
+    the oversized-decile branch covers everything."""
+    df = spark.range(n).select(F.col("id").alias("k"))
+    w = Window.orderBy("k")
+    want = {r.k: r.d for r in df.select("k", F.ntile(10).over(w).alias("d")).collect()}
+    ranked = df.select("k", (F.row_number().over(w)).alias("rn")).crossJoin(
+        df.agg(F.count("*").alias("n"))
+    )
+    big = F.floor(F.col("n") / 10) + 1
+    small = F.floor(F.col("n") / 10)
+    r_ = F.col("n") % 10
+    cut = r_ * big
+    decile = F.when(
+        F.col("rn") <= cut, F.floor((F.col("rn") - 1) / big) + 1
+    ).otherwise(
+        r_ + F.floor((F.col("rn") - cut - 1) / F.greatest(small, F.lit(1))) + 1
+    )
+    got = {
+        r.k: r.d
+        for r in ranked.select("k", decile.cast("int").alias("d")).collect()
+    }
+    assert got == want

@@ -328,3 +328,32 @@ def test_stream_stream_join_converges_under_jittered_arrival(
     want = TR.purchase_attribution_pairs(load_table(spark, SF, "events"))
     assert _rows(got) == _rows(want)
     assert got.count() > 0
+
+
+def test_foreachbatch_upsert_sink_converges_to_batch_state(
+    spark, replay_dir, tmp_path
+):
+    """Streaming MERGE sink: every micro-batch upserts per-user state
+    (count, cent total, latest event) into a parquet target via the
+    read-merge-swap foreachBatch body. Because the state is
+    associative, the final target must equal the one-shot batch
+    reduction of the same events regardless of micro-batch slicing."""
+    from data_wrangling_openstreetmap_spark.streaming import sinks as SK
+
+    target = str(tmp_path / "user_state")
+    q = (
+        read_event_stream(spark, replay_dir)
+        .writeStream.foreachBatch(SK.upsert_sink(spark, target))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = _rows(SK.read_state(spark, target))
+    want = _rows(
+        SK._reduce_batch(
+            spark.read.schema(EVENTS_SCHEMA).parquet(replay_dir)
+        )
+    )
+    assert got == want
+    assert len(got) > 0
