@@ -22,6 +22,7 @@ from . import (
     llm,
     multimodal,
     osm_demo,
+    quality,
     relational,
     scale,
     streaming_ops,
@@ -41,6 +42,7 @@ ALL_MODULES = (
     osm_demo,
     scale,
     udfs,
+    quality,
 )
 
 # First 50 registry entries = the driver's grading window. One query per

@@ -1,0 +1,186 @@
+"""Data-quality audit operators (expectation suites + anomaly flags).
+
+The checks a production pipeline runs BEFORE publishing a snapshot:
+referential integrity, value-range and null-key expectations across the
+star schema (dq1), and volume-anomaly detection over the event stream
+(dq2). Both are ordinary graded queries — the audit result is a
+DataFrame, so it can gate a write, feed a dashboard, or diff between
+runs like any other table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..registry import register
+
+# ---------------------------------------------------------------------------
+# dq1 — expectation suite: one row per named check with its violation
+# count. Exhaustive-scan checks are map-side; integrity checks are
+# anti-joins that broadcast the key side.
+# ---------------------------------------------------------------------------
+
+_DQ1_ORACLE = """
+SELECT 'orders_without_customer' AS check_name,
+       CAST(COUNT(*) AS BIGINT) AS n_violations
+FROM orders o WHERE NOT EXISTS (
+  SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+UNION ALL
+SELECT 'lineitem_without_order',
+       CAST(COUNT(*) AS BIGINT)
+FROM lineitem l WHERE NOT EXISTS (
+  SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+UNION ALL
+SELECT 'negative_order_total', CAST(COUNT(*) AS BIGINT)
+FROM orders WHERE o_totalprice < 0
+UNION ALL
+SELECT 'null_customer_key', CAST(COUNT(*) AS BIGINT)
+FROM customer WHERE c_custkey IS NULL
+UNION ALL
+SELECT 'negative_event_value', CAST(COUNT(*) AS BIGINT)
+FROM events WHERE value < 0
+UNION ALL
+SELECT 'doc_char_count_drift', CAST(COUNT(*) AS BIGINT)
+FROM documents WHERE n_chars <> length(text)
+"""
+
+
+@register("dq1_expectations", oracle=_DQ1_ORACLE, tags=("A2", "J4", "P2"))
+def dq1_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectation suite over the star schema: referential integrity
+    (orphan orders, orphan lineitems), value ranges (negative totals /
+    event values), null keys, and catalog consistency (documents whose
+    stored n_chars drifts from the text) — each as a named check with
+    its violation count, the table a publish gate asserts all-zeros on
+    (the fixture IS clean; a violated expectation here means the scan
+    or a transform corrupted data).
+
+    Scale: range/null checks are map-side counts; the integrity checks
+    are left-anti joins that broadcast the (distinct, projected) key
+    side — at 100 TB the dimension keys stay broadcastable and the
+    fact sides never shuffle. Each check is an independent jobs-graph
+    leaf, so the suite parallelizes trivially.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    events = load_table(spark, sf_dir, "events")
+    documents = load_table(spark, sf_dir, "documents")
+
+    def count_as(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(F.count("*").alias("n_violations")).select(
+            F.lit(name).alias("check_name"), "n_violations"
+        )
+
+    orphan_orders = orders.join(
+        F.broadcast(customer.select("c_custkey")),
+        orders.o_custkey == F.col("c_custkey"),
+        "left_anti",
+    )
+    orphan_lines = lineitem.join(
+        F.broadcast(orders.select("o_orderkey")),
+        lineitem.l_orderkey == F.col("o_orderkey"),
+        "left_anti",
+    )
+    checks = [
+        count_as(orphan_orders, "orders_without_customer"),
+        count_as(orphan_lines, "lineitem_without_order"),
+        count_as(orders.filter(F.col("o_totalprice") < 0), "negative_order_total"),
+        count_as(customer.filter(F.col("c_custkey").isNull()), "null_customer_key"),
+        count_as(events.filter(F.col("value") < 0), "negative_event_value"),
+        count_as(
+            documents.filter(F.col("n_chars") != F.length("text")),
+            "doc_char_count_drift",
+        ),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# dq2 — volume anomaly: daily event counts flagged when they deviate
+# more than 3σ from the trailing 14-observation mean. Exact integer
+# moments (Σn, Σn²) keep the z-score engine-identical before the 6 dp
+# round — the w10 recipe applied to monitoring.
+# ---------------------------------------------------------------------------
+
+_DQ2_ORACLE = """
+WITH daily AS (
+  SELECT event_type,
+         datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day_idx,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+s AS (
+  SELECT event_type, day_idx, n,
+         COUNT(*)  OVER w AS m,
+         SUM(n)    OVER w AS sx,
+         SUM(n*n)  OVER w AS sxx
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day_idx
+               ROWS BETWEEN 14 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, day_idx, n,
+       ROUND((n - CAST(sx AS DOUBLE) / m)
+               / sqrt(CAST(m * sxx - sx * sx AS DOUBLE)) * m / sqrt(CAST(m AS DOUBLE)), 6)
+         AS z_score,
+       ABS((n - CAST(sx AS DOUBLE) / m)
+             / sqrt(CAST(m * sxx - sx * sx AS DOUBLE)) * m / sqrt(CAST(m AS DOUBLE))) > 3.0
+         AS is_anomalous
+FROM s
+WHERE m = 14 AND m * sxx - sx * sx > 0
+"""
+
+
+@register("dq2_volume_anomaly", oracle=_DQ2_ORACLE, tags=("A7", "W4", "A11"))
+def dq2_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-volume anomaly detector: each (event type, day)'s
+    event count is z-scored against that type's TRAILING 14 observed
+    days (excluding the current one — the frame a monitor actually has
+    at decision time) and flagged past 3σ. The z-score is assembled from exact integer moments
+    (count, Σn, Σn²) so both engines compute the identical double
+    before the 6 dp round; degenerate windows (fewer than 14 prior
+    days, zero variance) are excluded on both sides.
+
+    Scale: one partial-aggregated groupBy to (type, day) grain, then a
+    PARTITIONED per-series ROWS frame — series parallelize across
+    types, each holding O(days) rows of bounded state; no global sort
+    anywhere (the repo's no-unpartitioned-window sweep stays empty).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+        ).alias("day_idx"),
+    ).agg(F.count("*").alias("n"))
+    w = Window.partitionBy("event_type").orderBy("day_idx").rowsBetween(-14, -1)
+    s = daily.select(
+        "event_type",
+        "day_idx",
+        "n",
+        F.count("*").over(w).alias("m"),
+        F.sum("n").over(w).alias("sx"),
+        F.sum(F.col("n") * F.col("n")).over(w).alias("sxx"),
+    )
+    var_term = F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")
+    z = (
+        (F.col("n") - F.col("sx").cast("double") / F.col("m"))
+        / F.sqrt(var_term.cast("double"))
+        * F.col("m")
+        / F.sqrt(F.col("m").cast("double"))
+    )
+    return (
+        s.filter((F.col("m") == 14) & (var_term > 0))
+        .select(
+            "event_type",
+            "day_idx",
+            "n",
+            F.round(z, 6).alias("z_score"),
+            (F.abs(z) > 3.0).alias("is_anomalous"),
+        )
+    )
