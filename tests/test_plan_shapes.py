@@ -42,6 +42,7 @@ PYTHON_ALLOWED = {
     "m4_feature_extract",
     "m4b_feature_parity",
     "u1_scalar_udf_normalize",
+    "u1b_arrow_udf_normalize",  # same U1 surface, Arrow-batched transport
     "u2_pandas_udf_score",
     "u3_grouped_map_zscore",
     "u5_udtf_tag_split",
