@@ -3525,3 +3525,228 @@ def l1_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("unchanged")
         .alias("diff_status"),
     )
+
+
+# ---------------------------------------------------------------------------
+# L4 — blocklist filter: the unsafe-content gate. Token-set semantics
+# (unigram terms + consecutive-bigram phrases), evaluated map-side with
+# literal arrays — the formulation that at 100 TB needs no join at all
+# for a fixed blocklist, and a broadcast join when the list is a table.
+# ---------------------------------------------------------------------------
+
+_BLOCK_UNIGRAMS = ("spill", "skew")
+_BLOCK_BIGRAMS = ("slow shuffle", "driver oom")
+
+_BLOCKLIST_ORACLE = rf"""
+WITH t AS (
+  SELECT doc_id, {_ORACLE_TOKS} AS ts FROM documents
+),
+b AS (
+  SELECT doc_id, ts,
+         list_transform(generate_series(1, greatest(len(ts) - 1, 0)),
+                        i -> ts[i] || ' ' || ts[i+1]) AS bgs
+  FROM t
+)
+SELECT doc_id,
+       list_has_any(ts, ['spill', 'skew']) AS has_term,
+       list_has_any(bgs, ['slow shuffle', 'driver oom']) AS has_phrase,
+       (list_has_any(ts, ['spill', 'skew'])
+          OR list_has_any(bgs, ['slow shuffle', 'driver oom'])) AS blocked
+FROM b
+"""
+
+
+@register("l4_blocklist_filter", oracle=_BLOCKLIST_ORACLE, tags=("L4", "F5", "P6"))
+def l4_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist gate: flag documents containing any blocklisted term
+    (token match) or any blocklisted two-word phrase (consecutive-token
+    match) — the safety filter every corpus release runs. Token-set
+    semantics, not substring: 'skew' matches the word, never 'skewer',
+    with no regex engine in the hot path.
+
+    Scale: tokens and bigrams are HOF projections; the membership tests
+    are `arrays_overlap` against LITERAL arrays — pure map-side codegen
+    with zero shuffle and zero join for a fixed list. A blocklist
+    maintained as a table instead broadcasts and semi-joins on exploded
+    tokens; phrase lists beyond bigrams build the n-gram array at width
+    n the same way.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    ts = T.tokens(F.col("text"))
+    d = docs.select("doc_id", ts.alias("ts"))
+    idxs = F.sequence(
+        F.lit(0), F.greatest(F.size("ts") - 2, F.lit(-1))
+    )
+    bgs = F.when(F.size("ts") >= 2, F.transform(
+        idxs,
+        lambda i: F.concat_ws(
+            " ", F.element_at(F.col("ts"), i + 1), F.element_at(F.col("ts"), i + 2)
+        ),
+    )).otherwise(F.array().cast("array<string>"))
+    uni_lit = F.array(*[F.lit(t) for t in _BLOCK_UNIGRAMS])
+    bi_lit = F.array(*[F.lit(t) for t in _BLOCK_BIGRAMS])
+    b = d.select(
+        "doc_id",
+        F.arrays_overlap(F.col("ts"), uni_lit).alias("has_term"),
+        F.arrays_overlap(bgs, bi_lit).alias("has_phrase"),
+    )
+    return b.select(
+        "doc_id",
+        "has_term",
+        "has_phrase",
+        (F.col("has_term") | F.col("has_phrase")).alias("blocked"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# L1 — survivorship dedup: keep the BEST duplicate, not the first.
+# Exact-dup groups resolved by a quality policy (max quality score,
+# doc_id as the deterministic tiebreak) — what a production pipeline
+# actually ships when duplicates differ in upstream cleaning.
+# ---------------------------------------------------------------------------
+
+_SURVIVOR_ORACLE = rf"""
+WITH scored AS (
+  SELECT doc_id, text, lang, source,
+         LEAST(1.0, len({_ORACLE_TOKS}) / 50.0)
+           * (CASE WHEN len({_ORACLE_TOKS}) > 0
+                   THEN CAST(len({_ORACLE_DTOKS}) AS DOUBLE) / len({_ORACLE_TOKS})
+                   ELSE 0.0 END) AS q
+  FROM documents
+)
+SELECT doc_id, lang, source
+FROM scored
+QUALIFY row_number() OVER (PARTITION BY text ORDER BY q DESC, doc_id) = 1
+"""
+
+
+@register("l1_survivorship_dedup", oracle=_SURVIVOR_ORACLE, tags=("L1", "L4", "W2"))
+def l1_survivorship_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Policy-driven exact dedup: within each duplicate-text group the
+    survivor is the HIGHEST-quality copy (quality score, doc_id
+    tiebreak) instead of l1_exact_dedup's min-id — survivorship is how
+    real pipelines resolve duplicates whose metadata or cleaning
+    differs. Integer-ratio quality needs no rounding, so the per-group
+    argmax is engine-identical.
+
+    Scale: identical shape to l1 — one shuffle hash-partitioned by
+    text (xxhash64 key at 100 TB), per-group window over colocated
+    duplicates. The policy is just the window's ORDER BY; swapping
+    policies (longest, newest, most-linked) never changes the plan.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "text", "lang", "source",
+        T.quality_score(F.col("text")).alias("q"),
+    )
+    w = Window.partitionBy("text").orderBy(F.col("q").desc(), "doc_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# L6 — dominant eigenvector by power iteration: the PCA/whitening
+# primitive on top of l6_covariance_matrix. Three fixed matrix-vector
+# products from e₁ with NO intermediate normalization (norms divide out
+# at the end), so both engines run identical arithmetic on the same
+# 6-dp-rounded covariance cells and only the final components round.
+# ---------------------------------------------------------------------------
+
+_POWER_ORACLE = """
+WITH upper_c AS (
+  SELECT i.i AS dim_i, j.j AS dim_j,
+         ROUND((SUM(e.embedding[i.i]::DOUBLE * e.embedding[j.j]::DOUBLE)
+                 - SUM(e.embedding[i.i]::DOUBLE) * SUM(e.embedding[j.j]::DOUBLE)
+                   / COUNT(*))
+               / (COUNT(*) - 1), 6) + 0 AS cov
+  FROM embeddings e, generate_series(1, 64) i(i), generate_series(1, 64) j(j)
+  WHERE j.j >= i.i
+  GROUP BY i.i, j.j
+),
+c AS (
+  SELECT dim_i, dim_j, cov FROM upper_c
+  UNION ALL
+  SELECT dim_j, dim_i, cov FROM upper_c WHERE dim_i <> dim_j
+),
+v1 AS (SELECT dim_i AS d, cov AS x FROM c WHERE dim_j = 1),
+v2 AS (SELECT c.dim_i AS d, SUM(c.cov * v1.x) AS x
+       FROM c JOIN v1 ON c.dim_j = v1.d GROUP BY 1),
+v3 AS (SELECT c.dim_i AS d, SUM(c.cov * v2.x) AS x
+       FROM c JOIN v2 ON c.dim_j = v2.d GROUP BY 1),
+nrm AS (SELECT SQRT(SUM(x * x)) AS n FROM v3)
+SELECT v3.d AS dim, ROUND(v3.x / nrm.n, 6) + 0 AS component
+FROM v3, nrm
+"""
+
+
+@register("l6_power_iteration", oracle=_POWER_ORACLE, tags=("L6", "A11", "J1"))
+def l6_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding covariance via three
+    power-iteration steps (v₃ = C³e₁, normalized once at the end) —
+    the iterative linear-algebra primitive behind PCA projection,
+    whitening, and spectral embedding quality checks, expressed
+    entirely as join-aggregates over the LONG-FORM matrix (no local
+    matrices, no driver). Deferring normalization keeps every
+    intermediate a pure float expression over the 6-dp-rounded
+    covariance cells, so engines agree before the final round; three
+    iterations on a spectral-gapped covariance already align v₃ with
+    the dominant eigenvector to ~λ₂/λ₁³.
+
+    Scale: covariance is one partial-aggregated pass (l6_covariance's
+    shape); each iteration is a 64²-row broadcast join against a
+    64-row vector — constant-size work per step regardless of corpus
+    size. Higher dims d: cells grow d², still tiny next to the corpus;
+    more iterations chain the same two-line step.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    x = e.select(
+        "vec_id", F.posexplode(F.col("embedding").cast("array<double>"))
+    ).select("vec_id", (F.col("pos") + 1).alias("d"), F.col("col").alias("x"))
+    a, b = x.alias("a"), x.alias("b")
+    upper = (
+        a.join(b, (F.col("a.vec_id") == F.col("b.vec_id")) & (F.col("a.d") <= F.col("b.d")))
+        .groupBy(F.col("a.d").alias("dim_i"), F.col("b.d").alias("dim_j"))
+        .agg(
+            F.sum(F.col("a.x") * F.col("b.x")).alias("sxy"),
+            F.sum(F.col("a.x")).alias("sx"),
+            F.sum(F.col("b.x")).alias("sy"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            "dim_i",
+            "dim_j",
+            (
+                F.round(
+                    (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n"))
+                    / (F.col("n") - 1),
+                    6,
+                )
+                + 0
+            ).alias("cov"),
+        )
+    )
+    c = upper.unionByName(
+        upper.filter(F.col("dim_i") != F.col("dim_j")).select(
+            F.col("dim_j").alias("dim_i"),
+            F.col("dim_i").alias("dim_j"),
+            "cov",
+        )
+    )
+    v = c.filter(F.col("dim_j") == 1).select(
+        F.col("dim_i").alias("d"), F.col("cov").alias("x")
+    )
+    for _ in range(2):
+        v = (
+            c.join(F.broadcast(v), c.dim_j == v.d)
+            .groupBy(F.col("dim_i").alias("d2"))
+            .agg(F.sum(F.col("cov") * F.col("x")).alias("x"))
+            .select(F.col("d2").alias("d"), "x")
+        )
+    nrm = v.agg(F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("n"))
+    return v.crossJoin(F.broadcast(nrm)).select(
+        F.col("d").alias("dim"),
+        (F.round(F.col("x") / F.col("n"), 6) + 0).alias("component"),
+    )
