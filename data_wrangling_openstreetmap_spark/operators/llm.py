@@ -3750,3 +3750,74 @@ def l6_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d").alias("dim"),
         (F.round(F.col("x") / F.col("n"), 6) + 0).alias("component"),
     )
+
+
+# ---------------------------------------------------------------------------
+# L2 — containment join: the ASYMMETRIC near-dup measure. Jaccard
+# misses a short doc quoted wholesale inside a long one (union dwarfs
+# the intersection); containment |A∩B|/|A| catches exactly that —
+# quotes, boilerplate inclusion, copypasta-with-additions.
+# ---------------------------------------------------------------------------
+
+_CONTAIN_T = 0.9
+
+_CONTAINMENT_ORACLE = rf"""
+WITH toks AS (
+  SELECT doc_id, {_ORACLE_DTOKS} AS ts FROM documents
+)
+SELECT
+  a.doc_id AS contained_doc,
+  b.doc_id AS container_doc,
+  CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE) / len(a.ts) AS containment
+FROM toks a JOIN toks b ON a.doc_id <> b.doc_id
+WHERE len(a.ts) > 0
+  AND CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE) / len(a.ts) >= {_CONTAIN_T}
+  AND len(a.ts) < len(b.ts)
+"""
+
+
+@register("l2_containment_join", oracle=_CONTAINMENT_ORACLE, tags=("L2", "J8", "F5"))
+def l2_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed containment pairs: doc A is ≥90% contained in a
+    STRICTLY LARGER doc B (by distinct tokens) — the asymmetric
+    near-dup relation symmetric Jaccard cannot see (a tweet quoted
+    inside an article has Jaccard ≈ 0 but containment = 1). Output is
+    directed (contained → container); integer-ratio math needs no
+    rounding.
+
+    Scale: the same inverted-index shape as l2_jaccard_pairs (explode
+    distinct tokens → equi-join on token → count common per pair) —
+    never the O(n²) cross product. The size-asymmetry predicate
+    (|A| < |B|) is also the classic prefix-filter accelerant: at
+    100 TB, candidates additionally prune on the smallest
+    (1−t)·|A|+1 tokens of each doc, and hot tokens df-cap exactly as
+    the Jaccard twin documents.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.col("doc_id"),
+        F.size(T.distinct_tokens(F.col("text"))).alias("n_toks"),
+        F.explode(T.distinct_tokens(F.col("text"))).alias("tok"),
+    )
+    a = toks.alias("a")
+    b = toks.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.doc_id") != F.col("b.doc_id"))
+            & (F.col("a.n_toks") < F.col("b.n_toks")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("contained_doc"),
+            F.col("b.doc_id").alias("container_doc"),
+            F.col("a.n_toks").alias("na"),
+        )
+        .agg(F.count("*").alias("common"))
+    )
+    cont = F.col("common").cast("double") / F.col("na")
+    return (
+        common.withColumn("containment", cont)
+        .filter(F.col("containment") >= _CONTAIN_T)
+        .select("contained_doc", "container_doc", "containment")
+    )

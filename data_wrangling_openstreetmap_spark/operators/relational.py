@@ -1420,3 +1420,102 @@ def s12_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orders"),
         F.min("o_orderkey").alias("first_order"),
     )
+
+
+# ---------------------------------------------------------------------------
+# S13 — CSV dialect hazards: embedded quotes, delimiters, and NEWLINES
+# inside fields. The multiLine read path is a different parser (one
+# record can span physical lines), and silently mangled quoting is a
+# classic ingestion corruption — round-trip + oracle proves the dialect
+# survives.
+# ---------------------------------------------------------------------------
+
+_S13_ORACLE = """
+WITH hazard AS (
+  SELECT doc_id,
+         'prefix "' || lang || '", ' || chr(10) || 'suffix' AS tricky
+  FROM documents WHERE doc_id % 25 = 0
+)
+SELECT doc_id, tricky, length(tricky) AS n_chars
+FROM hazard
+"""
+
+
+@register("s13_csv_multiline_roundtrip", oracle=_S13_ORACLE, tags=("S4", "P2", "F1"))
+def s13_csv_multiline_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV dialect round-trip under the three classic hazards: fields
+    containing double quotes, the delimiter, and literal newlines. The
+    writer must quote-escape; the reader must run in multiLine mode
+    (records spanning physical lines use a different, non-splittable
+    parse path). The oracle rebuilds the same hazardous strings in SQL
+    and grades byte-for-byte equality plus lengths after the
+    round-trip.
+
+    Scale: multiLine CSV files are NOT splittable (a record boundary
+    can't be found mid-file), so at 100 TB hazardous CSV is ingested
+    as many medium files, parsed once, and immediately rewritten to
+    parquet — this operator is the quarantine step's correctness
+    proof, not a steady-state format choice.
+    """
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    hazard = docs.filter(F.col("doc_id") % 25 == 0).select(
+        "doc_id",
+        F.concat(
+            F.lit('prefix "'), F.col("lang"), F.lit('", \nsuffix')
+        ).alias("tricky"),
+    )
+    path = tempfile.mkdtemp(prefix="dwos_s13_") + "/hazard_csv"
+    hazard.write.option("header", True).option("quoteAll", True).mode(
+        "overwrite"
+    ).csv(path)
+    back = (
+        spark.read.schema("doc_id bigint, tricky string")
+        .option("header", True)
+        .option("multiLine", True)
+        .csv(path)
+    )
+    return back.select("doc_id", "tricky", F.length("tricky").alias("n_chars"))
+
+
+# ---------------------------------------------------------------------------
+# A17 — conditional distinct: COUNT(DISTINCT CASE WHEN …) — the "active
+# users vs purchasing users in one pass" shape analytics dashboards
+# live on. Spark plans multiple distinct aggregates via Expand.
+# ---------------------------------------------------------------------------
+
+_A17_ORACLE = """
+SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day,
+       COUNT(DISTINCT user_id) AS active_users,
+       COUNT(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END)
+         AS purchasing_users,
+       COUNT(DISTINCT CASE WHEN event_type = 'click' THEN user_id END)
+         AS clicking_users
+FROM events
+GROUP BY 1
+"""
+
+
+@register("a17_conditional_distinct", oracle=_A17_ORACLE, tags=("A3", "A7", "P6"))
+def a17_conditional_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day distinct users overall and per event class in ONE query
+    (COUNT(DISTINCT CASE WHEN …)) — three distinct aggregates sharing
+    a single scan instead of three self-joined subqueries.
+
+    Scale: Catalyst plans multi-distinct via Expand (one replicated
+    row per distinct branch) + two-phase aggregation — the same shape
+    as q8's rollup, with the shuffle keyed on (day, branch, user). At
+    extreme cardinalities each branch degrades to approx_count_distinct
+    (a4's contract covers the estimator); the exact form stays the
+    audit reference.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    day = F.col("ts").cast("date").cast("timestamp_ntz")
+    purchase_user = F.when(F.col("event_type") == "purchase", F.col("user_id"))
+    click_user = F.when(F.col("event_type") == "click", F.col("user_id"))
+    return ev.groupBy(day.alias("day")).agg(
+        F.countDistinct("user_id").alias("active_users"),
+        F.countDistinct(purchase_user).alias("purchasing_users"),
+        F.countDistinct(click_user).alias("clicking_users"),
+    )
