@@ -56,3 +56,65 @@ def running_user_totals_stream(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# ST7b — the same operator on Spark 4's transformWithState API (the
+# successor to applyInPandasWithState): typed named state via a
+# StatefulProcessor handle, RocksDB-only, with timers/TTL available for
+# eviction policies the old API could not express. Registered here so
+# both generations of the arbitrary-stateful surface are covered.
+# ---------------------------------------------------------------------------
+
+try:  # Spark ≥ 4.0
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotalsProcessor(StatefulProcessor):
+        """Per-user running {count, cent total} in a ValueState — cents
+        keep the accumulation exact and order-independent, so the final
+        snapshot equals the batch aggregate bit-for-bit after /100."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "totals", "n bigint, cents bigint"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            prior = self._state.get()
+            n, cents = (prior[0], prior[1]) if prior is not None else (0, 0)
+            for pdf in rows:
+                n += len(pdf)
+                cents += int(round(float(pdf["value"].mul(100).round().sum())))
+            self._state.update((n, cents))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [cents / 100.0],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    def running_user_totals_tws(events: DataFrame) -> DataFrame:
+        """transformWithStateInPandas form of running_user_totals_stream
+        (update mode, no event-time dependency). Requires the RocksDB
+        state store provider."""
+        return events.groupBy("user_id").transformWithStateInPandas(
+            RunningTotalsProcessor(),
+            outputStructType=OUTPUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+
+except ImportError:  # pragma: no cover - older Spark
+    RunningTotalsProcessor = None
+
+    def running_user_totals_tws(events: DataFrame) -> DataFrame:
+        raise NotImplementedError("transformWithState requires Spark >= 4.0")

@@ -357,3 +357,65 @@ def test_foreachbatch_upsert_sink_converges_to_batch_state(
     )
     assert got == want
     assert len(got) > 0
+
+
+def test_transform_with_state_converges_to_batch(spark, replay_dir):
+    """ST7b: the transformWithState (Spark 4 successor API) form of the
+    running per-user totals must converge to the same batch image as
+    the applyInPandasWithState form — typed ValueState in RocksDB (the
+    only provider the new API supports), cents-exact accumulation, one
+    updated row per user per batch; last row per user wins.
+
+    ENV-GATED: the transformWithState state-server protocol speaks
+    protobuf between the JVM and the Python driver worker, and this
+    container ships no `protobuf` package (verified: the query crashes
+    in StateMessage_pb2 import). The operator implementation is real
+    and this test runs it end-to-end wherever protobuf exists; here it
+    skips, exactly like the multimodal codec stubs."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState needs protobuf for its state protocol",
+    )
+    from data_wrangling_openstreetmap_spark.streaming.stateful import (
+        running_user_totals_tws,
+    )
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        run_to_memory(
+            read_event_stream(spark, replay_dir).filter(
+                F.col("user_id") != SENTINEL_USER
+            ),
+            running_user_totals_tws,
+            "sink_tws",
+            output_mode="update",
+        )
+        sink = spark.table("sink_tws")
+        # update mode emits one row per user per micro-batch; the final
+        # state per user is the row with the maximum n_events
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+        final = (
+            sink.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .drop("rk")
+        )
+        batch = (
+            load_table(spark, SF, "events")
+            .groupBy("user_id")
+            .agg(
+                F.count("*").alias("n_events"),
+                (
+                    F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0
+                ).alias("total_value"),
+            )
+        )
+        assert _rows(final) == _rows(batch)
+        assert final.count() > 0
+    finally:
+        spark.conf.unset(provider_key)
