@@ -445,3 +445,71 @@ def d4_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("updated")
         .alias("merge_action"),
     )
+
+
+# ---------------------------------------------------------------------------
+# d5 — incremental view maintenance: refresh a materialized aggregate
+# from a change batch WITHOUT rescanning the base table. The batch face
+# of streaming/sinks.upsert_sink, graded: merge(old_view, agg(delta))
+# must equal agg(base ∪ delta) exactly — which holds because every
+# maintained statistic is associative (counts and integer-cent sums).
+# ---------------------------------------------------------------------------
+
+_D5_ORACLE = """
+WITH delta AS (
+  SELECT o_custkey, o_totalprice FROM orders WHERE o_orderkey % 7 = 0
+),
+unioned AS (
+  SELECT o_custkey, o_totalprice FROM orders
+  UNION ALL
+  SELECT o_custkey, o_totalprice FROM delta
+)
+SELECT o_custkey,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0 AS total_spend
+FROM unioned
+GROUP BY o_custkey
+"""
+
+
+@register("d5_incremental_view_maintenance", oracle=_D5_ORACLE, tags=("A1", "J2", "S6"))
+def d5_incremental_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental refresh of a per-customer order summary: the
+    materialized view (aggregated once from the base) absorbs a change
+    batch (every 7th order re-ingested) by aggregating ONLY the delta
+    and merging state — counts add, cent sums add — never rescanning
+    the base. The oracle recomputes from scratch over base ∪ delta, so
+    the grade IS the maintenance-equals-recompute theorem for this
+    view, exact because every statistic is associative and
+    integer-exact.
+
+    Scale: this is why 100 TB dashboards stay fresh — the refresh cost
+    is O(|delta|) + a state-sized merge join, independent of base
+    size. AVG/stddev maintain as (Σ, Σx², n); MIN/MAX and DISTINCT
+    need retraction logs or sketches (a4b's mergeable HLL is the
+    distinct-count path). The same merge body runs in
+    streaming/sinks.upsert_sink per micro-batch.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    base_view = orders.groupBy("o_custkey").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"),
+    )
+    delta = orders.filter(F.col("o_orderkey") % 7 == 0)
+    delta_agg = delta.groupBy("o_custkey").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"),
+    )
+    merged = (
+        base_view.unionByName(delta_agg)
+        .groupBy("o_custkey")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.sum("cents").alias("cents"),
+        )
+    )
+    return merged.select(
+        "o_custkey",
+        "n_orders",
+        (F.col("cents") / 100.0).alias("total_spend"),
+    )
