@@ -1056,3 +1056,83 @@ def w11_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ewma20")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# A18 — percentile matrix: one pass, several metrics × several
+# quantiles per group, in LONG form (metric, quantile, value). The
+# unpivot-then-aggregate composition that powers "distribution
+# dashboard" panels without one query per metric.
+# ---------------------------------------------------------------------------
+
+_A18_ORACLE = """
+WITH long_form AS (
+  SELECT event_type, 'value' AS metric, value AS x FROM events
+  UNION ALL
+  SELECT event_type, 'hour_of_day' AS metric,
+         CAST(EXTRACT(hour FROM ts) AS DOUBLE) AS x
+  FROM events
+),
+agg AS (
+  SELECT event_type, metric,
+         ROUND(quantile_cont(x, 0.25), 4) AS q25,
+         ROUND(quantile_cont(x, 0.50), 4) AS q50,
+         ROUND(quantile_cont(x, 0.75), 4) AS q75,
+         ROUND(quantile_cont(x, 0.95), 4) AS q95
+  FROM long_form GROUP BY event_type, metric
+)
+SELECT event_type, metric, CAST(u.q AS DOUBLE) AS quantile,
+       CASE u.q WHEN 0.25 THEN q25 WHEN 0.50 THEN q50
+                WHEN 0.75 THEN q75 ELSE q95 END AS value
+FROM agg, (SELECT unnest([0.25, 0.5, 0.75, 0.95]) AS q) u
+"""
+
+
+@register("a18_percentile_matrix", oracle=_A18_ORACLE, tags=("A1", "O3", "F3"))
+def a18_percentile_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution matrix: p25/p50/p75/p95 of two metrics (event
+    value, hour-of-day) per event type in ONE aggregation over the
+    unpivoted long form — the composition that turns "a query per
+    metric per quantile" into a single shuffle keyed on (type, metric).
+    Exact linear-interpolation percentiles round at 4 dp (the proven
+    a10 recipe: Spark `percentile` and DuckDB `quantile_cont` share
+    the interpolation rule).
+
+    Scale: the unpivot doubles scan output but stays map-side; the
+    shuffle carries (type, metric) keys so metrics parallelize instead
+    of queueing as separate jobs. At 100 TB swap `percentile` for
+    `approx_percentile` per a10's note — the long form is what makes
+    that swap a one-line change for every panel at once.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    long_form = ev.select(
+        "event_type", F.lit("value").alias("metric"), F.col("value").alias("x")
+    ).unionByName(
+        ev.select(
+            "event_type",
+            F.lit("hour_of_day").alias("metric"),
+            F.hour("ts").cast("double").alias("x"),
+        )
+    )
+    qs = [0.25, 0.5, 0.75, 0.95]
+    agg = long_form.groupBy("event_type", "metric").agg(
+        *[
+            F.round(F.percentile("x", F.lit(q)), 4).alias(f"q{int(q * 100)}")
+            for q in qs
+        ]
+    )
+    melted = agg.unpivot(
+        ["event_type", "metric"],
+        [f"q{int(q * 100)}" for q in qs],
+        "q_label",
+        "value",
+    )
+    q_map = F.create_map(
+        *[x for q in qs for x in (F.lit(f"q{int(q * 100)}"), F.lit(q))]
+    )
+    return melted.select(
+        "event_type",
+        "metric",
+        q_map[F.col("q_label")].alias("quantile"),
+        "value",
+    )
