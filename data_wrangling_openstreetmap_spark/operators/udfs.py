@@ -284,3 +284,62 @@ def u1b_arrow_udf_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         addr.alias("raw_name"),
         fn(addr).alias("clean_name"),
     )
+
+
+# ---------------------------------------------------------------------------
+# U4b — pandas_udf GROUPED_AGG: the UDAF-as-expression form. u3 covers
+# custom aggregation via applyInPandas (whole-group DataFrame in,
+# DataFrame out); GROUPED_AGG instead yields a SCALAR per group and
+# composes inside ordinary groupBy(...).agg(...) next to built-ins —
+# the right tool when the custom statistic is one column deep.
+# ---------------------------------------------------------------------------
+
+_U4B_ORACLE = """
+SELECT o_orderpriority,
+       ROUND(SUM(o_totalprice * (o_orderkey % 10 + 1))
+               / SUM(o_orderkey % 10 + 1), 6) AS weighted_avg_price,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@register("u4b_grouped_agg_udaf", oracle=_U4B_ORACLE, tags=("U4", "U2", "A1"))
+def u4b_grouped_agg_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted mean order price per priority via a GROUPED_AGG
+    pandas_udf (weight = orderkey%10+1, a deterministic stand-in for a
+    quantity weight): the custom aggregate sits INSIDE agg() beside a
+    second pandas aggregate, proving UDAFs compose as expressions
+    rather than replacing the whole aggregation (u3's applyInPandas
+    form). Spark forbids MIXING pandas and non-pandas aggregates in
+    one agg() (INVALID_PANDAS_UDF_PLACEMENT) — so the row count here
+    is also a GROUPED_AGG UDF; a production query needing built-ins
+    too computes them in a sibling agg and joins on the group key. The
+    single float division rounds at 6 dp; the weighted sums themselves
+    are float folds whose error is orders below the round.
+
+    Scale: GROUPED_AGG ships each group's COLUMN (not its rows) through
+    Arrow and cannot partial-aggregate — groups must fit in worker
+    memory, and the shuffle carries raw values. For algebraic
+    statistics like this one, the decomposed form (two built-in SUMs,
+    map-side combined) is the 100 TB rewrite; GROUPED_AGG earns its
+    keep for genuinely non-decomposable per-group math (trimmed means,
+    robust fits) on bounded groups.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def weighted_avg(price: pd.Series, weight: pd.Series) -> float:
+        return round(float((price * weight).sum() / weight.sum()), 6)
+
+    @pandas_udf("long")
+    def group_count(price: pd.Series) -> int:
+        return len(price)
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = (F.col("o_orderkey") % 10 + 1).cast("double")
+    return orders.groupBy("o_orderpriority").agg(
+        weighted_avg(F.col("o_totalprice"), w).alias("weighted_avg_price"),
+        group_count(F.col("o_totalprice")).alias("n_orders"),
+    )

@@ -45,6 +45,7 @@ PYTHON_ALLOWED = {
     "u1b_arrow_udf_normalize",  # same U1 surface, Arrow-batched transport
     "u2_pandas_udf_score",
     "u3_grouped_map_zscore",
+    "u4b_grouped_agg_udaf",  # GROUPED_AGG pandas UDAF — the U4 expression form
     "u5_udtf_tag_split",
 }
 # Driver-side generators (XML demo) — plan built over generated input.
