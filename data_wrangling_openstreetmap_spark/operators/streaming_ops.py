@@ -287,15 +287,19 @@ def st4_late_data_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     (at sf0.01 this makes 520 of 10 000 events late). Timestamps are
     µs-exact ntz, so the late/kept split is integer-deterministic.
 
-    Scale note: the global ordered window is the AUDIT formulation —
-    it replays one source's arrival sequence and inherently runs on
-    one partition, like any changelog replay. The production drop
-    itself never does this: the streaming engine tracks the high-water
-    mark per trigger (streaming/replay.py demonstrates it); to audit a
-    partitioned source at 100 TB, run this same window partitioned by
-    source partition id, which is how arrival order is actually
-    defined there.
+    Scale (round 3: the global ordered window is GONE): the running
+    high-water mark is a prefix MAX, which decomposes exactly like a
+    prefix sum — rows take a local running max within coarse
+    arrival-hour buckets (partitioned window), per-bucket maxima
+    prefix-max in a tiny O(#buckets) window, and each row's watermark
+    is greatest(prev-buckets' max, local running max)
+    (_helpers.scalable_running_max). Identical output to the global
+    window for any arrival sequence; the single-partition exchange now
+    only ever carries the aggregated bucket table, which the plan
+    sweep's structural rule admits.
     """
+    from ._helpers import scalable_running_max
+
     events = load_table(spark, sf_dir, "events")
     jitter = (F.col("event_id") * F.lit(2654435761)) % 900
     j = events.select(
@@ -306,10 +310,16 @@ def st4_late_data_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "arrival_ts"
         ),
     )
-    w = Window.orderBy("arrival_ts", "event_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    hour_bkt = F.floor(
+        F.unix_micros(F.col("arrival_ts").cast("timestamp")) / (3600 * 1000000)
     )
-    arr = j.select("event_type", "ts", F.max("ts").over(w).alias("hi"))
+    arr = scalable_running_max(
+        j,
+        order_cols=["arrival_ts", "event_id"],
+        value="ts",
+        bucket=hour_bkt,
+        out="hi",
+    ).select("event_type", "ts", "hi")
     late = F.col("ts") < F.col("hi") - F.expr("INTERVAL 10 MINUTES")
     return arr.groupBy("event_type").agg(
         F.count("*").alias("n_events"),

@@ -165,22 +165,49 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark):
         )
 
 
+# Plan nodes that PROVE the rows entering a single-partition exchange
+# are bounded: an aggregation emits O(groups) rows (the scalable_row_
+# number offsets table, presentation re-aggs), and limits are bounded
+# by construction (TakeOrderedAndProject pre-truncation, RRF's top-k).
+_BOUNDED_FEEDERS = (
+    "HashAggregate",
+    "SortAggregate",
+    "ObjectHashAggregate",
+    "TakeOrderedAndProject",
+    "GlobalLimit",
+    "LocalLimit",
+    "LocalTableScan",  # literal/collected constants, bounded by definition
+)
+
+
 @pytest.mark.parametrize("name", sorted(set(REGISTRY) - SLOW_BUILD))
 def test_no_unpartitioned_window_over_unbounded_input(spark, name):
-    """Hard scale invariant (VERDICT r2 #3): no registered query's plan
-    may funnel an unbounded input through a single-partition exchange
-    into a Window — the shape that serializes the whole dataset through
-    one task at 100 TB. The four round-2 offenders (s3 systematic
-    sample, s10 rank spine, quality deciles' ntile, RRF's dense-branch
-    rank) were rewritten onto scalable_row_number / TakeOrderedAndProject
-    pre-truncation; bounded global windows (over a prior limit's ≤k
-    rows) compile without the SinglePartition exchange, so the
-    allowlist is EMPTY — keep it that way."""
+    """Hard scale invariant (VERDICT r2 #3): no query may funnel
+    UNBOUNDED input through a single-partition exchange — the shape
+    that serializes the whole dataset through one task at 100 TB.
+
+    Detection is structural, on the simple-mode plan (round-3 fix: the
+    original sweep grepped the formatted plan, where Spark prints the
+    exchange's 'SinglePartition' argument on a separate detail line —
+    the pattern never matched and the test passed vacuously): every
+    `Exchange SinglePartition` node's DIRECT CHILD must be an
+    aggregation or a limit, which bounds the exchanged rows to
+    O(groups) / O(k) regardless of input size. The four round-2 global
+    sorts (s3, s10, deciles, RRF) were rewritten so their only
+    single-partition exchanges are over post-aggregation bucket-offset
+    tables — which is exactly what this structural rule admits."""
     df = REGISTRY[name].fn(spark, SF)
-    plan = plan_string(df)
-    assert not (
-        "Exchange SinglePartition" in plan and "Window" in plan
-    ), f"{name}: single-partition exchange feeding a Window\n{plan}"
+    plan = plan_string(df, mode="simple")
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" not in line:
+            continue
+        child = lines[i + 1] if i + 1 < len(lines) else ""
+        assert any(tok in child for tok in _BOUNDED_FEEDERS), (
+            f"{name}: Exchange SinglePartition over a non-aggregated, "
+            f"non-limited child — unbounded single-task funnel:\n"
+            f"  {line}\n  {child}\n\nfull plan:\n{plan}"
+        )
 
 
 def test_q10_index_build_is_size_guarded(spark):

@@ -238,3 +238,43 @@ def test_ntile_closed_form_matches_spark_ntile(spark, n):
         for r in ranked.select("k", decile.cast("int").alias("d")).collect()
     }
     assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=1000),  # order key
+            st.integers(min_value=-100, max_value=100),  # value
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    st.sampled_from([1, 7, 64]),
+)
+@settings(**SETTINGS)
+def test_scalable_running_max_equals_global_window(spark, rows, width):
+    """Bucketed prefix max must equal the global running max for ANY
+    order-key distribution and bucket width (ties broken by a unique
+    id, same contract as production callers)."""
+    from data_wrangling_openstreetmap_spark.operators._helpers import (
+        scalable_running_max,
+    )
+
+    df = spark.createDataFrame(
+        [(i, k, v) for i, (k, v) in enumerate(rows)], "id long, k long, v long"
+    )
+    got = {
+        r.id: r.run_max
+        for r in scalable_running_max(
+            df,
+            order_cols=["k", "id"],
+            value="v",
+            bucket=F.floor(F.col("k") / width).cast("long"),
+        ).collect()
+    }
+    w = Window.orderBy("k", "id").rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        r.id: r.m
+        for r in df.select("id", F.max("v").over(w).alias("m")).collect()
+    }
+    assert got == want
