@@ -3821,3 +3821,217 @@ def l2_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("containment") >= _CONTAIN_T)
         .select("contained_doc", "container_doc", "containment")
     )
+
+
+# ---------------------------------------------------------------------------
+# L2 — sub-document (paragraph-level) dedup: exact dedup at a finer
+# granularity than the document. Boilerplate paragraphs repeat across
+# docs while the docs themselves stay unique, so document-level dedup
+# never fires; the production fix chunks, dedups chunks corpus-wide,
+# and reassembles. The fixture has no paragraph breaks, so the chunker
+# is a fixed 10-token window — the pipeline shape is the real thing.
+# ---------------------------------------------------------------------------
+
+_PARA_W = 10
+
+_PARA_DEDUP_ORACLE = rf"""
+WITH t AS (
+  SELECT doc_id, {_ORACLE_TOKS} AS ts FROM documents
+),
+chunks AS (
+  SELECT doc_id, c.c AS chunk_idx,
+         array_to_string(ts[(c.c * {_PARA_W} + 1):((c.c + 1) * {_PARA_W})], ' ') AS chunk
+  FROM t, LATERAL (
+    SELECT unnest(generate_series(0,
+             CAST(ceil(len(ts) / {_PARA_W}.0) AS INT) - 1)) AS c) c
+  WHERE len(ts) > 0
+),
+keep AS (
+  SELECT doc_id, chunk_idx, chunk,
+         row_number() OVER (PARTITION BY chunk
+                            ORDER BY doc_id, chunk_idx) = 1 AS first_copy
+  FROM chunks
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(COUNT(*) FILTER (WHERE first_copy) AS BIGINT) AS n_kept,
+       COALESCE(array_to_string(list(chunk ORDER BY chunk_idx)
+                                  FILTER (WHERE first_copy), ' '), '')
+         AS dedup_text
+FROM keep
+GROUP BY doc_id
+"""
+
+
+@register("l2_paragraph_dedup", oracle=_PARA_DEDUP_ORACLE, tags=("L2", "L1", "F5"))
+def l2_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-granular exact dedup: every document splits into
+    10-token chunks, chunks dedup CORPUS-WIDE keeping the first copy
+    (doc_id, chunk_idx order), and each document reassembles from its
+    surviving chunks — repeated boilerplate vanishes from later
+    documents while first occurrences keep their text. Output is the
+    per-doc chunk accounting plus the reassembled text, all
+    hash-graded.
+
+    Scale: chunking is a HOF projection; the dedup is one shuffle
+    hash-partitioned by chunk text (xxhash64 at 100 TB) — identical
+    shape to l1_exact_dedup, just at chunk grain (rows × ~L/10).
+    Reassembly groups by doc_id: a second shuffle, but of surviving
+    chunks only. The window ORDER BY carries (doc_id, chunk_idx), so
+    the survivor is deterministic on both engines.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    ts = T.tokens(F.col("text"))
+    d = docs.select("doc_id", ts.alias("ts")).filter(F.size("ts") > 0)
+    n_chunks = F.ceil(F.size("ts") / float(_PARA_W)).cast("int")
+    chunks = d.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda c: F.concat_ws(
+                    " ", F.slice(F.col("ts"), c * _PARA_W + 1, _PARA_W)
+                ),
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+    w = Window.partitionBy("chunk").orderBy("doc_id", "chunk_idx")
+    keep = chunks.withColumn(
+        "first_copy", F.row_number().over(w) == 1
+    )
+    return (
+        keep.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(F.when(F.col("first_copy"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept"),
+            F.concat_ws(
+                " ",
+                F.flatten(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(
+                                    F.col("first_copy"),
+                                    F.struct("chunk_idx", "chunk"),
+                                )
+                            )
+                        ),
+                        lambda s: F.array(s["chunk"]),
+                    )
+                ),
+            ).alias("dedup_text"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# G2 — triangle census of the co-purchase graph: triangle count +
+# global clustering coefficient, the graph-cohesion statistics that
+# separate genuinely clustered product communities from hub-and-spoke
+# noise (and, on near-dup graphs, dense boilerplate clusters from
+# chains of coincidental pairs).
+# ---------------------------------------------------------------------------
+
+_G2_MIN_SUP = 2
+
+_G2_ORACLE = f"""
+WITH li AS (
+  SELECT l_orderkey, l_partkey FROM lineitem GROUP BY 1, 2
+),
+e AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= {_G2_MIN_SUP}
+),
+deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+    SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e
+  ) GROUP BY node
+),
+tri AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+  FROM e e1 JOIN e e2 ON e1.v = e2.u JOIN e e3
+    ON e3.u = e1.u AND e3.v = e2.v
+),
+wedge AS (SELECT CAST(SUM(d * (d - 1) / 2) AS BIGINT) AS n_wedges FROM deg)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+       wedge.n_wedges AS n_wedges,
+       tri.n_triangles AS n_triangles,
+       CASE WHEN wedge.n_wedges = 0 THEN 0.0
+            ELSE ROUND(3.0 * tri.n_triangles / wedge.n_wedges, 6)
+       END AS clustering_coeff
+FROM tri, wedge
+"""
+
+
+@register("g2_triangle_count", oracle=_G2_ORACLE, tags=("A1", "J8", "A2"))
+def g2_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count and global clustering coefficient of the
+    co-purchase graph (edges = part pairs sharing ≥2 orders, id-ordered
+    u < v). Triangles enumerate as E ⋈ E ⋈ E with u < v < w — each
+    triangle counted exactly once; wedges are Σ d(d−1)/2 over degrees;
+    the coefficient 3Δ/wedges rounds at 6 dp (pure integer inputs).
+
+    Scale: the id-ordered two-path join is the baseline enumerator; its
+    worst case is Σ d(v)² on the JOIN KEY side, so production triangle
+    counting directs each edge from its LOWER-degree endpoint first
+    (degree ordering caps wedge fan-out at O(m^1.5) total — the
+    node-iterator bound) and the id order only breaks ties. The plan
+    is two shuffle joins on single int keys either way; degree
+    ordering changes the key assignment, not the shape. Edge
+    construction reuses a14's basket self-join, bounded per order.
+    """
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .agg(F.count("*").alias("s"))
+        .filter(F.col("s") >= _G2_MIN_SUP)
+        .select("u", "v")
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    wedges = deg.agg(
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("bigint").alias("n_wedges")
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    n_edges = e.agg(F.count("*").alias("n_edges"))
+    coeff = F.when(F.col("n_wedges") == 0, 0.0).otherwise(
+        F.round(3.0 * F.col("n_triangles") / F.col("n_wedges"), 6)
+    )
+    return (
+        n_edges.crossJoin(F.broadcast(wedges))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            coeff.alias("clustering_coeff"),
+        )
+    )
