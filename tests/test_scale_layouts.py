@@ -277,3 +277,37 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_results_identical_under_forced_spill(spark):
+    """Spill-awareness: window and aggregation operators must produce
+    IDENTICAL results when their in-memory buffers overflow to disk —
+    at 100 TB every one of these operators spills routinely, and a
+    spill path that changed results would be a silent corruption local
+    tests never see. Thresholds forced to 1 row so every buffer takes
+    the spill path; q3's window top-k, q1's aggregate, and j7's as-of
+    carry-forward must match their in-memory images row for row."""
+    spill_confs = {
+        "spark.sql.windowExecBufferSpillThreshold": "1",
+        "spark.sql.windowExecBufferInMemoryThreshold": "1",
+        "spark.sql.sortMergeJoinExecBufferSpillThreshold": "1",
+        "spark.sql.sortMergeJoinExecBufferInMemoryThreshold": "1",
+        "spark.sql.cartesianProductExecBufferSpillThreshold": "1",
+    }
+    names = ["q3_topk_window", "q1_pricing_summary", "j7_asof_join"]
+    before = {
+        n: sorted(map(tuple, REGISTRY[n].fn(spark, SF).collect())) for n in names
+    }
+    old = {k: spark.conf.get(k, None) for k in spill_confs}
+    try:
+        for k, v in spill_confs.items():
+            spark.conf.set(k, v)
+        for n in names:
+            spilled = sorted(map(tuple, REGISTRY[n].fn(spark, SF).collect()))
+            assert spilled == before[n], f"{n}: results changed under spill"
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
