@@ -4035,3 +4035,145 @@ def g2_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             coeff.alias("clustering_coeff"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# L4 — Zipf slope: least-squares fit of log(freq) ~ log(rank) over the
+# word-frequency distribution. Natural corpora sit near slope −1;
+# generated/templated text (like this fixture) flattens — the cheapest
+# corpus-naturalness check a pipeline can run.
+# ---------------------------------------------------------------------------
+
+_ZIPF_ORACLE = rf"""
+WITH freq AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS f
+  FROM (SELECT unnest({_ORACLE_TOKS}) AS tok FROM documents)
+  GROUP BY tok
+),
+ranked AS (
+  SELECT f, row_number() OVER (ORDER BY f DESC, tok) AS r FROM freq
+),
+pts AS (SELECT ln(r) AS x, ln(f) AS y FROM ranked),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * x) AS sxx, SUM(x * y) AS sxy
+  FROM pts
+)
+SELECT n AS n_types,
+       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope
+FROM s
+"""
+
+
+@register("l4_zipf_slope", oracle=_ZIPF_ORACLE, tags=("L4", "A1", "W1"))
+def l4_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf slope of the corpus word-frequency distribution: rank types
+    by frequency (unique token tiebreak), fit log f = a + b·log r by
+    closed-form least squares, report b at 6 dp. Natural language sits
+    near −1; the fixture's 31-word synthetic vocabulary is far flatter
+    — exactly the deviation this monitor exists to flag.
+
+    Scale: the frequency table is one token shuffle (l4_word_freq's
+    shape); ranking the TYPE table is over vocabulary size (≤ a few
+    million rows even at 100 TB — types, not tokens), here ranked by a
+    partitioned-safe global window via TakeOrdered semantics on the
+    tiny aggregated side; the regression is a five-sum global agg.
+    Float log sums fold-order-differ at ~1e-13 relative, far under the
+    6 dp round.
+    """
+    from ._helpers import scalable_row_number
+
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(T.tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("f"))
+    )
+    # rank over the TYPE table (vocabulary-sized): two-level rank with a
+    # frequency-bucket coarsening — monotonic in the (-f, tok) order.
+    ranked = scalable_row_number(
+        freq.withColumn("negf", -F.col("f")),
+        order_cols=["negf", "tok"],
+        bucket=F.col("negf"),
+        out="r",
+    )
+    pts = ranked.select(
+        F.log(F.col("r").cast("double")).alias("x"),
+        F.log(F.col("f").cast("double")).alias("y"),
+    )
+    s = pts.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        F.col("n").alias("n_types"), F.round(slope, 6).alias("zipf_slope")
+    )
+
+
+# ---------------------------------------------------------------------------
+# L6 — prefix energy (Matryoshka readiness): how much of each
+# embedding's norm the first d dimensions capture. cos(full, zero-pad
+# prefix) reduces to ‖prefix‖/‖full‖, so the truncation-quality curve
+# is pure norm ratios — the metric that decides whether 64-d vectors
+# can serve 16-d ANN shards without re-embedding.
+# ---------------------------------------------------------------------------
+
+_PREFIX_ENERGY_ORACLE = """
+WITH per_vec AS (
+  SELECT e.vec_id, d.d AS dim_budget,
+         sqrt(list_sum(list_transform(e.embedding[1:d.d],
+                                      x -> x::DOUBLE * x::DOUBLE)))
+           / sqrt(list_sum(list_transform(e.embedding,
+                                          x -> x::DOUBLE * x::DOUBLE)))
+           AS energy
+  FROM embeddings e, (SELECT unnest([8, 16, 32, 64]) AS d) d
+)
+SELECT dim_budget,
+       ROUND(AVG(energy), 6) AS mean_energy,
+       ROUND(MIN(energy), 6) AS min_energy
+FROM per_vec
+GROUP BY dim_budget
+"""
+
+
+@register("l6_prefix_energy", oracle=_PREFIX_ENERGY_ORACLE, tags=("L6", "F5", "A1"))
+def l6_prefix_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per dimension budget (8/16/32/64), the mean and worst-case
+    fraction of embedding norm captured by the prefix — the
+    Matryoshka-truncation audit. ‖prefix‖/‖full‖ IS the cosine between
+    the full vector and its zero-padded truncation, so this one number
+    bounds the retrieval error of serving truncated vectors.
+
+    Scale: pure map-side HOF arithmetic (slice → square-sum → ratio)
+    exploded only 4× for the budget axis, then a 4-group aggregate.
+    Per-vector ratios are float-identical across engines (sequential
+    HOF folds in both); only the mean rounds.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    budgets = F.array(*[F.lit(d) for d in (8, 16, 32, 64)])
+    vec = F.col("embedding").cast("array<double>")
+    sq_sum = lambda arr: F.aggregate(  # noqa: E731
+        F.zip_with(arr, arr, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    per = e.select(
+        "vec_id",
+        F.explode(budgets).alias("dim_budget"),
+        vec.alias("v"),
+    ).select(
+        "vec_id",
+        "dim_budget",
+        (
+            F.sqrt(sq_sum(F.slice(F.col("v"), 1, F.col("dim_budget"))))
+            / F.sqrt(sq_sum(F.col("v")))
+        ).alias("energy"),
+    )
+    return per.groupBy("dim_budget").agg(
+        F.round(F.avg("energy"), 6).alias("mean_energy"),
+        F.round(F.min("energy"), 6).alias("min_energy"),
+    )
