@@ -4177,3 +4177,42 @@ def l6_prefix_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("energy"), 6).alias("mean_energy"),
         F.round(F.min("energy"), 6).alias("min_energy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# L4 — token-count parity companion: hash-grades the REAL lookaround
+# tokenizer. DuckDB's RE2 cannot run the boundary regex itself, but on
+# a corpus with no punctuation (chars ⊆ [a-z ] — asserted in tests,
+# the m4b precondition pattern) the regex provably degenerates to
+# whitespace splitting, so the oracle can state the expected counts
+# exactly and the Spark side still executes the production regex path.
+# ---------------------------------------------------------------------------
+
+_TOKCOUNT_ORACLE = rf"""
+SELECT doc_id,
+       CAST(len({_ORACLE_TOKS}) AS INT) AS ws_tokens,
+       CAST(len({_ORACLE_TOKS}) AS INT) AS bpe_ish_tokens
+FROM documents
+"""
+
+
+@register("l4_token_counts_parity", oracle=_TOKCOUNT_ORACLE, tags=("L4", "F2"))
+def l4_token_counts_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-graded twin of l4_token_counts (minus the xxhash
+    fingerprint, which has no DuckDB image): both tokenizers run their
+    REAL Spark code paths — whitespace split and the BPE-flavored
+    lookaround-boundary regex — and the oracle pins both counts.
+    Valid because the fixture corpus contains only [a-z ] (tested, the
+    same precondition pattern as m4b): with no word/punctuation
+    boundaries inside tokens, the boundary regex splits exactly at
+    whitespace. If a future fixture adds punctuation, the precondition
+    test (not a silent hash drift) fails first.
+
+    Scale: identical to l4_token_counts — pure map-side projections.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(T.tokens(F.col("text"))).alias("ws_tokens"),
+        F.size(T.bpe_ish_tokens(F.col("text"))).alias("bpe_ish_tokens"),
+    )

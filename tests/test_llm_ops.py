@@ -422,3 +422,22 @@ def test_fuzzy_join_pairs_are_within_bound_and_blocked(spark):
     for r in rows[:50]:
         wa, wb = names[r.key_a].split(" "), names[r.key_b].split(" ")
         assert wa[0] == wb[0] or wa[1] == wb[1]  # blocking respected
+
+
+def test_token_count_parity_precondition_and_agreement(spark):
+    """l4_token_counts_parity's oracle is valid only while the corpus
+    has no punctuation (boundary regex == whitespace split): assert the
+    [a-z ]-only precondition, and that the parity twin agrees with the
+    original l4_token_counts row for row."""
+    from data_wrangling_openstreetmap_spark.io import load_table
+    from data_wrangling_openstreetmap_spark.registry import REGISTRY
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    offenders = docs.filter(~F.col("text").rlike(r"^[a-z ]*$")).count()
+    assert offenders == 0, "corpus gained punctuation; parity oracle invalid"
+    full = {
+        r.doc_id: (r.ws_tokens, r.bpe_ish_tokens)
+        for r in REGISTRY["l4_token_counts"].fn(spark, SF_SMALL).collect()
+    }
+    for r in REGISTRY["l4_token_counts_parity"].fn(spark, SF_SMALL).collect():
+        assert full[r.doc_id] == (r.ws_tokens, r.bpe_ish_tokens)
