@@ -50,6 +50,20 @@ PYTHON_ALLOWED = {
 }
 # Driver-side generators (XML demo) — plan built over generated input.
 SLOW_BUILD = {"osm_wrangle_demo"}
+# Documented driver-side BOUNDED work at plan-construction time (not
+# Python eval nodes, so the sweeps keep covering their plans; listed so
+# the crossings are declared, not discovered): l3_mmr_rerank collects a
+# size-capped candidate pool (also in PYTHON_ALLOWED); q24_hierarchy_
+# closure runs one scalar MAX agg to fix its loop depth; m0_binary_
+# ingest stages |docs|/50 sample files (it IS the external filesystem
+# in this environment); s4/s5/s12/s13/s6/s8/d1/d2 write scratch
+# roundtrip dirs. Each is O(bounded) by construction and commented in
+# its docstring.
+DRIVER_SIDE_BOUNDED = {
+    "l3_mmr_rerank",
+    "q24_hierarchy_closure",
+    "m0_binary_ingest",
+}
 
 
 def test_q1_pushdown_and_pruning(spark):
