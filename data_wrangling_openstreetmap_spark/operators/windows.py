@@ -1136,3 +1136,157 @@ def a18_percentile_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         q_map[F.col("q_label")].alias("quantile"),
         "value",
     )
+
+
+# ---------------------------------------------------------------------------
+# W12 — running DISTINCT count: COUNT(DISTINCT) OVER (... ROWS
+# UNBOUNDED PRECEDING) is unsupported in every mainstream engine; the
+# standard rewrite is first-occurrence flagging (row_number per
+# (group, key) == 1) followed by a running SUM of the flags — exact,
+# incremental, and window-frame-free on the distinct side.
+# ---------------------------------------------------------------------------
+
+_W12_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         (row_number() OVER (PARTITION BY user_id, event_type
+                             ORDER BY ts, event_id) = 1) AS first_seen
+  FROM events
+)
+SELECT user_id, event_id,
+       CAST(SUM(CASE WHEN first_seen THEN 1 ELSE 0 END) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS distinct_types_so_far
+FROM flagged
+"""
+
+
+@register("w12_running_distinct", oracle=_W12_ORACLE, tags=("W4", "A3", "W1"))
+def w12_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running count of DISTINCT event types per user as of each event —
+    the windowed-distinct rewrite: flag each (user, type)'s first
+    occurrence with a partitioned row_number, then running-SUM the
+    flags over the user's timeline. Exactly COUNT(DISTINCT) semantics
+    with only rank + sum windows, both per-user partitioned.
+
+    Scale: two partitioned windows over one shuffle key family
+    (user_id[, event_type]) — no global sort, no state explosion; the
+    same rewrite is how streaming pipelines maintain per-key distinct
+    counters (st5's dedup flag + st7's running sum composed).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w_first = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        (F.row_number().over(w_first) == 1).alias("first_seen"),
+    )
+    return flagged.select(
+        "user_id",
+        "event_id",
+        F.sum(F.when(F.col("first_seen"), 1).otherwise(0))
+        .over(w_run)
+        .cast("bigint")
+        .alias("distinct_types_so_far"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A19 — fixed-width histogram per group: the distribution summary
+# behind every dashboard sparkline, as pure integer bin arithmetic.
+# ---------------------------------------------------------------------------
+
+_A19_BIN_W = 50.0
+
+_A19_ORACLE = f"""
+SELECT event_type,
+       CAST(floor(value / {_A19_BIN_W}) AS BIGINT) AS bin,
+       floor(value / {_A19_BIN_W}) * {_A19_BIN_W} AS bin_lo,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events
+GROUP BY event_type, bin, bin_lo
+"""
+
+
+@register("a19_histogram", oracle=_A19_ORACLE, tags=("A1", "F4", "P6"))
+def a19_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram per event type (bin = ⌊value/50⌋):
+    one partial-aggregated groupBy whose key cardinality is
+    types × occupied bins — tiny at any input size. floor on a
+    non-negative double is engine-identical, so bins need no rounding.
+
+    Scale: map-side combine collapses everything before the shuffle;
+    equi-DEPTH alternatives go through a10b's approx_percentile edges
+    (one pass) when the value range is unknown or skewed.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    bin_ = F.floor(F.col("value") / _A19_BIN_W)
+    return ev.groupBy(
+        "event_type",
+        bin_.alias("bin"),
+        (bin_ * _A19_BIN_W).alias("bin_lo"),
+    ).agg(F.count("*").alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# W13 — time-weighted average (TWAP): each observation weighted by how
+# long it was "current" (gap to the next observation) — the correct
+# mean for irregularly sampled values, where the plain AVG over-weights
+# bursts.
+# ---------------------------------------------------------------------------
+
+_W13_ORACLE = """
+WITH seq AS (
+  SELECT event_type, value,
+         epoch_us(lead(ts) OVER (PARTITION BY event_type
+                                 ORDER BY ts, event_id)) - epoch_us(ts)
+           AS held_us
+  FROM events
+)
+SELECT event_type,
+       ROUND(SUM(value * (held_us / 1e6)) / SUM(held_us / 1e6), 6) AS twap,
+       CAST(COUNT(*) AS BIGINT) AS n_obs
+FROM seq
+WHERE held_us IS NOT NULL
+GROUP BY event_type
+"""
+
+
+@register("w13_time_weighted_avg", oracle=_W13_ORACLE, tags=("W4", "W3", "A7"))
+def w13_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per event type: each observation's
+    weight is the µs-exact interval until the next observation (lead),
+    so a value that held for an hour counts 3600× one that held a
+    second — the TWAP/metrics-rollup semantics a plain AVG silently
+    gets wrong on irregular series. The last observation (no successor)
+    drops on both sides. Weights derive from exact integer µs; the two
+    float sums fold-order-agree far inside the 6 dp round.
+
+    Scale: one partitioned lead window + one low-cardinality partial
+    agg — no global sort; per-entity TWAPs just add the entity to both
+    partition keys.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    seq = ev.select(
+        "event_type",
+        "value",
+        (F.lead(ts_us).over(w) - ts_us).alias("held_us"),
+    ).filter(F.col("held_us").isNotNull())
+    held_s = F.col("held_us") / 1e6
+    return seq.groupBy("event_type").agg(
+        F.round(
+            F.sum(F.col("value") * held_s) / F.sum(held_s), 6
+        ).alias("twap"),
+        F.count("*").alias("n_obs"),
+    )
