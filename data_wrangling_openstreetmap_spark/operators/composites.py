@@ -1030,3 +1030,117 @@ def q24_hierarchy_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cur").alias("root_key"),
         F.col("depth").cast("int").alias("depth"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q25 — shipping-priority top-10 (the classic "unshipped revenue"
+# report): revenue of orders placed before a cutoff whose lineitems
+# ship after it, top-10 by revenue.
+# ---------------------------------------------------------------------------
+
+_Q25_CUTOFF = "1998-06-01 00:00:00"
+
+_Q25_ORACLE = f"""
+SELECT
+  l_orderkey,
+  SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+        * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) / 10000.0
+    AS revenue,
+  o_orderdate,
+  o_orderpriority
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '{_Q25_CUTOFF}'
+  AND l_shipdate  > TIMESTAMP '{_Q25_CUTOFF}'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+@register("q25_shipping_priority", oracle=_Q25_ORACLE, tags=("J1", "J5", "A1", "O2", "P2"))
+def q25_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 highest-revenue orders from the BUILDING segment placed
+    before the cutoff but (partially) unshipped at it — the classic
+    shipping-priority report: a three-table join with filters on every
+    input, exact integer-unit revenue (price-cents × discount-percent
+    units, scale 4), and a revenue-ranked top-10.
+
+    Scale: both date predicates and the segment filter push to their
+    scans; customer keys broadcast into orders; orders⋈lineitem is the
+    lone real shuffle, on the order key. The top-10 compiles to
+    TakeOrderedAndProject — per-partition heads merged on the driver,
+    never a global sort.
+    """
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < _Q25_CUTOFF
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > _Q25_CUTOFF
+    )
+    rev_units = cents("l_extendedprice") * (100 - cents("l_discount"))
+    return (
+        orders.join(
+            F.broadcast(cust.select("c_custkey")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg((F.sum(rev_units) / 10000.0).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q26 — forecast revenue change: the what-if scan — revenue that would
+# be gained by eliminating small discounts on mid-size orders in one
+# year. A single filtered aggregation whose entire value is pushdown.
+# ---------------------------------------------------------------------------
+
+_Q26_ORACLE = """
+SELECT
+  SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+        * CAST(ROUND(l_discount * 100) AS BIGINT)) / 10000.0 AS forecast_revenue,
+  CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@register("q26_forecast_revenue", oracle=_Q26_ORACLE, tags=("A2", "P2", "F4"))
+def q26_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue delta from hypothetically dropping 3–7% discounts on
+    sub-24-quantity lines shipped in one year — a single global
+    aggregate over a triple-predicate scan. Every predicate is
+    sargable (date range, discount band, quantity bound), so at 100 TB
+    the query is row-group pruning plus a map-side partial sum; the
+    revenue product stays in exact integer units (scale 4).
+
+    Float caveat handled: the discount band compares 2-decimal doubles
+    against exact literals — 0.03/0.07 are not exact binaries, but the
+    fixture's discounts are the same parsed doubles in both engines,
+    so the comparisons agree bit-for-bit.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    filtered = li.filter(
+        (F.col("l_shipdate") >= "1997-01-01 00:00:00")
+        & (F.col("l_shipdate") < "1998-01-01 00:00:00")
+        & (F.col("l_discount") >= 0.03)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    units = cents("l_extendedprice") * cents("l_discount")
+    return filtered.agg(
+        (F.sum(units) / 10000.0).alias("forecast_revenue"),
+        F.count("*").alias("n_lines"),
+    )
