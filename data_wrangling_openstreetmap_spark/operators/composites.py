@@ -16,7 +16,7 @@ count.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load_table
@@ -1143,4 +1143,100 @@ def q26_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return filtered.agg(
         (F.sum(units) / 10000.0).alias("forecast_revenue"),
         F.count("*").alias("n_lines"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q27 — customer lifetime-value curves: average cumulative spend per
+# customer by (acquisition cohort, weeks since acquisition) — the LTV
+# matrix growth teams read next to q23's retention matrix.
+# ---------------------------------------------------------------------------
+
+_Q27_ORACLE = """
+WITH firsts AS (
+  SELECT o_custkey, MIN(o_orderdate) AS first_dt
+  FROM orders GROUP BY o_custkey
+),
+cohorted AS (
+  SELECT f.o_custkey,
+         CAST(floor(datediff('day', TIMESTAMP '1995-01-01 00:00:00',
+                             f.first_dt) / 7) AS INT) AS cohort_week,
+         CAST(floor(datediff('day', f.first_dt, o.o_orderdate) / 7)
+              AS INT) AS week_since,
+         CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents
+  FROM firsts f JOIN orders o ON o.o_custkey = f.o_custkey
+),
+sizes AS (
+  SELECT cohort_week, CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS cohort_size
+  FROM cohorted GROUP BY cohort_week
+),
+weekly AS (
+  SELECT cohort_week, week_since, SUM(cents) AS wk_cents
+  FROM cohorted GROUP BY cohort_week, week_since
+),
+cum AS (
+  SELECT cohort_week, week_since,
+         SUM(wk_cents) OVER (PARTITION BY cohort_week ORDER BY week_since
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_cents
+  FROM weekly
+)
+SELECT c.cohort_week, c.week_since, s.cohort_size,
+       c.cum_cents / 100.0 / s.cohort_size AS avg_cum_spend
+FROM cum c JOIN sizes s USING (cohort_week)
+"""
+
+
+@register("q27_ltv_curves", oracle=_Q27_ORACLE, tags=("A1", "W4", "A7", "J1"))
+def q27_ltv_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LTV curves: for each acquisition cohort (week of first order)
+    and each observed week-since-acquisition, the average CUMULATIVE
+    spend per cohort member — cumulative cents via a per-cohort window
+    over the weekly aggregate (observed weeks only; both engines see
+    the same gaps), divided once by the cohort size. Integer cents keep
+    every cumulative value exact; the single final division produces
+    the identical double on both engines, so no rounding is needed.
+
+    Scale: first-order dates are one shuffle on customer; the weekly
+    grain collapses orders before the window, which is PARTITIONED by
+    cohort (hundreds of rows per cohort series at any corpus size) —
+    no global sort, no per-order window state.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    firsts = orders.groupBy("o_custkey").agg(
+        F.min("o_orderdate").alias("first_dt")
+    )
+    cohorted = orders.join(firsts, "o_custkey").select(
+        "o_custkey",
+        F.floor(
+            F.datediff(F.col("first_dt"), F.lit("1995-01-01").cast("timestamp_ntz")) / 7
+        )
+        .cast("int")
+        .alias("cohort_week"),
+        F.floor(F.datediff(F.col("o_orderdate"), F.col("first_dt")) / 7)
+        .cast("int")
+        .alias("week_since"),
+        cents("o_totalprice").alias("cents"),
+    )
+    sizes = cohorted.groupBy("cohort_week").agg(
+        F.countDistinct("o_custkey").alias("cohort_size")
+    )
+    weekly = cohorted.groupBy("cohort_week", "week_since").agg(
+        F.sum("cents").alias("wk_cents")
+    )
+    w = (
+        Window.partitionBy("cohort_week")
+        .orderBy("week_since")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = weekly.select(
+        "cohort_week",
+        "week_since",
+        F.sum("wk_cents").over(w).alias("cum_cents"),
+    )
+    return cum.join(F.broadcast(sizes), "cohort_week").select(
+        "cohort_week",
+        "week_since",
+        "cohort_size",
+        (F.col("cum_cents") / 100.0 / F.col("cohort_size")).alias("avg_cum_spend"),
     )
