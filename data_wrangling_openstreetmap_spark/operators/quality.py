@@ -184,3 +184,79 @@ def dq2_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.abs(z) > 3.0).alias("is_anomalous"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# dq3 — primary-key audit: uniqueness of every table's declared key in
+# one report — the first thing a warehouse checks after any load, and
+# the precondition all the keyed joins above silently assume.
+# ---------------------------------------------------------------------------
+
+_DQ3_ORACLE = """
+SELECT 'customer' AS table_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_distinct_keys,
+       CAST(COUNT(*) - COUNT(DISTINCT c_custkey) AS BIGINT) AS n_dup_rows
+FROM customer
+UNION ALL
+SELECT 'orders', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(DISTINCT o_orderkey) AS BIGINT),
+       CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'part', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(DISTINCT p_partkey) AS BIGINT),
+       CAST(COUNT(*) - COUNT(DISTINCT p_partkey) AS BIGINT)
+FROM part
+UNION ALL
+SELECT 'events', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(DISTINCT event_id) AS BIGINT),
+       CAST(COUNT(*) - COUNT(DISTINCT event_id) AS BIGINT)
+FROM events
+UNION ALL
+SELECT 'documents', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT),
+       CAST(COUNT(*) - COUNT(DISTINCT doc_id) AS BIGINT)
+FROM documents
+UNION ALL
+SELECT 'embeddings', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(DISTINCT vec_id) AS BIGINT),
+       CAST(COUNT(*) - COUNT(DISTINCT vec_id) AS BIGINT)
+FROM embeddings
+"""
+
+
+@register("dq3_pk_uniqueness", oracle=_DQ3_ORACLE, tags=("A2", "A3", "S1"))
+def dq3_pk_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Primary-key uniqueness report across every keyed table: row
+    count, distinct key count, and duplicate-row count per table — the
+    load-time gate that catches double-ingestion before any keyed join
+    quietly fans out. All zeros in n_dup_rows on a healthy snapshot.
+
+    Scale: one count-distinct aggregation per table, each independent
+    (parallel jobs-graph leaves); at 100 TB the exact distinct swaps
+    for the HLL contract (a4's pattern) when keys are near the row
+    count anyway, or a groupBy(key).count() > 1 probe when the dup
+    LIST is wanted, not just the count.
+    """
+    specs = [
+        ("customer", "c_custkey"),
+        ("orders", "o_orderkey"),
+        ("part", "p_partkey"),
+        ("events", "event_id"),
+        ("documents", "doc_id"),
+        ("embeddings", "vec_id"),
+    ]
+    out = None
+    for table, key in specs:
+        t = load_table(spark, sf_dir, table)
+        one = t.agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct(key).alias("n_distinct_keys"),
+        ).select(
+            F.lit(table).alias("table_name"),
+            "n_rows",
+            "n_distinct_keys",
+            (F.col("n_rows") - F.col("n_distinct_keys")).alias("n_dup_rows"),
+        )
+        out = one if out is None else out.unionByName(one)
+    return out

@@ -1290,3 +1290,79 @@ def w13_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("twap"),
         F.count("*").alias("n_obs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A20 — weighted median: the quantity-weighted price midpoint no engine
+# exposes natively (DuckDB's quantile_cont and Spark's percentile are
+# both unweighted). Classic rewrite: order by value, take the first row
+# whose cumulative weight reaches half the total.
+# ---------------------------------------------------------------------------
+
+_A20_ORACLE = """
+WITH w AS (
+  SELECT l_returnflag, l_extendedprice AS price,
+         CAST(ROUND(l_quantity) AS BIGINT) AS qty
+  FROM lineitem
+),
+tot AS (
+  SELECT l_returnflag, SUM(qty) AS total_qty FROM w GROUP BY l_returnflag
+),
+cum AS (
+  SELECT w.l_returnflag, price,
+         SUM(qty) OVER (PARTITION BY w.l_returnflag
+                        ORDER BY price, qty
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_qty,
+         t.total_qty
+  FROM w JOIN tot t ON t.l_returnflag = w.l_returnflag
+)
+SELECT l_returnflag,
+       MIN(price) AS weighted_median_price,
+       CAST(MAX(total_qty) AS BIGINT) AS total_qty
+FROM cum
+WHERE cum_qty * 2 >= total_qty
+GROUP BY l_returnflag
+"""
+
+
+@register("a20_weighted_median", oracle=_A20_ORACLE, tags=("A1", "W4", "F4"))
+def a20_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median price per return flag: order rows by
+    price within each group, running-sum the integer quantities, and
+    the weighted median is the first price whose cumulative weight
+    reaches half the total (2·cum ≥ total in pure integer arithmetic —
+    no division, no float threshold). Ties in price break on quantity,
+    identically both engines.
+
+    Scale: one partitioned window over a per-group sort — the same
+    shape as any frame aggregate; all comparisons are integers, so the
+    answer is exact at any partitioning. Approximate counterpart at
+    extreme group sizes: weighted t-digests, per the a10b pattern.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    w_rows = li.select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("price"),
+        F.round(F.col("l_quantity")).cast("long").alias("qty"),
+    )
+    tot = w_rows.groupBy("l_returnflag").agg(F.sum("qty").alias("total_qty"))
+    win = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("price", "qty")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = w_rows.join(F.broadcast(tot), "l_returnflag").select(
+        "l_returnflag",
+        "price",
+        F.sum("qty").over(win).alias("cum_qty"),
+        "total_qty",
+    )
+    return (
+        cum.filter(F.col("cum_qty") * 2 >= F.col("total_qty"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("price").alias("weighted_median_price"),
+            F.max("total_qty").cast("bigint").alias("total_qty"),
+        )
+    )
