@@ -10,7 +10,7 @@ graded read-only path doesn't have).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load_table
@@ -512,4 +512,105 @@ def d5_incremental_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFra
         "o_custkey",
         "n_orders",
         (F.col("cents") / 100.0).alias("total_spend"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# s16 — CDC changelog apply: replay an ordered I/U/D change stream onto
+# a snapshot with last-writer-wins semantics — the full CDC contract d4
+# (upsert-only) doesn't cover: deletes drop rows, and a later change
+# beats an earlier one on the same key regardless of arrival order.
+# ---------------------------------------------------------------------------
+
+_S16_ORACLE = """
+WITH changes AS (
+  SELECT 1 AS seq, 'U' AS op, c_custkey AS k, c_acctbal + 50.00 AS bal
+  FROM customer WHERE c_custkey % 7 = 0
+  UNION ALL
+  SELECT 2, 'D', c_custkey, NULL FROM customer WHERE c_custkey % 14 = 0
+  UNION ALL
+  SELECT 3, 'I', c_custkey + 2000000, 10.00
+  FROM customer WHERE c_custkey % 97 = 0
+),
+latest AS (
+  SELECT k, op, bal FROM changes
+  QUALIFY row_number() OVER (PARTITION BY k ORDER BY seq DESC) = 1
+),
+merged AS (
+  SELECT COALESCE(l.k, t.c_custkey) AS c_custkey,
+         l.op,
+         COALESCE(l.bal, t.c_acctbal) AS acctbal
+  FROM customer t FULL OUTER JOIN latest l ON t.c_custkey = l.k
+)
+SELECT c_custkey, acctbal,
+       CASE WHEN op IS NULL THEN 'kept'
+            WHEN op = 'I' THEN 'inserted' ELSE 'updated' END AS apply_action
+FROM merged
+WHERE op IS DISTINCT FROM 'D'
+"""
+
+
+@register("s16_cdc_apply", oracle=_S16_ORACLE, tags=("J2", "S6", "W1"))
+def s16_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply a three-generation CDC changelog (updates at seq 1,
+    deletes at seq 2, inserts at seq 3 — every key ≡ 0 mod 14 is first
+    updated THEN deleted, proving last-writer-wins ordering, not
+    arrival order) onto the customer snapshot: per key keep the
+    max-seq change (partitioned rank), full-outer merge with the
+    snapshot, drop keys whose final change is a delete, and tag each
+    surviving row kept / updated / inserted.
+
+    Scale: the per-key latest-change window is partitioned by the key
+    (a changelog's natural shuffle); the merge is the same full-outer
+    key join as d4. This IS what a table format's CDC read + MERGE
+    does per batch; the streaming face is the foreachBatch sink with
+    op-aware merge instead of pure upsert.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    changes = (
+        cust.filter(F.col("c_custkey") % 7 == 0)
+        .select(
+            F.lit(1).alias("seq"),
+            F.lit("U").alias("op"),
+            F.col("c_custkey").alias("k"),
+            (F.col("c_acctbal") + 50.00).alias("bal"),
+        )
+        .unionByName(
+            cust.filter(F.col("c_custkey") % 14 == 0).select(
+                F.lit(2).alias("seq"),
+                F.lit("D").alias("op"),
+                F.col("c_custkey").alias("k"),
+                F.lit(None).cast("double").alias("bal"),
+            )
+        )
+        .unionByName(
+            cust.filter(F.col("c_custkey") % 97 == 0).select(
+                F.lit(3).alias("seq"),
+                F.lit("I").alias("op"),
+                (F.col("c_custkey") + 2000000).alias("k"),
+                F.lit(10.00).alias("bal"),
+            )
+        )
+    )
+    w = Window.partitionBy("k").orderBy(F.col("seq").desc())
+    latest = (
+        changes.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("k", "op", "bal")
+    )
+    t = cust.select("c_custkey", "c_acctbal")
+    merged = t.join(latest, t.c_custkey == latest.k, "full_outer").select(
+        F.coalesce(F.col("k"), F.col("c_custkey")).alias("c_custkey"),
+        "op",
+        F.coalesce(F.col("bal"), F.col("c_acctbal")).alias("acctbal"),
+    )
+    return merged.filter(
+        F.col("op").isNull() | (F.col("op") != "D")
+    ).select(
+        "c_custkey",
+        "acctbal",
+        F.when(F.col("op").isNull(), "kept")
+        .when(F.col("op") == "I", "inserted")
+        .otherwise("updated")
+        .alias("apply_action"),
     )
