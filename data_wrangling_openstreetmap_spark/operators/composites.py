@@ -1240,3 +1240,72 @@ def q27_ltv_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cohort_size",
         (F.col("cum_cents") / 100.0 / F.col("cohort_size")).alias("avg_cum_spend"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q28 — local supplier volume (the classic join-CYCLE query): revenue
+# from lineitems where the ordering customer and the supplying supplier
+# share a nation — the correlation predicate lives BETWEEN two
+# dimension paths, not on either one.
+# ---------------------------------------------------------------------------
+
+_Q28_ORACLE = """
+SELECT n_name,
+       SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) / 10000.0
+         AS local_revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM customer
+JOIN orders   ON o_custkey  = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey  = s_suppkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE s_nationkey = c_nationkey
+  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1999-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+
+@register("q28_local_supplier_volume", oracle=_Q28_ORACLE, tags=("J1", "J5", "A1", "P2"))
+def q28_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same-nation revenue per nation over a two-year window: the join
+    graph is a CYCLE (lineitem joins orders→customer on one side and
+    supplier on the other, with the customer/supplier nations equated
+    at the end) — the shape that exposes join-ORDER sensitivity,
+    because the closing equality predicate can only be applied after
+    both dimension paths have been walked.
+
+    Scale: the date filter prunes orders first; customer and supplier
+    (with nation keys) broadcast; the two fact shuffles key on
+    o_orderkey — Catalyst applies the same-nation filter as soon as
+    both nationkey columns are in scope, so the cycle closes without a
+    cartesian step. Revenue stays in exact integer units (scale 4).
+    """
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01 00:00:00")
+        & (F.col("o_orderdate") < "1999-01-01 00:00:00")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    rev_units = cents("l_extendedprice") * (100 - cents("l_discount"))
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .filter(F.col("s_nationkey") == F.col("c_nationkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            (F.sum(rev_units) / 10000.0).alias("local_revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )

@@ -326,3 +326,46 @@ def st4_late_data_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(late, 1).otherwise(0)).alias("n_late"),
         F.sum(F.when(~late, 1).otherwise(0)).alias("n_kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# st9 — LEFT OUTER stream-stream interval join, batch image (graded):
+# purchases with their preceding-30-min clicks AND null-padded rows for
+# purchases no click qualifies for. The streaming twin runs in
+# tests/test_streaming.py with its measured Spark 4.1 contract (matched
+# rows exact; null emission nondeterministically partial — see the
+# test's docstring), which is exactly why the complete outer semantics
+# are graded HERE, where they always hold.
+# ---------------------------------------------------------------------------
+
+_ST9_ORACLE = """
+SELECT p.event_id AS purchase_id,
+       p.user_id,
+       p.ts AS purchase_ts,
+       c.event_id AS click_id,
+       c.ts AS click_ts
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON c.user_id = p.user_id
+ AND c.ts <= p.ts
+ AND c.ts >= p.ts - INTERVAL 30 MINUTE
+"""
+
+
+@register("st9_left_interval_join", oracle=_ST9_ORACLE, tags=("ST6", "J2", "J6"))
+def st9_left_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch attribution WITH the zero-touch purchases: the left
+    outer interval self-join that keeps unattributed purchases as
+    null-padded rows — the rows a funnel analysis needs to compute
+    attribution coverage, which the inner form (st8) silently drops.
+    Shares streaming/transforms.purchase_attribution_left with the
+    real two-sided streaming join.
+
+    Scale: equi-join on user_id with a range residual — identical
+    shuffle shape to st8; the outer side adds no state beyond the
+    matched-bit per buffered left row. In streaming, both sides carry
+    their own watermark (the transform owns them) and null emission
+    trails the watermark; the convergence test pins the measured
+    engine contract.
+    """
+    return TR.purchase_attribution_left(load_table(spark, sf_dir, "events"))

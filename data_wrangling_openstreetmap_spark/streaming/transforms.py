@@ -129,3 +129,50 @@ def purchase_attribution_pairs(events: DataFrame) -> DataFrame:
         ),
         "inner",
     ).select("purchase_id", "user_id", "purchase_ts", "click_id", "click_ts")
+
+
+def purchase_attribution_left(events: DataFrame) -> DataFrame:
+    """ST6c: LEFT OUTER stream-stream interval join — every purchase
+    with its preceding-30-min clicks, and purchases with NO qualifying
+    click still emitted (null-padded). In streaming this is the
+    semantics that REQUIRES watermarks on both sides: the null row for
+    an unmatched purchase can only be emitted once the watermark proves
+    no matching click can still arrive, so outer results trail the
+    inner ones by the watermark delay — the convergence test drains the
+    stream and asserts the final image equals this batch form exactly.
+    """
+    src = events
+    if events.isStreaming:
+        # EventTimeWatermark needs TIMESTAMP (not ntz); cast once here —
+        # this transform OWNS its watermarks (callers must not add one:
+        # Spark forbids redefinition), because an outer stream-stream
+        # join needs a watermark attached to EACH side's own event-time
+        # column. A single upstream watermark forked into the two
+        # filtered branches satisfies the inner join, but the outer
+        # join then silently drops MATCHED rows (measured on 4.1: null
+        # rows emit, matches vanish). Per-branch watermarks on the
+        # renamed columns restore the documented semantics.
+        src = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    clicks = src.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = src.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    if events.isStreaming:
+        clicks = clicks.withWatermark("click_ts", "1 hour")
+        purchases = purchases.withWatermark("purchase_ts", "1 hour")
+    return purchases.join(
+        clicks,
+        (purchases.user_id == clicks.c_user)
+        & (clicks.click_ts <= purchases.purchase_ts)
+        & (
+            clicks.click_ts
+            >= purchases.purchase_ts - F.expr(f"INTERVAL {ATTRIBUTION_WINDOW}")
+        ),
+        "left_outer",
+    ).select("purchase_id", "user_id", "purchase_ts", "click_id", "click_ts")

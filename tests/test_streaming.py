@@ -419,3 +419,62 @@ def test_transform_with_state_converges_to_batch(spark, replay_dir):
         assert final.count() > 0
     finally:
         spark.conf.unset(provider_key)
+
+
+def test_stream_stream_left_outer_join_guarantees(spark, tmp_path):
+    """ST6c, measured engine contract on Spark 4.1 (pinned, not
+    idealized): the LEFT OUTER interval join is SOUND but not reliably
+    complete in this engine version. With per-branch watermarks (the
+    transform owns them; a single shared upstream watermark drops
+    matches deterministically) identical replays were observed to
+    withhold a varying subset of null rows AND occasionally the
+    matched rows — so this test asserts exactly what holds in every
+    observed mode: no invented rows, no duplicate emission. The
+    complete, correct outer semantics are graded in batch by
+    st9_left_interval_join, where they always hold; production use of
+    streaming outer interval joins on this version should reconcile
+    against a batch image (the lambda-architecture backstop this
+    repo's batch twins exist for)."""
+    import datetime as _dt
+
+    out = str(tmp_path / "events")
+    stage_replay_dir(spark, SF, out, n_chunks=4, sentinel_hours=None)
+    max_ts = load_table(spark, SF, "events").agg(F.max("ts")).collect()[0][0]
+    flushes = [
+        (-(10**9), max_ts + _dt.timedelta(hours=48), SENTINEL_USER,
+         "click", 0.0, "{}"),
+        (-(10**9) - 1, max_ts + _dt.timedelta(hours=72), SENTINEL_USER,
+         "purchase", 0.0, "{}"),
+        (-(10**9) - 2, max_ts + _dt.timedelta(hours=96), SENTINEL_USER,
+         "click", 0.0, "{}"),
+    ]
+    for row in flushes:
+        write_ordered_chunks(
+            [spark.createDataFrame([row], EVENTS_SCHEMA)], out
+        )
+    run_to_memory(
+        read_event_stream(spark, out),
+        TR.purchase_attribution_left,
+        "sink_ssjoin_left",
+        output_mode="append",
+        watermark=None,  # the transform owns BOTH watermarks (see its docstring)
+    )
+    got = spark.table("sink_ssjoin_left").filter(
+        F.col("user_id") != SENTINEL_USER
+    )
+    inner = TR.purchase_attribution_pairs(load_table(spark, SF, "events"))
+    left = TR.purchase_attribution_left(load_table(spark, SF, "events"))
+    # SOUNDNESS (stable in every observed engine mode): everything the
+    # streaming join emits is a true row of the batch left-outer image,
+    # and nothing is emitted twice. COMPLETENESS is deliberately NOT
+    # asserted: across identical replays this engine version was
+    # observed to withhold a varying subset of null rows AND sometimes
+    # the matched rows (down to zero of both) — the complete, correct
+    # outer semantics are graded in batch by st9_left_interval_join.
+    got_rows = [tuple(r) for r in got.collect()]
+    want_set = {tuple(r) for r in left.collect()}
+    assert set(got_rows) <= want_set, "streaming invented a row"
+    assert len(got_rows) == len(set(got_rows)), "duplicate emission"
+    # batch left-outer remains the strict superset the oracle covers
+    n_nulls = left.filter(F.col("click_id").isNull()).count()
+    assert left.count() == inner.count() + n_nulls and n_nulls > 0
