@@ -358,3 +358,54 @@ def f9_geospatial(spark: SparkSession, sf_dir: str) -> DataFrame:
         euclidean_deg(lat, lon, paris_lat, paris_lon).alias("deg_dist_paris"),
         F.round(haversine_m(lat, lon, paris_lat, paris_lon), 0).alias("hav_m_paris"),
     )
+
+
+# ---------------------------------------------------------------------------
+# F10 — binary encodings: base64 / hex round-trips over real payload
+# bytes. The transport formats every ingestion boundary speaks (HTTP
+# bodies, message queues, checksum manifests) — graded end to end
+# including the decode-back-equals-original proof.
+# ---------------------------------------------------------------------------
+
+_F10_ORACLE = """
+SELECT doc_id,
+       base64(encode(text)) AS b64,
+       upper(hex(encode(substring(text, 1, 8)))) AS hex16,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       decode(from_base64(base64(encode(text)))) = text AS roundtrip_ok
+FROM documents
+WHERE doc_id % 40 = 0
+"""
+
+
+@register("f10_binary_encodings", oracle=_F10_ORACLE, tags=("F1", "F8", "F2"))
+def f10_binary_encodings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Base64 and hex images of document payload bytes plus a
+    decode-back-equals-original verdict — RFC 4648 base64 (with
+    padding) and uppercase hex agree byte-for-byte between Spark's
+    codec and DuckDB's, so the encodings themselves are value-hash
+    graded, not just spot-checked — after normalizing one real codec
+    divergence: Spark's base64 is Java's MIME encoder, which wraps
+    output in CRLF every 76 chars, while DuckDB emits unwrapped RFC
+    4648; the wrap is stripped here (unbase64 accepts both). The
+    roundtrip column proves unbase64∘base64 is the identity on real
+    payloads (not only that two encoders agree).
+
+    Scale: pure map-side codec projections; base64 inflates 4/3× so at
+    100 TB encode as late (and decode as early) as possible — the
+    binary column, not its text image, should ride shuffles.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 40 == 0
+    )
+    payload = F.encode(F.col("text"), "utf-8")
+    head8 = F.encode(F.substring(F.col("text"), 1, 8), "utf-8")
+    return docs.select(
+        "doc_id",
+        F.regexp_replace(F.base64(payload), "\r\n", "").alias("b64"),
+        F.hex(head8).alias("hex16"),
+        F.octet_length(payload).cast("bigint").alias("n_bytes"),
+        (
+            F.decode(F.unbase64(F.base64(payload)), "utf-8") == F.col("text")
+        ).alias("roundtrip_ok"),
+    )
