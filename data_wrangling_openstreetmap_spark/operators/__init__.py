@@ -25,6 +25,7 @@ from . import (
     quality,
     relational,
     scale,
+    sql_frontend,
     streaming_ops,
     udfs,
     windows,
@@ -43,6 +44,7 @@ ALL_MODULES = (
     scale,
     udfs,
     quality,
+    sql_frontend,
 )
 
 # First 50 registry entries = the driver's grading window. One query per

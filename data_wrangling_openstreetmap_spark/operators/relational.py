@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from ..io import load_table
 from ..registry import register
+from ..sources.pyds import ledger_oracle_cte
 from ._helpers import (
     cents,
     davg,
@@ -1518,4 +1519,93 @@ def a17_conditional_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("active_users"),
         F.countDistinct(purchase_user).alias("purchasing_users"),
         F.countDistinct(click_user).alias("clicking_users"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J10 — lateral join (Spark 4 DataFrame.lateralJoin): correlated
+# per-row subquery with ORDER BY + LIMIT, the declarative form of
+# "top-k related rows for every outer row".
+# ---------------------------------------------------------------------------
+
+_J10_ORACLE = """
+SELECT c.c_custkey AS c_custkey,
+       t.o_orderkey AS o_orderkey,
+       t.o_totalprice AS o_totalprice
+FROM customer c, LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+"""
+
+
+@register("j10_lateral_topk", oracle=_J10_ORACLE, tags=("W2", "J1"))
+def j10_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each customer's two most expensive orders, written as a Spark 4
+    ``lateralJoin`` with a correlated ``outer()`` reference — the
+    DataFrame twin of SQL's ``, LATERAL (... ORDER BY ... LIMIT 2)``,
+    graded against DuckDB's native LATERAL.
+
+    Scale: Catalyst DECORRELATES the per-row subquery — the executed
+    plan is WindowGroupLimit (partial top-k per o_custkey BEFORE the
+    shuffle, then final) feeding an equi-join on the key; no per-outer-
+    row probe, no nested loop, no O(customers × orders) blow-up. The
+    unique o_orderkey tiebreak keeps the k-th row deterministic on both
+    engines. o_totalprice is passed through unaggregated, so raw-parquet
+    doubles hash identically without rounding.
+    """
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders")
+    sub = (
+        orders.where(F.col("o_custkey") == F.col("c_custkey").outer())
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(2)
+        .select("o_orderkey", "o_totalprice")
+    )
+    return customer.lateralJoin(sub, how="inner")
+
+
+# ---------------------------------------------------------------------------
+# S17 — Spark 4 Python Data Source API (sources/pyds.py): a custom
+# partition-aware format graded end-to-end.
+# ---------------------------------------------------------------------------
+
+_S17_N = 20_000
+
+
+@register(
+    "s17_python_datasource",
+    oracle=f"""
+WITH ledger AS ({ledger_oracle_cte(_S17_N)})
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_entries,
+       CAST(SUM(amount_cents) AS BIGINT) AS total_cents
+FROM ledger GROUP BY user_id
+""",
+    tags=("S1", "A1"),
+)
+def s17_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python Data Source (Spark 4 ``pyspark.sql.datasource``)
+    read end-to-end: register the format, scan it with 8 planned input
+    partitions, aggregate per user. The oracle regenerates the same
+    ledger in SQL, so the grade covers schema declaration, partition
+    planning, and per-partition iteration — the machinery a real
+    custom-ingest connector reuses (sources/pyds.py scale note).
+
+    Scale: the scan is embarrassingly parallel (one Python task per
+    InputPartition, Arrow-batched back to the JVM); the aggregation
+    below it is ordinary partial+final JVM hash agg on user_id.
+    """
+    from ..sources.pyds import register_ledger_source
+
+    register_ledger_source(spark)
+    ledger = (
+        spark.read.format("synthetic_ledger")
+        .option("n", _S17_N)
+        .option("parts", 8)
+        .load()
+    )
+    return ledger.groupBy("user_id").agg(
+        F.count("*").alias("n_entries"),
+        F.sum("amount_cents").alias("total_cents"),
     )

@@ -1,0 +1,154 @@
+"""Extended-SQL frontend queries (SURVEY §4.2 optional polish, built).
+
+These grade ``plans/sql_ext.sql`` — the documented Spark-SQL superset
+with ``ASOF JOIN`` and ``SIMILARITY JOIN`` keywords — against DuckDB's
+NATIVE implementations of the same constructs: DuckDB 1.x ships a real
+``ASOF [LEFT] JOIN``, so x1/x1b are an engine-vs-engine comparison of
+the as-of keyword itself (not a hand-derived reformulation), and x2's
+oracle is the exact pairwise-Jaccard SQL the frontend's inverted-index
+lowering must reproduce.
+
+Scale notes live on the lowering (plans/sql_ext.py): as-of = one
+shuffle on the join key via the union-timeline window carry;
+similarity = token-blocked inverted-index join, never the O(n²) cross
+product the user-facing predicate implies.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..plans import sql_ext
+from ..registry import register
+
+# ---------------------------------------------------------------------------
+# X1 — ASOF JOIN keyword (inner): purchase → latest preceding click.
+# Output is the µs gap, not the click id: among clicks tied on
+# (user_id, ts) an as-of engine may pick either row, and the gap is
+# identical for every choice — the hash cannot depend on tie luck.
+# ---------------------------------------------------------------------------
+
+_X1_ORACLE = """
+SELECT p.event_id AS purchase_id,
+       p.user_id AS user_id,
+       CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS us_since_click
+FROM (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase') p
+ASOF JOIN (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
+def _asof_views(spark: SparkSession, sf_dir: str) -> None:
+    events = load_table(spark, sf_dir, "events")
+    events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    ).createOrReplaceTempView("x1_purchases")
+    events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    ).createOrReplaceTempView("x1_clicks")
+
+
+@register("x1_asof_sql", oracle=_X1_ORACLE, tags=("J7",))
+def x1_asof_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ASOF JOIN`` keyword end-to-end: the extended-SQL text below is
+    lowered by plans/sql_ext.py to the union-timeline window plan and
+    graded against DuckDB's native ASOF JOIN on the same views.
+
+    Scale: the lowering shuffles once on user_id — the 100 TB as-of
+    shape (operators/windows.py::j7_asof_join); the keyword adds no
+    driver work and no extra exchange.
+    """
+    _asof_views(spark, sf_dir)
+    return sql_ext.sql(
+        spark,
+        """
+        SELECT p.event_id AS purchase_id,
+               p.user_id AS user_id,
+               CAST(unix_micros(CAST(p.ts AS TIMESTAMP))
+                    - unix_micros(CAST(c.ts AS TIMESTAMP)) AS BIGINT) AS us_since_click
+        FROM x1_purchases p ASOF JOIN x1_clicks c
+          ON p.user_id = c.user_id AND p.ts >= c.ts
+        """,
+    )
+
+
+_X1B_ORACLE = """
+SELECT p.event_id AS purchase_id,
+       p.user_id AS user_id,
+       CAST(c.ts IS NOT NULL AS BIGINT) AS matched,
+       CAST(coalesce(epoch_us(p.ts) - epoch_us(c.ts), -1) AS BIGINT) AS us_since_click
+FROM (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
+@register("x1b_asof_left_sql", oracle=_X1B_ORACLE, tags=("J7", "J2"))
+def x1b_asof_left_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ASOF LEFT JOIN`` keyword: purchases with no preceding click
+    survive with a null match (surfaced as matched=0 / gap −1 so the
+    graded output carries no nullable-vs-coalesced dtype ambiguity).
+    Same lowering and oracle engine as x1; only the join mode differs.
+    """
+    _asof_views(spark, sf_dir)
+    return sql_ext.sql(
+        spark,
+        """
+        SELECT p.event_id AS purchase_id,
+               p.user_id AS user_id,
+               CAST(c.ts IS NOT NULL AS BIGINT) AS matched,
+               CAST(coalesce(unix_micros(CAST(p.ts AS TIMESTAMP))
+                    - unix_micros(CAST(c.ts AS TIMESTAMP)), -1) AS BIGINT) AS us_since_click
+        FROM x1_purchases p ASOF LEFT JOIN x1_clicks c
+          ON p.user_id = c.user_id AND p.ts >= c.ts
+        """,
+    )
+
+
+# ---------------------------------------------------------------------------
+# X2 — SIMILARITY JOIN keyword: the user writes the pairwise predicate,
+# the plan that runs is the inverted-index join. Oracle is the exact
+# pairwise form (integer-ratio Jaccard — bit-identical doubles).
+# ---------------------------------------------------------------------------
+
+_X2_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_distinct(list_filter(string_split_regex(text, '\s+'), x -> x != '')) AS ts
+  FROM documents
+)
+SELECT
+  a.doc_id AS doc_a,
+  b.doc_id AS doc_b,
+  CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+    / (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))) AS similarity
+FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+WHERE similarity >= 0.9
+"""
+
+
+@register("x2_similarity_sql", oracle=_X2_ORACLE, tags=("L2", "J8"))
+def x2_similarity_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``SIMILARITY JOIN`` keyword end-to-end: the O(n²) predicate the
+    SQL expresses is lowered to the token-blocked inverted-index join
+    (plans/sql_ext.py) — the §4.2 "similarity-join rewrite" delivered
+    at the SQL surface. Jaccard is exact integer-ratio math; no
+    rounding needed for cross-engine hashing.
+
+    Scale: shuffle by token; df-capped / MinHash-LSH variants
+    (operators/llm.py) are the declared paths when token frequencies
+    are zipfian-hot — the lowering here keeps the same exact semantics
+    as the user's predicate.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("x2_docs")
+    return sql_ext.sql(
+        spark,
+        """
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, similarity
+        FROM x2_docs a SIMILARITY JOIN x2_docs b
+          ON token_jaccard(a.text, b.text) >= 0.9 AND a.doc_id < b.doc_id
+        """,
+    )

@@ -16,6 +16,8 @@ PYTHON_EVAL_MARKERS = (
     "MapInPandas",
     "FlatMapGroupsInPandas",
     "MapInArrow",
+    # a Python Data Source scan renders as "BatchScan <name> ... (Python)"
+    "(Python)",
 )
 
 

@@ -1,0 +1,316 @@
+"""Extended-SQL frontend: ASOF JOIN and SIMILARITY JOIN keywords.
+
+SURVEY.md §4.2 notes that no §2 operator *requires* a Catalyst rule, and
+marks an ``ASOF JOIN`` keyword / similarity-join rewrite as optional
+polish via ``spark.sql.extensions``. A real injected rule needs a
+compiled Scala/JVM class on the driver classpath, which this
+Python-only repo cannot ship — so the same surface is provided one
+layer up: :func:`sql` accepts a documented superset of Spark SQL,
+lowers the extended constructs to the engine's scale-safe DataFrame
+plans (the union-timeline as-of join, the inverted-index similarity
+join), and hands everything else to ``spark.sql`` verbatim. The user
+experience is identical — write SQL with the extra keyword, get back a
+DataFrame whose physical plan is the one a planner rule would have
+produced.
+
+Grammar (case-insensitive; one extended join per statement):
+
+``ASOF JOIN``::
+
+    SELECT <select-list>
+    FROM <left>  [AS] <la>
+    ASOF [LEFT] JOIN <right> [AS] <ra>
+      ON <la>.<key> = <ra>.<key> AND <la>.<ts> >= <ra>.<ts>
+    [remaining clauses...]
+
+  ``<left>``/``<right>`` are table/temp-view names. For each left row,
+  the matched right row is the latest one with equal ``<key>`` and
+  ``<ts>`` at-or-before the left row's (DuckDB/Pandas ``merge_asof``
+  "backward" semantics). Plain ``ASOF JOIN`` drops unmatched left rows;
+  ``ASOF LEFT JOIN`` keeps them with nulls. In the result, columns are
+  addressed ``<la>.<col>`` / ``<ra>.<col>`` exactly as written — the
+  rewrite maps them onto the lowered plan's flat namespace.
+
+  Lowering (scale note): union both inputs with a kind marker, one
+  window partitioned BY KEY ordered by (ts, kind) carrying the right
+  row forward as a packed struct with ``last(..., ignorenulls=True)``,
+  keep left rows. One shuffle on the key, no per-row range probe, no
+  O(left × right) blow-up — the 100 TB-safe as-of plan (same shape as
+  operators/windows.py::j7_asof_join). Ties: right rows sort before
+  left rows at equal ts (inclusive ``>=``); among right rows with
+  identical (key, ts) the struct-greatest row wins — deterministic,
+  where a sort-merge ASOF picks arbitrarily.
+
+``SIMILARITY JOIN``::
+
+    SELECT <select-list>
+    FROM <t> [AS] <a> SIMILARITY JOIN <t> [AS] <b>
+      ON token_jaccard(<a>.<text>, <b>.<text>) >= <threshold>
+     AND <a>.<id> < <b>.<id>
+    [remaining clauses...]
+
+  Exact distinct-token Jaccard (whitespace tokens — the engine's
+  ``functions.text.tokens`` definition) over a self-join, lowered to the
+  inverted-index form (explode tokens, equi-join on token, count common
+  per pair) — the planner-level rewrite §4.2 describes: the user writes
+  the O(n²) pairwise predicate, the plan that runs is the token-blocked
+  join that survives 100 TB. Result columns: ``<a>.<id>``, ``<b>.<id>``
+  and ``similarity``.
+
+Anything not matching these shapes (and any plain SQL) passes through
+``spark.sql`` untouched; a malformed extended clause raises
+``SqlExtError`` with the expected grammar rather than silently
+delegating.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import text as _text
+
+__all__ = ["sql", "asof_join", "SqlExtError"]
+
+
+class SqlExtError(ValueError):
+    """Raised when an extended-SQL clause is recognized but malformed."""
+
+
+_IDENT = r"[A-Za-z_][A-Za-z0-9_]*"
+
+_ASOF_RE = re.compile(
+    rf"""
+    \bFROM\s+ (?P<lt>{_IDENT}) (?:\s+AS)? \s+ (?P<la>{_IDENT})
+    \s+ ASOF \s+ (?P<left>LEFT\s+)? JOIN
+    \s+ (?P<rt>{_IDENT}) (?:\s+AS)? \s+ (?P<ra>{_IDENT})
+    \s+ ON \s+ (?P<c1a>{_IDENT})\.(?P<c1c>{_IDENT})
+    \s* = \s* (?P<c2a>{_IDENT})\.(?P<c2c>{_IDENT})
+    \s+ AND \s+ (?P<t1a>{_IDENT})\.(?P<t1c>{_IDENT})
+    \s* >= \s* (?P<t2a>{_IDENT})\.(?P<t2c>{_IDENT})
+    """,
+    re.IGNORECASE | re.VERBOSE,
+)
+
+_SIM_RE = re.compile(
+    rf"""
+    \bFROM\s+ (?P<lt>{_IDENT}) (?:\s+AS)? \s+ (?P<la>{_IDENT})
+    \s+ SIMILARITY \s+ JOIN
+    \s+ (?P<rt>{_IDENT}) (?:\s+AS)? \s+ (?P<ra>{_IDENT})
+    \s+ ON \s+ token_jaccard \s* \(
+        \s* (?P<x1a>{_IDENT})\.(?P<x1c>{_IDENT}) \s* , \s*
+        (?P<x2a>{_IDENT})\.(?P<x2c>{_IDENT}) \s* \)
+    \s* >= \s* (?P<thr>\d+(?:\.\d+)?)
+    \s+ AND \s+ (?P<i1a>{_IDENT})\.(?P<i1c>{_IDENT})
+    \s* < \s* (?P<i2a>{_IDENT})\.(?P<i2c>{_IDENT})
+    """,
+    re.IGNORECASE | re.VERBOSE,
+)
+
+
+def _qualify(sql_text: str, aliases: dict[str, str]) -> str:
+    """Rewrite ``alias.col`` references onto the lowered flat namespace
+    (``alias.col`` → ``alias_col``) for the given aliases only."""
+
+    def sub(m: re.Match) -> str:
+        a = m.group(1)
+        return f"{aliases[a.lower()]}_{m.group(2)}" if a.lower() in aliases else m.group(0)
+
+    return re.sub(rf"\b({_IDENT})\.({_IDENT})\b", sub, sql_text)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str | list[str],
+    left_ts: str,
+    right_ts: str,
+    how: str = "inner",
+    left_prefix: str = "l",
+    right_prefix: str = "r",
+) -> DataFrame:
+    """General backward as-of join as a reusable DataFrame transform.
+
+    For each left row, attach the right row with equal key(s) and the
+    greatest ``right_ts`` <= ``left_ts`` (inclusive). Output columns are
+    ``{left_prefix}_<col>`` for every left column and
+    ``{right_prefix}_<col>`` for every right column (null-filled when
+    ``how='left'`` and no match exists; unmatched left rows are dropped
+    when ``how='inner'``).
+
+    One shuffle on the key, window carry of a packed struct — never a
+    range probe per row. Ties at equal (key, ts): right rows are
+    eligible (inclusive), and among identical right timestamps the
+    struct-greatest right row is carried (deterministic).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    keys = [key] if isinstance(key, str) else list(key)
+    for k in keys:
+        if k not in left.columns or k not in right.columns:
+            raise ValueError(f"as-of key {k!r} must exist on both sides")
+
+    lcols = [c for c in left.columns]
+    rcols = [c for c in right.columns]
+    ts_t = "timestamp"
+
+    r_side = right.select(
+        *[F.col(k).alias(f"__k_{i}") for i, k in enumerate(keys)],
+        F.col(right_ts).cast(ts_t).alias("__ts"),
+        F.lit(0).alias("__kind"),
+        F.struct(*[F.col(c).alias(c) for c in rcols]).alias("__r"),
+        F.lit(None).cast(left.select(F.struct(*lcols).alias("s")).schema["s"].dataType).alias(
+            "__l"
+        ),
+    )
+    l_side = left.select(
+        *[F.col(k).alias(f"__k_{i}") for i, k in enumerate(keys)],
+        F.col(left_ts).cast(ts_t).alias("__ts"),
+        F.lit(1).alias("__kind"),
+        F.lit(None).cast(right.select(F.struct(*rcols).alias("s")).schema["s"].dataType).alias(
+            "__r"
+        ),
+        F.struct(*[F.col(c).alias(c) for c in lcols]).alias("__l"),
+    )
+    timeline = r_side.unionByName(l_side)
+
+    w = (
+        Window.partitionBy(*[f"__k_{i}" for i in range(len(keys))])
+        .orderBy(F.col("__ts"), F.col("__kind"), F.col("__r"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = timeline.withColumn("__r_fill", F.last("__r", ignorenulls=True).over(w)).filter(
+        F.col("__kind") == 1
+    )
+    if how == "inner":
+        filled = filled.filter(F.col("__r_fill").isNotNull())
+
+    out: list[Column] = []
+    out.extend(F.col("__l").getField(c).alias(f"{left_prefix}_{c}") for c in lcols)
+    out.extend(F.col("__r_fill").getField(c).alias(f"{right_prefix}_{c}") for c in rcols)
+    return filled.select(*out)
+
+
+def _lower_asof(spark: SparkSession, query: str, m: re.Match) -> DataFrame:
+    la, ra = m.group("la"), m.group("ra")
+    amap = {la.lower(): la, ra.lower(): ra}
+
+    def side(a: str) -> str:
+        al = a.lower()
+        if al not in amap:
+            raise SqlExtError(
+                f"ASOF JOIN ON clause references unknown alias {a!r} "
+                f"(expected {la!r} or {ra!r})"
+            )
+        return "left" if al == la.lower() else "right"
+
+    eq = {side(m.group("c1a")): m.group("c1c"), side(m.group("c2a")): m.group("c2c")}
+    ts = {side(m.group("t1a")): m.group("t1c"), side(m.group("t2a")): m.group("t2c")}
+    if len(eq) != 2:
+        raise SqlExtError("ASOF JOIN equality must reference both aliases once")
+    if len(ts) != 2 or side(m.group("t1a")) != "left":
+        raise SqlExtError(
+            "ASOF JOIN inequality must be <left>.<ts> >= <right>.<ts> (backward as-of)"
+        )
+    if eq["left"] != eq["right"]:
+        raise SqlExtError(
+            "ASOF JOIN key columns must share a name on both sides "
+            f"(got {eq['left']!r} = {eq['right']!r}); alias one side first"
+        )
+
+    joined = asof_join(
+        spark.table(m.group("lt")),
+        spark.table(m.group("rt")),
+        key=eq["left"],
+        left_ts=ts["left"],
+        right_ts=ts["right"],
+        how="left" if m.group("left") else "inner",
+        left_prefix=la,
+        right_prefix=ra,
+    )
+    view = f"__asof_{la}_{ra}"
+    joined.createOrReplaceTempView(view)
+    rewritten = _qualify(query[: m.start()] + f"FROM {view}" + query[m.end() :], amap)
+    return spark.sql(rewritten)
+
+
+def _lower_similarity(spark: SparkSession, query: str, m: re.Match) -> DataFrame:
+    la, ra = m.group("la"), m.group("ra")
+    amap = {la.lower(): la, ra.lower(): ra}
+    if m.group("lt").lower() != m.group("rt").lower():
+        raise SqlExtError("SIMILARITY JOIN is a self-join: both sides must name one table")
+    pairs = [
+        (m.group("x1a"), m.group("x1c"), m.group("x2a"), m.group("x2c")),
+        (m.group("i1a"), m.group("i1c"), m.group("i2a"), m.group("i2c")),
+    ]
+    for a1, c1, a2, c2 in pairs:
+        if {a1.lower(), a2.lower()} != {la.lower(), ra.lower()}:
+            raise SqlExtError("SIMILARITY JOIN predicates must reference both aliases")
+        if c1 != c2:
+            raise SqlExtError(
+                f"SIMILARITY JOIN compares one column per predicate (got {c1!r} vs {c2!r})"
+            )
+    text_col, id_col = pairs[0][1], pairs[1][1]
+    # a.id < b.id as written may have the id predicate alias-flipped;
+    # normalize so the FIRST alias is the lesser id.
+    lo, hi = (la, ra) if m.group("i1a").lower() == la.lower() else (ra, la)
+    thr = float(m.group("thr"))
+
+    src = spark.table(m.group("lt"))
+    toks_arr = _text.distinct_tokens(F.col(text_col))
+    toks = src.select(
+        F.col(id_col).alias("__id"),
+        F.size(toks_arr).alias("__n"),
+        F.explode(toks_arr).alias("__tok"),
+    )
+    a, b = toks.alias("a"), toks.alias("b")
+    common = (
+        a.join(b, (F.col("a.__tok") == F.col("b.__tok")) & (F.col("a.__id") < F.col("b.__id")))
+        .groupBy(
+            F.col("a.__id").alias(f"{lo}_{id_col}"),
+            F.col("b.__id").alias(f"{hi}_{id_col}"),
+            F.col("a.__n").alias("__na"),
+            F.col("b.__n").alias("__nb"),
+        )
+        .agg(F.count("*").alias("__common"))
+    )
+    sim = F.col("__common").cast("double") / (
+        F.col("__na") + F.col("__nb") - F.col("__common")
+    )
+    lowered = (
+        common.withColumn("similarity", sim)
+        .filter(F.col("similarity") >= thr)
+        .select(f"{lo}_{id_col}", f"{hi}_{id_col}", "similarity")
+    )
+    view = f"__sim_{la}_{ra}"
+    lowered.createOrReplaceTempView(view)
+    rewritten = _qualify(query[: m.start()] + f"FROM {view}" + query[m.end() :], amap)
+    return spark.sql(rewritten)
+
+
+def sql(spark: SparkSession, query: str) -> DataFrame:
+    """Run ``query`` — Spark SQL plus the extended join keywords above.
+
+    Plain SQL delegates to ``spark.sql`` untouched. A recognized
+    extended construct is lowered to the scale-safe DataFrame plan and
+    the remaining clauses run against the lowered result.
+    """
+    if re.search(r"\bASOF\b", query, re.IGNORECASE):
+        m = _ASOF_RE.search(query)
+        if m is None:
+            raise SqlExtError(
+                "ASOF requires: FROM <t> <a> ASOF [LEFT] JOIN <t2> <b> "
+                "ON <a>.<k> = <b>.<k> AND <a>.<ts> >= <b>.<ts>"
+            )
+        return _lower_asof(spark, query, m)
+    if re.search(r"\bSIMILARITY\s+JOIN\b", query, re.IGNORECASE):
+        m = _SIM_RE.search(query)
+        if m is None:
+            raise SqlExtError(
+                "SIMILARITY JOIN requires: FROM <t> <a> SIMILARITY JOIN <t> <b> "
+                "ON token_jaccard(<a>.<c>, <b>.<c>) >= <thr> AND <a>.<id> < <b>.<id>"
+            )
+        return _lower_similarity(spark, query, m)
+    return spark.sql(query)

@@ -47,6 +47,9 @@ PYTHON_ALLOWED = {
     "u3_grouped_map_zscore",
     "u4b_grouped_agg_udaf",  # GROUPED_AGG pandas UDAF — the U4 expression form
     "u5_udtf_tag_split",
+    "s17_python_datasource",  # the crossing IS the operator: a Spark 4
+    # Python Data Source scan ("BatchScan synthetic_ledger … (Python)");
+    # everything above the scan is ordinary JVM partial+final hash agg.
 }
 # Driver-side generators (XML demo) — plan built over generated input.
 SLOW_BUILD = {"osm_wrangle_demo"}
@@ -89,6 +92,16 @@ def test_word_freq_partial_aggregates_before_shuffle(spark):
     # partial_count before the exchange = map-side combine of exploded tokens
     assert "partial_count" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_j10_lateral_decorrelates_to_window_group_limit(spark):
+    """The correlated ORDER BY+LIMIT lateral subquery must decorrelate:
+    partial per-key top-k (WindowGroupLimit) before the shuffle feeding
+    an equi-join — never a per-outer-row nested-loop probe."""
+    df = REGISTRY["j10_lateral_topk"].fn(spark, SF)
+    plan = plan_string(df, "simple")
+    assert "WindowGroupLimit" in plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
 
 
 def test_semi_and_anti_joins_stay_joins(spark):

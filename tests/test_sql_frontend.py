@@ -1,0 +1,139 @@
+"""Extended-SQL frontend (plans/sql_ext.py): grammar, lowering
+semantics, and plan-shape checks beyond the registry parity tests."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from data_wrangling_openstreetmap_spark.plans import sql_ext
+from data_wrangling_openstreetmap_spark.plans.sql_ext import SqlExtError, asof_join, sql
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def tiny_views(spark):
+    trades = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T10:00:05"), 100.0),
+            (1, _ts("2024-01-01T10:00:00"), 99.0),  # exact-tie with a quote
+            (2, _ts("2024-01-01T09:00:00"), 50.0),  # before any quote
+        ],
+        "sym int, t timestamp, px double",
+    )
+    quotes = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T10:00:00"), 98.5),
+            (1, _ts("2024-01-01T10:00:04"), 98.9),
+            (2, _ts("2024-01-01T12:00:00"), 49.0),
+        ],
+        "sym int, t timestamp, bid double",
+    )
+    trades.createOrReplaceTempView("xt_trades")
+    quotes.createOrReplaceTempView("xt_quotes")
+    return trades, quotes
+
+
+def test_plain_sql_passes_through(spark):
+    assert sql(spark, "SELECT 1 AS one").collect()[0].one == 1
+
+
+def test_asof_inner_backward_and_inclusive(spark, tiny_views):
+    rows = {
+        r.px: r.bid
+        for r in sql(
+            spark,
+            """SELECT tr.px AS px, q.bid AS bid
+               FROM xt_trades tr ASOF JOIN xt_quotes q
+                 ON tr.sym = q.sym AND tr.t >= q.t""",
+        ).collect()
+    }
+    # 10:00:05 trade sees the 10:00:04 quote; the 10:00:00 trade sees
+    # the EQUAL-timestamp quote (inclusive >=); sym 2's trade predates
+    # every quote and is dropped (inner).
+    assert rows == {100.0: 98.9, 99.0: 98.5}
+
+
+def test_asof_left_keeps_unmatched(spark, tiny_views):
+    rows = {
+        r.px: r.bid
+        for r in sql(
+            spark,
+            """SELECT tr.px AS px, q.bid AS bid
+               FROM xt_trades tr ASOF LEFT JOIN xt_quotes q
+                 ON tr.sym = q.sym AND tr.t >= q.t""",
+        ).collect()
+    }
+    assert rows[50.0] is None and len(rows) == 3
+
+
+def test_asof_remaining_clauses_run_on_lowered_result(spark, tiny_views):
+    out = sql(
+        spark,
+        """SELECT tr.sym AS sym, count(*) AS n
+           FROM xt_trades tr ASOF JOIN xt_quotes q
+             ON tr.sym = q.sym AND tr.t >= q.t
+           WHERE q.bid > 98.0
+           GROUP BY tr.sym ORDER BY sym""",
+    ).collect()
+    assert [(r.sym, r.n) for r in out] == [(1, 2)]
+
+
+def test_asof_malformed_raises_not_delegates(spark):
+    with pytest.raises(SqlExtError, match="ASOF requires"):
+        sql(spark, "SELECT * FROM xt_trades tr ASOF JOIN xt_quotes q ON tr.sym = q.sym")
+    with pytest.raises(SqlExtError, match="backward"):
+        sql(
+            spark,
+            """SELECT tr.px AS px FROM xt_trades tr ASOF JOIN xt_quotes q
+               ON tr.sym = q.sym AND q.t >= tr.t""",
+        )
+
+
+def test_similarity_malformed_raises(spark):
+    with pytest.raises(SqlExtError, match="SIMILARITY JOIN requires"):
+        sql(spark, "SELECT 1 FROM d a SIMILARITY JOIN d b ON a.text = b.text")
+
+
+def test_similarity_requires_self_join(spark, tiny_views):
+    with pytest.raises(SqlExtError, match="self-join"):
+        sql(
+            spark,
+            """SELECT a.sym AS s FROM xt_trades a SIMILARITY JOIN xt_quotes b
+               ON token_jaccard(a.px, b.px) >= 0.5 AND a.sym < b.sym""",
+        )
+
+
+def test_asof_helper_rejects_bad_args(spark, tiny_views):
+    trades, quotes = tiny_views
+    with pytest.raises(ValueError, match="how"):
+        asof_join(trades, quotes, "sym", "t", "t", how="outer")
+    with pytest.raises(ValueError, match="must exist"):
+        asof_join(trades, quotes, "missing", "t", "t")
+
+
+def test_asof_plan_shuffles_on_key_only(spark, tiny_views):
+    df = sql(
+        spark,
+        """SELECT tr.px AS px, q.bid AS bid
+           FROM xt_trades tr ASOF JOIN xt_quotes q
+             ON tr.sym = q.sym AND tr.t >= q.t""",
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the only exchange is a hash partition on the as-of key — no
+    # SinglePartition global sort, no Python crossing, no cross join
+    assert "hashpartitioning(__k_0" in plan
+    assert "SinglePartition" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_qualify_rewrites_known_aliases_only():
+    out = sql_ext._qualify(
+        "SELECT p.a, q.b, z.c FROM x", {"p": "p", "q": "q"}
+    )
+    assert out == "SELECT p_a, q_b, z.c FROM x"
