@@ -4216,3 +4216,313 @@ def l4_token_counts_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(T.tokens(F.col("text"))).alias("ws_tokens"),
         F.size(T.bpe_ish_tokens(F.col("text"))).alias("bpe_ish_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# L4 — URL canonicalization (web-corpus dedup prerequisite): scheme/host
+# case-folding, www/default-port stripping, fragment drop, tracking-
+# param removal, query-param sort. The Spark side runs the REAL
+# parse_url builtin; the oracle re-derives each component with regexps.
+# ---------------------------------------------------------------------------
+
+# Messy-URL construction shared by both engines: deterministic per-doc
+# case noise, an explicit default port, utm/ref tracking params, and a
+# fragment — all of which canonicalization must erase, plus a real
+# param (page=2 on every 5th doc) it must keep and sort.
+_URL_SPARK = (
+    "concat("
+    " CASE WHEN doc_id % 3 = 0 THEN 'HTTPS://WWW.' WHEN doc_id % 3 = 1 THEN"
+    "      'https://www.' ELSE 'https://' END,"
+    " source,"
+    " CASE WHEN doc_id % 3 = 0 THEN '.Example.COM' ELSE '.example.com' END,"
+    " CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE '' END,"
+    " '/docs/', CAST(doc_id AS STRING),"
+    " '?utm_source=feed&id=', CAST(doc_id AS STRING), '&ref=tw',"
+    " CASE WHEN doc_id % 5 = 0 THEN '&page=2' ELSE '' END,"
+    " '#top')"
+)
+_URL_DUCK = _URL_SPARK.replace("AS STRING", "AS VARCHAR")
+
+_L4_URL_ORACLE = f"""
+WITH raw AS (SELECT doc_id, {_URL_DUCK} AS url FROM documents),
+parts AS (
+  SELECT doc_id, url,
+         lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+         regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1) AS authority,
+         regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1) AS path,
+         regexp_extract(url, '\\?([^#]*)', 1) AS query
+  FROM raw
+),
+norm AS (
+  SELECT doc_id, scheme, path,
+         regexp_replace(lower(regexp_replace(authority, ':[0-9]+$', '')),
+                        '^www\\.', '') AS host,
+         regexp_extract(authority, ':([0-9]+)$', 1) AS port,
+         array_to_string(
+           list_sort(list_filter(string_split(query, '&'),
+             p -> NOT (p LIKE 'utm_%' OR p LIKE 'ref=%'))), '&') AS params
+  FROM parts
+)
+SELECT doc_id,
+       host,
+       scheme || '://' || host ||
+       CASE WHEN port = '' OR (scheme = 'https' AND port = '443')
+                 OR (scheme = 'http' AND port = '80')
+            THEN '' ELSE ':' || port END ||
+       path ||
+       CASE WHEN params = '' THEN '' ELSE '?' || params END AS url_norm
+FROM norm
+"""
+
+
+@register("l4_url_normalize", oracle=_L4_URL_ORACLE, tags=("L4", "F2", "F1"))
+def l4_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalize messy URLs with Spark's ``parse_url`` builtin plus
+    HOF query-param surgery: lowercase scheme/host, strip ``www.`` and
+    default ports, drop the fragment, remove ``utm_*``/``ref`` tracking
+    params, and sort what survives — the normalization a web-scale
+    corpus needs before URL-level dedup (two crawls of one page must
+    collide). Graded against a regexp re-derivation of every component.
+
+    Scale: pure map-side JVM projection (parse_url + array HOFs) — no
+    shuffle, no Python; downstream URL-dedup is l1's hash-groupBy on
+    url_norm.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    url = F.expr(_URL_SPARK)
+    raw = docs.select("doc_id", url.alias("url"))
+    authority = F.parse_url(F.col("url"), F.lit("AUTHORITY"))
+    scheme = F.lower(F.parse_url(F.col("url"), F.lit("PROTOCOL")))
+    path = F.parse_url(F.col("url"), F.lit("PATH"))
+    query = F.parse_url(F.col("url"), F.lit("QUERY"))
+    parts = raw.select(
+        "doc_id",
+        scheme.alias("scheme"),
+        path.alias("path"),
+        F.regexp_replace(
+            F.lower(F.regexp_replace(authority, ":[0-9]+$", "")), r"^www\.", ""
+        ).alias("host"),
+        F.regexp_extract(authority, ":([0-9]+)$", 1).alias("port"),
+        F.array_join(
+            F.sort_array(
+                F.filter(
+                    F.split(query, "&"),
+                    lambda p: ~(p.startswith("utm_") | p.startswith("ref=")),
+                )
+            ),
+            "&",
+        ).alias("params"),
+    )
+    default_port = (
+        (F.col("port") == "")
+        | ((F.col("scheme") == "https") & (F.col("port") == "443"))
+        | ((F.col("scheme") == "http") & (F.col("port") == "80"))
+    )
+    url_norm = F.concat(
+        F.col("scheme"),
+        F.lit("://"),
+        F.col("host"),
+        F.when(default_port, F.lit("")).otherwise(F.concat(F.lit(":"), F.col("port"))),
+        F.col("path"),
+        F.when(F.col("params") == "", F.lit("")).otherwise(
+            F.concat(F.lit("?"), F.col("params"))
+        ),
+    )
+    return parts.select("doc_id", "host", url_norm.alias("url_norm"))
+
+
+# ---------------------------------------------------------------------------
+# L6 — product quantization (PQ): the storage/ANN workhorse at 100 TB —
+# a 64-dim float vector compresses to M=8 one-byte codes. Deterministic
+# codebook (the first K vectors as "trained" centroids) + integer-exact
+# distances make the assignment hash-gradable across engines.
+# ---------------------------------------------------------------------------
+
+_PQ_M = 8  # subspaces
+_PQ_SUB = 8  # dims per subspace (8×8 = the fixture's 64 dims)
+_PQ_K = 16  # codebook entries per subspace
+
+_PQ_QUANT_DUCK = (
+    "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000 + 0) AS BIGINT))"
+)
+
+_L6_PQ_ORACLE = f"""
+WITH q AS (SELECT vec_id, {_PQ_QUANT_DUCK} AS qv FROM embeddings),
+subs AS (
+  SELECT vec_id, CAST(j AS INT) AS subspace,
+         qv[j*{_PQ_SUB}+1 : j*{_PQ_SUB}+{_PQ_SUB}] AS sv
+  FROM q, generate_series(0, {_PQ_M - 1}) t(j)
+),
+cb AS (SELECT vec_id AS code, subspace, sv AS csv FROM subs WHERE vec_id < {_PQ_K}),
+dists AS (
+  SELECT s.vec_id, s.subspace, c.code,
+         list_sum(list_transform(generate_series(1, {_PQ_SUB}),
+                  i -> (s.sv[i] - c.csv[i]) * (s.sv[i] - c.csv[i]))) AS dist
+  FROM subs s JOIN cb c ON s.subspace = c.subspace
+)
+SELECT vec_id, subspace,
+       CAST(min([dist, code])[2] AS BIGINT) AS code,
+       CAST(min([dist, code])[1] AS BIGINT) AS dist
+FROM dists GROUP BY vec_id, subspace
+"""
+
+
+@register("l6_pq_codes", oracle=_L6_PQ_ORACLE, tags=("L6", "F5"))
+def l6_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantize every embedding: split 64 dims into 8 subspaces,
+    assign each subvector to its nearest of 16 codebook centroids
+    (deterministically "trained" = the first 16 vectors, standing in
+    for a sampled k-means — l3_ann_ivf trains the real one). Output is
+    long-form (vec_id, subspace, code, dist): 8 small ints replace 64
+    floats — 32× compression, and ADC search scans codes, not floats.
+
+    Determinism: coordinates are scaled to integers (round(x·1e6), the
+    int8-quantize recipe) BEFORE distance math, so distances are exact
+    BIGINT sums on both engines and argmin cannot flip on float ulps;
+    ties break lexicographically by (dist, code) via min-of-struct.
+
+    Scale: the codebook side of the join is K·M tiny rows — broadcast;
+    the argmin groupBy key (vec_id, subspace) is uniform by
+    construction (no skew). One shuffle of M rows per vector; at 100 TB
+    the codebook is still KBs and the shape is unchanged.
+    """
+    return _pq_assign(spark, sf_dir)[2]
+
+
+def _pq_subs_cb(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(subvectors, codebook): integer-quantized 8-dim slices of every
+    embedding, and the K×M centroid slices (vec_id < K)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * 1000000 + 0).cast("long"),
+    )
+    slices = F.array(
+        *[F.slice(F.col("qv"), j * _PQ_SUB + 1, _PQ_SUB) for j in range(_PQ_M)]
+    )
+    subs = (
+        emb.select("vec_id", qv.alias("qv"))
+        .select("vec_id", F.posexplode(slices).alias("subspace", "sv"))
+    )
+    cb = subs.filter(F.col("vec_id") < _PQ_K).select(
+        F.col("vec_id").alias("code"),
+        F.col("subspace").alias("cb_subspace"),
+        F.col("sv").alias("csv"),
+    )
+    return subs, cb
+
+
+def _pq_sqdist(a: str, b: str):
+    return F.aggregate(
+        F.zip_with(F.col(a), F.col(b), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _pq_assign(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(subvectors, codebook, code assignment): nearest-centroid code
+    per (vec_id, subspace) with lexicographic (dist, code) tiebreak."""
+    subs, cb = _pq_subs_cb(spark, sf_dir)
+    dists = subs.join(
+        F.broadcast(cb), F.col("subspace") == F.col("cb_subspace")
+    ).select("vec_id", "subspace", "code", _pq_sqdist("sv", "csv").alias("dist"))
+    best = (
+        dists.groupBy("vec_id", "subspace")
+        .agg(F.min(F.struct("dist", "code")).alias("best"))
+        .select(
+            "vec_id",
+            "subspace",
+            F.col("best.code").cast("long").alias("code"),
+            F.col("best.dist").cast("long").alias("dist"),
+        )
+    )
+    return subs, cb, best
+
+
+# ---------------------------------------------------------------------------
+# L3 — PQ ADC search: approximate top-k over the PQ codes via
+# asymmetric distance computation (query stays full-precision, corpus
+# is codes). The complete PQ read path for l6_pq_codes' write path.
+# ---------------------------------------------------------------------------
+
+_PQ_Q_LO, _PQ_Q_HI = _PQ_K, _PQ_K + 2  # query vec_ids: first 3 past the codebook
+_PQ_TOPK = 5
+
+_L3_PQ_ADC_ORACLE = f"""
+WITH q AS (SELECT vec_id, {_PQ_QUANT_DUCK} AS qv FROM embeddings),
+subs AS (
+  SELECT vec_id, CAST(j AS INT) AS subspace,
+         qv[j*{_PQ_SUB}+1 : j*{_PQ_SUB}+{_PQ_SUB}] AS sv
+  FROM q, generate_series(0, {_PQ_M - 1}) t(j)
+),
+cb AS (SELECT vec_id AS code, subspace, sv AS csv FROM subs WHERE vec_id < {_PQ_K}),
+dists AS (
+  SELECT s.vec_id, s.subspace, c.code,
+         list_sum(list_transform(generate_series(1, {_PQ_SUB}),
+                  i -> (s.sv[i] - c.csv[i]) * (s.sv[i] - c.csv[i]))) AS dist
+  FROM subs s JOIN cb c ON s.subspace = c.subspace
+),
+best AS (
+  SELECT vec_id, subspace, CAST(min([dist, code])[2] AS BIGINT) AS code
+  FROM dists GROUP BY vec_id, subspace
+),
+lut AS (
+  SELECT vec_id AS qid, subspace, code, dist AS qdist
+  FROM dists WHERE vec_id BETWEEN {_PQ_Q_LO} AND {_PQ_Q_HI}
+),
+adc AS (
+  SELECT l.qid, b.vec_id, CAST(SUM(l.qdist) AS BIGINT) AS adist
+  FROM best b JOIN lut l ON b.subspace = l.subspace AND b.code = l.code
+  GROUP BY l.qid, b.vec_id
+)
+SELECT qid, vec_id, adist FROM adc
+QUALIFY row_number() OVER (PARTITION BY qid ORDER BY adist, vec_id) <= {_PQ_TOPK}
+"""
+
+
+@register("l3_pq_adc_topk", oracle=_L3_PQ_ADC_ORACLE, tags=("L3", "L6", "W2"))
+def l3_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate nearest neighbors over PQ codes: each query keeps its
+    full-precision subvectors, precomputes a (subspace × code) distance
+    lookup table against the codebook, and every corpus vector's
+    approximate distance is just the SUM of 8 LUT entries selected by
+    its codes — no float math per candidate. Top-5 per query with a
+    (adist, vec_id) tiebreak.
+
+    This is the read path PQ exists for: at 100 TB the corpus is a
+    BIGINT code table (32× smaller than the floats), the LUT is
+    queries × M × K rows — KBs, broadcast — and the scan is a map-side
+    broadcast-hash join + one groupBy(qid, vec_id) whose key space is
+    queries × corpus, uniformly distributed. The per-query top-k window
+    partitions by qid. Same integer-exact arithmetic as l6_pq_codes, so
+    both engines agree bit-for-bit.
+    """
+    subs, cb, best = _pq_assign(spark, sf_dir)
+    lut = (
+        subs.filter(F.col("vec_id").between(_PQ_Q_LO, _PQ_Q_HI))
+        .join(F.broadcast(cb), F.col("subspace") == F.col("cb_subspace"))
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("subspace").alias("lut_subspace"),
+            F.col("code").alias("lut_code"),
+            _pq_sqdist("sv", "csv").alias("qdist"),
+        )
+    )
+    adc = (
+        best.join(
+            F.broadcast(lut),
+            (F.col("subspace") == F.col("lut_subspace"))
+            & (F.col("code") == F.col("lut_code")),
+        )
+        .groupBy("qid", "vec_id")
+        .agg(F.sum("qdist").alias("adist"))
+    )
+    w = Window.partitionBy("qid").orderBy("adist", "vec_id")
+    return (
+        adc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _PQ_TOPK)
+        .select("qid", "vec_id", "adist")
+    )

@@ -1609,3 +1609,51 @@ def s17_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_entries"),
         F.sum("amount_cents").alias("total_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# S14 — raw text-line source/sink (spark.read.text / write.text): the
+# format every log-scrape and WET/plain-text corpus ingest starts from.
+# ---------------------------------------------------------------------------
+
+_S14_ORACLE = r"""
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len(list_filter(string_split_regex(text, '\s+'), x -> x != ''))) AS BIGINT)
+         AS total_tokens
+FROM documents
+GROUP BY lang
+"""
+
+
+@register("s14_text_roundtrip", oracle=_S14_ORACLE, tags=("S4", "P4"))
+def s14_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-line-per-record text sink + ``spark.read.text`` scan back:
+    documents serialize as tab-prefixed lines (lang<TAB>text — the
+    classic *.tsv-ish corpus dump), the reader splits each raw line
+    back into fields, and the per-language token totals must equal the
+    original table's (the oracle never sees the file).
+
+    Scale: text files split at line boundaries, so the read
+    parallelizes like CSV/JSONL; the single-column ``value`` schema
+    means NO schema inference pass at any size. The tab delimiter is
+    safe because the fixture corpus is [a-z ]-only (precondition-
+    tested for the tokenizer family already).
+    """
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="dwos_s14_") + "/docs_txt"
+    docs.select(
+        F.concat_ws("\t", F.col("lang"), F.col("text")).alias("value")
+    ).write.mode("overwrite").text(path)
+    back = spark.read.text(path).select(
+        F.substring_index(F.col("value"), "\t", 1).alias("lang"),
+        F.substring_index(F.col("value"), "\t", -1).alias("text"),
+    )
+    from ..functions import text as T
+
+    return back.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(T.tokens(F.col("text")))).alias("total_tokens"),
+    )

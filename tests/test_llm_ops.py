@@ -441,3 +441,45 @@ def test_token_count_parity_precondition_and_agreement(spark):
     }
     for r in REGISTRY["l4_token_counts_parity"].fn(spark, SF_SMALL).collect():
         assert full[r.doc_id] == (r.ws_tokens, r.bpe_ish_tokens)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (l6_pq_codes / l3_pq_adc_topk)
+# ---------------------------------------------------------------------------
+
+
+def test_pq_codes_shape_and_self_assignment(spark):
+    """Every vector gets exactly one code per subspace, codes lie in
+    [0, K), and a codebook member quantizes to ITSELF with distance 0
+    in every subspace (its subvectors are centroids by construction)."""
+    from data_wrangling_openstreetmap_spark.operators.llm import (
+        _PQ_K,
+        _PQ_M,
+        l6_pq_codes,
+    )
+
+    codes = l6_pq_codes(spark, SF_SMALL).collect()
+    n_vecs = len({r.vec_id for r in codes})
+    assert len(codes) == n_vecs * _PQ_M
+    assert all(0 <= r.code < _PQ_K for r in codes)
+    own = [r for r in codes if r.vec_id < _PQ_K]
+    assert own and all(r.code == r.vec_id and r.dist == 0 for r in own)
+
+
+def test_pq_adc_ranks_self_first(spark):
+    """ADC distance of a query to itself is its own quantization error —
+    the smallest possible ADC value for that query (every other
+    candidate shares the codebook but starts from different codes on
+    this well-separated fixture), so each query's top hit is itself."""
+    from data_wrangling_openstreetmap_spark.operators.llm import (
+        _PQ_TOPK,
+        l3_pq_adc_topk,
+    )
+
+    rows = l3_pq_adc_topk(spark, SF_SMALL).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.qid, []).append((r.adist, r.vec_id))
+    for qid, hits in by_q.items():
+        assert len(hits) == _PQ_TOPK
+        assert sorted(hits)[0][1] == qid
