@@ -409,3 +409,53 @@ def f10_binary_encodings(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.decode(F.unbase64(F.base64(payload)), "utf-8") == F.col("text")
         ).alias("roundtrip_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# F11 — semi-structured VARIANT (Spark 4): parse the JSON blob ONCE into
+# the binary variant encoding, then do typed extractions from it — the
+# scale-path replacement for repeated get_json_object string parsing.
+# ---------------------------------------------------------------------------
+
+_F11_ORACLE = """
+SELECT event_type,
+       CAST(CAST(props->>'k' AS BIGINT) % 10 AS BIGINT) AS k_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS min_k,
+       CAST(MAX(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS max_k,
+       CAST(COUNT(CAST(props->>'missing' AS BIGINT)) AS BIGINT) AS n_missing_key
+FROM events
+GROUP BY event_type, k_bucket
+"""
+
+
+@register("f11_variant_extract", oracle=_F11_ORACLE, tags=("F7", "F8", "A1"))
+def f11_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT path for semi-structured props: ``parse_json``
+    builds the binary variant value once, ``variant_get`` does typed
+    path extraction from it, and ``try_variant_get`` probes an absent
+    key without erroring (NULL → counted as 0 matches). Same answers as
+    the q6 string-path family — the point is the encoding.
+
+    Scale: variant parses each blob exactly once per row and every
+    subsequent extraction is a cheap binary traversal, where chained
+    get_json_object re-parses the string per call; the whole projection
+    stays inside WholeStageCodegen (plan-asserted), and the groupBy is
+    an ordinary partial+final hash agg on (event_type, k_bucket).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type", F.parse_json(F.col("props")).alias("v")
+    ).select(
+        "event_type",
+        F.variant_get("v", "$.k", "long").alias("k"),
+        F.try_variant_get("v", "$.missing", "long").alias("missing"),
+    )
+    return v.groupBy(
+        "event_type", (F.col("k") % 10).alias("k_bucket")
+    ).agg(
+        F.count("*").alias("n"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+        F.count("missing").alias("n_missing_key"),
+    )

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from ..io import load_table
 from ..registry import register
+from ._helpers import cents
 
 # ---------------------------------------------------------------------------
 # dq1 — expectation suite: one row per named check with its violation
@@ -260,3 +261,57 @@ def dq3_pk_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = one if out is None else out.unionByName(one)
     return out
+
+
+# ---------------------------------------------------------------------------
+# dq4 — single-pass pipeline metrics via the Observation API: the
+# counters a production job publishes about the data it JUST processed,
+# collected from the same scan (no second pass over the input).
+# ---------------------------------------------------------------------------
+
+_DQ4_ORACLE = """
+SELECT 'n_rows' AS metric, CAST(COUNT(*) AS BIGINT) AS value FROM lineitem
+UNION ALL
+SELECT 'n_null_qty', CAST(COUNT(*) - COUNT(l_quantity) AS BIGINT) FROM lineitem
+UNION ALL
+SELECT 'n_returned', CAST(COUNT(CASE WHEN l_returnflag = 'R' THEN 1 END) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'revenue_cents',
+       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+FROM lineitem
+"""
+
+
+@register("dq4_observed_metrics", oracle=_DQ4_ORACLE, tags=("A2", "U1"))
+def dq4_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline observability: attach an ``Observation`` to the lineitem
+    scan, run the pass (a noop-format write — the "process the data"
+    stand-in), and publish the observed counters as a metrics table.
+    The oracle recomputes each counter with plain SQL, proving the
+    observed values equal a dedicated audit pass — but the operator
+    paid ZERO extra scans for them.
+
+    Scale: observe() metrics are accumulator-style aggregates computed
+    inside the existing tasks; at 100 TB this is the difference between
+    monitoring-for-free and doubling the read bill. The final metrics
+    table is a bounded driver-side LocalTableScan (4 rows by
+    construction — documented plan-construction work, same class as
+    q24's depth probe).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) - F.count("l_quantity")).alias("n_null_qty"),
+        F.count(F.when(F.col("l_returnflag") == "R", 1)).alias("n_returned"),
+        F.sum(cents("l_extendedprice")).alias("revenue_cents"),
+    )
+    # The "real work" consuming the scan; noop sink = no output cost.
+    observed.write.format("noop").mode("overwrite").save()
+    vals = obs.get
+    rows = [(k, int(vals[k])) for k in ("n_rows", "n_null_qty", "n_returned", "revenue_cents")]
+    return spark.createDataFrame(rows, "metric string, value bigint")

@@ -1657,3 +1657,50 @@ def s14_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum(F.size(T.tokens(F.col("text")))).alias("total_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A16 — frequent-items sketch contract (df.stat.freqItems): the
+# one-pass heavy-hitter list, graded on its INCLUSION guarantee.
+# ---------------------------------------------------------------------------
+
+_A16_SUPPORT = 0.1
+
+_A16_ORACLE = f"""
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       1 AS in_sketch
+FROM documents
+GROUP BY lang
+HAVING COUNT(*) > {_A16_SUPPORT} * (SELECT COUNT(*) FROM documents)
+"""
+
+
+@register("a16_freq_items_contract", oracle=_A16_ORACLE, tags=("A4", "A1"))
+def a16_freq_items_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via the Misra-Gries-style ``freqItems`` sketch,
+    graded the way sketches must be (the a4/l2-recall pattern): the
+    algorithm GUARANTEES every item with frequency > support appears in
+    its result, so the query emits each TRUE heavy hitter (exact count
+    from a plain aggregate) with an ``in_sketch`` flag. The oracle pins
+    the flag to 1 — if the sketch ever drops a real heavy hitter, the
+    flag goes 0 and the hash turns red. False positives (the sketch
+    may over-report) are filtered out by the exact join, exactly as a
+    production two-phase heavy-hitter job would.
+
+    Scale: freqItems is one map-side pass with O(1/support) state per
+    partition plus a tiny merge — THE shape for "top domains / langs /
+    licenses" scans at 100 TB. The sketch result is one driver row
+    (bounded, documented); the exact counts are an ordinary groupBy.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sketch_items = set(docs.stat.freqItems(["lang"], _A16_SUPPORT).first()[0])
+    total = docs.count()
+    exact = docs.groupBy("lang").agg(F.count("*").alias("n_docs")).filter(
+        F.col("n_docs") > F.lit(_A16_SUPPORT) * F.lit(total)
+    )
+    return exact.select(
+        "lang",
+        "n_docs",
+        F.col("lang").isin(sorted(sketch_items)).cast("int").alias("in_sketch"),
+    )

@@ -343,3 +343,68 @@ def u4b_grouped_agg_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
         weighted_avg(F.col("o_totalprice"), w).alias("weighted_avg_price"),
         group_count(F.col("o_totalprice")).alias("n_orders"),
     )
+
+
+# ---------------------------------------------------------------------------
+# U6 — mapInArrow: the lowest-overhead Python crossing — raw pyarrow
+# RecordBatches in and out, no pandas materialization at all. The top
+# rung of the transport ladder (u1 pickled rows → u1b Arrow-batched
+# scalar fn → u2 pandas series → u6 bare Arrow batches), for kernels
+# that speak Arrow natively (tokenizers, codecs, vector libs).
+# ---------------------------------------------------------------------------
+
+_U6_ORACLE = """
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+            AS BIGINT) AS disc_revenue_cents
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("u6_map_in_arrow", oracle=_U6_ORACLE, tags=("U2", "F4"))
+def u6_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow`` crossing: each task hands the Python worker a
+    stream of pyarrow RecordBatches; the kernel computes discounted
+    revenue in integer cents with pyarrow.compute (vectorized C++, no
+    pandas conversion) and returns batches. The groupBy above the
+    crossing is ordinary JVM hash aggregation, and the integer-cents
+    arithmetic matches the engine-wide money recipe so the oracle hashes
+    exactly.
+
+    Scale: Arrow-native crossings skip the pandas object layer that
+    pandas_udf pays (per-batch boxing of strings/decimals); for binary
+    or fixed-width columns this is the fastest possible Python path.
+    Still a crossing — keep it out of plans that builtins can express.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def kernel(batches):
+        for batch in batches:
+            price = batch.column("l_extendedprice")
+            disc = batch.column("l_discount")
+            # round_mode must match SQL ROUND: half_towards_infinity is Arrow's
+            # half-away-from-zero; the default banker's half-to-even drifts
+            # the cents sum by parity of the half-cent cases.
+            cents_ = pc.round(
+                pc.multiply(
+                    pc.multiply(price, pc.subtract(pa.scalar(1.0), disc)),
+                    pa.scalar(100.0),
+                ),
+                round_mode="half_towards_infinity",
+            ).cast(pa.int64())
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("l_returnflag"), cents_],
+                names=["l_returnflag", "disc_cents"],
+            )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_discount"
+    )
+    mapped = li.mapInArrow(kernel, "l_returnflag string, disc_cents long")
+    return mapped.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum("disc_cents").alias("disc_revenue_cents"),
+    )

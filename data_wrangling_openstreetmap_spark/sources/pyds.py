@@ -25,7 +25,12 @@ from __future__ import annotations
 from collections.abc import Iterator, Sequence
 
 from pyspark.sql import SparkSession
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 # Mixing constants: Knuth multiplicative hash / MINSTD. All intermediate
 # products stay far below 2^63 (i < 2^32), so Python, the JVM, and
@@ -34,6 +39,10 @@ _USER_MULT = 2654435761
 _AMT_MULT = 48271
 _N_USERS = 1000
 _AMT_MOD = 100_000
+
+
+def _ledger_row(i: int) -> tuple:
+    return (i, (i * _USER_MULT) % _N_USERS, (i * _AMT_MULT) % _AMT_MOD)
 
 
 class LedgerPartition(InputPartition):
@@ -56,7 +65,35 @@ class LedgerReader(DataSourceReader):
 
     def read(self, partition: LedgerPartition) -> Iterator[tuple]:
         for i in range(partition.start, partition.end):
-            yield (i, (i * _USER_MULT) % _N_USERS, (i * _AMT_MULT) % _AMT_MOD)
+            yield _ledger_row(i)
+
+
+class LedgerStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batch reader over the same ledger: offsets are plain row
+    positions, so replay between two committed offsets is exact —
+    the contract that makes a custom source exactly-once restartable
+    (Spark re-calls readBetweenOffsets after recovery).
+
+    A real deployment replaces the arithmetic with e.g. a queue cursor
+    or an object-store listing watermark; the offset bookkeeping —
+    initialOffset → read(start) → (rows, nextOffset) — is the part
+    Spark owns and this class demonstrates.
+    """
+
+    def __init__(self, options: dict) -> None:
+        self.n = int(options.get("n", 10_000))
+        self.batch = max(1, int(options.get("batchsize", 1000)))
+
+    def initialOffset(self) -> dict:
+        return {"pos": 0}
+
+    def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
+        pos = int(start["pos"])
+        end = min(pos + self.batch, self.n)
+        return iter([_ledger_row(i) for i in range(pos, end)]), {"pos": end}
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        return iter([_ledger_row(i) for i in range(int(start["pos"]), int(end["pos"]))])
 
 
 class LedgerDataSource(DataSource):
@@ -71,6 +108,9 @@ class LedgerDataSource(DataSource):
 
     def reader(self, schema) -> LedgerReader:
         return LedgerReader(self.options)
+
+    def simpleStreamReader(self, schema) -> LedgerStreamReader:
+        return LedgerStreamReader(self.options)
 
 
 def register_ledger_source(spark: SparkSession) -> None:

@@ -47,6 +47,8 @@ PYTHON_ALLOWED = {
     "u3_grouped_map_zscore",
     "u4b_grouped_agg_udaf",  # GROUPED_AGG pandas UDAF — the U4 expression form
     "u5_udtf_tag_split",
+    "u6_map_in_arrow",  # top rung of the §2.8 transport ladder: bare
+    # pyarrow RecordBatches via mapInArrow — the crossing is the point.
     "s17_python_datasource",  # the crossing IS the operator: a Spark 4
     # Python Data Source scan ("BatchScan synthetic_ledger … (Python)");
     # everything above the scan is ordinary JVM partial+final hash agg.
@@ -59,13 +61,17 @@ SLOW_BUILD = {"osm_wrangle_demo"}
 # size-capped candidate pool (also in PYTHON_ALLOWED); q24_hierarchy_
 # closure runs one scalar MAX agg to fix its loop depth; m0_binary_
 # ingest stages |docs|/50 sample files (it IS the external filesystem
-# in this environment); s4/s5/s12/s13/s6/s8/d1/d2 write scratch
-# roundtrip dirs. Each is O(bounded) by construction and commented in
-# its docstring.
+# in this environment); s4/s5/s12/s13/s14/s6/s8/d1/d2 write scratch
+# roundtrip dirs; dq4_observed_metrics runs its observed noop pass and
+# returns the 4-row metrics table; a16_freq_items_contract collects the
+# one-row freqItems sketch (O(1/support) items). Each is O(bounded) by
+# construction and commented in its docstring.
 DRIVER_SIDE_BOUNDED = {
     "l3_mmr_rerank",
     "q24_hierarchy_closure",
     "m0_binary_ingest",
+    "dq4_observed_metrics",
+    "a16_freq_items_contract",
 }
 
 

@@ -55,3 +55,53 @@ def test_json_roundtrip_preserves_nested_structs(spark, tmp_path):
         for r in nested.collect()
     }
     assert got == want
+
+
+def test_python_datasource_batch_partitions(spark):
+    """The custom Python source plans the requested number of input
+    partitions and every row matches the arithmetic ground truth."""
+    from data_wrangling_openstreetmap_spark.sources.pyds import (
+        _ledger_row,
+        register_ledger_source,
+    )
+
+    register_ledger_source(spark)
+    df = (
+        spark.read.format("synthetic_ledger")
+        .option("n", 1000)
+        .option("parts", 7)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 7
+    assert _canon(df) == sorted(_ledger_row(i) for i in range(1000))
+
+
+def test_python_datasource_stream_equals_batch(spark, tmp_path):
+    """The simpleStreamReader form of the same source drains the full
+    ledger through micro-batches (offset bookkeeping included) and
+    converges to the batch read exactly."""
+    from data_wrangling_openstreetmap_spark.sources.pyds import (
+        _ledger_row,
+        register_ledger_source,
+    )
+
+    register_ledger_source(spark)
+    stream = (
+        spark.readStream.format("synthetic_ledger")
+        .option("n", 500)
+        .option("batchsize", 123)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("sink_pyds_ledger")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = _canon(spark.table("sink_pyds_ledger"))
+    assert got == sorted(_ledger_row(i) for i in range(500))
