@@ -81,7 +81,11 @@ DRIVER_WINDOW = (
     # S2, S4, P3, U1(+P5), U3+U4, U5, ST2, ST3(+W3), ST4, ST5(+L1),
     # ST7, A9, O4+O6, O5, F6
     "s2_xml_roundtrip",
-    "s4_csv_roundtrip",
+    # s4_csv_roundtrip held this S4 slot through its round-1 and round-2
+    # hard greens; the raw text-line roundtrip (same S4 tag, never
+    # driver-graded) takes it so a third round adds new signal instead
+    # of a third green on s4.
+    "s14_text_roundtrip",
     "p3_regex_classify",
     "u1_scalar_udf_normalize",
     "u3_grouped_map_zscore",
