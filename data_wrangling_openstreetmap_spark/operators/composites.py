@@ -968,10 +968,12 @@ def scd2_dimension_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # q24 — hierarchy closure: iterative parent-chain traversal (the BOM /
-# org-chart / category-tree walk every warehouse eventually needs).
-# Spark has no recursive CTE; the idiomatic form is an iterative
-# DataFrame loop with a KNOWN depth bound — the same
+# org-chart / category-tree walk every warehouse eventually needs), as
+# an iterative DataFrame loop with a KNOWN depth bound — the same
 # Pregel-as-DataFrames pattern as l2_dup_clusters, here over a tree.
+# Spark 4.1 also ships native WITH RECURSIVE — q24b below runs the
+# SAME traversal through it; both forms stay registered (the loop is
+# the portable/depth-controlled shape, the CTE the declarative one).
 # ---------------------------------------------------------------------------
 
 _Q24_ORACLE = """
@@ -1308,4 +1310,43 @@ def q28_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(rev_units) / 10000.0).alias("local_revenue"),
             F.count("*").alias("n_lines"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q24b — the SAME hierarchy closure via Spark 4.1's native WITH
+# RECURSIVE, graded against DuckDB's recursive CTE (engine-vs-engine
+# recursion, like x1's engine-vs-engine ASOF).
+# ---------------------------------------------------------------------------
+
+
+@register("q24b_recursive_cte", oracle=_Q24_ORACLE, tags=("J1", "A2", "P6"))
+def q24b_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native recursive CTE (Spark 4.1 ``WITH RECURSIVE``): the q24
+    parent-chain walk written declaratively — anchor = every node at
+    depth 0, recursive step divides the key by 10 until it reaches a
+    single-digit root. Identical oracle to q24, so the two forms are
+    mutually checking: iterative loop == native recursion == DuckDB
+    recursion.
+
+    Scale: Spark plans this as a UnionLoop that materializes each
+    iteration's frontier — the same per-round shuffles as the explicit
+    loop, with the engine owning convergence instead of a driver-side
+    depth probe. Depth is log₁₀(maxkey), so the recursion is bounded
+    the same way q24's loop is.
+    """
+    load_table(spark, sf_dir, "customer").select("c_custkey").createOrReplaceTempView(
+        "q24b_customer"
+    )
+    return spark.sql(
+        """
+        WITH RECURSIVE chain AS (
+          SELECT c_custkey AS node, c_custkey AS cur, 0 AS depth
+          FROM q24b_customer
+          UNION ALL
+          SELECT node, cur DIV 10, depth + 1 FROM chain WHERE cur >= 10
+        )
+        SELECT node AS c_custkey, cur AS root_key, CAST(depth AS INT) AS depth
+        FROM chain WHERE cur < 10
+        """
     )

@@ -459,3 +459,62 @@ def f11_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("k").alias("max_k"),
         F.count("missing").alias("n_missing_key"),
     )
+
+
+# ---------------------------------------------------------------------------
+# F12 — collation-aware comparison (Spark 4 COLLATE): case-insensitive
+# grouping/equality as a COLUMN PROPERTY instead of scattered lower()
+# calls — the engine picks collation-aware hashing and codegen.
+# ---------------------------------------------------------------------------
+
+_F12_ORACLE = """
+WITH noisy AS (
+  SELECT CASE WHEN event_id % 2 = 0 THEN upper(event_type) ELSE event_type END
+           AS raw_type,
+         user_id
+  FROM events
+)
+SELECT lower(raw_type) AS event_class,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM noisy
+GROUP BY lower(raw_type)
+"""
+
+
+@register("f12_collation_groupby", oracle=_F12_ORACLE, tags=("F1", "A3"))
+def f12_collation_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group case-noisy event types under the UTF8_LCASE collation:
+    the deterministically case-mangled column is grouped by COLLATION,
+    not by a lower() rewrite — 'CLICK' and 'click' land in one group
+    because the column's comparison semantics say so. The output key is
+    lowercased for a canonical cross-engine image (the group's
+    representative raw casing is hash-luck; its lowercase is not).
+
+    Scale: collation-aware grouping hashes the collation key directly —
+    one shuffle, same shape as any groupBy; no per-row lower() copies
+    of the column needed downstream, and joins/sorts on the column
+    inherit the semantics without re-wrapping every reference.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    noisy = ev.select(
+        F.when(F.col("event_id") % 2 == 0, F.upper("event_type"))
+        .otherwise(F.col("event_type"))
+        .alias("raw_type"),
+        "user_id",
+    )
+    collated = noisy.select(
+        F.expr("raw_type COLLATE UTF8_LCASE").alias("ctype"), "user_id"
+    )
+    return (
+        collated.groupBy("ctype")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.lower(F.col("ctype")).cast("string").alias("event_class"),
+            "n",
+            "n_users",
+        )
+    )

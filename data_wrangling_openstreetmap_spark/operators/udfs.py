@@ -408,3 +408,55 @@ def u6_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.sum("disc_cents").alias("disc_revenue_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# U7 — SQL UDF (Spark 4 CREATE FUNCTION … RETURN expr): named, reusable
+# business logic with ZERO crossing cost — the function body inlines
+# into the plan and stays inside WholeStageCodegen. The answer to "we
+# need a UDF" that should be tried before any Python rung above.
+# ---------------------------------------------------------------------------
+
+_U7_ORACLE = """
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+            AS BIGINT) AS disc_revenue_cents,
+       CAST(SUM(CASE WHEN l_quantity >= 30 THEN 1 ELSE 0 END) AS BIGINT) AS n_bulk
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("u7_sql_udf", oracle=_U7_ORACLE, tags=("U1", "F4"))
+def u7_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-defined scalar functions: ``disc_cents`` (the engine-wide
+    integer-cents money recipe as a named function) and ``is_bulk``
+    (a business predicate), created with CREATE FUNCTION … RETURN and
+    used like builtins. Same aggregate as the u6 mapInArrow kernel —
+    the pair measures the ladder's endpoints: identical semantics, one
+    crosses into Python per batch, this one inlines to codegen.
+
+    Scale: zero-cost abstraction — the optimizer sees the inlined
+    expression (pushdown/pruning/codegen all apply), and the function
+    definition travels in the catalog, not the plan.
+    """
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION disc_cents(p DOUBLE, d DOUBLE) "
+        "RETURNS BIGINT RETURN CAST(round(p * (1 - d) * 100) AS BIGINT)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION is_bulk(q DOUBLE) "
+        "RETURNS INT RETURN CASE WHEN q >= 30 THEN 1 ELSE 0 END"
+    )
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("u7_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               SUM(disc_cents(l_extendedprice, l_discount)) AS disc_revenue_cents,
+               SUM(is_bulk(l_quantity)) AS n_bulk
+        FROM u7_lineitem
+        GROUP BY l_returnflag
+        """
+    )
