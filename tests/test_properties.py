@@ -278,3 +278,67 @@ def test_scalable_running_max_equals_global_window(spark, rows, width):
         for r in df.select("id", F.max("v").over(w).alias("m")).collect()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# asof_join (plans/sql_ext.py): equivalence with pandas merge_asof —
+# an independent reference implementation of backward-inclusive as-of.
+# ---------------------------------------------------------------------------
+
+_asof_events = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),  # key
+        st.integers(min_value=0, max_value=10_000),  # ts offset seconds
+        st.integers(min_value=0, max_value=99),  # payload
+    ),
+    min_size=1,
+    max_size=12,
+    unique_by=lambda t: (t[0], t[1]),  # unique (key, ts): ties between
+    # equal right timestamps are resolved differently by the two
+    # implementations (ours: struct-max; pandas: input order) — the
+    # law under test is the as-of MATCH, not tie luck.
+)
+
+
+@given(left=_asof_events, right=_asof_events)
+@settings(**SETTINGS)
+def test_asof_join_matches_pandas_merge_asof(spark, left, right):
+    import datetime as dt
+
+    import pandas as pd
+
+    from data_wrangling_openstreetmap_spark.plans.sql_ext import asof_join
+
+    base = dt.datetime(2024, 1, 1)
+
+    def frame(rows, val):
+        return pd.DataFrame(
+            {
+                "k": [r[0] for r in rows],
+                "t": [base + dt.timedelta(seconds=r[1]) for r in rows],
+                val: [r[2] for r in rows],
+            }
+        )
+
+    lpdf, rpdf = frame(left, "lv"), frame(right, "rv")
+    ldf = spark.createDataFrame(lpdf)
+    rdf = spark.createDataFrame(rpdf)
+    got = {
+        (r.l_k, r.l_t, r.l_lv): r.r_rv
+        for r in asof_join(ldf, rdf, "k", "t", "t", how="left").collect()
+    }
+    want_df = pd.merge_asof(
+        lpdf.sort_values("t", kind="stable"),
+        rpdf.sort_values("t", kind="stable"),
+        on="t",
+        by="k",
+        direction="backward",
+        allow_exact_matches=True,
+    )
+    want = {
+        (row.k, row.t.to_pydatetime(), row.lv): (
+            None if pd.isna(row.rv) else int(row.rv)
+        )
+        for row in want_df.itertuples()
+    }
+    assert got == want

@@ -478,3 +478,22 @@ def test_stream_stream_left_outer_join_guarantees(spark, tmp_path):
     # batch left-outer remains the strict superset the oracle covers
     n_nulls = left.filter(F.col("click_id").isNull()).count()
     assert left.count() == inner.count() + n_nulls and n_nulls > 0
+
+
+def test_available_now_trigger_drains_and_terminates(spark, replay_dir):
+    """Trigger.AvailableNow: the batch-bounded streaming mode — process
+    everything present, then STOP (the nightly-ingest pattern). The
+    drained result equals the unbounded-stream image and the query
+    terminates on its own (no stop() race)."""
+    q = (
+        TR.tumbling_counts(read_event_stream(spark, replay_dir))
+        .writeStream.format("memory")
+        .queryName("sink_available_now")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "availableNow query did not self-terminate"
+    got = _rows(spark.table("sink_available_now").filter(F.col("event_type") != "sentinel"))
+    want = _rows(TR.tumbling_counts(load_table(spark, SF, "events")))
+    assert got == want
