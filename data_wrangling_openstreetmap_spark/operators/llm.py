@@ -4585,3 +4585,103 @@ def s18_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rn").cast("long").alias("shuffle_pos"),
         ((F.col("rn") - 1) % _S18_SHARDS).cast("long").alias("shard_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# L4 — HTML boilerplate strip: the first transform of every web-crawl
+# pipeline (WARC → text). Deterministic markup is wrapped around the
+# fixture text so both engines run the SAME extraction regexes over
+# the same noisy input — script/style drop, tag strip, entity
+# unescape, whitespace collapse.
+# ---------------------------------------------------------------------------
+
+_HTML_SPARK = (
+    "concat('<html><head><title>Doc ', CAST(doc_id AS STRING),"
+    " '</title><style>p{margin:0}</style></head><body>',"
+    " '<script>track(', CAST(doc_id AS STRING), ');</script>',"
+    " '<h1>', source, '</h1>',"
+    " '<p class=\"c\">', text, '</p>',"
+    " '<p>tags &amp; entities &lt;kept&gt;&nbsp;inline</p>',"
+    " '</body></html>')"
+)
+_HTML_DUCK = _HTML_SPARK.replace("AS STRING", "AS VARCHAR")
+
+# Extraction stages (applied in order on BOTH engines):
+#   1. drop <script>/<style> ELEMENTS including content
+#   2. replace every remaining tag with one space
+#   3. unescape the common entities
+#   4. collapse whitespace runs, trim
+# NB: one pattern per element, NOT `<(script|style)…</\1>` — DuckDB's
+# RE2 has no backreferences and silently never matches that form.
+_STRIP_SCRIPT = r"<script[^>]*>.*?</script>"
+_STRIP_STYLE = r"<style[^>]*>.*?</style>"
+_STRIP_TAGS = r"<[^>]+>"
+_WS_RUNS = r"\s+"
+
+_L4_HTML_ORACLE = f"""
+WITH raw AS (SELECT doc_id, {_HTML_DUCK} AS html FROM documents),
+stripped AS (
+  SELECT doc_id,
+         trim(regexp_replace(
+           replace(replace(replace(replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(html, '{_STRIP_SCRIPT}', ' ', 'g'),
+                 '{_STRIP_STYLE}', ' ', 'g'),
+               '{_STRIP_TAGS}', ' ', 'g'),
+             '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&amp;', '&'),
+           '{_WS_RUNS}', ' ', 'g')) AS clean
+  FROM raw
+)
+SELECT doc_id, clean,
+       CAST(length(clean) AS BIGINT) AS n_chars
+FROM stripped
+"""
+
+
+@register("l4_html_extract", oracle=_L4_HTML_ORACLE, tags=("L4", "F2", "P4"))
+def l4_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markup-to-text extraction: script/style elements dropped WITH
+    their content (non-greedy per-element block regexes — RE2-safe, no
+    backreferences), remaining tags become spaces, the four dominant
+    entities unescape, and whitespace runs collapse — recovering the
+    document text plus the kept inline fragments from the synthetic
+    page. The oracle runs the identical regex program in DuckDB.
+
+    Scale: a fixed chain of regexp_replace/replace projections —
+    map-side, codegen, no shuffle; exactly how a WARC-scale text
+    extraction runs (the regexes are per-row, the corpus never
+    re-partitions). Real crawls add an HTML5 parser behind the same
+    interface for pathological markup; the regex program is the
+    splittable fast path.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    html = F.expr(_HTML_SPARK)
+    detagged = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(html, _STRIP_SCRIPT, " "),
+            _STRIP_STYLE,
+            " ",
+        ),
+        _STRIP_TAGS,
+        " ",
+    )
+    unescaped = F.replace(
+        F.replace(
+            F.replace(
+                F.replace(detagged, F.lit("&nbsp;"), F.lit(" ")),
+                F.lit("&lt;"),
+                F.lit("<"),
+            ),
+            F.lit("&gt;"),
+            F.lit(">"),
+        ),
+        F.lit("&amp;"),
+        F.lit("&"),
+    )
+    clean = F.trim(F.regexp_replace(unescaped, _WS_RUNS, " "))
+    return docs.select(
+        "doc_id",
+        clean.alias("clean"),
+        F.length(clean).cast("long").alias("n_chars"),
+    )
