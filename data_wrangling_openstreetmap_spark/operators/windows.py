@@ -1366,3 +1366,92 @@ def a20_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("total_qty").cast("bigint").alias("total_qty"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# A8b — ordered within-group string aggregation (Spark 4 LISTAGG …
+# WITHIN GROUP): the deterministic sibling of collect_list (whose
+# element order is partition-arrival luck and needs a sort_array fix).
+# ---------------------------------------------------------------------------
+
+_A8B_ORACLE = """
+SELECT r_name,
+       string_agg(n_name, ',' ORDER BY n_name) AS nations,
+       CAST(COUNT(*) AS BIGINT) AS n_nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+@register("a8b_listagg_ordered", oracle=_A8B_ORACLE, tags=("A8", "J5", "F1"))
+def a8b_listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Comma-joined nation roster per region via ``LISTAGG(...) WITHIN
+    GROUP (ORDER BY ...)`` — the SQL-standard ordered string aggregate
+    Spark 4 added, graded against DuckDB's ordered string_agg. Unlike
+    a8's collect_list (whose order is arrival luck, canonicalized by
+    sort_array), the ordering here is part of the AGGREGATE's contract.
+
+    Scale: grouped string concat is partial-aggregated like any agg;
+    the output row width is bounded by group membership (25 nations) —
+    at 100 TB this stays a dimension-sized rollup, and unbounded-group
+    string aggs should switch to a8's array form + explicit truncation.
+    """
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    joined = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    )
+    joined.createOrReplaceTempView("a8b_nations")
+    return spark.sql(
+        """
+        SELECT r_name,
+               listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS nations,
+               COUNT(*) AS n_nations
+        FROM a8b_nations
+        GROUP BY r_name
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# A21 — approx_top_k (Spark 4): the one-pass top-k-frequent sketch.
+# Exactness regime graded directly: with #distinct far under the
+# sketch's tracked-item capacity the estimates ARE the exact counts,
+# so the oracle is a plain top-3 aggregate (no boundary ties in the
+# fixture at any sf — checked, and the unique-item tiebreak can't
+# straddle equal counts here).
+# ---------------------------------------------------------------------------
+
+_A21_ORACLE = """
+SELECT lang AS item, CAST(COUNT(*) AS BIGINT) AS n
+FROM documents
+GROUP BY lang
+ORDER BY n DESC, item
+LIMIT 3
+"""
+
+
+@register("a21_approx_top_k", oracle=_A21_ORACLE, tags=("A4", "A9"))
+def a21_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 most frequent languages via the ``approx_top_k`` sketch,
+    exploded to long form. In the exact regime (5 distinct values vs
+    the default 10k tracked items) the sketch must return true counts —
+    any deviation is a regression and flips the hash. At web scale
+    (millions of distinct domains) the same call is the one-pass
+    approximate answer whose error the a16 freqItems contract bounds
+    from the other side.
+
+    Scale: one map-side sketch per partition + a tiny merge — no
+    groupBy shuffle of the raw column at all; THE shape for top-domains
+    dashboards over 100 TB.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("a21_docs")
+    return spark.sql(
+        """
+        SELECT t.item, CAST(t.count AS BIGINT) AS n
+        FROM (
+          SELECT explode(approx_top_k(lang, 3)) AS t FROM a21_docs
+        )
+        """
+    )
