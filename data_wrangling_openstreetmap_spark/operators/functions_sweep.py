@@ -518,3 +518,49 @@ def f12_collation_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_users",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# F13 — from_xml column function (Spark 4): schema-directed parse of an
+# XML STRING COLUMN (s2 covers the file-level XML format; this is the
+# per-row parser for XML payloads embedded in another feed).
+# ---------------------------------------------------------------------------
+
+_F13_ORACLE = """
+SELECT n_nationkey AS nation_key,
+       n_name AS nation_name,
+       CAST(n_regionkey * 100 + n_nationkey AS BIGINT) AS routing_code
+FROM nation
+"""
+
+
+@register("f13_from_xml", oracle=_F13_ORACLE, tags=("S2", "F7", "F8"))
+def f13_from_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Roundtrip through an XML payload column: each nation serializes
+    to an XML fragment (element per field), ``from_xml`` parses it back
+    against a declared schema, and the typed fields — including an
+    arithmetic check on the parsed integers — must equal the original
+    table (the oracle never sees XML).
+
+    Scale: from_xml is a per-row JVM projection (a streaming pull
+    parser per value) — map-side, no shuffle; schema declaration means
+    no inference pass, same rule as every other source in the repo.
+    """
+    nation = load_table(spark, sf_dir, "nation")
+    xml = F.concat(
+        F.lit("<nation><key>"),
+        F.col("n_nationkey").cast("string"),
+        F.lit("</key><name>"),
+        F.col("n_name"),
+        F.lit("</name><reg>"),
+        F.col("n_regionkey").cast("string"),
+        F.lit("</reg></nation>"),
+    )
+    parsed = nation.select(
+        F.from_xml(xml, "key BIGINT, name STRING, reg BIGINT").alias("x")
+    )
+    return parsed.select(
+        F.col("x.key").alias("nation_key"),
+        F.col("x.name").alias("nation_name"),
+        (F.col("x.reg") * 100 + F.col("x.key")).cast("long").alias("routing_code"),
+    )

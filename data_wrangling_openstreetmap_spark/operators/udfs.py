@@ -460,3 +460,48 @@ def u7_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY l_returnflag
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# U8 — SQL table function (CREATE FUNCTION … RETURNS TABLE): u5's UDTF
+# semantics with u7's zero-crossing execution — the set-returning
+# function surface without Python.
+# ---------------------------------------------------------------------------
+
+_U8_ORACLE = """
+WITH k AS (
+  SELECT concat_ws(':', 'brand', p_brand, p_type) AS key FROM part
+),
+s AS (SELECT key, string_split(key, ':') AS parts FROM k)
+SELECT key,
+       unnest(parts) AS part,
+       unnest(generate_series(0, len(parts) - 1)) AS position
+FROM s
+"""
+
+
+@register("u8_sql_udtf", oracle=_U8_ORACLE, tags=("U5", "F5"))
+def u8_sql_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-defined TABLE function: the colon-key splitter from u5
+    declared as ``CREATE FUNCTION … RETURNS TABLE(pos, part) RETURN
+    SELECT posexplode(...)`` and invoked with LATERAL — identical rows
+    to the Python UDTF, zero JVM↔Python crossings (the body inlines as
+    a correlated generator; columns bind POSITIONALLY to the RETURNS
+    TABLE signature). Same oracle as u5 pins the equivalence.
+
+    Scale: explodes inline in the scan stage like explode(split(…)) —
+    the set-returning abstraction is free, exactly as u7's scalar one.
+    """
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION u8_split_tags(s STRING) "
+        "RETURNS TABLE(position INT, part STRING) "
+        "RETURN SELECT posexplode(split(s, ':'))"
+    )
+    part = load_table(spark, sf_dir, "part")
+    part.select(
+        F.concat_ws(":", F.lit("brand"), F.col("p_brand"), F.col("p_type")).alias("key")
+    ).createOrReplaceTempView("u8_keys")
+    return spark.sql(
+        "SELECT key, t.part, t.position "
+        "FROM u8_keys, LATERAL u8_split_tags(key) t"
+    )

@@ -311,3 +311,34 @@ def test_results_identical_under_forced_spill(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_small_file_compaction_preserves_content(spark, tmp_path):
+    """The small-files problem and its fix: a fragmented write (64
+    splinter files) compacts to a bounded file count via repartition +
+    maxRecordsPerFile, with byte-identical content. At 100 TB this is
+    the nightly table-maintenance job — footer/open overhead per file
+    makes thousand-splinter partitions slower to SCAN than to rewrite.
+    """
+    import glob
+
+    src = load_table(spark, SF, "orders")
+    frag_dir = str(tmp_path / "fragmented")
+    src.repartition(64).write.mode("overwrite").parquet(frag_dir)
+    n_frag = len(glob.glob(frag_dir + "/part-*.parquet"))
+    assert n_frag == 64  # the pathology is real
+
+    compact_dir = str(tmp_path / "compacted")
+    (
+        spark.read.parquet(frag_dir)
+        .repartition(4)
+        .write.option("maxRecordsPerFile", 500_000)
+        .mode("overwrite")
+        .parquet(compact_dir)
+    )
+    n_compact = len(glob.glob(compact_dir + "/part-*.parquet"))
+    assert n_compact <= 4
+
+    a = sorted(tuple(r) for r in spark.read.parquet(compact_dir).collect())
+    b = sorted(tuple(r) for r in src.collect())
+    assert a == b
