@@ -4289,8 +4289,13 @@ def l4_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     url_norm.
     """
     docs = load_table(spark, sf_dir, "documents")
-    url = F.expr(_URL_SPARK)
-    raw = docs.select("doc_id", url.alias("url"))
+    raw = docs.select("doc_id", F.expr(_URL_SPARK).alias("url"))
+    return _canonical_url(raw).select("doc_id", "host", "url_norm")
+
+
+def _canonical_url(raw: DataFrame) -> DataFrame:
+    """(doc_id, url) → (doc_id, host, url_norm): the shared parse_url
+    normalization program (docstring: l4_url_normalize). Map-side only."""
     authority = F.parse_url(F.col("url"), F.lit("AUTHORITY"))
     scheme = F.lower(F.parse_url(F.col("url"), F.lit("PROTOCOL")))
     path = F.parse_url(F.col("url"), F.lit("PATH"))
@@ -4684,4 +4689,65 @@ def l4_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         clean.alias("clean"),
         F.length(clean).cast("long").alias("n_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# L1 — URL-level dedup: l4_url_normalize's pipeline feeding the
+# keep-min dedup — the two-crawls-of-one-page collapse. The messy URLs
+# here COLLIDE by construction (doc_id % 50 pages), with per-doc noise
+# (case, www, default port, doc-unique tracking params, fragments)
+# that normalization must erase for the groups to reassemble; the
+# oracle derives each canonical URL algebraically from the page id and
+# never sees the messy strings. Any normalization step that leaks
+# per-doc noise splits a group and flips the hash.
+# ---------------------------------------------------------------------------
+
+_URLDUP_PAGES = 50
+
+_URLDUP_SPARK = (
+    "concat("
+    " CASE WHEN doc_id % 3 = 0 THEN 'HTTPS://WWW.' WHEN doc_id % 3 = 1 THEN"
+    "      'https://www.' ELSE 'https://' END,"
+    " CASE WHEN doc_id % 4 = 0 THEN 'Pages.Example.COM' ELSE 'pages.example.com' END,"
+    " CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE '' END,"
+    f" '/docs/', CAST(doc_id % {_URLDUP_PAGES} AS STRING),"
+    " '?utm_content=', CAST(doc_id AS STRING),"
+    f" '&id=', CAST(doc_id % {_URLDUP_PAGES} AS STRING),"
+    " '&ref=crawl', '#sec', CAST(doc_id AS STRING))"
+)
+
+_L1_URLDUP_ORACLE = f"""
+SELECT 'https://pages.example.com/docs/' || CAST(doc_id % {_URLDUP_PAGES} AS VARCHAR)
+         || '?id=' || CAST(doc_id % {_URLDUP_PAGES} AS VARCHAR) AS url_norm,
+       CAST(COUNT(*) AS BIGINT) AS n_crawls,
+       CAST(MIN(doc_id) AS BIGINT) AS kept_doc_id
+FROM documents
+GROUP BY doc_id % {_URLDUP_PAGES}
+"""
+
+
+@register("l1_url_dedup", oracle=_L1_URLDUP_ORACLE, tags=("L1", "L4", "F2"))
+def l1_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl dedup by canonical URL: run the full parse_url-based
+    normalization (l4_url_normalize's program) over per-doc-noisy URLs
+    of shared pages, then keep-min-doc_id per canonical URL with crawl
+    counts. The oracle constructs each canonical URL from the page id
+    alone — so the grade is "normalization erased exactly the noise
+    and nothing else".
+
+    Scale: map-side normalization + one hash-partitioned groupBy on
+    url_norm (the same one-shuffle shape as l1_exact_dedup; at web
+    scale the group key is xxhash64(url_norm) to keep shuffle rows
+    narrow).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    raw = docs.select("doc_id", F.expr(_URLDUP_SPARK).alias("url"))
+    return (
+        _canonical_url(raw)
+        .groupBy("url_norm")
+        .agg(
+            F.count("*").alias("n_crawls"),
+            F.min("doc_id").alias("kept_doc_id"),
+        )
     )

@@ -130,6 +130,7 @@ def asof_join(
     how: str = "inner",
     left_prefix: str = "l",
     right_prefix: str = "r",
+    tolerance: str | None = None,
 ) -> DataFrame:
     """General backward as-of join as a reusable DataFrame transform.
 
@@ -144,6 +145,14 @@ def asof_join(
     range probe per row. Ties at equal (key, ts): right rows are
     eligible (inclusive), and among identical right timestamps the
     struct-greatest right row is carried (deterministic).
+
+    ``tolerance`` (an INTERVAL literal body, e.g. ``"30 minutes"``)
+    bounds the lookback like pandas ``merge_asof(tolerance=...)``: a
+    carried right row older than ``left_ts - tolerance`` is treated as
+    no match (nulled for ``how='left'``, dropped for ``'inner'``). The
+    filter is applied AFTER the carry, so the plan shape is unchanged —
+    and it is exactly what lets a streaming/stateful variant expire
+    state: matches beyond the horizon are unreachable by construction.
     """
     if how not in ("inner", "left"):
         raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
@@ -184,6 +193,13 @@ def asof_join(
     filled = timeline.withColumn("__r_fill", F.last("__r", ignorenulls=True).over(w)).filter(
         F.col("__kind") == 1
     )
+    if tolerance is not None:
+        carried_ts = F.col("__r_fill").getField(right_ts).cast(ts_t)
+        horizon = F.col("__ts") - F.expr(f"INTERVAL {tolerance}")
+        filled = filled.withColumn(
+            "__r_fill",
+            F.when(carried_ts >= horizon, F.col("__r_fill")),
+        )
     if how == "inner":
         filled = filled.filter(F.col("__r_fill").isNotNull())
 

@@ -342,3 +342,54 @@ def test_asof_join_matches_pandas_merge_asof(spark, left, right):
         for row in want_df.itertuples()
     }
     assert got == want
+
+
+@given(left=_asof_events, right=_asof_events, tol=st.integers(min_value=0, max_value=5000))
+@settings(**SETTINGS)
+def test_asof_join_tolerance_matches_pandas(spark, left, right, tol):
+    import datetime as dt
+
+    import pandas as pd
+
+    from data_wrangling_openstreetmap_spark.plans.sql_ext import asof_join
+
+    base = dt.datetime(2024, 1, 1)
+
+    def frame(rows, val):
+        return pd.DataFrame(
+            {
+                "k": [r[0] for r in rows],
+                "t": [base + dt.timedelta(seconds=r[1]) for r in rows],
+                val: [r[2] for r in rows],
+            }
+        )
+
+    lpdf, rpdf = frame(left, "lv"), frame(right, "rv")
+    got = {
+        (r.l_k, r.l_t, r.l_lv): r.r_rv
+        for r in asof_join(
+            spark.createDataFrame(lpdf),
+            spark.createDataFrame(rpdf),
+            "k",
+            "t",
+            "t",
+            how="left",
+            tolerance=f"{tol} seconds",
+        ).collect()
+    }
+    want_df = pd.merge_asof(
+        lpdf.sort_values("t", kind="stable"),
+        rpdf.sort_values("t", kind="stable"),
+        on="t",
+        by="k",
+        direction="backward",
+        allow_exact_matches=True,
+        tolerance=pd.Timedelta(seconds=tol),
+    )
+    want = {
+        (row.k, row.t.to_pydatetime(), row.lv): (
+            None if pd.isna(row.rv) else int(row.rv)
+        )
+        for row in want_df.itertuples()
+    }
+    assert got == want
