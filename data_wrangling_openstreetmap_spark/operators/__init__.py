@@ -89,13 +89,18 @@ DRIVER_WINDOW = (
     "p3_regex_classify",
     "u1_scalar_udf_normalize",
     "u3_grouped_map_zscore",
-    "u5_udtf_tag_split",
+    # u5_udtf_tag_split (hard-green r1+r2) cedes its U5 slot to the SQL
+    # table-function twin — same oracle, never driver-graded, and the
+    # zero-crossing claim is worth hard signal.
+    "u8_sql_udtf",
     "st2_sliding_window",
     "st3_session_window",
     "st4_late_data_policy",
     "st5_dedup_first",
     "st7_running_user_totals",
-    "a9_mode",
+    # a9_mode (hard-green r1+r2) cedes its A9 slot to the approx_top_k
+    # sketch contract (A4+A9), never driver-graded.
+    "a21_approx_top_k",
     "o4_union_distinct",
     "o5_intersect",
     "f6_map_funcs",

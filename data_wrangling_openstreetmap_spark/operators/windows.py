@@ -1455,3 +1455,48 @@ def a21_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# W14 — distribution window functions: percent_rank / cume_dist /
+# nth_value — the remaining SQL-standard window trio (w1 covers the
+# rank kinds, w6 the derived fractions).
+# ---------------------------------------------------------------------------
+
+_W14_ORACLE = """
+SELECT event_id, event_type,
+       percent_rank() OVER w AS pr,
+       cume_dist() OVER w AS cd,
+       nth_value(value, 2) OVER (
+         PARTITION BY event_type ORDER BY value, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+       ) AS second_lowest
+FROM events
+WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+"""
+
+
+@register("w14_dist_functions", oracle=_W14_ORACLE, tags=("W1", "W4"))
+def w14_dist_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank (rank−1)/(n−1), cume_dist rank_ties/n, and
+    nth_value over a full-partition frame (every row sees its
+    partition's second-lowest value). The ordering ends with the unique
+    event_id, so ranks are tie-free and both fractions reduce to exact
+    integer ratios — IEEE-identical doubles on both engines, no
+    rounding step.
+
+    Scale: one shuffle on event_type, one sort per partition shared by
+    all three functions (a single Window node); the full-partition
+    nth_value frame is evaluated as a per-partition constant, not a
+    per-row rescan.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+        F.nth_value("value", 2).over(w_full).alias("second_lowest"),
+    )
