@@ -4751,3 +4751,99 @@ def l1_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("kept_doc_id"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# L0 — the end-to-end cleaning pipeline: exact dedup → quality gate →
+# per-(source, lang) corpus rollup, in ONE registered query. Each stage
+# is an operator graded elsewhere (l1_exact_dedup, l4_quality_score,
+# l4_corpus_report); this composite grades their COMPOSITION — the
+# actual shape of a production pre-training data job.
+# ---------------------------------------------------------------------------
+
+_L0_MIN_QUALITY = 0.5
+_L0_MIN_TOKENS = 5
+_L0_MAX_TOKENS = 1000
+
+_L0_ORACLE = rf"""
+WITH survivors AS (
+  SELECT doc_id, source, lang, text
+  FROM documents
+  QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
+),
+scored AS (
+  SELECT source, lang,
+         len({_ORACLE_TOKS}) AS n_tokens,
+         LEAST(1.0, len({_ORACLE_TOKS}) / 50.0)
+           * (CASE WHEN len({_ORACLE_TOKS}) > 0
+                   THEN CAST(len({_ORACLE_DTOKS}) AS DOUBLE) / len({_ORACLE_TOKS})
+                   ELSE 0.0 END) AS quality
+  FROM survivors
+),
+gated AS (
+  SELECT * FROM scored
+  WHERE quality >= {_L0_MIN_QUALITY}
+    AND n_tokens BETWEEN {_L0_MIN_TOKENS} AND {_L0_MAX_TOKENS}
+)
+SELECT s.source, s.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_surviving,
+       CAST(COALESCE(g.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(COALESCE(g.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+       COALESCE(g.mean_quality, 0.0) AS mean_quality
+FROM scored s
+LEFT JOIN (
+  SELECT source, lang,
+         COUNT(*) AS n_kept,
+         CAST(SUM(n_tokens) AS BIGINT) AS kept_tokens,
+         ROUND(AVG(quality), 6) AS mean_quality
+  FROM gated GROUP BY source, lang
+) g USING (source, lang)
+GROUP BY s.source, s.lang, g.n_kept, g.kept_tokens, g.mean_quality
+"""
+
+
+@register("l0_clean_pipeline", oracle=_L0_ORACLE, tags=("L1", "L4", "A1"))
+def l0_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-training data job in one plan: drop duplicate texts (keep
+    min doc_id), score survivors (length × type-token ratio), gate on
+    quality ≥ 0.5 and a 5–1000 token band, and roll the kept set up
+    per (source, lang) next to the surviving-population counts — the
+    release table a data team ships with every corpus cut.
+
+    Scale: the dedup window shuffles once on text (xxhash64(text) at
+    100 TB to keep shuffle rows narrow); scoring is map-side on the
+    survivors; the rollup is one low-cardinality groupBy. Stage order
+    matters at scale and is the cheap one: dedup FIRST (hash compare)
+    so quality math runs once per unique text, not once per copy.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("text").orderBy("doc_id")
+    survivors = (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("source", "lang", "text")
+    )
+    scored = survivors.select(
+        "source",
+        "lang",
+        F.size(T.tokens(F.col("text"))).alias("n_tokens"),
+        T.quality_score(F.col("text")).alias("quality"),
+    )
+    kept = scored.filter(
+        (F.col("quality") >= _L0_MIN_QUALITY)
+        & F.col("n_tokens").between(_L0_MIN_TOKENS, _L0_MAX_TOKENS)
+    )
+    kept_stats = kept.groupBy("source", "lang").agg(
+        F.count("*").alias("n_kept"),
+        F.sum("n_tokens").cast("long").alias("kept_tokens"),
+        F.round(F.avg("quality"), 6).alias("mean_quality"),
+    )
+    totals = scored.groupBy("source", "lang").agg(F.count("*").alias("n_surviving"))
+    return totals.join(kept_stats, ["source", "lang"], "left").select(
+        "source",
+        "lang",
+        "n_surviving",
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce(F.col("kept_tokens"), F.lit(0)).cast("long").alias("kept_tokens"),
+        F.coalesce(F.col("mean_quality"), F.lit(0.0)).alias("mean_quality"),
+    )
