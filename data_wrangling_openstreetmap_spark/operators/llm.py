@@ -4847,3 +4847,131 @@ def l0_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("kept_tokens"), F.lit(0)).cast("long").alias("kept_tokens"),
         F.coalesce(F.col("mean_quality"), F.lit(0.0)).alias("mean_quality"),
     )
+
+
+# ---------------------------------------------------------------------------
+# L6 — one full Lloyd's k-means refinement (init → assign → recompute
+# centroids → reassign) with exact cross-engine parity: assignment #1
+# runs on integer-quantized coordinates (exact BIGINT distances);
+# recomputed centroids are exact-integer-sum / count divisions
+# (bit-identical doubles); assignment #2 folds (x − m)² sequentially
+# per row on both engines (Spark F.aggregate and DuckDB list_sum are
+# both in-order folds — pinned by this oracle at three scale factors).
+# The from-scratch twin of the sampled KMeans l3_ann_ivf takes from
+# pyspark.ml.
+# ---------------------------------------------------------------------------
+
+_KM_K = 8
+
+_L6_KMEANS_ORACLE = f"""
+WITH q AS (SELECT vec_id, {_PQ_QUANT_DUCK} AS qv FROM embeddings),
+init AS (SELECT vec_id AS c, qv AS cv FROM q WHERE vec_id < {_KM_K}),
+d1 AS (
+  SELECT q.vec_id, i.c,
+         list_sum(list_transform(generate_series(1, 64),
+                  k -> (q.qv[k] - i.cv[k]) * (q.qv[k] - i.cv[k]))) AS d
+  FROM q CROSS JOIN init i
+),
+a1 AS (SELECT vec_id, min([d, c])[2] AS c1 FROM d1 GROUP BY vec_id),
+dimsum AS (
+  SELECT a1.c1 AS c, t.dim AS dim, SUM(q.qv[t.dim]) AS s, COUNT(*) AS cnt
+  FROM q JOIN a1 USING (vec_id) CROSS JOIN generate_series(1, 64) t(dim)
+  GROUP BY a1.c1, t.dim
+),
+m AS (SELECT c, list(CAST(s AS DOUBLE) / cnt ORDER BY dim) AS mv FROM dimsum GROUP BY c),
+d2 AS (
+  SELECT q.vec_id, m.c,
+         list_sum(list_transform(generate_series(1, 64),
+                  k -> (CAST(q.qv[k] AS DOUBLE) - m.mv[k])
+                       * (CAST(q.qv[k] AS DOUBLE) - m.mv[k]))) AS d
+  FROM q CROSS JOIN m
+),
+a2 AS (SELECT vec_id, min([d, c])[2] AS cluster FROM d2 GROUP BY vec_id)
+SELECT a2.vec_id,
+       CAST(a1.c1 AS BIGINT) AS init_cluster,
+       CAST(a2.cluster AS BIGINT) AS cluster
+FROM a2 JOIN a1 ON a1.vec_id = a2.vec_id
+"""
+
+
+@register("l6_kmeans_step", oracle=_L6_KMEANS_ORACLE, tags=("L6", "L3", "A1"))
+def l6_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's iteration: seed centroids = the first K
+    vectors, assign every vector (exact integer distances, (d, c)
+    struct-min tiebreak), recompute per-cluster per-dimension means as
+    one partial-aggregated groupBy, reassign against the refined
+    centroids. Output (vec_id, init_cluster, cluster) shows the
+    reassignment the refinement causes.
+
+    Scale: this IS production Lloyd's — per-round cost is one broadcast
+    of k·d centroid doubles (collected driver-side: 512 values,
+    bounded, the same pattern pyspark.ml's KMeans uses every iteration)
+    plus one map-side assignment pass and one (cluster, dim)-keyed agg
+    whose key space is k·d, uniform. No all-pairs joins, no global
+    sorts. Determinism: centroid means are exact integer-sum/count
+    divisions, and both engines fold the reassignment distance
+    sequentially, so even the double arithmetic is order-pinned.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * 1000000 + 0).cast("long"),
+    )
+    q = emb.select("vec_id", qv.alias("qv"))
+    init = q.filter(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("c"), F.col("qv").alias("cv")
+    )
+    d1 = q.crossJoin(F.broadcast(init)).select(
+        "vec_id",
+        "c",
+        F.aggregate(
+            F.zip_with(F.col("qv"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("d"),
+    )
+    a1 = (
+        d1.groupBy("vec_id")
+        .agg(F.min(F.struct("d", "c")).alias("best"))
+        .select("vec_id", F.col("best.c").alias("c1"))
+    )
+    dims = (
+        q.join(a1, "vec_id")
+        .select("c1", F.posexplode("qv").alias("dim0", "val"))
+        .groupBy("c1", "dim0")
+        .agg(F.sum("val").alias("s"), F.count("*").alias("cnt"))
+    )
+    # k·d bounded collect — the per-iteration centroid broadcast every
+    # Lloyd implementation performs (documented driver-side bounded).
+    rows = dims.collect()
+    by_c: dict[int, list[float]] = {}
+    for r in rows:
+        by_c.setdefault(r.c1, [0.0] * 64)[r.dim0] = r.s / r.cnt
+    dist2 = [
+        F.aggregate(
+            F.zip_with(
+                F.col("qv"),
+                F.array(*[F.lit(v) for v in mv]),
+                lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias(f"d_{c}")
+        for c, mv in sorted(by_c.items())
+    ]
+    best2 = F.least(
+        *[
+            F.struct(F.col(f"d_{c}").alias("d"), F.lit(c).cast("long").alias("c"))
+            for c in sorted(by_c)
+        ]
+    )
+    return (
+        q.select("vec_id", *dist2)
+        .select("vec_id", best2.alias("best"))
+        .join(a1, "vec_id")
+        .select(
+            "vec_id",
+            F.col("c1").cast("long").alias("init_cluster"),
+            F.col("best.c").alias("cluster"),
+        )
+    )

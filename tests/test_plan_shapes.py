@@ -64,14 +64,17 @@ SLOW_BUILD = {"osm_wrangle_demo"}
 # in this environment); s4/s5/s12/s13/s14/s6/s8/d1/d2 write scratch
 # roundtrip dirs; dq4_observed_metrics runs its observed noop pass and
 # returns the 4-row metrics table; a16_freq_items_contract collects the
-# one-row freqItems sketch (O(1/support) items). Each is O(bounded) by
-# construction and commented in its docstring.
+# one-row freqItems sketch (O(1/support) items); l6_kmeans_step
+# collects its k·d centroid table (512 values — the per-iteration
+# broadcast every Lloyd implementation performs). Each is O(bounded)
+# by construction and commented in its docstring.
 DRIVER_SIDE_BOUNDED = {
     "l3_mmr_rerank",
     "q24_hierarchy_closure",
     "m0_binary_ingest",
     "dq4_observed_metrics",
     "a16_freq_items_contract",
+    "l6_kmeans_step",
 }
 
 
