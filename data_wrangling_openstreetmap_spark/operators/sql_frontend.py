@@ -152,3 +152,53 @@ def x2_similarity_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
           ON token_jaccard(a.text, b.text) >= 0.9 AND a.doc_id < b.doc_id
         """,
     )
+
+
+# ---------------------------------------------------------------------------
+# X1c — multi-key ASOF JOIN: same-day attribution, keyed on
+# (user_id, day). The composite-key form real as-of workloads use
+# (symbol+venue, user+session, device+metric …).
+# ---------------------------------------------------------------------------
+
+_X1C_ORACLE = """
+SELECT p.event_id AS purchase_id,
+       p.user_id AS user_id,
+       CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS us_since_click
+FROM (SELECT user_id, CAST(ts AS DATE) AS day, ts, event_id
+      FROM events WHERE event_type = 'purchase') p
+ASOF JOIN (SELECT user_id, CAST(ts AS DATE) AS day, ts, event_id
+           FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.day = c.day AND p.ts >= c.ts
+"""
+
+
+@register("x1c_asof_multikey_sql", oracle=_X1C_ORACLE, tags=("J7", "J1"))
+def x1c_asof_multikey_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite-key ``ASOF JOIN``: latest same-user click at-or-before
+    each purchase AND on the same calendar day (an N-conjunct equality
+    list ahead of the inequality — the grammar's multi-key form).
+    Purchases whose nearest click is yesterday's get no match (inner).
+    Graded against DuckDB's native multi-condition ASOF JOIN.
+
+    Scale: the lowering shuffles once on the COMPOSITE key (user_id,
+    day) — adding keys only narrows partitions, never widens state.
+    """
+    events = load_table(spark, sf_dir, "events")
+    day = F.col("ts").cast("date")
+    events.filter(F.col("event_type") == "purchase").select(
+        "user_id", day.alias("day"), "ts", "event_id"
+    ).createOrReplaceTempView("x1c_purchases")
+    events.filter(F.col("event_type") == "click").select(
+        "user_id", day.alias("day"), "ts", "event_id"
+    ).createOrReplaceTempView("x1c_clicks")
+    return sql_ext.sql(
+        spark,
+        """
+        SELECT p.event_id AS purchase_id,
+               p.user_id AS user_id,
+               CAST(unix_micros(CAST(p.ts AS TIMESTAMP))
+                    - unix_micros(CAST(c.ts AS TIMESTAMP)) AS BIGINT) AS us_since_click
+        FROM x1c_purchases p ASOF JOIN x1c_clicks c
+          ON p.user_id = c.user_id AND p.day = c.day AND p.ts >= c.ts
+        """,
+    )

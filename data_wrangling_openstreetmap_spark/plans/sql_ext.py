@@ -20,7 +20,8 @@ Grammar (case-insensitive; one extended join per statement):
     SELECT <select-list>
     FROM <left>  [AS] <la>
     ASOF [LEFT] JOIN <right> [AS] <ra>
-      ON <la>.<key> = <ra>.<key> AND <la>.<ts> >= <ra>.<ts>
+      ON <la>.<k1> = <ra>.<k1> [AND <la>.<k2> = <ra>.<k2> ...]
+     AND <la>.<ts> >= <ra>.<ts>
     [remaining clauses...]
 
   ``<left>``/``<right>`` are table/temp-view names. For each left row,
@@ -86,12 +87,18 @@ _ASOF_RE = re.compile(
     \bFROM\s+ (?P<lt>{_IDENT}) (?:\s+AS)? \s+ (?P<la>{_IDENT})
     \s+ ASOF \s+ (?P<left>LEFT\s+)? JOIN
     \s+ (?P<rt>{_IDENT}) (?:\s+AS)? \s+ (?P<ra>{_IDENT})
-    \s+ ON \s+ (?P<c1a>{_IDENT})\.(?P<c1c>{_IDENT})
-    \s* = \s* (?P<c2a>{_IDENT})\.(?P<c2c>{_IDENT})
+    \s+ ON \s+ (?P<eqs>
+        {_IDENT}\.{_IDENT} \s* = \s* {_IDENT}\.{_IDENT}
+        (?: \s+ AND \s+ {_IDENT}\.{_IDENT} \s* = \s* {_IDENT}\.{_IDENT} )*
+    )
     \s+ AND \s+ (?P<t1a>{_IDENT})\.(?P<t1c>{_IDENT})
     \s* >= \s* (?P<t2a>{_IDENT})\.(?P<t2c>{_IDENT})
     """,
     re.IGNORECASE | re.VERBOSE,
+)
+
+_ASOF_EQ_RE = re.compile(
+    rf"(?P<a1>{_IDENT})\.(?P<c1>{_IDENT})\s*=\s*(?P<a2>{_IDENT})\.(?P<c2>{_IDENT})"
 )
 
 _SIM_RE = re.compile(
@@ -222,24 +229,27 @@ def _lower_asof(spark: SparkSession, query: str, m: re.Match) -> DataFrame:
             )
         return "left" if al == la.lower() else "right"
 
-    eq = {side(m.group("c1a")): m.group("c1c"), side(m.group("c2a")): m.group("c2c")}
+    keys: list[str] = []
+    for em in _ASOF_EQ_RE.finditer(m.group("eqs")):
+        eq = {side(em.group("a1")): em.group("c1"), side(em.group("a2")): em.group("c2")}
+        if len(eq) != 2:
+            raise SqlExtError("each ASOF JOIN equality must reference both aliases once")
+        if eq["left"] != eq["right"]:
+            raise SqlExtError(
+                "ASOF JOIN key columns must share a name on both sides "
+                f"(got {eq['left']!r} = {eq['right']!r}); alias one side first"
+            )
+        keys.append(eq["left"])
     ts = {side(m.group("t1a")): m.group("t1c"), side(m.group("t2a")): m.group("t2c")}
-    if len(eq) != 2:
-        raise SqlExtError("ASOF JOIN equality must reference both aliases once")
     if len(ts) != 2 or side(m.group("t1a")) != "left":
         raise SqlExtError(
             "ASOF JOIN inequality must be <left>.<ts> >= <right>.<ts> (backward as-of)"
-        )
-    if eq["left"] != eq["right"]:
-        raise SqlExtError(
-            "ASOF JOIN key columns must share a name on both sides "
-            f"(got {eq['left']!r} = {eq['right']!r}); alias one side first"
         )
 
     joined = asof_join(
         spark.table(m.group("lt")),
         spark.table(m.group("rt")),
-        key=eq["left"],
+        key=keys,
         left_ts=ts["left"],
         right_ts=ts["right"],
         how="left" if m.group("left") else "inner",

@@ -299,3 +299,31 @@ def test_driver_window_covers_all_tags():
     # entries inside the graded window
     rows_only = [n for n in names if REGISTRY[n].oracle is None]
     assert not rows_only, f"rows-only queries in the driver window: {rows_only}"
+
+
+def test_broadcast_hint_survives_threshold_off(spark):
+    """Dimension broadcasts must come from EXPLICIT hints, not
+    autoBroadcastJoinThreshold luck: with the threshold disabled, q2's
+    plan still broadcasts its dims. A cluster operator tuning the
+    threshold down (common on memory-tight fleets) must not silently
+    turn the star joins into sort-merge shuffles."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = REGISTRY["q2_join_chain"].fn(spark, SF)
+        assert "BroadcastHashJoin" in plan_string(df, "simple")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_global_sort_uses_range_partitioning(spark):
+    """An unbounded global ORDER BY must plan as a range-partitioned
+    parallel sort (sample → range exchange → per-partition sort), never
+    a SinglePartition funnel — the property that makes large ordered
+    writes scale."""
+    from data_wrangling_openstreetmap_spark.io import load_table
+
+    df = load_table(spark, SF, "events").orderBy("ts", "event_id")
+    plan = plan_string(df, "simple")
+    assert "rangepartitioning" in plan
+    assert "SinglePartition" not in plan
