@@ -4863,6 +4863,38 @@ def l0_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _KM_K = 8
 
+
+def _km_quant_assign(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(quantized vectors, first assignment): integer-exact nearest of
+    the first-K seed centroids with a (dist, centroid) struct-min
+    tiebreak — the coarse quantization shared by l6_kmeans_step's pass
+    1 and l2_semdedup's cells."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * 1000000 + 0).cast("long"),
+    )
+    q = emb.select("vec_id", qv.alias("qv"))
+    init = q.filter(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("c"), F.col("qv").alias("cv")
+    )
+    d1 = q.crossJoin(F.broadcast(init)).select(
+        "vec_id",
+        "c",
+        F.aggregate(
+            F.zip_with(F.col("qv"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("d"),
+    )
+    a1 = (
+        d1.groupBy("vec_id")
+        .agg(F.min(F.struct("d", "c")).alias("best"))
+        .select("vec_id", F.col("best.c").alias("c1"))
+    )
+    return q, a1
+
+
 _L6_KMEANS_ORACLE = f"""
 WITH q AS (SELECT vec_id, {_PQ_QUANT_DUCK} AS qv FROM embeddings),
 init AS (SELECT vec_id AS c, qv AS cv FROM q WHERE vec_id < {_KM_K}),
@@ -4912,29 +4944,7 @@ def l6_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     divisions, and both engines fold the reassignment distance
     sequentially, so even the double arithmetic is order-pinned.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
-    qv = F.transform(
-        F.col("embedding"),
-        lambda x: F.round(x.cast("double") * 1000000 + 0).cast("long"),
-    )
-    q = emb.select("vec_id", qv.alias("qv"))
-    init = q.filter(F.col("vec_id") < _KM_K).select(
-        F.col("vec_id").alias("c"), F.col("qv").alias("cv")
-    )
-    d1 = q.crossJoin(F.broadcast(init)).select(
-        "vec_id",
-        "c",
-        F.aggregate(
-            F.zip_with(F.col("qv"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        ).alias("d"),
-    )
-    a1 = (
-        d1.groupBy("vec_id")
-        .agg(F.min(F.struct("d", "c")).alias("best"))
-        .select("vec_id", F.col("best.c").alias("c1"))
-    )
+    q, a1 = _km_quant_assign(spark, sf_dir)
     dims = (
         q.join(a1, "vec_id")
         .select("c1", F.posexplode("qv").alias("dim0", "val"))
@@ -4974,4 +4984,153 @@ def l6_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c1").cast("long").alias("init_cluster"),
             F.col("best.c").alias("cluster"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# L2 — SemDeDup-style semantic dedup: cluster FIRST (the coarse
+# quantization from the k-means seed centroids), then prune
+# near-duplicates only WITHIN each cluster. The pruning cost drops from
+# O(n²) to Σ|cell|² — the published trick that makes embedding-level
+# dedup run at corpus scale; cross-cell duplicates are the documented
+# miss (l2_embedding_neardup is the exact all-pairs reference).
+# ---------------------------------------------------------------------------
+
+_SEMDEDUP_COS = 0.4
+
+_L2_SEMDEDUP_ORACLE = f"""
+WITH q AS (SELECT vec_id, {_PQ_QUANT_DUCK} AS qv FROM embeddings),
+init AS (SELECT vec_id AS c, qv AS cv FROM q WHERE vec_id < {_KM_K}),
+d1 AS (
+  SELECT q.vec_id, i.c,
+         list_sum(list_transform(generate_series(1, 64),
+                  k -> (q.qv[k] - i.cv[k]) * (q.qv[k] - i.cv[k]))) AS d
+  FROM q CROSS JOIN init i
+),
+a1 AS (SELECT vec_id, min([d, c])[2] AS cell FROM d1 GROUP BY vec_id),
+cells AS (
+  SELECT e.vec_id, a1.cell, e.embedding
+  FROM embeddings e JOIN a1 USING (vec_id)
+),
+dropped AS (
+  SELECT DISTINCT y.vec_id
+  FROM cells x JOIN cells y
+    ON x.cell = y.cell AND x.vec_id < y.vec_id
+  WHERE ROUND(list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[]), 6)
+        >= {_SEMDEDUP_COS}
+)
+SELECT a1.vec_id,
+       CAST(a1.cell AS BIGINT) AS cell,
+       CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM a1 LEFT JOIN dropped d ON d.vec_id = a1.vec_id
+"""
+
+
+@register("l2_semdedup", oracle=_L2_SEMDEDUP_ORACLE, tags=("L2", "L6", "L3"))
+def l2_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup, cluster-then-prune: assign every embedding to
+    its nearest seed centroid (integer-exact, shared with
+    l6_kmeans_step), form near-dup pairs ONLY within a cell
+    (cosine ≥ 0.4, rounded 6 both engines), and keep the lowest vec_id
+    of every duplicate chain. Output (vec_id, cell, keep).
+
+    Scale: the join key is the cell id, so pair formation is bounded
+    by the largest cell, not the corpus — with balanced cells this is
+    n²/k work sharded across k independent groups (and each cell's
+    pairs shuffle only that cell's rows). Cross-cell near-dups are
+    missed by design; raise k to shrink cells, or run
+    l2_embedding_neardup as the exact audit on a sample.
+    """
+    _, a1 = _km_quant_assign(spark, sf_dir)
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", V.norm(F.col("embedding")).alias("nrm")
+    )
+    cells = e.join(a1, "vec_id").select(
+        "vec_id", F.col("c1").alias("cell"), "embedding", "nrm"
+    )
+    x, y = cells.alias("x"), cells.alias("y")
+    cos = F.round(
+        V.dot(F.col("x.embedding"), F.col("y.embedding"))
+        / (F.col("x.nrm") * F.col("y.nrm")),
+        6,
+    )
+    dropped = (
+        x.join(
+            y,
+            (F.col("x.cell") == F.col("y.cell"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .filter(cos >= _SEMDEDUP_COS)
+        .select(F.col("y.vec_id").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        a1.join(dropped.withColumn("is_dup", F.lit(1)), "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("c1").cast("long").alias("cell"),
+            F.when(F.col("is_dup").isNull(), 1).otherwise(0).cast("long").alias("keep"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# L4 — overlapping chunking (RAG / long-context prep): fixed-size token
+# windows with stride < size so context is never cut mid-thought.
+# ---------------------------------------------------------------------------
+
+_CHUNK_SIZE = 64
+_CHUNK_STRIDE = 48
+
+_L4_CHUNK_ORACLE = rf"""
+WITH toks AS (
+  SELECT doc_id, {_ORACLE_TOKS} AS ts, len({_ORACLE_TOKS}) AS n FROM documents
+),
+exploded AS (
+  -- list-valued generate_series + unnest: DuckDB's table-function form
+  -- cannot take a correlated bound
+  SELECT doc_id, ts,
+         unnest(generate_series(0, CAST(floor((n - 1) / {_CHUNK_STRIDE}) AS BIGINT))) AS cid
+  FROM toks WHERE n > 0
+)
+SELECT doc_id,
+       CAST(cid AS BIGINT) AS chunk_id,
+       CAST(len(ts[cid*{_CHUNK_STRIDE}+1 : cid*{_CHUNK_STRIDE}+{_CHUNK_SIZE}]) AS BIGINT)
+         AS n_chunk_tokens,
+       array_to_string(ts[cid*{_CHUNK_STRIDE}+1 : cid*{_CHUNK_STRIDE}+{_CHUNK_SIZE}], ' ')
+         AS chunk_text
+FROM exploded
+"""
+
+
+@register("l4_chunk_overlap", oracle=_L4_CHUNK_ORACLE, tags=("L4", "F5", "U5"))
+def l4_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split every document into 64-token windows advancing 48 tokens
+    at a time (16-token overlap): chunk i covers tokens
+    [i·48+1, i·48+64], the final window is allowed to run short, and
+    empty documents produce no chunks. The retrieval-index prep that
+    keeps answers from being split across chunk boundaries.
+
+    Scale: pure per-row explode of ⌈n/stride⌉ slices — map-side, no
+    shuffle; output row count is (overlap factor)× the token mass,
+    which is the known storage price of overlap (size/stride = 4/3
+    here). Token positions come from one split; no re-tokenization per
+    chunk.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", T.tokens(F.col("text")).alias("ts"), F.size(T.tokens(F.col("text"))).alias("n")
+    ).filter(F.col("n") > 0)
+    cids = F.sequence(F.lit(0), F.floor((F.col("n") - 1) / _CHUNK_STRIDE).cast("long"))
+    chunked = toks.select(
+        "doc_id", "ts", F.explode(cids).alias("chunk_id")
+    )
+    window = F.slice(
+        F.col("ts"), F.col("chunk_id").cast("int") * _CHUNK_STRIDE + 1, _CHUNK_SIZE
+    )
+    return chunked.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.size(window).cast("long").alias("n_chunk_tokens"),
+        F.array_join(window, " ").alias("chunk_text"),
     )
