@@ -5134,3 +5134,78 @@ def l4_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(window).cast("long").alias("n_chunk_tokens"),
         F.array_join(window, " ").alias("chunk_text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# L4 — mixture planning: turn per-source token inventories + target
+# shares into concrete sampling rates under a global token budget —
+# the arithmetic between "we have this corpus" and "train on this mix".
+# ---------------------------------------------------------------------------
+
+_MIX_BUDGET_NUM, _MIX_BUDGET_DEN = 1, 2  # train on half the corpus' tokens
+
+_L4_MIX_ORACLE = rf"""
+WITH inv AS (
+  SELECT source,
+         CAST(SUM(len({_ORACLE_TOKS})) AS BIGINT) AS tokens_available
+  FROM documents GROUP BY source
+),
+tot AS (SELECT COUNT(*) AS n_sources, SUM(tokens_available) AS corpus_tokens FROM inv)
+SELECT source,
+       tokens_available,
+       CAST(corpus_tokens * {_MIX_BUDGET_NUM} AS DOUBLE)
+         / ({_MIX_BUDGET_DEN} * n_sources) AS target_tokens,
+       LEAST(1.0,
+             (CAST(corpus_tokens * {_MIX_BUDGET_NUM} AS DOUBLE)
+               / ({_MIX_BUDGET_DEN} * n_sources)) / tokens_available) AS sample_rate,
+       CAST(CASE
+         WHEN CAST(tokens_available AS DOUBLE)
+                <= CAST(corpus_tokens * {_MIX_BUDGET_NUM} AS DOUBLE)
+                   / ({_MIX_BUDGET_DEN} * n_sources)
+         THEN tokens_available
+         ELSE CAST(floor(CAST(corpus_tokens * {_MIX_BUDGET_NUM} AS DOUBLE)
+                         / ({_MIX_BUDGET_DEN} * n_sources)) AS BIGINT)
+       END AS BIGINT) AS tokens_planned
+FROM inv CROSS JOIN tot
+"""
+
+
+@register("l4_mixture_plan", oracle=_L4_MIX_ORACLE, tags=("L4", "A1", "A2"))
+def l4_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform-target mixture plan under a half-corpus token budget:
+    each source's target is budget / n_sources; the sampling rate is
+    min(1, target/available) so under-resourced sources are taken whole
+    (their shortfall is NOT redistributed — single-pass planning, the
+    redistribution round would iterate this same query on the
+    remainder). tokens_planned floors the fractional target.
+
+    Scale: one groupBy(source) inventory + a broadcast 1-row totals
+    join — the plan itself is dimension-sized no matter the corpus;
+    the expensive part (the actual per-doc sampling) is s3/s7/s9's
+    deterministic hash machinery keyed on these rates.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    inv = docs.groupBy("source").agg(
+        F.sum(F.size(T.tokens(F.col("text")))).cast("long").alias("tokens_available")
+    )
+    tot = inv.agg(
+        F.count("*").alias("n_sources"),
+        F.sum("tokens_available").alias("corpus_tokens"),
+    )
+    joined = inv.crossJoin(F.broadcast(tot))
+    target = (
+        (F.col("corpus_tokens") * _MIX_BUDGET_NUM).cast("double")
+        / (F.lit(_MIX_BUDGET_DEN) * F.col("n_sources"))
+    )
+    rate = F.least(F.lit(1.0), target / F.col("tokens_available"))
+    planned = F.when(
+        F.col("tokens_available").cast("double") <= target,
+        F.col("tokens_available"),
+    ).otherwise(F.floor(target).cast("long"))
+    return joined.select(
+        "source",
+        "tokens_available",
+        target.alias("target_tokens"),
+        rate.alias("sample_rate"),
+        planned.cast("long").alias("tokens_planned"),
+    )

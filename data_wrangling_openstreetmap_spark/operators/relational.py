@@ -1704,3 +1704,54 @@ def a16_freq_items_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         F.col("lang").isin(sorted(sketch_items)).cast("int").alias("in_sketch"),
     )
+
+
+# ---------------------------------------------------------------------------
+# J11 — null-safe equi-join (<=> / IS NOT DISTINCT FROM): NULL keys
+# match each other — the semantics dimension-conformance joins need
+# when "unknown" is itself a category.
+# ---------------------------------------------------------------------------
+
+_J11_ORACLE = """
+WITH c AS (
+  SELECT NULLIF(user_id % 7, 0) AS bucket, COUNT(*) AS n_clicks
+  FROM events WHERE event_type = 'click' GROUP BY 1
+),
+p AS (
+  SELECT NULLIF(user_id % 7, 0) AS bucket, COUNT(*) AS n_purchases
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+)
+SELECT c.bucket AS bucket,
+       CAST(c.n_clicks AS BIGINT) AS n_clicks,
+       CAST(p.n_purchases AS BIGINT) AS n_purchases
+FROM c JOIN p ON c.bucket IS NOT DISTINCT FROM p.bucket
+"""
+
+
+@register("j11_null_safe_join", oracle=_J11_ORACLE, tags=("J1", "F8"))
+def j11_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join click and purchase activity per nullable bucket with
+    ``eqNullSafe`` — the NULL bucket (user_id ≡ 0 mod 7, nulled to
+    model an unknown segment) joins to ITSELF instead of vanishing, so
+    the "unknown" category survives into the comparison. An ordinary
+    equi-join would silently drop it (NULL = NULL is not TRUE).
+
+    Scale: <=> plans as a hash join exactly like = (null hashes to a
+    fixed bucket) — same single shuffle, no nested loop; never emulate
+    it with OR(isnull…) predicates, which break hash-join planning.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.nullif(F.col("user_id") % 7, F.lit(0))
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count("*").alias("n_clicks"))
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count("*").alias("n_purchases"))
+    )
+    return clicks.alias("c").join(
+        purchases.alias("p"), F.col("c.bucket").eqNullSafe(F.col("p.bucket"))
+    ).select(F.col("c.bucket").alias("bucket"), "n_clicks", "n_purchases")
