@@ -564,3 +564,66 @@ def f13_from_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("x.name").alias("nation_name"),
         (F.col("x.reg") * 100 + F.col("x.key")).cast("long").alias("routing_code"),
     )
+
+
+# ---------------------------------------------------------------------------
+# F14 — ANSI-safe arithmetic (try_divide / try_cast): Spark 4 runs with
+# spark.sql.ansi.enabled=true, where 1/0 and bad casts THROW — the
+# try_* family is the per-expression opt-out that degrades to NULL
+# instead of killing a 10-hour job on one malformed row.
+# ---------------------------------------------------------------------------
+
+_F14_ORACLE = """
+WITH t AS (
+  SELECT l_returnflag,
+         l_extendedprice / NULLIF(l_quantity - 30, 0) AS ratio,
+         try_cast(CASE WHEN l_quantity < 10 THEN CAST(CAST(l_quantity AS BIGINT) AS VARCHAR)
+                       ELSE l_returnflag END AS BIGINT) AS parsed
+  FROM lineitem
+)
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(*) - COUNT(ratio) AS BIGINT) AS n_div_by_zero,
+       ROUND(MIN(ratio), 6) AS min_ratio,
+       ROUND(MAX(ratio), 6) AS max_ratio,
+       CAST(COUNT(parsed) AS BIGINT) AS n_parsed,
+       CAST(SUM(parsed) AS BIGINT) AS parsed_sum
+FROM t GROUP BY l_returnflag
+"""
+
+
+@register("f14_try_arithmetic", oracle=_F14_ORACLE, tags=("F8", "F4"))
+def f14_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """try_divide over a deliberately-zeroed denominator (quantity 30 →
+    NULL, counted per flag) and try_cast over a mixed digits-or-letters
+    string (letters → NULL, digits parse and sum). Min/max of the
+    surviving ratios round to 6 dp on both engines; the oracle spells
+    the same semantics with NULLIF and DuckDB's try_cast.
+
+    Scale: pure map-side projections + one low-cardinality agg. The
+    operational point: under ANSI mode these are the ONLY safe spellings
+    for data you don't control — a plain divide or cast is a job-killer
+    on row one of bad input, and a silent LEGACY-mode cast is worse.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    ratio = F.try_divide(F.col("l_extendedprice"), F.col("l_quantity") - 30)
+    parsed = (
+        F.when(
+            F.col("l_quantity") < 10,
+            F.col("l_quantity").cast("long").cast("string"),
+        )
+        .otherwise(F.col("l_returnflag"))
+        .try_cast("long")
+    )
+    return (
+        li.select("l_returnflag", ratio.alias("ratio"), parsed.alias("parsed"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            (F.count("*") - F.count("ratio")).alias("n_div_by_zero"),
+            F.round(F.min("ratio"), 6).alias("min_ratio"),
+            F.round(F.max("ratio"), 6).alias("max_ratio"),
+            F.count("parsed").alias("n_parsed"),
+            F.sum("parsed").alias("parsed_sum"),
+        )
+    )
