@@ -1350,3 +1350,174 @@ def q24b_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM chain WHERE cur < 10
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# q29 — event-transition matrix (product-analytics "paths"): counts of
+# consecutive event-type pairs per user timeline.
+# ---------------------------------------------------------------------------
+
+_Q29_ORACLE = """
+WITH seq AS (
+  SELECT event_type,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS next_type
+  FROM events
+)
+SELECT event_type, next_type, CAST(COUNT(*) AS BIGINT) AS n_transitions
+FROM seq WHERE next_type IS NOT NULL
+GROUP BY event_type, next_type
+"""
+
+
+@register("q29_event_transitions", oracle=_Q29_ORACLE, tags=("W3", "A1"))
+def q29_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts over each user's event
+    timeline (lead() per user, tie-broken by the unique event_id, then
+    a pair rollup) — the input to funnel discovery and next-action
+    models. Each user's final event emits no transition.
+
+    Scale: one shuffle on user_id for the lead window, then a
+    25-key-at-most pair aggregation with map-side partials — the same
+    two-exchange shape as st3's sessionization.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    )
+    return (
+        seq.filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count("*").alias("n_transitions"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# a23 — arg-extrema aggregates (max_by / min_by): "the id of the row
+# with the extreme value" without a self-join or window.
+# ---------------------------------------------------------------------------
+
+_A23_ORACLE = """
+SELECT event_type,
+       arg_max(event_id, CAST(round(value * 100) AS BIGINT) * 100000000 + event_id)
+         AS top_event_id,
+       arg_min(event_id, CAST(round(value * 100) AS BIGINT) * 100000000 + event_id)
+         AS bottom_event_id,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("a23_arg_extrema", oracle=_A23_ORACLE, tags=("A9", "A1"))
+def a23_arg_extrema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event type, the event id carrying the highest and lowest
+    value — ``max_by``/``min_by`` over an exact integer COMPOSITE key
+    (cents·10⁸ + id) so two-decimal value ties cannot make the answer
+    partition-order luck (the bare max_by(id, value) form is
+    nondeterministic under ties; so is DuckDB's arg_max — and DuckDB
+    1.x accepts no struct/list ordering key, hence the packed BIGINT
+    both engines share).
+
+    Scale: a single partial-aggregated groupBy — max_by carries one
+    (key, candidate) pair per partition, exactly like MAX; the window/
+    self-join alternatives carry the whole group.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    key = F.round(F.col("value") * 100).cast("long") * 100_000_000 + F.col("event_id")
+    return ev.groupBy("event_type").agg(
+        F.max_by("event_id", key).alias("top_event_id"),
+        F.min_by("event_id", key).alias("bottom_event_id"),
+        F.count("*").alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# a22 — A/B experiment readout: deterministic hash bucketing, group
+# means, lift, and a Welch t-statistic — all from exact integer
+# moments so the one sqrt and the divisions are bit-identical across
+# engines (u3's z-score recipe, applied to experimentation).
+# ---------------------------------------------------------------------------
+
+_A22_ORACLE = """
+WITH m AS (
+  SELECT
+    COUNT(CASE WHEN user_id % 2 = 0 THEN 1 END) AS n_a,
+    COUNT(CASE WHEN user_id % 2 = 1 THEN 1 END) AS n_b,
+    COALESCE(SUM(CASE WHEN user_id % 2 = 0
+                      THEN CAST(round(value * 100) AS BIGINT) END), 0) AS sx_a,
+    COALESCE(SUM(CASE WHEN user_id % 2 = 1
+                      THEN CAST(round(value * 100) AS BIGINT) END), 0) AS sx_b,
+    COALESCE(SUM(CASE WHEN user_id % 2 = 0
+                      THEN CAST(round(value * 100) AS BIGINT)
+                           * CAST(round(value * 100) AS BIGINT) END), 0) AS sxx_a,
+    COALESCE(SUM(CASE WHEN user_id % 2 = 1
+                      THEN CAST(round(value * 100) AS BIGINT)
+                           * CAST(round(value * 100) AS BIGINT) END), 0) AS sxx_b
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT CAST(n_a AS BIGINT) AS n_a,
+       CAST(n_b AS BIGINT) AS n_b,
+       ROUND(CAST(sx_a AS DOUBLE) / n_a, 6) AS mean_a_cents,
+       ROUND(CAST(sx_b AS DOUBLE) / n_b, 6) AS mean_b_cents,
+       ROUND(CAST(sx_b AS DOUBLE) / n_b - CAST(sx_a AS DOUBLE) / n_a, 6) AS lift_cents,
+       ROUND(
+         (CAST(sx_b AS DOUBLE) / n_b - CAST(sx_a AS DOUBLE) / n_a)
+         / sqrt(
+             CAST(n_a * sxx_a - sx_a * sx_a AS DOUBLE) / (CAST(n_a AS DOUBLE) * (n_a - 1)) / n_a
+           + CAST(n_b * sxx_b - sx_b * sx_b AS DOUBLE) / (CAST(n_b AS DOUBLE) * (n_b - 1)) / n_b
+         ), 6) AS t_welch
+FROM m
+"""
+
+
+@register("a22_ab_lift", oracle=_A22_ORACLE, tags=("A2", "A11"))
+def a22_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment readout in one pass: users hash into arms by parity,
+    purchase value accumulates as exact integer cents moments (count,
+    Σx, Σx²) per arm, and the output derives means, lift, and the
+    Welch t-statistic. The moment products run in DECIMAL(38,0)
+    (HUGEINT in the oracle) so n·Σx² − (Σx)² is exact; each engine then
+    performs the IDENTICAL sequence of double divisions and one sqrt —
+    rounded 6 for belt-and-braces.
+
+    Scale: a single global conditional aggregate — partial moments per
+    partition, one 1-row merge; the readout never shuffles the facts
+    at all. Real assignment uses xxhash64(user_id, salt) — parity
+    stands in deterministically here.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    c = cents("value")
+    arm_a, arm_b = (F.col("user_id") % 2 == 0), (F.col("user_id") % 2 == 1)
+    dec = "decimal(38,0)"
+    m = ev.agg(
+        F.count(F.when(arm_a, 1)).alias("n_a"),
+        F.count(F.when(arm_b, 1)).alias("n_b"),
+        F.coalesce(F.sum(F.when(arm_a, c)), F.lit(0)).alias("sx_a"),
+        F.coalesce(F.sum(F.when(arm_b, c)), F.lit(0)).alias("sx_b"),
+        F.coalesce(F.sum(F.when(arm_a, c * c)), F.lit(0)).alias("sxx_a"),
+        F.coalesce(F.sum(F.when(arm_b, c * c)), F.lit(0)).alias("sxx_b"),
+    )
+    mean_a = F.col("sx_a").cast("double") / F.col("n_a")
+    mean_b = F.col("sx_b").cast("double") / F.col("n_b")
+    num_a = (
+        F.col("n_a").cast(dec) * F.col("sxx_a").cast(dec)
+        - F.col("sx_a").cast(dec) * F.col("sx_a").cast(dec)
+    ).cast("double")
+    num_b = (
+        F.col("n_b").cast(dec) * F.col("sxx_b").cast(dec)
+        - F.col("sx_b").cast(dec) * F.col("sx_b").cast(dec)
+    ).cast("double")
+    var_a = num_a / (F.col("n_a").cast("double") * (F.col("n_a") - 1))
+    var_b = num_b / (F.col("n_b").cast("double") * (F.col("n_b") - 1))
+    t = (mean_b - mean_a) / F.sqrt(var_a / F.col("n_a") + var_b / F.col("n_b"))
+    return m.select(
+        "n_a",
+        "n_b",
+        F.round(mean_a, 6).alias("mean_a_cents"),
+        F.round(mean_b, 6).alias("mean_b_cents"),
+        F.round(mean_b - mean_a, 6).alias("lift_cents"),
+        F.round(t, 6).alias("t_welch"),
+    )
