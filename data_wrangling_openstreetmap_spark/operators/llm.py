@@ -4780,25 +4780,19 @@ scored AS (
                    ELSE 0.0 END) AS quality
   FROM survivors
 ),
-gated AS (
-  SELECT * FROM scored
-  WHERE quality >= {_L0_MIN_QUALITY}
-    AND n_tokens BETWEEN {_L0_MIN_TOKENS} AND {_L0_MAX_TOKENS}
+flagged AS (
+  SELECT source, lang, n_tokens, quality,
+         quality >= {_L0_MIN_QUALITY}
+           AND n_tokens BETWEEN {_L0_MIN_TOKENS} AND {_L0_MAX_TOKENS} AS keep
+  FROM scored
 )
-SELECT s.source, s.lang,
+SELECT source, lang,
        CAST(COUNT(*) AS BIGINT) AS n_surviving,
-       CAST(COALESCE(g.n_kept, 0) AS BIGINT) AS n_kept,
-       CAST(COALESCE(g.kept_tokens, 0) AS BIGINT) AS kept_tokens,
-       COALESCE(g.mean_quality, 0.0) AS mean_quality
-FROM scored s
-LEFT JOIN (
-  SELECT source, lang,
-         COUNT(*) AS n_kept,
-         CAST(SUM(n_tokens) AS BIGINT) AS kept_tokens,
-         ROUND(AVG(quality), 6) AS mean_quality
-  FROM gated GROUP BY source, lang
-) g USING (source, lang)
-GROUP BY s.source, s.lang, g.n_kept, g.kept_tokens, g.mean_quality
+       CAST(COUNT(CASE WHEN keep THEN 1 END) AS BIGINT) AS n_kept,
+       CAST(COALESCE(SUM(CASE WHEN keep THEN n_tokens END), 0) AS BIGINT) AS kept_tokens,
+       COALESCE(ROUND(AVG(CASE WHEN keep THEN quality END), 6), 0.0) AS mean_quality
+FROM flagged
+GROUP BY source, lang
 """
 
 
@@ -4812,9 +4806,13 @@ def l0_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the dedup window shuffles once on text (xxhash64(text) at
     100 TB to keep shuffle rows narrow); scoring is map-side on the
-    survivors; the rollup is one low-cardinality groupBy. Stage order
-    matters at scale and is the cheap one: dedup FIRST (hash compare)
-    so quality math runs once per unique text, not once per copy.
+    survivors; the rollup is ONE conditional aggregate carrying both
+    the surviving-population and kept-subset measures, so the corpus
+    is scanned and deduplicated exactly once (the two-branch join
+    formulation re-runs the dedup per branch — measured in this plan
+    before the rewrite). Stage order matters at scale and is the cheap
+    one: dedup FIRST (hash compare) so quality math runs once per
+    unique text, not once per copy.
     """
     docs = load_table(spark, sf_dir, "documents")
     w = Window.partitionBy("text").orderBy("doc_id")
@@ -4829,23 +4827,19 @@ def l0_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(T.tokens(F.col("text"))).alias("n_tokens"),
         T.quality_score(F.col("text")).alias("quality"),
     )
-    kept = scored.filter(
-        (F.col("quality") >= _L0_MIN_QUALITY)
-        & F.col("n_tokens").between(_L0_MIN_TOKENS, _L0_MAX_TOKENS)
+    keep = (F.col("quality") >= _L0_MIN_QUALITY) & F.col("n_tokens").between(
+        _L0_MIN_TOKENS, _L0_MAX_TOKENS
     )
-    kept_stats = kept.groupBy("source", "lang").agg(
-        F.count("*").alias("n_kept"),
-        F.sum("n_tokens").cast("long").alias("kept_tokens"),
-        F.round(F.avg("quality"), 6).alias("mean_quality"),
-    )
-    totals = scored.groupBy("source", "lang").agg(F.count("*").alias("n_surviving"))
-    return totals.join(kept_stats, ["source", "lang"], "left").select(
-        "source",
-        "lang",
-        "n_surviving",
-        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
-        F.coalesce(F.col("kept_tokens"), F.lit(0)).cast("long").alias("kept_tokens"),
-        F.coalesce(F.col("mean_quality"), F.lit(0.0)).alias("mean_quality"),
+    flagged = scored.withColumn("keep", keep)
+    return flagged.groupBy("source", "lang").agg(
+        F.count("*").alias("n_surviving"),
+        F.count(F.when(F.col("keep"), 1)).alias("n_kept"),
+        F.coalesce(F.sum(F.when(F.col("keep"), F.col("n_tokens"))), F.lit(0))
+        .cast("long")
+        .alias("kept_tokens"),
+        F.coalesce(
+            F.round(F.avg(F.when(F.col("keep"), F.col("quality"))), 6), F.lit(0.0)
+        ).alias("mean_quality"),
     )
 
 
