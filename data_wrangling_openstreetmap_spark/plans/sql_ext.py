@@ -119,7 +119,13 @@ _SIM_RE = re.compile(
 
 def _qualify(sql_text: str, aliases: dict[str, str]) -> str:
     """Rewrite ``alias.col`` references onto the lowered flat namespace
-    (``alias.col`` → ``alias_col``) for the given aliases only."""
+    (``alias.col`` → ``alias_col``) for the given aliases only.
+
+    Textual, not lexical: an ``alias.col``-shaped substring INSIDE a
+    string literal would also rewrite. Acceptable for this frontend's
+    documented grammar (a full implementation hooks the real parser via
+    a Catalyst extension — the JVM-classpath route plans/sql_ext.py's
+    module docstring explains this repo cannot ship)."""
 
     def sub(m: re.Match) -> str:
         a = m.group(1)

@@ -57,6 +57,10 @@ class LedgerReader(DataSourceReader):
         self.parts = max(1, int(options.get("parts", 8)))
 
     def partitions(self) -> Sequence[InputPartition]:
+        if self.n <= 0:
+            # Spark requires at least one planned partition; an empty
+            # ledger reads as one empty split, not a planning error.
+            return [LedgerPartition(0, 0)]
         step = -(-self.n // self.parts)  # ceil-div: cover the whole range
         return [
             LedgerPartition(lo, min(lo + step, self.n))

@@ -105,3 +105,13 @@ def test_python_datasource_stream_equals_batch(spark, tmp_path):
         q.stop()
     got = _canon(spark.table("sink_pyds_ledger"))
     assert got == sorted(_ledger_row(i) for i in range(500))
+
+
+def test_python_datasource_empty_ledger(spark):
+    """n=0 must read as an empty frame (one empty planned split), not a
+    partition-planning error."""
+    from data_wrangling_openstreetmap_spark.sources.pyds import register_ledger_source
+
+    register_ledger_source(spark)
+    df = spark.read.format("synthetic_ledger").option("n", 0).load()
+    assert df.count() == 0
