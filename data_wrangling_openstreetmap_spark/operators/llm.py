@@ -4260,7 +4260,7 @@ norm AS (
          regexp_extract(authority, ':([0-9]+)$', 1) AS port,
          array_to_string(
            list_sort(list_filter(string_split(query, '&'),
-             p -> NOT (p LIKE 'utm_%' OR p LIKE 'ref=%'))), '&') AS params
+             p -> NOT (starts_with(p, 'utm_') OR starts_with(p, 'ref=')))), '&') AS params
   FROM parts
 )
 SELECT doc_id,
@@ -4351,6 +4351,16 @@ _PQ_QUANT_DUCK = (
     "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000 + 0) AS BIGINT))"
 )
 
+
+def _quantize_embedding():
+    """The Spark twin of _PQ_QUANT_DUCK — the ONE integer-quantization
+    expression (round(x·1e6), '+ 0' for negative-zero) every
+    integer-exact embedding family (PQ, k-means, SemDeDup) shares."""
+    return F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * 1000000 + 0).cast("long"),
+    )
+
 _L6_PQ_ORACLE = f"""
 WITH q AS (SELECT vec_id, {_PQ_QUANT_DUCK} AS qv FROM embeddings),
 subs AS (
@@ -4398,10 +4408,7 @@ def _pq_subs_cb(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]
     """(subvectors, codebook): integer-quantized 8-dim slices of every
     embedding, and the K×M centroid slices (vec_id < K)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    qv = F.transform(
-        F.col("embedding"),
-        lambda x: F.round(x.cast("double") * 1000000 + 0).cast("long"),
-    )
+    qv = _quantize_embedding()
     slices = F.array(
         *[F.slice(F.col("qv"), j * _PQ_SUB + 1, _PQ_SUB) for j in range(_PQ_M)]
     )
@@ -4864,22 +4871,13 @@ def _km_quant_assign(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataF
     tiebreak — the coarse quantization shared by l6_kmeans_step's pass
     1 and l2_semdedup's cells."""
     emb = load_table(spark, sf_dir, "embeddings")
-    qv = F.transform(
-        F.col("embedding"),
-        lambda x: F.round(x.cast("double") * 1000000 + 0).cast("long"),
-    )
+    qv = _quantize_embedding()
     q = emb.select("vec_id", qv.alias("qv"))
     init = q.filter(F.col("vec_id") < _KM_K).select(
         F.col("vec_id").alias("c"), F.col("qv").alias("cv")
     )
     d1 = q.crossJoin(F.broadcast(init)).select(
-        "vec_id",
-        "c",
-        F.aggregate(
-            F.zip_with(F.col("qv"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        ).alias("d"),
+        "vec_id", "c", _pq_sqdist("qv", "cv").alias("d")
     )
     a1 = (
         d1.groupBy("vec_id")

@@ -329,7 +329,7 @@ def sql(spark: SparkSession, query: str) -> DataFrame:
     extended construct is lowered to the scale-safe DataFrame plan and
     the remaining clauses run against the lowered result.
     """
-    if re.search(r"\bASOF\b", query, re.IGNORECASE):
+    if re.search(r"\bASOF\s+(?:LEFT\s+)?JOIN\b", query, re.IGNORECASE):
         m = _ASOF_RE.search(query)
         if m is None:
             raise SqlExtError(

@@ -483,3 +483,37 @@ def test_pq_adc_ranks_self_first(spark):
     for qid, hits in by_q.items():
         assert len(hits) == _PQ_TOPK
         assert sorted(hits)[0][1] == qid
+
+
+def test_a23_packed_key_precondition(spark):
+    """a23_arg_extrema packs its tiebreak as cents·10⁸ + event_id, which
+    is collision-free only while event_id < 10⁸ — assert that fixture
+    precondition at every staged scale factor so growth shows up as
+    THIS failure, not a nondeterministic arg_max hash flip."""
+    from data_wrangling_openstreetmap_spark.io import load_table
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+        mx = load_table(spark, sf, "events").agg(F.max("event_id")).first()[0]
+        assert mx < 100_000_000, f"{sf}: event_id {mx} overflows the packed key"
+
+
+def test_a21_top3_boundary_is_tie_free(spark):
+    """a21_approx_top_k grades the sketch in its exact regime, which
+    additionally requires NO count tie at the top-3 boundary (the
+    sketch's pick among equals is unspecified). Assert that fixture
+    property at every staged sf — a regenerated corpus that ties rank
+    3 with rank 4 must fail here, not as driver-grade flake."""
+    from data_wrangling_openstreetmap_spark.io import load_table
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+        counts = sorted(
+            (
+                r.n
+                for r in load_table(spark, sf, "documents")
+                .groupBy("lang")
+                .agg(F.count("*").alias("n"))
+                .collect()
+            ),
+            reverse=True,
+        )
+        assert len(counts) <= 3 or counts[2] != counts[3], f"{sf}: rank-3 tie {counts}"

@@ -137,3 +137,11 @@ def test_qualify_rewrites_known_aliases_only():
         "SELECT p.a, q.b, z.c FROM x", {"p": "p", "q": "q"}
     )
     assert out == "SELECT p_a, q_b, z.c FROM x"
+
+
+def test_bare_asof_word_passes_through(spark):
+    """Only the ASOF [LEFT] JOIN construct is extended syntax; a column
+    or literal merely CONTAINING the word asof is plain Spark SQL and
+    must delegate untouched."""
+    assert sql(spark, "SELECT 1 AS asof").collect()[0].asof == 1
+    assert sql(spark, "SELECT 'ASOF' AS label").collect()[0].label == "ASOF"
