@@ -1521,3 +1521,81 @@ def a22_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mean_b - mean_a, 6).alias("lift_cents"),
         F.round(t, 6).alias("t_welch"),
     )
+
+
+# ---------------------------------------------------------------------------
+# j12 — point-in-time (PIT) join: enrich each event with the dimension
+# version that was valid AT THE EVENT'S TIMESTAMP — the feature-store /
+# "as-was" reporting primitive that prevents temporal leakage (joining
+# today's segment onto last month's events).
+# ---------------------------------------------------------------------------
+
+_J12_CUTOVER = "2024-01-15 00:00:00"
+
+_J12_ORACLE = f"""
+WITH v1 AS (
+  SELECT c_custkey, c_mktsegment,
+         TIMESTAMP '2024-01-01 00:00:00' AS valid_from,
+         CASE WHEN c_custkey % 7 = 3
+              THEN TIMESTAMP '{_J12_CUTOVER}' END AS valid_to
+  FROM customer),
+v2 AS (
+  SELECT c_custkey, c_mktsegment || '/R2' AS c_mktsegment,
+         TIMESTAMP '{_J12_CUTOVER}' AS valid_from,
+         CAST(NULL AS TIMESTAMP) AS valid_to
+  FROM customer WHERE c_custkey % 7 = 3),
+dim AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+SELECT d.c_mktsegment AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events e
+JOIN dim d ON e.user_id + 1 = d.c_custkey
+          AND e.ts >= d.valid_from
+          AND (d.valid_to IS NULL OR e.ts < d.valid_to)
+GROUP BY d.c_mktsegment
+"""
+
+
+@register("j12_point_in_time_join", oracle=_J12_ORACLE, tags=("J6", "J5", "F3"))
+def j12_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIT enrichment against a two-version SCD2-style dimension
+    (segment renamed mid-January for every 7th customer): each event
+    joins the version whose [valid_from, valid_to) interval contains
+    its timestamp, so the same customer's events land in DIFFERENT
+    segments on either side of the cutover — the leakage-free join a
+    feature store must produce for training-data backfills.
+
+    Scale: equi-join on the customer key with the interval predicate
+    as a residual filter — versions per key are few (2 here; bounded
+    by change frequency in general), so this is a broadcast/hash join,
+    never a range-probe: the general unbounded-interval case is
+    j6_range_join's grid blocking, and the latest-only case degrades
+    to j7's as-of.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+    t0 = F.lit("2024-01-01 00:00:00").cast("timestamp_ntz")
+    tc = F.lit(_J12_CUTOVER).cast("timestamp_ntz")
+    v1 = cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        t0.alias("valid_from"),
+        F.when(F.col("c_custkey") % 7 == 3, tc).alias("valid_to"),
+    )
+    v2 = cust.filter(F.col("c_custkey") % 7 == 3).select(
+        "c_custkey",
+        F.concat(F.col("c_mktsegment"), F.lit("/R2")).alias("c_mktsegment"),
+        tc.alias("valid_from"),
+        F.lit(None).cast("timestamp_ntz").alias("valid_to"),
+    )
+    dim = v1.unionByName(v2)
+    joined = ev.join(
+        F.broadcast(dim),
+        (ev.user_id + 1 == dim.c_custkey)
+        & (ev.ts >= dim.valid_from)
+        & (dim.valid_to.isNull() | (ev.ts < dim.valid_to)),
+    )
+    return joined.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count("*").alias("n_events"),
+        F.sum(cents("value")).alias("value_cents"),
+    )
