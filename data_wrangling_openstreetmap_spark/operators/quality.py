@@ -315,3 +315,65 @@ def dq4_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     vals = obs.get
     rows = [(k, int(vals[k])) for k in ("n_rows", "n_null_qty", "n_returned", "revenue_cents")]
     return spark.createDataFrame(rows, "metric string, value bigint")
+
+
+# ---------------------------------------------------------------------------
+# dq5 — schema contract: both engines' view of every table's column
+# layout, normalized to one vocabulary and hash-compared. Catches
+# silent parquet schema drift (a writer upgrade changing int32→int64,
+# float64 embeddings, a reordered column) the moment it lands.
+# ---------------------------------------------------------------------------
+
+_DQ5_SPARK_TYPES = {
+    "bigint": "int64",
+    "int": "int32",
+    "double": "float64",
+    "float": "float32",
+    "string": "string",
+    "timestamp": "timestamp",
+    "timestamp_ntz": "timestamp",
+    "array<float>": "list<float32>",
+}
+
+_DQ5_ORACLE = """
+SELECT table_name, column_name,
+       CAST(ordinal_position AS INT) AS ordinal,
+       CASE data_type
+         WHEN 'BIGINT' THEN 'int64'
+         WHEN 'INTEGER' THEN 'int32'
+         WHEN 'DOUBLE' THEN 'float64'
+         WHEN 'FLOAT' THEN 'float32'
+         WHEN 'VARCHAR' THEN 'string'
+         WHEN 'TIMESTAMP' THEN 'timestamp'
+         WHEN 'FLOAT[]' THEN 'list<float32>'
+         ELSE lower(data_type)
+       END AS dtype
+FROM information_schema.columns
+WHERE table_name IN ('region', 'nation', 'customer', 'supplier', 'part',
+                     'orders', 'lineitem', 'events', 'documents', 'embeddings')
+"""
+
+
+@register("dq5_schema_contract", oracle=_DQ5_ORACLE, tags=("S1", "F8"))
+def dq5_schema_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every table's (column, position, type) as Spark resolves it,
+    normalized to an engine-neutral vocabulary; the oracle reads
+    DuckDB's information_schema over the same parquet and normalizes
+    its names. A hash match means the two engines agree on the ENTIRE
+    star schema byte-for-byte — the contract every cross-engine parity
+    result in this repo silently depends on, made an explicit grade.
+
+    Scale: pure metadata — parquet footers only, no data scan; the
+    output is a bounded LocalTableScan (driver-side bounded, like q24's
+    depth probe). At 100 TB this audit costs the same as at sf0.001.
+    """
+    from ..io import TABLES
+
+    rows = []
+    for t in TABLES:
+        for i, fld in enumerate(load_table(spark, sf_dir, t).schema.fields, 1):
+            s = fld.dataType.simpleString()
+            rows.append((t, fld.name, i, _DQ5_SPARK_TYPES.get(s, s)))
+    return spark.createDataFrame(
+        rows, "table_name string, column_name string, ordinal int, dtype string"
+    )

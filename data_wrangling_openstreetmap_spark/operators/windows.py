@@ -1500,3 +1500,74 @@ def w14_dist_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.cume_dist().over(w).alias("cd"),
         F.nth_value("value", 2).over(w_full).alias("second_lowest"),
     )
+
+
+# ---------------------------------------------------------------------------
+# W15 — gaps-and-islands: longest run of CONSECUTIVE purchase days per
+# user. The island key is day − dense_rank(day): constant within a
+# consecutive run, strictly decreasing across a gap — the classic
+# streak/uptime/retention-run idiom.
+# ---------------------------------------------------------------------------
+
+_W15_ORACLE = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+  FROM events WHERE event_type = 'purchase'
+),
+islands AS (
+  SELECT user_id, day,
+         day - CAST(dense_rank() OVER (
+           PARTITION BY user_id ORDER BY day
+         ) AS INT) AS island
+  FROM days
+),
+runs AS (
+  SELECT user_id, island, CAST(COUNT(*) AS BIGINT) AS run_len,
+         MIN(day) AS run_start
+  FROM islands GROUP BY user_id, island
+)
+SELECT user_id,
+       MAX(run_len) AS longest_streak,
+       CAST(MIN(CASE WHEN run_len = m THEN run_start END) AS TIMESTAMP)
+         AS streak_start
+FROM (SELECT *, MAX(run_len) OVER (PARTITION BY user_id) AS m FROM runs)
+GROUP BY user_id
+"""
+
+
+@register("w15_longest_streak", oracle=_W15_ORACLE, tags=("W1", "A9", "F3"))
+def w15_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day purchase streak per user, with the
+    earliest start date among maximal streaks (deterministic tiebreak).
+    Distinct days → island key (day − dense_rank) → per-island run
+    lengths → per-user max.
+
+    Scale: every window partitions by user_id, and the run aggregation
+    collapses |distinct days| rows before the final per-user rollup —
+    three exchanges all keyed on the user, no global sort. At 100 TB
+    the distinct-day projection is the only heavy stage and it is a
+    partial-aggregated dedup.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    days = ev.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    islands = days.withColumn(
+        "island",
+        F.col("day") - F.dense_rank().over(w).cast("int"),
+    )
+    runs = islands.groupBy("user_id", "island").agg(
+        F.count("*").alias("run_len"),
+        F.min("day").alias("run_start"),
+    )
+    wmax = Window.partitionBy("user_id")
+    flagged = runs.withColumn("m", F.max("run_len").over(wmax))
+    return flagged.groupBy("user_id").agg(
+        F.max("run_len").alias("longest_streak"),
+        F.min(F.when(F.col("run_len") == F.col("m"), F.col("run_start")))
+        .cast("timestamp_ntz")
+        .alias("streak_start"),
+    )

@@ -75,6 +75,8 @@ DRIVER_SIDE_BOUNDED = {
     "dq4_observed_metrics",
     "a16_freq_items_contract",
     "l6_kmeans_step",
+    "dq5_schema_contract",  # parquet-footer metadata only; bounded
+    # LocalTableScan of the star schema's column list.
 }
 
 
