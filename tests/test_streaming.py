@@ -497,3 +497,45 @@ def test_available_now_trigger_drains_and_terminates(spark, replay_dir):
     got = _rows(spark.table("sink_available_now").filter(F.col("event_type") != "sentinel"))
     want = _rows(TR.tumbling_counts(load_table(spark, SF, "events")))
     assert got == want
+
+
+def test_streaming_map_in_pandas_equals_batch(spark, replay_dir):
+    """A Python (Arrow-batched) transform composes inside a streaming
+    query: mapInPandas runs per micro-batch on the executors exactly as
+    it does in batch, so the drained stream equals the batch image.
+    Pins the streaming×Python-crossing composition no single-surface
+    test covers."""
+    import pandas as pd
+
+    schema = "event_id long, user_id long, value_cents long"
+
+    def to_cents(batches):
+        for pdf in batches:
+            out = pd.DataFrame(
+                {
+                    "event_id": pdf["event_id"],
+                    "user_id": pdf["user_id"],
+                    "value_cents": (pdf["value"] * 100).round().astype("int64"),
+                }
+            )
+            yield out
+
+    q = (
+        read_event_stream(spark, replay_dir)
+        .mapInPandas(to_cents, schema)
+        .writeStream.format("memory")
+        .queryName("sink_pandas_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = _rows(spark.table("sink_pandas_stream"))
+    want = _rows(
+        load_table(spark, SF, "events").select(
+            "event_id",
+            "user_id",
+            F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+        )
+    )
+    assert got == want
