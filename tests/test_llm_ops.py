@@ -517,3 +517,37 @@ def test_a21_top3_boundary_is_tie_free(spark):
             reverse=True,
         )
         assert len(counts) <= 3 or counts[2] != counts[3], f"{sf}: rank-3 tie {counts}"
+
+
+def test_kmeans_refinement_never_increases_wcss(spark):
+    """Lloyd's invariant: re-assigning against the recomputed centroids
+    cannot increase within-cluster sum of squares. Computed over the
+    same integer-quantized coordinates the operator uses, with both
+    assignments taken from the operator's own output."""
+    import math
+
+    from data_wrangling_openstreetmap_spark.io import load_table
+    from data_wrangling_openstreetmap_spark.operators.llm import l6_kmeans_step
+
+    out = {r.vec_id: (r.init_cluster, r.cluster) for r in l6_kmeans_step(spark, SF_SMALL).collect()}
+    emb = {
+        r.vec_id: [round(x * 1_000_000) for x in r.embedding]
+        for r in load_table(spark, SF_SMALL, "embeddings").collect()
+    }
+
+    def wcss(assign_idx):
+        groups = {}
+        for vid, clusters in out.items():
+            groups.setdefault(clusters[assign_idx], []).append(emb[vid])
+        total = 0.0
+        for vecs in groups.values():
+            dims = len(vecs[0])
+            means = [sum(v[d] for v in vecs) / len(vecs) for d in range(dims)]
+            total += sum(
+                (v[d] - means[d]) ** 2 for v in vecs for d in range(dims)
+            )
+        return total
+
+    before, after = wcss(0), wcss(1)
+    assert after <= before * (1 + 1e-12), (before, after)
+    assert not math.isnan(after)

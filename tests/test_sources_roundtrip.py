@@ -115,3 +115,38 @@ def test_python_datasource_empty_ledger(spark):
     register_ledger_source(spark)
     df = spark.read.format("synthetic_ledger").option("n", 0).load()
     assert df.count() == 0
+
+
+def test_csv_parse_mode_matrix(spark, tmp_path):
+    """The three malformed-row policies behave as documented on one
+    corrupt file: PERMISSIVE null-fills and keeps every row,
+    DROPMALFORMED silently drops the bad ones, FAILFAST raises —
+    p7's quarantine query builds on the first; this pins all three."""
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkException
+
+    path = tmp_path / "corrupt.csv"
+    path.write_text("id,qty\n1,10\n2,notanumber\n3,30\n")
+    schema = "id int, qty int"
+
+    permissive = spark.read.schema(schema).option("header", True).csv(str(path))
+    rows = {r.id: r.qty for r in permissive.collect()}
+    assert rows == {1: 10, 2: None, 3: 30}
+
+    dropped = (
+        spark.read.schema(schema)
+        .option("header", True)
+        .option("mode", "DROPMALFORMED")
+        .csv(str(path))
+    )
+    assert {r.id for r in dropped.collect()} == {1, 3}
+
+    with _pytest.raises((PySparkException, Py4JJavaError)):
+        (
+            spark.read.schema(schema)
+            .option("header", True)
+            .option("mode", "FAILFAST")
+            .csv(str(path))
+            .collect()
+        )
