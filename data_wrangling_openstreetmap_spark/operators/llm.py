@@ -5201,3 +5201,69 @@ def l4_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         rate.alias("sample_rate"),
         planned.cast("long").alias("tokens_planned"),
     )
+
+
+# ---------------------------------------------------------------------------
+# L4 — lexicon sentiment scoring (the EDBT'16 large-scale-sentiment-
+# on-Spark shape): token-level lexicon hits → per-doc polarity →
+# per-source rollup. The lexicon uses corpus-vocabulary words so the
+# scores are non-degenerate on the fixture.
+# ---------------------------------------------------------------------------
+
+_SENT_POS = ("fast", "big", "value")
+_SENT_NEG = ("slow", "dup", "small")
+
+_L4_SENT_ORACLE = rf"""
+WITH scored AS (
+  SELECT source,
+         len(list_filter({_ORACLE_TOKS}, t -> t IN {_SENT_POS!r})) AS pos_hits,
+         len(list_filter({_ORACLE_TOKS}, t -> t IN {_SENT_NEG!r})) AS neg_hits,
+         len({_ORACLE_TOKS}) AS n_tokens
+  FROM documents
+)
+SELECT source,
+       CAST(SUM(pos_hits) AS BIGINT) AS pos_hits,
+       CAST(SUM(neg_hits) AS BIGINT) AS neg_hits,
+       CAST(COUNT(CASE WHEN pos_hits > neg_hits THEN 1 END) AS BIGINT) AS n_positive,
+       CAST(COUNT(CASE WHEN neg_hits > pos_hits THEN 1 END) AS BIGINT) AS n_negative,
+       ROUND(AVG(CASE WHEN n_tokens > 0
+                      THEN CAST(pos_hits - neg_hits AS DOUBLE) / n_tokens
+                      ELSE 0.0 END), 6) AS mean_polarity
+FROM scored GROUP BY source
+"""
+
+
+@register("l4_lexicon_sentiment", oracle=_L4_SENT_ORACLE, tags=("L4", "F5", "A1"))
+def l4_lexicon_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon-based polarity per source: count positive/negative
+    lexicon hits per document with HOF filters (counting REPEATS — a
+    doc saying "fast" twice is more positive than once, hence filter
+    not intersect), classify docs by majority polarity, and roll up
+    hit mass and length-normalized mean polarity per source.
+
+    Scale: the lexicon inlines as a literal IN-list (broadcast-free for
+    fixed lexica; a 100k-term lexicon becomes a broadcast join against
+    exploded tokens instead); everything before the one
+    groupBy(source) shuffle is a map-side projection.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = T.tokens(F.col("text"))
+    pos = F.size(F.filter(toks, lambda t: t.isin(*_SENT_POS)))
+    neg = F.size(F.filter(toks, lambda t: t.isin(*_SENT_NEG)))
+    scored = docs.select(
+        "source",
+        pos.alias("pos_hits"),
+        neg.alias("neg_hits"),
+        F.size(toks).alias("n_tokens"),
+    )
+    polarity = F.when(
+        F.col("n_tokens") > 0,
+        (F.col("pos_hits") - F.col("neg_hits")).cast("double") / F.col("n_tokens"),
+    ).otherwise(0.0)
+    return scored.groupBy("source").agg(
+        F.sum("pos_hits").cast("long").alias("pos_hits"),
+        F.sum("neg_hits").cast("long").alias("neg_hits"),
+        F.count(F.when(F.col("pos_hits") > F.col("neg_hits"), 1)).alias("n_positive"),
+        F.count(F.when(F.col("neg_hits") > F.col("pos_hits"), 1)).alias("n_negative"),
+        F.round(F.avg(polarity), 6).alias("mean_polarity"),
+    )
