@@ -5267,3 +5267,77 @@ def l4_lexicon_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("neg_hits") > F.col("pos_hits"), 1)).alias("n_negative"),
         F.round(F.avg(polarity), 6).alias("mean_polarity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# J13 — trajectory similarity (the REPOSE/ICDE'21 problem shape):
+# users whose event trajectories visit near-identical ZONE SETS, found
+# by a zone-blocked inverted-index join — meet-in-bucket, never the
+# all-pairs matrix. Zones are synthesized deterministically per event
+# (the fixture has no organic coordinates — f9's recipe).
+# ---------------------------------------------------------------------------
+
+_TRAJ_ZONES = 40
+_TRAJ_MIN_JAC = 0.7
+
+_J13_ORACLE = f"""
+WITH cells AS (
+  SELECT DISTINCT user_id,
+         (event_id * 2654435761 + user_id * 7) % {_TRAJ_ZONES} AS zone
+  FROM events
+),
+sizes AS (SELECT user_id, COUNT(*) AS n FROM cells GROUP BY user_id),
+pairs AS (
+  SELECT a.user_id AS ua, b.user_id AS ub, COUNT(*) AS common
+  FROM cells a JOIN cells b ON a.zone = b.zone AND a.user_id < b.user_id
+  GROUP BY ua, ub
+)
+SELECT ua AS user_a, ub AS user_b,
+       CAST(common AS DOUBLE) / (sa.n + sb.n - common) AS zone_jaccard
+FROM pairs
+JOIN sizes sa ON sa.user_id = ua
+JOIN sizes sb ON sb.user_id = ub
+WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= {_TRAJ_MIN_JAC}
+"""
+
+
+@register("j13_trajectory_similarity", oracle=_J13_ORACLE, tags=("J8", "F9", "L2"))
+def j13_trajectory_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Users with near-identical movement footprints: each user's
+    trajectory reduces to its DISTINCT visited-zone set, candidate
+    pairs form only where two users share a zone (inverted index on
+    zone), and set-Jaccard ≥ 0.7 keeps the matches — exact integer-
+    ratio math, no rounding. The l2_jaccard_pairs machinery applied to
+    the trajectory domain.
+
+    Scale: shuffle by zone; a hot zone (downtown) is the skew risk —
+    the same df-cap/LSH degradations as the text family apply, and
+    REPOSE-style local reference points are exactly a smarter zone
+    blocking. Never O(users²).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    zone = (F.col("event_id") * 2654435761 + F.col("user_id") * 7) % _TRAJ_ZONES
+    cells = ev.select("user_id", zone.alias("zone")).distinct()
+    sizes = cells.groupBy("user_id").agg(F.count("*").alias("n"))
+    cs = cells.join(sizes, "user_id")
+    a, b = cs.alias("a"), cs.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.zone") == F.col("b.zone"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .groupBy(
+            F.col("a.user_id").alias("user_a"),
+            F.col("b.user_id").alias("user_b"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+        )
+        .agg(F.count("*").alias("common"))
+    )
+    jac = F.col("common").cast("double") / (F.col("na") + F.col("nb") - F.col("common"))
+    return (
+        common.withColumn("zone_jaccard", jac)
+        .filter(F.col("zone_jaccard") >= _TRAJ_MIN_JAC)
+        .select("user_a", "user_b", "zone_jaccard")
+    )
