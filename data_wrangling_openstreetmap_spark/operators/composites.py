@@ -1599,3 +1599,94 @@ def j12_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.sum(cents("value")).alias("value_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# j14 — interval-overlap self-join: orders as fulfillment intervals
+# [orderdate, last shipdate], paired per customer when the intervals
+# overlap (the "how many in-flight orders at once" concurrency
+# question). The Spark plan grid-blocks the timeline so the pairing is
+# an equi-join; the exact overlap predicate then prunes the candidates.
+# ---------------------------------------------------------------------------
+
+_J14_ORACLE = """
+WITH iv AS (
+  SELECT o.o_custkey AS custkey, o.o_orderkey AS okey,
+         o.o_orderdate AS start_ts, MAX(l.l_shipdate) AS end_ts
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2, 3
+),
+pairs AS (
+  SELECT a.custkey, a.okey AS okey_a, b.okey AS okey_b
+  FROM iv a JOIN iv b
+    ON a.custkey = b.custkey AND a.okey < b.okey
+   AND a.start_ts <= b.end_ts AND b.start_ts <= a.end_ts
+)
+SELECT custkey, CAST(COUNT(*) AS BIGINT) AS n_overlap_pairs
+FROM pairs
+GROUP BY custkey
+"""
+
+
+@register("j14_interval_overlap_join", oracle=_J14_ORACLE, tags=("J6", "J8", "F3"))
+def j14_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per customer, the number of order pairs whose fulfillment
+    intervals (order date → latest line shipdate) overlap — the
+    interval-overlap theta join, the second classic range-join shape
+    after j7's as-of. Semantics: closed intervals, a.start ≤ b.end ∧
+    b.start ≤ a.end, id-ordered pairs so each counts once.
+
+    Scale: the oracle's theta join is quadratic per customer; the
+    Spark plan never runs it. Each interval explodes into the 7-day
+    grid cells it covers (bounded fan-out: span/7 + 1 cells), pairs
+    meet by (custkey, cell) EQUI-join, the exact predicate prunes
+    false neighbors, and DISTINCT collapses pairs spanning several
+    shared cells — the same meet-in-bucket shape as the LSH band join
+    and j6's spatial grid, linear in intervals × cells. Cell width
+    trades fan-out against candidate precision; 7 days ≈ the median
+    fulfillment span here.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    iv = (
+        orders.join(
+            lineitem.select("l_orderkey", "l_shipdate"),
+            orders.o_orderkey == F.col("l_orderkey"),
+        )
+        .groupBy(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("okey"),
+            F.col("o_orderdate").alias("start_ts"),
+        )
+        .agg(F.max("l_shipdate").alias("end_ts"))
+    )
+    epoch = F.lit("1970-01-01").cast("date")
+    cells = iv.withColumn(
+        "cell",
+        F.explode(
+            F.sequence(
+                F.floor(F.datediff(F.col("start_ts").cast("date"), epoch) / 7),
+                F.floor(F.datediff(F.col("end_ts").cast("date"), epoch) / 7),
+            )
+        ),
+    )
+    a, b = cells.alias("a"), cells.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.custkey") == F.col("b.custkey"))
+            & (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.okey") < F.col("b.okey")),
+        )
+        .filter(
+            (F.col("a.start_ts") <= F.col("b.end_ts"))
+            & (F.col("b.start_ts") <= F.col("a.end_ts"))
+        )
+        .select(
+            F.col("a.custkey").alias("custkey"),
+            F.col("a.okey").alias("okey_a"),
+            F.col("b.okey").alias("okey_b"),
+        )
+        .distinct()
+    )
+    return pairs.groupBy("custkey").agg(F.count("*").alias("n_overlap_pairs"))

@@ -627,3 +627,120 @@ def f14_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("parsed").alias("parsed_sum"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# f15 — calendar arithmetic battery (F3 deep cut): quarter truncation,
+# month addition with end-of-month clamping, last_day, ISO weekday,
+# day spans. Everything lands as integers/timestamps so the grade is
+# exact; Spark↔DuckDB weekday numbering is reconciled explicitly
+# (Spark weekday() is 0=Monday; DuckDB isodow is 1=Monday).
+# ---------------------------------------------------------------------------
+
+_F15_ORACLE = """
+SELECT CAST(date_trunc('quarter', o_orderdate) AS TIMESTAMP) AS q_start,
+       CAST(date_trunc('quarter', o_orderdate) + INTERVAL 3 MONTH
+            AS TIMESTAMP) AS next_q_start,
+       CAST(date_diff('day', date_trunc('quarter', o_orderdate),
+                      date_trunc('quarter', o_orderdate) + INTERVAL 3 MONTH)
+            AS BIGINT) AS days_in_quarter,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CASE WHEN isodow(o_orderdate) >= 6 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_weekend,
+       CAST(SUM(CASE WHEN o_orderdate = CAST(last_day(CAST(o_orderdate AS DATE))
+                                             AS TIMESTAMP)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_month_end
+FROM orders
+GROUP BY 1, 2, 3
+"""
+
+
+@register("f15_date_arithmetic", oracle=_F15_ORACLE, tags=("F3", "A7", "F8"))
+def f15_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per order-quarter calendar profile: quarter start, next quarter
+    start via month addition (add_months clamps to month end exactly
+    like DuckDB's +INTERVAL — both calendars are proleptic Gregorian),
+    the day length of the quarter (90/91/92 — a datediff over the
+    derived bounds), and weekend / month-end order counts. Weekday
+    parity: Spark's weekday() is 0-based Monday, DuckDB's isodow is
+    1-based Monday — the +1 shift is reconciled here, not left to
+    luck.
+
+    Scale: every derived field is a scan-projection expression; the
+    aggregate has one low-cardinality shuffle on the quarter key with
+    map-side partials. Calendar functions are pure per-row JVM
+    intrinsics — no UDF, no timezone service calls (session is UTC;
+    the column is timezone-naive).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    od = F.col("o_orderdate")
+    q_start = F.date_trunc("quarter", od)
+    return (
+        orders.select(
+            q_start.alias("q_start"),
+            F.add_months(q_start.cast("date"), 3).cast("timestamp_ntz").alias("next_q_start"),
+            F.datediff(
+                F.add_months(q_start.cast("date"), 3), q_start.cast("date")
+            ).cast("long").alias("days_in_quarter"),
+            (F.weekday(od) + 1 >= 6).cast("int").alias("is_weekend"),
+            (od.cast("date") == F.last_day(od.cast("date")))
+            .cast("int")
+            .alias("is_month_end"),
+        )
+        .groupBy("q_start", "next_q_start", "days_in_quarter")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("is_weekend").cast("long").alias("n_weekend"),
+            F.sum("is_month_end").cast("long").alias("n_month_end"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# f16 — bitwise battery (F4/F8 deep cut): bitwise AND/OR/XOR
+# aggregates, population counts, shifts, and masks — the flag-word
+# and bitmap manipulations an encoding layer needs. All integers →
+# exact grade.
+# ---------------------------------------------------------------------------
+
+_F16_ORACLE = """
+SELECT event_type,
+       bit_and(user_id) AS uid_and,
+       bit_or(user_id) AS uid_or,
+       bit_xor(event_id) AS eid_xor,
+       CAST(SUM(bit_count(event_id)) AS BIGINT) AS total_popcount,
+       bit_xor((event_id << 2) | (user_id & 3)) AS shift_checksum,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("f16_bitwise", oracle=_F16_ORACLE, tags=("F4", "F8", "A1"))
+def f16_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event type: bitwise AND/OR of user ids, XOR-fold of event
+    ids (an order-insensitive content checksum — XOR is commutative,
+    so the fold is partition-order-proof by algebra, unlike a double
+    SUM), total set-bit population of the id space, and a shifted
+    mask checksum ((id << 2) | (uid & 3)). Bitwise aggregates are the
+    engine surface behind bitmap indexes, permission masks, and
+    feature-flag rollups.
+
+    Scale: single partial-aggregated groupBy — every bitwise aggregate
+    carries ONE 64-bit accumulator per group per partition (same cost
+    class as MAX), and all of them merge associatively, so map-side
+    combine does almost all the work. Pure JVM intrinsics, no UDF.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.bit_and("user_id").alias("uid_and"),
+        F.bit_or("user_id").alias("uid_or"),
+        F.bit_xor("event_id").alias("eid_xor"),
+        F.sum(F.bit_count("event_id")).cast("bigint").alias("total_popcount"),
+        F.bit_xor(
+            F.shiftleft(F.col("event_id"), 2).bitwiseOR(
+                F.col("user_id").bitwiseAND(F.lit(3))
+            )
+        ).alias("shift_checksum"),
+        F.count("*").alias("n"),
+    )

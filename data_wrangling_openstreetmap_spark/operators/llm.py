@@ -5341,3 +5341,187 @@ def j13_trajectory_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("zone_jaccard") >= _TRAJ_MIN_JAC)
         .select("user_a", "user_b", "zone_jaccard")
     )
+
+
+# ---------------------------------------------------------------------------
+# L4 — readability profile: Flesch reading-ease from whitespace words,
+# vowel-group syllables, and terminal-punctuation sentences — the
+# classic corpus-quality heuristic (prose difficulty) next to
+# l4_quality_score's spam heuristics.
+# ---------------------------------------------------------------------------
+
+_L4_READ_ORACLE = f"""
+WITH d AS (
+  SELECT lang,
+         len({_ORACLE_TOKS}) AS w,
+         len(regexp_extract_all(lower(text), '[aeiouy]+')) AS sy,
+         greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS s
+  FROM documents
+),
+agg AS (
+  SELECT lang,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(w) AS BIGINT) AS total_words,
+         CAST(SUM(sy) AS BIGINT) AS total_syllables,
+         CAST(SUM(s) AS BIGINT) AS total_sentences
+  FROM d GROUP BY lang
+)
+SELECT lang, n_docs, total_words, total_syllables, total_sentences,
+       ROUND(206.835
+             - 1.015 * (CAST(total_words AS DOUBLE) / total_sentences)
+             - 84.6 * (CAST(total_syllables AS DOUBLE) / total_words)
+             + 0, 6) AS flesch
+FROM agg
+"""
+
+
+@register("l4_readability", oracle=_L4_READ_ORACLE, tags=("L4", "F2", "A1"))
+def l4_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language Flesch reading-ease over the corpus: words are
+    whitespace tokens, syllables are maximal vowel-group runs
+    ([aeiouy]+ on the lowercased text — word boundaries can't merge
+    groups since spaces aren't vowels), sentences are terminal-
+    punctuation runs (floored at 1). The score computes ONCE per
+    language from exact integer totals — never averaged per-document
+    doubles — so the two engines evaluate the identical double
+    expression on identical integers (round 6, negative-zero
+    guarded).
+
+    Scale: three regex/split counts in the scan projection, one
+    ~30-group aggregate with map-side partials. Regex classes this
+    simple compile identically under Java regex and RE2; no
+    backreferences (DuckDB's RE2 would silently drop them).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "lang",
+        F.size(T.tokens(F.col("text"))).alias("w"),
+        F.size(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[aeiouy]+"), F.lit(0))
+        ).alias("sy"),
+        F.greatest(
+            F.lit(1),
+            F.size(F.regexp_extract_all(F.col("text"), F.lit("[.!?]+"), F.lit(0))),
+        ).alias("s"),
+    )
+    agg = d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("w").alias("total_words"),
+        F.sum("sy").alias("total_syllables"),
+        F.sum("s").alias("total_sentences"),
+    )
+    flesch = F.round(
+        F.lit(206.835)
+        - F.lit(1.015) * (F.col("total_words").cast("double") / F.col("total_sentences"))
+        - F.lit(84.6) * (F.col("total_syllables").cast("double") / F.col("total_words"))
+        + F.lit(0),
+        6,
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "total_words",
+        "total_syllables",
+        "total_sentences",
+        flesch.alias("flesch"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# G3 — BFS shortest hops over the co-purchase graph (g2's edge set,
+# undirected): frontier-style min-distance propagation from the
+# smallest node id, graded as the hop-distance histogram against a
+# DuckDB recursive CTE.
+# ---------------------------------------------------------------------------
+
+_G3_MAX_HOPS = 8
+
+_G3_ORACLE = f"""
+WITH RECURSIVE
+li AS (SELECT l_orderkey, l_partkey FROM lineitem GROUP BY 1, 2),
+e AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+),
+ud AS (SELECT u AS s, v AS d FROM e UNION ALL SELECT v AS s, u AS d FROM e),
+walk(node, hops) AS (
+  SELECT MIN(u), 0 FROM e
+  UNION
+  SELECT ud.d, w.hops + 1
+  FROM walk w JOIN ud ON ud.s = w.node
+  WHERE w.hops < {_G3_MAX_HOPS}
+),
+dist AS (SELECT node, MIN(hops) AS hops FROM walk GROUP BY node)
+SELECT CAST(hops AS BIGINT) AS hops, CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM dist GROUP BY hops
+"""
+
+
+@register("g3_shortest_hops", oracle=_G3_ORACLE, tags=("A1", "J1", "A2"))
+def g3_shortest_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source BFS over the undirected co-purchase graph: hop
+    distance from the smallest node id, reported as the distance
+    histogram (hops → node count, hop cap 8). The Spark form is
+    the iterative DataFrame frontier: each round joins current
+    distances to the edge list, takes the element-wise min, and stops
+    when a round adds/changes nothing — Pregel-as-DataFrames, the same
+    loop discipline as l2_dup_clusters (persist per round, convergence
+    via count, unpersist behind).
+
+    Scale: each round is one shuffle join on node id + one min-agg;
+    rounds ≤ graph diameter (capped). At 100 TB the frontier join
+    stays hash-partitioned on node — no broadcast of the distance
+    table, no driver materialization; the histogram is the only small
+    output. The oracle's recursive CTE dedups (node, hops) pairs via
+    UNION, bounding it at V·(cap+1) rows.
+    """
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= 2)
+        .select("u", "v")
+    )
+    ud = e.select(F.col("u").alias("s"), F.col("v").alias("d")).unionByName(
+        e.select(F.col("v").alias("s"), F.col("u").alias("d"))
+    )
+    ud = ud.persist()
+    src = e.agg(F.min("u").alias("node")).select("node", F.lit(0).alias("hops"))
+    # localCheckpoint per round truncates the loop's logical lineage —
+    # without it the plan tree doubles every iteration (union-of-join of
+    # the previous round) and plan analysis itself OOMs by round ~8.
+    dist = src.localCheckpoint()
+    n_prev = dist.count()
+    for _ in range(_G3_MAX_HOPS):
+        grown = (
+            dist.join(ud, dist.node == ud.s)
+            .select(F.col("d").alias("node"), (F.col("hops") + 1).alias("hops"))
+            .unionByName(dist.select("node", "hops"))
+            .groupBy("node")
+            .agg(F.min("hops").alias("hops"))
+        ).localCheckpoint()
+        n_now = grown.count()
+        dist = grown
+        if n_now == n_prev:
+            # No new node reached; min-hops of reached nodes are final
+            # (BFS layers only ever add nodes, never improve old ones).
+            break
+        n_prev = n_now
+    out = dist.groupBy("hops").agg(F.count("*").alias("n_nodes")).select(
+        F.col("hops").cast("long").alias("hops"), "n_nodes"
+    )
+    ud.unpersist()
+    return out
+

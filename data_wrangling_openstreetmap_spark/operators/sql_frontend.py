@@ -202,3 +202,41 @@ def x1c_asof_multikey_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
           ON p.user_id = c.user_id AND p.day = c.day AND p.ts >= c.ts
         """,
     )
+
+
+# ---------------------------------------------------------------------------
+# X3 — QUALIFY keyword: window filtering without a subquery, graded
+# engine-vs-engine against DuckDB's NATIVE QUALIFY on the same text.
+# ---------------------------------------------------------------------------
+
+_X3_STMT = """
+SELECT o_orderpriority,
+       o_orderkey,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+FROM x3_orders
+QUALIFY ROW_NUMBER() OVER (
+  PARTITION BY o_orderpriority
+  ORDER BY round(o_totalprice * 100) DESC, o_orderkey
+) <= 3
+"""
+
+_X3_ORACLE = _X3_STMT.replace("x3_orders", "orders")
+
+
+@register("x3_qualify_sql", oracle=_X3_ORACLE, tags=("W1", "W2", "O2"))
+def x3_qualify_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``QUALIFY`` keyword end-to-end: the top-3 orders per priority
+    class, written as Snowflake/DuckDB-style window filtering with no
+    subquery. The SAME statement text runs on both engines — Spark via
+    the frontend's lowering (plans/sql_ext.py), DuckDB via its native
+    QUALIFY — so the grade is engine-vs-engine on the keyword itself.
+    Ranking key is exact integer cents with the orderkey tiebreak
+    (unique → deterministic under ties).
+
+    Scale: the lowering's rank-filter compiles to WindowGroupLimit —
+    per-group top-k runs map-side BEFORE the shuffle (asserted in
+    tests/test_sql_frontend.py), so each partition forwards at most
+    3 rows per priority class instead of its whole slice.
+    """
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("x3_orders")
+    return sql_ext.sql(spark, _X3_STMT)

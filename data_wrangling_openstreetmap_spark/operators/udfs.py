@@ -17,6 +17,8 @@ every §2 relational operator stays UDF-free.
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -504,4 +506,55 @@ def u8_sql_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT key, t.part, t.position "
         "FROM u8_keys, LATERAL u8_split_tags(key) t"
+    )
+
+
+# ---------------------------------------------------------------------------
+# U2b — iterator-form pandas_udf (SCALAR_ITER): same scoring math as
+# u2, but the worker receives a batch ITERATOR, amortizing one-time
+# per-task setup (model load, dictionary mmap) across all Arrow
+# batches instead of paying it per batch.
+# ---------------------------------------------------------------------------
+
+
+def _sigmoid_balance_iter_udf():
+    @pandas_udf("double")
+    def sigmoid_balance_iter(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        import numpy as np
+
+        # One-time per-task setup happens HERE (before the loop) —
+        # the reason this rung exists. The "model" is the scale const.
+        scale = 1000.0
+        for bal in batches:
+            yield 1.0 / (1.0 + np.exp(-bal / scale))
+
+    return sigmoid_balance_iter
+
+
+_U2B_ORACLE = """
+SELECT c_custkey,
+       ROUND(1.0 / (1.0 + exp(-c_acctbal / 1000.0)), 6) AS score
+FROM customer
+"""
+
+
+@register("u2b_pandas_iter_udf", oracle=_U2B_ORACLE, tags=("U2",))
+def u2b_pandas_iter_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterator-of-Series pandas_udf — the §2.8 transport rung between
+    u2's per-batch Series form and u6's bare-Arrow mapInArrow: identical
+    sigmoid scoring (and the identical oracle as u2), but the UDF owns
+    the batch loop, so per-task initialization runs once per PARTITION
+    rather than once per Arrow batch. Graded at 6 dp (numpy vs libm
+    exp ≤ 1 ulp; strictly positive so both engines' ROUND agree).
+
+    Scale: pure projection, no shuffle; with a real model the iterator
+    form is the difference between loading weights once per task and
+    once per 10k-row batch — at 100 TB that's the entire speedup of
+    worker reuse. Arrow batch size stays bounded by
+    spark.sql.execution.arrow.maxRecordsPerBatch.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    return customer.select(
+        "c_custkey",
+        F.round(_sigmoid_balance_iter_udf()(F.col("c_acctbal")), 6).alias("score"),
     )

@@ -1571,3 +1571,227 @@ def w15_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("timestamp_ntz")
         .alias("streak_start"),
     )
+
+
+# ---------------------------------------------------------------------------
+# w16 — OHLC resample: per (event_type, day), the first/highest/lowest/
+# last value — the time-series downsampling every monitoring and
+# finance pipeline runs. max_by/min_by over the (unique) event-time
+# key, so "open" and "close" need no window and no self-join.
+# ---------------------------------------------------------------------------
+
+_W16_ORACLE = """
+SELECT event_type,
+       CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       arg_min(CAST(round(value * 100) AS BIGINT), epoch_us(ts)) AS open_cents,
+       CAST(MAX(round(value * 100)) AS BIGINT) AS high_cents,
+       CAST(MIN(round(value * 100)) AS BIGINT) AS low_cents,
+       arg_max(CAST(round(value * 100) AS BIGINT), epoch_us(ts)) AS close_cents,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS vol_cents
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register("w16_ohlc_resample", oracle=_W16_ORACLE, tags=("A7", "A9", "A1"))
+def w16_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsampling of the event stream: per (event_type, day),
+    open = value at the earliest timestamp, close = at the latest,
+    high/low = extremes, plus count and cents volume. The ordering key
+    is epoch-µs of the (fixture-unique — precondition test-pinned in
+    tests/test_properties.py) event time, so arg-extrema are
+    deterministic without a packed tiebreak; values grade as exact
+    integer cents (a23's recipe).
+
+    Scale: ONE partial-aggregated groupBy — max_by/min_by carry a
+    single (key, candidate) pair per partition exactly like MAX, so
+    the resample is a map-side-combined single shuffle on the
+    (type, day) bucket key. The window/self-join formulations carry
+    the whole day per task; this shape is how a 100 TB tick store
+    rolls up to daily bars. At ns-resolution ties, swap the key for
+    the packed (time, sequence-id) BIGINT.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cents_v = F.round(F.col("value") * 100).cast("long")
+    key = F.unix_micros(F.col("ts").cast("timestamp"))
+    return (
+        ev.groupBy(
+            "event_type", F.date_trunc("day", "ts").alias("day")
+        ).agg(
+            F.min_by(cents_v, key).alias("open_cents"),
+            F.max(cents_v).alias("high_cents"),
+            F.min(cents_v).alias("low_cents"),
+            F.max_by(cents_v, key).alias("close_cents"),
+            F.count("*").alias("n"),
+            F.sum(cents_v).alias("vol_cents"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# a24 — count–min sketch heavy hitters: a mergeable d×w counter grid
+# whose point estimates never undercount. The estimate joins back to
+# the exact per-user counts so the overestimate contract (est ≥ true,
+# the CMS guarantee) is graded as data.
+# ---------------------------------------------------------------------------
+
+_CMS_W = 128
+_CMS_MULTS = (2654435761, 2246822519, 3266489917)  # Knuth / xxhash odd primes
+
+_A24_ORACLE = f"""
+WITH h(j, m) AS (
+  SELECT * FROM (VALUES (0, {_CMS_MULTS[0]}), (1, {_CMS_MULTS[1]}),
+                        (2, {_CMS_MULTS[2]})) AS v(j, m)
+),
+sketch AS (
+  SELECT h.j, (e.user_id * h.m) % {_CMS_W} AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events e CROSS JOIN h
+  GROUP BY 1, 2
+),
+t AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS true_n
+  FROM events GROUP BY user_id
+),
+est AS (
+  SELECT t.user_id, t.true_n, MIN(s.c) AS cms_est
+  FROM t CROSS JOIN h
+  JOIN sketch s ON s.j = h.j AND s.bucket = (t.user_id * h.m) % {_CMS_W}
+  GROUP BY 1, 2
+)
+SELECT user_id, true_n,
+       CAST(cms_est AS BIGINT) AS cms_est,
+       CAST(cms_est - true_n AS BIGINT) AS overestimate
+FROM est
+ORDER BY true_n DESC, user_id
+LIMIT 20
+"""
+
+
+@register("a24_cms_heavy_hitters", oracle=_A24_ORACLE, tags=("A4", "A9", "J5"))
+def a24_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count–min sketch frequency estimates for the top-20 heaviest
+    event users, graded against their exact counts: d=3 rows of
+    multiplicative hashes into w=128 counters; the point estimate is
+    the min over the key's three counters and can only OVERcount
+    (collisions add, never subtract) — `overestimate ≥ 0` for every
+    row is the CMS guarantee, asserted as a semantics test. All-integer
+    → engine-identical.
+
+    Scale: the sketch is d·w = 384 counters REGARDLESS of input size,
+    built with one map-side-combined groupBy — and it merges by cell-
+    wise addition, so per-partition / per-day sketches roll up without
+    reprocessing (the same mergeability contract as a4b's HLL). The
+    estimate pass broadcasts the tiny grid back onto the keys; on a
+    100 TB stream the exact per-key side disappears and the sketch
+    alone answers point queries in O(d) — here the exact side stays to
+    make the error contract gradeable. Top-20 is TakeOrdered with a
+    unique (true_n, user_id) tiebreak.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hashes = [
+        F.struct(
+            F.lit(j).alias("j"),
+            ((F.col("user_id") * F.lit(m)) % _CMS_W).alias("bucket"),
+        )
+        for j, m in enumerate(_CMS_MULTS)
+    ]
+    sketch = (
+        ev.select(F.explode(F.array(*hashes)).alias("h"))
+        .groupBy(F.col("h.j").alias("j"), F.col("h.bucket").alias("bucket"))
+        .agg(F.count("*").alias("c"))
+    )
+    true_n = ev.groupBy("user_id").agg(F.count("*").alias("true_n"))
+    est = (
+        true_n.select("user_id", "true_n", F.explode(F.array(*hashes)).alias("h"))
+        .join(
+            F.broadcast(sketch),
+            (F.col("h.j") == F.col("j")) & (F.col("h.bucket") == F.col("bucket")),
+        )
+        .groupBy("user_id", "true_n")
+        .agg(F.min("c").alias("cms_est"))
+    )
+    return (
+        est.select(
+            "user_id",
+            "true_n",
+            "cms_est",
+            (F.col("cms_est") - F.col("true_n")).alias("overestimate"),
+        )
+        .orderBy(F.desc("true_n"), "user_id")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# a25 — per-user Shannon entropy of the event-type mix: the behavioral
+# diversity profile (bot detection: near-zero entropy = single-action
+# scripts). Engine-exact via the order-pinned fold recipe: per-user
+# counts sort into an array and fold SEQUENTIALLY, so the only doubles
+# are an identical in-order expression on identical integers.
+# ---------------------------------------------------------------------------
+
+_LN2 = 0.6931471805599453  # ln(2), pinned as a literal on BOTH engines
+
+_A25_ORACLE = f"""
+WITH tc AS (
+  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+u AS (
+  SELECT user_id,
+         CAST(SUM(c) AS BIGINT) AS n_events,
+         CAST(COUNT(*) AS BIGINT) AS n_types,
+         list_sort(list(c)) AS cs
+  FROM tc GROUP BY user_id
+)
+SELECT user_id, n_events, n_types,
+       ROUND((ln(CAST(n_events AS DOUBLE))
+              - list_sum(list_transform(cs,
+                  c -> CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))))
+                / n_events) / {_LN2} + 0, 6) AS entropy_bits
+FROM u
+"""
+
+
+@register("a25_entropy_profile", oracle=_A25_ORACLE, tags=("A1", "A8", "F5"))
+def a25_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Shannon entropy (bits) of their event-type
+    distribution: H = (ln n − Σ c·ln c / n) / ln 2 from exact integer
+    counts. Determinism recipe: the per-type counts are SORTED into an
+    array and folded in order (Spark ``aggregate`` HOF ↔ DuckDB
+    ``list_sum(list_transform(...))`` — both sequential folds, the
+    l6_kmeans_step recipe), ln(2) is a pinned literal, and the result
+    rounds at 6 dp with the negative-zero guard — no
+    partition-order-dependent double sums anywhere.
+
+    Scale: two shuffles (user×type count, then ≤25-element per-user
+    collect) — the collected array is bounded by the event-type
+    vocabulary, NOT the user's event count, so it cannot blow up. The
+    per-element ln differs ≤ 1 ulp across libms; round-6 absorbs it.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    tc = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("c"))
+    u = tc.groupBy("user_id").agg(
+        F.sum("c").alias("n_events"),
+        F.count("*").alias("n_types"),
+        F.array_sort(F.collect_list("c")).alias("cs"),
+    )
+    s = F.aggregate(
+        F.col("cs"),
+        F.lit(0.0),
+        lambda acc, c: acc + c.cast("double") * F.log(c.cast("double")),
+    )
+    entropy = F.round(
+        (F.log(F.col("n_events").cast("double")) - s / F.col("n_events"))
+        / F.lit(_LN2)
+        + F.lit(0),
+        6,
+    )
+    return u.select(
+        "user_id",
+        "n_events",
+        "n_types",
+        entropy.alias("entropy_bits"),
+    )

@@ -58,6 +58,23 @@ Grammar (case-insensitive; one extended join per statement):
   join that survives 100 TB. Result columns: ``<a>.<id>``, ``<b>.<id>``
   and ``similarity``.
 
+``QUALIFY``::
+
+    SELECT <select-list>
+    FROM <single-table clauses...>
+    QUALIFY (ROW_NUMBER()|RANK()|DENSE_RANK())
+            OVER (PARTITION BY ... ORDER BY ...) <= <k>
+
+  Snowflake/DuckDB-style window filtering without a subquery. Lowered
+  by appending the window expression to the select list, filtering on
+  it, and dropping the helper column — which Spark's optimizer then
+  compiles to ``WindowGroupLimit``: each group's top-k is taken
+  BEFORE the shuffle (partial group-limit on the map side), so the
+  window never materializes whole partitions — the same decorrelated
+  shape j10_lateral_topk pins. The QUALIFY clause must be last
+  (matching the documented single-statement grammar; put ORDER BY in
+  an outer query), and the predicate must be ``<= <int literal>``.
+
 Anything not matching these shapes (and any plain SQL) passes through
 ``spark.sql`` untouched; a malformed extended clause raises
 ``SqlExtError`` with the expected grammar rather than silently
@@ -115,6 +132,40 @@ _SIM_RE = re.compile(
     """,
     re.IGNORECASE | re.VERBOSE,
 )
+
+
+_QUALIFY_RE = re.compile(
+    r"""
+    ^(?P<head>.*?)
+    \bQUALIFY\s+
+    (?P<fn>ROW_NUMBER|RANK|DENSE_RANK) \s* \( \s* \) \s+
+    OVER \s* \( (?P<over>(?:[^()]+|\([^()]*\))*) \) \s*
+    <= \s* (?P<k>\d+)
+    \s*$
+    """,
+    re.IGNORECASE | re.VERBOSE | re.DOTALL,
+)
+
+
+def _lower_qualify(spark: SparkSession, m: re.Match) -> DataFrame:
+    """Lower QUALIFY: inject the window expression into the select
+    list, filter, drop. The injection point is the statement's first
+    top-level FROM — same documented restriction as the join
+    constructs (no subquery with its own FROM ahead of the main one).
+    """
+    head = m.group("head")
+    fm = re.search(r"\bFROM\b", head, re.IGNORECASE)
+    if fm is None:
+        raise SqlExtError("QUALIFY statement must contain a FROM clause")
+    inner = (
+        head[: fm.start()]
+        + f", {m.group('fn')}() OVER ({m.group('over')}) AS __qualify_rank "
+        + head[fm.start() :]
+    )
+    lowered = spark.sql(inner)
+    return lowered.filter(F.col("__qualify_rank") <= int(m.group("k"))).drop(
+        "__qualify_rank"
+    )
 
 
 def _qualify(sql_text: str, aliases: dict[str, str]) -> str:
@@ -337,6 +388,14 @@ def sql(spark: SparkSession, query: str) -> DataFrame:
                 "ON <a>.<k> = <b>.<k> AND <a>.<ts> >= <b>.<ts>"
             )
         return _lower_asof(spark, query, m)
+    if re.search(r"\bQUALIFY\b", query, re.IGNORECASE):
+        m = _QUALIFY_RE.search(query)
+        if m is None:
+            raise SqlExtError(
+                "QUALIFY requires a trailing clause of the form: QUALIFY "
+                "ROW_NUMBER()|RANK()|DENSE_RANK() OVER (...) <= <int>"
+            )
+        return _lower_qualify(spark, m)
     if re.search(r"\bSIMILARITY\s+JOIN\b", query, re.IGNORECASE):
         m = _SIM_RE.search(query)
         if m is None:

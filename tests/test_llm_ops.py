@@ -551,3 +551,54 @@ def test_kmeans_refinement_never_increases_wcss(spark):
     before, after = wcss(0), wcss(1)
     assert after <= before * (1 + 1e-12), (before, after)
     assert not math.isnan(after)
+
+
+def test_w16_event_time_key_is_unique(spark):
+    """w16_ohlc_resample orders its arg-extrema by epoch-µs alone (no
+    packed tiebreak) — valid only while event timestamps are globally
+    unique. Assert that fixture precondition at every staged sf so a
+    regenerated corpus with colliding ticks fails HERE, not as a
+    nondeterministic open/close flip."""
+    from data_wrangling_openstreetmap_spark.io import load_table
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+        ev = load_table(spark, sf, "events")
+        n, nd = ev.agg(
+            F.count("*"), F.count_distinct("ts")
+        ).first()
+        assert n == nd, f"{sf}: {n - nd} duplicate event timestamps"
+
+
+def test_a24_cms_never_undercounts(spark):
+    """The count–min guarantee: hash collisions ADD counts, so the
+    sketch estimate is ≥ the true frequency for every key — assert it
+    on every returned row, and that the rows really are the top-20
+    by (true_n, user_id)."""
+    from data_wrangling_openstreetmap_spark.operators.windows import (
+        a24_cms_heavy_hitters,
+    )
+
+    rows = a24_cms_heavy_hitters(spark, "/root/testdata/sf0.01").collect()
+    assert 0 < len(rows) <= 20
+    for r in rows:
+        assert r.cms_est >= r.true_n, f"user {r.user_id} undercounted"
+        assert r.overestimate == r.cms_est - r.true_n
+    ranks = [(-r.true_n, r.user_id) for r in rows]
+    assert ranks == sorted(ranks), "top-20 ordering violated"
+
+
+def test_g3_bfs_layers_are_sane(spark):
+    """BFS sanity on the hop histogram: exactly one node at hop 0 (the
+    source), every hop level ≤ the cap, and no empty intermediate
+    layer (a gap would mean the frontier died and revived — impossible
+    for BFS)."""
+    from data_wrangling_openstreetmap_spark.operators.llm import (
+        _G3_MAX_HOPS,
+        g3_shortest_hops,
+    )
+
+    rows = g3_shortest_hops(spark, "/root/testdata/sf0.01").collect()
+    hist = {r.hops: r.n_nodes for r in rows}
+    assert hist[0] == 1
+    assert max(hist) <= _G3_MAX_HOPS
+    assert set(hist) == set(range(max(hist) + 1)), f"gapped layers: {sorted(hist)}"

@@ -44,6 +44,7 @@ PYTHON_ALLOWED = {
     "u1_scalar_udf_normalize",
     "u1b_arrow_udf_normalize",  # same U1 surface, Arrow-batched transport
     "u2_pandas_udf_score",
+    "u2b_pandas_iter_udf",  # SCALAR_ITER rung — same crossing as u2, by design
     "u3_grouped_map_zscore",
     "u4b_grouped_agg_udaf",  # GROUPED_AGG pandas UDAF — the U4 expression form
     "u5_udtf_tag_split",

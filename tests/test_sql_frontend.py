@@ -145,3 +145,50 @@ def test_bare_asof_word_passes_through(spark):
     must delegate untouched."""
     assert sql(spark, "SELECT 1 AS asof").collect()[0].asof == 1
     assert sql(spark, "SELECT 'ASOF' AS label").collect()[0].label == "ASOF"
+
+
+def test_qualify_lowers_and_matches_window_form(spark):
+    spark.range(0, 100).selectExpr(
+        "id", "id % 5 AS grp", "(id * 37) % 100 AS score"
+    ).createOrReplaceTempView("q_t")
+    got = sql(
+        spark,
+        "SELECT grp, id FROM q_t "
+        "QUALIFY ROW_NUMBER() OVER (PARTITION BY grp ORDER BY score DESC, id) <= 2",
+    )
+    want = spark.sql(
+        "SELECT grp, id FROM (SELECT grp, id, ROW_NUMBER() OVER "
+        "(PARTITION BY grp ORDER BY score DESC, id) AS r FROM q_t) WHERE r <= 2"
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    assert got.columns == ["grp", "id"]  # helper column dropped
+
+
+def test_qualify_compiles_to_window_group_limit(spark):
+    import contextlib
+    import io
+
+    spark.range(0, 10).selectExpr("id", "id % 2 AS g").createOrReplaceTempView("q_t2")
+    df = sql(
+        spark,
+        "SELECT g, id FROM q_t2 "
+        "QUALIFY RANK() OVER (PARTITION BY g ORDER BY id DESC) <= 3",
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("simple")
+    assert "WindowGroupLimit" in buf.getvalue()
+
+
+def test_qualify_malformed_raises_not_delegates(spark):
+    with pytest.raises(SqlExtError):
+        sql(spark, "SELECT 1 QUALIFY broken")
+    with pytest.raises(SqlExtError):
+        # aggregate window fn is outside the documented grammar
+        sql(spark, "SELECT id FROM q_t QUALIFY SUM(id) OVER (PARTITION BY id) <= 3")
+    with pytest.raises(SqlExtError):
+        # predicate must be a <= int literal
+        sql(
+            spark,
+            "SELECT id FROM q_t QUALIFY ROW_NUMBER() OVER (ORDER BY id) = 1 OR true",
+        )
