@@ -1795,3 +1795,203 @@ def a25_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_types",
         entropy.alias("entropy_bits"),
     )
+
+
+# ---------------------------------------------------------------------------
+# w17 — Holt double-exponential smoothing per event type: level+trend
+# recurrence over the ordered daily series, as one in-order fold. The
+# classic "forecast next week from a noisy daily metric" operator;
+# w11's EWMA is the level-only special case.
+# ---------------------------------------------------------------------------
+
+_W17_ALPHA = 0.5
+_W17_BETA = 0.25  # exact binary fractions: scale-by-half math stays exact
+
+_W17_ORACLE = f"""
+WITH RECURSIVE daily AS (
+  SELECT event_type,
+         CAST(row_number() OVER (
+           PARTITION BY event_type ORDER BY date_trunc('day', ts)
+         ) AS BIGINT) AS rn,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) AS x
+  FROM events
+  GROUP BY event_type, date_trunc('day', ts)
+),
+n AS (SELECT event_type, MAX(rn) AS n_days FROM daily GROUP BY event_type),
+hw(event_type, rn, l, b) AS (
+  SELECT event_type, rn, x, CAST(0 AS DOUBLE) FROM daily WHERE rn = 1
+  UNION ALL
+  SELECT d.event_type, d.rn,
+         {_W17_ALPHA} * d.x + {1 - _W17_ALPHA} * (h.l + h.b),
+         {_W17_BETA} * (({_W17_ALPHA} * d.x + {1 - _W17_ALPHA} * (h.l + h.b)) - h.l)
+           + {1 - _W17_BETA} * h.b
+  FROM hw h JOIN daily d ON d.event_type = h.event_type AND d.rn = h.rn + 1
+)
+SELECT h.event_type, n.n_days,
+       ROUND(h.l + 0, 6) AS level_cents,
+       ROUND(h.b + 0, 6) AS trend_cents,
+       ROUND(h.l + 7 * h.b + 0, 6) AS forecast_7d_cents
+FROM hw h JOIN n ON n.event_type = h.event_type AND h.rn = n.n_days
+"""
+
+
+@register("w17_holt_linear", oracle=_W17_ORACLE, tags=("W4", "A7", "F5"))
+def w17_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear method over each event type's daily cents series:
+    level l ← αx + (1−α)(l+b), trend b ← β(l−l_prev) + (1−β)b, folded
+    IN ORDER over the date-sorted days (init: l=x₁, b=0), reporting the
+    final state and the 7-day-ahead forecast. Engine parity: the Spark
+    side is one sequential ``aggregate`` fold with a struct
+    accumulator; the oracle replays the IDENTICAL recurrence as a
+    recursive CTE — same expressions, same order, same doubles — with
+    α, β chosen as exact binary fractions and inputs as exact integer
+    cents, so 6-dp rounding has ulps of headroom.
+
+    Scale: the daily pre-aggregate is one low-cardinality shuffle; the
+    fold is per-group, over an array bounded by the CALENDAR (365
+    entries/year per type), not by event volume — the same bounded-
+    collect argument as a25. For per-user (unbounded-key) smoothing,
+    the streaming twin is st7's applyInPandasWithState carrying (l, b)
+    as state.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("double")
+        .alias("x")
+    )
+    series = daily.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "x"))), lambda s: s["x"]
+        ).alias("xs")
+    )
+    acc0 = F.struct(
+        F.lit(0).cast("long").alias("n"),
+        F.lit(0.0).alias("l"),
+        F.lit(0.0).alias("b"),
+    )
+
+    def step(acc, x):
+        lvl = F.lit(_W17_ALPHA) * x + F.lit(1 - _W17_ALPHA) * (acc["l"] + acc["b"])
+        trd = F.lit(_W17_BETA) * (lvl - acc["l"]) + F.lit(1 - _W17_BETA) * acc["b"]
+        return F.when(
+            acc["n"] == 0,
+            F.struct(
+                F.lit(1).cast("long").alias("n"),
+                x.alias("l"),
+                F.lit(0.0).alias("b"),
+            ),
+        ).otherwise(
+            F.struct(
+                (acc["n"] + 1).alias("n"), lvl.alias("l"), trd.alias("b")
+            )
+        )
+
+    folded = series.select(
+        "event_type",
+        F.size("xs").cast("long").alias("n_days"),
+        F.aggregate(F.col("xs"), acc0, step).alias("hw"),
+    )
+    return folded.select(
+        "event_type",
+        "n_days",
+        F.round(F.col("hw.l") + 0, 6).alias("level_cents"),
+        F.round(F.col("hw.b") + 0, 6).alias("trend_cents"),
+        F.round(F.col("hw.l") + 7 * F.col("hw.b") + 0, 6).alias("forecast_7d_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# a26 — Gini concentration of per-user spend within each event type:
+# the inequality coefficient every marketplace/abuse dashboard tracks
+# ("is this event type driven by a few whales?"). Exact integer
+# accumulation up to one final double expression.
+# ---------------------------------------------------------------------------
+
+_A26_ORACLE = """
+WITH per_user AS (
+  SELECT event_type, user_id,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s
+  FROM events GROUP BY 1, 2
+),
+g AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(SUM(s) AS BIGINT) AS total_cents,
+         list_sort(list(s)) AS xs
+  FROM per_user GROUP BY event_type
+),
+w AS (
+  SELECT event_type, n_users, total_cents,
+         CAST(list_sum(list_transform(generate_series(1, len(xs)),
+                                      i -> i * xs[i])) AS BIGINT) AS wsum
+  FROM g
+)
+SELECT event_type, n_users, total_cents,
+       CASE WHEN total_cents = 0 THEN 0.0
+            ELSE ROUND(2.0 * wsum / (CAST(n_users AS DOUBLE) * total_cents)
+                       - CAST(n_users + 1 AS DOUBLE) / n_users + 0, 6)
+       END AS gini
+FROM w
+"""
+
+
+@register("a26_gini_concentration", oracle=_A26_ORACLE, tags=("A1", "A8", "F4"))
+def a26_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event type, the Gini coefficient of per-user cents totals:
+    G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n over the ASCENDING-sorted totals.
+    Everything through Σ i·xᵢ is exact BIGINT (rank-weighting equal
+    values is permutation-invariant, so the integer sort fully pins
+    the sum); the single closing double expression is written
+    identically on both engines and rounds at 6 dp.
+
+    Scale: the per-user rollup is one hash shuffle; the per-type
+    collect is bounded by the USER population of that type, so at
+    100 TB the sorted-array form gives way to the equivalent
+    rank-decomposed formulation (per-user rank via the two-level
+    scalable_row_number, then Σ rank·x as a plain aggregate — same
+    integers, no array) — the rewrite is mechanical because the
+    statistic is already expressed in rank form.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("event_type", "user_id").agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("s")
+    )
+    g = per_user.groupBy("event_type").agg(
+        F.count("*").alias("n_users"),
+        F.sum("s").alias("total_cents"),
+        F.array_sort(F.collect_list("s")).alias("xs"),
+    )
+    wsum = F.aggregate(
+        F.zip_with(
+            F.sequence(F.lit(1).cast("long"), F.size("xs").cast("long")),
+            F.col("xs"),
+            lambda i, x: i * x,
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    gini = F.when(F.col("total_cents") == 0, F.lit(0.0)).otherwise(
+        F.round(
+            F.lit(2.0) * F.col("wsum") / (F.col("n_users").cast("double") * F.col("total_cents"))
+            - (F.col("n_users") + 1).cast("double") / F.col("n_users")
+            + F.lit(0),
+            6,
+        )
+    )
+    return (
+        g.select(
+            "event_type",
+            "n_users",
+            "total_cents",
+            wsum.alias("wsum"),
+        )
+        .select(
+            "event_type",
+            "n_users",
+            "total_cents",
+            gini.alias("gini"),
+        )
+    )
