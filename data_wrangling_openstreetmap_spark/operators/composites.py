@@ -1690,3 +1690,162 @@ def j14_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return pairs.groupBy("custkey").agg(F.count("*").alias("n_overlap_pairs"))
+
+
+# ---------------------------------------------------------------------------
+# q30 — event-sequence pattern matching: each user's ordered event
+# history becomes a symbol string, and funnels/anomalies are REGEXES
+# over it — the MATCH_RECOGNIZE-style sequence operator, expressed
+# with engine-native strings instead of a dedicated clause.
+# ---------------------------------------------------------------------------
+
+_Q30_ORACLE = """
+WITH j AS (
+  SELECT user_id,
+         string_agg(CASE event_type
+                      WHEN 'click' THEN 'c' WHEN 'view' THEN 'v'
+                      WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+                      ELSE 'e' END, '' ORDER BY ts, event_id) AS journey
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+       CAST(length(journey) AS BIGINT) AS n_events,
+       CAST(len(regexp_extract_all(journey, '[cv]+p')) AS BIGINT)
+         AS n_conversions,
+       CAST(len(regexp_extract_all(journey, 'ee+')) AS BIGINT)
+         AS n_error_runs,
+       CAST(COALESCE(list_max(list_transform(
+              regexp_extract_all(journey, '[cv]+'), x -> length(x))), 0)
+            AS BIGINT) AS longest_browse_run
+FROM j
+"""
+
+
+@register("q30_event_pattern_match", oracle=_Q30_ORACLE, tags=("A8", "F2", "L4", "W3"))
+def q30_event_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence pattern mining per user: events collapse to a
+    time-ordered symbol string (c/v/p/s/e), then funnels are regex
+    counts over it — browse-then-buy conversions (``[cv]+p``),
+    repeated-error runs (``ee+``), and the longest browse streak.
+    The MATCH_RECOGNIZE shape without the clause: classify → order →
+    match, with leftmost greedy non-overlapping matches (identical in
+    Java regex and RE2 for these backreference-free patterns).
+    Ordering is pinned by the (unique) event time with the id
+    tiebreak, so the string — and every match count — is
+    deterministic.
+
+    Scale: one shuffle to assemble each user's (calendar-bounded)
+    journey; matching is a per-row projection. Histories that outgrow
+    a row get pre-sessionized first (st3) and matched per session —
+    same operator, bounded strings; the symbol alphabet keeps the
+    string 1 byte per event regardless of type names.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    sym = (
+        F.when(F.col("event_type") == "click", "c")
+        .when(F.col("event_type") == "view", "v")
+        .when(F.col("event_type") == "purchase", "p")
+        .when(F.col("event_type") == "signup", "s")
+        .otherwise("e")
+    )
+    j = ev.select("user_id", "ts", "event_id", sym.alias("sym")).groupBy(
+        "user_id"
+    ).agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ts", "event_id", "sym"))),
+                lambda s: s["sym"],
+            ),
+        ).alias("journey")
+    )
+    browse_runs = F.regexp_extract_all(F.col("journey"), F.lit("[cv]+"), F.lit(0))
+    return j.select(
+        "user_id",
+        F.length("journey").cast("long").alias("n_events"),
+        F.size(F.regexp_extract_all(F.col("journey"), F.lit("[cv]+p"), F.lit(0)))
+        .cast("long")
+        .alias("n_conversions"),
+        F.size(F.regexp_extract_all(F.col("journey"), F.lit("ee+"), F.lit(0)))
+        .cast("long")
+        .alias("n_error_runs"),
+        F.coalesce(
+            F.array_max(F.transform(browse_runs, F.length)), F.lit(0)
+        )
+        .cast("long")
+        .alias("longest_browse_run"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# n2 — deep flatten with null preservation: a two-level nested
+# document (customer → orders[] → lines[]) flattened back to long form
+# with OUTER explodes, so customers with no orders (and orders with no
+# lines) survive as null rows — the lossless inverse of n1's nesting.
+# ---------------------------------------------------------------------------
+
+_N2_ORACLE = """
+WITH li AS (
+  SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_lines,
+         CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_units
+  FROM lineitem GROUP BY 1
+),
+o AS (
+  SELECT o_custkey, o_orderkey, li.n_lines, li.qty_units
+  FROM orders LEFT JOIN li ON li.l_orderkey = orders.o_orderkey
+  WHERE o_orderkey < 2000
+)
+SELECT c.c_custkey, o.o_orderkey, o.n_lines, o.qty_units
+FROM customer c LEFT JOIN o ON o.o_custkey = c.c_custkey
+WHERE c.c_custkey < 200
+"""
+
+
+@register("n2_deep_flatten", oracle=_N2_ORACLE, tags=("P1", "F5", "A8", "J2"))
+def n2_deep_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip through a two-level nested document: customers nest
+    their orders (each order carrying per-line rollups), then the
+    document is flattened back with ``explode_outer`` — the
+    null-preserving explode — and graded against the flat LEFT-JOIN
+    image. Proves the nest→flatten cycle is lossless INCLUDING the
+    empty-array edge (a plain ``explode`` would silently drop
+    order-less customers, the classic flattening bug).
+
+    Scale: nesting is n1's shuffle-on-key groupBy; the outer explode
+    is a projection (no shuffle) whose fan-out equals the array
+    sizes — flattening never re-joins. Keys are range-filtered only to
+    keep the golden snapshot reviewable.
+    """
+    customer = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 200)
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.round(F.col("l_quantity") * 100).cast("long")).alias("qty_units"),
+        )
+    )
+    odocs = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left")
+        .groupBy("o_custkey")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("o_orderkey", "n_lines", "qty_units")
+                )
+            ).alias("orders")
+        )
+    )
+    nested = customer.join(
+        odocs, customer.c_custkey == odocs.o_custkey, "left"
+    ).select("c_custkey", "orders")
+    flat = nested.select(
+        "c_custkey", F.explode_outer("orders").alias("o")
+    )
+    return flat.select(
+        "c_custkey",
+        F.col("o.o_orderkey").alias("o_orderkey"),
+        F.col("o.n_lines").alias("n_lines"),
+        F.col("o.qty_units").alias("qty_units"),
+    )

@@ -628,3 +628,76 @@ def u9_polymorphic_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"SELECT d.doc_id, t.* "
         f"FROM u9_docs d, LATERAL first_tokens(d.text, {_U9_K}) t"
     )
+
+
+# ---------------------------------------------------------------------------
+# U10 — grouped-map applyInArrow: u3's per-group normalization with the
+# Python side receiving a bare pyarrow.Table (no pandas materialization)
+# — the zero-copy top rung of the grouped-map ladder, same oracle as u3.
+# ---------------------------------------------------------------------------
+
+
+def _arrow_zscore(table):
+    import numpy as np
+    import pyarrow as pa
+
+    bal = table.column("c_acctbal").to_numpy(zero_copy_only=False)
+    cents = np.rint(bal * 100.0).astype(np.int64)
+    n = np.int64(len(cents))
+    sx = cents.sum(dtype=np.int64)
+    sxx = (cents * cents).sum(dtype=np.int64)
+    denom = n * sxx - sx * sx
+    if denom == 0:
+        z = np.zeros(len(cents), dtype=np.float64)
+    else:
+        # identical expression to u3's oracle: (cents·n − Σx) / √denom
+        z = (cents * n - sx) / np.sqrt(np.float64(denom))
+    return pa.table(
+        {
+            "c_custkey": table.column("c_custkey"),
+            "c_mktsegment": table.column("c_mktsegment"),
+            "z": pa.array(z, type=pa.float64()),
+        }
+    )
+
+
+_U10_ORACLE = f"""
+WITH c AS (
+  SELECT c_custkey, c_mktsegment, {oracle_cents('c_acctbal')} AS cents
+  FROM customer
+),
+s AS (
+  SELECT c_mktsegment, COUNT(*) AS n, SUM(cents) AS sx,
+         SUM(cents * cents) AS sxx
+  FROM c GROUP BY c_mktsegment
+)
+SELECT c_custkey, c.c_mktsegment,
+       CASE WHEN n * sxx - sx * sx = 0 THEN 0.0
+            ELSE (cents * n - sx) / sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+       END AS z
+FROM c JOIN s USING (c_mktsegment)
+"""
+
+
+@register("u10_apply_in_arrow", oracle=_U10_ORACLE, tags=("U3", "U4", "U2"))
+def u10_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment z-score via ``applyInArrow``: each market segment
+    lands in the worker as ONE pyarrow.Table and returns one — no
+    pandas conversion on either side of the crossing (u3 is the same
+    computation through applyInPandas; u6 is the ungrouped mapInArrow).
+    The arithmetic reproduces u3's exact-integer-moment recipe in
+    numpy int64, so the z-scores are bit-identical to the shared SQL
+    oracle with no rounding step.
+
+    Scale: one shuffle on the grouping key; each group must fit one
+    Arrow batch (same contract as every grouped-map: salt or pre-agg
+    beyond ~10⁶ rows/group). Arrow-native transforms skip the
+    pandas Block consolidation entirely — on wide groups that is the
+    difference between memcpy and DataFrame construction.
+    """
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    return customer.groupBy("c_mktsegment").applyInArrow(
+        _arrow_zscore, schema="c_custkey long, c_mktsegment string, z double"
+    )

@@ -46,6 +46,7 @@ PYTHON_ALLOWED = {
     "u2_pandas_udf_score",
     "u2b_pandas_iter_udf",  # SCALAR_ITER rung — same crossing as u2, by design
     "u3_grouped_map_zscore",
+    "u10_apply_in_arrow",  # grouped-map over bare Arrow tables — the crossing is the rung
     "u4b_grouped_agg_udaf",  # GROUPED_AGG pandas UDAF — the U4 expression form
     "u5_udtf_tag_split",
     "u9_polymorphic_udtf",  # analyze()-schema UDTF — the crossing is the surface
