@@ -377,3 +377,93 @@ def dq5_schema_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "table_name string, column_name string, ordinal int, dtype string"
     )
+
+
+# ---------------------------------------------------------------------------
+# dq6 — distribution drift (PSI): compare the document length
+# distribution of two corpus halves with the Population Stability
+# Index — the release gate that catches "the new crawl looks nothing
+# like the old one" before training does.
+# ---------------------------------------------------------------------------
+
+_DQ6_ORACLE = """
+WITH b AS (
+  SELECT least(CAST(n_chars // 100 AS BIGINT), 9) AS bucket,
+         CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ce,
+         CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS co
+  FROM documents GROUP BY 1
+),
+spine AS (
+  SELECT s.bucket, COALESCE(b.ce, 0) AS ce, COALESCE(b.co, 0) AS co
+  FROM (SELECT unnest(generate_series(0, 9)) AS bucket) s
+  LEFT JOIN b ON b.bucket = s.bucket
+),
+t AS (
+  SELECT CAST(SUM(ce) AS BIGINT) AS ne, CAST(SUM(co) AS BIGINT) AS no,
+         list_sort(list([bucket, ce, co])) AS cells
+  FROM spine
+)
+SELECT ne AS n_even, no AS n_odd,
+       ROUND(list_sum(list_transform(cells, x ->
+         (CAST(x[2] + 1 AS DOUBLE) / (ne + 10) - CAST(x[3] + 1 AS DOUBLE) / (no + 10))
+         * ln((CAST(x[2] + 1 AS DOUBLE) / (ne + 10))
+              / (CAST(x[3] + 1 AS DOUBLE) / (no + 10))))) + 0, 6) AS psi
+FROM t
+"""
+
+
+@register("dq6_psi_drift", oracle=_DQ6_ORACLE, tags=("A2", "A7", "F4"))
+def dq6_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the even- and odd-id corpus
+    halves (stand-ins for last week's and this week's snapshots) over
+    ten 100-char length buckets: PSI = Σ (pᵢ−qᵢ)·ln(pᵢ/qᵢ) with +1
+    Laplace smoothing so empty buckets stay finite. The PSI sum folds
+    IN BUCKET ORDER over the dense 10-bucket spine (missing buckets
+    materialized as zeros — dropping them would silently bias the
+    index), so both engines add the identical doubles in the identical
+    order; counts are exact integers throughout. PSI < 0.1 is the
+    conventional "no drift" gate; the fixture halves are i.i.d., so
+    the golden pins a near-zero value.
+
+    Scale: one map-side-combined groupBy over a CONSTANT 10-bucket
+    key space, a 10-row spine join, and a single-row fold — the whole
+    audit is O(scan); at 100 TB the only growing cost is the scan
+    itself, and the bucket counts roll up mergeably per partition/day
+    like every sketch in the dq family.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    b = docs.groupBy(
+        F.least((F.col("n_chars") / 100).cast("long"), F.lit(9)).alias("bucket")
+    ).agg(
+        F.sum(F.when(F.col("doc_id") % 2 == 0, 1).otherwise(0)).alias("ce"),
+        F.sum(F.when(F.col("doc_id") % 2 == 1, 1).otherwise(0)).alias("co"),
+    )
+    spine = spark.range(10).select(F.col("id").cast("long").alias("bucket"))
+    dense = spine.join(F.broadcast(b), "bucket", "left").select(
+        "bucket",
+        F.coalesce(F.col("ce"), F.lit(0)).alias("ce"),
+        F.coalesce(F.col("co"), F.lit(0)).alias("co"),
+    )
+    t = dense.agg(
+        F.sum("ce").alias("ne"),
+        F.sum("co").alias("no"),
+        F.array_sort(
+            F.collect_list(F.array(F.col("bucket"), F.col("ce"), F.col("co")))
+        ).alias("cells"),
+    )
+
+    def term(x):
+        pe = (x[1] + 1).cast("double") / (F.col("ne") + 10)
+        po = (x[2] + 1).cast("double") / (F.col("no") + 10)
+        return (pe - po) * F.log(pe / po)
+
+    psi = F.round(
+        F.aggregate(F.col("cells"), F.lit(0.0), lambda acc, x: acc + term(x))
+        + F.lit(0),
+        6,
+    )
+    return t.select(
+        F.col("ne").alias("n_even"),
+        F.col("no").alias("n_odd"),
+        psi.alias("psi"),
+    )

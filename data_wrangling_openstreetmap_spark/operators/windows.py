@@ -1995,3 +1995,114 @@ def a26_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             gini.alias("gini"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# j15 — nearest-event join: for every purchase, the click closest in
+# time in EITHER direction — the bidirectional generalization of j7's
+# backward as-of, still as one timeline pass (carry last-prev and
+# first-next, pick the closer), never a per-row range probe.
+# ---------------------------------------------------------------------------
+
+_J15_FAR = 1 << 62
+
+_J15_ORACLE = """
+WITH p AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+),
+c AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+)
+SELECT p.event_id AS purchase_id, p.user_id AS user_id,
+       b.click_id, b.gap_us
+FROM p JOIN LATERAL (
+  SELECT c.event_id AS click_id,
+         CAST(abs(epoch_us(p.ts) - epoch_us(c.ts)) AS BIGINT) AS gap_us
+  FROM c WHERE c.user_id = p.user_id
+  ORDER BY gap_us, click_id LIMIT 1
+) b ON true
+"""
+
+
+@register("j15_nearest_event_join", oracle=_J15_ORACLE, tags=("J7", "W5", "W3"))
+def j15_nearest_event_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-click attribution: each purchase matches the click by
+    the same user with the smallest |Δt| — before OR after — with a
+    (gap, click_id) tiebreak when one click precedes and another
+    follows at the same distance. The oracle is the quadratic LATERAL
+    top-1; the Spark plan is the union-timeline: one window carries
+    the latest preceding click, a mirrored frame carries the earliest
+    following one, and a struct-least picks the closer — two
+    candidates per purchase, by construction the only possible
+    minima (event times are fixture-unique; the precondition test
+    pins that).
+
+    Scale: identical shape to j7 — one shuffle on user_id, two frame
+    aggregates over the same sort, no join at all. The LATERAL form
+    the oracle runs is O(purchases × clicks-per-user); this plan is
+    O(timeline) and survives any per-user history length.
+    """
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("click_id"),
+        F.lit(0).alias("kind"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("click_id"),  # unused on purchase rows
+        F.lit(1).alias("kind"),
+    )
+    tl = clicks.unionByName(purchases).select(
+        "user_id",
+        "ts",
+        "kind",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        F.when(F.col("kind") == 0, F.col("click_id")).alias("c_id"),
+        F.when(F.col("kind") == 0, F.unix_micros(F.col("ts").cast("timestamp"))).alias(
+            "c_us"
+        ),
+        F.when(F.col("kind") == 1, F.col("click_id")).alias("p_id"),
+    )
+    order = [F.col("us"), F.col("kind")]
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_next = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    enriched = tl.select(
+        "user_id",
+        "us",
+        "kind",
+        "p_id",
+        F.last("c_id", ignorenulls=True).over(w_prev).alias("prev_id"),
+        F.last("c_us", ignorenulls=True).over(w_prev).alias("prev_us"),
+        F.first("c_id", ignorenulls=True).over(w_next).alias("next_id"),
+        F.first("c_us", ignorenulls=True).over(w_next).alias("next_us"),
+    ).filter(F.col("kind") == 1)
+    far = F.lit(_J15_FAR)
+    prev_cand = F.struct(
+        F.coalesce(F.col("us") - F.col("prev_us"), far).alias("gap_us"),
+        F.coalesce(F.col("prev_id"), far).alias("click_id"),
+    )
+    next_cand = F.struct(
+        F.coalesce(F.col("next_us") - F.col("us"), far).alias("gap_us"),
+        F.coalesce(F.col("next_id"), far).alias("click_id"),
+    )
+    best = F.least(prev_cand, next_cand)
+    return (
+        enriched.select(
+            F.col("p_id").alias("purchase_id"),
+            "user_id",
+            best["click_id"].alias("click_id"),
+            best["gap_us"].alias("gap_us"),
+        )
+        .filter(F.col("gap_us") < far)
+    )

@@ -539,3 +539,53 @@ def test_streaming_map_in_pandas_equals_batch(spark, replay_dir):
         )
     )
     assert got == want
+
+
+def test_stream_ohlc_equals_batch(spark, replay_dir):
+    """w16's OHLC resample has an exact streaming twin: min_by/max_by
+    are declarative aggregates, so the same groupBy runs under
+    complete mode and must converge to the batch image — open/close
+    stay well-defined under ANY arrival order because the ordering key
+    is event time, not arrival."""
+
+    def ohlc(df):
+        cents_v = F.round(F.col("value") * 100).cast("long")
+        key = F.unix_micros(F.col("ts").cast("timestamp"))
+        return df.groupBy(
+            "event_type", F.date_trunc("day", "ts").alias("day")
+        ).agg(
+            F.min_by(cents_v, key).alias("open_cents"),
+            F.max(cents_v).alias("high_cents"),
+            F.min(cents_v).alias("low_cents"),
+            F.max_by(cents_v, key).alias("close_cents"),
+            F.count("*").alias("n"),
+        )
+
+    run_to_memory(
+        read_event_stream(spark, replay_dir),
+        ohlc,
+        "sink_ohlc",
+        output_mode="complete",
+    )
+    got = spark.table("sink_ohlc").filter(F.col("event_type") != "sentinel")
+    want = ohlc(load_table(spark, SF, "events"))
+    assert _rows(got) == _rows(want)
+
+
+def test_stream_hll_sketch_converges_to_batch(spark, replay_dir):
+    """approx_count_distinct's HLL±± sketch merges order-independently,
+    so the streaming estimate over micro-batches must EQUAL the batch
+    estimate on the same multiset — the mergeability contract a4b
+    grades in batch, witnessed under streaming arrival."""
+    agg = lambda df: df.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users")
+    )
+    run_to_memory(
+        read_event_stream(spark, replay_dir),
+        agg,
+        "sink_hll",
+        output_mode="complete",
+    )
+    got = spark.table("sink_hll").filter(F.col("event_type") != "sentinel")
+    want = agg(load_table(spark, SF, "events"))
+    assert _rows(got) == _rows(want)
