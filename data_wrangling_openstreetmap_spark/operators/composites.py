@@ -1849,3 +1849,116 @@ def n2_deep_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o.n_lines").alias("n_lines"),
         F.col("o.qty_units").alias("qty_units"),
     )
+
+
+# ---------------------------------------------------------------------------
+# a27 — Mann–Whitney U (rank-sum) test: the nonparametric sibling of
+# a22's Welch t — no normality assumption, driven entirely by ranks.
+# Tie-averaged ranks are kept EXACT by working in doubled units
+# (avg rank × 2 = min_rank + max_rank), so every statistic up to the
+# final z is integer arithmetic.
+# ---------------------------------------------------------------------------
+
+_A27_ORACLE = """
+WITH p AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+         event_id,
+         user_id % 2 AS grp
+  FROM events WHERE event_type = 'purchase'
+),
+rk AS (
+  SELECT cents, grp,
+         CAST(row_number() OVER (ORDER BY cents, event_id) AS BIGINT) AS rn
+  FROM p
+),
+vg AS (
+  SELECT cents,
+         MIN(rn) AS rmin, MAX(rn) AS rmax,
+         CAST(COUNT(*) AS BIGINT) AS t,
+         CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca
+  FROM rk GROUP BY cents
+),
+m AS (
+  SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
+         CAST(SUM(t) AS BIGINT) AS n,
+         CAST(SUM(ca * (rmin + rmax)) AS BIGINT) AS r2a,
+         CAST(SUM(t * t * t - t) AS BIGINT) AS ties
+  FROM vg
+)
+SELECT n_a, n - n_a AS n_b,
+       CAST(r2a - n_a * (n_a + 1) AS BIGINT) AS u2_a,
+       ties AS tie_term,
+       ROUND(CAST(r2a - n_a * (n_a + 1) - n_a * (n - n_a) AS DOUBLE)
+             / (2.0 * sqrt(CAST(n_a AS DOUBLE) * (n - n_a)
+                           * CAST((n * n * n - n) - ties AS DOUBLE)
+                           / (12.0 * n * (n - 1)))) + 0, 6) AS z_mw
+FROM m
+"""
+
+
+@register("a27_mann_whitney", oracle=_A27_ORACLE, tags=("A2", "A11", "W1"))
+def a27_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U between even- and odd-user purchase amounts:
+    pooled cents are ranked globally, ties take the average rank —
+    carried as min_rank + max_rank (= 2·avg, always an integer) — and
+    U, the tie-correction Σ(t³−t), and the normal-approximation z all
+    derive from four exact integer sums; only the final z divides and
+    roots, in one expression written identically on both engines.
+
+    Scale: the global rank uses the two-level scalable_row_number
+    (bucketed by cents — never an unbounded single-partition sort);
+    everything after is a per-distinct-value aggregate and a
+    single-row reduce. The oracle uses DuckDB's plain global
+    row_number — same ranks, quadratic-free on both sides.
+    """
+    from ._helpers import scalable_row_number
+
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        "event_id",
+        (F.col("user_id") % 2).alias("grp"),
+    )
+    rk = scalable_row_number(
+        p,
+        key="cents",
+        bucket_width=512,
+        order_cols=[F.col("cents"), F.col("event_id")],
+        out="rn",
+    )
+    vg = rk.groupBy("cents").agg(
+        F.min("rn").alias("rmin"),
+        F.max("rn").alias("rmax"),
+        F.count("*").alias("t"),
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).alias("ca"),
+    )
+    m = vg.agg(
+        F.sum("ca").alias("n_a"),
+        F.sum("t").alias("n"),
+        F.sum(F.col("ca") * (F.col("rmin") + F.col("rmax"))).alias("r2a"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias("ties"),
+    )
+    n_a, n = F.col("n_a"), F.col("n")
+    n_b = n - n_a
+    u2a = F.col("r2a") - n_a * (n_a + 1)
+    z = F.round(
+        (u2a - n_a * n_b).cast("double")
+        / (
+            F.lit(2.0)
+            * F.sqrt(
+                n_a.cast("double")
+                * n_b
+                * ((n * n * n - n) - F.col("ties")).cast("double")
+                / (F.lit(12.0) * n * (n - 1))
+            )
+        )
+        + F.lit(0),
+        6,
+    )
+    return m.select(
+        n_a.alias("n_a"),
+        n_b.cast("long").alias("n_b"),
+        u2a.cast("long").alias("u2_a"),
+        F.col("ties").alias("tie_term"),
+        z.alias("z_mw"),
+    )

@@ -2106,3 +2106,93 @@ def j15_nearest_event_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("gap_us") < far)
     )
+
+
+# ---------------------------------------------------------------------------
+# w18 — CUSUM changepoint: per event type, the day where the cumulative
+# deviation from the series mean peaks — level-shift detection with
+# ZERO floating point: the deviation is scaled by n (Dᵢ = n·Pᵢ − i·T),
+# keeping every intermediate an exact integer.
+# ---------------------------------------------------------------------------
+
+_W18_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+),
+c AS (
+  SELECT event_type, day, x,
+         CAST(row_number() OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) AS i,
+         CAST(SUM(x) OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) AS p,
+         CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+         CAST(SUM(x) OVER (PARTITION BY event_type) AS BIGINT) AS t
+  FROM daily
+),
+d AS (
+  SELECT event_type, day, i, n, t,
+         n * p - i * t AS dev
+  FROM c
+)
+SELECT event_type, n AS n_days, t AS total_cents,
+       abs(dev) AS peak_absdev,
+       day AS peak_day,
+       CAST(CASE WHEN dev > 0 THEN 1 WHEN dev < 0 THEN -1 ELSE 0 END AS INT)
+         AS peak_sign
+FROM d
+QUALIFY row_number() OVER (PARTITION BY event_type ORDER BY abs(dev) DESC, i) = 1
+"""
+
+
+@register("w18_cusum_changepoint", oracle=_W18_ORACLE, tags=("W4", "A7", "W1"))
+def w18_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM level-shift detector per event type: with daily cents xᵢ,
+    prefix sums Pᵢ, total T and n days, the scaled deviation
+    Dᵢ = n·Pᵢ − i·T is n times the classic CUSUM(mean) statistic —
+    identical argmax, but pure BIGINT, so the peak day, its magnitude
+    and its direction hash-match across engines with no rounding
+    anywhere. Peak = max |Dᵢ| with the earliest-day tiebreak (a
+    mid-series sign change cannot tie |D| by accident: ties resolve
+    to the first index on both sides).
+
+    Scale: the prefix window is partitioned by event_type and the
+    series is CALENDAR-bounded per type (w17's argument), so no
+    unbounded single-partition sort exists; the argmax is one more
+    bounded window over the same partitioning. The daily rollup is
+    the only data-sized shuffle.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("x"))
+    w_ord = Window.partitionBy("event_type").orderBy("day")
+    w_all = Window.partitionBy("event_type")
+    c = daily.select(
+        "event_type",
+        "day",
+        F.row_number().over(w_ord).cast("long").alias("i"),
+        F.sum("x").over(w_ord).alias("p"),
+        F.count("*").over(w_all).alias("n"),
+        F.sum("x").over(w_all).alias("t"),
+    )
+    d = c.withColumn("dev", F.col("n") * F.col("p") - F.col("i") * F.col("t"))
+    w_peak = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("dev")).desc(), "i"
+    )
+    return (
+        d.withColumn("rk", F.row_number().over(w_peak))
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("n").alias("n_days"),
+            F.col("t").alias("total_cents"),
+            F.abs(F.col("dev")).alias("peak_absdev"),
+            "day",
+            F.when(F.col("dev") > 0, 1)
+            .when(F.col("dev") < 0, -1)
+            .otherwise(0)
+            .cast("int")
+            .alias("peak_sign"),
+        )
+        .withColumnRenamed("day", "peak_day")
+    )

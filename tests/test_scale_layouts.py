@@ -342,3 +342,19 @@ def test_small_file_compaction_preserves_content(spark, tmp_path):
     a = sorted(tuple(r) for r in spark.read.parquet(compact_dir).collect())
     b = sorted(tuple(r) for r in src.collect())
     assert a == b
+
+
+def test_parquet_codec_matrix_roundtrips(spark, tmp_path):
+    """Compression is a storage knob, not a semantics knob: the same
+    frame written under snappy / gzip / zstd must read back identical
+    (100 TB fleets mix codecs across table generations — readers must
+    not care)."""
+    from data_wrangling_openstreetmap_spark.io import load_table
+
+    src = load_table(spark, "/root/testdata/sf0.001", "nation")
+    want = sorted(tuple(r) for r in src.collect())
+    for codec in ("snappy", "gzip", "zstd"):
+        path = str(tmp_path / f"nation_{codec}")
+        src.write.mode("overwrite").option("compression", codec).parquet(path)
+        got = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+        assert got == want, f"codec {codec} corrupted the roundtrip"
