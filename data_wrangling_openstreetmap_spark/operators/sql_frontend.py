@@ -240,3 +240,55 @@ def x3_qualify_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("x3_orders")
     return sql_ext.sql(spark, _X3_STMT)
+
+
+# ---------------------------------------------------------------------------
+# X4 — MATCH_RECOGNIZE subset: row-pattern matching as a first-class
+# SQL construct (Flink/Trino/Snowflake surface; Spark has none),
+# lowered to the symbol-string + regex plan and graded against the
+# hand-built equivalent SQL in DuckDB.
+# ---------------------------------------------------------------------------
+
+_X4_STMT = """
+SELECT user_id, MATCH_COUNT() AS n_conversions
+FROM x4_events MATCH_RECOGNIZE (
+  PARTITION BY user_id
+  ORDER BY ts, event_id
+  PATTERN ( B+ P )
+  DEFINE B AS event_type IN ('click', 'view'),
+         P AS event_type = 'purchase'
+)
+"""
+
+_X4_ORACLE = """
+WITH j AS (
+  SELECT user_id,
+         string_agg(CASE WHEN event_type IN ('click', 'view') THEN 'a'
+                         WHEN event_type = 'purchase' THEN 'b'
+                         ELSE '-' END, '' ORDER BY ts, event_id) AS journey
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+       CAST(len(regexp_extract_all(journey, 'a+b')) AS BIGINT) AS n_conversions
+FROM j
+"""
+
+
+@register("x4_match_recognize_sql", oracle=_X4_ORACLE, tags=("W3", "F2", "A8"))
+def x4_match_recognize_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``MATCH_RECOGNIZE`` end-to-end: browse-then-buy conversions per
+    user written as a row-pattern clause (PARTITION BY / ORDER BY /
+    PATTERN / DEFINE — the Flink/Trino surface), parsed and lowered by
+    plans/sql_ext.py to the q30 symbol-string plan: first-matching
+    DEFINE classifies each row to one character, the ordered journey
+    string concatenates per partition, and the PATTERN compiles to a
+    regex counted with non-overlapping leftmost matches. The oracle is
+    the hand-derived equivalent SQL — DuckDB has no MATCH_RECOGNIZE,
+    which is rather the point of shipping one.
+
+    Scale: identical to q30 — one shuffle to assemble each bounded
+    per-user journey, then projection-only matching; the construct
+    adds zero plan weight over the hand-written form.
+    """
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("x4_events")
+    return sql_ext.sql(spark, _X4_STMT)

@@ -388,6 +388,15 @@ def sql(spark: SparkSession, query: str) -> DataFrame:
                 "ON <a>.<k> = <b>.<k> AND <a>.<ts> >= <b>.<ts>"
             )
         return _lower_asof(spark, query, m)
+    if re.search(r"\bMATCH_RECOGNIZE\b", query, re.IGNORECASE):
+        m = _MR_RE.search(query)
+        if m is None:
+            raise SqlExtError(
+                "MATCH_RECOGNIZE requires: SELECT <part>, MATCH_COUNT() AS "
+                "<alias> FROM <t> MATCH_RECOGNIZE (PARTITION BY <part> ORDER "
+                "BY <cols> PATTERN (SYM[+|*] ...) DEFINE SYM AS <pred>, ...)"
+            )
+        return _lower_match_recognize(spark, m)
     if re.search(r"\bQUALIFY\b", query, re.IGNORECASE):
         m = _QUALIFY_RE.search(query)
         if m is None:
@@ -405,3 +414,96 @@ def sql(spark: SparkSession, query: str) -> DataFrame:
             )
         return _lower_similarity(spark, query, m)
     return spark.sql(query)
+
+
+# ---------------------------------------------------------------------------
+# MATCH_RECOGNIZE (subset): row-pattern matching over ordered
+# partitions, lowered to the symbol-string + regex plan (the
+# q30_event_pattern_match shape) — counts non-overlapping matches of
+# the PATTERN per partition.
+#
+# Grammar (one statement shape; documented restrictions as with the
+# other extended constructs — single table, one partition column,
+# predicates free of the token ", <SYM> AS"):
+#
+#   SELECT <part_col>, MATCH_COUNT() AS <alias>
+#   FROM <table> MATCH_RECOGNIZE (
+#     PARTITION BY <part_col>
+#     ORDER BY <col> [, <col> ...]
+#     PATTERN ( SYM[+|*] SYM[+|*] ... )
+#     DEFINE SYM AS <predicate> [, SYM AS <predicate> ...]
+#   )
+# ---------------------------------------------------------------------------
+
+_MR_RE = re.compile(
+    rf"""
+    ^\s* SELECT \s+ (?P<sel>{_IDENT}) \s* , \s*
+    MATCH_COUNT \s* \( \s* \) \s+ AS \s+ (?P<alias>{_IDENT}) \s+
+    FROM \s+ (?P<t>{_IDENT}) \s+ MATCH_RECOGNIZE \s* \(
+    \s* PARTITION \s+ BY \s+ (?P<part>{_IDENT})
+    \s+ ORDER \s+ BY \s+ (?P<ord>{_IDENT}(?:\s*,\s*{_IDENT})*)
+    \s+ PATTERN \s* \( \s* (?P<pat>{_IDENT}[+*]?(?:\s+{_IDENT}[+*]?)*) \s* \)
+    \s+ DEFINE \s+ (?P<defs>.+?)
+    \s* \) \s*$
+    """,
+    re.IGNORECASE | re.VERBOSE | re.DOTALL,
+)
+
+_MR_DEF_RE = re.compile(
+    rf"(?P<sym>{_IDENT})\s+AS\s+(?P<pred>.+?)(?=,\s*{_IDENT}\s+AS\s|\s*$)",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _lower_match_recognize(spark: SparkSession, m: re.Match) -> DataFrame:
+    if m.group("sel").lower() != m.group("part").lower():
+        raise SqlExtError(
+            "MATCH_RECOGNIZE: the select column must be the PARTITION BY column"
+        )
+    defines = [
+        (d.group("sym").upper(), d.group("pred").strip())
+        for d in _MR_DEF_RE.finditer(m.group("defs"))
+    ]
+    if not defines:
+        raise SqlExtError("MATCH_RECOGNIZE: DEFINE must bind at least one symbol")
+    chars = {sym: chr(ord("a") + i) for i, (sym, _) in enumerate(defines)}
+
+    pat_chars = []
+    for tok in m.group("pat").split():
+        sym, quant = (tok[:-1], tok[-1]) if tok[-1] in "+*" else (tok, "")
+        if sym.upper() not in chars:
+            raise SqlExtError(f"MATCH_RECOGNIZE: PATTERN symbol {sym!r} not DEFINEd")
+        pat_chars.append(chars[sym.upper()] + quant)
+    regex = "".join(pat_chars)
+
+    # First matching DEFINE wins; rows matching none become '-', which
+    # no pattern char can match (symbols map to [a-z]).
+    sym_expr = "CASE "
+    for sym, pred in defines:
+        sym_expr += f"WHEN ({pred}) THEN '{chars[sym]}' "
+    sym_expr += "ELSE '-' END"
+
+    part = m.group("part")
+    order_cols = [c.strip() for c in m.group("ord").split(",")]
+    df = spark.table(m.group("t")).selectExpr(
+        part, *order_cols, f"{sym_expr} AS __mr_sym"
+    )
+    journey = df.groupBy(part).agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(*order_cols, F.col("__mr_sym")))
+                ),
+                lambda s: s["__mr_sym"],
+            ),
+        ).alias("__mr_journey")
+    )
+    return journey.select(
+        F.col(part),
+        F.size(
+            F.regexp_extract_all(F.col("__mr_journey"), F.lit(regex), F.lit(0))
+        )
+        .cast("long")
+        .alias(m.group("alias")),
+    )

@@ -192,3 +192,56 @@ def test_qualify_malformed_raises_not_delegates(spark):
             spark,
             "SELECT id FROM q_t QUALIFY ROW_NUMBER() OVER (ORDER BY id) = 1 OR true",
         )
+
+
+def test_match_recognize_equals_handwritten_plan(spark):
+    spark.createDataFrame(
+        [(1, 1, "x"), (1, 2, "x"), (1, 3, "y"), (1, 4, "y"),
+         (1, 5, "x"), (1, 6, "y"), (2, 1, "y"), (2, 2, "x")],
+        "pid int, seq int, kind string",
+    ).createOrReplaceTempView("mr_t")
+    got = sql(
+        spark,
+        "SELECT pid, MATCH_COUNT() AS n FROM mr_t MATCH_RECOGNIZE ("
+        "PARTITION BY pid ORDER BY seq PATTERN ( X+ Y ) "
+        "DEFINE X AS kind = 'x', Y AS kind = 'y')",
+    )
+    # pid 1: xxy|y|xy -> matches xxy and xy = 2; pid 2: yx -> 0
+    assert {(r.pid, r.n) for r in got.collect()} == {(1, 2), (2, 0)}
+    assert got.columns == ["pid", "n"]
+
+
+def test_match_recognize_undefined_rows_break_matches(spark):
+    spark.createDataFrame(
+        [(1, 1, "x"), (1, 2, "z"), (1, 3, "y")],
+        "pid int, seq int, kind string",
+    ).createOrReplaceTempView("mr_gap")
+    got = sql(
+        spark,
+        "SELECT pid, MATCH_COUNT() AS n FROM mr_gap MATCH_RECOGNIZE ("
+        "PARTITION BY pid ORDER BY seq PATTERN ( X Y ) "
+        "DEFINE X AS kind = 'x', Y AS kind = 'y')",
+    )
+    # the undefined 'z' row sits between x and y: contiguity is broken
+    assert [(r.pid, r.n) for r in got.collect()] == [(1, 0)]
+
+
+def test_match_recognize_malformed_raises(spark):
+    with pytest.raises(SqlExtError):
+        sql(spark, "SELECT pid FROM t MATCH_RECOGNIZE (broken)")
+    with pytest.raises(SqlExtError):
+        # pattern symbol without a DEFINE binding
+        sql(
+            spark,
+            "SELECT pid, MATCH_COUNT() AS n FROM mr_t MATCH_RECOGNIZE ("
+            "PARTITION BY pid ORDER BY seq PATTERN ( Q ) "
+            "DEFINE X AS kind = 'x')",
+        )
+    with pytest.raises(SqlExtError):
+        # select column must be the partition column
+        sql(
+            spark,
+            "SELECT seq, MATCH_COUNT() AS n FROM mr_t MATCH_RECOGNIZE ("
+            "PARTITION BY pid ORDER BY seq PATTERN ( X ) "
+            "DEFINE X AS kind = 'x')",
+        )
