@@ -1962,3 +1962,83 @@ def a27_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ties").alias("tie_term"),
         z.alias("z_mw"),
     )
+
+
+# ---------------------------------------------------------------------------
+# a28 — two-proportion z-test: did the even-user cohort CONVERT at a
+# different rate than the odd cohort? The categorical sibling of a22
+# (means) and a27 (ranks) — the three standard A/B readouts.
+# ---------------------------------------------------------------------------
+
+_A28_ORACLE = """
+WITH u AS (
+  SELECT user_id, user_id % 2 AS grp,
+         MAX(CASE WHEN event_type = 'purchase' AND value >= 90 THEN 1
+                  ELSE 0 END) AS converted
+  FROM events GROUP BY 1, 2
+),
+m AS (
+  SELECT CAST(COUNT(CASE WHEN grp = 0 THEN 1 END) AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN grp = 0 THEN converted ELSE 0 END) AS BIGINT) AS x_a,
+         CAST(COUNT(CASE WHEN grp = 1 THEN 1 END) AS BIGINT) AS n_b,
+         CAST(SUM(CASE WHEN grp = 1 THEN converted ELSE 0 END) AS BIGINT) AS x_b
+  FROM u
+)
+SELECT n_a, x_a, n_b, x_b,
+       CASE WHEN x_a + x_b = 0 OR x_a + x_b = n_a + n_b THEN 0.0
+            ELSE ROUND((CAST(x_a AS DOUBLE) / n_a - CAST(x_b AS DOUBLE) / n_b)
+                       / sqrt((CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
+                              * (1.0 - CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
+                              * (1.0 / n_a + 1.0 / n_b)) + 0, 6)
+       END AS z_prop
+FROM m
+"""
+
+
+@register("a28_two_proportion_test", oracle=_A28_ORACLE, tags=("A2", "A11", "P6"))
+def a28_two_proportion_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z between even/odd user cohorts on "made a
+    high-value purchase" (value ≥ 90 — chosen because plain
+    any-purchase saturates at 100% in every fixture, degenerating the
+    test): per-user conversion flags collapse to four integers
+    (n, x per arm); the pooled-variance z statistic is one double
+    expression over them, written identically on both engines and
+    rounded at 6 dp. Degenerate pools (p̂ ∈ {0,1} — e.g. every user
+    converts at small sf) make the statistic undefined; both engines
+    return the documented 0.0 sentinel instead of dividing by zero
+    (Spark runs ANSI mode — an unguarded expression would throw).
+
+    Scale: one shuffle to the per-user flag (map-side MAX partial),
+    then a single-row reduce. The user dimension never materializes
+    beyond its aggregate.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id", (F.col("user_id") % 2).alias("grp")).agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") >= 90), 1
+            ).otherwise(0)
+        ).alias("converted")
+    )
+    m = u.agg(
+        F.count(F.when(F.col("grp") == 0, 1)).alias("n_a"),
+        F.sum(F.when(F.col("grp") == 0, F.col("converted")).otherwise(0)).alias("x_a"),
+        F.count(F.when(F.col("grp") == 1, 1)).alias("n_b"),
+        F.sum(F.when(F.col("grp") == 1, F.col("converted")).otherwise(0)).alias("x_b"),
+    )
+    n_a, x_a = F.col("n_a"), F.col("x_a")
+    n_b, x_b = F.col("n_b"), F.col("x_b")
+    pooled = (x_a + x_b).cast("double") / (n_a + n_b)
+    z = F.when(
+        ((x_a + x_b) == 0) | ((x_a + x_b) == (n_a + n_b)), F.lit(0.0)
+    ).otherwise(
+        F.round(
+            (x_a.cast("double") / n_a - x_b.cast("double") / n_b)
+            / F.sqrt(
+                pooled * (F.lit(1.0) - pooled) * (F.lit(1.0) / n_a + F.lit(1.0) / n_b)
+            )
+            + F.lit(0),
+            6,
+        )
+    )
+    return m.select("n_a", "x_a", "n_b", "x_b", z.alias("z_prop"))

@@ -5666,3 +5666,109 @@ def l3_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _PQ_TOPK)
         .select("qid", "vec_id", "adist")
     )
+
+
+# ---------------------------------------------------------------------------
+# L6 — triplet mining: for each anchor, the most-similar SAME-label
+# vector (positive) and the most-similar DIFFERENT-label vector (the
+# hard negative) — the contrastive-training data every embedding
+# fine-tune needs. Integer-quantized dot products keep the ranking
+# engine-exact.
+# ---------------------------------------------------------------------------
+
+_L6_HN_LO, _L6_HN_HI = _PQ_Q_LO, _PQ_Q_HI  # anchors: the PQ query trio
+
+_L6_HN_COS = (
+    "ROUND(CAST(list_sum(list_transform(generate_series(1, 64),"
+    " i -> aq[i] * q[i])) AS DOUBLE)"
+    " / (sqrt(CAST(list_sum(list_transform(generate_series(1, 64),"
+    " i -> aq[i] * aq[i])) AS DOUBLE))"
+    " * sqrt(CAST(list_sum(list_transform(generate_series(1, 64),"
+    " i -> q[i] * q[i])) AS DOUBLE))) + 0, 6)"
+)
+
+_L6_HN_ORACLE = f"""
+WITH qv AS (SELECT vec_id, label, {_PQ_QUANT_DUCK} AS q FROM embeddings),
+a AS (
+  SELECT vec_id AS aid, label AS albl, q AS aq
+  FROM qv WHERE vec_id BETWEEN {_L6_HN_LO} AND {_L6_HN_HI}
+),
+c AS (
+  SELECT a.aid, a.albl, v.vec_id, (v.label = a.albl) AS same,
+         {_L6_HN_COS} AS cos
+  FROM qv v CROSS JOIN a WHERE v.vec_id <> a.aid
+),
+r AS (
+  SELECT * FROM c
+  QUALIFY row_number() OVER (PARTITION BY aid, same ORDER BY cos DESC, vec_id) = 1
+)
+SELECT aid AS anchor_id, albl AS anchor_label,
+       MAX(CASE WHEN same THEN vec_id END) AS pos_id,
+       MAX(CASE WHEN same THEN cos END) AS pos_cos,
+       MAX(CASE WHEN NOT same THEN vec_id END) AS neg_id,
+       MAX(CASE WHEN NOT same THEN cos END) AS neg_cos
+FROM r GROUP BY 1, 2
+"""
+
+
+def _int_dot(a: str, b: str):
+    return F.aggregate(
+        F.zip_with(F.col(a), F.col(b), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+@register("l6_hard_negatives", oracle=_L6_HN_ORACLE, tags=("L6", "L3", "J5"))
+def l6_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triplet mining for contrastive training: each anchor gets its
+    best same-label neighbor (positive) and best different-label
+    neighbor (hard negative) by cosine over integer-quantized
+    coordinates — exact BIGINT dot products, one identical closing
+    double expression, 6-dp rounding, (cos, vec_id) tiebreak. Hard
+    negatives — near misses across the label boundary — are what make
+    triplet losses learn; random negatives teach nothing.
+
+    Scale: anchors broadcast against the corpus (the q10 "small query
+    side" regime — here genuinely small by construction); per-anchor
+    top-1s are partitioned windows over the anchor key. At training
+    scale the corpus side routes through the IVF/PQ candidates
+    (l3_ivf_pq_topk) instead of the full scan — same downstream
+    top-1-per-(anchor, side) shape.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.select("vec_id", "label", _quantize_embedding().alias("q"))
+    a = qv.filter(F.col("vec_id").between(_L6_HN_LO, _L6_HN_HI)).select(
+        F.col("vec_id").alias("aid"),
+        F.col("label").alias("albl"),
+        F.col("q").alias("aq"),
+    )
+    c = (
+        qv.crossJoin(F.broadcast(a))
+        .filter(F.col("vec_id") != F.col("aid"))
+        .select(
+            "aid",
+            "albl",
+            "vec_id",
+            (F.col("label") == F.col("albl")).alias("same"),
+            F.round(
+                _int_dot("aq", "q").cast("double")
+                / (
+                    F.sqrt(_int_dot("aq", "aq").cast("double"))
+                    * F.sqrt(_int_dot("q", "q").cast("double"))
+                )
+                + F.lit(0),
+                6,
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("aid", "same").orderBy(F.col("cos").desc(), "vec_id")
+    r = c.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
+    return r.groupBy(
+        F.col("aid").alias("anchor_id"), F.col("albl").alias("anchor_label")
+    ).agg(
+        F.max(F.when(F.col("same"), F.col("vec_id"))).alias("pos_id"),
+        F.max(F.when(F.col("same"), F.col("cos"))).alias("pos_cos"),
+        F.max(F.when(~F.col("same"), F.col("vec_id"))).alias("neg_id"),
+        F.max(F.when(~F.col("same"), F.col("cos"))).alias("neg_cos"),
+    )

@@ -358,3 +358,37 @@ def test_parquet_codec_matrix_roundtrips(spark, tmp_path):
         src.write.mode("overwrite").option("compression", codec).parquet(path)
         got = sorted(tuple(r) for r in spark.read.parquet(path).collect())
         assert got == want, f"codec {codec} corrupted the roundtrip"
+
+
+def test_dynamic_partition_overwrite_replaces_only_touched(spark, tmp_path):
+    """The incremental-reprocess pattern at 100 TB: rewriting one
+    lang's slice under dynamic partitionOverwriteMode must replace
+    ONLY that partition — static mode would silently truncate every
+    other lang."""
+    from data_wrangling_openstreetmap_spark.io import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    path = str(tmp_path / "docs_by_lang")
+    docs.write.partitionBy("lang").parquet(path)
+    langs = [r.lang for r in docs.select("lang").distinct().collect()]
+    target = sorted(langs)[0]
+    patched = docs.filter(F.col("lang") == target).withColumn(
+        "n_chars", F.col("n_chars") + 1
+    )
+    old = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        patched.write.mode("overwrite").partitionBy("lang").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
+    got = spark.read.parquet(path)
+    want = docs.withColumn(
+        "n_chars",
+        F.when(F.col("lang") == target, F.col("n_chars") + 1).otherwise(
+            F.col("n_chars")
+        ),
+    )
+    assert sorted(tuple(r) for r in got.select("doc_id", "lang", "n_chars").collect()) == \
+        sorted(tuple(r) for r in want.collect())
