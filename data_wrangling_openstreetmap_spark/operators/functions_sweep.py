@@ -744,3 +744,62 @@ def f16_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("shift_checksum"),
         F.count("*").alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# f17 — struct surgery: build a nested struct, update a nested field
+# with withField, prune with dropFields — the Column-level nested
+# mutators (no explode/rebuild round-trip), graded on the extracted
+# scalars.
+# ---------------------------------------------------------------------------
+
+_F17_ORACLE = """
+SELECT o_orderkey,
+       CAST(round(o_totalprice * 100) AS BIGINT) + 500 AS adj_cents,
+       upper(o_orderpriority) AS priority,
+       CAST(year(o_orderdate) AS BIGINT) AS order_year
+FROM orders
+WHERE o_orderkey < 1000
+"""
+
+
+@register("f17_struct_surgery", oracle=_F17_ORACLE, tags=("F5", "F8", "P1"))
+def f17_struct_surgery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-struct mutation without rebuild: orders pack into a
+    struct, ``withField`` patches one nested leaf in place (a +5.00
+    fee on the cents amount), a second ``withField`` adds a derived
+    leaf, ``dropFields`` removes the scratch field, and the grade
+    extracts the surviving leaves as scalars. This is the API that
+    makes deep-schema pipelines writable — the alternative is
+    exploding and re-nesting the whole document per touch-up (n1's
+    machinery, for one field).
+
+    Scale: pure projection — Catalyst collapses chained
+    withField/dropFields on the same struct into a single
+    UpdateFields expression, so the nested rewrite costs one pass no
+    matter how many patches stack.
+    """
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1000)
+    doc = orders.select(
+        "o_orderkey",
+        F.struct(
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_orderdate").alias("odate"),
+            F.lit("scratch").alias("tmp"),
+        ).alias("doc"),
+    )
+    patched = doc.withColumn(
+        "doc", F.col("doc").withField("cents", F.col("doc.cents") + 500)
+    ).withColumn(
+        "doc", F.col("doc").withField("priority", F.upper(F.col("doc.priority")))
+    ).withColumn(
+        "doc",
+        F.col("doc").withField("order_year", F.year(F.col("doc.odate")).cast("long")),
+    ).withColumn("doc", F.col("doc").dropFields("tmp", "odate"))
+    return patched.select(
+        "o_orderkey",
+        F.col("doc.cents").alias("adj_cents"),
+        F.col("doc.priority").alias("priority"),
+        F.col("doc.order_year").alias("order_year"),
+    )

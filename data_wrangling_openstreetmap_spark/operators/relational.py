@@ -1755,3 +1755,59 @@ def j11_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clicks.alias("c").join(
         purchases.alias("p"), F.col("c.bucket").eqNullSafe(F.col("p.bucket"))
     ).select(F.col("c.bucket").alias("bucket"), "n_clicks", "n_purchases")
+
+
+# ---------------------------------------------------------------------------
+# o9 — multiset set-ops: EXCEPT ALL / INTERSECT ALL keep DUPLICITY —
+# bag semantics, the difference that matters when rows are events, not
+# keys (o5 covers the distinct forms).
+# ---------------------------------------------------------------------------
+
+_O9_ORACLE = """
+WITH a AS (SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 0),
+b AS (SELECT c_nationkey AS nationkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+x AS (SELECT nationkey FROM a EXCEPT ALL SELECT nationkey FROM b),
+i AS (SELECT nationkey FROM a INTERSECT ALL SELECT nationkey FROM b)
+SELECT 'except_all' AS op, nationkey, CAST(COUNT(*) AS BIGINT) AS n
+FROM x GROUP BY 2
+UNION ALL
+SELECT 'intersect_all', nationkey, CAST(COUNT(*) AS BIGINT)
+FROM i GROUP BY 2
+"""
+
+
+@register("o9_multiset_ops", oracle=_O9_ORACLE, tags=("O5", "O3", "A1"))
+def o9_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics set operations over customer nation keys:
+    ``exceptAll`` keeps max(m−n, 0) copies per key and
+    ``intersectAll`` keeps min(m, n) — both graded as per-key
+    multiplicity counts (the only hashable shape for a multiset).
+    The distinct forms (o5) erase exactly the information bag
+    semantics preserve; pipelines diffing event streams need this
+    form.
+
+    Scale: Spark plans both as a single hash aggregation computing
+    per-key counts on each side then emitting the multiplicity
+    difference/minimum — one shuffle per input, no join explosion;
+    the SQL-standard operators are just the declarative spelling.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    a = customer.filter(F.col("c_acctbal") > 0).select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    b = customer.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    ex = (
+        a.exceptAll(b)
+        .groupBy("nationkey")
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("except_all").alias("op"), "nationkey", "n")
+    )
+    it = (
+        a.intersectAll(b)
+        .groupBy("nationkey")
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("intersect_all").alias("op"), "nationkey", "n")
+    )
+    return ex.unionByName(it)

@@ -292,3 +292,33 @@ def x4_match_recognize_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     load_table(spark, sf_dir, "events").createOrReplaceTempView("x4_events")
     return sql_ext.sql(spark, _X4_STMT)
+
+
+# ---------------------------------------------------------------------------
+# X5 — DISTINCT ON: "latest row per key" as one clause, graded
+# engine-vs-engine against DuckDB's NATIVE DISTINCT ON.
+# ---------------------------------------------------------------------------
+
+_X5_STMT = """
+SELECT DISTINCT ON (user_id) user_id, event_id, event_type
+FROM x5_events ORDER BY user_id, ts DESC, event_id
+"""
+
+_X5_ORACLE = _X5_STMT.replace("x5_events", "events")
+
+
+@register("x5_distinct_on_sql", oracle=_X5_ORACLE, tags=("O6", "W1", "A9"))
+def x5_distinct_on_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``DISTINCT ON`` end-to-end: each user's most recent event in one
+    clause — the SAME statement text runs through the frontend's
+    row_number()=1 lowering on Spark and natively on DuckDB, so the
+    grade is engine-vs-engine on the construct. The ORDER BY ends in
+    the unique event_id, pinning ties (DISTINCT ON without a total
+    order is arrival luck on both engines).
+
+    Scale: the lowering is the w-family top-1 window — partitioned by
+    the ON key, compiled to WindowGroupLimit (per-key top-1 before the
+    shuffle), the scale-safe "latest per key" plan.
+    """
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("x5_events")
+    return sql_ext.sql(spark, _X5_STMT)

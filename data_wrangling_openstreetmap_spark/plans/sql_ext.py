@@ -388,6 +388,14 @@ def sql(spark: SparkSession, query: str) -> DataFrame:
                 "ON <a>.<k> = <b>.<k> AND <a>.<ts> >= <b>.<ts>"
             )
         return _lower_asof(spark, query, m)
+    if re.search(r"\bDISTINCT\s+ON\b", query, re.IGNORECASE):
+        m = _DON_RE.search(query)
+        if m is None:
+            raise SqlExtError(
+                "DISTINCT ON requires: SELECT DISTINCT ON (<cols>) <select-list> "
+                "FROM <table> ORDER BY <cols>"
+            )
+        return _lower_distinct_on(spark, m)
     if re.search(r"\bMATCH_RECOGNIZE\b", query, re.IGNORECASE):
         m = _MR_RE.search(query)
         if m is None:
@@ -434,6 +442,36 @@ def sql(spark: SparkSession, query: str) -> DataFrame:
 #     DEFINE SYM AS <predicate> [, SYM AS <predicate> ...]
 #   )
 # ---------------------------------------------------------------------------
+
+# ---------------------------------------------------------------------------
+# DISTINCT ON (DuckDB/Postgres surface): keep the FIRST row per key
+# group under the statement's ORDER BY. Lowered to the row_number()=1
+# window plan (the deterministic spelling of the same semantics).
+#
+#   SELECT DISTINCT ON (<col> [, <col>...]) <select-list>
+#   FROM <table> ORDER BY <cols...>
+# ---------------------------------------------------------------------------
+
+_DON_RE = re.compile(
+    rf"""
+    ^\s* SELECT \s+ DISTINCT \s+ ON \s*
+    \( \s* (?P<on>{_IDENT}(?:\s*,\s*{_IDENT})*) \s* \) \s+
+    (?P<sel>.+?) \s+
+    FROM \s+ (?P<t>{_IDENT}) \s+
+    ORDER \s+ BY \s+ (?P<ord>.+?) \s*$
+    """,
+    re.IGNORECASE | re.VERBOSE | re.DOTALL,
+)
+
+
+def _lower_distinct_on(spark: SparkSession, m: re.Match) -> DataFrame:
+    inner = (
+        f"SELECT {m.group('sel')}, ROW_NUMBER() OVER ("
+        f"PARTITION BY {m.group('on')} ORDER BY {m.group('ord')}"
+        f") AS __don_rn FROM {m.group('t')}"
+    )
+    return spark.sql(inner).filter(F.col("__don_rn") == 1).drop("__don_rn")
+
 
 _MR_RE = re.compile(
     rf"""

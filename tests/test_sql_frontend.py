@@ -245,3 +245,18 @@ def test_match_recognize_malformed_raises(spark):
             "PARTITION BY pid ORDER BY seq PATTERN ( X ) "
             "DEFINE X AS kind = 'x')",
         )
+
+
+def test_distinct_on_equals_window_form_and_raises_on_malformed(spark):
+    spark.createDataFrame(
+        [(1, 3, "a"), (1, 5, "b"), (2, 4, "c"), (2, 2, "d")],
+        "k int, v int, tag string",
+    ).createOrReplaceTempView("don_t")
+    got = sql(
+        spark,
+        "SELECT DISTINCT ON (k) k, tag FROM don_t ORDER BY k, v DESC",
+    )
+    assert sorted((r.k, r.tag) for r in got.collect()) == [(1, "b"), (2, "c")]
+    assert got.columns == ["k", "tag"]
+    with pytest.raises(SqlExtError):
+        sql(spark, "SELECT DISTINCT ON (k) k FROM don_t")  # no ORDER BY
