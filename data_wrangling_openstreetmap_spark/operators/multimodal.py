@@ -21,7 +21,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 from typing import TYPE_CHECKING
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load_table
@@ -536,4 +536,116 @@ def m0_binary_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     meta = docs.select("doc_id", "n_chars")
     return parsed.join(F.broadcast(meta), "doc_id").select(
         "doc_id", "file_len", "n_chars"
+    )
+
+
+# ---------------------------------------------------------------------------
+# m6 — scene-cut detection: the first TEMPORAL multimodal operator —
+# per-frame features from the (fake) decoder, then a lag window over
+# frame order flags cuts where the feature jumps. The decode runs in
+# Arrow batches; the temporal logic is plain JVM windowing, which is
+# the point: frames become rows and the engine's window machinery IS
+# the video toolkit.
+# ---------------------------------------------------------------------------
+
+SCENE_SCHEMA = "doc_id bigint, frame_idx int, fsum bigint"
+SCENE_CUT_THRESHOLD = 150
+
+
+def fake_scene_frames_batch(batches):
+    """Stride-1 twin of fake_frame_sample_batch emitting one byte-sum
+    feature per frame — the deterministic stand-in for a per-frame
+    embedding, value-gradable because it is pure byte arithmetic."""
+    import pandas as pd
+
+    for pdf in batches:
+        out = {"doc_id": [], "frame_idx": [], "fsum": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            window = max(1, len(payload) // FAKE_TOTAL_FRAMES)
+            for idx in range(FAKE_TOTAL_FRAMES):
+                frame = payload[idx * window : (idx + 1) * window]
+                out["doc_id"].append(doc_id)
+                out["frame_idx"].append(idx)
+                out["fsum"].append(sum(frame))
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                "frame_idx": pd.Series(out["frame_idx"], dtype="int32"),
+                "fsum": pd.Series(out["fsum"], dtype="int64"),
+            }
+        )
+
+
+_M6_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, text, greatest(1, length(text) // {FAKE_TOTAL_FRAMES}) AS w
+  FROM documents
+),
+fr AS (
+  SELECT doc_id, i AS frame_idx,
+         COALESCE(list_sum(list_transform(
+           string_split(substring(text, i * w + 1, w), ''),
+           c -> ascii(c))), 0) AS fsum
+  FROM t, (SELECT unnest(generate_series(0, {FAKE_TOTAL_FRAMES - 1})) AS i) g(i)
+),
+d AS (
+  SELECT doc_id, frame_idx,
+         abs(fsum - lag(fsum) OVER (PARTITION BY doc_id ORDER BY frame_idx))
+           AS jump
+  FROM fr
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_frames,
+       CAST(SUM(CASE WHEN jump >= {SCENE_CUT_THRESHOLD} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_cuts,
+       CAST(COALESCE(MAX(jump), 0) AS BIGINT) AS max_jump,
+       CAST(COALESCE(MIN(CASE WHEN jump >= {SCENE_CUT_THRESHOLD}
+                              THEN frame_idx END), -1) AS BIGINT)
+         AS first_cut_idx
+FROM d GROUP BY doc_id
+"""
+
+
+@register("m6_scene_cuts", oracle=_M6_ORACLE, tags=("L5", "U2", "W3"))
+def m6_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut detection over the fake-decoded frame stream: every
+    payload demuxes to 25 frame rows with a byte-sum feature (Arrow
+    mapInPandas — the decode stage), then a lag window per document
+    flags frames whose feature jumps >= 150 from the previous one.
+    Graded per document (frame count, cut count, peak jump, first cut
+    index) against the oracle's re-derivation of the same byte
+    arithmetic from the text — exact integers end to end (m4b's ASCII
+    precondition applies and is test-pinned there).
+
+    Scale: decode-before-shuffle (frames fan out inside the Python
+    worker; only (doc_id, idx, fsum) — 20 bytes/frame, not the frame
+    bytes — ride the lag shuffle), and the window partitions by
+    doc_id with a FIXED 25-row partition. A real pipeline swaps the
+    byte-sum for a CLIP-embedding distance; the plan is unchanged.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    payload = docs.select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    frames = payload.mapInPandas(fake_scene_frames_batch, SCENE_SCHEMA)
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    d = frames.withColumn(
+        "jump", F.abs(F.col("fsum") - F.lag("fsum").over(w))
+    )
+    return d.groupBy("doc_id").agg(
+        F.count("*").alias("n_frames"),
+        F.sum(
+            F.when(F.col("jump") >= SCENE_CUT_THRESHOLD, 1).otherwise(0)
+        ).alias("n_cuts"),
+        F.coalesce(F.max("jump"), F.lit(0)).alias("max_jump"),
+        F.coalesce(
+            F.min(
+                F.when(
+                    F.col("jump") >= SCENE_CUT_THRESHOLD, F.col("frame_idx")
+                )
+            ),
+            F.lit(-1),
+        )
+        .cast("long")
+        .alias("first_cut_idx"),
     )

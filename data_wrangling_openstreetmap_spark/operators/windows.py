@@ -2196,3 +2196,90 @@ def w18_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumnRenamed("day", "peak_day")
     )
+
+
+# ---------------------------------------------------------------------------
+# w19 — Theil–Sen robust trend: the median of all pairwise daily
+# slopes per event type — the estimator that shrugs off the outlier
+# days that wreck least squares (w17's smoothing reacts to them).
+# ---------------------------------------------------------------------------
+
+_W19_ORACLE = """
+WITH daily AS (
+  SELECT event_type,
+         CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT)
+           AS d,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+),
+slopes AS (
+  SELECT a.event_type,
+         CAST(b.x - a.x AS DOUBLE) / (b.d - a.d) AS slope
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.d < b.d
+),
+g AS (
+  SELECT event_type, list_sort(list(slope)) AS ss
+  FROM slopes GROUP BY event_type
+)
+SELECT event_type,
+       CAST(len(ss) AS BIGINT) AS n_pairs,
+       ROUND(CASE WHEN len(ss) % 2 = 1 THEN ss[(len(ss) + 1) // 2]
+                  ELSE (ss[len(ss) // 2] + ss[len(ss) // 2 + 1]) / 2.0
+             END + 0, 6) AS ts_slope_cents_per_day
+FROM g
+"""
+
+
+@register("w19_theil_sen", oracle=_W19_ORACLE, tags=("W4", "A7", "J8"))
+def w19_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen slope per event type: every day-pair's slope
+    (Δcents/Δdays — numerator and denominator exact integers, one
+    identical double division), median taken by EXPLICIT sorted-array
+    indexing — not the engines' median() aggregates, whose even-count
+    interpolations are algebraically equal but float-differently
+    ((a+b)/2 vs a+(b−a)·0.5) — so both engines round the same double.
+
+    Scale: the pairwise join is per-type and CALENDAR-bounded (w17's
+    argument: ~365²/2 pairs/type/year — thousands, not data-sized), so
+    "quadratic" here is a constant. For unbounded series the
+    estimator degrades gracefully to the repeated-median over a
+    day-sampled grid — same plan with a sampled spine.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("d"),
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("x"))
+    a, b = daily.alias("a"), daily.alias("b")
+    slopes = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.d") < F.col("b.d")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        (
+            (F.col("b.x") - F.col("a.x")).cast("double")
+            / (F.col("b.d") - F.col("a.d"))
+        ).alias("slope"),
+    )
+    g = slopes.groupBy("event_type").agg(
+        F.array_sort(F.collect_list("slope")).alias("ss")
+    )
+    n = F.size("ss").cast("long")
+    median = F.when(
+        n % 2 == 1, F.element_at(F.col("ss"), ((n + 1) / 2).cast("int"))
+    ).otherwise(
+        (
+            F.element_at(F.col("ss"), (n / 2).cast("int"))
+            + F.element_at(F.col("ss"), (n / 2 + 1).cast("int"))
+        )
+        / 2.0
+    )
+    return g.select(
+        "event_type",
+        n.alias("n_pairs"),
+        F.round(median + F.lit(0), 6).alias("ts_slope_cents_per_day"),
+    )

@@ -37,6 +37,7 @@ PYTHON_ALLOWED = {
     "m1_multimodal_decode",
     "m5_decode_parity",
     "m2_frame_sample",
+    "m6_scene_cuts",  # Arrow decode stage feeding a JVM lag window — the temporal m-op
     "m2b_frame_parity",
     "m3_image_resize",
     "m4_feature_extract",
