@@ -2042,3 +2042,182 @@ def a28_two_proportion_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return m.select("n_a", "x_a", "n_b", "x_b", z.alias("z_prop"))
+
+
+# ---------------------------------------------------------------------------
+# a29 — two-sample Kolmogorov–Smirnov: the largest gap between the two
+# cohorts' empirical CDFs, computed entirely in integers by scaling
+# both step functions by n_A·n_B.
+# ---------------------------------------------------------------------------
+
+_A29_ORACLE = """
+WITH p AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS cents, user_id % 2 AS grp
+  FROM events WHERE event_type = 'purchase'
+),
+v AS (
+  SELECT cents,
+         CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+  FROM p GROUP BY cents
+),
+t AS (SELECT CAST(SUM(ca) AS BIGINT) AS n_a, CAST(SUM(cb) AS BIGINT) AS n_b FROM v),
+c AS (
+  SELECT cents,
+         CAST(SUM(ca) OVER (ORDER BY cents) AS BIGINT) AS cum_a,
+         CAST(SUM(cb) OVER (ORDER BY cents) AS BIGINT) AS cum_b
+  FROM v
+),
+d AS (
+  SELECT cents, t.n_a, t.n_b,
+         abs(cum_a * t.n_b - cum_b * t.n_a) AS gap2
+  FROM c, t
+)
+SELECT n_a, n_b,
+       CAST(gap2 AS BIGINT) AS d_scaled,
+       cents AS d_at_cents,
+       ROUND(CAST(gap2 AS DOUBLE) / (n_a * n_b) + 0, 6) AS ks_stat
+FROM d
+QUALIFY row_number() OVER (ORDER BY gap2 DESC, cents) = 1
+"""
+
+
+@register("a29_ks_test", oracle=_A29_ORACLE, tags=("A2", "A11", "W4"))
+def a29_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KS between even- and odd-user purchase amounts: the
+    empirical CDFs are compared as INTEGER step functions — both
+    scaled by n_A·n_B, so the max gap, the cents value where it
+    occurs (smallest on ties), and the n_A·n_B denominator are exact;
+    only the final ks_stat ratio is a double, rounded at 6 dp.
+
+    Scale: the cumulative window runs over the DISTINCT-cents table —
+    an aggregation child bounded by the price domain (~10⁴ values
+    regardless of row count), the one place the plan sweep admits a
+    SinglePartition exchange; the argmax is TakeOrdered(1) with the
+    cents tiebreak. The raw scan only ever feeds a hash aggregate.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        (F.col("user_id") % 2).alias("grp"),
+    )
+    v = p.groupBy("cents").agg(
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).alias("cb"),
+    )
+    t = v.agg(F.sum("ca").alias("n_a"), F.sum("cb").alias("n_b"))
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    c = v.select(
+        "cents",
+        F.sum("ca").over(w).alias("cum_a"),
+        F.sum("cb").over(w).alias("cum_b"),
+    )
+    d = c.crossJoin(F.broadcast(t)).select(
+        "cents",
+        "n_a",
+        "n_b",
+        F.abs(
+            F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a")
+        ).alias("gap2"),
+    )
+    return (
+        d.orderBy(F.desc("gap2"), "cents")
+        .limit(1)
+        .select(
+            "n_a",
+            "n_b",
+            F.col("gap2").alias("d_scaled"),
+            F.col("cents").alias("d_at_cents"),
+            F.round(
+                F.col("gap2").cast("double") / (F.col("n_a") * F.col("n_b"))
+                + F.lit(0),
+                6,
+            ).alias("ks_stat"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# a30 — chi-square independence: is event mix independent of the user
+# cohort? Observed/expected over a FIXED (event_type × parity) grid,
+# with the χ² sum folded in cell order (dq6's recipe) so the doubles
+# add identically on both engines.
+# ---------------------------------------------------------------------------
+
+_A30_ORACLE = """
+WITH o AS (
+  SELECT event_type, user_id % 2 AS grp, CAST(COUNT(*) AS BIGINT) AS obs
+  FROM events GROUP BY 1, 2
+),
+m AS (
+  SELECT o.event_type, o.grp, o.obs,
+         CAST(SUM(obs) OVER (PARTITION BY event_type) AS BIGINT) AS row_t,
+         CAST(SUM(obs) OVER (PARTITION BY grp) AS BIGINT) AS col_t,
+         CAST(SUM(obs) OVER () AS BIGINT) AS n
+  FROM o
+),
+g AS (
+  SELECT MAX(n) AS n,
+         CAST(COUNT(*) AS BIGINT) AS n_cells,
+         list_sort(list([obs, row_t, col_t])) AS cells
+  FROM m
+)
+SELECT n AS n_events, n_cells,
+       ROUND(list_sum(list_transform(cells, x ->
+         (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE) * x[3] / n)
+         * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE) * x[3] / n)
+         / (CAST(x[2] AS DOUBLE) * x[3] / n))) + 0, 6) AS chi2
+FROM g
+"""
+
+
+@register("a30_chi_square", oracle=_A30_ORACLE, tags=("A2", "A11", "A8"))
+def a30_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """χ² independence over the (event_type × user-parity) contingency
+    grid: observed counts and both marginals are exact integers; each
+    cell's (O−E)²/E evaluates the identical double expression, and the
+    10 cell terms fold in sorted-cell order (the [obs, row_t, col_t]
+    triple is unique per cell — the sort pins the order, dq6's
+    recipe), then one 6-dp round.
+
+    Scale: one hash aggregate over a constant 10-cell key space plus
+    marginal windows over those 10 rows — the statistic's cost is the
+    scan; the grid never grows with data. Mergeable per-day cell
+    counts roll up exactly like the dq sketches.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    o = ev.groupBy("event_type", (F.col("user_id") % 2).alias("grp")).agg(
+        F.count("*").alias("obs")
+    )
+    w_row = Window.partitionBy("event_type")
+    w_col = Window.partitionBy("grp")
+    w_all = Window.partitionBy()
+    m = o.select(
+        "obs",
+        F.sum("obs").over(w_row).alias("row_t"),
+        F.sum("obs").over(w_col).alias("col_t"),
+        F.sum("obs").over(w_all).alias("n"),
+    )
+    g = m.agg(
+        F.max("n").alias("n"),
+        F.count("*").alias("n_cells"),
+        F.array_sort(
+            F.collect_list(F.array(F.col("obs"), F.col("row_t"), F.col("col_t")))
+        ).alias("cells"),
+    )
+
+    def term(x):
+        e = x[1].cast("double") * x[2] / F.col("n")
+        diff = x[0].cast("double") - e
+        return diff * diff / e
+
+    chi2 = F.round(
+        F.aggregate(F.col("cells"), F.lit(0.0), lambda acc, x: acc + term(x))
+        + F.lit(0),
+        6,
+    )
+    return g.select(
+        F.col("n").alias("n_events"),
+        F.col("n_cells").alias("n_cells"),
+        chi2.alias("chi2"),
+    )
