@@ -803,3 +803,48 @@ def f17_struct_surgery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc.priority").alias("priority"),
         F.col("doc.order_year").alias("order_year"),
     )
+
+
+# ---------------------------------------------------------------------------
+# f18 — parameterized SQL: named :placeholders bound server-side
+# (spark.sql(query, args=...)) — the injection-safe templating surface;
+# string-concatenated SQL is the anti-pattern this replaces.
+# ---------------------------------------------------------------------------
+
+_F18_ORACLE = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS cents
+FROM orders
+WHERE o_totalprice >= 50000 AND o_orderstatus = 'F'
+GROUP BY o_orderpriority
+"""
+
+
+@register("f18_parameterized_sql", oracle=_F18_ORACLE, tags=("F8", "A1", "P2"))
+def f18_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-parameter SQL: the threshold and status arrive as
+    ``args={"min_total": ..., "status": ...}`` bound to ``:min_total``
+    / ``:status`` placeholders — typed literal substitution in the
+    PARSER, not string formatting, so a value can never re-shape the
+    query (the SQL-injection class disappears) and plans cache across
+    parameter values. Graded against the constant-folded equivalent.
+
+    Scale: parameter binding is plan-time; the executed plan is the
+    ordinary pushed-down scan + partial agg — placeholders leave no
+    runtime residue (the filter shows the literal in the scan's
+    PushedFilters exactly as if hand-written).
+    """
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("f18_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               COUNT(*) AS n,
+               SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        FROM f18_orders
+        WHERE o_totalprice >= :min_total AND o_orderstatus = :status
+        GROUP BY o_orderpriority
+        """,
+        args={"min_total": 50000, "status": "F"},
+    )

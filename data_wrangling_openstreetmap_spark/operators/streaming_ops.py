@@ -369,3 +369,75 @@ def st9_left_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine contract.
     """
     return TR.purchase_attribution_left(load_table(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# ST11 — dynamic-gap sessionization: session_window with a PER-ROW gap
+# expression (purchases close a basket fast; errors linger) — the
+# Spark 3.2+ surface st3's fixed 30-minute gap doesn't exercise.
+# ---------------------------------------------------------------------------
+
+_ST11_GAP_SQL = (
+    "CASE WHEN event_type = 'purchase' THEN '10 minutes' "
+    "ELSE '30 minutes' END"
+)
+
+_ST11_ORACLE = """
+WITH e AS (
+  SELECT user_id, event_type, ts,
+         CASE WHEN event_type = 'purchase' THEN 600 ELSE 1800 END AS gap_s
+  FROM events
+),
+flagged AS (
+  SELECT user_id, event_type, ts, gap_s,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                   > lag(gap_s) OVER w * 1000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM e
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts)
+),
+sess AS (
+  SELECT user_id, event_type, ts,
+         SUM(new_session) OVER (
+           PARTITION BY user_id, event_type ORDER BY ts
+         ) AS sid
+  FROM flagged
+)
+SELECT event_type,
+       CAST(COUNT(DISTINCT (user_id, sid)) AS BIGINT) AS n_sessions,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM sess
+GROUP BY event_type
+"""
+
+
+@register("st11_dynamic_session_gap", oracle=_ST11_ORACLE, tags=("ST3", "W3", "P6"))
+def st11_dynamic_session_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization where the inactivity gap DEPENDS ON THE ROW:
+    purchase streams close after 10 idle minutes, everything else
+    after 30 — ``F.session_window(ts, <Column gap>)``, the dynamic-gap
+    form. Semantics pinned against the ANSI lag/cumsum formulation:
+    a session extends while the NEXT event arrives within the
+    CURRENT event's gap (the previous row's gap governs the merge —
+    exactly how Spark extends a session's end by the row's own gap),
+    strict `>` starts a new one. Graded per event type as
+    (sessions, events) — sessionizing per (user, type) keeps each
+    type's gap policy self-contained.
+
+    Scale: identical to st3 — one shuffle on the session key, per-key
+    sorted merge; the dynamic gap is a projection input to the window
+    operator, costing nothing extra. The same expression drops into
+    the streaming form with a watermark.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    gap = F.expr(_ST11_GAP_SQL)
+    sess = ev.groupBy(
+        "user_id",
+        "event_type",
+        F.session_window(F.col("ts"), gap).alias("w"),
+    ).agg(F.count("*").alias("n_ev"))
+    return sess.groupBy("event_type").agg(
+        F.count("*").alias("n_sessions"),
+        F.sum("n_ev").cast("bigint").alias("n_events"),
+    )
