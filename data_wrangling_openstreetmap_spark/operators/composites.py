@@ -2221,3 +2221,104 @@ def a30_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_cells").alias("n_cells"),
         chi2.alias("chi2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q31 — association rules: support and lift over the co-purchase pair
+# counts — market-basket mining from exact integer counts, the
+# analytics layer above a14's raw pairs / g2's graph.
+# ---------------------------------------------------------------------------
+
+_Q31_MIN_SUP = 2
+_Q31_TOPK = 20
+
+_Q31_ORACLE = f"""
+WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem GROUP BY 1, 2),
+n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_baskets FROM li),
+item AS (
+  SELECT l_partkey AS item, CAST(COUNT(*) AS BIGINT) AS n_item
+  FROM li GROUP BY 1
+),
+pair AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v, CAST(COUNT(*) AS BIGINT) AS n_uv
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= {_Q31_MIN_SUP}
+),
+r AS (
+  SELECT p.u, p.v, p.n_uv, iu.n_item AS n_u, iv.n_item AS n_v, n.n_baskets,
+         ROUND(CAST(p.n_uv AS DOUBLE) / n.n_baskets + 0, 6) AS support,
+         ROUND(CAST(p.n_uv AS DOUBLE) * n.n_baskets
+               / (iu.n_item * iv.n_item) + 0, 6) AS lift
+  FROM pair p
+  JOIN item iu ON iu.item = p.u
+  JOIN item iv ON iv.item = p.v
+  CROSS JOIN n
+)
+SELECT u, v, n_uv, n_u, n_v, support, lift
+FROM r
+ORDER BY lift DESC, u, v
+LIMIT {_Q31_TOPK}
+"""
+
+
+@register("q31_association_rules", oracle=_Q31_ORACLE, tags=("J8", "A1", "O2"))
+def q31_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 part pairs by lift: support = n(u,v)/N and
+    lift = n(u,v)·N / (n(u)·n(v)) from exact basket counts (lift > 1 ⇒
+    the parts co-occur beyond chance — the rule-mining signal). Both
+    ratios evaluate the identical double expression from identical
+    integers; ordering is (lift, u, v) with the unique pair tiebreak.
+
+    Scale: pair counting is a14's per-basket self-join (bounded by
+    basket width, never all-parts²); the item side broadcasts; the
+    top-k is TakeOrdered. Raising min-support prunes the pair table
+    the way every production FP-growth prefilter does.
+    """
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n_baskets = li.agg(
+        F.count_distinct("l_orderkey").alias("n_baskets")
+    )
+    item = li.groupBy(F.col("l_partkey").alias("item")).agg(
+        F.count("*").alias("n_item")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .agg(F.count("*").alias("n_uv"))
+        .filter(F.col("n_uv") >= _Q31_MIN_SUP)
+    )
+    iu = item.select(F.col("item").alias("u"), F.col("n_item").alias("n_u"))
+    iv = item.select(F.col("item").alias("v"), F.col("n_item").alias("n_v"))
+    r = (
+        pair.join(F.broadcast(iu), "u")
+        .join(F.broadcast(iv), "v")
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "u",
+            "v",
+            "n_uv",
+            "n_u",
+            "n_v",
+            F.round(
+                F.col("n_uv").cast("double") / F.col("n_baskets") + F.lit(0), 6
+            ).alias("support"),
+            F.round(
+                F.col("n_uv").cast("double")
+                * F.col("n_baskets")
+                / (F.col("n_u") * F.col("n_v"))
+                + F.lit(0),
+                6,
+            ).alias("lift"),
+        )
+    )
+    return r.orderBy(F.desc("lift"), "u", "v").limit(_Q31_TOPK)

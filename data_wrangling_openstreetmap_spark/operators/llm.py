@@ -5772,3 +5772,103 @@ def l6_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(~F.col("same"), F.col("vec_id"))).alias("neg_id"),
         F.max(F.when(~F.col("same"), F.col("cos"))).alias("neg_cos"),
     )
+
+
+# ---------------------------------------------------------------------------
+# L6 — centroid drift: per label, the cosine between the even-half and
+# odd-half centroids — "did this class's embedding distribution move
+# between snapshots?", the vector-space twin of dq6's PSI.
+# ---------------------------------------------------------------------------
+
+_DRIFT_SCALE = 10_000  # coarser than PQ's 1e6: Σ(se·so) must stay in BIGINT
+
+_L6_DRIFT_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id % 2 AS parity, label,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * {_DRIFT_SCALE} + 0) AS BIGINT))
+           AS qv
+  FROM embeddings
+),
+lf AS (
+  SELECT parity, label, u.dim, u.v
+  FROM q, LATERAL (
+    SELECT unnest(generate_series(1, len(qv))) AS dim, unnest(qv) AS v
+  ) u
+),
+s AS (
+  SELECT label, dim,
+         CAST(SUM(CASE WHEN parity = 0 THEN v ELSE 0 END) AS BIGINT) AS se,
+         CAST(SUM(CASE WHEN parity = 1 THEN v ELSE 0 END) AS BIGINT) AS so
+  FROM lf GROUP BY 1, 2
+),
+g AS (
+  SELECT label,
+         CAST(SUM(se * so) AS BIGINT) AS dot,
+         CAST(SUM(se * se) AS BIGINT) AS ne,
+         CAST(SUM(so * so) AS BIGINT) AS no
+  FROM s GROUP BY label
+),
+cnt AS (
+  SELECT label,
+         CAST(SUM(CASE WHEN parity = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_even,
+         CAST(SUM(CASE WHEN parity = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_odd
+  FROM q GROUP BY label
+)
+SELECT g.label, cnt.n_even, cnt.n_odd,
+       ROUND(CAST(dot AS DOUBLE)
+             / (sqrt(CAST(ne AS DOUBLE)) * sqrt(CAST(no AS DOUBLE))) + 0, 6)
+         AS centroid_cos
+FROM g JOIN cnt ON cnt.label = g.label
+"""
+
+
+@register("l6_centroid_drift", oracle=_L6_DRIFT_ORACLE, tags=("L6", "A2", "F5"))
+def l6_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid cosine between the even- and odd-id halves of
+    the embedding table: the mean vectors' cosine equals the cosine of
+    the per-dimension SUM vectors (scale factors cancel), so the whole
+    statistic is exact integer sums of quantized coordinates up to one
+    identical closing double. Cosine near 1 = the class's embedding
+    mass did not move between the two "snapshots"; a drop is the
+    retrain/reindex trigger. Quantization is 10⁴ (not PQ's 10⁶)
+    so Σ se·so stays far inside BIGINT at any plausible corpus size.
+
+    Scale: long-form explode → (label, dim) sums is the l6_centroids
+    shape — shuffle keys are (label × 64 dims), tiny and uniform;
+    nothing ever materializes a matrix. Snapshot halves generalize to
+    (corpus_version, label) keys with the same plan.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * _DRIFT_SCALE + 0).cast("long"),
+    )
+    q = emb.select(
+        (F.col("vec_id") % 2).alias("parity"), "label", qv.alias("qv")
+    )
+    lf = q.select(
+        "parity", "label", F.posexplode(F.col("qv")).alias("dim", "v")
+    )
+    s = lf.groupBy("label", "dim").agg(
+        F.sum(F.when(F.col("parity") == 0, F.col("v")).otherwise(0)).alias("se"),
+        F.sum(F.when(F.col("parity") == 1, F.col("v")).otherwise(0)).alias("so"),
+    )
+    g = s.groupBy("label").agg(
+        F.sum(F.col("se") * F.col("so")).alias("dot"),
+        F.sum(F.col("se") * F.col("se")).alias("ne"),
+        F.sum(F.col("so") * F.col("so")).alias("no"),
+    )
+    cnt = q.groupBy("label").agg(
+        F.sum(F.when(F.col("parity") == 0, 1).otherwise(0)).alias("n_even"),
+        F.sum(F.when(F.col("parity") == 1, 1).otherwise(0)).alias("n_odd"),
+    )
+    cos = F.round(
+        F.col("dot").cast("double")
+        / (F.sqrt(F.col("ne").cast("double")) * F.sqrt(F.col("no").cast("double")))
+        + F.lit(0),
+        6,
+    )
+    return g.join(cnt, "label").select(
+        "label", "n_even", "n_odd", cos.alias("centroid_cos")
+    )
