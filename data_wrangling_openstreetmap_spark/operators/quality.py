@@ -467,3 +467,86 @@ def dq6_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("no").alias("n_odd"),
         psi.alias("psi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# dp1 — column profiler: the one-pass per-column summary (counts,
+# nulls, distincts, extremes) every wrangling tool prints before any
+# transform is written — long-form so one schema fits every table.
+# ---------------------------------------------------------------------------
+
+_DP1_ORACLE = """
+SELECT 'c_custkey' AS column_name,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(*) - COUNT(c_custkey) AS BIGINT) AS n_null,
+       CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_distinct,
+       CAST(MIN(c_custkey) AS VARCHAR) AS min_repr,
+       CAST(MAX(c_custkey) AS VARCHAR) AS max_repr
+FROM customer
+UNION ALL
+SELECT 'c_name', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(*) - COUNT(c_name) AS BIGINT),
+       CAST(COUNT(DISTINCT c_name) AS BIGINT),
+       MIN(c_name), MAX(c_name)
+FROM customer
+UNION ALL
+SELECT 'c_nationkey', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(*) - COUNT(c_nationkey) AS BIGINT),
+       CAST(COUNT(DISTINCT c_nationkey) AS BIGINT),
+       CAST(MIN(c_nationkey) AS VARCHAR), CAST(MAX(c_nationkey) AS VARCHAR)
+FROM customer
+UNION ALL
+SELECT 'c_acctbal_cents', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(*) - COUNT(c_acctbal) AS BIGINT),
+       CAST(COUNT(DISTINCT CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT),
+       CAST(MIN(CAST(round(c_acctbal * 100) AS BIGINT)) AS VARCHAR),
+       CAST(MAX(CAST(round(c_acctbal * 100) AS BIGINT)) AS VARCHAR)
+FROM customer
+UNION ALL
+SELECT 'c_mktsegment', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(*) - COUNT(c_mktsegment) AS BIGINT),
+       CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT),
+       MIN(c_mktsegment), MAX(c_mktsegment)
+FROM customer
+"""
+
+
+@register("dp1_column_profile", oracle=_DP1_ORACLE, tags=("A2", "A3", "F8"))
+def dp1_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-form column profile of the customer table: per column, the
+    row count, null count, exact distinct count, and min/max rendered
+    as strings (one output schema regardless of column types).
+    Float extremes profile through the exact cents representation —
+    double→string rendering is ENGINE-SPECIFIC (scientific-notation
+    thresholds differ), so numeric columns stringify integers, never
+    doubles.
+
+    Scale: each column profiles as an independent aggregation leaf
+    over the same scan (Spark reuses the exchange-free scan per leaf;
+    a shared-scan rewrite with approx_count_distinct is the 100 TB
+    form — dq/a4 already grade that sketch). Long-form output means
+    the profiler composes over any table by listing its columns.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+
+    def prof(col: str, expr) -> DataFrame:
+        return customer.agg(
+            F.lit(col).alias("column_name"),
+            F.count("*").alias("n"),
+            (F.count("*") - F.count(expr)).alias("n_null"),
+            F.count_distinct(expr).alias("n_distinct"),
+            F.min(expr).cast("string").alias("min_repr"),
+            F.max(expr).cast("string").alias("max_repr"),
+        )
+
+    parts = [
+        prof("c_custkey", F.col("c_custkey")),
+        prof("c_name", F.col("c_name")),
+        prof("c_nationkey", F.col("c_nationkey")),
+        prof("c_acctbal_cents", F.round(F.col("c_acctbal") * 100).cast("long")),
+        prof("c_mktsegment", F.col("c_mktsegment")),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
