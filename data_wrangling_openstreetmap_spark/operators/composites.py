@@ -1881,6 +1881,7 @@ vg AS (
 m AS (
   SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
          CAST(SUM(t) AS BIGINT) AS n,
+         CAST(COUNT(*) AS BIGINT) AS n_vals,
          CAST(SUM(ca * (rmin + rmax)) AS BIGINT) AS r2a,
          CAST(SUM(t * t * t - t) AS BIGINT) AS ties
   FROM vg
@@ -1888,10 +1889,12 @@ m AS (
 SELECT n_a, n - n_a AS n_b,
        CAST(r2a - n_a * (n_a + 1) AS BIGINT) AS u2_a,
        ties AS tie_term,
-       ROUND(CAST(r2a - n_a * (n_a + 1) - n_a * (n - n_a) AS DOUBLE)
-             / (2.0 * sqrt(CAST(n_a AS DOUBLE) * (n - n_a)
-                           * CAST((n * n * n - n) - ties AS DOUBLE)
-                           / (12.0 * n * (n - 1)))) + 0, 6) AS z_mw
+       CASE WHEN n_a = 0 OR n - n_a = 0 OR n_vals = 1 THEN 0.0
+            ELSE ROUND(CAST(r2a - n_a * (n_a + 1) - n_a * (n - n_a) AS DOUBLE)
+                       / (2.0 * sqrt(CAST(n_a AS DOUBLE) * (n - n_a)
+                                     * (CAST(n AS DOUBLE) * n * n - n - ties)
+                                     / (12.0 * n * (n - 1)))) + 0, 6)
+       END AS z_mw
 FROM m
 """
 
@@ -1935,25 +1938,33 @@ def a27_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = vg.agg(
         F.sum("ca").alias("n_a"),
         F.sum("t").alias("n"),
+        F.count("*").alias("n_vals"),
         F.sum(F.col("ca") * (F.col("rmin") + F.col("rmax"))).alias("r2a"),
         F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias("ties"),
     )
     n_a, n = F.col("n_a"), F.col("n")
     n_b = n - n_a
     u2a = F.col("r2a") - n_a * (n_a + 1)
-    z = F.round(
-        (u2a - n_a * n_b).cast("double")
-        / (
-            F.lit(2.0)
-            * F.sqrt(
-                n_a.cast("double")
-                * n_b
-                * ((n * n * n - n) - F.col("ties")).cast("double")
-                / (F.lit(12.0) * n * (n - 1))
+    # variance factor cubes n in DOUBLE (identical expression in the
+    # oracle): the integer n**3 would overflow BIGINT past ~2.09M rows,
+    # and a 6-dp-rounded z does not need the cube exact.
+    z = F.when(
+        (n_a == 0) | (n_b == 0) | (F.col("n_vals") == 1), F.lit(0.0)
+    ).otherwise(
+        F.round(
+            (u2a - n_a * n_b).cast("double")
+            / (
+                F.lit(2.0)
+                * F.sqrt(
+                    n_a.cast("double")
+                    * n_b
+                    * (n.cast("double") * n * n - n - F.col("ties"))
+                    / (F.lit(12.0) * n * (n - 1))
+                )
             )
+            + F.lit(0),
+            6,
         )
-        + F.lit(0),
-        6,
     )
     return m.select(
         n_a.alias("n_a"),
@@ -2076,7 +2087,9 @@ d AS (
 SELECT n_a, n_b,
        CAST(gap2 AS BIGINT) AS d_scaled,
        cents AS d_at_cents,
-       ROUND(CAST(gap2 AS DOUBLE) / (n_a * n_b) + 0, 6) AS ks_stat
+       CASE WHEN n_a * n_b = 0 THEN 0.0
+            ELSE ROUND(CAST(gap2 AS DOUBLE) / (n_a * n_b) + 0, 6)
+       END AS ks_stat
 FROM d
 QUALIFY row_number() OVER (ORDER BY gap2 DESC, cents) = 1
 """
@@ -2128,11 +2141,15 @@ def a29_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_b",
             F.col("gap2").alias("d_scaled"),
             F.col("cents").alias("d_at_cents"),
-            F.round(
-                F.col("gap2").cast("double") / (F.col("n_a") * F.col("n_b"))
-                + F.lit(0),
-                6,
-            ).alias("ks_stat"),
+            F.when(F.col("n_a") * F.col("n_b") == 0, F.lit(0.0))
+            .otherwise(
+                F.round(
+                    F.col("gap2").cast("double") / (F.col("n_a") * F.col("n_b"))
+                    + F.lit(0),
+                    6,
+                )
+            )
+            .alias("ks_stat"),
         )
     )
 
@@ -2232,25 +2249,21 @@ def a30_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q31_MIN_SUP = 2
 _Q31_TOPK = 20
 
+from .llm import co_purchase_baskets, co_purchase_edges, oracle_co_edges  # noqa: E402
+
 _Q31_ORACLE = f"""
-WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem GROUP BY 1, 2),
+WITH {oracle_co_edges(_Q31_MIN_SUP)},
 n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_baskets FROM li),
 item AS (
   SELECT l_partkey AS item, CAST(COUNT(*) AS BIGINT) AS n_item
   FROM li GROUP BY 1
-),
-pair AS (
-  SELECT a.l_partkey AS u, b.l_partkey AS v, CAST(COUNT(*) AS BIGINT) AS n_uv
-  FROM li a JOIN li b
-    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-  GROUP BY 1, 2 HAVING COUNT(*) >= {_Q31_MIN_SUP}
 ),
 r AS (
   SELECT p.u, p.v, p.n_uv, iu.n_item AS n_u, iv.n_item AS n_v, n.n_baskets,
          ROUND(CAST(p.n_uv AS DOUBLE) / n.n_baskets + 0, 6) AS support,
          ROUND(CAST(p.n_uv AS DOUBLE) * n.n_baskets
                / (iu.n_item * iv.n_item) + 0, 6) AS lift
-  FROM pair p
+  FROM e p
   JOIN item iu ON iu.item = p.u
   JOIN item iv ON iv.item = p.v
   CROSS JOIN n
@@ -2275,28 +2288,14 @@ def q31_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-k is TakeOrdered. Raising min-support prunes the pair table
     the way every production FP-growth prefilter does.
     """
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
+    li = co_purchase_baskets(spark, sf_dir)
     n_baskets = li.agg(
         F.count_distinct("l_orderkey").alias("n_baskets")
     )
     item = li.groupBy(F.col("l_partkey").alias("item")).agg(
         F.count("*").alias("n_item")
     )
-    a, b = li.alias("a"), li.alias("b")
-    pair = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .agg(F.count("*").alias("n_uv"))
-        .filter(F.col("n_uv") >= _Q31_MIN_SUP)
-    )
+    pair = co_purchase_edges(spark, sf_dir, _Q31_MIN_SUP)
     iu = item.select(F.col("item").alias("u"), F.col("n_item").alias("n_u"))
     iv = item.select(F.col("item").alias("v"), F.col("n_item").alias("n_v"))
     r = (

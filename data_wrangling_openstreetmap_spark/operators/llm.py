@@ -2767,29 +2767,69 @@ def j9_fuzzy_name_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # per-basket item counts cap the fan-out, so this is NOT an n² join.
 # ---------------------------------------------------------------------------
 
+
+# ---------------------------------------------------------------------------
+# Shared co-purchase pipeline: distinct (order, part) baskets self-join
+# into id-ordered pair counts. ONE definition of the edge/rule base for
+# a14 (rules), g2 (triangles), g3 (BFS) and q31 (top-k lift) — the four
+# operators must agree on what "co-purchased" means or they silently
+# diverge.
+# ---------------------------------------------------------------------------
+
+
+def co_purchase_baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (l_orderkey, l_partkey) basket membership."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+
+
+def co_purchase_edges(
+    spark: SparkSession, sf_dir: str, min_support: int
+) -> DataFrame:
+    """(u, v, n_uv): parts co-purchased in ≥ min_support shared baskets,
+    id-ordered u < v so each pair counts once. One bounded-fan-out
+    self-join per basket — never all-parts²."""
+    li = co_purchase_baskets(spark, sf_dir)
+    a, b = li.alias("a"), li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .agg(F.count("*").alias("n_uv"))
+        .filter(F.col("n_uv") >= min_support)
+    )
+
+
+def oracle_co_edges(min_support: int) -> str:
+    """The DuckDB CTE twin of co_purchase_edges: defines ``li`` and
+    ``e(u, v, n_uv)`` for interpolation into a WITH clause."""
+    return f"""li AS (SELECT l_orderkey, l_partkey FROM lineitem GROUP BY 1, 2),
+e AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v, CAST(COUNT(*) AS BIGINT) AS n_uv
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= {min_support}
+)"""
+
+
 _COPURCHASE_MIN_SUP = 3
 
 _COPURCHASE_ORACLE = f"""
-WITH li AS (
-  SELECT l_orderkey, l_partkey
-  FROM lineitem GROUP BY l_orderkey, l_partkey
-),
+WITH {oracle_co_edges(_COPURCHASE_MIN_SUP)},
 n_orders AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n FROM li),
-item_cnt AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS c FROM li GROUP BY l_partkey),
-pairs AS (
-  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
-         CAST(COUNT(*) AS BIGINT) AS support
-  FROM li a JOIN li b
-    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-  GROUP BY part_a, part_b
-  HAVING COUNT(*) >= {_COPURCHASE_MIN_SUP}
-)
-SELECT part_a, part_b, support,
-       ROUND(CAST(support AS DOUBLE) * n_orders.n
+item_cnt AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS c FROM li GROUP BY l_partkey)
+SELECT u AS part_a, v AS part_b, n_uv AS support,
+       ROUND(CAST(n_uv AS DOUBLE) * n_orders.n
              / (ca.c * cb.c), 6) AS lift
-FROM pairs
-JOIN item_cnt ca ON ca.l_partkey = part_a
-JOIN item_cnt cb ON cb.l_partkey = part_b, n_orders
+FROM e
+JOIN item_cnt ca ON ca.l_partkey = u
+JOIN item_cnt cb ON cb.l_partkey = v, n_orders
 """
 
 
@@ -2808,26 +2848,13 @@ def a14_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     basket-grouped form. The support HAVING partial-aggregates before
     its exchange; item counts broadcast to the final lift join.
     """
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
+    li = co_purchase_baskets(spark, sf_dir)
     n_orders = li.agg(F.countDistinct("l_orderkey").alias("n"))
     item_cnt = li.groupBy("l_partkey").agg(F.count("*").alias("c"))
-    a, b = li.alias("a"), li.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
-        )
-        .agg(F.count("*").alias("support"))
-        .filter(F.col("support") >= _COPURCHASE_MIN_SUP)
+    pairs = co_purchase_edges(spark, sf_dir, _COPURCHASE_MIN_SUP).select(
+        F.col("u").alias("part_a"),
+        F.col("v").alias("part_b"),
+        F.col("n_uv").alias("support"),
     )
     ca = item_cnt.select(
         F.col("l_partkey").alias("part_a"), F.col("c").alias("ca")
@@ -3937,15 +3964,7 @@ def l2_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _G2_MIN_SUP = 2
 
 _G2_ORACLE = f"""
-WITH li AS (
-  SELECT l_orderkey, l_partkey FROM lineitem GROUP BY 1, 2
-),
-e AS (
-  SELECT a.l_partkey AS u, b.l_partkey AS v
-  FROM li a JOIN li b
-    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-  GROUP BY 1, 2 HAVING COUNT(*) >= {_G2_MIN_SUP}
-),
+WITH {oracle_co_edges(_G2_MIN_SUP)},
 deg AS (
   SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
     SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e
@@ -3984,25 +4003,7 @@ def g2_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordering changes the key assignment, not the shape. Edge
     construction reuses a14's basket self-join, bounded per order.
     """
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a, b = li.alias("a"), li.alias("b")
-    e = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-        )
-        .agg(F.count("*").alias("s"))
-        .filter(F.col("s") >= _G2_MIN_SUP)
-        .select("u", "v")
-    )
+    e = co_purchase_edges(spark, sf_dir, _G2_MIN_SUP).select("u", "v")
     deg = (
         e.select(F.col("u").alias("node"))
         .unionByName(e.select(F.col("v").alias("node")))
@@ -5367,10 +5368,12 @@ agg AS (
   FROM d GROUP BY lang
 )
 SELECT lang, n_docs, total_words, total_syllables, total_sentences,
-       ROUND(206.835
-             - 1.015 * (CAST(total_words AS DOUBLE) / total_sentences)
-             - 84.6 * (CAST(total_syllables AS DOUBLE) / total_words)
-             + 0, 6) AS flesch
+       CASE WHEN total_words = 0 THEN 0.0
+            ELSE ROUND(206.835
+                       - 1.015 * (CAST(total_words AS DOUBLE) / total_sentences)
+                       - 84.6 * (CAST(total_syllables AS DOUBLE) / total_words)
+                       + 0, 6)
+       END AS flesch
 FROM agg
 """
 
@@ -5410,12 +5413,18 @@ def l4_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("sy").alias("total_syllables"),
         F.sum("s").alias("total_sentences"),
     )
-    flesch = F.round(
-        F.lit(206.835)
-        - F.lit(1.015) * (F.col("total_words").cast("double") / F.col("total_sentences"))
-        - F.lit(84.6) * (F.col("total_syllables").cast("double") / F.col("total_words"))
-        + F.lit(0),
-        6,
+    # an all-empty-docs language has zero words; 0.0 sentinel instead
+    # of an ANSI divide-by-zero (sentences are already floored at 1).
+    flesch = F.when(F.col("total_words") == 0, F.lit(0.0)).otherwise(
+        F.round(
+            F.lit(206.835)
+            - F.lit(1.015)
+            * (F.col("total_words").cast("double") / F.col("total_sentences"))
+            - F.lit(84.6)
+            * (F.col("total_syllables").cast("double") / F.col("total_words"))
+            + F.lit(0),
+            6,
+        )
     )
     return agg.select(
         "lang",
@@ -5435,16 +5444,11 @@ def l4_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _G3_MAX_HOPS = 8
+_G3_MIN_SUP = 2
 
 _G3_ORACLE = f"""
 WITH RECURSIVE
-li AS (SELECT l_orderkey, l_partkey FROM lineitem GROUP BY 1, 2),
-e AS (
-  SELECT a.l_partkey AS u, b.l_partkey AS v
-  FROM li a JOIN li b
-    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-  GROUP BY 1, 2 HAVING COUNT(*) >= 2
-),
+{oracle_co_edges(2)},
 ud AS (SELECT u AS s, v AS d FROM e UNION ALL SELECT v AS s, u AS d FROM e),
 walk(node, hops) AS (
   SELECT MIN(u), 0 FROM e
@@ -5477,23 +5481,7 @@ def g3_shortest_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     output. The oracle's recursive CTE dedups (node, hops) pairs via
     UNION, bounding it at V·(cap+1) rows.
     """
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a, b = li.alias("a"), li.alias("b")
-    e = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .agg(F.count("*").alias("cnt"))
-        .filter(F.col("cnt") >= 2)
-        .select("u", "v")
-    )
+    e = co_purchase_edges(spark, sf_dir, _G3_MIN_SUP).select("u", "v")
     ud = e.select(F.col("u").alias("s"), F.col("v").alias("d")).unionByName(
         e.select(F.col("v").alias("s"), F.col("u").alias("d"))
     )
@@ -5816,9 +5804,11 @@ cnt AS (
   FROM q GROUP BY label
 )
 SELECT g.label, cnt.n_even, cnt.n_odd,
-       ROUND(CAST(dot AS DOUBLE)
-             / (sqrt(CAST(ne AS DOUBLE)) * sqrt(CAST(no AS DOUBLE))) + 0, 6)
-         AS centroid_cos
+       CASE WHEN ne = 0 OR no = 0 THEN 0.0
+            ELSE ROUND(CAST(dot AS DOUBLE)
+                       / (sqrt(CAST(ne AS DOUBLE)) * sqrt(CAST(no AS DOUBLE)))
+                       + 0, 6)
+       END AS centroid_cos
 FROM g JOIN cnt ON cnt.label = g.label
 """
 
@@ -5863,11 +5853,18 @@ def l6_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("parity") == 0, 1).otherwise(0)).alias("n_even"),
         F.sum(F.when(F.col("parity") == 1, 1).otherwise(0)).alias("n_odd"),
     )
-    cos = F.round(
-        F.col("dot").cast("double")
-        / (F.sqrt(F.col("ne").cast("double")) * F.sqrt(F.col("no").cast("double")))
-        + F.lit(0),
-        6,
+    # one-sided labels (all vectors in one parity half) zero a norm;
+    # the 0.0 sentinel keeps ANSI mode from throwing on the division.
+    cos = F.when((F.col("ne") == 0) | (F.col("no") == 0), F.lit(0.0)).otherwise(
+        F.round(
+            F.col("dot").cast("double")
+            / (
+                F.sqrt(F.col("ne").cast("double"))
+                * F.sqrt(F.col("no").cast("double"))
+            )
+            + F.lit(0),
+            6,
+        )
     )
     return g.join(cnt, "label").select(
         "label", "n_even", "n_odd", cos.alias("centroid_cos")

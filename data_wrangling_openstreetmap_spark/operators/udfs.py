@@ -596,7 +596,7 @@ def _make_first_tokens():
 
 _U9_K = 3
 
-_U9_ORACLE = f"""
+_U9_ORACLE = r"""
 WITH t AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x != '') AS toks FROM documents)
 SELECT doc_id, toks[1] AS tok_1, toks[2] AS tok_2, toks[3] AS tok_3
 FROM t
@@ -643,15 +643,20 @@ def _arrow_zscore(table):
 
     bal = table.column("c_acctbal").to_numpy(zero_copy_only=False)
     cents = np.rint(bal * 100.0).astype(np.int64)
-    n = np.int64(len(cents))
-    sx = cents.sum(dtype=np.int64)
-    sxx = (cents * cents).sum(dtype=np.int64)
+    n = len(cents)
+    # moments in PYTHON ints (u3's recipe): numpy int64 sums wrap
+    # silently near ~10^6 rows/group x 10^6 cents — exactness first.
+    ints = [int(c) for c in cents]
+    sx = sum(ints)
+    sxx = sum(c * c for c in ints)
     denom = n * sxx - sx * sx
     if denom == 0:
-        z = np.zeros(len(cents), dtype=np.float64)
+        z = np.zeros(n, dtype=np.float64)
     else:
         # identical expression to u3's oracle: (cents·n − Σx) / √denom
-        z = (cents * n - sx) / np.sqrt(np.float64(denom))
+        # cents*n <= ~1e12 and sx fit float64 exactly, so the per-row
+        # arithmetic stays vectorized once the moments are exact.
+        z = (cents.astype(np.float64) * n - float(sx)) / np.sqrt(float(denom))
     return pa.table(
         {
             "c_custkey": table.column("c_custkey"),

@@ -1638,6 +1638,7 @@ def w16_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CMS_W = 128
 _CMS_MULTS = (2654435761, 2246822519, 3266489917)  # Knuth / xxhash odd primes
+_CMS_PREMOD = 1_000_003  # pre-reduce ids so id*mult never overflows BIGINT
 
 _A24_ORACLE = f"""
 WITH h(j, m) AS (
@@ -1645,7 +1646,7 @@ WITH h(j, m) AS (
                         (2, {_CMS_MULTS[2]})) AS v(j, m)
 ),
 sketch AS (
-  SELECT h.j, (e.user_id * h.m) % {_CMS_W} AS bucket,
+  SELECT h.j, ((e.user_id % {_CMS_PREMOD}) * h.m) % {_CMS_W} AS bucket,
          CAST(COUNT(*) AS BIGINT) AS c
   FROM events e CROSS JOIN h
   GROUP BY 1, 2
@@ -1657,7 +1658,8 @@ t AS (
 est AS (
   SELECT t.user_id, t.true_n, MIN(s.c) AS cms_est
   FROM t CROSS JOIN h
-  JOIN sketch s ON s.j = h.j AND s.bucket = (t.user_id * h.m) % {_CMS_W}
+  JOIN sketch s ON s.j = h.j
+   AND s.bucket = ((t.user_id % {_CMS_PREMOD}) * h.m) % {_CMS_W}
   GROUP BY 1, 2
 )
 SELECT user_id, true_n,
@@ -1677,7 +1679,8 @@ def a24_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the min over the key's three counters and can only OVERcount
     (collisions add, never subtract) — `overestimate ≥ 0` for every
     row is the CMS guarantee, asserted as a semantics test. All-integer
-    → engine-identical.
+    → engine-identical; ids pre-reduce mod a prime (1,000,003) so the
+    multiply stays inside BIGINT for 64-bit key spaces.
 
     Scale: the sketch is d·w = 384 counters REGARDLESS of input size,
     built with one map-side-combined groupBy — and it merges by cell-
@@ -1693,7 +1696,7 @@ def a24_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes = [
         F.struct(
             F.lit(j).alias("j"),
-            ((F.col("user_id") * F.lit(m)) % _CMS_W).alias("bucket"),
+            (((F.col("user_id") % _CMS_PREMOD) * F.lit(m)) % _CMS_W).alias("bucket"),
         )
         for j, m in enumerate(_CMS_MULTS)
     ]

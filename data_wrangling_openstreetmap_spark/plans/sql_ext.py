@@ -396,7 +396,7 @@ def sql(spark: SparkSession, query: str) -> DataFrame:
                 "FROM <table> ORDER BY <cols>"
             )
         return _lower_distinct_on(spark, m)
-    if re.search(r"\bMATCH_RECOGNIZE\b", query, re.IGNORECASE):
+    if re.search(r"\bMATCH_RECOGNIZE\s*\(", query, re.IGNORECASE):
         m = _MR_RE.search(query)
         if m is None:
             raise SqlExtError(
@@ -405,7 +405,12 @@ def sql(spark: SparkSession, query: str) -> DataFrame:
                 "BY <cols> PATTERN (SYM[+|*] ...) DEFINE SYM AS <pred>, ...)"
             )
         return _lower_match_recognize(spark, m)
-    if re.search(r"\bQUALIFY\b", query, re.IGNORECASE):
+    if re.search(
+        r"\bQUALIFY\s+(?:ROW_NUMBER|RANK|DENSE_RANK)\b", query, re.IGNORECASE
+    ):
+        # trigger on the two-token construct shape, not the bare word:
+        # a column or alias legitimately named `qualify` passes through
+        # (the ASOF branch set this convention with \bASOF\s+JOIN\b).
         m = _QUALIFY_RE.search(query)
         if m is None:
             raise SqlExtError(

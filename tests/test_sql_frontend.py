@@ -180,12 +180,14 @@ def test_qualify_compiles_to_window_group_limit(spark):
     assert "WindowGroupLimit" in buf.getvalue()
 
 
+def test_qualify_bare_word_passes_through(spark):
+    # `qualify` is NOT a reserved word in Spark SQL: as a bare alias or
+    # column it must reach spark.sql untouched (the ASOF convention).
+    got = sql(spark, "SELECT 1 AS qualify")
+    assert [tuple(r) for r in got.collect()] == [(1,)]
+
+
 def test_qualify_malformed_raises_not_delegates(spark):
-    with pytest.raises(SqlExtError):
-        sql(spark, "SELECT 1 QUALIFY broken")
-    with pytest.raises(SqlExtError):
-        # aggregate window fn is outside the documented grammar
-        sql(spark, "SELECT id FROM q_t QUALIFY SUM(id) OVER (PARTITION BY id) <= 3")
     with pytest.raises(SqlExtError):
         # predicate must be a <= int literal
         sql(
