@@ -649,3 +649,133 @@ def m6_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("first_cut_idx"),
     )
+
+
+# ---------------------------------------------------------------------------
+# m7 — audio VAD: the audio-modality stage (m2/m6 cover video, m3/m4
+# images): fake-PCM frames with an energy gate, then gaps-and-islands
+# over the voiced flags — frame the waveform in Arrow, segment with
+# JVM windows.
+# ---------------------------------------------------------------------------
+
+VAD_SCHEMA = "doc_id bigint, frame_idx int, energy bigint"
+VAD_FRAME_BYTES = 40  # "samples" per frame
+VAD_ENERGY_THRESHOLD = 400_000  # Σ sample² gate per frame
+
+
+def fake_pcm_frames_batch(batches):
+    """Deterministic stand-in decoder: the payload bytes ARE the PCM
+    samples; frames are fixed windows with Σ sample² energy — pure byte
+    arithmetic, so the whole stage is oracle-expressible."""
+    import pandas as pd
+
+    for pdf in batches:
+        out = {"doc_id": [], "frame_idx": [], "energy": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            n_frames = max(1, len(payload) // VAD_FRAME_BYTES)
+            for idx in range(n_frames):
+                frame = payload[idx * VAD_FRAME_BYTES : (idx + 1) * VAD_FRAME_BYTES]
+                out["doc_id"].append(doc_id)
+                out["frame_idx"].append(idx)
+                out["energy"].append(sum(b * b for b in frame))
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                "frame_idx": pd.Series(out["frame_idx"], dtype="int32"),
+                "energy": pd.Series(out["energy"], dtype="int64"),
+            }
+        )
+
+
+_M7_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, text,
+         greatest(1, length(text) // {VAD_FRAME_BYTES}) AS n_frames
+  FROM documents
+),
+fr AS (
+  SELECT doc_id, i AS frame_idx,
+         COALESCE(list_sum(list_transform(
+           string_split(substring(text, i * {VAD_FRAME_BYTES} + 1,
+                                  {VAD_FRAME_BYTES}), ''),
+           c -> ascii(c) * ascii(c))), 0) AS energy
+  FROM t, LATERAL (SELECT unnest(generate_series(0, n_frames - 1)) AS i) g(i)
+),
+v AS (
+  SELECT doc_id, frame_idx,
+         CASE WHEN energy >= {VAD_ENERGY_THRESHOLD} THEN 1 ELSE 0 END AS voiced
+  FROM fr
+),
+runs AS (
+  SELECT doc_id, frame_idx, voiced,
+         frame_idx - row_number() OVER (
+           PARTITION BY doc_id, voiced ORDER BY frame_idx
+         ) AS island
+  FROM v
+),
+seg AS (
+  SELECT doc_id, voiced, island, CAST(COUNT(*) AS BIGINT) AS run_len
+  FROM runs GROUP BY 1, 2, 3
+)
+SELECT v.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_frames,
+       CAST(SUM(voiced) AS BIGINT) AS n_voiced,
+       CAST(COALESCE((SELECT MAX(run_len) FROM seg s
+                      WHERE s.doc_id = v.doc_id AND s.voiced = 1), 0)
+            AS BIGINT) AS longest_voiced_run
+FROM v GROUP BY v.doc_id
+"""
+
+
+@register("m7_audio_vad", oracle=_M7_ORACLE, tags=("L5", "U2", "W1"))
+def m7_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voice-activity detection on the fake-PCM stream: payload bytes
+    frame into 40-sample windows with Σ sample² energy (Arrow
+    mapInPandas — the decode/framing stage), a threshold gates each
+    frame voiced/unvoiced, and the classic gaps-and-islands window
+    (w15's recipe) finds each document's longest voiced run — the
+    segment boundaries an ASR pipeline would cut clips at. Exact
+    integers end to end (m4b's ASCII precondition), so the audio
+    stage is value-graded like every other m-stage.
+
+    Scale: framing fans out inside the Python worker and only
+    (doc_id, idx, energy) rides the shuffle — never the samples; the
+    island detection is one partitioned window per document with
+    frame counts bounded by clip length. A real pipeline swaps byte
+    energy for RMS-over-int16 and the threshold for a learned gate;
+    the plan is identical.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    payload = docs.select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    frames = payload.mapInPandas(fake_pcm_frames_batch, VAD_SCHEMA)
+    voiced = frames.select(
+        "doc_id",
+        "frame_idx",
+        (F.col("energy") >= VAD_ENERGY_THRESHOLD).cast("int").alias("voiced"),
+    )
+    w_isl = Window.partitionBy("doc_id", "voiced").orderBy("frame_idx")
+    runs = voiced.withColumn(
+        "island", F.col("frame_idx") - F.row_number().over(w_isl)
+    )
+    seg = runs.groupBy("doc_id", "voiced", "island").agg(
+        F.count("*").alias("run_len")
+    )
+    longest = (
+        seg.filter(F.col("voiced") == 1)
+        .groupBy("doc_id")
+        .agg(F.max("run_len").alias("longest_voiced_run"))
+    )
+    base = voiced.groupBy("doc_id").agg(
+        F.count("*").alias("n_frames"),
+        F.sum("voiced").cast("bigint").alias("n_voiced"),
+    )
+    return base.join(longest, "doc_id", "left").select(
+        "doc_id",
+        "n_frames",
+        "n_voiced",
+        F.coalesce(F.col("longest_voiced_run"), F.lit(0)).alias(
+            "longest_voiced_run"
+        ),
+    )

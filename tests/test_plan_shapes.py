@@ -38,6 +38,7 @@ PYTHON_ALLOWED = {
     "m5_decode_parity",
     "m2_frame_sample",
     "m6_scene_cuts",  # Arrow decode stage feeding a JVM lag window — the temporal m-op
+    "m7_audio_vad",  # Arrow PCM framing feeding JVM gaps-and-islands — the audio m-op
     "m2b_frame_parity",
     "m3_image_resize",
     "m4_feature_extract",
