@@ -2286,3 +2286,106 @@ def w19_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.alias("n_pairs"),
         F.round(median + F.lit(0), 6).alias("ts_slope_cents_per_day"),
     )
+
+
+# ---------------------------------------------------------------------------
+# w21 — irregular-gap EWMA: exponential decay by the ACTUAL elapsed
+# time between observations (half-life form), not by row count — the
+# estimator event streams need because w11's per-step decay assumes a
+# regular cadence.
+# ---------------------------------------------------------------------------
+
+_W21_HALF_LIFE_US = 3_600_000_000  # 1 hour
+
+_W21_ORACLE = f"""
+WITH RECURSIVE ev AS (
+  SELECT user_id,
+         CAST(row_number() OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS BIGINT) AS rn,
+         epoch_us(ts) AS us,
+         CAST(round(value * 100) AS BIGINT) AS v
+  FROM events
+),
+n AS (SELECT user_id, MAX(rn) AS n_events FROM ev GROUP BY user_id),
+w(user_id, rn, us, s, z) AS (
+  SELECT user_id, rn, us, CAST(v AS DOUBLE), CAST(1 AS DOUBLE)
+  FROM ev WHERE rn = 1
+  UNION ALL
+  SELECT e.user_id, e.rn, e.us,
+         e.v + pow(0.5, CAST(e.us - w.us AS DOUBLE) / {_W21_HALF_LIFE_US}) * w.s,
+         1 + pow(0.5, CAST(e.us - w.us AS DOUBLE) / {_W21_HALF_LIFE_US}) * w.z
+  FROM w JOIN ev e ON e.user_id = w.user_id AND e.rn = w.rn + 1
+)
+SELECT w.user_id, n.n_events,
+       ROUND(w.s / w.z + 0, 6) AS ewma_cents
+FROM w JOIN n ON n.user_id = w.user_id AND w.rn = n.n_events
+"""
+
+
+@register("w21_ewma_irregular", oracle=_W21_ORACLE, tags=("W4", "W3", "F3"))
+def w21_ewma_irregular(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA with a 1-hour HALF-LIFE over irregular event
+    times: each step decays the running numerator/normalizer by
+    0.5^(Δt/H) for the actual µs gap, so a burst of events and a
+    week-old one weigh correctly regardless of cadence. One in-order
+    fold per user (struct accumulator carrying prev-time, numerator,
+    normalizer) against the oracle's recursive-CTE replay of the
+    identical recurrence — pow() differs ≤1 ulp per step across
+    libms; ~10³ steps compound far below the 6-dp round.
+
+    Scale: per-user histories are the fold arrays (q30's bounded-
+    history argument); for unbounded keys the same recurrence runs
+    incrementally as st7-style applyInPandasWithState carrying (t, s,
+    z) — the operator is associative-free on purpose, which is WHY
+    the streaming form needs state rather than a window rewrite.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    rows = ev.select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        F.col("event_id").alias("eid"),
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    series = rows.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.struct("us", "eid", "v"))).alias("xs")
+    )
+    acc0 = F.struct(
+        F.lit(0).cast("long").alias("n"),
+        F.lit(0).cast("long").alias("prev_us"),
+        F.lit(0.0).alias("s"),
+        F.lit(0.0).alias("z"),
+    )
+
+    def step(acc, x):
+        decay = F.pow(
+            F.lit(0.5),
+            (x["us"] - acc["prev_us"]).cast("double") / F.lit(_W21_HALF_LIFE_US),
+        )
+        return F.when(
+            acc["n"] == 0,
+            F.struct(
+                F.lit(1).cast("long").alias("n"),
+                x["us"].alias("prev_us"),
+                x["v"].cast("double").alias("s"),
+                F.lit(1.0).alias("z"),
+            ),
+        ).otherwise(
+            F.struct(
+                (acc["n"] + 1).alias("n"),
+                x["us"].alias("prev_us"),
+                (x["v"] + decay * acc["s"]).alias("s"),
+                (F.lit(1.0) + decay * acc["z"]).alias("z"),
+            )
+        )
+
+    folded = series.select(
+        "user_id",
+        F.size("xs").cast("long").alias("n_events"),
+        F.aggregate(F.col("xs"), acc0, step).alias("w"),
+    )
+    return folded.select(
+        "user_id",
+        "n_events",
+        F.round(F.col("w.s") / F.col("w.z") + F.lit(0), 6).alias("ewma_cents"),
+    )
