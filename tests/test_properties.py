@@ -393,3 +393,63 @@ def test_asof_join_tolerance_matches_pandas(spark, left, right, tol):
         for row in want_df.itertuples()
     }
     assert got == want
+
+
+_qrows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=4),   # group
+        st.integers(min_value=-50, max_value=50),  # score
+    ),
+    min_size=1,
+    max_size=16,
+)
+
+
+@given(_qrows, st.integers(min_value=1, max_value=3))
+@settings(**SETTINGS)
+def test_qualify_lowering_equals_subquery_form(spark, rows, k):
+    """Frontend law: QUALIFY lowering == the explicit window-subquery
+    rewrite, for ANY row multiset and k — including duplicate scores
+    (the id tiebreak pins rank order on both formulations)."""
+    from data_wrangling_openstreetmap_spark.plans.sql_ext import sql
+
+    df = spark.createDataFrame(
+        [(i, g, v) for i, (g, v) in enumerate(rows)], "id int, g int, v int"
+    )
+    df.createOrReplaceTempView("prop_q")
+    got = sql(
+        spark,
+        f"SELECT g, id FROM prop_q QUALIFY ROW_NUMBER() OVER "
+        f"(PARTITION BY g ORDER BY v DESC, id) <= {k}",
+    )
+    want = spark.sql(
+        f"SELECT g, id FROM (SELECT g, id, ROW_NUMBER() OVER "
+        f"(PARTITION BY g ORDER BY v DESC, id) AS r FROM prop_q) WHERE r <= {k}"
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+@given(_qrows)
+@settings(**SETTINGS)
+def test_distinct_on_lowering_keeps_exactly_one_row_per_key(spark, rows):
+    """Frontend law: DISTINCT ON emits exactly one row per key — the
+    one ranked first by the ORDER BY — for any input multiset."""
+    from data_wrangling_openstreetmap_spark.plans.sql_ext import sql
+
+    df = spark.createDataFrame(
+        [(i, g, v) for i, (g, v) in enumerate(rows)], "id int, g int, v int"
+    )
+    df.createOrReplaceTempView("prop_don")
+    got = sql(
+        spark,
+        "SELECT DISTINCT ON (g) g, id FROM prop_don ORDER BY g, v DESC, id",
+    )
+    out = [(r.g, r.id) for r in got.collect()]
+    keys = [g for g, _ in out]
+    assert sorted(keys) == sorted({g for g, _ in rows})
+    best = {}
+    for i, (g, v) in enumerate(rows):
+        cur = best.get(g)
+        if cur is None or (-v, i) < cur[0]:
+            best[g] = ((-v, i), i)
+    assert sorted(out) == sorted((g, b[1]) for g, b in best.items())
