@@ -2389,3 +2389,126 @@ def w21_ewma_irregular(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.round(F.col("w.s") / F.col("w.z") + F.lit(0), 6).alias("ewma_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# w22 — weekly autocorrelation: ACF at lag 7 of the daily cents
+# series per event type — the seasonality detector that says whether
+# w17/w19's trend models need a weekly term.
+# ---------------------------------------------------------------------------
+
+_W22_LAG = 7
+
+_W22_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type,
+         CAST(row_number() OVER (
+           PARTITION BY event_type ORDER BY date_trunc('day', ts)
+         ) AS BIGINT) AS i,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+  FROM events GROUP BY event_type, date_trunc('day', ts)
+),
+m AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS t
+  FROM daily GROUP BY event_type
+),
+-- deviations scaled by n: d_i = n·x_i − T (exact integers)
+dev AS (
+  SELECT d.event_type, d.i, m.n, d.x * m.n - m.t AS d
+  FROM daily d JOIN m ON m.event_type = d.event_type
+),
+pairs AS (
+  SELECT a.event_type, a.n,
+         list_sort(list([a.i, a.d, b.d])) AS num_terms
+  FROM dev a JOIN dev b
+    ON b.event_type = a.event_type AND b.i = a.i + {_W22_LAG}
+  GROUP BY a.event_type, a.n
+),
+den AS (
+  SELECT event_type, list_sort(list([i, d])) AS den_terms
+  FROM dev GROUP BY event_type
+)
+SELECT p.event_type, p.n AS n_days,
+       ROUND(list_sum(list_transform(p.num_terms,
+               x -> CAST(x[2] AS DOUBLE) * CAST(x[3] AS DOUBLE)))
+             / list_sum(list_transform(d.den_terms,
+               x -> CAST(x[2] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+             + 0, 6) AS acf7
+FROM pairs p JOIN den d ON d.event_type = p.event_type
+"""
+
+
+@register("w22_weekly_autocorr", oracle=_W22_ORACLE, tags=("W4", "W3", "A7"))
+def w22_weekly_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-7 autocorrelation per event type: deviations scale by n
+    (dᵢ = n·xᵢ − T, exact BIGINT — w18's trick), the lag pairing is a
+    self-join on day index i ↔ i+7, and both the numerator Σdᵢdᵢ₊₇
+    and denominator Σdᵢ² fold IN INDEX ORDER over sorted term arrays
+    (the products exceed BIGINT at scale, so each term casts to
+    double INSIDE the pinned fold — identical order, identical
+    doubles). One ratio, 6-dp round. |acf7| near 1 = strong weekly
+    seasonality.
+
+    Scale: daily rollup is the only data-sized shuffle; everything
+    after is calendar-bounded per type (≤365 terms/year). The
+    constant-series edge (all dᵢ = 0) cannot occur here — value
+    cents vary — and would 0/0 on BOTH engines identically if the
+    fixture degenerated (a golden change, not a silent flip).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("x"))
+    w_ord = Window.partitionBy("event_type").orderBy("day")
+    idx = daily.select(
+        "event_type",
+        F.row_number().over(w_ord).cast("long").alias("i"),
+        "x",
+    )
+    m = idx.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.sum("x").alias("t")
+    )
+    dev = idx.join(F.broadcast(m), "event_type").select(
+        "event_type",
+        "i",
+        "n",
+        (F.col("x") * F.col("n") - F.col("t")).alias("d"),
+    )
+    a, b = dev.alias("a"), dev.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("b.event_type") == F.col("a.event_type"))
+            & (F.col("b.i") == F.col("a.i") + _W22_LAG),
+        )
+        .groupBy(F.col("a.event_type").alias("event_type"), F.col("a.n").alias("n"))
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.array(F.col("a.i"), F.col("a.d"), F.col("b.d"))
+                )
+            ).alias("num_terms")
+        )
+    )
+    den = dev.groupBy("event_type").agg(
+        F.array_sort(
+            F.collect_list(F.array(F.col("i"), F.col("d"), F.col("d")))
+        ).alias("den_terms")
+    )
+
+    def fsum(col):
+        # the d·d products multiply as DOUBLES inside the fold — the
+        # BIGINT product would overflow once n·x passes ~3e9 cents.
+        return F.aggregate(
+            col,
+            F.lit(0.0),
+            lambda acc, x: acc + x[1].cast("double") * x[2].cast("double"),
+        )
+
+    return pairs.join(den, "event_type").select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.round(
+            fsum(F.col("num_terms")) / fsum(F.col("den_terms")) + F.lit(0), 6
+        ).alias("acf7"),
+    )

@@ -392,3 +392,36 @@ def test_dynamic_partition_overwrite_replaces_only_touched(spark, tmp_path):
     )
     assert sorted(tuple(r) for r in got.select("doc_id", "lang", "n_chars").collect()) == \
         sorted(tuple(r) for r in want.collect())
+
+
+def test_analyze_table_feeds_cbo_statistics(spark, tmp_path):
+    """ANALYZE TABLE COMPUTE STATISTICS must surface rowCount/sizeInBytes
+    to the cost-based optimizer — at 100 TB, stats-driven join planning
+    (broadcast decisions, join reordering) is the difference between a
+    plan and a guess. Pins that the engine integration actually records
+    and exposes the numbers."""
+    import contextlib
+    import io
+
+    from data_wrangling_openstreetmap_spark.io import load_table
+
+    nation = load_table(spark, "/root/testdata/sf0.001", "nation")
+    spark.sql("DROP TABLE IF EXISTS cbo_nation")
+    nation.write.saveAsTable("cbo_nation")
+    try:
+        spark.sql("ANALYZE TABLE cbo_nation COMPUTE STATISTICS FOR ALL COLUMNS")
+        stats = spark.sql("DESCRIBE EXTENDED cbo_nation").filter(
+            "col_name = 'Statistics'"
+        ).collect()
+        assert stats and "rows" in stats[0].data_type, stats
+        old = spark.conf.get("spark.sql.cbo.enabled", "false")
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        try:
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                spark.table("cbo_nation").explain("cost")
+            assert "rowCount=" in buf.getvalue(), "CBO saw no row stats"
+        finally:
+            spark.conf.set("spark.sql.cbo.enabled", old)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS cbo_nation")
