@@ -2321,3 +2321,82 @@ def q31_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return r.orderBy(F.desc("lift"), "u", "v").limit(_Q31_TOPK)
+
+
+# ---------------------------------------------------------------------------
+# q34 — Pareto share: what fraction of revenue comes from the top 20%
+# of customers — the concentration KPI in ratio form (a26's Gini is
+# the integral form), built on the scale-safe global rank.
+# ---------------------------------------------------------------------------
+
+_Q34_ORACLE = """
+WITH cust AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY o_custkey
+),
+rk AS (
+  SELECT o_custkey, cents,
+         CAST(row_number() OVER (ORDER BY cents DESC, o_custkey) AS BIGINT) AS rn
+  FROM cust
+),
+m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cust,
+             CAST(SUM(cents) AS BIGINT) AS total_cents FROM cust)
+SELECT m.n_cust, m.total_cents,
+       CAST(m.n_cust // 5 AS BIGINT) AS top_n,
+       CAST(SUM(CASE WHEN rk.rn <= m.n_cust // 5 THEN rk.cents ELSE 0 END)
+            AS BIGINT) AS top_cents,
+       ROUND(CAST(SUM(CASE WHEN rk.rn <= m.n_cust // 5 THEN rk.cents ELSE 0 END)
+                  AS DOUBLE) / m.total_cents + 0, 6) AS pareto_share
+FROM rk, m
+GROUP BY m.n_cust, m.total_cents
+"""
+
+
+@register("q34_pareto_share", oracle=_Q34_ORACLE, tags=("W1", "A2", "O2"))
+def q34_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue share of the top-20% customers: per-customer cents
+    totals rank globally (DESCENDING via the negated-key form of the
+    two-level scalable_row_number — the bucket stays a monotonic
+    coarsening of the sort key), the top ⌊n/5⌋ sum exactly, and the
+    share is one ratio at 6 dp. The 80/20 dashboard number, exact.
+
+    Scale: the rank never single-partition-sorts the customer table
+    (the oracle's plain window does — the point of the scale-safe
+    twin); everything else is two aggregates. Tie policy: equal
+    revenues order by customer key, so the boundary customer is
+    deterministic on both engines.
+    """
+    from ._helpers import scalable_row_number
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+    )
+    ranked = scalable_row_number(
+        cust.withColumn("neg", -F.col("cents")),
+        key="neg",
+        bucket_width=1_000_000,
+        order_cols=[F.col("neg"), F.col("o_custkey")],
+        out="rn",
+    )
+    m = cust.agg(
+        F.count("*").alias("n_cust"), F.sum("cents").alias("total_cents")
+    )
+    joined = ranked.crossJoin(F.broadcast(m))
+    top = joined.groupBy("n_cust", "total_cents").agg(
+        F.sum(
+            F.when(
+                F.col("rn") <= F.floor(F.col("n_cust") / 5), F.col("cents")
+            ).otherwise(0)
+        ).alias("top_cents")
+    )
+    return top.select(
+        "n_cust",
+        "total_cents",
+        F.floor(F.col("n_cust") / 5).cast("long").alias("top_n"),
+        "top_cents",
+        F.round(
+            F.col("top_cents").cast("double") / F.col("total_cents") + F.lit(0), 6
+        ).alias("pareto_share"),
+    )

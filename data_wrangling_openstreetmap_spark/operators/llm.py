@@ -5869,3 +5869,71 @@ def l6_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.join(cnt, "label").select(
         "label", "n_even", "n_odd", cos.alias("centroid_cos")
     )
+
+
+# ---------------------------------------------------------------------------
+# G5 — power-law degree fit: the continuous-MLE α over the co-purchase
+# degree distribution — "is this graph scale-free or random?", the
+# graph-health statistic next to g2's clustering coefficient.
+# ---------------------------------------------------------------------------
+
+_G5_ORACLE = f"""
+WITH {{co_edges}},
+deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+    SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e
+  ) GROUP BY node
+),
+g AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         CAST(MAX(d) AS BIGINT) AS max_degree,
+         list_sort(list([node, d])) AS ds
+  FROM deg
+)
+SELECT n_nodes, max_degree,
+       ROUND(1.0 + n_nodes
+             / list_sum(list_transform(ds,
+                 x -> ln(CAST(x[2] AS DOUBLE) / 0.5))) + 0, 6) AS alpha
+FROM g
+"""
+
+
+@register("g5_powerlaw_alpha", oracle=_G5_ORACLE.format(co_edges=oracle_co_edges(2)), tags=("A1", "A2", "F4"))
+def g5_powerlaw_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clauset–Shalizi–Newman continuous MLE for the power-law exponent
+    of the co-purchase degree distribution: α = 1 + n / Σ ln(dᵢ/(dmin−½))
+    with dmin = 1 (every node in the edge set has degree ≥ 1, so the
+    ½-shifted denominator is the standard continuous correction). The
+    ln terms fold in node-sorted order (a25's recipe) from exact
+    integer degrees; α ≈ 2–3 is the scale-free regime.
+
+    Scale: degrees are one aggregation over the shared edge table
+    (co_purchase_edges — the same base as g2/g3/q31); the fold array
+    is bounded by the node count of the EDGE SET, which min-support
+    already prunes. For web-scale graphs the fold becomes a two-level
+    sum of per-bucket partial logs — same integers, no array.
+    """
+    e = co_purchase_edges(spark, sf_dir, 2).select("u", "v")
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    g = deg.agg(
+        F.count("*").alias("n_nodes"),
+        F.max("d").alias("max_degree"),
+        F.array_sort(F.collect_list(F.array(F.col("node"), F.col("d")))).alias("ds"),
+    )
+    lsum = F.aggregate(
+        F.col("ds"),
+        F.lit(0.0),
+        lambda acc, x: acc + F.log(x[1].cast("double") / F.lit(0.5)),
+    )
+    return g.select(
+        "n_nodes",
+        "max_degree",
+        F.round(
+            F.lit(1.0) + F.col("n_nodes") / lsum + F.lit(0), 6
+        ).alias("alpha"),
+    )

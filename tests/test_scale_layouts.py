@@ -425,3 +425,27 @@ def test_analyze_table_feeds_cbo_statistics(spark, tmp_path):
             spark.conf.set("spark.sql.cbo.enabled", old)
     finally:
         spark.sql("DROP TABLE IF EXISTS cbo_nation")
+
+
+def test_recursive_lookup_and_glob_filter_discovery(spark, tmp_path):
+    """File discovery knobs a 100 TB lake lives by: recursiveFileLookup
+    must find nested non-partition layouts, and pathGlobFilter must
+    prune files by name BEFORE any read — both without touching row
+    content."""
+    from data_wrangling_openstreetmap_spark.io import load_table
+
+    nation = load_table(spark, "/root/testdata/sf0.001", "nation")
+    base = tmp_path / "lake"
+    for sub, rows in (("a/day1", 10), ("a/day2", 7), ("b/deep/day3", 8)):
+        nation.limit(rows).write.parquet(str(base / sub / "part"))
+    got = (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(str(base))
+    )
+    assert got.count() == 25
+    only_a = (
+        spark.read.option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(str(base / "a"))
+    )
+    assert only_a.count() == 17
