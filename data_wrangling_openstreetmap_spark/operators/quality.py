@@ -550,3 +550,74 @@ def dp1_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# ---------------------------------------------------------------------------
+# dp2 — join-key skew report: the pre-join audit that decides between
+# a plain shuffle join, a broadcast, and j1's salting — heavy-hitter
+# share of the fact table's join key, as data.
+# ---------------------------------------------------------------------------
+
+_DP2_TOPK = 5
+
+_DP2_ORACLE = f"""
+WITH k AS (
+  SELECT l_partkey AS key, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM lineitem GROUP BY 1
+),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+         CAST(SUM(cnt) AS BIGINT) AS n_rows
+  FROM k
+)
+SELECT k.key, k.cnt,
+       m.n_keys, m.n_rows,
+       ROUND(CAST(k.cnt AS DOUBLE) / m.n_rows + 0, 6) AS row_share,
+       ROUND(CAST(k.cnt AS DOUBLE) * m.n_keys / m.n_rows + 0, 6) AS skew_factor
+FROM k, m
+ORDER BY k.cnt DESC, k.key
+LIMIT {_DP2_TOPK}
+"""
+
+
+@register("dp2_key_skew_report", oracle=_DP2_ORACLE, tags=("A1", "O2", "A9"))
+def dp2_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 heaviest lineitem join keys with their row share and
+    skew factor (count ÷ mean count — 1.0 is perfectly uniform): the
+    audit that decides, BEFORE a 100 TB join runs, whether the key
+    needs j1's salting, AQE's skew split, or nothing. Exact counts,
+    two ratios at 6 dp, (cnt, key) tiebreak.
+
+    Scale: one map-side-combined groupBy + a single-row moment
+    aggregate broadcast back + TakeOrdered(5) — the report costs one
+    scan of the fact side regardless of skew. Run it per join key
+    column; persist daily and dq2's anomaly window watches the
+    skew_factor drift.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    k = li.groupBy(F.col("l_partkey").alias("key")).agg(
+        F.count("*").alias("cnt")
+    )
+    m = k.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("cnt").alias("n_rows"),
+    )
+    joined = k.crossJoin(F.broadcast(m))
+    return (
+        joined.select(
+            "key",
+            "cnt",
+            "n_keys",
+            "n_rows",
+            F.round(
+                F.col("cnt").cast("double") / F.col("n_rows") + F.lit(0), 6
+            ).alias("row_share"),
+            F.round(
+                F.col("cnt").cast("double") * F.col("n_keys") / F.col("n_rows")
+                + F.lit(0),
+                6,
+            ).alias("skew_factor"),
+        )
+        .orderBy(F.desc("cnt"), "key")
+        .limit(_DP2_TOPK)
+    )

@@ -449,3 +449,26 @@ def test_recursive_lookup_and_glob_filter_discovery(spark, tmp_path):
         .parquet(str(base / "a"))
     )
     assert only_a.count() == 17
+
+
+def test_ignore_corrupt_files_skips_garbage(spark, tmp_path):
+    """A 100 TB lake always contains a few truncated/garbage files;
+    ignoreCorruptFiles must skip them and keep the good rows (and the
+    default must FAIL loudly, not silently drop)."""
+    import pytest as _pytest
+
+    from data_wrangling_openstreetmap_spark.io import load_table
+
+    nation = load_table(spark, "/root/testdata/sf0.001", "nation")
+    path = tmp_path / "mixed"
+    nation.write.parquet(str(path))
+    (path / "zzz-corrupt.parquet").write_bytes(b"PAR1 this is not a parquet file")
+    good = nation.count()
+    got = (
+        spark.read.option("ignoreCorruptFiles", "true").parquet(str(path)).count()
+    )
+    assert got == good
+    with _pytest.raises(Exception):
+        spark.read.option("ignoreCorruptFiles", "false").parquet(
+            str(path)
+        ).count()
