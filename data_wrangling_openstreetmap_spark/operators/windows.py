@@ -2512,3 +2512,85 @@ def w22_weekly_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
             fsum(F.col("num_terms")) / fsum(F.col("den_terms")) + F.lit(0), 6
         ).alias("acf7"),
     )
+
+
+# ---------------------------------------------------------------------------
+# w23 — Kendall's τ-b between the daily purchase and click volumes:
+# the rank correlation that asks "do busy click days rank as busy
+# purchase days?" without assuming linearity (w10's Pearson does).
+# Concordant/discordant pair counting is pure integers.
+# ---------------------------------------------------------------------------
+
+_W23_ORACLE = """
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS day,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS p,
+         CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS c
+  FROM events GROUP BY 1
+),
+pairs AS (
+  SELECT sign(b.p - a.p) AS dp, sign(b.c - a.c) AS dc
+  FROM daily a JOIN daily b ON a.day < b.day
+),
+m AS (
+  SELECT CAST((SELECT COUNT(*) FROM daily) AS BIGINT) AS n_days,
+         CAST(COUNT(*) AS BIGINT) AS n0,
+         CAST(SUM(CASE WHEN dp * dc > 0 THEN 1 ELSE 0 END) AS BIGINT) AS conc,
+         CAST(SUM(CASE WHEN dp * dc < 0 THEN 1 ELSE 0 END) AS BIGINT) AS disc,
+         CAST(SUM(CASE WHEN dp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tie_p,
+         CAST(SUM(CASE WHEN dc = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tie_c
+  FROM pairs
+)
+SELECT n_days, conc, disc,
+       ROUND(CAST(conc - disc AS DOUBLE)
+             / sqrt(CAST((n0 - tie_p) * (n0 - tie_c) AS DOUBLE)) + 0, 6)
+         AS tau_b
+FROM m
+"""
+
+
+@register("w23_kendall_tau", oracle=_W23_ORACLE, tags=("W4", "A11", "J8"))
+def w23_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall τ-b between daily purchase and click counts: every day
+    pair classifies as concordant, discordant, or tied per side by
+    integer sign comparison, and τ_b = (C−D)/√((n₀−t_p)(n₀−t_c))
+    evaluates once from five exact integers. Complements w10's
+    Pearson (linear) and a27's Mann–Whitney (two-sample): this is the
+    paired-series monotone-association statistic.
+
+    Scale: the day-pair self-join is calendar-bounded (w19's
+    argument — 365²/2 pairs/year, a constant); the daily rollup is
+    the only data-sized shuffle. For unbounded series the estimator
+    switches to the O(n log n) merge-sort inversion count over the
+    scale-safe rank — same integers, no pair join.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("p"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("c"),
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = a.join(b, F.col("a.day") < F.col("b.day")).select(
+        F.signum(F.col("b.p") - F.col("a.p")).cast("long").alias("dp"),
+        F.signum(F.col("b.c") - F.col("a.c")).cast("long").alias("dc"),
+    )
+    n_days = daily.agg(F.count("*").alias("n_days"))
+    m = pairs.agg(
+        F.count("*").alias("n0"),
+        F.sum(F.when(F.col("dp") * F.col("dc") > 0, 1).otherwise(0)).alias("conc"),
+        F.sum(F.when(F.col("dp") * F.col("dc") < 0, 1).otherwise(0)).alias("disc"),
+        F.sum(F.when(F.col("dp") == 0, 1).otherwise(0)).alias("tie_p"),
+        F.sum(F.when(F.col("dc") == 0, 1).otherwise(0)).alias("tie_c"),
+    ).crossJoin(F.broadcast(n_days))
+    tau = F.round(
+        (F.col("conc") - F.col("disc")).cast("double")
+        / F.sqrt(
+            ((F.col("n0") - F.col("tie_p")) * (F.col("n0") - F.col("tie_c")))
+            .cast("double")
+        )
+        + F.lit(0),
+        6,
+    )
+    return m.select("n_days", "conc", "disc", tau.alias("tau_b"))
