@@ -5937,3 +5937,81 @@ def g5_powerlaw_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1.0) + F.col("n_nodes") / lsum + F.lit(0), 6
         ).alias("alpha"),
     )
+
+
+# ---------------------------------------------------------------------------
+# L4 — vocabulary coverage: what share of all token OCCURRENCES the
+# top-k word types cover — the curve that sizes a tokenizer's vocab
+# (and explains why 1k types can cover 90% of a corpus).
+# ---------------------------------------------------------------------------
+
+_L4_VOCAB_KS = (10, 100, 1000)
+
+_L4_VOCAB_ORACLE = f"""
+WITH w AS (
+  SELECT unnest({_ORACLE_TOKS}) AS word FROM documents
+),
+wc AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM w GROUP BY word),
+t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total,
+             CAST(COUNT(*) AS BIGINT) AS n_types FROM wc),
+rk AS (
+  SELECT word, cnt,
+         row_number() OVER (ORDER BY cnt DESC, word) AS rn
+  FROM wc
+)
+SELECT k, covered, total, n_types,
+       ROUND(CAST(covered AS DOUBLE) / total + 0, 6) AS coverage
+FROM (
+  SELECT CAST(u.k AS BIGINT) AS k,
+         CAST(SUM(CASE WHEN rk.rn <= u.k THEN rk.cnt ELSE 0 END) AS BIGINT)
+           AS covered,
+         t.total, t.n_types
+  FROM rk CROSS JOIN (SELECT unnest([{", ".join(str(k) for k in _L4_VOCAB_KS)}]) AS k) u
+  CROSS JOIN t
+  GROUP BY u.k, t.total, t.n_types
+)
+"""
+
+
+@register("l4_vocab_coverage", oracle=_L4_VOCAB_ORACLE, tags=("L4", "O2", "A1"))
+def l4_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-occurrence coverage of the top-{10,100,1000} word types:
+    word counts rank by (count, word), and each k reports how much of
+    the corpus its vocabulary prefix covers — exact integers plus one
+    6-dp ratio. The l4_zipf_slope twin in CURVE form: Zipf says
+    coverage grows like log k, and this measures it.
+
+    Scale: the word count is l4_word_freq's partial-aggregated
+    shuffle; the rank over DISTINCT TYPES uses a plain window here
+    (vocabulary is sub-linear in corpus size — Heaps' law) and the
+    two-level scalable rank once types outgrow one task. Coverage
+    sums are conditional aggregates over the ranked table — no
+    per-k re-scan of the corpus.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(F.explode(T.tokens(F.col("text"))).alias("word"))
+    wc = words.groupBy("word").agg(F.count("*").alias("cnt"))
+    t = wc.agg(
+        F.sum("cnt").alias("total"), F.count("*").alias("n_types")
+    )
+    w_rk = Window.orderBy(F.desc("cnt"), "word")
+    rk = wc.withColumn("rn", F.row_number().over(w_rk))
+    ks = spark.createDataFrame([(k,) for k in _L4_VOCAB_KS], "k long")
+    per_k = (
+        rk.crossJoin(F.broadcast(ks))
+        .groupBy("k")
+        .agg(
+            F.sum(
+                F.when(F.col("rn") <= F.col("k"), F.col("cnt")).otherwise(0)
+            ).alias("covered")
+        )
+    )
+    return per_k.crossJoin(F.broadcast(t)).select(
+        "k",
+        "covered",
+        "total",
+        "n_types",
+        F.round(
+            F.col("covered").cast("double") / F.col("total") + F.lit(0), 6
+        ).alias("coverage"),
+    )
