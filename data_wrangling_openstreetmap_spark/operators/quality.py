@@ -621,3 +621,88 @@ def dp2_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), "key")
         .limit(_DP2_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# dq7 — Benford first-digit audit: the fraud/synthesis detector —
+# naturally-occurring money amounts follow log10(1+1/d); fabricated
+# ones usually don't. First digits extract by STRING slicing (no
+# log10 roundtrip), so everything but the final shares is integers.
+# ---------------------------------------------------------------------------
+
+_BENFORD_P = {
+    1: 0.30102999566398119802,
+    2: 0.17609125905568124208,
+    3: 0.12493873660829992570,
+    4: 0.09691001300805641436,
+    5: 0.07918124604762482772,
+    6: 0.06694678963061322440,
+    7: 0.05799194697768673259,
+    8: 0.05115252244738128827,
+    9: 0.04575749056067513526,
+}  # log10(1 + 1/d), pinned as literals on BOTH engines
+
+_DQ7_ORACLE = f"""
+WITH d AS (
+  SELECT CAST(substring(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                             AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM orders WHERE o_totalprice > 0
+),
+c AS (
+  SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY digit
+),
+t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c),
+b(digit, p) AS (
+  SELECT * FROM (VALUES
+    {", ".join(f"({d}, {p!r})" for d, p in _BENFORD_P.items())}
+  ) AS v(digit, p)
+)
+SELECT b.digit, COALESCE(c.n, 0) AS n, t.total,
+       ROUND(CAST(COALESCE(c.n, 0) AS DOUBLE) / t.total + 0, 6) AS share,
+       ROUND(CAST(b.p AS DOUBLE) + 0, 6) AS benford_p,
+       ROUND(abs(CAST(COALESCE(c.n, 0) AS DOUBLE) / t.total
+                 - CAST(b.p AS DOUBLE)) + 0, 6)
+         AS abs_dev
+FROM b LEFT JOIN c ON c.digit = b.digit CROSS JOIN t
+"""
+
+
+@register("dq7_benford_audit", oracle=_DQ7_ORACLE, tags=("A1", "F1", "A7"))
+def dq7_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-digit distribution of order totals against Benford's law:
+    the digit comes from slicing the CENTS INTEGER's string form
+    (log10-free — a float log near a power of ten can misbin), counts
+    join a dense 9-digit spine with the reference probabilities
+    pinned as identical literals, and each digit reports its share
+    and absolute deviation at 6 dp. Large deviations on real money
+    data flag synthesis or tampering; this fixture's uniform-ish
+    generator shows exactly the non-Benford signature the audit
+    exists to catch.
+
+    Scale: one map-side projection + a 9-key aggregate — audit cost
+    is the scan. Digit counts merge per partition/day like every dq
+    sketch.
+    """
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    digit = F.substring(
+        F.round(F.col("o_totalprice") * 100).cast("long").cast("string"), 1, 1
+    ).cast("long")
+    c = orders.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count("*").alias("n")
+    )
+    t = c.agg(F.sum("n").alias("total"))
+    b = spark.createDataFrame(
+        [(d, p) for d, p in _BENFORD_P.items()], "digit long, p double"
+    )
+    dense = b.join(c, "digit", "left").select(
+        "digit", F.coalesce(F.col("n"), F.lit(0)).alias("n"), "p"
+    )
+    share = F.col("n").cast("double") / F.col("total")
+    return dense.crossJoin(F.broadcast(t)).select(
+        "digit",
+        "n",
+        "total",
+        F.round(share + F.lit(0), 6).alias("share"),
+        F.round(F.col("p") + F.lit(0), 6).alias("benford_p"),
+        F.round(F.abs(share - F.col("p")) + F.lit(0), 6).alias("abs_dev"),
+    )

@@ -2594,3 +2594,113 @@ def w23_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
         6,
     )
     return m.select("n_days", "conc", "disc", tau.alias("tau_b"))
+
+
+# ---------------------------------------------------------------------------
+# w24 — Wald–Wolfowitz runs test: are daily up/down moves random, or
+# do they streak? Counts sign runs with the gaps-and-islands window
+# and compares against the exact expected-runs formula — the
+# randomness check behind "is this metric trending or just noisy".
+# ---------------------------------------------------------------------------
+
+_W24_ORACLE = """
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+),
+mv AS (
+  SELECT event_type, day,
+         sign(x - lag(x) OVER (PARTITION BY event_type ORDER BY day)) AS s
+  FROM daily
+),
+nz AS (SELECT event_type, day, s FROM mv WHERE s IS NOT NULL AND s <> 0),
+runs AS (
+  SELECT event_type, s,
+         CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+              - row_number() OVER (PARTITION BY event_type, s ORDER BY day)
+              AS BIGINT) AS island
+  FROM nz
+),
+g AS (
+  SELECT event_type,
+         CAST(COUNT(DISTINCT (s, island)) AS BIGINT) AS r,
+         CAST(SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_up,
+         CAST(SUM(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_down
+  FROM runs GROUP BY event_type
+)
+SELECT event_type, r AS n_runs, n_up, n_down,
+       CASE WHEN n_up = 0 OR n_down = 0 THEN 0.0
+            ELSE ROUND(
+              (r - (2.0 * n_up * n_down / (n_up + n_down) + 1))
+              / sqrt(2.0 * n_up * n_down
+                     * (2.0 * n_up * n_down - n_up - n_down)
+                     / ((CAST(n_up + n_down AS DOUBLE))
+                        * (n_up + n_down)
+                        * (n_up + n_down - 1))) + 0, 6)
+       END AS z_runs
+FROM g
+"""
+
+
+@register("w24_runs_test", oracle=_W24_ORACLE, tags=("W1", "W3", "A11"))
+def w24_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runs test per event type over daily up/down moves: lag gives
+    each day a sign, zero-moves drop (the standard dichotomized
+    form), runs count via the double-row-number island id, and the
+    normal-approximation z evaluates one identical double expression
+    from three exact integers (guarded 0.0 when a side is empty —
+    ANSI would throw on the division). |z| ≫ 2 means streaky
+    (trending/autocorrelated); ≈ 0 is coin-flip noise.
+
+    Scale: both windows partition by event_type over calendar-bounded
+    series (w17's argument); the daily rollup is the only data-sized
+    shuffle — same cost envelope as w18's CUSUM, which answers WHERE
+    the shift is while this answers WHETHER the series is random.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("x"))
+    w_ord = Window.partitionBy("event_type").orderBy("day")
+    mv = daily.select(
+        "event_type",
+        "day",
+        F.signum(F.col("x") - F.lag("x").over(w_ord)).alias("s"),
+    )
+    nz = mv.filter(F.col("s").isNotNull() & (F.col("s") != 0))
+    w_all = Window.partitionBy("event_type").orderBy("day")
+    w_sgn = Window.partitionBy("event_type", "s").orderBy("day")
+    runs = nz.select(
+        "event_type",
+        "s",
+        (F.row_number().over(w_all) - F.row_number().over(w_sgn)).alias("island"),
+    )
+    g = runs.groupBy("event_type").agg(
+        F.count_distinct(F.struct("s", "island")).alias("r"),
+        F.sum(F.when(F.col("s") == 1, 1).otherwise(0)).alias("n_up"),
+        F.sum(F.when(F.col("s") == -1, 1).otherwise(0)).alias("n_down"),
+    )
+    up, dn, r = F.col("n_up"), F.col("n_down"), F.col("r")
+    n = up + dn
+    z = F.when((up == 0) | (dn == 0), F.lit(0.0)).otherwise(
+        F.round(
+            (r - (F.lit(2.0) * up * dn / n + 1))
+            / F.sqrt(
+                F.lit(2.0)
+                * up
+                * dn
+                * (F.lit(2.0) * up * dn - up - dn)
+                / (n.cast("double") * n * (n - 1))
+            )
+            + F.lit(0),
+            6,
+        )
+    )
+    return g.select(
+        "event_type",
+        r.alias("n_runs"),
+        "n_up",
+        "n_down",
+        z.alias("z_runs"),
+    )
