@@ -5890,10 +5890,13 @@ g AS (
          list_sort(list([node, d])) AS ds
   FROM deg
 )
-SELECT n_nodes, max_degree,
-       ROUND(1.0 + n_nodes
-             / list_sum(list_transform(ds,
-                 x -> ln(CAST(x[2] AS DOUBLE) / 0.5))) + 0, 6) AS alpha
+SELECT n_nodes,
+       CAST(COALESCE(max_degree, 0) AS BIGINT) AS max_degree,
+       CASE WHEN n_nodes = 0 THEN 0.0
+            ELSE ROUND(1.0 + n_nodes
+                       / list_sum(list_transform(ds,
+                           x -> ln(CAST(x[2] AS DOUBLE) / 0.5))) + 0, 6)
+       END AS alpha
 FROM g
 """
 
@@ -5930,12 +5933,16 @@ def g5_powerlaw_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda acc, x: acc + F.log(x[1].cast("double") / F.lit(0.5)),
     )
+    # an empty pruned edge set still emits ONE global-agg row
+    # (n_nodes=0, empty fold = 0.0) — sentinel, not an ANSI divide.
     return g.select(
         "n_nodes",
-        "max_degree",
-        F.round(
-            F.lit(1.0) + F.col("n_nodes") / lsum + F.lit(0), 6
-        ).alias("alpha"),
+        F.coalesce(F.col("max_degree"), F.lit(0)).alias("max_degree"),
+        F.when(F.col("n_nodes") == 0, F.lit(0.0))
+        .otherwise(
+            F.round(F.lit(1.0) + F.col("n_nodes") / lsum + F.lit(0), 6)
+        )
+        .alias("alpha"),
     )
 
 
@@ -5982,9 +5989,10 @@ def l4_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     coverage grows like log k, and this measures it.
 
     Scale: the word count is l4_word_freq's partial-aggregated
-    shuffle; the rank over DISTINCT TYPES uses a plain window here
-    (vocabulary is sub-linear in corpus size — Heaps' law) and the
-    two-level scalable rank once types outgrow one task. Coverage
+    shuffle; the rank over DISTINCT TYPES uses the two-level
+    scalable row number (negated-key descending form) — the type
+    table is sub-linear in corpus size (Heaps' law), and the rank
+    never single-partition-sorts it anyway. Coverage
     sums are conditional aggregates over the ranked table — no
     per-k re-scan of the corpus.
     """
@@ -5994,8 +6002,18 @@ def l4_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = wc.agg(
         F.sum("cnt").alias("total"), F.count("*").alias("n_types")
     )
-    w_rk = Window.orderBy(F.desc("cnt"), "word")
-    rk = wc.withColumn("rn", F.row_number().over(w_rk))
+    from ._helpers import scalable_row_number
+
+    # descending rank via the negated-key two-level row number — the
+    # CLAUDE.md rule is "never a bare Window.orderBy", even over the
+    # (Heaps-law-sublinear) distinct-type aggregate.
+    rk = scalable_row_number(
+        wc.withColumn("neg", -F.col("cnt")),
+        key="neg",
+        bucket_width=64,
+        order_cols=[F.col("neg"), F.col("word")],
+        out="rn",
+    )
     ks = spark.createDataFrame([(k,) for k in _L4_VOCAB_KS], "k long")
     per_k = (
         rk.crossJoin(F.broadcast(ks))

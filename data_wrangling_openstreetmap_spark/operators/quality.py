@@ -646,7 +646,7 @@ _DQ7_ORACLE = f"""
 WITH d AS (
   SELECT CAST(substring(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
                              AS VARCHAR), 1, 1) AS BIGINT) AS digit
-  FROM orders WHERE o_totalprice > 0
+  FROM orders WHERE round(o_totalprice * 100) >= 1
 ),
 c AS (
   SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY digit
@@ -671,7 +671,10 @@ FROM b LEFT JOIN c ON c.digit = b.digit CROSS JOIN t
 def dq7_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-digit distribution of order totals against Benford's law:
     the digit comes from slicing the CENTS INTEGER's string form
-    (log10-free — a float log near a power of ten can misbin), counts
+    (log10-free — a float log near a power of ten can misbin;
+    sub-cent amounts round to 0 cents and are excluded from BOTH the
+    digit counts and the total, keeping the nine shares a partition
+    of 1), counts
     join a dense 9-digit spine with the reference probabilities
     pinned as identical literals, and each digit reports its share
     and absolute deviation at 6 dp. Large deviations on real money
@@ -683,7 +686,9 @@ def dq7_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the scan. Digit counts merge per partition/day like every dq
     sketch.
     """
-    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.round(F.col("o_totalprice") * 100) >= 1
+    )
     digit = F.substring(
         F.round(F.col("o_totalprice") * 100).cast("long").cast("string"), 1, 1
     ).cast("long")

@@ -2428,13 +2428,18 @@ den AS (
   SELECT event_type, list_sort(list([i, d])) AS den_terms
   FROM dev GROUP BY event_type
 )
-SELECT p.event_type, p.n AS n_days,
-       ROUND(list_sum(list_transform(p.num_terms,
-               x -> CAST(x[2] AS DOUBLE) * CAST(x[3] AS DOUBLE)))
-             / list_sum(list_transform(d.den_terms,
-               x -> CAST(x[2] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
-             + 0, 6) AS acf7
-FROM pairs p JOIN den d ON d.event_type = p.event_type
+SELECT event_type, n_days,
+       CASE WHEN den_sum = 0 THEN 0.0
+            ELSE ROUND(num_sum / den_sum + 0, 6)
+       END AS acf7
+FROM (
+  SELECT p.event_type, p.n AS n_days,
+         list_sum(list_transform(p.num_terms,
+           x -> CAST(x[2] AS DOUBLE) * CAST(x[3] AS DOUBLE))) AS num_sum,
+         list_sum(list_transform(d.den_terms,
+           x -> CAST(x[2] AS DOUBLE) * CAST(x[2] AS DOUBLE))) AS den_sum
+  FROM pairs p JOIN den d ON d.event_type = p.event_type
+)
 """
 
 
@@ -2451,9 +2456,9 @@ def w22_weekly_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: daily rollup is the only data-sized shuffle; everything
     after is calendar-bounded per type (≤365 terms/year). The
-    constant-series edge (all dᵢ = 0) cannot occur here — value
-    cents vary — and would 0/0 on BOTH engines identically if the
-    fixture degenerated (a golden change, not a silent flip).
+    constant-series edge (all dᵢ = 0) returns the documented 0.0
+    sentinel on both engines instead of dividing by zero (Spark's
+    ANSI mode would throw).
     """
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy(
@@ -2505,12 +2510,20 @@ def w22_weekly_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x[1].cast("double") * x[2].cast("double"),
         )
 
-    return pairs.join(den, "event_type").select(
+    sums = pairs.join(den, "event_type").select(
         "event_type",
         F.col("n").alias("n_days"),
-        F.round(
-            fsum(F.col("num_terms")) / fsum(F.col("den_terms")) + F.lit(0), 6
-        ).alias("acf7"),
+        fsum(F.col("num_terms")).alias("num_sum"),
+        fsum(F.col("den_terms")).alias("den_sum"),
+    )
+    # constant series → Σd² is exactly 0.0 on both engines; sentinel
+    # instead of an ANSI divide-by-zero.
+    return sums.select(
+        "event_type",
+        "n_days",
+        F.when(F.col("den_sum") == 0, F.lit(0.0))
+        .otherwise(F.round(F.col("num_sum") / F.col("den_sum") + F.lit(0), 6))
+        .alias("acf7"),
     )
 
 
@@ -2544,9 +2557,11 @@ m AS (
   FROM pairs
 )
 SELECT n_days, conc, disc,
-       ROUND(CAST(conc - disc AS DOUBLE)
-             / sqrt(CAST((n0 - tie_p) * (n0 - tie_c) AS DOUBLE)) + 0, 6)
-         AS tau_b
+       CASE WHEN (n0 - tie_p) * (n0 - tie_c) = 0 THEN 0.0
+            ELSE ROUND(CAST(conc - disc AS DOUBLE)
+                       / sqrt(CAST((n0 - tie_p) * (n0 - tie_c) AS DOUBLE))
+                       + 0, 6)
+       END AS tau_b
 FROM m
 """
 
@@ -2584,14 +2599,16 @@ def w23_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("dp") == 0, 1).otherwise(0)).alias("tie_p"),
         F.sum(F.when(F.col("dc") == 0, 1).otherwise(0)).alias("tie_c"),
     ).crossJoin(F.broadcast(n_days))
-    tau = F.round(
-        (F.col("conc") - F.col("disc")).cast("double")
-        / F.sqrt(
-            ((F.col("n0") - F.col("tie_p")) * (F.col("n0") - F.col("tie_c")))
-            .cast("double")
+    # all-tied sides (constant series, or n_days < 2 → n0 = 0) zero the
+    # denominator; 0.0 sentinel instead of an ANSI divide-by-zero.
+    denom = (F.col("n0") - F.col("tie_p")) * (F.col("n0") - F.col("tie_c"))
+    tau = F.when(denom == 0, F.lit(0.0)).otherwise(
+        F.round(
+            (F.col("conc") - F.col("disc")).cast("double")
+            / F.sqrt(denom.cast("double"))
+            + F.lit(0),
+            6,
         )
-        + F.lit(0),
-        6,
     )
     return m.select("n_days", "conc", "disc", tau.alias("tau_b"))
 
@@ -2630,7 +2647,8 @@ g AS (
   FROM runs GROUP BY event_type
 )
 SELECT event_type, r AS n_runs, n_up, n_down,
-       CASE WHEN n_up = 0 OR n_down = 0 THEN 0.0
+       CASE WHEN n_up = 0 OR n_down = 0
+                 OR 2 * n_up * n_down - n_up - n_down = 0 THEN 0.0
             ELSE ROUND(
               (r - (2.0 * n_up * n_down / (n_up + n_down) + 1))
               / sqrt(2.0 * n_up * n_down
@@ -2683,7 +2701,11 @@ def w24_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     up, dn, r = F.col("n_up"), F.col("n_down"), F.col("r")
     n = up + dn
-    z = F.when((up == 0) | (dn == 0), F.lit(0.0)).otherwise(
+    # the variance term 2·u·d·(2·u·d−u−d) is ALSO zero at u=d=1 —
+    # guard it alongside the empty sides (ANSI divide).
+    z = F.when(
+        (up == 0) | (dn == 0) | (2 * up * dn - up - dn == 0), F.lit(0.0)
+    ).otherwise(
         F.round(
             (r - (F.lit(2.0) * up * dn / n + 1))
             / F.sqrt(

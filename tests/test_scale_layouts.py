@@ -443,12 +443,25 @@ def test_recursive_lookup_and_glob_filter_discovery(spark, tmp_path):
         .parquet(str(base))
     )
     assert got.count() == 25
-    only_a = (
+    # a valid parquet data file under a NON-matching name: included
+    # without the glob, pruned with it — so the filter assertion can't
+    # pass vacuously if the option were silently ignored.
+    import shutil
+
+    a_day1 = base / "a" / "day1" / "part"
+    src_part = next(p for p in a_day1.iterdir() if p.suffix == ".parquet")
+    shutil.copyfile(src_part, base / "a" / "extra.dat")
+    unfiltered = (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(str(base / "a"))
+    )
+    assert unfiltered.count() == 27  # 17 + the 10-row .dat copy
+    only_parquet = (
         spark.read.option("recursiveFileLookup", "true")
         .option("pathGlobFilter", "*.parquet")
         .parquet(str(base / "a"))
     )
-    assert only_a.count() == 17
+    assert only_parquet.count() == 17
 
 
 def test_ignore_corrupt_files_skips_garbage(spark, tmp_path):
