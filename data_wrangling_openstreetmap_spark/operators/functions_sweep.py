@@ -848,3 +848,50 @@ def f18_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"min_total": 50000, "status": "F"},
     )
+
+
+# ---------------------------------------------------------------------------
+# f20 — presence bitmap: each user's active January days packed into
+# ONE BIGINT by bit_or of shifted bits — the roaring-bitmap primitive
+# (set membership as bits) that replaces a count-distinct with a
+# popcount and set algebra with AND/OR.
+# ---------------------------------------------------------------------------
+
+_F20_ORACLE = """
+SELECT user_id,
+       bit_or(CAST(1 AS BIGINT) << (CAST(day(ts) AS INT) - 1)) AS day_bitmap,
+       CAST(bit_count(bit_or(CAST(1 AS BIGINT) << (CAST(day(ts) AS INT) - 1)))
+            AS BIGINT) AS n_active_days,
+       CAST(MIN(day(ts)) AS BIGINT) AS first_day,
+       CAST(MAX(day(ts)) AS BIGINT) AS last_day
+FROM events
+GROUP BY user_id
+"""
+
+
+@register("f20_presence_bitmap", oracle=_F20_ORACLE, tags=("F4", "A3", "A1"))
+def f20_presence_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-month activity bitmap per user: bit (d−1) set iff the
+    user had any event on day d, built by a single ``bit_or`` of
+    shifted ones — popcount recovers the distinct-active-days count
+    with NO count-distinct machinery, and cohort intersections become
+    bitwise ANDs of two BIGINTs. Exact integers throughout (the
+    fixture spans one month, so 31 bits suffice; a year needs a
+    6-word array or day-offset keying — same algebra).
+
+    Scale: bit_or carries ONE 64-bit accumulator per (user, partition)
+    and merges associatively — the cheapest possible distinct-days
+    rollup; bitmaps for different periods OR together mergeably like
+    every sketch in the a4 family. This is the primitive under bitmap
+    indexes and retention matrices.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    # the Python shiftleft() only takes a literal count; the SQL form
+    # accepts a column expression.
+    bit = F.expr("shiftleft(CAST(1 AS BIGINT), day(ts) - 1)")
+    return ev.groupBy("user_id").agg(
+        F.bit_or(bit).alias("day_bitmap"),
+        F.bit_count(F.bit_or(bit)).cast("long").alias("n_active_days"),
+        F.min(F.dayofmonth("ts")).cast("long").alias("first_day"),
+        F.max(F.dayofmonth("ts")).cast("long").alias("last_day"),
+    )
