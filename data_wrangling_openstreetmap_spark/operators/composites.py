@@ -2400,3 +2400,222 @@ def q34_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("top_cents").cast("double") / F.col("total_cents") + F.lit(0), 6
         ).alias("pareto_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A31 — Spearman rank correlation (round 4): monotone association
+# between daily event volume and daily value, from exact tie-averaged
+# ranks. Kendall (w23) grades concordant pairs; Spearman grades rank
+# linearity — both belong in the drift-monitoring toolbox.
+# ---------------------------------------------------------------------------
+
+_A31_ORACLE = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d,
+         CAST(COUNT(*) AS BIGINT) AS n_ev,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+  FROM events GROUP BY 1
+), ranked AS (
+  SELECT
+    2 * rank() OVER (ORDER BY n_ev) + COUNT(*) OVER (PARTITION BY n_ev) - 1 AS rx,
+    2 * rank() OVER (ORDER BY v) + COUNT(*) OVER (PARTITION BY v) - 1 AS ry
+  FROM daily
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(rx) AS BIGINT) AS sx, CAST(SUM(ry) AS BIGINT) AS sy,
+         CAST(SUM(rx * ry) AS BIGINT) AS sxy,
+         CAST(SUM(rx * rx) AS BIGINT) AS sxx,
+         CAST(SUM(ry * ry) AS BIGINT) AS syy
+  FROM ranked
+)
+SELECT n AS n_days,
+       CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) = 0 THEN 0.0
+            ELSE round(
+              (n * sxy - sx * sy)
+              / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                     * CAST(n * syy - sy * sy AS DOUBLE)), 6) + 0
+       END AS spearman_rho
+FROM m
+"""
+
+
+@register("a31_spearman_corr", oracle=_A31_ORACLE, tags=("A11", "W1", "A7"))
+def a31_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman ρ between daily event count and daily exact value
+    total: tie-averaged ranks kept integer by DOUBLING them
+    (avg-rank = rank() + (ties-1)/2 ⇒ 2·avg-rank = 2·rank() + ties - 1,
+    which cancels in ρ), then Pearson on ranks from exact BIGINT
+    moments — one double division at the end, rounded to 6 dp on both
+    engines (`+ 0` normalizes -0.0). Degenerate (all-tied) sides take
+    an explicit 0.0 on both engines — DuckDB's x/0 is NULL where
+    Spark's ANSI mode throws.
+
+    Scale: ranks run over the O(days) daily aggregate — the window's
+    SinglePartition exchange only ever carries aggregated rows (the
+    plan-sweep structural rule); moments are one global agg. Doubled
+    rank products stay < 2⁶³ up to ~10⁶ distinct days.
+    """
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count("*").alias("n_ev"),
+        F.sum(cents("value")).alias("v"),
+    )
+    rx = (
+        2 * F.rank().over(Window.orderBy("n_ev"))
+        + F.count("*").over(Window.partitionBy("n_ev"))
+        - 1
+    )
+    ry = (
+        2 * F.rank().over(Window.orderBy("v"))
+        + F.count("*").over(Window.partitionBy("v"))
+        - 1
+    )
+    ranked = daily.select(rx.alias("rx"), ry.alias("ry"))
+    m = ranked.agg(
+        F.count("*").alias("n"),
+        F.sum("rx").alias("sx"),
+        F.sum("ry").alias("sy"),
+        F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
+        F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).alias("syy"),
+    )
+    varx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    rho = F.when(varx * vary == 0, F.lit(0.0)).otherwise(
+        F.round(cov / F.sqrt(varx.cast("double") * vary.cast("double")), 6) + 0
+    )
+    return m.select(F.col("n").alias("n_days"), rho.alias("spearman_rho"))
+
+
+# ---------------------------------------------------------------------------
+# Q35 — month-over-month growth (round 4): calendar rollup + lag +
+# guarded ratio, the canonical trend-report composite.
+# ---------------------------------------------------------------------------
+
+_Q35_ORACLE = """
+WITH monthly AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_units,
+         CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY 1
+)
+SELECT month,
+       rev_units / 100.0 AS revenue,
+       lag(rev_units) OVER (ORDER BY month) / 100.0 AS prev_revenue,
+       CASE WHEN lag(rev_units) OVER (ORDER BY month) = 0 THEN NULL
+            ELSE round(
+              (rev_units - lag(rev_units) OVER (ORDER BY month))
+              / CAST(lag(rev_units) OVER (ORDER BY month) AS DOUBLE), 6) + 0
+       END AS mom_growth,
+       n_orders
+FROM monthly
+"""
+
+
+@register("q35_mom_growth", oracle=_Q35_ORACLE, tags=("A7", "W3", "F3"))
+def q35_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue with month-over-month growth: calendar-bucket
+    rollup (exact integer units), lag over the month series, guarded
+    ratio rounded to 6 dp (first month's growth is NULL on both
+    engines; a zero previous month would be too, instead of an ANSI
+    divide error).
+
+    Scale: the lag window runs over the O(months) aggregate — its
+    SinglePartition exchange carries only aggregated rows. The fact
+    scan reduces map-side via partial aggregation on the month key.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("month")
+    ).agg(
+        F.sum(cents("o_totalprice")).alias("rev_units"),
+        F.count("*").alias("n_orders"),
+    )
+    # The lag is applied via withColumn straight on the aggregate so the
+    # window's single-partition exchange feeds directly off the
+    # HashAggregate (a pre-window Project would trip the structural
+    # plan sweep even though the row count is identical).
+    w = Window.orderBy("month")
+    stats = monthly.withColumn("prev_units", F.lag("rev_units").over(w))
+    prev = F.col("prev_units")
+    growth = F.when(prev == 0, F.lit(None).cast("double")).otherwise(
+        F.round((F.col("rev_units") - prev) / prev.cast("double"), 6) + 0
+    )
+    return stats.select(
+        "month",
+        (F.col("rev_units") / 100.0).alias("revenue"),
+        (prev / 100.0).alias("prev_revenue"),
+        growth.alias("mom_growth"),
+        "n_orders",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q36 — ordered conversion funnel (round 4): users who progressed
+# view → click → purchase IN ORDER, each stage strictly after the
+# previous stage's first touch.
+# ---------------------------------------------------------------------------
+
+_Q36_ORACLE = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS v_ts FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, MIN(e.ts) AS c_ts
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.v_ts
+  GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, MIN(e.ts) AS p_ts
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+  GROUP BY e.user_id
+)
+SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_viewed,
+       CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_clicked_after,
+       CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_purchased_after
+"""
+
+
+@register("q36_conversion_funnel", oracle=_Q36_ORACLE, tags=("A2", "J1", "W3"))
+def q36_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered three-stage funnel: users with a view, users whose first
+    click follows their first view, users whose first purchase follows
+    that click — each stage anchored at the FIRST qualifying touch of
+    the previous stage (the standard strictly-ordered funnel, not mere
+    set intersection; q29/x4 grade adjacent transitions and regex
+    paths, this grades the anchored-progression count).
+
+    Scale: three shuffles on user_id (one per stage anchor), each
+    reducing to per-user minima before the next join; stage frontiers
+    broadcast once small. A single-pass alternative (conditional min
+    over a per-user sorted window) trades one shuffle for a wider
+    state row — at 100 TB the staged form keeps every exchange
+    key-partitioned and spill-free.
+    """
+    events = load_table(spark, sf_dir, "events")
+    v = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    c = (
+        events.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    return (
+        v.agg(F.count("*").alias("n_viewed"))
+        .crossJoin(c.agg(F.count("*").alias("n_clicked_after")))
+        .crossJoin(p.agg(F.count("*").alias("n_purchased_after")))
+    )

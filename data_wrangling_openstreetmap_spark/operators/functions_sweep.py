@@ -895,3 +895,52 @@ def f20_presence_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.dayofmonth("ts")).cast("long").alias("first_day"),
         F.max(F.dayofmonth("ts")).cast("long").alias("last_day"),
     )
+
+
+# ---------------------------------------------------------------------------
+# F6b — map SURGERY battery (round 4: second F6 carrier): value
+# transform, predicate filter, and concat-with-new-entry over a per-row
+# map, each read back out as a scalar the driver can hash.
+# ---------------------------------------------------------------------------
+
+_F6B_ORACLE = """
+SELECT doc_id,
+       upper(lang) AS lang_upper,
+       CAST(
+         (CASE WHEN length(upper(lang)) > 4 THEN 1 ELSE 0 END)
+         + (CASE WHEN length(upper(source)) > 4 THEN 1 ELSE 0 END)
+       AS INT) AS n_long_vals,
+       CAST(n_chars AS VARCHAR) AS chars_str,
+       3 AS n_keys
+FROM documents
+WHERE doc_id < 200
+"""
+
+
+@register("f6b_map_surgery", oracle=_F6B_ORACLE, tags=("F6",))
+def f6b_map_surgery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed tag surgery: uppercase every value (transform_values),
+    count the entries surviving a value-length predicate (map_filter),
+    and graft a computed entry on (map_concat) — f6 proves map
+    construction/lookup; this grades the three mutation HOFs, with the
+    oracle re-deriving each result from the flat columns.
+
+    Scale: all three are per-row JVM expressions inside whole-stage
+    codegen — no shuffle, no Python.
+    """
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    tags = F.create_map(
+        F.lit("lang"), F.col("lang"), F.lit("source"), F.col("source")
+    )
+    up = F.transform_values(tags, lambda k, v: F.upper(v))
+    kept = F.map_filter(up, lambda k, v: F.length(v) > 4)
+    merged = F.map_concat(
+        up, F.create_map(F.lit("chars"), F.col("n_chars").cast("string"))
+    )
+    return d.select(
+        "doc_id",
+        F.element_at(up, "lang").alias("lang_upper"),
+        F.size(kept).alias("n_long_vals"),
+        F.element_at(merged, "chars").alias("chars_str"),
+        F.size(merged).alias("n_keys"),
+    )

@@ -1811,3 +1811,257 @@ def o9_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("intersect_all").alias("op"), "nationkey", "n")
     )
     return ex.unionByName(it)
+
+
+# ---------------------------------------------------------------------------
+# A5b — HAVING over a distinct aggregate (round 4: a second A5 carrier
+# so the driver window can grade a never-seen HAVING form).
+# ---------------------------------------------------------------------------
+
+_A5B_ORACLE = """
+SELECT c_nationkey AS nationkey,
+       CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS n_segments,
+       CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM customer
+GROUP BY c_nationkey
+HAVING COUNT(DISTINCT c_mktsegment) >= 5
+"""
+
+
+@register("a5b_having_distinct", oracle=_A5B_ORACLE, tags=("A5", "A3"))
+def a5b_having_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nations whose customer base spans every market segment — a
+    HAVING predicate over a DISTINCT aggregate (a5 filters a plain
+    COUNT; this form must survive Catalyst's two-stage distinct
+    expansion with the filter applied post-final-agg).
+
+    Scale: partial distinct on (nation, segment) bounds the shuffle by
+    distinct pairs; the HAVING filter runs on the tiny aggregate.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        customer.groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.countDistinct("c_mktsegment").alias("n_segments"),
+            F.count("*").alias("n_customers"),
+        )
+        .filter(F.col("n_segments") >= 5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# O4b — three-source UNION distinct (round 4: second O4 carrier).
+# ---------------------------------------------------------------------------
+
+_O4B_ORACLE = """
+SELECT c_nationkey AS nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+UNION
+SELECT s_nationkey FROM supplier
+UNION
+SELECT n_nationkey FROM nation WHERE n_regionkey < 2
+"""
+
+
+@register("o4b_union_three_way", oracle=_O4B_ORACLE, tags=("O4", "O6", "O3"))
+def o4b_union_three_way(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-source UNION (distinct): nation keys seen across BUILDING
+    customers ∪ all suppliers ∪ low-region nations. Spark folds the
+    chained unions into one Union node with a single dedup aggregate —
+    not a dedup per pair.
+
+    Scale: one hash aggregate on the key after the unions; each branch
+    pushes its own filter to its scan.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        customer.filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_nationkey").alias("nationkey"))
+        .unionByName(supplier.select(F.col("s_nationkey").alias("nationkey")))
+        .unionByName(
+            nation.filter(F.col("n_regionkey") < 2).select(
+                F.col("n_nationkey").alias("nationkey")
+            )
+        )
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# P3b — regex triage over part NAMES (round 4: second P3 carrier; the
+# class order is load-bearing, as in any first-match CASE battery).
+# ---------------------------------------------------------------------------
+
+_P3B_ORACLE = """
+SELECT
+  CASE
+    WHEN regexp_matches(p_name, '[0-9]') THEN 'has_digit'
+    WHEN regexp_matches(p_name, '^([a-z]+ ){3,}[a-z]+$') THEN 'four_plus_words'
+    WHEN regexp_matches(p_name, '^[aeiou]') THEN 'vowel_start'
+    ELSE 'other'
+  END AS name_class,
+  CAST(COUNT(*) AS BIGINT) AS n
+FROM part
+GROUP BY 1
+"""
+
+
+@register("p3b_name_classify", oracle=_P3B_ORACLE, tags=("P3", "P6"))
+def p3b_name_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-match regex triage of part names: digit-bearing, then
+    4+-word phrases, then vowel-initial, else other — the ordered
+    when-chain == ordered CASE contract p3 grades on p_type, now on the
+    free-text name column.
+
+    Scale: pure map-side projection into a tiny groupBy.
+    """
+    part = load_table(spark, sf_dir, "part")
+    name_class = (
+        F.when(F.col("p_name").rlike("[0-9]"), "has_digit")
+        .when(F.col("p_name").rlike("^([a-z]+ ){3,}[a-z]+$"), "four_plus_words")
+        .when(F.col("p_name").rlike("^[aeiou]"), "vowel_start")
+        .otherwise("other")
+    )
+    return part.groupBy(name_class.alias("name_class")).agg(
+        F.count("*").alias("n")
+    )
+
+
+# ---------------------------------------------------------------------------
+# S5b — NESTED JSON roundtrip (round 4: second S5 carrier): struct
+# column → JSONL → schema-declared read → nested-field access.
+# ---------------------------------------------------------------------------
+
+_S5B_ORACLE = f"""
+SELECT s_nationkey, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+       {oracle_dsum('s_acctbal')} AS total_acctbal
+FROM supplier
+GROUP BY s_nationkey
+"""
+
+
+@register("s5b_nested_json_roundtrip", oracle=_S5B_ORACLE, tags=("S5", "F7"))
+def s5b_nested_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL roundtrip of a NESTED struct: suppliers are written as
+    {id, info:{name, nationkey, acctbal}}, read back with a declared
+    nested schema, and aggregated through the dotted field paths. s5
+    proves flat columns survive; this proves the nested object path
+    does (the shape every document-store export lands in).
+
+    Scale: JSONL stays line-splittable regardless of nesting; the
+    declared read schema prunes parsing to the referenced subfields.
+    """
+    import tempfile
+
+    supplier = load_table(spark, sf_dir, "supplier")
+    path = tempfile.mkdtemp(prefix="dwos_s5b_") + "/supplier_nested"
+    (
+        supplier.select(
+            "s_suppkey",
+            F.struct("s_name", "s_nationkey", "s_acctbal").alias("info"),
+        )
+        .write.mode("overwrite")
+        .json(path)
+    )
+    back = spark.read.schema(
+        "s_suppkey bigint, info struct<s_name:string,s_nationkey:bigint,s_acctbal:double>"
+    ).json(path)
+    return back.groupBy(
+        F.col("info.s_nationkey").cast("int").alias("s_nationkey")
+    ).agg(
+        F.count("*").alias("n_suppliers"),
+        dsum("info.s_acctbal").alias("total_acctbal"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J3b — semi-join through the supplier axis (round 4: second J3
+# carrier; EXISTS against a FILTERED fact).
+# ---------------------------------------------------------------------------
+
+_J3B_ORACLE = f"""
+SELECT s_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+       {oracle_dsum('s_acctbal')} AS total_acctbal
+FROM supplier
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_suppkey = s_suppkey AND l_returnflag = 'R'
+)
+GROUP BY s_nationkey
+"""
+
+
+@register("j3b_semi_join_suppliers", oracle=_J3B_ORACLE, tags=("J3", "A1"))
+def j3b_semi_join_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers with at least one returned lineitem (EXISTS →
+    left-semi), rolled up per nation — q4's semi-join contract on the
+    supplier FK axis instead of orders.
+
+    Scale: the EXISTS side projects to the bare l_suppkey before a
+    broadcast left-semi join (the returnflag filter pushes to the
+    scan); the supplier side never shuffles. Past broadcast range the
+    identical code degrades to a shuffled semi-join.
+    """
+    supplier = load_table(spark, sf_dir, "supplier")
+    keys = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_suppkey")
+    )
+    return (
+        supplier.join(
+            F.broadcast(keys), supplier.s_suppkey == keys.l_suppkey, "left_semi"
+        )
+        .groupBy("s_nationkey")
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            dsum("s_acctbal").alias("total_acctbal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# S19 — deterministic per-group reservoir sample (round 4): fixed-k
+# uniform-style sample per stratum via a hash rank — the distributed
+# image of reservoir sampling.
+# ---------------------------------------------------------------------------
+
+_S19_ORACLE = """
+SELECT doc_id, lang
+FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY (doc_id * 2654435761) % 4294967296, doc_id
+         ) AS rn
+  FROM documents
+)
+WHERE rn <= 20
+"""
+
+
+@register("s19_reservoir_sample", oracle=_S19_ORACLE, tags=("S3", "W1", "W2"))
+def s19_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size-k (k=20) sample per language via a Knuth
+    multiplicative hash rank — the deterministic, distributed image of
+    per-group reservoir sampling: every row gets a pseudo-uniform
+    BIGINT draw (exact on both engines), and the k smallest draws per
+    group win. Unlike fraction sampling (s3b), the output size per
+    group is exactly min(k, |group|) at any scale.
+
+    Scale: partitioned window = one shuffle on the group key; each
+    task keeps a k-row heap (WindowGroupLimit prunes rank > k before
+    the shuffle in the filtered form). No global sort anywhere.
+    """
+    from pyspark.sql import Window
+
+    documents = load_table(spark, sf_dir, "documents")
+    draw = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+    w = Window.partitionBy("lang").orderBy(draw, "doc_id")
+    return (
+        documents.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("doc_id", "lang")
+    )

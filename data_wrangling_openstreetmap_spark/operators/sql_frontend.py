@@ -322,3 +322,53 @@ def x5_distinct_on_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     load_table(spark, sf_dir, "events").createOrReplaceTempView("x5_events")
     return sql_ext.sql(spark, _X5_STMT)
+
+
+# ---------------------------------------------------------------------------
+# X6 — SQL PIVOT construct, engine vs engine (round 4): Spark's native
+# `PIVOT (agg FOR col IN (...))` clause against DuckDB's native
+# `PIVOT ... ON ... USING ... GROUP BY` statement — the same relational
+# rotate expressed in each engine's own dialect, graded for identical
+# values. a12_pivot grades the DataFrame `.pivot()` API; this grades
+# the SQL surface.
+# ---------------------------------------------------------------------------
+
+_X6_ORACLE = """
+SELECT o_orderpriority,
+       "O" AS n_open, "F" AS n_filled, "P" AS n_pending
+FROM (
+  PIVOT orders ON o_orderstatus IN ('O', 'F', 'P')
+  USING COUNT(*) GROUP BY o_orderpriority
+)
+"""
+
+
+@register("x6_pivot_sql", oracle=_X6_ORACLE, tags=("A1", "P6"))
+def x6_pivot_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL PIVOT: order counts rotated into one column per order
+    status. The frontend passes the native construct through to Spark
+    untouched (it only rewrites the extended keywords); missing
+    (priority, status) combos are NULL in Spark's pivot and 0 in
+    DuckDB's, so both sides pin the absent-combo count with an explicit
+    coalesce/native-zero — the semantic the construct comparison is
+    meant to surface.
+
+    Scale: Spark compiles PIVOT to a single hash aggregate whose
+    grouping key is the non-pivot columns and whose agg list is one
+    conditional count per IN-value — map-side partials, one shuffle on
+    o_orderpriority, no explode.
+    """
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("x6_orders")
+    return sql_ext.sql(
+        spark,
+        """
+        SELECT o_orderpriority,
+               CAST(coalesce(n_open, 0) AS BIGINT) AS n_open,
+               CAST(coalesce(n_filled, 0) AS BIGINT) AS n_filled,
+               CAST(coalesce(n_pending, 0) AS BIGINT) AS n_pending
+        FROM (
+          SELECT * FROM (SELECT o_orderpriority, o_orderstatus FROM x6_orders)
+          PIVOT (COUNT(*) FOR o_orderstatus IN ('O' AS n_open, 'F' AS n_filled, 'P' AS n_pending))
+        )
+        """,
+    )

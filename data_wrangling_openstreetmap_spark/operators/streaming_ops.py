@@ -441,3 +441,255 @@ def st11_dynamic_session_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_sessions"),
         F.sum("n_ev").cast("bigint").alias("n_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ST12 — tumbling-window DISTINCT aggregation (ST1 × A3): daily active
+# users. The distinct-per-window shape st1/q7's plain counts don't
+# exercise.
+# ---------------------------------------------------------------------------
+
+_ST12_ORACLE = """
+SELECT
+  CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+  CAST(date_trunc('day', ts) AS TIMESTAMP) + INTERVAL '1 day' AS window_end,
+  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+  CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register("st12_tumbling_distinct_users", oracle=_ST12_ORACLE, tags=("ST1", "A3", "A7"))
+def st12_tumbling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users: 1-day tumbling windows with an exact
+    COUNT(DISTINCT user_id) — the windowed-distinct shape (q7 counts
+    rows; this counts identities).
+
+    Scale: Catalyst expands the distinct agg into partial-distinct on
+    (window, user_id) then final count — shuffle volume is bounded by
+    distinct (day, user) pairs, not events. Under readStream the exact
+    form needs per-(window,user) state; the 100 TB streaming path is
+    the mergeable HLL sketch (a4b_hll_mergeable_rollup), same rollup
+    algebra, bounded state.
+    """
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_users",
+            "n_events",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ST13 — hopping-window average (ST2 at a different duration/slide
+# ratio): 2-hour windows every 30 minutes, exact average value.
+# ---------------------------------------------------------------------------
+
+_ST13_ORACLE = f"""
+WITH expanded AS (
+  SELECT
+    unnest(generate_series(
+      time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '90 minutes',
+      time_bucket(INTERVAL '30 minutes', ts),
+      INTERVAL '30 minutes'
+    )) AS window_start,
+    value
+  FROM events
+)
+SELECT window_start,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       SUM(CAST(round(value * 100) AS BIGINT)) / 100.0 / COUNT(value) AS avg_value
+FROM expanded
+GROUP BY window_start
+"""
+
+
+@register("st13_hopping_avg", oracle=_ST13_ORACLE, tags=("ST2", "A7"))
+def st13_hopping_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hour windows hopping every 30 minutes (each event covered by 4
+    windows), grading the exact order-independent AVG over the hop
+    expansion. The oracle re-derives Spark's epoch-aligned assignment
+    by enumerating the four covering starts per event.
+
+    Scale: the 4× window fan-out happens inside the aggregation
+    operator (no materialized explode); the average is the integer-unit
+    sum ÷ count, so any partition order produces the identical double.
+    """
+    from ._helpers import davg
+
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "2 hours", "30 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            davg("value").alias("avg_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "avg_value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ST14 — watermark lateness PROFILE (ST4 beyond st4's late/kept split):
+# how late do late rows run, per arrival hour — the histogram an
+# operator reads to SIZE a watermark, not just audit one.
+# ---------------------------------------------------------------------------
+
+_ST14_ORACLE = """
+WITH j AS (
+  SELECT ts, event_id,
+         ts + to_seconds((event_id * 2654435761) % 900) AS arrival_ts
+  FROM events
+), arr AS (
+  SELECT ts, arrival_ts,
+         MAX(ts) OVER (ORDER BY arrival_ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hi
+  FROM j
+)
+SELECT CAST(floor(epoch_us(arrival_ts) / 3600000000.0) AS BIGINT) AS arrival_hour,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN epoch_us(hi) - epoch_us(ts) > 600000000
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+       CAST(MAX(epoch_us(hi) - epoch_us(ts)) AS BIGINT) AS max_behind_us
+FROM arr
+GROUP BY 1
+"""
+
+
+@register("st14_lateness_profile", oracle=_ST14_ORACLE, tags=("ST4", "W4", "A7"))
+def st14_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-arrival-hour lateness histogram under st4's deterministic
+    transit-delay replay: events count, how many trail the running
+    high-water mark by more than the 10-minute allowed lateness, and
+    the worst µs lag behind the watermark — the numbers that SIZE a
+    watermark (st4 only audits a fixed one). All-integer µs arithmetic,
+    engine-identical.
+
+    Scale: the running high-water mark is the same
+    _helpers.scalable_running_max two-level decomposition as st4 — no
+    unbounded single-partition sort; the profile groupBy keys on
+    O(hours) buckets.
+    """
+    from ._helpers import scalable_running_max
+
+    events = load_table(spark, sf_dir, "events")
+    jitter = (F.col("event_id") * F.lit(2654435761)) % 900
+    j = events.select(
+        "ts",
+        "event_id",
+        (F.col("ts") + F.make_dt_interval(secs=jitter.cast("double"))).alias(
+            "arrival_ts"
+        ),
+    )
+    hour_bkt = F.floor(
+        F.unix_micros(F.col("arrival_ts").cast("timestamp")) / (3600 * 1000000)
+    )
+    arr = scalable_running_max(
+        j, order_cols=["arrival_ts", "event_id"], value="ts", bucket=hour_bkt, out="hi"
+    )
+    behind_us = F.unix_micros(F.col("hi").cast("timestamp")) - F.unix_micros(
+        F.col("ts").cast("timestamp")
+    )
+    arrival_hour = F.floor(
+        F.unix_micros(F.col("arrival_ts").cast("timestamp")) / F.lit(3600000000.0)
+    ).cast("bigint")
+    return (
+        arr.select(arrival_hour.alias("arrival_hour"), behind_us.alias("behind_us"))
+        .groupBy("arrival_hour")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.when(F.col("behind_us") > 600000000, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_late"),
+            F.max("behind_us").cast("bigint").alias("max_behind_us"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ST15 — dedup WITHIN a time horizon (ST5's unbounded-state fix): first
+# event per (user, type) per event-hour — the batch image of
+# dropDuplicatesWithinWatermark, whose state evicts after the horizon.
+# ---------------------------------------------------------------------------
+
+_ST15_ORACLE = """
+SELECT event_id, user_id, event_type, ts, value
+FROM events
+QUALIFY row_number() OVER (
+  PARTITION BY user_id, event_type, date_trunc('hour', ts)
+  ORDER BY ts, event_id
+) = 1
+"""
+
+
+@register("st15_dedup_within_horizon", oracle=_ST15_ORACLE, tags=("ST5", "L1", "A7"))
+def st15_dedup_within_horizon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First event per (user_id, event_type) within each event-time
+    hour — the batch image of `dropDuplicatesWithinWatermark`: st5's
+    unbounded one-row-per-key state becomes evictable because a key
+    only suppresses duplicates inside its hour block.
+
+    Scale: one shuffle on the dedup key (hour bucket included), local
+    row_number per key — state per key is a single row and expires
+    with the watermark in the streaming form.
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy(
+        "user_id", "event_type", F.date_trunc("hour", F.col("ts"))
+    ).orderBy("ts", "event_id")
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id", "event_type", "ts", "value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ST16 — running per-user extrema (ST7 with min/max state): the batch
+# image of an arbitrary stateful operator whose state is {count, min,
+# max} per user — st7 tracks a running SUM; this tracks the extrema a
+# fraud/anomaly monitor keeps.
+# ---------------------------------------------------------------------------
+
+_ST16_ORACLE = """
+SELECT event_id, user_id, ts,
+       row_number() OVER w AS event_seq,
+       MIN(value) OVER w AS running_min,
+       MAX(value) OVER w AS running_max
+FROM events
+WINDOW w AS (
+  PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING
+)
+"""
+
+
+@register("st16_running_extrema", oracle=_ST16_ORACLE, tags=("ST7", "W4"))
+def st16_running_extrema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-user value extrema and sequence number — the batch
+    image of an applyInPandasWithState operator holding {count, min,
+    max} per user (streaming/stateful.py's state-dict pattern with a
+    different reducer). MIN/MAX select existing doubles, so no
+    float-accumulation drift exists by construction.
+
+    Scale: one shuffle on user_id, per-user sorted scan; streaming
+    state is three scalars per user.
+    """
+    events = load_table(spark, sf_dir, "events")
+    w_order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_frame = w_order.rowsBetween(Window.unboundedPreceding, 0)
+    return events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.row_number().over(w_order).alias("event_seq"),
+        F.min("value").over(w_frame).alias("running_min"),
+        F.max("value").over(w_frame).alias("running_max"),
+    )
