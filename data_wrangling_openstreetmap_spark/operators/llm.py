@@ -6033,3 +6033,278 @@ def l4_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("covered").cast("double") / F.col("total") + F.lit(0), 6
         ).alias("coverage"),
     )
+
+
+# ---------------------------------------------------------------------------
+# L6 — Johnson–Lindenstrauss signed random projection (round 4): 64-d
+# float embeddings down to 8 dims via a deterministic ±1 projection
+# matrix derived from a multiplicative hash — the cheap dimensionality
+# reduction that preserves pairwise distances within (1±ε) and feeds
+# coarse clustering / visualization / LSH seeding at corpus scale.
+# ---------------------------------------------------------------------------
+
+_L6_RP_ORACLE = """
+SELECT vec_id,
+       CAST(d AS INTEGER) AS dim,
+       round(list_sum(list_transform(
+         range(1, len(embedding) + 1),
+         i -> CAST(embedding[i] AS DOUBLE)
+              * (1 - 2 * ((((i - 1) * 73 + d * 151) * 2654435761 >> 13) % 2))
+       )), 6) + 0 AS proj
+FROM embeddings, generate_series(0, 7) AS t(d)
+"""
+
+
+@register("l6_random_projection", oracle=_L6_RP_ORACLE, tags=("L6", "F5", "F4"))
+def l6_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Project every embedding onto 8 signed-sum axes: output dim d is
+    Σᵢ emb[i]·s(i,d) with s(i,d) = ±1 from bit 13 of a multiplicative
+    hash of (i, d) — a deterministic stand-in for the JL Gaussian
+    matrix (±1 entries satisfy the lemma per Achlioptas 2003). Both
+    engines fold the products IN ORDER (Spark `aggregate` and DuckDB
+    `list_sum` are sequential folds), so the double sums are
+    bit-identical before the 6-dp round; the hash is exact BIGINT
+    arithmetic.
+
+    Scale: pure per-row projection — no shuffle, no Python crossing,
+    no driver state; the 8×64 "matrix" is an expression, so nothing is
+    broadcast. The long-form (vec_id, dim, proj) output explodes 8×
+    inside the scan projection.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    emb = V.as_double(F.col("embedding"))
+    idx = F.sequence(F.lit(0), F.size("embedding") - 1)
+
+    def signed_sum(d):
+        def term(v, i):
+            h = (i.cast("long") * 73 + d.cast("long") * 151) * F.lit(2654435761)
+            sign = 1 - 2 * (F.shiftright(h, 13) % 2)
+            return v * sign
+
+        return (
+            F.round(
+                F.aggregate(
+                    F.zip_with(emb, idx, term), F.lit(0.0), lambda a, x: a + x
+                ),
+                6,
+            )
+            + 0
+        )
+
+    projs = F.transform(F.sequence(F.lit(0), F.lit(7)), signed_sum)
+    return e.select(
+        "vec_id", F.posexplode(projs).alias("dim", "proj")
+    ).select("vec_id", F.col("dim").cast("int").alias("dim"), "proj")
+
+
+# ---------------------------------------------------------------------------
+# L3 — PQ shortlist + exact re-rank (round 4): the standard two-stage
+# retrieval — ADC over the code table proposes a wide shortlist, the
+# exact integer distance re-orders just those candidates. Completes
+# the PQ family: l6_pq_codes (write path), l3_pq_adc_topk (read path),
+# this (read path with recall repair).
+# ---------------------------------------------------------------------------
+
+_PQ_SHORTLIST = 32
+
+_L3_PQ_RERANK_ORACLE = f"""
+WITH q AS (SELECT vec_id, {_PQ_QUANT_DUCK} AS qv FROM embeddings),
+subs AS (
+  SELECT vec_id, CAST(j AS INT) AS subspace,
+         qv[j*{_PQ_SUB}+1 : j*{_PQ_SUB}+{_PQ_SUB}] AS sv
+  FROM q, generate_series(0, {_PQ_M - 1}) t(j)
+),
+cb AS (SELECT vec_id AS code, subspace, sv AS csv FROM subs WHERE vec_id < {_PQ_K}),
+dists AS (
+  SELECT s.vec_id, s.subspace, c.code,
+         list_sum(list_transform(generate_series(1, {_PQ_SUB}),
+                  i -> (s.sv[i] - c.csv[i]) * (s.sv[i] - c.csv[i]))) AS dist
+  FROM subs s JOIN cb c ON s.subspace = c.subspace
+),
+best AS (
+  SELECT vec_id, subspace, CAST(min([dist, code])[2] AS BIGINT) AS code
+  FROM dists GROUP BY vec_id, subspace
+),
+lut AS (
+  SELECT vec_id AS qid, subspace, code, dist AS qdist
+  FROM dists WHERE vec_id BETWEEN {_PQ_Q_LO} AND {_PQ_Q_HI}
+),
+shortlist AS (
+  SELECT qid, vec_id FROM (
+    SELECT l.qid, b.vec_id, CAST(SUM(l.qdist) AS BIGINT) AS adist
+    FROM best b JOIN lut l ON b.subspace = l.subspace AND b.code = l.code
+    GROUP BY l.qid, b.vec_id
+  )
+  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY adist, vec_id)
+          <= {_PQ_SHORTLIST}
+),
+exact AS (
+  SELECT sh.qid, sh.vec_id,
+         CAST(SUM(list_sum(list_transform(generate_series(1, {_PQ_SUB}),
+              i -> (qs.sv[i] - cs.sv[i]) * (qs.sv[i] - cs.sv[i])))) AS BIGINT)
+           AS exact_dist
+  FROM shortlist sh
+  JOIN subs qs ON qs.vec_id = sh.qid
+  JOIN subs cs ON cs.vec_id = sh.vec_id AND cs.subspace = qs.subspace
+  GROUP BY sh.qid, sh.vec_id
+)
+SELECT qid, vec_id, exact_dist FROM exact
+QUALIFY row_number() OVER (PARTITION BY qid ORDER BY exact_dist, vec_id)
+        <= {_PQ_TOPK}
+"""
+
+
+@register("l3_pq_rerank", oracle=_L3_PQ_RERANK_ORACLE, tags=("L3", "L6", "W2"))
+def l3_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage PQ retrieval: ADC proposes the top-32
+    codes per query (cheap, approximate), then the EXACT quantized
+    distance — computed only for shortlist pairs — picks the final
+    top-5. This is how production PQ serving repairs ADC's
+    quantization error without ever scanning floats corpus-wide.
+    Integer-exact end to end (same quantization as the whole PQ
+    family), so both engines agree bit-for-bit including tiebreaks.
+
+    Scale: stage 1 is l3_pq_adc_topk's broadcast-LUT scan; stage 2
+    touches only queries×32 pairs — the exact-distance
+    join is a per-pair lookup into the subvector table, partitioned by
+    corpus vec_id (no full-corpus float scan at any point). The
+    shortlist window partitions by qid; nothing is global.
+    """
+    subs, cb, best = _pq_assign(spark, sf_dir)
+    lut = (
+        subs.filter(F.col("vec_id").between(_PQ_Q_LO, _PQ_Q_HI))
+        .join(F.broadcast(cb), F.col("subspace") == F.col("cb_subspace"))
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("subspace").alias("lut_subspace"),
+            F.col("code").alias("lut_code"),
+            _pq_sqdist("sv", "csv").alias("qdist"),
+        )
+    )
+    adc = (
+        best.join(
+            F.broadcast(lut),
+            (F.col("subspace") == F.col("lut_subspace"))
+            & (F.col("code") == F.col("lut_code")),
+        )
+        .groupBy("qid", "vec_id")
+        .agg(F.sum("qdist").alias("adist"))
+    )
+    short_w = Window.partitionBy("qid").orderBy("adist", "vec_id")
+    shortlist = (
+        adc.withColumn("rn", F.row_number().over(short_w))
+        .filter(F.col("rn") <= _PQ_SHORTLIST)
+        .select("qid", "vec_id")
+    )
+    qsubs = subs.filter(F.col("vec_id").between(_PQ_Q_LO, _PQ_Q_HI)).select(
+        F.col("vec_id").alias("q_vid"),
+        F.col("subspace").alias("q_subspace"),
+        F.col("sv").alias("qsv"),
+    )
+    csubs = subs.select(
+        F.col("vec_id").alias("c_vid"),
+        F.col("subspace").alias("c_subspace"),
+        F.col("sv").alias("csv2"),
+    )
+    exact = (
+        shortlist.join(csubs, shortlist.vec_id == csubs.c_vid)
+        .join(
+            F.broadcast(qsubs),
+            (F.col("qid") == F.col("q_vid"))
+            & (F.col("c_subspace") == F.col("q_subspace")),
+        )
+        .select("qid", "vec_id", _pq_sqdist("qsv", "csv2").alias("subdist"))
+        .groupBy("qid", "vec_id")
+        .agg(F.sum("subdist").cast("long").alias("exact_dist"))
+    )
+    final_w = Window.partitionBy("qid").orderBy("exact_dist", "vec_id")
+    return (
+        exact.withColumn("rn", F.row_number().over(final_w))
+        .filter(F.col("rn") <= _PQ_TOPK)
+        .select("qid", "vec_id", "exact_dist")
+    )
+
+
+# ---------------------------------------------------------------------------
+# G7 — degree assortativity (round 4): do high-degree parts co-purchase
+# with other high-degree parts? Pearson correlation of endpoint degrees
+# over the symmetrized edge list — the Newman assortativity
+# coefficient, from exact integer moments. Completes the co-purchase
+# graph-stat family (g2 triangles, g3 BFS, g5 power-law slope).
+# ---------------------------------------------------------------------------
+
+_G7_ORACLE = """
+WITH {co_edges},
+deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+  FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+  GROUP BY node
+),
+j AS (
+  SELECT du.deg AS du, dv.deg AS dv
+  FROM e
+  JOIN deg du ON e.u = du.node
+  JOIN deg dv ON e.v = dv.node
+),
+m AS (
+  SELECT CAST(2 * COUNT(*) AS BIGINT) AS m,
+         CAST(SUM(du + dv) AS BIGINT) AS sx,
+         CAST(2 * SUM(du * dv) AS BIGINT) AS sxy,
+         CAST(SUM(du * du + dv * dv) AS BIGINT) AS sxx
+  FROM j
+)
+SELECT CAST(m / 2 AS BIGINT) AS n_edges,
+       CASE WHEN m * sxx - sx * sx = 0 THEN 0.0
+            ELSE round(CAST(m * sxy - sx * sx AS DOUBLE)
+                       / CAST(m * sxx - sx * sx AS DOUBLE), 6) + 0
+       END AS assortativity
+FROM m
+"""
+
+
+@register(
+    "g7_degree_assortativity",
+    oracle=_G7_ORACLE.format(co_edges=oracle_co_edges(2)),
+    tags=("A11", "J1", "A2"),
+)
+def g7_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman degree assortativity of the co-purchase graph
+    (min-support 2): Pearson r of (deg(u), deg(v)) over the
+    SYMMETRIZED edge list — with both orientations counted, Σx = Σy
+    and Σx² = Σy², so r = (M·Σxy − Σx²)/(M·Σx² − Σx²) from five exact
+    BIGINT moments; one double division, 6-dp round (`+ 0` for -0.0),
+    explicit 0.0 when the graph is degree-regular (zero variance —
+    DuckDB's x/0 is NULL, Spark ANSI throws).
+
+    Scale: degrees are one groupBy over the edge endpoints; the
+    degree-annotation joins hash-partition on node id (broadcast when
+    the degree table fits); moments are a single global agg. Degree
+    products bound the BIGINT at deg ≤ ~10⁶ per node at Σ ≤ 10¹²
+    edges — beyond that, shard the moment sums per degree bucket and
+    decimal-merge.
+    """
+    e = co_purchase_edges(spark, sf_dir, 2).select("u", "v")
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    du = deg.select(F.col("node").alias("u_node"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("node").alias("v_node"), F.col("deg").alias("dv"))
+    j = e.join(du, e.u == du.u_node).join(dv, e.v == dv.v_node)
+    m = j.agg(
+        (2 * F.count("*")).alias("m"),
+        F.sum(F.col("du") + F.col("dv")).alias("sx"),
+        (2 * F.sum(F.col("du") * F.col("dv"))).alias("sxy"),
+        F.sum(F.col("du") * F.col("du") + F.col("dv") * F.col("dv")).alias("sxx"),
+    )
+    var = F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")
+    cov = F.col("m") * F.col("sxy") - F.col("sx") * F.col("sx")
+    r = F.when(var == 0, F.lit(0.0)).otherwise(
+        F.round(cov.cast("double") / var.cast("double"), 6) + 0
+    )
+    return m.select(
+        (F.col("m") / 2).cast("bigint").alias("n_edges"),
+        r.alias("assortativity"),
+    )

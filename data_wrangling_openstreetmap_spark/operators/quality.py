@@ -711,3 +711,77 @@ def dq7_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("p") + F.lit(0), 6).alias("benford_p"),
         F.round(F.abs(share - F.col("p")) + F.lit(0), 6).alias("abs_dev"),
     )
+
+
+# ---------------------------------------------------------------------------
+# dq9 — duplicate-payment detector (round 4): pairs of purchases by the
+# same user, close in time AND in amount — the classic double-charge
+# audit.
+# ---------------------------------------------------------------------------
+
+_DQ9_ORACLE = """
+SELECT a.event_id AS first_id,
+       b.event_id AS second_id,
+       a.user_id,
+       CAST(abs(epoch_us(b.ts) - epoch_us(a.ts)) AS BIGINT) AS gap_us,
+       CAST(abs(CAST(round(a.value * 100) AS BIGINT)
+                - CAST(round(b.value * 100) AS BIGINT)) AS BIGINT) AS diff_units
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_id < b.event_id
+ AND abs(epoch_us(b.ts) - epoch_us(a.ts)) <= 14400000000
+ AND abs(CAST(round(a.value * 100) AS BIGINT)
+         - CAST(round(b.value * 100) AS BIGINT)) <= 500
+WHERE a.event_type = 'purchase' AND b.event_type = 'purchase'
+"""
+
+
+@register("dq9_duplicate_payments", oracle=_DQ9_ORACLE, tags=("J8", "J6", "L1"))
+def dq9_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suspected double charges: purchase pairs by the same user within
+    4 hours AND within $5 of each other (exact integer-cent distance;
+    µs time gap) — the audit that runs before a dedup/refund pipeline.
+    Pairs are oriented by event_id so each suspect pair appears once.
+
+    Scale: equi-join on user_id with time/amount residuals — the st8
+    interval-join shape: one hash shuffle on the user key, residual
+    predicates evaluated partition-locally, output bounded by
+    purchases-per-user within the window. Never an all-pairs product.
+    """
+    events = load_table(spark, sf_dir, "events")
+    p = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", cents("value").alias("units")
+    )
+    a = p.select(
+        F.col("event_id").alias("first_id"),
+        F.col("user_id").alias("user_id"),
+        F.col("ts").alias("a_ts"),
+        F.col("units").alias("a_units"),
+    )
+    b = p.select(
+        F.col("event_id").alias("second_id"),
+        F.col("user_id").alias("b_user"),
+        F.col("ts").alias("b_ts"),
+        F.col("units").alias("b_units"),
+    )
+    gap_us = F.abs(
+        F.unix_micros(F.col("b_ts").cast("timestamp"))
+        - F.unix_micros(F.col("a_ts").cast("timestamp"))
+    )
+    diff_units = F.abs(F.col("a_units") - F.col("b_units"))
+    return (
+        a.join(
+            b,
+            (F.col("user_id") == F.col("b_user"))
+            & (F.col("first_id") < F.col("second_id"))
+            & (gap_us <= 14400000000)
+            & (diff_units <= 500),
+        )
+        .select(
+            "first_id",
+            "second_id",
+            "user_id",
+            gap_us.alias("gap_us"),
+            diff_units.alias("diff_units"),
+        )
+    )

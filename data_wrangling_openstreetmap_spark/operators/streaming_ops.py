@@ -524,17 +524,7 @@ def st13_hopping_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator (no materialized explode); the average is the integer-unit
     sum ÷ count, so any partition order produces the identical double.
     """
-    from ._helpers import davg
-
-    events = load_table(spark, sf_dir, "events")
-    return (
-        events.groupBy(F.window("ts", "2 hours", "30 minutes").alias("w"))
-        .agg(
-            F.count("*").alias("n_events"),
-            davg("value").alias("avg_value"),
-        )
-        .select(F.col("w.start").alias("window_start"), "n_events", "avg_value")
-    )
+    return TR.hopping_avg(load_table(spark, sf_dir, "events"))
 
 
 # ---------------------------------------------------------------------------

@@ -706,3 +706,92 @@ def u10_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return customer.groupBy("c_mktsegment").applyInArrow(
         _arrow_zscore, schema="c_custkey long, c_mktsegment string, z double"
     )
+
+
+# ---------------------------------------------------------------------------
+# U11 — UDTF with a TABLE argument + PARTITION BY (Spark 4 surface):
+# the UDTF consumes an entire partitioned relation — one instance per
+# partition, eval() streamed the rows, terminate() emits the summary —
+# i.e. a user-defined AGGREGATION owning the whole partition, callable
+# straight from SQL.
+# ---------------------------------------------------------------------------
+
+
+def _make_type_stats():
+    from pyspark.sql.functions import udtf
+
+    class TypeStats:
+        """Per-partition event summary: count, exact integer-cent value
+        total, first/last event time. All state is order-independent
+        (sum/count/min/max), so the unspecified intra-partition row
+        order cannot change the output."""
+
+        def __init__(self):
+            self._key = None
+            self._n = 0
+            self._units = 0  # Python int: arbitrary precision, no wrap
+            self._min_ts = None
+            self._max_ts = None
+
+        def eval(self, row):
+            self._key = row["event_type"]
+            self._n += 1
+            self._units += int(round(row["value"] * 100))
+            ts = row["ts"]
+            if self._min_ts is None or ts < self._min_ts:
+                self._min_ts = ts
+            if self._max_ts is None or ts > self._max_ts:
+                self._max_ts = ts
+
+        def terminate(self):
+            if self._key is not None:
+                yield (
+                    self._key,
+                    self._n,
+                    self._units / 100.0,
+                    self._min_ts,
+                    self._max_ts,
+                )
+
+    return udtf(
+        TypeStats,
+        returnType=(
+            "event_type string, n_events bigint, total_value double, "
+            "first_ts timestamp_ntz, last_ts timestamp_ntz"
+        ),
+    )
+
+
+_U11_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       SUM(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total_value,
+       MIN(ts) AS first_ts,
+       MAX(ts) AS last_ts
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("u11_udtf_table_arg", oracle=_U11_ORACLE, tags=("U5", "U4", "A1"))
+def u11_udtf_table_arg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``SELECT * FROM type_stats(TABLE(events) PARTITION BY
+    event_type)`` — the Spark 4 table-argument UDTF: the engine
+    partitions the relation, instantiates the class once per
+    partition, streams rows through eval(), and collects terminate()'s
+    summary row. This is the pure-Python UDAF-over-relation surface
+    (u3/u10 reach it via the DataFrame grouped-map API; u5/u9 take
+    scalar arguments only); the oracle is the plain SQL aggregate the
+    partition summary must equal.
+
+    Scale: one shuffle on the PARTITION BY key; per-partition state is
+    five scalars. The crossing is row-at-a-time Python — for exactly
+    this shape prefer JVM aggregates (q1) or a GROUPED_AGG pandas UDF
+    (u4b); the surface is graded because users reach for it when the
+    per-partition logic is genuinely imperative.
+    """
+    spark.udtf.register("type_stats", _make_type_stats())
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("u11_events")
+    return spark.sql(
+        "SELECT * FROM type_stats(TABLE(u11_events) PARTITION BY event_type)"
+    )

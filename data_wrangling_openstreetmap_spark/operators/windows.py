@@ -2726,3 +2726,219 @@ def w24_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_down",
         z.alias("z_runs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# W26 — Bollinger bands (round 4): 7-day trailing mean ± 2σ over daily
+# revenue, every statistic derived from exact integer moments.
+# ---------------------------------------------------------------------------
+
+_W26_ORACLE = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_units
+  FROM orders GROUP BY 1
+), m AS (
+  SELECT d, rev_units,
+         CAST(COUNT(*) OVER w AS BIGINT) AS n,
+         CAST(SUM(rev_units) OVER w AS BIGINT) AS s1,
+         CAST(SUM(rev_units * rev_units) OVER w AS BIGINT) AS s2
+  FROM daily
+  WINDOW w AS (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+)
+SELECT CAST(d AS TIMESTAMP) AS day,
+       rev_units / 100.0 AS revenue,
+       round(s1 / (100.0 * n), 6) + 0 AS mid_band,
+       round(sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)) / (100.0 * n), 6) + 0 AS sigma,
+       round(s1 / (100.0 * n)
+             + 2 * sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)) / (100.0 * n), 6) + 0
+         AS upper_band,
+       round(s1 / (100.0 * n)
+             - 2 * sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)) / (100.0 * n), 6) + 0
+         AS lower_band
+FROM m
+"""
+
+
+@register("w26_bollinger_bands", oracle=_W26_ORACLE, tags=("W4", "F4", "A7"))
+def w26_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger bands over daily order revenue: trailing-7-OBSERVATION
+    mean and population σ (partial windows at the head use their actual
+    n), bands at ±2σ. Every moment (Σx, Σx²) is an exact BIGINT of
+    integer cents, so mean and σ are single double expressions computed
+    from identical integers on both engines — then rounded to 6 dp
+    (`+ 0` normalizes -0.0).
+
+    Scale: the frame runs over the O(days) daily aggregate — bounded
+    input, the plan sweep's admissible SinglePartition shape. Σx² of
+    cents needs ~2×10⁹ daily dollars before the BIGINT square matters;
+    past that, re-shard to per-window decimal partials.
+    """
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev_units"))
+    )
+    w = Window.orderBy("d").rowsBetween(-6, 0)
+    m = (
+        daily.withColumn("n", F.count("*").over(w))
+        .withColumn("s1", F.sum("rev_units").over(w))
+        .withColumn("s2", F.sum(F.col("rev_units") * F.col("rev_units")).over(w))
+    )
+    sigma = F.sqrt((F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")).cast("double")) / (
+        100.0 * F.col("n")
+    )
+    mid = F.col("s1") / (100.0 * F.col("n"))
+    return m.select(
+        F.col("d").cast("timestamp").alias("day"),
+        (F.col("rev_units") / 100.0).alias("revenue"),
+        (F.round(mid, 6) + 0).alias("mid_band"),
+        (F.round(sigma, 6) + 0).alias("sigma"),
+        (F.round(mid + 2 * sigma, 6) + 0).alias("upper_band"),
+        (F.round(mid - 2 * sigma, 6) + 0).alias("lower_band"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W27 — top daily movers (round 4): largest absolute day-over-day
+# revenue swings per market segment, top-3 per day.
+# ---------------------------------------------------------------------------
+
+_W27_ORACLE = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         c_mktsegment,
+         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_units
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2
+), changed AS (
+  SELECT d, c_mktsegment, rev_units,
+         lag(rev_units) OVER (PARTITION BY c_mktsegment ORDER BY d) AS prev_units
+  FROM daily
+), pct AS (
+  SELECT d, c_mktsegment,
+         rev_units / 100.0 AS revenue,
+         (rev_units - prev_units) / CAST(prev_units AS DOUBLE) AS chg
+  FROM changed
+  WHERE prev_units IS NOT NULL AND prev_units <> 0
+)
+SELECT CAST(d AS TIMESTAMP) AS day, c_mktsegment, revenue,
+       round(chg, 6) + 0 AS pct_change,
+       CAST(mover_rank AS BIGINT) AS mover_rank
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY d ORDER BY abs(chg) DESC, c_mktsegment
+  ) AS mover_rank
+  FROM pct
+)
+WHERE mover_rank <= 3
+"""
+
+
+@register("w27_top_movers", oracle=_W27_ORACLE, tags=("W2", "W3", "A7"))
+def w27_top_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 absolute day-over-day revenue movers per day across market
+    segments: partitioned lag for the change, then a per-day top-k.
+    The change ratio divides two exact BIGINTs, so the doubles — and
+    the |chg| ranking — are engine-identical; segment name breaks
+    ranking ties deterministically. First-day rows (no predecessor)
+    are excluded on both engines.
+
+    Scale: daily×segment aggregate is the only fact shuffle; both
+    windows partition by bounded keys (segment; day) and the top-k
+    filter plans as WindowGroupLimit — partial per-day heaps before
+    the exchange.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    daily = (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy(F.to_date("o_orderdate").alias("d"), "c_mktsegment")
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev_units"))
+    )
+    prev = F.lag("rev_units").over(Window.partitionBy("c_mktsegment").orderBy("d"))
+    pct = (
+        daily.withColumn("prev_units", prev)
+        .filter(F.col("prev_units").isNotNull() & (F.col("prev_units") != 0))
+        .select(
+            "d",
+            "c_mktsegment",
+            (F.col("rev_units") / 100.0).alias("revenue"),
+            (
+                (F.col("rev_units") - F.col("prev_units"))
+                / F.col("prev_units").cast("double")
+            ).alias("chg"),
+        )
+    )
+    rank_w = Window.partitionBy("d").orderBy(F.abs(F.col("chg")).desc(), "c_mktsegment")
+    return (
+        pct.withColumn("mover_rank", F.row_number().over(rank_w))
+        .filter(F.col("mover_rank") <= 3)
+        .select(
+            F.col("d").cast("timestamp").alias("day"),
+            "c_mktsegment",
+            "revenue",
+            (F.round("chg", 6) + 0).alias("pct_change"),
+            F.col("mover_rank").cast("bigint").alias("mover_rank"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# W28 — maximum drawdown (round 4): worst peak-to-current decline of
+# the daily revenue series, located deterministically.
+# ---------------------------------------------------------------------------
+
+_W28_ORACLE = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_units
+  FROM orders GROUP BY 1
+), dd AS (
+  SELECT d, rev_units,
+         MAX(rev_units) OVER (ORDER BY d
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - rev_units
+           AS dd_units
+  FROM daily
+)
+SELECT CAST(d AS TIMESTAMP) AS trough_day,
+       dd_units / 100.0 AS max_drawdown,
+       rev_units / 100.0 AS trough_revenue
+FROM (
+  SELECT *, row_number() OVER (ORDER BY dd_units DESC, d) AS rn FROM dd
+)
+WHERE rn = 1
+"""
+
+
+@register("w28_max_drawdown", oracle=_W28_ORACLE, tags=("W4", "O2", "A7"))
+def w28_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of the daily revenue series: running peak minus
+    current value, maximized — the worst decline-from-peak any
+    monitoring window would have seen; earliest day breaks exact-tie
+    drawdowns. All-integer cents until the final /100.
+
+    Scale: both the prefix max and the argmax run over the O(days)
+    daily aggregate (bounded windows; the top-1 is an orderBy+limit
+    TakeOrdered on the same bounded table). On an UNBOUNDED row-level
+    series the prefix max would switch to
+    _helpers.scalable_running_max — st4/st14 grade exactly that form.
+    """
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev_units"))
+    )
+    peak_w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    dd = daily.withColumn(
+        "dd_units", F.max("rev_units").over(peak_w) - F.col("rev_units")
+    )
+    return (
+        dd.orderBy(F.col("dd_units").desc(), "d")
+        .limit(1)
+        .select(
+            F.col("d").cast("timestamp").alias("trough_day"),
+            (F.col("dd_units") / 100.0).alias("max_drawdown"),
+            (F.col("rev_units") / 100.0).alias("trough_revenue"),
+        )
+    )

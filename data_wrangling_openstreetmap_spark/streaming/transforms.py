@@ -176,3 +176,15 @@ def purchase_attribution_left(events: DataFrame) -> DataFrame:
         ),
         "left_outer",
     ).select("purchase_id", "user_id", "purchase_ts", "click_id", "click_ts")
+
+
+def hopping_avg(events: DataFrame) -> DataFrame:
+    """ST13: 2-hour windows hopping every 30 minutes with the exact
+    order-independent average (integer-unit sum ÷ count)."""
+    from ..operators._helpers import davg
+
+    return (
+        events.groupBy(F.window("ts", "2 hours", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"), davg("value").alias("avg_value"))
+        .select(F.col("w.start").alias("window_start"), "n_events", "avg_value")
+    )

@@ -589,3 +589,82 @@ def test_stream_hll_sketch_converges_to_batch(spark, replay_dir):
     got = spark.table("sink_hll").filter(F.col("event_type") != "sentinel")
     want = agg(load_table(spark, SF, "events"))
     assert _rows(got) == _rows(want)
+
+
+def test_stream_hopping_avg_equals_batch(spark, replay_dir):
+    """ST13 twin: the 2h/30min hopping-window exact average is the SAME
+    transform in batch and streaming (streaming/transforms.hopping_avg)
+    — complete mode drains the replay and must equal the graded batch
+    image bit-for-bit (integer-unit sum ÷ count is order-independent,
+    so micro-batch boundaries cannot move the doubles)."""
+    run_to_memory(
+        read_event_stream(spark, replay_dir).filter(
+            F.col("user_id") != SENTINEL_USER
+        ),
+        TR.hopping_avg,
+        "sink_hopping",
+        output_mode="complete",
+    )
+    got = spark.table("sink_hopping")
+    want = TR.hopping_avg(load_table(spark, SF, "events"))
+    assert _rows(got) == _rows(want)
+
+
+def test_stream_daily_distinct_users_converges_minus_final_window(
+    spark, replay_dir
+):
+    """ST12's streaming form: exact COUNT(DISTINCT) is not a streaming
+    aggregate, so the incremental plan chains two stateful operators —
+    watermarked dropDuplicates on (user, day) then a windowed count
+    (the Spark 4 multi-stateful append pipeline).
+
+    Measured Spark 4.1 contract (pinned here, like st9's outer-join
+    emission): every COMPLETED window flushes and matches the batch
+    image exactly, but the FINAL window — the one containing the
+    stream's maximum real event time — is withheld no matter how many
+    watermark-advancing batches follow (replayed with 1, 2, and 3
+    trailing sentinel batches, with checkpointed availableNow restarts:
+    always 29 of 30 windows; a single-operator aggregation flushes all
+    30 under the identical replay). Soundness is exact; completeness
+    excludes exactly that one window.
+    """
+
+    def daily_users_stream(df):
+        dedup = (
+            df.withColumn("ts", F.col("ts").cast("timestamp"))
+            .withWatermark("ts", "1 hour")
+            # the sentinel must pass THROUGH the watermark node (it is
+            # what advances the watermark past the real windows) and
+            # only then drop out of the aggregation
+            .filter(F.col("user_id") != SENTINEL_USER)
+            # dedup on a derived day column while KEEPING ts: the
+            # watermarked event-time column must survive into the
+            # downstream aggregation
+            .withColumn("day", F.date_trunc("day", F.col("ts")))
+            .dropDuplicates(["user_id", "day"])
+        )
+        return (
+            dedup.groupBy(F.window("ts", "1 day").alias("w"))
+            .agg(F.count("*").alias("n_users"))
+            .select(
+                F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+                "n_users",
+            )
+        )
+
+    run_to_memory(
+        read_event_stream(spark, replay_dir),
+        daily_users_stream,
+        "sink_daily_users",
+        output_mode="append",
+    )
+    got = _rows(spark.table("sink_daily_users"))
+    from data_wrangling_openstreetmap_spark.registry import REGISTRY
+
+    want = _rows(
+        REGISTRY["st12_tumbling_distinct_users"]
+        .fn(spark, SF)
+        .select("window_start", F.col("n_users").cast("bigint").alias("n_users"))
+    )
+    assert set(got) <= set(want)  # soundness: every emitted row is exact
+    assert got == want[:-1]  # completeness: all but the final window
