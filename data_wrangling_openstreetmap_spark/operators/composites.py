@@ -2619,3 +2619,185 @@ def q36_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(c.agg(F.count("*").alias("n_clicked_after")))
         .crossJoin(p.agg(F.count("*").alias("n_purchased_after")))
     )
+
+
+# ---------------------------------------------------------------------------
+# A32 — Herfindahl–Hirschman concentration index (round 4): revenue
+# concentration across market segments per order year. The
+# antitrust-style share-of-squares metric (a26's Gini ranks
+# inequality; HHI squares shares) from an exact integer quotient.
+# ---------------------------------------------------------------------------
+
+_A32_ORACLE = """
+WITH seg AS (
+  SELECT date_part('year', o_orderdate) AS order_year,
+         c_mktsegment,
+         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS su
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2
+)
+SELECT CAST(order_year AS BIGINT) AS order_year,
+       CAST(COUNT(*) AS BIGINT) AS n_segments,
+       round(10000.0
+             * CAST(SUM(CAST(su AS HUGEINT) * CAST(su AS HUGEINT)) AS DOUBLE)
+             / (CAST(SUM(su) AS DOUBLE) * CAST(SUM(su) AS DOUBLE)), 6) + 0 AS hhi
+FROM seg
+GROUP BY order_year
+"""
+
+
+@register("a32_hhi_concentration", oracle=_A32_ORACLE, tags=("A11", "A1", "F4"))
+def a32_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HHI of yearly revenue across market segments, on the 0–10000
+    scale: HHI = 10⁴·Σsᵢ² with sᵢ the segment's revenue share — which
+    reduces to 10⁴·Σuᵢ²/(Σuᵢ)² over exact integer cent totals. The
+    squares of segment-year cents exceed BIGINT at ~$10⁹ (measured at
+    sf0.001 under ANSI mode), so Σu² accumulates in DECIMAL(38,0) on
+    Spark and HUGEINT on DuckDB — both exact — and each side casts the
+    identical exact integer to double once before the single division
+    (6-dp round, `+ 0`). A year with one active segment grades exactly
+    10000.
+
+    Scale: two cascaded aggregations (year×segment, then year) on
+    bounded keys; the fact shuffle is the orders⋈customer join;
+    DECIMAL(38,0) holds Σu² to ~10¹⁹ dollars per segment-year.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    seg = (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy(
+            F.year("o_orderdate").cast("bigint").alias("order_year"),
+            "c_mktsegment",
+        )
+        .agg(F.sum(cents("o_totalprice")).alias("su"))
+    )
+    su_dec = F.col("su").cast("decimal(19,0)")
+    return seg.groupBy("order_year").agg(
+        F.count("*").alias("n_segments"),
+        (
+            F.round(
+                10000.0
+                * F.sum(su_dec * su_dec).cast("double")
+                / (F.sum("su").cast("double") * F.sum("su").cast("double")),
+                6,
+            )
+            + 0
+        ).alias("hhi"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A33 — calendar seasonality index (round 4): each calendar month's
+# average revenue relative to the overall monthly average, as one
+# exact-integer cross-multiplied quotient.
+# ---------------------------------------------------------------------------
+
+_A33_ORACLE = """
+WITH monthly AS (
+  SELECT date_trunc('month', o_orderdate) AS m,
+         date_part('month', o_orderdate) AS cal_month,
+         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS units
+  FROM orders GROUP BY 1, 2
+),
+tot AS (
+  SELECT CAST(SUM(units) AS BIGINT) AS all_units,
+         CAST(COUNT(*) AS BIGINT) AS all_months
+  FROM monthly
+)
+SELECT CAST(cal_month AS BIGINT) AS cal_month,
+       CAST(COUNT(*) AS BIGINT) AS n_months,
+       SUM(units) / 100.0 AS total_revenue,
+       round(CAST(SUM(units) AS DOUBLE) * all_months
+             / (COUNT(*) * all_units), 6) + 0 AS seasonal_index
+FROM monthly, tot
+GROUP BY cal_month, all_months, all_units
+"""
+
+
+@register("a33_seasonal_index", oracle=_A33_ORACLE, tags=("A7", "F3", "A2"))
+def a33_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-of-year seasonality: index_m = (avg revenue of calendar
+    month m) / (overall monthly average), computed as the
+    cross-multiplied integer quotient Σu_m·N_total/(n_m·Σu_total) so
+    the only float op is the final division (both engines divide the
+    identical exact integers; 6-dp round). An index > 1 marks a
+    seasonally strong month.
+
+    Scale: the monthly rollup is the only fact pass; the grand total is
+    a one-row broadcast joined back cross-style — O(12) output.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("m"),
+        F.month("o_orderdate").cast("bigint").alias("cal_month"),
+    ).agg(F.sum(cents("o_totalprice")).alias("units"))
+    tot = monthly.agg(
+        F.sum("units").alias("all_units"), F.count("*").alias("all_months")
+    )
+    per = monthly.groupBy("cal_month").agg(
+        F.count("*").alias("n_months"),
+        F.sum("units").alias("month_units"),
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "cal_month",
+        "n_months",
+        (F.col("month_units") / 100.0).alias("total_revenue"),
+        (
+            F.round(
+                F.col("month_units").cast("double")
+                * F.col("all_months")
+                / (F.col("n_months") * F.col("all_units")),
+                6,
+            )
+            + 0
+        ).alias("seasonal_index"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q37 — repeat-purchase share (round 4): how much of the buyer base
+# comes back — the retention scalar every growth report leads with.
+# ---------------------------------------------------------------------------
+
+_Q37_ORACLE = """
+WITH buyers AS (
+  SELECT user_id, COUNT(*) AS n_purchases
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_buyers,
+       CAST(SUM(CASE WHEN n_purchases >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_repeat,
+       CASE WHEN COUNT(*) = 0 THEN 0.0
+            ELSE round(SUM(CASE WHEN n_purchases >= 2 THEN 1 ELSE 0 END)
+                       / CAST(COUNT(*) AS DOUBLE), 6) + 0
+       END AS repeat_share
+FROM buyers
+"""
+
+
+@register("q37_repeat_purchase_share", oracle=_Q37_ORACLE, tags=("A2", "A5", "P2"))
+def q37_repeat_purchase_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share of purchasing users with two or more purchases: per-user
+    purchase counts, then one global ratio of exact integers (explicit
+    0.0 when there are no buyers — the ANSI divide guard). q23 grades
+    the month-by-month cohort grid; this grades the headline scalar.
+
+    Scale: the type filter pushes to the scan; one shuffle on user_id
+    bounded by distinct buyers; the final agg is a single row.
+    """
+    events = load_table(spark, sf_dir, "events")
+    buyers = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_purchases"))
+    )
+    repeat = F.sum(F.when(F.col("n_purchases") >= 2, 1).otherwise(0))
+    return buyers.agg(
+        F.count("*").alias("n_buyers"),
+        repeat.cast("bigint").alias("n_repeat"),
+        F.when(F.count("*") == 0, F.lit(0.0))
+        .otherwise(F.round(repeat / F.count("*").cast("double"), 6) + 0)
+        .alias("repeat_share"),
+    )

@@ -2001,8 +2001,9 @@ def j3b_semi_join_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the EXISTS side projects to the bare l_suppkey before a
     broadcast left-semi join (the returnflag filter pushes to the
-    scan); the supplier side never shuffles. Past broadcast range the
-    identical code degrades to a shuffled semi-join.
+    scan); the supplier side never shuffles. Past broadcast range, DROP the
+    hint (explicit broadcasts are honored unconditionally — q4's
+    contract) and the identical code runs as a shuffled semi-join.
     """
     supplier = load_table(spark, sf_dir, "supplier")
     keys = (

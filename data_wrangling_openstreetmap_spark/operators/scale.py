@@ -614,3 +614,55 @@ def s16_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("updated")
         .alias("apply_action"),
     )
+
+
+# ---------------------------------------------------------------------------
+# d6 — dynamic partition overwrite (round 4): rewrite exactly ONE
+# partition of a partitioned table in place, leave the rest untouched —
+# the daily-reprocess primitive of every partitioned lake layout.
+# ---------------------------------------------------------------------------
+
+_D6_ORACLE = """
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       SUM(CAST(round((o_totalprice
+             + CASE WHEN o_orderstatus = 'P' THEN 1000.00 ELSE 0 END) * 100)
+           AS BIGINT)) / 100.0 AS total_price
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+@register("d6_partition_overwrite", oracle=_D6_ORACLE, tags=("S1", "S6", "P2"))
+def d6_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write orders partitioned by status, then DYNAMIC-overwrite only
+    the 'P' partition with repriced rows (+1000.00 — exact in doubles)
+    and read the table back: untouched partitions must survive
+    byte-for-byte, the rewritten one must show the new prices. The
+    oracle derives the expected post-overwrite state from the base
+    table directly.
+
+    Scale: partitionOverwriteMode=dynamic replaces only partitions
+    PRESENT in the incoming frame — the 100 TB daily-backfill pattern
+    (rewrite one day, never touch the rest); static mode would drop
+    every other partition. Reads prune on the partition column.
+    """
+    import tempfile
+
+    orders = load_table(spark, sf_dir, "orders")
+    path = tempfile.mkdtemp(prefix="dwos_d6_") + "/orders_parted"
+    orders.write.partitionBy("o_orderstatus").mode("overwrite").parquet(path)
+    repriced = orders.filter(F.col("o_orderstatus") == "P").withColumn(
+        "o_totalprice", F.col("o_totalprice") + 1000.00
+    )
+    (
+        repriced.write.partitionBy("o_orderstatus")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path)
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        dsum("o_totalprice").alias("total_price"),
+    )

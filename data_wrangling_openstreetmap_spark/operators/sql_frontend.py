@@ -372,3 +372,32 @@ def x6_pivot_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """,
     )
+
+
+# ---------------------------------------------------------------------------
+# X7 — SELECT * EXCLUDE, engine vs engine (round 4): DuckDB runs its
+# native EXCLUDE clause; the frontend lowers the same text for Spark by
+# resolving the view schema at plan time and rewriting the star to the
+# surviving column list.
+# ---------------------------------------------------------------------------
+
+_X7_ORACLE = """
+SELECT * EXCLUDE (text) FROM documents WHERE doc_id < 100
+"""
+
+
+@register("x7_exclude_sql", oracle=_X7_ORACLE, tags=("P1", "F8"))
+def x7_exclude_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``SELECT * EXCLUDE (text)`` — the wide-table idiom for "all the
+    metadata, not the payload". Column order must match DuckDB's native
+    EXCLUDE exactly (original schema order minus the named columns),
+    which is what the lowering's schema-resolved rewrite guarantees.
+
+    Scale: lowers to a plain projection — column pruning reaches the
+    parquet scan, so the excluded payload column is never read.
+    """
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("x7_docs")
+    return sql_ext.sql(
+        spark,
+        "SELECT * EXCLUDE (text) FROM x7_docs WHERE doc_id < 100",
+    )

@@ -17,6 +17,8 @@ every §2 relational operator stays UDF-free.
 
 from __future__ import annotations
 
+import math
+
 from collections.abc import Iterator
 
 import pandas as pd
@@ -736,7 +738,13 @@ def _make_type_stats():
         def eval(self, row):
             self._key = row["event_type"]
             self._n += 1
-            self._units += int(round(row["value"] * 100))
+            # half-away-from-zero, matching F.round/DuckDB round (the
+            # built-in round() is banker's half-to-even — divergent on
+            # exact half-cents, though the fixture never produces one)
+            v = row["value"] * 100
+            self._units += int(math.floor(v + 0.5)) if v >= 0 else int(
+                math.ceil(v - 0.5)
+            )
             ts = row["ts"]
             if self._min_ts is None or ts < self._min_ts:
                 self._min_ts = ts

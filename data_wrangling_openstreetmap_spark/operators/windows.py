@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from ..io import load_table
 from ..registry import register
-from ._helpers import dsum, money
+from ._helpers import cents, dsum, money
 
 # ---------------------------------------------------------------------------
 # q3 — top-k per group (W1 + W2). Headline bench query.
@@ -2777,7 +2777,7 @@ def w26_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = (
         load_table(spark, sf_dir, "orders")
         .groupBy(F.to_date("o_orderdate").alias("d"))
-        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev_units"))
+        .agg(F.sum(cents("o_totalprice")).alias("rev_units"))
     )
     w = Window.orderBy("d").rowsBetween(-6, 0)
     m = (
@@ -2854,7 +2854,7 @@ def w27_top_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = (
         orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
         .groupBy(F.to_date("o_orderdate").alias("d"), "c_mktsegment")
-        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev_units"))
+        .agg(F.sum(cents("o_totalprice")).alias("rev_units"))
     )
     prev = F.lag("rev_units").over(Window.partitionBy("c_mktsegment").orderBy("d"))
     pct = (
@@ -2927,7 +2927,7 @@ def w28_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = (
         load_table(spark, sf_dir, "orders")
         .groupBy(F.to_date("o_orderdate").alias("d"))
-        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev_units"))
+        .agg(F.sum(cents("o_totalprice")).alias("rev_units"))
     )
     peak_w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
     dd = daily.withColumn(

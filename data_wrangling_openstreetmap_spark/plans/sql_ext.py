@@ -418,6 +418,14 @@ def sql(spark: SparkSession, query: str) -> DataFrame:
                 "ROW_NUMBER()|RANK()|DENSE_RANK() OVER (...) <= <int>"
             )
         return _lower_qualify(spark, m)
+    if re.search(r"\*\s+EXCLUDE\s*\(", query, re.IGNORECASE):
+        m = _EXCLUDE_RE.search(query)
+        if m is None:
+            raise SqlExtError(
+                "EXCLUDE requires: SELECT * EXCLUDE (<col> [, <col>...]) "
+                "FROM <table-or-view> [rest]"
+            )
+        return _lower_exclude(spark, query, m)
     if re.search(r"\bSIMILARITY\s+JOIN\b", query, re.IGNORECASE):
         m = _SIM_RE.search(query)
         if m is None:
@@ -550,3 +558,53 @@ def _lower_match_recognize(spark: SparkSession, m: re.Match) -> DataFrame:
         .cast("long")
         .alias(m.group("alias")),
     )
+
+
+# ---------------------------------------------------------------------------
+# SELECT * EXCLUDE (DuckDB/Snowflake surface): star-projection minus
+# named columns. Spark has no EXCLUDE clause; the lowering resolves the
+# FROM relation's schema at plan time and rewrites the star into the
+# explicit surviving column list (order preserved), then delegates to
+# spark.sql. Restriction (documented, like the other constructs): the
+# FROM target must be a named table/view, not a subquery — schema
+# resolution needs a catalog name.
+# ---------------------------------------------------------------------------
+
+_EXCLUDE_RE = re.compile(
+    r"""SELECT\s+\*\s+EXCLUDE\s*\(\s*(?P<cols>[^)]+?)\s*\)\s+
+        FROM\s+(?P<table>[A-Za-z_][\w.]*)
+        (?P<rest>.*)$""",
+    re.IGNORECASE | re.VERBOSE | re.DOTALL,
+)
+
+# Clauses allowed to FOLLOW the single FROM table. A JOIN, comma-list,
+# or subquery would make the star span columns the lowering cannot see
+# — those must raise, not silently lower to the first table's columns.
+_EXCLUDE_REST_OK = re.compile(
+    r"""^\s*(?:$|WHERE\b|GROUP\s+BY\b|HAVING\b|ORDER\s+BY\b|LIMIT\b)""",
+    re.IGNORECASE,
+)
+
+
+def _lower_exclude(spark: SparkSession, query: str, m: re.Match) -> DataFrame:
+    table = m.group("table")
+    if not _EXCLUDE_REST_OK.match(m.group("rest") or ""):
+        raise SqlExtError(
+            "EXCLUDE supports a single FROM table/view (optionally followed "
+            "by WHERE/GROUP BY/HAVING/ORDER BY/LIMIT); joins and comma lists "
+            "would silently drop the other relations' columns"
+        )
+    excluded = [c.strip().lower() for c in m.group("cols").split(",") if c.strip()]
+    schema_cols = spark.table(table).columns
+    missing = [c for c in excluded if c not in [s.lower() for s in schema_cols]]
+    if missing:
+        raise SqlExtError(
+            f"EXCLUDE names columns not in {table}: {', '.join(missing)}"
+        )
+    keep = [c for c in schema_cols if c.lower() not in excluded]
+    if not keep:
+        raise SqlExtError("EXCLUDE would remove every column")
+    rewritten = query[: m.start()] + (
+        "SELECT " + ", ".join(keep) + " FROM " + table
+    ) + m.group("rest")
+    return spark.sql(rewritten)

@@ -262,3 +262,39 @@ def test_distinct_on_equals_window_form_and_raises_on_malformed(spark):
     assert got.columns == ["k", "tag"]
     with pytest.raises(SqlExtError):
         sql(spark, "SELECT DISTINCT ON (k) k FROM don_t")  # no ORDER BY
+
+
+def test_exclude_lowers_to_surviving_columns(spark):
+    spark.createDataFrame(
+        [(1, "a", 2.0), (2, "b", 3.0)], "id int, tag string, v double"
+    ).createOrReplaceTempView("ex_t")
+    got = sql(spark, "SELECT * EXCLUDE (tag) FROM ex_t WHERE id > 0")
+    assert got.columns == ["id", "v"]  # original order, minus the excluded
+    assert sorted((r.id, r.v) for r in got.collect()) == [(1, 2.0), (2, 3.0)]
+    # multiple columns, case-insensitive
+    got2 = sql(spark, "SELECT * EXCLUDE (TAG, V) FROM ex_t")
+    assert got2.columns == ["id"]
+
+
+def test_exclude_raises_on_unknown_or_total_exclusion(spark):
+    spark.createDataFrame([(1,)], "id int").createOrReplaceTempView("ex_t2")
+    with pytest.raises(SqlExtError, match="not in"):
+        sql(spark, "SELECT * EXCLUDE (nope) FROM ex_t2")
+    with pytest.raises(SqlExtError, match="every column"):
+        sql(spark, "SELECT * EXCLUDE (id) FROM ex_t2")
+
+
+def test_exclude_raises_on_multi_table_from(spark):
+    """A JOIN or comma list after the FROM table would make the star
+    span columns the lowering cannot resolve — must raise, never lower
+    to the first table's columns silently."""
+    spark.createDataFrame([(1, "x")], "id int, a string").createOrReplaceTempView(
+        "ex_j1"
+    )
+    spark.createDataFrame([(1, "y")], "id int, b string").createOrReplaceTempView(
+        "ex_j2"
+    )
+    with pytest.raises(SqlExtError, match="single FROM"):
+        sql(spark, "SELECT * EXCLUDE (a) FROM ex_j1 JOIN ex_j2 ON ex_j1.id = ex_j2.id")
+    with pytest.raises(SqlExtError, match="single FROM"):
+        sql(spark, "SELECT * EXCLUDE (a) FROM ex_j1, ex_j2")
