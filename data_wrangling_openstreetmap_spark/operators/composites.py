@@ -2801,3 +2801,91 @@ def q37_repeat_purchase_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round(repeat / F.count("*").cast("double"), 6) + 0)
         .alias("repeat_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q38 — reliability ranking under uncertainty (round 4): per-supplier
+# on-time rate scored by the Wilson lower bound, so a 3-for-3 supplier
+# cannot outrank a 95-for-100 one — the small-sample-honest ranking
+# every quality gate needs.
+# ---------------------------------------------------------------------------
+
+_Q38_ORACLE = """
+WITH ship AS (
+  SELECT l_suppkey,
+         CAST(COUNT(*) AS BIGINT) AS n_ship,
+         CAST(SUM(CASE WHEN l_shipdate <= o_orderdate + INTERVAL 60 DAY
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_ontime
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY l_suppkey
+),
+scored AS (
+  SELECT l_suppkey, n_ship, n_ontime,
+         round(n_ontime / CAST(n_ship AS DOUBLE), 6) + 0 AS ontime_rate,
+         round(
+           (n_ontime / CAST(n_ship AS DOUBLE) + 1.9208 / n_ship
+            - 1.96 * sqrt((n_ontime / CAST(n_ship AS DOUBLE))
+                          * (1 - n_ontime / CAST(n_ship AS DOUBLE)) / n_ship
+                          + 0.9604 / (n_ship * CAST(n_ship AS DOUBLE))))
+           / (1 + 3.8416 / n_ship), 6) + 0 AS wilson_low
+  FROM ship
+)
+SELECT l_suppkey, n_ship, n_ontime, ontime_rate, wilson_low
+FROM scored
+ORDER BY wilson_low DESC, l_suppkey
+LIMIT 20
+"""
+
+
+@register("q38_supplier_reliability", oracle=_Q38_ORACLE, tags=("A11", "F4", "O2", "J1"))
+def q38_supplier_reliability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 suppliers by the Wilson-score LOWER bound of their
+    on-time-ship rate (shipped within 60 days of the order): the
+    bound shrinks toward 0 for thin samples, so certainty is ranked,
+    not just the point estimate. z=1.96 constants are pre-folded
+    literals (z²=3.8416, z²/2=1.9208, z²/4=0.9604) and the formula is
+    written IDENTICALLY on both engines over exact integer (k, n) —
+    the IEEE op sequence matches, so the 6-dp rounds agree; ranking
+    ties break on the supplier key.
+
+    Scale: one fact join on orderkey (both sides hash-partition),
+    per-supplier counts, then TakeOrderedAndProject for the top-20 —
+    no global sort.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    ship = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_suppkey")
+        .agg(
+            F.count("*").alias("n_ship"),
+            F.sum(
+                F.when(
+                    F.col("l_shipdate")
+                    <= F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_ontime"),
+        )
+    )
+    n = F.col("n_ship")
+    p = F.col("n_ontime") / n.cast("double")
+    wilson = (
+        p
+        + 1.9208 / n
+        - 1.96
+        * F.sqrt(p * (1 - p) / n + 0.9604 / (n * n.cast("double")))
+    ) / (1 + 3.8416 / n)
+    return (
+        ship.select(
+            "l_suppkey",
+            "n_ship",
+            "n_ontime",
+            (F.round(p, 6) + 0).alias("ontime_rate"),
+            (F.round(wilson, 6) + 0).alias("wilson_low"),
+        )
+        .orderBy(F.col("wilson_low").desc(), "l_suppkey")
+        .limit(20)
+    )

@@ -785,3 +785,84 @@ def dq9_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
             diff_units.alias("diff_units"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# dp3 — categorical frequency profile (round 4): top-3 values per
+# categorical column across the star schema, long form — the
+# value-distribution half of the profiling pair (dp1 profiles numeric
+# extremes; this profiles category mass).
+# ---------------------------------------------------------------------------
+
+_DP3_ORACLE = """
+WITH vals AS (
+  SELECT 'events.event_type' AS col_name, event_type AS value FROM events
+  UNION ALL
+  SELECT 'documents.lang', lang FROM documents
+  UNION ALL
+  SELECT 'documents.source', source FROM documents
+  UNION ALL
+  SELECT 'orders.o_orderpriority', o_orderpriority FROM orders
+  UNION ALL
+  SELECT 'customer.c_mktsegment', c_mktsegment FROM customer
+),
+counted AS (
+  SELECT col_name, value, CAST(COUNT(*) AS BIGINT) AS n
+  FROM vals GROUP BY col_name, value
+),
+ranked AS (
+  SELECT col_name, value, n,
+         CAST(row_number() OVER (
+           PARTITION BY col_name ORDER BY n DESC, value
+         ) AS BIGINT) AS value_rank,
+         CAST(SUM(n) OVER (PARTITION BY col_name) AS BIGINT) AS total
+  FROM counted
+)
+SELECT col_name, value_rank, value, n,
+       round(n / CAST(total AS DOUBLE), 6) + 0 AS share
+FROM ranked
+WHERE value_rank <= 3
+"""
+
+
+@register("dp3_categorical_profile", oracle=_DP3_ORACLE, tags=("A9", "O3", "W2"))
+def dp3_categorical_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 most frequent values per categorical column across five
+    columns of the star schema, with each value's share of the
+    column's rows — the long-form categorical profile a pipeline
+    publishes next to dp1's numeric one. Ranking ties break on the
+    value string; shares divide exact integers.
+
+    Scale: each branch aggregates to (column, value) cardinality
+    before the union (map-side partials); the rank and the share
+    window both partition by col_name — bounded keys, no global sort;
+    WindowGroupLimit prunes past rank 3 pre-shuffle.
+    """
+    pairs = [
+        ("events", "event_type", "events.event_type"),
+        ("documents", "lang", "documents.lang"),
+        ("documents", "source", "documents.source"),
+        ("orders", "o_orderpriority", "orders.o_orderpriority"),
+        ("customer", "c_mktsegment", "customer.c_mktsegment"),
+    ]
+    counted = None
+    for table, col, label in pairs:
+        branch = (
+            load_table(spark, sf_dir, table)
+            .groupBy(F.col(col).alias("value"))
+            .agg(F.count("*").alias("n"))
+            .select(F.lit(label).alias("col_name"), "value", "n")
+        )
+        counted = branch if counted is None else counted.unionByName(branch)
+    rank_w = Window.partitionBy("col_name").orderBy(F.col("n").desc(), "value")
+    tot_w = Window.partitionBy("col_name")
+    ranked = counted.withColumn(
+        "value_rank", F.row_number().over(rank_w).cast("bigint")
+    ).withColumn("total", F.sum("n").over(tot_w))
+    return ranked.filter(F.col("value_rank") <= 3).select(
+        "col_name",
+        "value_rank",
+        "value",
+        "n",
+        (F.round(F.col("n") / F.col("total").cast("double"), 6) + 0).alias("share"),
+    )

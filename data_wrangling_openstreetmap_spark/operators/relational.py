@@ -1896,8 +1896,8 @@ def o4b_union_three_way(spark: SparkSession, sf_dir: str) -> DataFrame:
 _P3B_ORACLE = """
 SELECT
   CASE
-    WHEN regexp_matches(p_name, '[0-9]') THEN 'has_digit'
-    WHEN regexp_matches(p_name, '^([a-z]+ ){3,}[a-z]+$') THEN 'four_plus_words'
+    WHEN regexp_matches(p_name, '(bolt|rod|ring)$') THEN 'fastener'
+    WHEN regexp_matches(p_name, '^(hot|cold) ') THEN 'thermal'
     WHEN regexp_matches(p_name, '^[aeiou]') THEN 'vowel_start'
     ELSE 'other'
   END AS name_class,
@@ -1909,17 +1909,19 @@ GROUP BY 1
 
 @register("p3b_name_classify", oracle=_P3B_ORACLE, tags=("P3", "P6"))
 def p3b_name_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """First-match regex triage of part names: digit-bearing, then
-    4+-word phrases, then vowel-initial, else other — the ordered
-    when-chain == ordered CASE contract p3 grades on p_type, now on the
-    free-text name column.
+    """First-match regex triage of part names: fastener nouns (suffix
+    match), then thermal prefixes, then vowel-initial, else other —
+    the ordered when-chain == ordered CASE contract p3 grades on
+    p_type, here on free text where the ORDER is load-bearing ("cold
+    rod" is a fastener, not thermal; all four classes fire on the
+    fixture vocabulary, asserted by the golden).
 
     Scale: pure map-side projection into a tiny groupBy.
     """
     part = load_table(spark, sf_dir, "part")
     name_class = (
-        F.when(F.col("p_name").rlike("[0-9]"), "has_digit")
-        .when(F.col("p_name").rlike("^([a-z]+ ){3,}[a-z]+$"), "four_plus_words")
+        F.when(F.col("p_name").rlike("(bolt|rod|ring)$"), "fastener")
+        .when(F.col("p_name").rlike("^(hot|cold) "), "thermal")
         .when(F.col("p_name").rlike("^[aeiou]"), "vowel_start")
         .otherwise("other")
     )
@@ -2065,4 +2067,91 @@ def s19_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         documents.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 20)
         .select("doc_id", "lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J16 — temporal ANTI-join (round 4): events with NO qualifying event
+# in a trailing window — the "cold outreach" / "no recent purchase"
+# shape. j4 grades the plain key anti-join; this one's absence
+# predicate carries a time interval.
+# ---------------------------------------------------------------------------
+
+_J16_ORACLE = """
+SELECT c.event_id, c.user_id, c.ts
+FROM events c
+WHERE c.event_type = 'click'
+  AND NOT EXISTS (
+    SELECT 1 FROM events p
+    WHERE p.event_type = 'purchase'
+      AND p.user_id = c.user_id
+      AND p.ts <= c.ts
+      AND p.ts >= c.ts - INTERVAL 7 DAY
+  )
+"""
+
+
+@register("j16_interval_anti_join", oracle=_J16_ORACLE, tags=("J4", "J6", "P2"))
+def j16_interval_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clicks by users with NO purchase in the preceding 7 days — the
+    temporal NOT EXISTS every re-engagement campaign segments on. The
+    absence predicate is an interval, not just a key, so the anti-join
+    carries a range residual.
+
+    Scale: left_anti join equi-keyed on user_id with the time bounds
+    as residual — one hash shuffle on the user key, the purchase
+    filter pushed to its scan; each left row is checked only against
+    its user's purchases. Equivalent 100 TB alternative when purchases
+    per user are huge: as-of join to the latest prior purchase, then
+    filter on the gap (j7's shape).
+    """
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    cond = (
+        (clicks.user_id == purchases.p_user)
+        & (purchases.p_ts <= clicks.ts)
+        & (purchases.p_ts >= clicks.ts - F.expr("INTERVAL 7 DAYS"))
+    )
+    return clicks.join(purchases, cond, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# S20 — generator source (round 4): a table synthesized from a range —
+# no files at all. The calibration/backfill idiom: deterministic rows
+# from pure arithmetic, graded engine-vs-engine against DuckDB's
+# range().
+# ---------------------------------------------------------------------------
+
+_S20_ORACLE = """
+SELECT (i * 2654435761) % 97 AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(i) AS BIGINT) AS sum_i,
+       CAST(MIN((i * i) % 1000003) AS BIGINT) AS min_sq_mod
+FROM range(0, 100000) t(i)
+GROUP BY 1
+"""
+
+
+@register("s20_range_source", oracle=_S20_ORACLE, tags=("S1", "F4", "A1"))
+def s20_range_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """100k rows synthesized by ``spark.range`` (no input files),
+    bucketed by a multiplicative hash and aggregated — the
+    deterministic generator source every calibration table, date
+    spine, and load test starts from. All-BIGINT arithmetic;
+    engine-vs-engine against DuckDB's ``range()``.
+
+    Scale: spark.range parallelizes the domain across tasks with zero
+    I/O; the hash bucketing is uniform so the single shuffle is
+    skew-free at any row count.
+    """
+    r = spark.range(0, 100000).withColumnRenamed("id", "i")
+    return r.groupBy(((F.col("i") * 2654435761) % 97).alias("bucket")).agg(
+        F.count("*").alias("n"),
+        F.sum("i").cast("bigint").alias("sum_i"),
+        F.min((F.col("i") * F.col("i")) % 1000003).cast("bigint").alias("min_sq_mod"),
     )

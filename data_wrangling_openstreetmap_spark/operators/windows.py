@@ -2942,3 +2942,192 @@ def w28_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("rev_units") / 100.0).alias("trough_revenue"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# W30 — additive seasonal decomposition (round 4): daily revenue =
+# trend + weekly seasonal + remainder, STL-lite with a centered 7-day
+# moving-average trend — every component an exact integer quotient.
+# ---------------------------------------------------------------------------
+
+_W30_ORACLE = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS u
+  FROM orders GROUP BY 1
+),
+ma AS (
+  SELECT d, u,
+         CAST(SUM(u) OVER w AS BIGINT) AS s7,
+         CAST(COUNT(*) OVER w AS BIGINT) AS n7
+  FROM daily
+  WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+full_w AS (
+  SELECT d, u, s7, 7 * u - s7 AS dtr,
+         CAST(isodow(d) AS BIGINT) AS dow
+  FROM ma WHERE n7 = 7
+),
+season AS (
+  SELECT dow,
+         CAST(SUM(dtr) AS BIGINT) AS sd,
+         CAST(COUNT(*) AS BIGINT) AS nd
+  FROM full_w GROUP BY dow
+)
+SELECT CAST(f.d AS TIMESTAMP) AS day,
+       f.u / 100.0 AS revenue,
+       round(f.s7 / 700.0, 6) + 0 AS trend,
+       round(s.sd / (700.0 * s.nd), 6) + 0 AS seasonal,
+       round((f.dtr * s.nd - s.sd) / (700.0 * s.nd), 6) + 0 AS remainder
+FROM full_w f JOIN season s ON f.dow = s.dow
+"""
+
+
+@register("w30_seasonal_decompose", oracle=_W30_ORACLE, tags=("W4", "F3", "A7"))
+def w30_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive decomposition of daily revenue with a weekly
+    period: trend = centered 7-day moving average (full windows only),
+    seasonal = per-ISO-weekday mean of the detrended series, remainder
+    = the rest; revenue ≡ trend + seasonal + remainder by construction.
+    Exactness: the detrended value is kept as the SCALED integer
+    7u − Σ₇u (never a float subtraction), the weekday means are
+    integer-sum ÷ count, and the remainder's numerator dtr·n − Σdtr is
+    pure BIGINT — each output is one exact-integer division rounded to
+    6 dp (`+ 0`).
+
+    Scale: both windows run over the O(days) daily aggregate; the
+    7-row seasonal table broadcasts back. The period (7) and the MA
+    width are constants — at any input scale the only unbounded pass
+    is the first daily rollup.
+    """
+    from ._helpers import cents
+
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(F.sum(cents("o_totalprice")).alias("u"))
+    )
+    w = Window.orderBy("d").rowsBetween(-3, 3)
+    ma = daily.withColumn("s7", F.sum("u").over(w)).withColumn(
+        "n7", F.count("*").over(w)
+    )
+    full_w = ma.filter(F.col("n7") == 7).select(
+        "d",
+        "u",
+        "s7",
+        (7 * F.col("u") - F.col("s7")).alias("dtr"),
+        (F.weekday(F.col("d")) + 1).cast("bigint").alias("dow"),
+    )
+    season = full_w.groupBy("dow").agg(
+        F.sum("dtr").alias("sd"), F.count("*").alias("nd")
+    )
+    j = full_w.join(F.broadcast(season), "dow")
+    return j.select(
+        F.col("d").cast("timestamp").alias("day"),
+        (F.col("u") / 100.0).alias("revenue"),
+        (F.round(F.col("s7") / 700.0, 6) + 0).alias("trend"),
+        (F.round(F.col("sd") / (700.0 * F.col("nd")), 6) + 0).alias("seasonal"),
+        (
+            F.round(
+                (F.col("dtr") * F.col("nd") - F.col("sd")) / (700.0 * F.col("nd")),
+                6,
+            )
+            + 0
+        ).alias("remainder"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W32 — Lorenz curve deciles (round 4): cumulative revenue share by
+# customer decile, poorest to richest — the curve a26's Gini scalar
+# integrates, published as the 10 dashboard points.
+# ---------------------------------------------------------------------------
+
+_W32_ORACLE = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS units
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT units,
+         row_number() OVER (ORDER BY units, o_custkey) AS rn,
+         COUNT(*) OVER () AS n
+  FROM per_cust
+),
+binned AS (
+  SELECT CAST(((rn - 1) * 10) // n + 1 AS BIGINT) AS decile, units
+  FROM ranked
+),
+agg AS (
+  SELECT decile,
+         CAST(COUNT(*) AS BIGINT) AS n_customers,
+         CAST(SUM(units) AS BIGINT) AS du
+  FROM binned GROUP BY decile
+),
+tot AS (SELECT CAST(SUM(du) AS BIGINT) AS total FROM agg)
+SELECT decile, n_customers,
+       round(du / CAST(total AS DOUBLE), 6) + 0 AS decile_share,
+       round(SUM(du) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+             / CAST(total AS DOUBLE), 6) + 0 AS cum_share
+FROM agg, tot
+"""
+
+
+@register("w32_lorenz_deciles", oracle=_W32_ORACLE, tags=("W1", "W4", "A11"))
+def w32_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve of customer revenue: customers ranked poorest→
+    richest, cut into 10 equal-width rank bins by the CLOSED-FORM
+    bucket ((rn−1)·10)//n + 1 — written as the same arithmetic on both
+    engines, so no ntile edge-case semantics are in play — then each
+    decile's share and the running cumulative share from exact integer
+    cents. A flat 45° cum_share line is perfect equality.
+
+    Scale: the global customer rank uses _helpers.scalable_row_number
+    (two-level bucket rank — no single-partition sort of the customer
+    base); the decile table is 10 rows, so its cumulative window is
+    trivially bounded. n comes from a broadcast one-row count joined
+    cross-style.
+    """
+    from ._helpers import cents, scalable_row_number
+
+    per_cust = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum(cents("o_totalprice")).alias("units"))
+    )
+    ranked = scalable_row_number(
+        per_cust,
+        order_cols=[F.col("units"), F.col("o_custkey")],
+        bucket=F.floor(F.col("units") / F.lit(1 << 20)).cast("long"),
+        out="rn",
+    )
+    n_tot = per_cust.agg(F.count("*").alias("n"))
+    binned = ranked.crossJoin(F.broadcast(n_tot)).select(
+        (((F.col("rn") - 1) * 10 - (((F.col("rn") - 1) * 10) % F.col("n")))
+         / F.col("n") + 1).cast("bigint").alias("decile"),
+        "units",
+    )
+    agg = binned.groupBy("decile").agg(
+        F.count("*").alias("n_customers"),
+        F.sum("units").alias("du"),
+    )
+    tot = agg.agg(F.sum("du").alias("total"))
+    cum_w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    # window BEFORE the total crossJoin so its single-partition exchange
+    # feeds straight off the decile aggregate (the structural sweep's
+    # admissible shape)
+    with_cum = agg.withColumn("cum_du", F.sum("du").over(cum_w))
+    return (
+        with_cum.crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "n_customers",
+            (F.round(F.col("du") / F.col("total").cast("double"), 6) + 0).alias(
+                "decile_share"
+            ),
+            (F.round(F.col("cum_du") / F.col("total").cast("double"), 6) + 0).alias(
+                "cum_share"
+            ),
+        )
+    )
