@@ -453,3 +453,72 @@ def test_distinct_on_lowering_keeps_exactly_one_row_per_key(spark, rows):
         if cur is None or (-v, i) < cur[0]:
             best[g] = ((-v, i), i)
     assert sorted(out) == sorted((g, b[1]) for g, b in best.items())
+
+
+def test_seasonal_decompose_identity_and_balance(spark):
+    """w30's additive contract: revenue == trend + seasonal + remainder
+    for EVERY emitted day (up to the 6-dp output rounding), and the
+    seasonal component sums to ~0 across weekdays weighted by their day
+    counts (the detrended means are exact integer quotients, so the
+    weighted sum telescopes to exactly zero before rounding)."""
+    from data_wrangling_openstreetmap_spark.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    rows = REGISTRY["w30_seasonal_decompose"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    for r in rows:
+        assert abs(r["revenue"] - (r["trend"] + r["seasonal"] + r["remainder"])) < 3e-6
+    # per-weekday remainder balance: the seasonal component is the
+    # weekday MEAN of the detrended series, so the remainders within
+    # each weekday sum to exactly zero pre-round
+    from collections import defaultdict
+
+    by_dow = defaultdict(list)
+    for r in rows:
+        by_dow[r["day"].weekday()].append(r["remainder"])
+    for dow, rem in by_dow.items():
+        assert abs(sum(rem)) < len(rem) * 1e-6, (dow, sum(rem))
+
+
+def test_lorenz_deciles_monotone_and_complete(spark):
+    """w32's Lorenz points: cumulative share is nondecreasing, convex
+    in the decile index (richer deciles add larger increments), and
+    ends at exactly 1; the ten bins cover every customer."""
+    from data_wrangling_openstreetmap_spark.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    rows = sorted(
+        REGISTRY["w32_lorenz_deciles"].fn(spark, "/root/testdata/sf0.001").collect(),
+        key=lambda r: r["decile"],
+    )
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    shares = [r["decile_share"] for r in rows]
+    cums = [r["cum_share"] for r in rows]
+    assert all(b >= a - 1e-9 for a, b in zip(cums, cums[1:]))
+    assert all(b >= a - 1e-6 for a, b in zip(shares, shares[1:]))  # sorted ascending
+    assert abs(cums[-1] - 1.0) < 1e-9
+
+
+def test_wilson_lower_bound_is_conservative(spark):
+    """q38: the Wilson lower bound never exceeds the point estimate,
+    stays within [0, 1], and a thin perfect record scores BELOW a fat
+    near-perfect one (the reason the bound exists)."""
+    from data_wrangling_openstreetmap_spark.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    rows = REGISTRY["q38_supplier_reliability"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["wilson_low"] <= r["ontime_rate"] <= 1.0
+
+    def wilson(k, n):
+        p = k / n
+        return (p + 1.9208 / n - 1.96 * ((p * (1 - p) / n + 0.9604 / (n * n)) ** 0.5)) / (
+            1 + 3.8416 / n
+        )
+
+    assert wilson(3, 3) < wilson(95, 100)
