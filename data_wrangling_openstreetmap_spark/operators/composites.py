@@ -2889,3 +2889,165 @@ def q38_supplier_reliability(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("wilson_low").desc(), "l_suppkey")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# A35 — exact median + MAD (round 4): the robust location/scale pair
+# from bounded-domain aggregation — no sort of the raw rows, no
+# interpolation ambiguity (lower-median convention pinned on both
+# engines).
+# ---------------------------------------------------------------------------
+
+_A35_ORACLE = """
+WITH counts AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS c,
+         CAST(COUNT(*) AS BIGINT) AS k
+  FROM events GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(k) AS BIGINT) AS n FROM counts),
+cum AS (
+  SELECT c, SUM(k) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING) AS ck, n
+  FROM counts, tot
+),
+med AS (SELECT MIN(c) AS m, MIN(n) AS n FROM cum WHERE ck >= (n + 1) // 2),
+devs AS (
+  SELECT abs(c - m) AS d, CAST(SUM(k) AS BIGINT) AS k
+  FROM counts, med GROUP BY 1
+),
+dcum AS (
+  SELECT d, SUM(k) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS ck, n
+  FROM devs, med
+)
+SELECT (SELECT n FROM med) AS n_rows,
+       (SELECT m FROM med) / 100.0 AS median_value,
+       (SELECT MIN(d) FROM dcum WHERE ck >= (n + 1) // 2) / 100.0 AS mad_value
+"""
+
+
+@register("a35_median_mad", oracle=_A35_ORACLE, tags=("A10", "A2", "A11"))
+def a35_median_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median and median-absolute-deviation of event values via
+    BOUNDED-DOMAIN aggregation: counts per distinct cent value, a
+    cumulative walk over that small table picks the lower median (rank
+    ⌈n/2⌉ — the convention pinned identically on both engines), and a
+    second counted walk over |x − median| yields the MAD. No raw-row
+    sort, no float interpolation — every step is integer arithmetic.
+
+    Scale: both cumulative windows run over the O(distinct cents)
+    aggregate (the a29 KS-test recipe) — the domain, not the row
+    count, bounds the single-partition work; the raw table is touched
+    exactly once by the counting groupBy. This is how exact medians
+    survive 100 TB when the value domain is bounded; for unbounded
+    domains the declared path is approx_percentile (a10b's t-digest
+    contract).
+    """
+    events = load_table(spark, sf_dir, "events")
+    counts = events.groupBy(cents("value").alias("c")).agg(
+        F.count("*").alias("k")
+    )
+    tot = counts.agg(F.sum("k").alias("n"))
+    cum_w = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, 0)
+    cum = counts.withColumn("ck", F.sum("k").over(cum_w)).crossJoin(
+        F.broadcast(tot)
+    )
+    half = F.floor((F.col("n") + 1) / 2)
+    med = (
+        cum.filter(F.col("ck") >= half)
+        .agg(F.min("c").alias("m"), F.min("n").alias("n"))
+    )
+    devs = (
+        counts.crossJoin(F.broadcast(med))
+        .groupBy(F.abs(F.col("c") - F.col("m")).alias("d"))
+        .agg(F.sum("k").alias("k"), F.min("n").alias("n"))
+    )
+    dcum = devs.withColumn("ck", F.sum("k").over(Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)))
+    mad = dcum.filter(F.col("ck") >= half).agg(F.min("d").alias("mad_c"))
+    return (
+        med.crossJoin(F.broadcast(mad))
+        .select(
+            F.col("n").alias("n_rows"),
+            (F.col("m") / 100.0).alias("median_value"),
+            (F.col("mad_c") / 100.0).alias("mad_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A34 — segment revenue beta (round 4): each market segment's
+# sensitivity to the total daily revenue — the cov/var regression
+# slope from exact DECIMAL/HUGEINT moments.
+# ---------------------------------------------------------------------------
+
+_A34_ORACLE = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d, c_mktsegment,
+         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS su
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2
+),
+tot AS (
+  SELECT d, CAST(SUM(su) AS BIGINT) AS st FROM daily GROUP BY d
+),
+j AS (
+  SELECT daily.c_mktsegment, CAST(daily.su AS HUGEINT) AS su,
+         CAST(tot.st AS HUGEINT) AS st
+  FROM daily JOIN tot ON daily.d = tot.d
+),
+m AS (
+  SELECT c_mktsegment,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(su) AS s_x, SUM(st) AS s_y,
+         SUM(su * st) AS s_xy, SUM(st * st) AS s_yy
+  FROM j GROUP BY c_mktsegment
+)
+SELECT c_mktsegment, n AS n_days,
+       CASE WHEN n * s_yy - s_y * s_y = 0 THEN 0.0
+            ELSE round(CAST(n * s_xy - s_x * s_y AS DOUBLE)
+                       / CAST(n * s_yy - s_y * s_y AS DOUBLE), 6) + 0
+       END AS beta
+FROM m
+"""
+
+
+@register("a34_segment_beta", oracle=_A34_ORACLE, tags=("A11", "A1", "J1"))
+def a34_segment_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regression slope (beta) of each segment's daily revenue against
+    the TOTAL daily revenue: cov(x,y)/var(y) from exact integer
+    moments. The cross-products of daily cent totals exceed BIGINT
+    (the a32 lesson), so every moment accumulates in DECIMAL(38,0) on
+    Spark / HUGEINT on DuckDB; the exact integers cast to double once
+    for the single division (6-dp round; degenerate zero-variance
+    totals take an explicit 0.0 on both engines). Each segment's
+    moments run over the days the segment traded, so betas are not
+    constrained to average to 1.
+
+    Scale: daily×segment rollup, a daily-total rollup joined back on
+    the O(days) key, then one bounded-key aggregation; DECIMAL(38,0)
+    holds the moment sums to ~10¹⁹ cent-products.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    daily = (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy(F.to_date("o_orderdate").alias("d"), "c_mktsegment")
+        .agg(F.sum(cents("o_totalprice")).alias("su"))
+    )
+    tot = daily.groupBy("d").agg(F.sum("su").alias("st"))
+    j = daily.join(tot, "d").select(
+        "c_mktsegment",
+        F.col("su").cast("decimal(19,0)").alias("su"),
+        F.col("st").cast("decimal(19,0)").alias("st"),
+    )
+    m = j.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"),
+        F.sum("su").alias("s_x"),
+        F.sum("st").alias("s_y"),
+        F.sum(F.col("su") * F.col("st")).alias("s_xy"),
+        F.sum(F.col("st") * F.col("st")).alias("s_yy"),
+    )
+    var = F.col("n") * F.col("s_yy") - F.col("s_y") * F.col("s_y")
+    cov = F.col("n") * F.col("s_xy") - F.col("s_x") * F.col("s_y")
+    beta = F.when(var == 0, F.lit(0.0)).otherwise(
+        F.round(cov.cast("double") / var.cast("double"), 6) + 0
+    )
+    return m.select("c_mktsegment", F.col("n").alias("n_days"), beta.alias("beta"))

@@ -6308,3 +6308,110 @@ def g7_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("m") / 2).cast("bigint").alias("n_edges"),
         r.alias("assortativity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# G8 — clustering coefficient BY DEGREE (round 4): how clustered are
+# hubs vs leaves — the per-degree rollup of the local clustering
+# coefficient. g2 grades the one global coefficient; this grades the
+# curve (degree, avg LCC), every point an exact integer quotient.
+# ---------------------------------------------------------------------------
+
+_G8_ORACLE = """
+WITH {co_edges},
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e e1
+  JOIN e e2 ON e1.v = e2.u
+  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+tri_nodes AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS t
+  FROM (
+    SELECT a AS node FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+  )
+  GROUP BY node
+),
+deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+  FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+  GROUP BY node
+),
+per_node AS (
+  SELECT deg.node, deg.d, COALESCE(tri_nodes.t, 0) AS t
+  FROM deg LEFT JOIN tri_nodes ON deg.node = tri_nodes.node
+  WHERE deg.d >= 2
+)
+SELECT d AS degree,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(SUM(t) AS BIGINT) AS sum_triangles,
+       round(2.0 * SUM(t) / (COUNT(*) * d * (d - 1)), 6) + 0 AS avg_lcc
+FROM per_node
+GROUP BY d
+"""
+
+
+@register(
+    "g8_clustering_by_degree",
+    oracle=_G8_ORACLE.format(co_edges=oracle_co_edges(2)),
+    tags=("A11", "J1", "A1"),
+)
+def g8_clustering_by_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average local clustering coefficient per degree class of the
+    co-purchase graph: per node, LCC = 2·T(v)/(d(v)·(d(v)−1)); rolled
+    up BY DEGREE the average becomes 2·ΣT/(n_d·d·(d−1)) — one exact
+    integer quotient per output row, so no float summation order can
+    differ between engines (a per-node double AVG would). Nodes in no
+    triangle contribute T=0 through the left join's coalesce.
+
+    Scale: the id-ordered triangle enumeration is g2's two-join shape
+    (degree-direct the edges to cap wedge fan-out at O(m^1.5) in
+    production); attribution explodes each triangle to its 3 corners —
+    linear in triangles; degrees and the final rollup are bounded-key
+    aggregations.
+    """
+    e = co_purchase_edges(spark, sf_dir, 2).select("u", "v")
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .select(
+            F.col("e1.u").alias("a"), F.col("e1.v").alias("b"), F.col("e2.v").alias("c")
+        )
+    )
+    tri_nodes = (
+        tri.select(F.col("a").alias("node"))
+        .unionByName(tri.select(F.col("b").alias("node")))
+        .unionByName(tri.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("t"))
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    per_node = (
+        deg.filter(F.col("d") >= 2)
+        .join(tri_nodes, "node", "left")
+        .select("d", F.coalesce("t", F.lit(0)).alias("t"))
+    )
+    return per_node.groupBy(F.col("d").alias("degree")).agg(
+        F.count("*").alias("n_nodes"),
+        F.sum("t").cast("bigint").alias("sum_triangles"),
+        (
+            F.round(
+                2.0
+                * F.sum("t")
+                / (F.count("*") * F.col("d") * (F.col("d") - 1)),
+                6,
+            )
+            + 0
+        ).alias("avg_lcc"),
+    )
