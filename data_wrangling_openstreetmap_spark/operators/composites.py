@@ -2924,7 +2924,7 @@ SELECT (SELECT n FROM med) AS n_rows,
 """
 
 
-@register("a35_median_mad", oracle=_A35_ORACLE, tags=("A10", "A2", "A11"))
+@register("a35_median_mad", oracle=_A35_ORACLE, tags=("A1", "A2", "A11"))
 def a35_median_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact median and median-absolute-deviation of event values via
     BOUNDED-DOMAIN aggregation: counts per distinct cent value, a
@@ -3051,3 +3051,62 @@ def a34_segment_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(cov.cast("double") / var.cast("double"), 6) + 0
     )
     return m.select("c_mktsegment", F.col("n").alias("n_days"), beta.alias("beta"))
+
+
+# ---------------------------------------------------------------------------
+# Q39 — order-priority transition matrix (round 4): Markov transition
+# counts and row-normalized probabilities between consecutive orders of
+# the same customer — the sequence-analytics rollup q29 (event
+# transitions) grades on the event stream, here on the orders axis.
+# ---------------------------------------------------------------------------
+
+_Q39_ORACLE = """
+WITH seq AS (
+  SELECT o_custkey, o_orderpriority,
+         lag(o_orderpriority) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ) AS prev_prio
+  FROM orders
+),
+pairs AS (
+  SELECT prev_prio AS from_prio, o_orderpriority AS to_prio,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM seq WHERE prev_prio IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT from_prio, to_prio, n,
+       round(n / CAST(SUM(n) OVER (PARTITION BY from_prio) AS DOUBLE), 6) + 0
+         AS p
+FROM pairs
+"""
+
+
+@register("q39_priority_transitions", oracle=_Q39_ORACLE, tags=("W3", "A1", "A9"))
+def q39_priority_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each customer's
+    consecutive order priorities: lag within (customer, order-date,
+    order-key) order, pair counts, and the row-normalized transition
+    probability (exact integer ÷ exact integer, 6 dp). Each row of the
+    matrix sums to 1 — the estimator every churn/escalation model
+    starts from.
+
+    Scale: one shuffle on o_custkey for the lag, then a 25-key
+    aggregation; the normalizing window partitions by from_prio
+    (bounded cardinality). Never a global sort.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = orders.select(
+        F.col("o_orderpriority").alias("to_prio"),
+        F.lag("o_orderpriority").over(w).alias("from_prio"),
+    ).filter(F.col("from_prio").isNotNull())
+    pairs = seq.groupBy("from_prio", "to_prio").agg(F.count("*").alias("n"))
+    tot_w = Window.partitionBy("from_prio")
+    return pairs.select(
+        "from_prio",
+        "to_prio",
+        "n",
+        (
+            F.round(F.col("n") / F.sum("n").over(tot_w).cast("double"), 6) + 0
+        ).alias("p"),
+    )

@@ -944,3 +944,49 @@ def f6b_map_surgery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(merged, "chars").alias("chars_str"),
         F.size(merged).alias("n_keys"),
     )
+
+
+# ---------------------------------------------------------------------------
+# F2b — regexp_extract_all battery (round 4): the ALL-matches form of
+# the F2 regex surface (p4/f2 grade single extracts); per document,
+# every '-ing' word is pulled, counted, deduped, and the first three
+# are re-joined — array results reduced to hashable scalars.
+# ---------------------------------------------------------------------------
+
+_F22_ORACLE = """
+WITH m AS (
+  SELECT doc_id,
+         regexp_extract_all(text, '([a-z]+ing)\\b', 1) AS hits
+  FROM documents WHERE doc_id < 300
+)
+SELECT doc_id,
+       CAST(len(hits) AS INT) AS n_matches,
+       CAST(len(list_distinct(hits)) AS INT) AS n_distinct,
+       COALESCE(array_to_string(hits[1:3], ','), '') AS first3
+FROM m
+"""
+
+
+@register("f22_regexp_extract_all", oracle=_F22_ORACLE, tags=("F2", "F5", "P4"))
+def f22_regexp_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``regexp_extract_all``: every gerund-shaped token per document,
+    with the match count, distinct-match count, and the first three
+    matches re-joined (document order — both engines scan
+    left-to-right, so the arrays align element-for-element). The
+    single-capture-group form keeps Spark and DuckDB (RE2) semantics
+    identical; no backreferences (the RE2 gotcha). Zero-match docs
+    normalize to '' on both sides (DuckDB's empty-slice join is NULL,
+    Spark's is '' — coalesced in the oracle).
+
+    Scale: per-row JVM regex inside codegen — no shuffle; the arrays
+    collapse to scalars in the same projection, so nothing wide
+    crosses an exchange.
+    """
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    hits = F.regexp_extract_all(F.col("text"), F.lit(r"([a-z]+ing)\b"), 1)
+    return d.select(
+        "doc_id",
+        F.size(hits).alias("n_matches"),
+        F.size(F.array_distinct(hits)).alias("n_distinct"),
+        F.array_join(F.slice(hits, 1, 3), ",").alias("first3"),
+    )
