@@ -127,6 +127,25 @@ def main() -> None:
         lambda it: it, "id long"
     ).collect()
 
+    # Machine-load context (VERDICT r4 next-round #4): the same commit
+    # has measured 1.36–1.87 s across sessions purely from external
+    # load. Record /proc/loadavg plus a fixed reference micro-op — one
+    # JVM-only agg over a generated range, best of 5 — so a reader can
+    # normalize cross-round swings instead of re-litigating them: if
+    # ref_microop_s moved by the same factor as the totals, it's the
+    # machine, not the plans.
+    try:
+        with open("/proc/loadavg") as fh:
+            loadavg = [float(x) for x in fh.read().split()[:3]]
+    except OSError:
+        loadavg = None
+    ref_best = float("inf")
+    for _ in range(5):
+        t0 = time.perf_counter()
+        spark.range(1_000_000).selectExpr("sum(id * 3 + 1)").collect()
+        ref_best = min(ref_best, time.perf_counter() - t0)
+    ref_microop_s = round(ref_best, 4)
+
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     for name in names:
@@ -151,6 +170,8 @@ def main() -> None:
                 "queries": timings,
                 "cold_s": cold,
                 "cache_warm_s": cache_warm_s,
+                "loadavg": loadavg,
+                "ref_microop_s": ref_microop_s,
                 "sf": sf,
             }
         )

@@ -1303,12 +1303,18 @@ def l2_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    # Edges are persisted so the 7-shuffle candidate pipeline runs once,
+    # not once per round; labels localCheckpoint per round (the g3
+    # pattern below) so the returned plan is a scan of the final
+    # checkpointed round — without it the plan embeds every round's
+    # joins (~810 exchange nodes by convergence at sf0.001, VERDICT r4)
+    # and Catalyst pays the tree walk even though the data is cached.
     edges = edges.persist()
     labels = (
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
         .withColumn("label", F.col("doc_id"))
-        .persist()
+        .localCheckpoint()
     )
     try:
         for _ in range(20):  # ≥ any realistic dup-cluster diameter
@@ -1325,7 +1331,7 @@ def l2_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
                     ).alias("label"),
                 )
-                .persist()
+                .localCheckpoint()
             )
             changed = (
                 new_labels.alias("n")
@@ -1333,7 +1339,6 @@ def l2_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .filter(F.col("n.label") != F.col("o.label"))
                 .count()
             )
-            labels.unpersist()
             labels = new_labels
             if changed == 0:
                 break
@@ -2581,6 +2586,14 @@ def g1_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionAll(
         pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     )
+    # The edge list is checkpointed ONCE before the rank loop: without
+    # it each of the 3 unrolled iterations re-embeds the 7-shuffle
+    # ngram-Jaccard candidate subtree in the plan (108 in-plan
+    # exchanges, VERDICT r4) — exchange reuse saved the runtime but
+    # Catalyst still walked the tree. Post-checkpoint the loop sees a
+    # leaf scan; blocks are released by the ContextCleaner when the
+    # result goes out of scope.
+    e = e.localCheckpoint()
     deg = e.groupBy("src").agg(F.count("*").alias("d"))
     ranks = deg.select(
         F.col("src").alias("id"), F.lit(_PR_SCALE).cast("long").alias("r")
@@ -6073,7 +6086,6 @@ def l6_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = load_table(spark, sf_dir, "embeddings")
     emb = V.as_double(F.col("embedding"))
-    idx = F.sequence(F.lit(0), F.size("embedding") - 1)
 
     def signed_sum(d):
         def term(v, i):
@@ -6081,14 +6093,17 @@ def l6_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
             sign = 1 - 2 * (F.shiftright(h, 13) % 2)
             return v * sign
 
-        return (
-            F.round(
-                F.aggregate(
-                    F.zip_with(emb, idx, term), F.lit(0.0), lambda a, x: a + x
-                ),
-                6,
-            )
-            + 0
+        # Index comes from transform's two-arg lambda (0-based), not a
+        # separate sequence(0, size-1) array: for an empty embedding
+        # that sequence is the DESCENDING [0, -1] and zip_with would
+        # null-pad — parity with DuckDB's NULL list_sum([]) held only
+        # by accident. The empty case is now NULL by design (the fold's
+        # 0.0 init would otherwise surface).
+        fold = F.aggregate(
+            F.transform(emb, term), F.lit(0.0), lambda a, x: a + x
+        )
+        return F.when(F.size(emb) == 0, F.lit(None).cast("double")).otherwise(
+            F.round(fold, 6) + 0
         )
 
     projs = F.transform(F.sequence(F.lit(0), F.lit(7)), signed_sum)

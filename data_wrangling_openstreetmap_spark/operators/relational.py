@@ -2037,7 +2037,7 @@ FROM (
   SELECT doc_id, lang,
          row_number() OVER (
            PARTITION BY lang
-           ORDER BY (doc_id * 2654435761) % 4294967296, doc_id
+           ORDER BY ((doc_id % 2147483648) * 2654435761) % 4294967296, doc_id
          ) AS rn
   FROM documents
 )
@@ -2061,7 +2061,13 @@ def s19_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     documents = load_table(spark, sf_dir, "documents")
-    draw = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+    # doc_id is masked to 31 bits BEFORE the multiply so the product
+    # stays < 2^63 for any BIGINT id — the unmasked form overflows
+    # under ANSI mode once doc_id ≥ ~3.5e9 (identical mask in the
+    # oracle; a no-op on ids below 2^31, so draws are unchanged there).
+    draw = (
+        (F.col("doc_id") % F.lit(2147483648)) * F.lit(2654435761)
+    ) % F.lit(4294967296)
     w = Window.partitionBy("lang").orderBy(draw, "doc_id")
     return (
         documents.withColumn("rn", F.row_number().over(w))

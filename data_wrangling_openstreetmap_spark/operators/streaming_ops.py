@@ -257,7 +257,7 @@ def st8_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ST4_ORACLE = """
 WITH j AS (
   SELECT event_type, ts, event_id,
-         ts + to_seconds((event_id * 2654435761) % 900) AS arrival_ts
+         ts + to_seconds(((event_id % 2147483648) * 2654435761) % 900) AS arrival_ts
   FROM events
 ), arr AS (
   SELECT event_type, ts,
@@ -301,7 +301,7 @@ def st4_late_data_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ._helpers import scalable_running_max
 
     events = load_table(spark, sf_dir, "events")
-    jitter = (F.col("event_id") * F.lit(2654435761)) % 900
+    jitter = ((F.col("event_id") % F.lit(2147483648)) * F.lit(2654435761)) % 900
     j = events.select(
         "event_type",
         "ts",
@@ -536,7 +536,7 @@ def st13_hopping_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ST14_ORACLE = """
 WITH j AS (
   SELECT ts, event_id,
-         ts + to_seconds((event_id * 2654435761) % 900) AS arrival_ts
+         ts + to_seconds(((event_id % 2147483648) * 2654435761) % 900) AS arrival_ts
   FROM events
 ), arr AS (
   SELECT ts, arrival_ts,
@@ -571,7 +571,7 @@ def st14_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ._helpers import scalable_running_max
 
     events = load_table(spark, sf_dir, "events")
-    jitter = (F.col("event_id") * F.lit(2654435761)) % 900
+    jitter = ((F.col("event_id") % F.lit(2147483648)) * F.lit(2654435761)) % 900
     j = events.select(
         "ts",
         "event_id",

@@ -588,6 +588,16 @@ _EXCLUDE_REST_OK = re.compile(
 
 def _lower_exclude(spark: SparkSession, query: str, m: re.Match) -> DataFrame:
     table = m.group("table")
+    if query[: m.start()].strip():
+        # Anchored-to-statement-start guard: a prefix like
+        # "WITH t AS (...)" would make spark.table(<table>) resolve a
+        # catalog object while the rewritten SQL's CTE shadows it —
+        # wrong columns or a confusing analysis error. Only the
+        # documented single-statement form lowers.
+        raise SqlExtError(
+            "EXCLUDE must start the statement: SELECT * EXCLUDE (...) "
+            "FROM <table-or-view>; CTE/prefixed forms are not supported"
+        )
     if not _EXCLUDE_REST_OK.match(m.group("rest") or ""):
         raise SqlExtError(
             "EXCLUDE supports a single FROM table/view (optionally followed "

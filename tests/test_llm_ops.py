@@ -628,3 +628,40 @@ def test_ivf_pq_prunes_and_orders(spark):
     # prune witness: the candidate pool of a probed query is bounded by
     # nprobe/C of the corpus plus cell-size skew — far below the corpus.
     assert _IVF_NPROBE < _IVF_C
+
+
+def test_random_projection_empty_embedding_is_null_by_design(spark):
+    """l6_random_projection's empty-vector case: DuckDB's list_sum([])
+    is NULL, and the Spark side now returns NULL explicitly (F.when on
+    size==0) rather than by zip_with null-padding over the accidental
+    descending sequence(0,-1) — ADVICE r4. A 1-element vector still
+    projects to ±that element on all 8 axes."""
+    from data_wrangling_openstreetmap_spark.operators.llm import (
+        l6_random_projection,
+    )
+    import data_wrangling_openstreetmap_spark.io as io_mod
+
+    df = spark.createDataFrame(
+        [(1, []), (2, [2.5])], "vec_id bigint, embedding array<float>"
+    )
+    orig = io_mod.load_table
+    try:
+        io_mod.load_table = lambda sp, sf, name: df
+        # the operator module binds load_table at import time
+        import data_wrangling_openstreetmap_spark.operators.llm as llm_mod
+
+        saved = llm_mod.load_table
+        llm_mod.load_table = lambda sp, sf, name: df
+        try:
+            out = l6_random_projection(spark, SF_SMALL).collect()
+        finally:
+            llm_mod.load_table = saved
+    finally:
+        io_mod.load_table = orig
+    by_vec = {}
+    for r in out:
+        by_vec.setdefault(r.vec_id, []).append(r.proj)
+    assert len(by_vec[1]) == 8 and all(p is None for p in by_vec[1])
+    assert len(by_vec[2]) == 8 and all(
+        p is not None and abs(abs(p) - 2.5) < 1e-9 for p in by_vec[2]
+    )

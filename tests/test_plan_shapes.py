@@ -224,6 +224,18 @@ _BOUNDED_FEEDERS = (
     "LocalTableScan",  # literal/collected constants, bounded by definition
 )
 
+# One plan build per registered query, shared by every structural sweep
+# below (building a plan executes any in-operator convergence loops, so
+# rebuilding per sweep would double the suite's cost).
+_PLAN_CACHE: dict[str, str] = {}
+
+
+def _simple_plan(spark, name: str) -> str:
+    if name not in _PLAN_CACHE:
+        df = REGISTRY[name].fn(spark, SF)
+        _PLAN_CACHE[name] = plan_string(df, mode="simple")
+    return _PLAN_CACHE[name]
+
 
 @pytest.mark.parametrize("name", sorted(set(REGISTRY) - SLOW_BUILD))
 def test_no_unpartitioned_window_over_unbounded_input(spark, name):
@@ -241,8 +253,7 @@ def test_no_unpartitioned_window_over_unbounded_input(spark, name):
     sorts (s3, s10, deciles, RRF) were rewritten so their only
     single-partition exchanges are over post-aggregation bucket-offset
     tables — which is exactly what this structural rule admits."""
-    df = REGISTRY[name].fn(spark, SF)
-    plan = plan_string(df, mode="simple")
+    plan = _simple_plan(spark, name)
     lines = plan.splitlines()
     for i, line in enumerate(lines):
         if "Exchange SinglePartition" not in line:
@@ -253,6 +264,34 @@ def test_no_unpartitioned_window_over_unbounded_input(spark, name):
             f"non-limited child — unbounded single-task funnel:\n"
             f"  {line}\n  {child}\n\nfull plan:\n{plan}"
         )
+
+
+# Any registered query whose physical plan carries more than this many
+# exchange nodes (shuffle + broadcast + reuse markers) is treated as a
+# planning-cost regression. Non-iterative composites top out around
+# 20–30; the pre-fix unrolled label-propagation loop in l2_dup_clusters
+# carried 810 (VERDICT r4 finding #1) — iterative operators must
+# localCheckpoint per round so the returned plan is a leaf scan of the
+# final round, not the unrolled history.
+_MAX_PLAN_EXCHANGES = 100
+
+
+@pytest.mark.parametrize("name", sorted(set(REGISTRY) - SLOW_BUILD))
+def test_plan_exchange_count_bounded(spark, name):
+    """Plan-size guard (VERDICT r4 next-round #3): no registered
+    query's physical plan may exceed _MAX_PLAN_EXCHANGES exchange
+    nodes. Value checks can't see this failure mode — an unrolled
+    iterative lineage still computes the right answer while Catalyst
+    walks a ~900-node tree, and the planning cost scales with rounds
+    (which scale with data diameter at 100 TB)."""
+    plan = _simple_plan(spark, name)
+    n = plan.count("Exchange")
+    assert n <= _MAX_PLAN_EXCHANGES, (
+        f"{name}: {n} exchange nodes in one plan (cap "
+        f"{_MAX_PLAN_EXCHANGES}) — unrolled iterative lineage? "
+        f"localCheckpoint per round (see l2_dup_clusters / "
+        f"g3_shortest_hops) truncates it."
+    )
 
 
 def test_q10_index_build_is_size_guarded(spark):

@@ -298,3 +298,19 @@ def test_exclude_raises_on_multi_table_from(spark):
         sql(spark, "SELECT * EXCLUDE (a) FROM ex_j1 JOIN ex_j2 ON ex_j1.id = ex_j2.id")
     with pytest.raises(SqlExtError, match="single FROM"):
         sql(spark, "SELECT * EXCLUDE (a) FROM ex_j1, ex_j2")
+
+
+def test_exclude_raises_on_cte_prefix(spark):
+    """A WITH prefix would make spark.table(<name>) resolve a catalog
+    object while the rewritten SQL's CTE shadows it (wrong columns if a
+    same-named temp view exists). The lowering is anchored to
+    statement start and must raise on any prefixed form."""
+    spark.createDataFrame([(1, "x")], "id int, a string").createOrReplaceTempView(
+        "ex_cte"
+    )
+    with pytest.raises(SqlExtError, match="start the statement"):
+        sql(
+            spark,
+            "WITH ex_cte AS (SELECT 1 AS only_col) "
+            "SELECT * EXCLUDE (only_col) FROM ex_cte",
+        )
