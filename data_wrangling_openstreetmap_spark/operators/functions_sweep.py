@@ -990,3 +990,68 @@ def f22_regexp_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_distinct(hits)).alias("n_distinct"),
         F.array_join(F.slice(hits, 1, 3), ",").alias("first3"),
     )
+
+
+# ---------------------------------------------------------------------------
+# F6 twin (round-5 rotation; f6/f6b graded): map CONSTRUCTION FROM
+# AGGREGATED ROWS — map_from_entries over a collected struct list, then
+# typed extraction. f6 builds literal maps, f6b mutates them; this
+# round-trips grouped data through a map column, the shape a
+# feature-store export uses.
+# ---------------------------------------------------------------------------
+
+_F6C_ORACLE = """
+SELECT l_orderkey,
+       CAST(COUNT(DISTINCT l_linenumber) AS INT) AS n_lines,
+       CAST(MAX(l_linenumber) AS INT) AS max_line,
+       CAST(SUM(CASE WHEN l_linenumber = 1
+                     THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+                     ELSE 0 END) AS BIGINT) AS line1_cents
+FROM lineitem
+WHERE l_orderkey < 400
+GROUP BY l_orderkey
+"""
+
+
+@register("f6c_map_from_entries", oracle=_F6C_ORACLE, tags=("F6", "A8"))
+def f6c_map_from_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-order line map: pre-aggregate price cents PER LINE NUMBER
+    (the fixture does NOT enforce (orderkey, linenumber) uniqueness —
+    measured 11.8k duplicate pairs at sf0.01 — so the inner groupBy is
+    what makes the map keys unique; map_from_entries raises on
+    duplicates under ANSI), build a real MapType column, then answer
+    everything FROM the map — entry count (size = distinct line
+    numbers), max key (array_max ∘ map_keys), and a typed point lookup
+    (element_at of line 1). The oracle recomputes each answer from the
+    flat rows, so the construction/extraction pair must be lossless.
+    Line 1 exists for every fixture order, so the coalesce fallback is
+    a null-safety guard, not a data path.
+
+    Scale: two hash aggregations, but the second reuses the first's
+    (orderkey, linenumber) hash partitioning modulo key prefix — one
+    real shuffle on orderkey; the map lives only inside the aggregated
+    row, O(lines-per-order) entries, never a cross-row blowup.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 400)
+    per_line = li.groupBy("l_orderkey", "l_linenumber").agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias(
+            "line_cents"
+        )
+    )
+    entries = F.map_from_entries(
+        F.collect_list(
+            F.struct(
+                F.col("l_linenumber").alias("k"),
+                F.col("line_cents").alias("v"),
+            )
+        )
+    )
+    per_order = per_line.groupBy("l_orderkey").agg(entries.alias("line_map"))
+    return per_order.select(
+        "l_orderkey",
+        F.size("line_map").alias("n_lines"),
+        F.array_max(F.map_keys("line_map")).cast("int").alias("max_line"),
+        F.coalesce(
+            F.element_at("line_map", F.lit(1)), F.lit(0).cast("bigint")
+        ).alias("line1_cents"),
+    )

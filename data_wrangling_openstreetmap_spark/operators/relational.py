@@ -2161,3 +2161,314 @@ def s20_range_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("i").cast("bigint").alias("sum_i"),
         F.min((F.col("i") * F.col("i")) % 1000003).cast("bigint").alias("min_sq_mod"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ROUND-5 TWINS — never-driver-graded carriers for tags whose every
+# prior carrier has already been hard-graded (window rotation r5; the
+# round-4 twin discipline). Each is a genuinely different query from
+# its graded sibling, not a re-alias.
+# ---------------------------------------------------------------------------
+
+# P3 twin (p3/p3b graded): regex topic classes over documents.text.
+_P3C_ORACLE = """
+SELECT topic, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc
+FROM (
+  SELECT doc_id,
+         CASE
+           WHEN regexp_matches(text, '\\bspark\\b') THEN 'engine'
+           WHEN regexp_matches(text, '\\bwindow\\b') THEN 'analytic'
+           WHEN regexp_matches(text, '\\bjoin\\b') THEN 'relational'
+           ELSE 'misc'
+         END AS topic
+  FROM documents
+)
+GROUP BY topic
+"""
+
+
+@register("p3c_doc_topic_classify", oracle=_P3C_ORACLE, tags=("P3", "P6"))
+def p3c_doc_topic_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-match regex topic routing over document text (word-bounded
+    rlike chain, priority order) — p3/p3b classify short name fields;
+    this classifies free text, where anchoring with \\b matters (the
+    vocabulary contains no superstrings of the probes, but the boundary
+    form is the one that survives real corpora). All four classes fire
+    on the fixture (tests pin the precondition via the oracle's
+    engine-vs-engine hash).
+
+    Scale: per-row JVM regex in codegen, one O(topics)-key shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    topic = (
+        F.when(F.col("text").rlike(r"\bspark\b"), "engine")
+        .when(F.col("text").rlike(r"\bwindow\b"), "analytic")
+        .when(F.col("text").rlike(r"\bjoin\b"), "relational")
+        .otherwise("misc")
+    )
+    return (
+        d.select(topic.alias("topic"), "doc_id")
+        .groupBy("topic")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc"))
+    )
+
+
+# P5 twin (p5 graded): literal-map dictionary normalization WITHOUT a
+# join — the create_map lookup expression form.
+_P5B_ORACLE = f"""
+SELECT
+  CASE event_type
+    WHEN 'click' THEN 'ENGAGEMENT'
+    WHEN 'view' THEN 'ENGAGEMENT'
+    WHEN 'purchase' THEN 'CONVERSION'
+    WHEN 'signup' THEN 'CONVERSION'
+    ELSE 'OPS'
+  END AS channel,
+  COUNT(*) AS n_events,
+  {oracle_dsum('value')} AS total_value
+FROM events
+GROUP BY 1
+"""
+
+
+@register("p5b_event_channel_normalize", oracle=_P5B_ORACLE, tags=("P5", "P6"))
+def p5b_event_channel_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary normalization via a LITERAL map expression
+    (create_map lookup + coalesce fallback) — p5 grades the
+    broadcast-join form of the same shape; this is the zero-shuffle
+    expression form you use when the dictionary is small enough to
+    inline into the plan (here 5 keys; rule of thumb ≲ a few hundred).
+
+    Scale: the map literal rides inside codegen on every executor — no
+    broadcast, no join, one O(channels)-key shuffle for the rollup.
+    """
+    mapping = F.create_map(
+        F.lit("click"), F.lit("ENGAGEMENT"),
+        F.lit("view"), F.lit("ENGAGEMENT"),
+        F.lit("purchase"), F.lit("CONVERSION"),
+        F.lit("signup"), F.lit("CONVERSION"),
+    )
+    events = load_table(spark, sf_dir, "events")
+    channel = F.coalesce(mapping[F.col("event_type")], F.lit("OPS"))
+    return (
+        events.select(channel.alias("channel"), "value")
+        .groupBy("channel")
+        .agg(F.count("*").alias("n_events"), dsum("value").alias("total_value"))
+    )
+
+
+# J3 twin (q4/j3b graded): customer ⋉ big-ticket orders.
+_J3C_ORACLE = """
+SELECT c_mktsegment, COUNT(*) AS n_customers, MIN(c_custkey) AS min_key
+FROM customer c
+WHERE EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 250000
+)
+GROUP BY c_mktsegment
+"""
+
+
+@register("j3c_bigticket_customers", oracle=_J3C_ORACLE, tags=("J3", "A1"))
+def j3c_bigticket_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with at least one >250k order, counted per market
+    segment — LEFT SEMI with the FILTERED fact on the build side
+    (q4 semis orders→lineitem; j3b semis supplier→lineitem; this is
+    the dim⋉fact direction with a selective pushed-down predicate).
+
+    Scale: the price filter prunes the fact scan before the semi
+    join's shuffle; semi join materializes no payload columns from the
+    probe side. One shuffle pair + the O(segments) rollup.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    big = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 250000
+    )
+    return (
+        customer.join(
+            big, customer.c_custkey == big.o_custkey, "left_semi"
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.min("c_custkey").alias("min_key"),
+        )
+    )
+
+
+# O4 twin (o4/o4b graded): union-DISTINCT across two differently
+# filtered scans of the same table (dedup must span branches).
+_O4C_ORACLE = """
+SELECT kind, user_id FROM (
+  SELECT 'engaged' AS kind, user_id FROM events WHERE event_type IN ('click', 'view')
+  UNION
+  SELECT 'converted' AS kind, user_id FROM events WHERE event_type IN ('purchase', 'signup')
+)
+"""
+
+
+@register("o4c_union_user_cohorts", oracle=_O4C_ORACLE, tags=("O4", "O6"))
+def o4c_union_user_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tagged user cohorts via UNION DISTINCT: each branch emits one
+    (kind, user_id) row per qualifying EVENT, so the distinct must
+    collapse duplicates both within and across branches (a user with
+    two clicks and a view dedups to one 'engaged' row but keeps a
+    separate 'converted' row) — o4/o4b union different tables; this
+    unions different filters of one table, where branch overlap is the
+    point.
+
+    Scale: Catalyst plans union-distinct as one hash aggregate over
+    the concatenated branches — a single shuffle keyed on the full
+    row, volume bounded by distinct (kind, user) pairs.
+    """
+    events = load_table(spark, sf_dir, "events")
+    engaged = events.filter(F.col("event_type").isin("click", "view")).select(
+        F.lit("engaged").alias("kind"), "user_id"
+    )
+    converted = events.filter(
+        F.col("event_type").isin("purchase", "signup")
+    ).select(F.lit("converted").alias("kind"), "user_id")
+    return engaged.union(converted).distinct()
+
+
+# S2 twin (s2/f13 graded): ATTRIBUTE-form XML parsing — from_xml with
+# the _attr / _VALUE conventions, the other half of the XML surface.
+_S2C_ORACLE = """
+SELECT s_nationkey AS nat, COUNT(*) AS n_suppliers,
+       MIN(s_name) AS first_supplier,
+       CAST(SUM(s_suppkey * 2 + 1) AS BIGINT) AS checksum
+FROM supplier
+GROUP BY s_nationkey
+"""
+
+
+@register("s2c_xml_attributes", oracle=_S2C_ORACLE, tags=("S2", "F1"))
+def s2c_xml_attributes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML ATTRIBUTE parsing: each supplier serializes to
+    ``<sup id=".." nat="..">NAME</sup>`` and ``from_xml`` recovers the
+    attributes (``_id``/``_nat`` fields) and element text (``_VALUE``)
+    against a declared schema — s2 grades element-row files, f13
+    element fragments; attributes exercise the third XML convention
+    (OSM's native encoding is attribute-heavy: ``<node id=".." lat="..">``).
+    The checksum column proves the parsed integers are typed, not
+    strings.
+
+    Scale: per-row JVM pull parser, map-side only; the rollup shuffle
+    carries O(nations) groups.
+    """
+    supplier = load_table(spark, sf_dir, "supplier")
+    xml = F.concat(
+        F.lit('<sup id="'),
+        F.col("s_suppkey").cast("string"),
+        F.lit('" nat="'),
+        F.col("s_nationkey").cast("string"),
+        F.lit('">'),
+        F.col("s_name"),
+        F.lit("</sup>"),
+    )
+    parsed = supplier.select(
+        F.from_xml(xml, "_id BIGINT, _nat BIGINT, _VALUE STRING").alias("x")
+    )
+    return (
+        parsed.select(
+            F.col("x._nat").alias("nat"),
+            F.col("x._VALUE").alias("name"),
+            F.col("x._id").alias("id"),
+        )
+        .groupBy("nat")
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.min("name").alias("first_supplier"),
+            F.sum(F.col("id") * 2 + 1).cast("bigint").alias("checksum"),
+        )
+    )
+
+
+# S4 twin (s4/s13 graded): TAB-separated sink with an explicit
+# nullValue token — the delimiter/null-token option surface.
+_S15_ORACLE = """
+SELECT p_brand, COUNT(*) AS n_parts, MIN(p_type) AS first_type,
+       CAST(SUM(p_size) AS BIGINT) AS total_size
+FROM part
+GROUP BY p_brand
+"""
+
+
+@register("s15_tsv_roundtrip", oracle=_S15_ORACLE, tags=("S4",))
+def s15_tsv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TSV sink + schema-declared scan back: tab delimiter and an
+    explicit nullValue sentinel (``\\\\N``, the classic dump
+    convention) — s4 grades the comma/header defaults, s13 quoted
+    multiline fields; this grades the option plumbing every warehouse
+    export/import actually uses. Integer + string columns round-trip
+    exactly; the oracle runs on the original parquet.
+
+    Scale: one file per partition written in parallel; declared schema
+    on read (no inference pass), splittable because no field embeds a
+    newline.
+    """
+    import tempfile
+
+    part = load_table(spark, sf_dir, "part")
+    path = tempfile.mkdtemp(prefix="dwos_s15_") + "/part_tsv"
+    (
+        part.select("p_partkey", "p_brand", "p_type", "p_size")
+        .write.option("sep", "\t")
+        .option("nullValue", "\\N")
+        .option("header", True)
+        .mode("overwrite")
+        .csv(path)
+    )
+    back = (
+        spark.read.schema("p_partkey bigint, p_brand string, p_type string, p_size int")
+        .option("sep", "\t")
+        .option("nullValue", "\\N")
+        .option("header", True)
+        .csv(path)
+    )
+    return back.groupBy("p_brand").agg(
+        F.count("*").alias("n_parts"),
+        F.min("p_type").alias("first_type"),
+        F.sum("p_size").cast("bigint").alias("total_size"),
+    )
+
+
+# S5 twin (s5/s5b graded): PARTITIONED JSON sink — partition-column
+# pruning and reconstitution on read, the lakehouse layout surface.
+_S5C_ORACLE = f"""
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+       {oracle_dsum('o_totalprice')} AS revenue
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+@register("s5c_json_partitioned", oracle=_S5C_ORACLE, tags=("S5", "S1"))
+def s5c_json_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned JSONL sink (``partitionBy(o_orderstatus)``) +
+    read back: the partition column leaves the file payload and comes
+    back from the DIRECTORY NAMES — s5/s5b grade flat and nested JSON
+    payloads; this grades the partition-pruning layout (the groupBy
+    key never touches JSON at all). Doubles survive via the exact
+    cents recipe on re-aggregation.
+
+    Scale: partitioned layout is WHY a 100 TB table is queryable —
+    status predicates prune whole directories before any JSON is
+    parsed; each partition writes/reads in parallel.
+    """
+    import tempfile
+
+    orders = load_table(spark, sf_dir, "orders")
+    path = tempfile.mkdtemp(prefix="dwos_s5c_") + "/orders_json"
+    (
+        orders.select("o_orderkey", "o_totalprice", "o_orderstatus")
+        .write.partitionBy("o_orderstatus")
+        .mode("overwrite")
+        .json(path)
+    )
+    back = spark.read.schema(
+        "o_orderkey bigint, o_totalprice double, o_orderstatus string"
+    ).json(path)
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"), dsum("o_totalprice").alias("revenue")
+    )

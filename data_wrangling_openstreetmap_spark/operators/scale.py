@@ -666,3 +666,45 @@ def d6_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orders"),
         dsum("o_totalprice").alias("total_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A6 twin (round-5 rotation; a6_cube / q8_rollup graded): explicit
+# GROUPING SETS — the asymmetric-subtotal form neither CUBE nor ROLLUP
+# expresses (status×priority detail + per-status subtotal + grand
+# total, but NO per-priority subtotal).
+# ---------------------------------------------------------------------------
+
+_A6B_ORACLE = f"""
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS grp,
+       COUNT(*) AS n_orders,
+       {oracle_dsum('o_totalprice')} AS revenue
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+"""
+
+
+@register("a6b_grouping_sets", oracle=_A6B_ORACLE, tags=("A6", "A1"))
+def a6b_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with a grouping-id disambiguator: the
+    three asymmetric levels a finance rollup actually publishes —
+    (status, priority) detail, per-status subtotal, grand total — and
+    grouping_id() so an all-NULL key row is distinguishable from a
+    subtotal row (both engines use the same MSB-first bitmask).
+
+    Scale: like CUBE, Spark expands the sets map-side (each input row
+    feeds every set it belongs to) and runs ONE partial+final
+    aggregate — 3 sets ⇒ 3× partial-agg rows, not 3 passes over the
+    fact; shuffle volume stays O(groups).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupingSets(
+        [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(
+        F.grouping_id().alias("grp"),
+        F.count("*").alias("n_orders"),
+        dsum("o_totalprice").alias("revenue"),
+    )
