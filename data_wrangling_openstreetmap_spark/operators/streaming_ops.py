@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 from ..io import load_table
 from ..registry import register
 from ..streaming import transforms as TR
-from ._helpers import money, oracle_dsum
+from ._helpers import cents, dsum, money, oracle_dsum
 
 # ---------------------------------------------------------------------------
 # q7 / ST1 — tumbling window aggregation. Headline bench query.
@@ -682,4 +682,398 @@ def st16_running_extrema(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w_order).alias("event_seq"),
         F.min("value").over(w_frame).alias("running_min"),
         F.max("value").over(w_frame).alias("running_max"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ROUND-5 STREAMING TWINS — every ST tag's prior carriers have been
+# driver-graded (rounds 1-4 covered q7/st2-st16), so the round-5
+# rotation window needs fresh never-graded carriers. Each twin grades a
+# genuinely different semantic corner of its row, not a re-alias.
+# ---------------------------------------------------------------------------
+
+# ST1 twin (q7/st12 graded): tumbling EXTREMA — min/max survive window
+# merge exactly (no float accumulation), the shape a monitoring rollup
+# publishes.
+_ST17_ORACLE = """
+SELECT
+  CAST(time_bucket(INTERVAL '30 minutes', ts) AS TIMESTAMP) AS window_start,
+  event_type,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  MIN(value) AS min_value,
+  MAX(value) AS max_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register("st17_tumbling_minmax", oracle=_ST17_ORACLE, tags=("ST1", "A7"))
+def st17_tumbling_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-minute tumbling windows × event_type with per-window value
+    extrema — q7 grades count+sum at 1 h, st12 distinct users at 1 day;
+    this grades the sub-hour granularity and MIN/MAX, the aggregates a
+    latency/price monitor alerts on. Extrema select existing doubles,
+    so no accumulation drift exists by construction; the oracle's
+    time_bucket and Spark's F.window both align 30-minute buckets to
+    the epoch grid.
+
+    Scale: one partial+final hash agg keyed on (window, type) — the
+    partial side collapses each 30-min bucket to three scalars per
+    type before the shuffle; incremental under readStream with a
+    watermark because min/max merge associatively.
+    """
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "30 minutes").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "min_value",
+            "max_value",
+        )
+    )
+
+
+# ST2 twin (st2/st13 graded): hopping DISTINCT users — the sliding
+# active-user curve (hop expansion × identity dedup in one plan).
+_ST18_ORACLE = """
+WITH expanded AS (
+  SELECT
+    unnest(generate_series(
+      time_bucket(INTERVAL '20 minutes', ts) - INTERVAL '40 minutes',
+      time_bucket(INTERVAL '20 minutes', ts),
+      INTERVAL '20 minutes'
+    )) AS window_start,
+    user_id
+  FROM events
+)
+SELECT window_start,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM expanded
+GROUP BY window_start
+"""
+
+
+@register("st18_sliding_active_users", oracle=_ST18_ORACLE, tags=("ST2", "A3"))
+def st18_sliding_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows hopping every 20 minutes (3 covering windows per
+    event) with an exact COUNT(DISTINCT user_id) — the sliding
+    active-user curve. st2/st13 grade count/avg under the hop
+    expansion; this composes the expansion with identity dedup, which
+    changes the shuffle: volume is distinct (window, user) pairs, not
+    events.
+
+    Scale: Catalyst plans the distinct as partial-distinct on
+    (window, user_id) then final count — the 3× fan-out happens inside
+    the aggregate. The streaming-exact form needs per-(window,user)
+    state; at 100 TB the mergeable-HLL rollup (a4b) is the bounded
+    -state path, same algebra.
+    """
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour", "20 minutes").alias("w"))
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "n_users",
+            "n_events",
+        )
+    )
+
+
+# ST3 twin (st3/st11 graded): session stats ROLLED UP PER USER — grades
+# session assignment through a second aggregation level, all-integer.
+_ST19_ORACLE = """
+WITH lagged AS (
+  SELECT user_id, event_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+), flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN prev_ts IS NULL
+                OR ts - prev_ts > INTERVAL '45 minutes'
+              THEN 1 ELSE 0 END AS new_sess
+  FROM lagged
+), sess AS (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS UNBOUNDED PRECEDING
+         ) AS sess_id
+  FROM flagged
+), per_sess AS (
+  SELECT user_id, sess_id, COUNT(*) AS n_ev,
+         epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS dur_us
+  FROM sess
+  GROUP BY user_id, sess_id
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(MAX(n_ev) AS BIGINT) AS max_session_events,
+       CAST(SUM(dur_us) AS BIGINT) AS total_session_us
+FROM per_sess
+GROUP BY user_id
+"""
+
+
+@register("st19_session_stats_rollup", oracle=_ST19_ORACLE, tags=("ST3", "A1"))
+def st19_session_stats_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session statistics under a 45-minute gap: session
+    count, busiest session's event count, and total in-session dwell
+    µs (first-to-last event, excluding the trailing gap padding —
+    session_window.end minus the gap). st3 grades per-session rows,
+    st11 the dynamic-gap surface; this grades the assignment through a
+    second rollup, where one misassigned event shifts three integers.
+
+    Scale: session merge is a per-user sorted scan after one shuffle
+    on user_id; the user rollup reuses that partitioning (no second
+    exchange). Dwell arithmetic is µs-exact BIGINT on both engines.
+    """
+    events = load_table(spark, sf_dir, "events")
+    gap_us = F.lit(45 * 60 * 1000000).cast("long")
+    sess = events.groupBy(
+        F.session_window("ts", "45 minutes").alias("w"), "user_id"
+    ).agg(F.count("*").alias("n_ev"))
+    dur_us = (
+        F.unix_micros(F.col("w.end").cast("timestamp"))
+        - F.unix_micros(F.col("w.start").cast("timestamp"))
+        - gap_us
+    )
+    return (
+        sess.select("user_id", "n_ev", dur_us.alias("dur_us"))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.max("n_ev").alias("max_session_events"),
+            F.sum("dur_us").cast("bigint").alias("total_session_us"),
+        )
+    )
+
+
+# ST4 twin (st4/st14 graded): what SURVIVES the watermark, valued — the
+# revenue-at-risk accounting a lateness policy decision needs.
+_ST20_ORACLE = """
+WITH j AS (
+  SELECT event_type, ts, event_id, value,
+         ts + to_seconds(((event_id % 2147483648) * 2654435761) % 1800) AS arrival_ts
+  FROM events
+), arr AS (
+  SELECT event_type, ts, value,
+         MAX(ts) OVER (ORDER BY arrival_ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hi
+  FROM j
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN epoch_us(hi) - epoch_us(ts) > 900000000
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       SUM(CASE WHEN epoch_us(hi) - epoch_us(ts) > 900000000
+                THEN 0 ELSE CAST(round(value * 100) AS BIGINT) END) / 100.0
+         AS kept_value
+FROM arr
+GROUP BY event_type
+"""
+
+
+@register("st20_watermark_survivors", oracle=_ST20_ORACLE, tags=("ST4", "W4"))
+def st20_watermark_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value surviving a 15-minute watermark, per event type: replay
+    the stream under a deterministic 0-30-min transit delay (Knuth
+    multiplicative hash of event_id — exact BIGINT, engine-identical),
+    drop rows already >15 min behind the running event-time high-water
+    mark at arrival, and total the KEPT rows' value exactly. st4
+    counts the late/kept split; st14 histograms lateness; this prices
+    it — the number that decides whether a longer watermark is worth
+    the state.
+
+    Scale: the running high-water mark is _helpers.scalable_running_max
+    (bucketed prefix-max decomposition, no global single-partition
+    sort); the rollup keys on O(types) groups with integer-cents sums.
+    """
+    from ._helpers import scalable_running_max
+
+    events = load_table(spark, sf_dir, "events")
+    jitter = ((F.col("event_id") % F.lit(2147483648)) * F.lit(2654435761)) % 1800
+    j = events.select(
+        "event_type",
+        "ts",
+        "event_id",
+        "value",
+        (F.col("ts") + F.make_dt_interval(secs=jitter.cast("double"))).alias(
+            "arrival_ts"
+        ),
+    )
+    hour_bkt = F.floor(
+        F.unix_micros(F.col("arrival_ts").cast("timestamp")) / (3600 * 1000000)
+    )
+    arr = scalable_running_max(
+        j,
+        order_cols=["arrival_ts", "event_id"],
+        value="ts",
+        bucket=hour_bkt,
+        out="hi",
+    )
+    behind_us = F.unix_micros(F.col("hi").cast("timestamp")) - F.unix_micros(
+        F.col("ts").cast("timestamp")
+    )
+    dropped = behind_us > F.lit(900000000).cast("long")
+    return (
+        arr.select("event_type", "value", dropped.alias("dropped"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.when(F.col("dropped"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dropped"),
+            (
+                F.sum(F.when(F.col("dropped"), F.lit(0).cast("long")).otherwise(cents("value")))
+                / 100.0
+            ).alias("kept_value"),
+        )
+    )
+
+
+# ST5 twin (st5/st15 graded): keep-LAST dedup — the upsert image
+# (foreachBatch MERGE keeps the latest row per key, not the first).
+_ST21_ORACLE = """
+SELECT event_id, user_id, event_type, ts, value
+FROM events
+QUALIFY row_number() OVER (
+  PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC
+) = 1
+"""
+
+
+@register("st21_dedup_keep_last", oracle=_ST21_ORACLE, tags=("ST5", "L1"))
+def st21_dedup_keep_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest event per (user_id, event_type) — the keep-LAST dedup
+    image: what a foreachBatch MERGE upsert leaves in the target table
+    after replaying the whole stream. st5/st15 grade keep-first (the
+    dropDuplicates contract); last-wins is the other half — the state
+    update overwrites instead of suppressing, so late arrivals CHANGE
+    answers instead of being ignored.
+
+    Scale: one shuffle on the dedup key, per-key local sort descending;
+    streaming state is one row per key either way.
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id", "event_type", "ts", "value")
+    )
+
+
+# ST6 twin (st6/st8/st9 graded): stream-static ANTI join — the
+# unenriched remainder (events whose user fails the dimension filter).
+_ST22_ORACLE = f"""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       {oracle_dsum('value')} AS total_value
+FROM events e
+WHERE NOT EXISTS (
+  SELECT 1 FROM customer c
+  WHERE c.c_custkey = e.user_id + 1 AND c.c_acctbal > 5000
+)
+GROUP BY event_type
+"""
+
+
+@register("st22_unenriched_events", oracle=_ST22_ORACLE, tags=("ST6", "J4"))
+def st22_unenriched_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events that FAIL dimension enrichment: anti-join the stream
+    against the high-balance customer allowlist (acctbal > 5000, same
+    user_id+1 key mapping as st6) and roll up the unmatched remainder
+    per event type — the dead-letter accounting every stream-static
+    enrichment pipeline publishes next to its happy path.
+
+    Scale: the filtered dimension broadcasts (anti join needs only the
+    key set executor-side — a micro-batch never repartitions); the
+    rollup keys on O(types) groups with an exact distinct-user count.
+    """
+    events = load_table(spark, sf_dir, "events")
+    allow = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 5000)
+        .select("c_custkey")
+    )
+    return (
+        events.join(
+            F.broadcast(allow),
+            events.user_id + 1 == allow.c_custkey,
+            "left_anti",
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            dsum("value").alias("total_value"),
+        )
+    )
+
+
+# ST7 twin (st7/st16 graded): inter-event GAP monitor — state is the
+# previous timestamp plus a long-gap counter, the dormancy detector.
+_ST23_ORACLE = """
+WITH g AS (
+  SELECT event_id, user_id, ts,
+         epoch_us(ts) - epoch_us(lag(ts) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         )) AS gap_us
+  FROM events
+)
+SELECT event_id, user_id, ts, gap_us,
+       CAST(SUM(CASE WHEN gap_us > 3600000000 THEN 1 ELSE 0 END) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS UNBOUNDED PRECEDING
+       ) AS BIGINT) AS n_long_gaps
+FROM g
+"""
+
+
+@register("st23_gap_monitor", oracle=_ST23_ORACLE, tags=("ST7", "W3"))
+def st23_gap_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-event gap stream: each event's µs since the
+    user's previous event (NULL on first sight) and a running count of
+    dormancy gaps longer than one hour — the batch image of a stateful
+    operator whose state is {last_ts, long_gap_count} per user
+    (streaming/stateful.py's dict pattern with a comparison reducer).
+    st7 runs a running sum, st16 extrema; this grades lag-dependent
+    state, where the update reads the PREVIOUS event, not just the
+    current row.
+
+    Scale: one shuffle on user_id, per-user sorted scan computing lag
+    and prefix count in a single window pass; µs arithmetic is exact
+    BIGINT on both engines.
+    """
+    events = load_table(spark, sf_dir, "events")
+    w_order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_frame = w_order.rowsBetween(Window.unboundedPreceding, 0)
+    gap_us = F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(
+        F.lag("ts").over(w_order).cast("timestamp")
+    )
+    df = events.select("event_id", "user_id", "ts", gap_us.alias("gap_us"))
+    return df.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "gap_us",
+        F.sum(F.when(F.col("gap_us") > 3600000000, 1).otherwise(0))
+        .over(w_frame)
+        .cast("bigint")
+        .alias("n_long_gaps"),
     )
