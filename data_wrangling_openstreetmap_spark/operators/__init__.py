@@ -50,83 +50,77 @@ ALL_MODULES = (
 # value-hash-graded, none rows-only. Order within the window is
 # thematic, not significance-ranked — only membership matters.
 #
-# ROUND-4 ROTATION: every one of the 50 slots is a query the driver has
-# NEVER graded (106 unique names were hard-graded green across rounds
-# 1–3; 187 never-graded oracled queries remained before this round).
-# The rounds-1–3 greens — including the q1–q10 bench headliners, each
-# hard-green multiple consecutive rounds — stay continuously verified by
-# the driver-strict local replica (tests/test_oracle_parity.py, which
-# reproduced every historical driver verdict exactly) and by bench.py,
-# so their slots convert to first-time hard signal instead of a fourth
-# redundant green. Coverage invariant unchanged: every §2 tag in the
-# registry has a representative below
-# (tests/test_plan_shapes.py::test_driver_window_covers_all_tags). The
-# eleven tags whose only prior carriers were already-graded names
-# (ST1/ST2/ST4/ST5/ST7, A5, F6, O4, P3, S5, J3) are carried by the
-# round-4 twin queries built for exactly that purpose.
+# ROUND-5 ROTATION (the round-4 discipline, continued): every one of
+# the 50 slots is a query the driver has NEVER graded. 156 unique names
+# carry hard driver signal from rounds 1–4 (all green); those stay
+# continuously verified by the driver-strict local replica
+# (tests/test_oracle_parity.py, which has reproduced every historical
+# driver verdict exactly) and by bench.py, so their slots convert to
+# first-time hard signal instead of redundant re-greens. Coverage
+# invariant unchanged: every §2 tag in the registry has a representative
+# below (tests/test_plan_shapes.py::test_driver_window_covers_all_tags).
+# The seven ST tags' prior carriers were ALL graded by round 4, so the
+# round-5 streaming twins (st17–st23) were built as fresh carriers;
+# likewise the nine relational/source twins (a6b…s5c) for
+# A6/F6/J3/O4/P3/P5/S4/S2/S5.
 DRIVER_WINDOW = (
-    # round-4 forced-tag twins (new this round, each the window's
-    # never-graded carrier of a tag previously held only by graded
-    # names):
-    "st12_tumbling_distinct_users",
-    "st13_hopping_avg",
-    "st14_lateness_profile",
-    "st15_dedup_within_horizon",
-    "st16_running_extrema",
-    "a5b_having_distinct",
-    "f6b_map_surgery",
-    "o4b_union_three_way",
-    "p3b_name_classify",
-    "s5b_nested_json_roundtrip",
-    "j3b_semi_join_suppliers",
-    # sole (or strongest) never-graded carriers of A6/F9/J4/O1/O5/P5/S4:
-    "a6_cube",
-    "j13_trajectory_similarity",
-    "l1_cross_corpus_dedup",
-    "q12_returned_revenue",
-    "o9_multiset_ops",
-    "u1b_arrow_udf_normalize",
-    "s13_csv_multiline_roundtrip",
-    # extended-SQL frontend (engine-vs-engine / exact-SQL grades):
-    "x1_asof_sql",
-    "x2_similarity_sql",
-    "x3_qualify_sql",
-    "x4_match_recognize_sql",
-    "x5_distinct_on_sql",
-    "x6_pivot_sql",
-    # LLM-pipeline / vector family:
-    "l3_ivf_pq_topk",
-    "l6_kmeans_step",
-    "l2_semdedup",
-    "l0_clean_pipeline",
-    "l4_html_extract",
-    # table-maintenance / source-format family:
-    "d4_merge_upsert",
-    "d5_incremental_view_maintenance",
-    "s16_cdc_apply",
-    "s17_python_datasource",
-    "s18_epoch_shuffle",
-    # UDF surface (Arrow rungs + SQL/table functions):
-    "u2_pandas_udf_score",
-    "u6_map_in_arrow",
-    "u9_polymorphic_udtf",
-    "u10_apply_in_arrow",
-    # stats / sketches / windows:
-    "a27_mann_whitney",
-    "a24_cms_heavy_hitters",
-    "w17_holt_linear",
-    "w21_ewma_irregular",
-    # join variants:
-    "j11_null_safe_join",
-    "j12_point_in_time_join",
-    "j15_nearest_event_join",
-    # multimodal + streaming variants:
-    "m2b_frame_parity",
-    "st9_left_interval_join",
-    "st11_dynamic_session_gap",
-    # semi-structured shaping:
-    "f13_from_xml",
-    "f17_struct_surgery",
+    # round-5 forced-tag twins — streaming (ST1–ST7, one each):
+    "st17_tumbling_minmax",
+    "st18_sliding_active_users",
+    "st19_session_stats_rollup",
+    "st20_watermark_survivors",
+    "st21_dedup_keep_last",
+    "st22_unenriched_events",
+    "st23_gap_monitor",
+    # round-5 forced-tag twins — relational / sources:
+    "a6b_grouping_sets",
+    "f6c_map_from_entries",
+    "j3c_bigticket_customers",
+    "o4c_union_user_cohorts",
+    "p3c_doc_topic_classify",
+    "p5b_event_channel_normalize",
+    "s15_tsv_roundtrip",
+    "s2c_xml_attributes",
+    "s5c_json_partitioned",
+    # judge-prioritized never-graded composites (VERDICT r4 §Next #1):
+    "g1_pagerank_neardup",
+    "a29_ks_test",
+    "w30_seasonal_decompose",
+    "w32_lorenz_deciles",
+    "q38_supplier_reliability",
+    "a35_median_mad",
+    "q39_priority_transitions",
+    "f22_regexp_extract_all",
+    "dq9_duplicate_payments",
+    "s19_reservoir_sample",
+    "d6_partition_overwrite",
+    "u11_udtf_table_arg",
+    "x7_exclude_sql",
+    # data-quality family (dq1–dq5, never graded as a block):
+    "dq1_expectations",
+    "dq2_volume_anomaly",
+    "dq3_pk_uniqueness",
+    "dq4_observed_metrics",
+    "dq5_schema_contract",
+    # tag-cover picks (each the greedy carrier of otherwise-uncovered
+    # tags among never-graded names):
+    "l6_hard_negatives",
+    "x1b_asof_left_sql",
+    "m4b_feature_parity",
+    "o5_except",
+    "u2b_pandas_iter_udf",
+    "w5_last_ignorenulls",
+    "a10b_approx_percentile_contract",
+    "a13_unpivot",
+    "l2_shingle_dup_frac",
+    "o2_top_k",
+    "f11_variant_extract",
+    "j6_grid_spatial_join",
+    "q37_repeat_purchase_share",
+    # strength fillers (window-rounding composites):
+    "g2_triangle_count",
+    "q36_conversion_funnel",
+    "w23_kendall_tau",
 )
 
 assert len(DRIVER_WINDOW) == 50, len(DRIVER_WINDOW)
