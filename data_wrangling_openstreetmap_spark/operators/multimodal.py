@@ -779,3 +779,75 @@ def m7_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
             "longest_voiced_run"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# m1b/m3b — parity companions for the LAST rows-only m-stages (VERDICT
+# r4 §Next #5): m5 re-derives the decode/resize dimension MATH through
+# its own combined batch function, but m1 and m3 themselves (their
+# actual fake_decode_batch / fake_resize_batch crossings, mime
+# passthrough and scale_num included) were still golden-only. These run
+# the REAL registered stages unchanged and project away only the crc32
+# checksums (no DuckDB equivalent) — after which every m-stage's Arrow
+# crossing is value-hash-graded and ONLY the checksums remain rows-only.
+# ---------------------------------------------------------------------------
+
+_M1B_ORACLE = """
+SELECT doc_id,
+       'application/x-fake-image' AS mime,
+       CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+       CAST(64 + octet_length(encode(text)) % 512 AS INT) AS width,
+       CAST(64 + (octet_length(encode(text)) * 7) % 512 AS INT) AS height
+FROM documents
+"""
+
+
+@register("m1b_decode_parity", oracle=_M1B_ORACLE, tags=("L5", "U3"))
+def m1b_decode_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-graded m1: the registered decode stage (fake_decode_batch
+    through the real mapInPandas crossing, mime string included) with
+    only the crc32 checksum projected away; DuckDB re-derives byte
+    count and fake dimensions from octet_length. Differs from m5 in
+    that it grades m1's OWN batch function and its string-dtype
+    passthrough, not a combined re-derivation.
+
+    Scale: identical plan to m1 — worker-parallel projection, binary
+    never shuffled.
+    """
+    return m1_multimodal_decode(spark, sf_dir).select(
+        "doc_id", "mime", "n_bytes", "width", "height"
+    )
+
+
+_M3B_ORACLE = f"""
+WITH b AS (
+  SELECT doc_id,
+         64 + octet_length(encode(text)) % 512 AS w,
+         64 + (octet_length(encode(text)) * 7) % 512 AS h
+  FROM documents
+)
+SELECT doc_id,
+       CAST(w AS INT) AS in_width,
+       CAST(h AS INT) AS in_height,
+       CAST(w * {TARGET_EDGE} // greatest(w, h) AS INT) AS out_width,
+       CAST(h * {TARGET_EDGE} // greatest(w, h) AS INT) AS out_height,
+       CAST(greatest(w, h) AS INT) AS scale_num
+FROM b
+"""
+
+
+@register("m3b_resize_parity", oracle=_M3B_ORACLE, tags=("L5", "U3"))
+def m3b_resize_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-graded m3: the registered resize stage (fake_resize_batch
+    through the real mapInPandas crossing, scale_num included) with
+    only the crc32 checksum projected away; DuckDB recomputes the
+    integer aspect-preserving rescale from octet_length. Grades m3's
+    OWN batch function — m5's combined double omits scale_num and the
+    resize stage's checksum-bearing batch path.
+
+    Scale: identical plan to m3 — worker-parallel projection, binary
+    never shuffled.
+    """
+    return m3_image_resize(spark, sf_dir).select(
+        "doc_id", "in_width", "in_height", "out_width", "out_height", "scale_num"
+    )

@@ -35,12 +35,14 @@ PYTHON_ALLOWED = {
     # documents the crossing instead of the sweep passing vacuously.
     "l3_ann_recall_contract",  # grades ANN recall against q10's matmul
     "m1_multimodal_decode",
+    "m1b_decode_parity",  # m1's crossing minus the crc32 column — the graded twin
     "m5_decode_parity",
     "m2_frame_sample",
     "m6_scene_cuts",  # Arrow decode stage feeding a JVM lag window — the temporal m-op
     "m7_audio_vad",  # Arrow PCM framing feeding JVM gaps-and-islands — the audio m-op
     "m2b_frame_parity",
     "m3_image_resize",
+    "m3b_resize_parity",  # m3's crossing minus the crc32 column — the graded twin
     "m4_feature_extract",
     "m4b_feature_parity",
     "u1_scalar_udf_normalize",
