@@ -6430,3 +6430,102 @@ def g8_clustering_by_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
             + 0
         ).alias("avg_lcc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# G9 — k-core peeling of the co-purchase graph: iteratively delete
+# nodes of degree < k until the survivor set is stable. THE iterative
+# graph primitive after connected components (l2_dup_clusters): cores
+# locate the dense boilerplate/template region of a near-dup graph,
+# the part worth human review before mass deletion.
+# ---------------------------------------------------------------------------
+
+_G9_K = 3
+_G9_ROUNDS = 16  # fixture converges in ≤10 at sf0.01 (test-pinned);
+# post-fixpoint rounds are no-ops, so 16 unrolled oracle rounds and a
+# ≤16-round Spark loop agree for ANY input (both compute peel^16).
+
+
+def _g9_oracle() -> str:
+    # every round CTE is MATERIALIZED: each e{i} is referenced three
+    # times by round i+1, so an inlining planner would expand the chain
+    # 3^rounds-fold (DuckDB hit EMFILE re-opening the parquet scan
+    # before the fix); materialization makes the oracle exactly the
+    # rounds-many linear passes the Spark loop runs.
+    parts = [oracle_co_edges(2), "e0 AS MATERIALIZED (SELECT u, v FROM e)"]
+    prev = "e0"
+    for i in range(1, _G9_ROUNDS + 1):
+        parts.append(
+            f"d{i} AS MATERIALIZED (SELECT node, COUNT(*) AS d FROM "
+            f"(SELECT u AS node FROM {prev} UNION ALL SELECT v FROM {prev}) "
+            f"GROUP BY node)"
+        )
+        parts.append(
+            f"n{i} AS MATERIALIZED (SELECT node FROM d{i} WHERE d >= {_G9_K})"
+        )
+        parts.append(
+            f"e{i} AS MATERIALIZED (SELECT u, v FROM {prev} "
+            f"WHERE u IN (SELECT node FROM n{i}) "
+            f"AND v IN (SELECT node FROM n{i}))"
+        )
+        prev = f"e{i}"
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT node, CAST(COUNT(*) AS BIGINT) AS core_degree FROM "
+        f"(SELECT u AS node FROM {prev} UNION ALL SELECT v FROM {prev}) "
+        f"GROUP BY node"
+    )
+
+
+_G9_ORACLE = _g9_oracle()
+
+
+@register("g9_kcore_peeling", oracle=_G9_ORACLE, tags=("A1", "J3", "A2"))
+def g9_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{k}-core of the co-purchase graph (same edge base as g2/g3,
+    min_support 2): repeatedly drop nodes with fewer than {k} surviving
+    neighbors and their incident edges until stable; emit each core
+    member with its within-core degree. Peeling is idempotent at the
+    fixpoint, so the Spark loop (early-break on edge-count
+    convergence, ≤{r} rounds) and the {r}-round unrolled DuckDB oracle
+    compute the identical peel^{r} for any input — no convergence-gap
+    hazard by construction; the fixture converges in ≤10 rounds at
+    sf0.01 (test-pinned).
+
+    Scale: each round is one degree aggregation plus two semi-joins on
+    single int keys — the keep-set carries only node ids, never
+    payloads. Per-round ``localCheckpoint`` truncates the loop lineage
+    (the l2_dup_clusters discipline, VERDICT r4), so the returned plan
+    is a scan of the final round, not {r} unrolled join trees; the
+    sweep's exchange-count cap enforces it. At 100 TB the edge list
+    comes from the LSH candidate stage and rounds bound by core depth,
+    typically ≪ diameter.
+    """.format(k=_G9_K, r=_G9_ROUNDS)
+    cur = co_purchase_edges(spark, sf_dir, 2).select("u", "v").localCheckpoint()
+    prev_cnt = cur.count()
+    for _ in range(_G9_ROUNDS):
+        deg = (
+            cur.select(F.col("u").alias("node"))
+            .unionByName(cur.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("d"))
+        )
+        keep = deg.filter(F.col("d") >= _G9_K).select("node")
+        nxt = (
+            cur.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
+            .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint()
+        )
+        cnt = nxt.count()
+        cur = nxt
+        if cnt == prev_cnt:
+            break
+        prev_cnt = cnt
+    return (
+        cur.select(F.col("u").alias("node"))
+        .unionByName(cur.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("core_degree"))
+    )

@@ -2472,3 +2472,58 @@ def s5c_json_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("o_orderstatus").agg(
         F.count("*").alias("n_orders"), dsum("o_totalprice").alias("revenue")
     )
+
+
+# ---------------------------------------------------------------------------
+# S21 — ORC sink + scan (round 5): the third columnar container after
+# parquet (S1) and the text formats (S4/S5/S15). ORC ships inside Spark
+# itself; DuckDB cannot read it, so — like every sink roundtrip here —
+# the oracle recomputes from the ORIGINAL parquet and the query must
+# push the data through the full write/read cycle losslessly to match.
+# ---------------------------------------------------------------------------
+
+_S21_ORACLE = f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(l_quantity) AS BIGINT) AS total_qty,
+       {oracle_dsum('l_extendedprice')} AS total_price
+FROM lineitem
+WHERE l_shipdate < TIMESTAMP '1995-01-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("s21_orc_roundtrip", oracle=_S21_ORACLE, tags=("S4", "S1"))
+def s21_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC write + read back + aggregate: the shipped-before-1995
+    pricing rollup runs on data that has passed through Spark's
+    built-in ORC container (snappy stripes, schema embedded) — doubles,
+    timestamps, and strings must survive bit-exactly for the cents
+    recipe to reproduce the parquet-side oracle. The predicate filters
+    BEFORE the write, so the ORC file also proves subsetted sinks
+    round-trip.
+
+    Scale: ORC writes one stripe-set per partition in parallel and
+    scans back with predicate/column pushdown like parquet — at 100 TB
+    the choice between them is ecosystem, not capability; this grades
+    that both containers are first-class exits.
+    """
+    import tempfile
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") < F.lit("1995-01-01").cast("timestamp")
+    )
+    path = tempfile.mkdtemp(prefix="dwos_s21_") + "/lineitem_orc"
+    (
+        li.select(
+            "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"
+        )
+        .write.mode("overwrite")
+        .orc(path)
+    )
+    back = spark.read.orc(path)
+    return back.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_items"),
+        F.sum("l_quantity").cast("bigint").alias("total_qty"),
+        dsum("l_extendedprice").alias("total_price"),
+    )

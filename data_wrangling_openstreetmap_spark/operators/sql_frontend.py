@@ -401,3 +401,44 @@ def x7_exclude_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         "SELECT * EXCLUDE (text) FROM x7_docs WHERE doc_id < 100",
     )
+
+
+# ---------------------------------------------------------------------------
+# X8 — SELECT * REPLACE, engine vs engine (round 5): DuckDB runs its
+# native REPLACE clause; the frontend lowers the same text for Spark by
+# resolving the view schema and rewriting the star to the full column
+# list with the named slots substituted in place (order and width
+# preserved). The replacement expressions deliberately nest parens —
+# the lowering's top-level paren scanner, not a bracket-free regex,
+# must find the list's end.
+# ---------------------------------------------------------------------------
+
+_X8_ORACLE = """
+SELECT * REPLACE (CAST(round(o_totalprice * 100) AS BIGINT) AS o_totalprice,
+                  lower(o_orderpriority) AS o_orderpriority)
+FROM orders WHERE o_orderkey < 2000
+"""
+
+
+@register("x8_replace_sql", oracle=_X8_ORACLE, tags=("P1", "F8"))
+def x8_replace_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``SELECT * REPLACE (...)`` — the wide-table idiom for "all the
+    columns, but fix these two in place": totalprice re-typed to exact
+    cents and priority lower-cased, WITHOUT enumerating the other
+    columns. Column order and names must match DuckDB's native REPLACE
+    exactly (original schema order, replaced slots keeping their
+    names), which the schema-resolved rewrite guarantees; both engines
+    evaluate the identical cents/lower expressions.
+
+    Scale: lowers to a plain projection over one scan — pushdown and
+    pruning unaffected; the construct is pure plan-time sugar.
+    """
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("x8_orders")
+    return sql_ext.sql(
+        spark,
+        """
+        SELECT * REPLACE (CAST(round(o_totalprice * 100) AS BIGINT) AS o_totalprice,
+                          lower(o_orderpriority) AS o_orderpriority)
+        FROM x8_orders WHERE o_orderkey < 2000
+        """.strip(),
+    )

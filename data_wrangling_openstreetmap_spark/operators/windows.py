@@ -3131,3 +3131,154 @@ def w32_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# W4/A11 — CUSUM drift detection over the daily revenue series. The
+# recurrence S_t = max(0, S_{t-1} + (x_t - mean)) looks inherently
+# sequential, but telescopes to S_t = p_t - min(0, min_{j<=t} p_j) with
+# p = prefix-sum(x - mean) — so the whole detector is two scalable
+# prefix passes, no per-row loop on EITHER engine.
+# ---------------------------------------------------------------------------
+
+_W33_ORACLE = """
+WITH daily AS (
+  SELECT o_orderdate AS d,
+         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS c
+  FROM orders GROUP BY 1
+),
+s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(c) AS tot FROM daily),
+p AS (
+  SELECT d, c, n, tot,
+         SUM(CAST(n AS HUGEINT) * c - tot) OVER (
+           ORDER BY d ROWS UNBOUNDED PRECEDING
+         ) AS pf
+  FROM daily, s
+),
+m AS (
+  SELECT d, c, n, tot, pf,
+         LEAST(CAST(0 AS HUGEINT), MIN(pf) OVER (
+           ORDER BY d ROWS UNBOUNDED PRECEDING
+         )) AS mn
+  FROM p
+)
+SELECT d AS order_date,
+       c / 100.0 AS daily_revenue,
+       ROUND(CAST(pf - mn AS DOUBLE) / (n * 100.0), 6) AS cusum,
+       (2 * (pf - mn) > CAST(tot AS HUGEINT) * n) AS is_drift
+FROM m
+"""
+
+
+@register("w33_cusum_drift", oracle=_W33_ORACLE, tags=("W4", "A11", "A7"))
+def w33_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM drift detector on daily revenue: S_t = max(0,
+    S_{t-1} + (x_t - mean)), flagging days where the accumulated
+    upward drift exceeds half a mean day's revenue. The sequential
+    recurrence telescopes exactly to prefix-sum-minus-running-min
+    (induction: S_t = p_t - min(0, min_{j<=t} p_j)), so both engines
+    compute it with window primitives — and the Spark side with the
+    SCALABLE two-level decomposition, never a global ordered sort.
+
+    Exactness: everything stays integral until the final display
+    division — x scaled by n (days) so the mean subtraction n*x - tot
+    needs no rational arithmetic; accumulated in DECIMAL(38,0) /
+    HUGEINT (the a32 recipe — BIGINT prefix sums of n*cents overflow
+    around sf10). The drift test 2*(p-mn) > tot*n is an exact integer
+    comparison; only cusum divides, identically on both engines, then
+    rounds at 6 dp.
+
+    Scale: one shuffle to the O(days) daily table, then
+    scalable_running_sum + scalable_running_min over month buckets —
+    the only global windows run over the O(#months) bucket tables.
+    Day count rides a 1-row broadcast.
+    """
+    from ._helpers import scalable_running_min, scalable_running_sum
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.sum(cents("o_totalprice")).alias("c")
+    )
+    s = daily.agg(F.count("*").alias("n"), F.sum("c").alias("tot"))
+    j = daily.crossJoin(F.broadcast(s)).withColumn(
+        "y",
+        (
+            F.col("n").cast("decimal(38,0)") * F.col("c") - F.col("tot")
+        ).cast("decimal(38,0)"),
+    )
+    month_bkt = F.year("d") * 12 + F.month("d")
+    j = scalable_running_sum(j, order_cols=["d"], value="y", bucket=month_bkt, out="pf")
+    j = scalable_running_min(j, order_cols=["d"], value="pf", bucket=month_bkt, out="mn_p")
+    mn = F.least(F.lit(0).cast("decimal(38,0)"), F.col("mn_p"))
+    s_scaled = (F.col("pf") - mn).cast("decimal(38,0)")
+    return j.select(
+        F.col("d").alias("order_date"),
+        (F.col("c") / 100.0).alias("daily_revenue"),
+        F.round(
+            s_scaled.cast("double") / (F.col("n").cast("double") * 100.0), 6
+        ).alias("cusum"),
+        (
+            s_scaled * 2 > F.col("tot").cast("decimal(38,0)") * F.col("n")
+        ).alias("is_drift"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W4 — exact rolling MEDIAN over a 7-row frame, per customer. Spark has
+# no frame-median builtin; the HOF recipe (collect the frame, sort,
+# index the middle) reproduces DuckDB's interpolated quantile exactly
+# because cents are integers and the even-count midpoint is a half-sum.
+# ---------------------------------------------------------------------------
+
+_W35_ORACLE = """
+SELECT o_custkey, o_orderkey, o_orderdate,
+       o_totalprice,
+       median(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+         PARTITION BY o_custkey
+         ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+       ) / 100.0 AS rolling_median
+FROM orders
+"""
+
+
+@register("w35_rolling_median", oracle=_W35_ORACLE, tags=("W4", "A11"))
+def w35_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer rolling median of order value over the last 7
+    orders — the robust spend-trend statistic a mean would let one
+    outlier order hijack. Spark has no median-over-frame builtin, so
+    the frame's cents collect into an array, array_sort orders it, and
+    the middle indexes out (odd count) or half-sums (even count) —
+    exactly DuckDB's interpolated median on integer inputs; the
+    half-sum is a .5-exact double either way.
+
+    Scale: the window partitions by customer (bounded frames, no
+    global sort); the collected frame is ≤7 longs per row — constant
+    memory per row, and the whole expression runs in the JVM window
+    operator, no Python.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-6, 0)
+    )
+    frame = F.array_sort(F.collect_list(cents("o_totalprice")).over(w))
+    n = F.size(frame)
+    mid_hi = ((n + 1) / 2).cast("int")
+    mid_lo = (n / 2).cast("int")
+    med_cents = F.when(
+        n % 2 == 1, F.element_at(frame, mid_hi).cast("double")
+    ).otherwise(
+        (
+            F.element_at(frame, mid_lo) + F.element_at(frame, mid_lo + 1)
+        ).cast("double")
+        / 2.0
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        "o_totalprice",
+        (med_cents / 100.0).alias("rolling_median"),
+    )

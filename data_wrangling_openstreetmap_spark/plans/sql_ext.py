@@ -426,6 +426,8 @@ def sql(spark: SparkSession, query: str) -> DataFrame:
                 "FROM <table-or-view> [rest]"
             )
         return _lower_exclude(spark, query, m)
+    if re.search(r"\*\s+REPLACE\s*\(", query, re.IGNORECASE):
+        return _lower_replace(spark, query)
     if re.search(r"\bSIMILARITY\s+JOIN\b", query, re.IGNORECASE):
         m = _SIM_RE.search(query)
         if m is None:
@@ -617,4 +619,103 @@ def _lower_exclude(spark: SparkSession, query: str, m: re.Match) -> DataFrame:
     rewritten = query[: m.start()] + (
         "SELECT " + ", ".join(keep) + " FROM " + table
     ) + m.group("rest")
+    return spark.sql(rewritten)
+
+
+# ---------------------------------------------------------------------------
+# SELECT * REPLACE (DuckDB/Snowflake surface): star-projection with
+# named columns substituted by expressions, order and width preserved.
+# Spark has no REPLACE clause; the lowering resolves the FROM relation's
+# schema at plan time and rewrites the star into the explicit column
+# list with each replaced slot spelled ``(<expr>) AS <col>``, then
+# delegates to spark.sql. Same restrictions as EXCLUDE (statement must
+# START with the construct; single named FROM table/view; only
+# WHERE/GROUP BY/HAVING/ORDER BY/LIMIT may follow) — and the REPLACE
+# list is scanned with a parenthesis counter, not a regex, because
+# replacement expressions legitimately nest parens (round(x, 2)).
+# ---------------------------------------------------------------------------
+
+_REPLACE_HEAD_RE = re.compile(
+    r"^\s*SELECT\s+\*\s+REPLACE\s*\(", re.IGNORECASE
+)
+
+_REPLACE_ITEM_RE = re.compile(
+    r"^\s*(?P<expr>.+?)\s+AS\s+(?P<col>[A-Za-z_]\w*)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+_REPLACE_FROM_RE = re.compile(
+    r"^\s*FROM\s+(?P<table>[A-Za-z_][\w.]*)(?P<rest>.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _split_top_level(text: str) -> list[str]:
+    """Split on commas that sit at paren depth 0."""
+    items, depth, start = [], 0, 0
+    for i, ch in enumerate(text):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            items.append(text[start:i])
+            start = i + 1
+    items.append(text[start:])
+    return [s.strip() for s in items if s.strip()]
+
+
+def _lower_replace(spark: SparkSession, query: str) -> DataFrame:
+    head = _REPLACE_HEAD_RE.match(query)
+    if head is None:
+        raise SqlExtError(
+            "REPLACE must start the statement: SELECT * REPLACE "
+            "(<expr> AS <col> [, ...]) FROM <table-or-view>; CTE/prefixed "
+            "forms are not supported"
+        )
+    # find the matching close paren of the REPLACE(...) list
+    depth, i = 1, head.end()
+    while i < len(query) and depth:
+        if query[i] == "(":
+            depth += 1
+        elif query[i] == ")":
+            depth -= 1
+        i += 1
+    if depth:
+        raise SqlExtError("REPLACE list has unbalanced parentheses")
+    body = query[head.end() : i - 1]
+    fm = _REPLACE_FROM_RE.match(query[i:])
+    if fm is None:
+        raise SqlExtError(
+            "REPLACE requires a single named FROM table/view immediately "
+            "after the list"
+        )
+    if not _EXCLUDE_REST_OK.match(fm.group("rest") or ""):
+        raise SqlExtError(
+            "REPLACE supports a single FROM table/view (optionally followed "
+            "by WHERE/GROUP BY/HAVING/ORDER BY/LIMIT); joins and comma lists "
+            "would silently drop the other relations' columns"
+        )
+    repl: dict[str, str] = {}
+    for item in _split_top_level(body):
+        im = _REPLACE_ITEM_RE.match(item)
+        if im is None:
+            raise SqlExtError(
+                f"REPLACE item must be '<expr> AS <col>', got: {item!r}"
+            )
+        repl[im.group("col").lower()] = im.group("expr")
+    table = fm.group("table")
+    schema_cols = spark.table(table).columns
+    missing = [c for c in repl if c not in [s.lower() for s in schema_cols]]
+    if missing:
+        raise SqlExtError(
+            f"REPLACE names columns not in {table}: {', '.join(missing)}"
+        )
+    select_list = ", ".join(
+        f"({repl[c.lower()]}) AS {c}" if c.lower() in repl else c
+        for c in schema_cols
+    )
+    rewritten = (
+        "SELECT " + select_list + " FROM " + table + fm.group("rest")
+    )
     return spark.sql(rewritten)

@@ -665,3 +665,37 @@ def test_random_projection_empty_embedding_is_null_by_design(spark):
     assert len(by_vec[2]) == 8 and all(
         p is not None and abs(abs(p) - 2.5) < 1e-9 for p in by_vec[2]
     )
+
+
+def test_kcore_peeling_is_stable_and_within_round_budget(spark):
+    """g9's oracle unrolls exactly _G9_ROUNDS peel rounds, and the
+    docstring claims the fixture converges well inside that budget.
+    Pin both: one MORE peel round applied to g9's output changes
+    nothing (the result is a true fixpoint, so the unroll depth is
+    safely past convergence), and every member really has core_degree
+    >= k."""
+    from data_wrangling_openstreetmap_spark.operators.llm import (
+        _G9_K,
+        co_purchase_edges,
+        g9_kcore_peeling,
+    )
+
+    out = g9_kcore_peeling(spark, SF_SMALL)
+    rows = {(r.node, r.core_degree) for r in out.collect()}
+    assert rows, "fixture 3-core should be non-empty at sf0.001"
+    assert all(d >= _G9_K for _, d in rows)
+    # independent fixpoint check: filter the original edges to the
+    # surviving node set, recompute degrees — nothing drops below k,
+    # and the recomputed degrees equal the reported core degrees.
+    nodes = {n for n, _ in rows}
+    e = co_purchase_edges(spark, SF_SMALL, 2).select("u", "v").collect()
+    surv = [(r.u, r.v) for r in e if r.u in nodes and r.v in nodes]
+    from collections import Counter
+
+    deg = Counter()
+    for u, v in surv:
+        deg[u] += 1
+        deg[v] += 1
+    assert set(deg) == nodes
+    assert all(deg[n] >= _G9_K for n in nodes)
+    assert {(n, deg[n]) for n in nodes} == rows

@@ -314,3 +314,44 @@ def test_exclude_raises_on_cte_prefix(spark):
             "WITH ex_cte AS (SELECT 1 AS only_col) "
             "SELECT * EXCLUDE (only_col) FROM ex_cte",
         )
+
+
+def test_replace_lowers_in_place(spark):
+    spark.createDataFrame(
+        [(1, "a", 2.0), (2, "b", 3.5)], "id int, tag string, v double"
+    ).createOrReplaceTempView("rp_t")
+    got = sql(
+        spark,
+        "SELECT * REPLACE (upper(tag) AS tag, round((v * 2), 1) AS v) "
+        "FROM rp_t WHERE id > 0",
+    )
+    # width and order preserved; replaced slots keep their names
+    assert got.columns == ["id", "tag", "v"]
+    assert sorted((r.id, r.tag, r.v) for r in got.collect()) == [
+        (1, "A", 4.0),
+        (2, "B", 7.0),
+    ]
+
+
+def test_replace_raises_on_bad_forms(spark):
+    spark.createDataFrame([(1, "x")], "id int, a string").createOrReplaceTempView(
+        "rp_t2"
+    )
+    with pytest.raises(SqlExtError, match="not in"):
+        sql(spark, "SELECT * REPLACE (1 AS nope) FROM rp_t2")
+    with pytest.raises(SqlExtError, match="AS"):
+        sql(spark, "SELECT * REPLACE (id + 1) FROM rp_t2")
+    with pytest.raises(SqlExtError, match="start the statement"):
+        sql(
+            spark,
+            "WITH rp_t2 AS (SELECT 1 AS id) "
+            "SELECT * REPLACE (id + 1 AS id) FROM rp_t2",
+        )
+    spark.createDataFrame([(1, "y")], "id int, b string").createOrReplaceTempView(
+        "rp_j2"
+    )
+    with pytest.raises(SqlExtError, match="single FROM"):
+        sql(
+            spark,
+            "SELECT * REPLACE (a AS a) FROM rp_t2 JOIN rp_j2 ON rp_t2.id = rp_j2.id",
+        )
