@@ -866,3 +866,59 @@ def dp3_categorical_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (F.round(F.col("n") / F.col("total").cast("double"), 6) + 0).alias("share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DQ10 — freshness / staleness audit: how far each event type's latest
+# arrival trails the table's high-water mark — the "is this feed dead?"
+# check a pipeline pages on. Pure µs integer arithmetic end to end.
+# ---------------------------------------------------------------------------
+
+_DQ10_ORACLE = """
+WITH hi AS (SELECT MAX(ts) AS max_ts FROM events),
+per AS (
+  SELECT event_type,
+         MAX(ts) AS type_max_ts,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY event_type
+)
+SELECT p.event_type,
+       p.type_max_ts,
+       CAST(epoch_us(hi.max_ts) - epoch_us(p.type_max_ts) AS BIGINT)
+         AS staleness_us,
+       (epoch_us(hi.max_ts) - epoch_us(p.type_max_ts) > 21600000000)
+         AS is_stale,
+       p.n_events
+FROM per p, hi
+"""
+
+
+@register("dq10_freshness_audit", oracle=_DQ10_ORACLE, tags=("A2", "F3", "A7"))
+def dq10_freshness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-feed freshness: each event type's latest event time, its µs
+    lag behind the global high-water mark, and a staleness flag at the
+    6-hour SLA — the audit row a scheduler reads before deciding
+    whether downstream aggregates may publish. The global max rides a
+    1-row broadcast; lag arithmetic is exact BIGINT µs on both engines.
+
+    Scale: two aggregations — one O(types) rollup and one scalar max —
+    joined by broadcast; no windows, no per-row state. At 100 TB the
+    per-type max pushes down to partial aggregates at the scan.
+    """
+    events = load_table(spark, sf_dir, "events")
+    hi = events.agg(F.max("ts").alias("max_ts"))
+    per = events.groupBy("event_type").agg(
+        F.max("ts").alias("type_max_ts"),
+        F.count("*").alias("n_events"),
+    )
+    j = per.crossJoin(F.broadcast(hi))
+    lag_us = F.unix_micros(F.col("max_ts").cast("timestamp")) - F.unix_micros(
+        F.col("type_max_ts").cast("timestamp")
+    )
+    return j.select(
+        "event_type",
+        "type_max_ts",
+        lag_us.cast("bigint").alias("staleness_us"),
+        (lag_us > 21600000000).alias("is_stale"),
+        "n_events",
+    )

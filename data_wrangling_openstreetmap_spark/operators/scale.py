@@ -708,3 +708,167 @@ def a6b_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orders"),
         dsum("o_totalprice").alias("revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# D7 — snapshot diff: the data-diff between two table versions (the
+# audit a lakehouse runs after every MERGE/overwrite — what changed,
+# exactly). Two deterministic versions derive from the customer table
+# (different mod-based deletion sets + a balance restatement), so both
+# engines see identical inputs without any stored state.
+# ---------------------------------------------------------------------------
+
+_D7_ORACLE = """
+WITH v_old AS (
+  SELECT c_custkey,
+         c_mktsegment,
+         CASE WHEN c_custkey % 5 = 0
+              THEN CAST(round(c_acctbal * 100) AS BIGINT) - 10000
+              ELSE CAST(round(c_acctbal * 100) AS BIGINT) END AS bal_cents
+  FROM customer WHERE c_custkey % 97 <> 0
+),
+v_new AS (
+  SELECT c_custkey, c_mktsegment,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+  FROM customer WHERE c_custkey % 89 <> 0
+)
+SELECT COALESCE(o.c_custkey, n.c_custkey) AS c_custkey,
+       CASE WHEN o.c_custkey IS NULL THEN 'added'
+            WHEN n.c_custkey IS NULL THEN 'removed'
+            ELSE 'changed' END AS change_type,
+       o.bal_cents AS old_bal_cents,
+       n.bal_cents AS new_bal_cents
+FROM v_old o FULL JOIN v_new n ON o.c_custkey = n.c_custkey
+WHERE o.c_custkey IS NULL OR n.c_custkey IS NULL
+   OR o.bal_cents <> n.bal_cents OR o.c_mktsegment <> n.c_mktsegment
+"""
+
+
+@register("d7_snapshot_diff", oracle=_D7_ORACLE, tags=("J2", "S6", "P6"))
+def d7_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level diff between two snapshot versions of the customer
+    dimension: FULL OUTER join on the key classifies every key as
+    added / removed / changed (value comparison on exact cents +
+    segment), and unchanged rows are filtered OUT — the minimal
+    changeset a downstream consumer replays, and the audit trail a
+    MERGE should reconcile to. The fixture derives both versions
+    deterministically (distinct mod-based deletions; every 5th key's
+    balance restated by -100.00 in the old version).
+
+    Scale: one full-outer shuffle join on the key — the diff never
+    materializes unchanged rows past the join filter, so output volume
+    is the churn rate, not the table. At 100 TB, snapshot diffing is
+    why you keep both versions partitioned the same way: the join
+    becomes per-partition zipping with no exchange.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    bal = F.round(F.col("c_acctbal") * 100).cast("bigint")
+    v_old = cust.filter(F.col("c_custkey") % 97 != 0).select(
+        "c_custkey",
+        "c_mktsegment",
+        F.when(F.col("c_custkey") % 5 == 0, bal - 10000)
+        .otherwise(bal)
+        .alias("bal_cents"),
+    )
+    v_new = cust.filter(F.col("c_custkey") % 89 != 0).select(
+        "c_custkey", "c_mktsegment", bal.alias("bal_cents")
+    )
+    o, n = v_old.alias("o"), v_new.alias("n")
+    joined = o.join(n, F.col("o.c_custkey") == F.col("n.c_custkey"), "full_outer")
+    change = (
+        F.when(F.col("o.c_custkey").isNull(), "added")
+        .when(F.col("n.c_custkey").isNull(), "removed")
+        .otherwise("changed")
+    )
+    differs = (
+        F.col("o.c_custkey").isNull()
+        | F.col("n.c_custkey").isNull()
+        | (F.col("o.bal_cents") != F.col("n.bal_cents"))
+        | (F.col("o.c_mktsegment") != F.col("n.c_mktsegment"))
+    )
+    return joined.filter(differs).select(
+        F.coalesce(F.col("o.c_custkey"), F.col("n.c_custkey")).alias("c_custkey"),
+        change.alias("change_type"),
+        F.col("o.bal_cents").alias("old_bal_cents"),
+        F.col("n.bal_cents").alias("new_bal_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# D8 — compaction planner: group a small-files inventory into
+# target-size write groups by cutting the size-ordered cumulative byte
+# stream at target boundaries — the plan a table-maintenance job
+# executes to fix the small-files problem. The inventory derives
+# deterministically from part (one "file" per part row).
+# ---------------------------------------------------------------------------
+
+_D8_TARGET = 128 * 1024 * 1024  # 128 MiB per compacted output group
+
+_D8_ORACLE = f"""
+WITH files AS (
+  SELECT p_partkey AS file_id,
+         p_size * 131072 + ((p_partkey % 2147483648) * 2654435761) % 1048576
+           AS bytes
+  FROM part
+),
+c AS (
+  SELECT file_id, bytes,
+         SUM(bytes) OVER (ORDER BY file_id ROWS UNBOUNDED PRECEDING) - bytes
+           AS cum_before
+  FROM files
+)
+SELECT CAST(cum_before // {_D8_TARGET} AS BIGINT) AS group_id,
+       CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(bytes) AS BIGINT) AS group_bytes,
+       MIN(file_id) AS first_file,
+       MAX(file_id) AS last_file
+FROM c
+GROUP BY 1
+"""
+
+
+@register("d8_compaction_planner", oracle=_D8_ORACLE, tags=("W4", "A1", "F4"))
+def d8_compaction_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction plan: each file lands in the write group
+    addressed by floor(exclusive-prefix-bytes / 128 MiB) over the
+    file-id-ordered inventory — the streaming cut that every group
+    except possibly the last reaches the target size with at most one
+    straddling file. Group count, byte totals, and id ranges are what
+    the rewrite job executes and the metastore commits.
+
+    Scale: the exclusive prefix sum is _helpers.scalable_running_sum
+    over coarse file-id buckets — no global single-partition sort (the
+    inventory at 100 TB is itself millions of rows); the rollup keys
+    on O(groups). Byte arithmetic is exact BIGINT with the 31-bit-
+    masked multiplicative hash (the s19/st14 ANSI-safe recipe).
+    """
+    from ._helpers import scalable_running_sum
+
+    part = load_table(spark, sf_dir, "part")
+    bytes_col = (
+        F.col("p_size").cast("long") * 131072
+        + ((F.col("p_partkey") % F.lit(2147483648)) * F.lit(2654435761)) % 1048576
+    )
+    files = part.select(
+        F.col("p_partkey").alias("file_id"), bytes_col.alias("bytes")
+    )
+    c = scalable_running_sum(
+        files,
+        order_cols=["file_id"],
+        value="bytes",
+        bucket=F.floor(F.col("file_id") / 4096).cast("long"),
+        out="cum_incl",
+    )
+    group_id = F.floor(
+        (F.col("cum_incl") - F.col("bytes")) / F.lit(_D8_TARGET)
+    ).cast("bigint")
+    return (
+        c.select(group_id.alias("group_id"), "bytes", "file_id")
+        .groupBy("group_id")
+        .agg(
+            F.count("*").alias("n_files"),
+            F.sum("bytes").cast("bigint").alias("group_bytes"),
+            F.min("file_id").alias("first_file"),
+            F.max("file_id").alias("last_file"),
+        )
+    )
