@@ -3110,3 +3110,64 @@ def q39_priority_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n") / F.sum("n").over(tot_w).cast("double"), 6) + 0
         ).alias("p"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q42 — order streaks: each customer's longest run of CONSECUTIVE
+# active months — the classic gaps-and-islands rewrite (month_number −
+# dense_rank is constant within a run), the engagement metric a
+# retention model features on.
+# ---------------------------------------------------------------------------
+
+_Q42_ORACLE = """
+WITH months AS (
+  SELECT DISTINCT o_custkey,
+         CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS m
+  FROM orders
+),
+isl AS (
+  SELECT o_custkey, m,
+         m - row_number() OVER (PARTITION BY o_custkey ORDER BY m) AS grp
+  FROM months
+),
+runs AS (
+  SELECT o_custkey, grp, CAST(COUNT(*) AS BIGINT) AS run_len
+  FROM isl GROUP BY o_custkey, grp
+)
+SELECT o_custkey,
+       CAST(SUM(run_len) AS BIGINT) AS n_active_months,
+       CAST(COUNT(*) AS BIGINT) AS n_streaks,
+       CAST(MAX(run_len) AS BIGINT) AS longest_streak
+FROM runs GROUP BY o_custkey
+"""
+
+
+@register("q42_order_streaks", oracle=_Q42_ORACLE, tags=("W1", "W3", "A1"))
+def q42_order_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer activity streaks over calendar months: distinct
+    active months collapse to runs via the gaps-and-islands identity
+    (month_index − row_number is constant exactly within a consecutive
+    run), then each customer reports total active months, number of
+    streaks, and the longest streak. Month index year*12+month is
+    exact integer arithmetic on both engines.
+
+    Scale: one distinct shuffle to (customer, month) — already tiny
+    relative to orders — then a per-customer window over ≤ a few
+    hundred month rows and two keyed rollups that reuse the customer
+    partitioning. No global window anywhere.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    months = orders.select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+        .cast("bigint")
+        .alias("m"),
+    ).distinct()
+    w = Window.partitionBy("o_custkey").orderBy("m")
+    isl = months.withColumn("grp", F.col("m") - F.row_number().over(w))
+    runs = isl.groupBy("o_custkey", "grp").agg(F.count("*").alias("run_len"))
+    return runs.groupBy("o_custkey").agg(
+        F.sum("run_len").cast("bigint").alias("n_active_months"),
+        F.count("*").alias("n_streaks"),
+        F.max("run_len").cast("bigint").alias("longest_streak"),
+    )

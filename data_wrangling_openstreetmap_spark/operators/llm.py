@@ -6529,3 +6529,83 @@ def g9_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("node")
         .agg(F.count("*").alias("core_degree"))
     )
+
+
+# ---------------------------------------------------------------------------
+# L4 — tokenizer vocabulary coverage (OOV rate): build the top-500
+# document-frequency vocabulary from the corpus itself, then measure
+# what fraction of each language's token OCCURRENCES falls outside it —
+# the number that decides whether a tokenizer/vocab pairing is usable
+# for a corpus before any training run.
+# ---------------------------------------------------------------------------
+
+_L4_VOCAB_N = 500
+
+_L4_OOV_ORACLE = f"""
+WITH occ AS (
+  SELECT doc_id, lang, unnest({_ORACLE_TOKS}) AS tok FROM documents
+),
+dfreq AS (
+  SELECT tok, COUNT(DISTINCT doc_id) AS dfreq FROM occ GROUP BY tok
+),
+vocab AS (
+  SELECT tok FROM dfreq ORDER BY dfreq DESC, tok LIMIT {_L4_VOCAB_N}
+),
+per AS (
+  SELECT o.lang,
+         CAST(COUNT(*) AS BIGINT) AS n_tok,
+         CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_oov
+  FROM occ o LEFT JOIN vocab v ON o.tok = v.tok
+  GROUP BY o.lang
+)
+SELECT lang, n_tok AS total_tokens, n_oov AS oov_tokens,
+       ROUND(CAST(n_oov AS DOUBLE) / n_tok, 6) AS oov_rate
+FROM per
+"""
+
+
+@register("l4_oov_rate", oracle=_L4_OOV_ORACLE, tags=("L4", "O2", "J2"))
+def l4_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per language against a corpus-derived
+    vocabulary: the top-{n} tokens by DOCUMENT frequency (ties broken
+    by token text, so the cut is deterministic) form the vocab; every
+    token occurrence outside it counts as OOV. Both engines build the
+    identical vocab from identical integer document frequencies and
+    divide the same integers for the rate (round 6).
+
+    Scale: document frequencies are one (token, doc)-distinct shuffle;
+    the top-{n} cut is TakeOrdered on the O(|token types|) table; the
+    vocab then BROADCASTS to the occurrence stream (500 rows — never a
+    shuffle join), so the scan-side cost is one pass over tokens. At
+    100 TB with a real 100k-entry BPE vocab the same broadcast holds.
+    """.format(n=_L4_VOCAB_N)
+    docs = load_table(spark, sf_dir, "documents")
+    occ = docs.select(
+        "doc_id", "lang", F.explode(T.tokens(F.col("text"))).alias("tok")
+    )
+    dfreq = occ.groupBy("tok").agg(F.countDistinct("doc_id").alias("dfreq"))
+    vocab = (
+        dfreq.orderBy(F.col("dfreq").desc(), "tok")
+        .limit(_L4_VOCAB_N)
+        .select("tok")
+    )
+    j = occ.join(
+        F.broadcast(vocab.withColumnRenamed("tok", "vtok")),
+        occ.tok == F.col("vtok"),
+        "left",
+    )
+    per = j.groupBy("lang").agg(
+        F.count("*").alias("total_tokens"),
+        F.sum(F.when(F.col("vtok").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("oov_tokens"),
+    )
+    return per.select(
+        "lang",
+        "total_tokens",
+        "oov_tokens",
+        F.round(
+            F.col("oov_tokens").cast("double") / F.col("total_tokens"), 6
+        ).alias("oov_rate"),
+    )

@@ -2527,3 +2527,77 @@ def s21_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("l_quantity").cast("bigint").alias("total_qty"),
         dsum("l_extendedprice").alias("total_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# S22 — malformed-record handling on JSON ingest: PERMISSIVE mode with
+# the _corrupt_record escape hatch — the quarantine pattern every
+# real-world feed needs (bad lines counted and kept aside, good lines
+# flowing). Corruption is deterministic (every 13th doc's line loses
+# its closing brace), so DuckDB re-derives the whole audit from the
+# clean catalog.
+# ---------------------------------------------------------------------------
+
+_S22_ORACLE = """
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents WHERE doc_id % 13 <> 0
+GROUP BY lang
+UNION ALL
+SELECT '_corrupt' AS lang,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(NULL AS BIGINT) AS total_chars
+FROM documents WHERE doc_id % 13 = 0
+"""
+
+
+@register("s22_corrupt_json_audit", oracle=_S22_ORACLE, tags=("S5", "F8", "P6"))
+def s22_corrupt_json_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE JSON scan over a feed with malformed lines: every
+    13th document's JSON line is truncated before its closing brace;
+    the schema-declared read routes those to ``_corrupt_record`` (all
+    data fields null) and parses the rest normally. The audit rolls up
+    clean rows per language plus one ``_corrupt`` quarantine row —
+    proving bad input neither kills the scan (FAILFAST would) nor
+    silently vanishes (DROPMALFORMED would). Spark's rule that a scan
+    must reference non-corrupt columns too is satisfied by the rollup
+    reading lang/n_chars.
+
+    Scale: corrupt-record handling is per-line inside the parallel
+    scan — no extra pass, no driver involvement; the quarantine rollup
+    keys on O(langs)+1 groups.
+    """
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    line = F.to_json(F.struct("doc_id", "lang", "n_chars"))
+    maimed = F.when(
+        F.col("doc_id") % 13 == 0, F.expr("substring(line, 1, length(line) - 1)")
+    ).otherwise(F.col("line"))
+    staged = docs.select(line.alias("line"), "doc_id").select(
+        maimed.alias("value")
+    )
+    path = tempfile.mkdtemp(prefix="dwos_s22_") + "/feed"
+    staged.write.mode("overwrite").text(path)
+    back = (
+        spark.read.schema(
+            "doc_id bigint, lang string, n_chars bigint, _corrupt_record string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+    return (
+        back.select(
+            F.when(F.col("_corrupt_record").isNotNull(), "_corrupt")
+            .otherwise(F.col("lang"))
+            .alias("lang"),
+            "n_chars",
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )
