@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from ..io import load_table
 from ..registry import register
-from ._helpers import cents, oracle_cents
+from ._helpers import cents, dsum, oracle_cents, oracle_dsum
 
 # ---------------------------------------------------------------------------
 # q13 — order-count distribution (the TPC-H Q13 shape): left outer join
@@ -3170,4 +3170,278 @@ def q42_order_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("run_len").cast("bigint").alias("n_active_months"),
         F.count("*").alias("n_streaks"),
         F.max("run_len").cast("bigint").alias("longest_streak"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q43 — leave-one-out target encoding: each order's feature is the mean
+# order value of its customer's market segment EXCLUDING the order
+# itself — the leakage-free categorical encoding a tabular model
+# trains on (including self leaks the label; the LOO identity
+# (sum − own)/(n − 1) removes it exactly).
+# ---------------------------------------------------------------------------
+
+_Q43_ORACLE = """
+WITH j AS (
+  SELECT o.o_orderkey, c.c_mktsegment,
+         CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+),
+seg AS (
+  SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n, SUM(cents) AS s
+  FROM j GROUP BY c_mktsegment
+)
+SELECT j.o_orderkey, j.c_mktsegment,
+       CASE WHEN seg.n > 1
+            THEN ROUND(CAST(seg.s - j.cents AS DOUBLE) / (seg.n - 1) / 100.0, 6)
+            ELSE NULL END AS loo_avg_price
+FROM j JOIN seg ON seg.c_mktsegment = j.c_mktsegment
+"""
+
+
+@register("q43_loo_target_encoding", oracle=_Q43_ORACLE, tags=("W4", "J1", "A1"))
+def q43_loo_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out mean encoding of market segment by order value:
+    per-segment exact cents sum and count aggregate ONCE, broadcast
+    back, and each row computes (sum − own)/(n − 1) — identical
+    integers divided identically on both engines, rounded at 6 dp
+    (NULL for a singleton segment, which the fixture doesn't have but
+    the expression must not divide by zero on).
+
+    Scale: deliberately NOT a whole-partition window — segments are
+    few and huge, so a partitionBy(segment) window is a skew magnet;
+    the aggregate-then-broadcast-join shape keeps the per-row pass
+    embarrassingly parallel and the shuffle bounded by O(segments).
+    The customer dim joins by broadcast before any aggregation.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    j = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    ).select(
+        "o_orderkey", "c_mktsegment", cents("o_totalprice").alias("cents")
+    )
+    seg = j.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"), F.sum("cents").alias("s")
+    )
+    out = j.join(F.broadcast(seg), "c_mktsegment")
+    loo = F.when(
+        F.col("n") > 1,
+        F.round(
+            (F.col("s") - F.col("cents")).cast("double")
+            / (F.col("n") - 1)
+            / 100.0,
+            6,
+        ),
+    )
+    return out.select("o_orderkey", "c_mktsegment", loo.alias("loo_avg_price"))
+
+
+# ---------------------------------------------------------------------------
+# Q44 — dense monthly spine: every (segment, month) cell in the
+# corpus's month range, zero-filled where no order exists — the
+# gap-free series a forecasting model or dashboard requires (missing
+# months silently vanish from a plain GROUP BY).
+# ---------------------------------------------------------------------------
+
+_Q44_ORACLE = f"""
+WITH bounds AS (
+  SELECT MIN(CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)) AS mn,
+         MAX(CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)) AS mx
+  FROM orders
+),
+spine AS (
+  SELECT c_mktsegment, m
+  FROM (SELECT DISTINCT c_mktsegment FROM customer),
+       (SELECT unnest(generate_series(
+          (SELECT mn FROM bounds), (SELECT mx FROM bounds))) AS m)
+),
+agg AS (
+  SELECT c.c_mktsegment,
+         CAST(year(o.o_orderdate) * 12 + month(o.o_orderdate) AS BIGINT) AS m,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         {oracle_dsum('o.o_totalprice')} AS revenue
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY 1, 2
+)
+SELECT s.c_mktsegment, s.m AS month_idx,
+       COALESCE(a.n_orders, 0) AS n_orders,
+       COALESCE(a.revenue, 0.0) AS revenue
+FROM spine s LEFT JOIN agg a
+  ON a.c_mktsegment = s.c_mktsegment AND a.m = s.m
+"""
+
+
+@register("q44_dense_monthly_spine", oracle=_Q44_ORACLE, tags=("F5", "A7", "J2"))
+def q44_dense_monthly_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-filled (segment × month) revenue series: the month range
+    comes from a 1-row min/max aggregate, F.sequence + explode builds
+    the spine against the distinct segment list, and the actual
+    monthly rollup LEFT-joins onto it with COALESCE(0) fills — the
+    idiom that turns sparse facts into a dense modeling matrix.
+
+    Scale: the spine is O(segments × months) — generated, never
+    scanned; the only big-data pass is the monthly rollup (broadcast
+    dim join + one shuffle on low-cardinality keys). The spine side of
+    the final join broadcasts.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    m = (F.year("o_orderdate") * 12 + F.month("o_orderdate")).cast("bigint")
+    j = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    agg = j.groupBy("c_mktsegment", m.alias("m")).agg(
+        F.count("*").alias("n_orders"), dsum("o_totalprice").alias("revenue")
+    )
+    bounds = orders.agg(
+        F.min(m).alias("mn"), F.max(m).alias("mx")
+    )
+    segs = cust.select("c_mktsegment").distinct()
+    spine = (
+        segs.crossJoin(F.broadcast(bounds))
+        .select(
+            "c_mktsegment",
+            F.explode(F.sequence(F.col("mn"), F.col("mx"))).alias("m"),
+        )
+    )
+    out = spine.join(agg, ["c_mktsegment", "m"], "left")
+    return out.select(
+        "c_mktsegment",
+        F.col("m").alias("month_idx"),
+        F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"),
+        F.coalesce(F.col("revenue"), F.lit(0.0)).alias("revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A41 — exact WEIGHTED median (weight = quantity) of the line price per
+# return flag: the bounded-domain counting recipe (a35) generalized to
+# weighted ranks — the robust "typical unit price" a mean would let
+# bulk orders distort.
+# ---------------------------------------------------------------------------
+
+_A41_ORACLE = """
+WITH counts AS (
+  SELECT l_returnflag AS flag,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS c,
+         CAST(SUM(l_quantity) AS BIGINT) AS w
+  FROM lineitem GROUP BY 1, 2
+),
+cum AS (
+  SELECT flag, c, w,
+         SUM(w) OVER (PARTITION BY flag ORDER BY c
+                      ROWS UNBOUNDED PRECEDING) AS cw,
+         SUM(w) OVER (PARTITION BY flag) AS tw
+  FROM counts
+)
+SELECT flag AS l_returnflag,
+       CAST(MIN(tw) AS BIGINT) AS total_weight,
+       MIN(CASE WHEN 2 * cw >= tw THEN c END) / 100.0 AS weighted_median
+FROM cum GROUP BY flag
+"""
+
+
+@register("a41_weighted_median", oracle=_A41_ORACLE, tags=("A1", "A11", "W4"))
+def a41_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted lower median of line price per return flag:
+    weights aggregate per distinct cent value (the bounded-domain
+    move), a cumulative weight walk runs over that small table, and
+    the median is the smallest value whose cumulative weight reaches
+    half the total (2·cw ≥ tw — integer comparison, no division). All
+    arithmetic BIGINT; the only division is the final /100 display.
+
+    Scale: the raw table is touched once by the counting groupBy; the
+    cumulative window runs over O(flags × distinct cents) aggregate
+    rows, partitioned by flag — the a35/a29 recipe with a weight
+    column. For unbounded domains the declared path is the t-digest
+    contract (a10b).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = li.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        cents("l_extendedprice").alias("c"),
+    ).agg(F.sum("l_quantity").cast("bigint").alias("w"))
+    w_cum = (
+        Window.partitionBy("flag")
+        .orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_tot = Window.partitionBy("flag")
+    cum = counts.withColumn("cw", F.sum("w").over(w_cum)).withColumn(
+        "tw", F.sum("w").over(w_tot)
+    )
+    return cum.groupBy(F.col("flag").alias("l_returnflag")).agg(
+        F.min("tw").cast("bigint").alias("total_weight"),
+        (
+            F.min(F.when(2 * F.col("cw") >= F.col("tw"), F.col("c"))) / 100.0
+        ).alias("weighted_median"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DQ11 — order/lineitem reconciliation: does the order header's total
+# agree with the sum of its lines? The cross-table consistency audit
+# every finance pipeline runs — and the fixture, which generates the
+# two tables independently, is full of honest mismatches for it to
+# count.
+# ---------------------------------------------------------------------------
+
+_DQ11_ORACLE = """
+WITH li AS (
+  SELECT l_orderkey,
+         SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS li_cents
+  FROM lineitem GROUP BY 1
+),
+r AS (
+  SELECT o.o_orderstatus,
+         CAST(round(o.o_totalprice * 100) AS BIGINT)
+           - COALESCE(li.li_cents, 0) AS diff
+  FROM orders o LEFT JOIN li ON li.l_orderkey = o.o_orderkey
+)
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CASE WHEN diff <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_mismatched,
+       CAST(MAX(abs(diff)) AS BIGINT) AS max_abs_diff_cents,
+       CAST(SUM(abs(diff)) AS BIGINT) AS total_abs_diff_cents
+FROM r GROUP BY o_orderstatus
+"""
+
+
+@register("dq11_order_reconciliation", oracle=_DQ11_ORACLE, tags=("A2", "J2", "A1"))
+def dq11_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-vs-detail reconciliation: each order's stated total
+    compared (in exact cents) against the sum of its line prices; per
+    status the audit reports how many orders disagree, the worst gap,
+    and the total drift. Orders with NO lines reconcile against 0 via
+    the LEFT join — absence is a finding, not a crash.
+
+    Scale: one shuffle to pre-aggregate lines per order (map-side
+    partials do most of it), one shuffle join on the order key, then
+    an O(statuses) rollup. Exact integers end to end.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sum(cents("l_extendedprice")).alias("li_cents"))
+    )
+    r = orders.join(
+        li, orders.o_orderkey == li.l_orderkey, "left"
+    ).select(
+        "o_orderstatus",
+        (
+            cents("o_totalprice") - F.coalesce(F.col("li_cents"), F.lit(0))
+        ).alias("diff"),
+    )
+    return r.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.when(F.col("diff") != 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_mismatched"),
+        F.max(F.abs("diff")).cast("bigint").alias("max_abs_diff_cents"),
+        F.sum(F.abs("diff")).cast("bigint").alias("total_abs_diff_cents"),
     )

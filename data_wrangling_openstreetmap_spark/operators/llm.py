@@ -6609,3 +6609,69 @@ def l4_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("oov_tokens").cast("double") / F.col("total_tokens"), 6
         ).alias("oov_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# L6 — feature standardization FIT: per-dimension mean/std over the
+# embedding corpus plus the standardized extrema — the μ/σ table a
+# training pipeline persists so that serving can z-score features with
+# the exact constants training saw.
+# ---------------------------------------------------------------------------
+
+_L6_STD_ORACLE = """
+WITH x AS (
+  SELECT unnest(CAST(embedding AS DOUBLE[])) AS v,
+         CAST(unnest(generate_series(1, len(embedding))) AS INT) AS dim
+  FROM embeddings
+),
+fit AS (
+  SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+         ROUND(AVG(v), 6) AS mu,
+         ROUND(stddev_pop(v), 6) AS sigma,
+         MIN(v) AS lo, MAX(v) AS hi
+  FROM x GROUP BY dim
+)
+SELECT dim, n, mu, sigma,
+       ROUND((lo - mu) / sigma, 6) + 0 AS min_z,
+       ROUND((hi - mu) / sigma, 6) + 0 AS max_z
+FROM fit
+"""
+
+
+@register("l6_feature_standardize", oracle=_L6_STD_ORACLE, tags=("L6", "A2", "F5"))
+def l6_feature_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension standardization constants over the embedding
+    corpus: posexplode to long form, one aggregation for n/μ/σ
+    (population std — the fit statistic)/extrema, then the z-scored
+    extrema from the ROUNDED μ/σ so both engines divide identical
+    doubles (round 6 + 0 on both sides — the negative-zero guard,
+    since min_z is negative by construction and can round to -0.0).
+
+    Scale: long form is |vectors|·dim rows but aggregates map-side to
+    O(dim) groups before the shuffle; nothing else moves. The fit
+    table broadcasts to the transform pass (not shown — it's a
+    projection), exactly like l6_kmeans' centroid broadcast.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    x = e.select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v")
+    ).select((F.col("pos") + 1).cast("int").alias("dim"), "v")
+    fit = x.groupBy("dim").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("v"), 6).alias("mu"),
+        F.round(F.stddev_pop("v"), 6).alias("sigma"),
+        F.min("v").alias("lo"),
+        F.max("v").alias("hi"),
+    )
+    return fit.select(
+        "dim",
+        "n",
+        "mu",
+        "sigma",
+        (F.round((F.col("lo") - F.col("mu")) / F.col("sigma"), 6) + 0).alias(
+            "min_z"
+        ),
+        (F.round((F.col("hi") - F.col("mu")) / F.col("sigma"), 6) + 0).alias(
+            "max_z"
+        ),
+    )

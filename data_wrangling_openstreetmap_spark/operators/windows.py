@@ -3282,3 +3282,73 @@ def w35_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice",
         (med_cents / 100.0).alias("rolling_median"),
     )
+
+
+# ---------------------------------------------------------------------------
+# W4 — anchored VWAP per supplier: the running volume-weighted average
+# price over each supplier's shipment history — integer prefix sums of
+# (price·qty) and qty, divided only at display time, so the "running
+# average" never accumulates float error.
+# ---------------------------------------------------------------------------
+
+_W36_ORACLE = """
+WITH p AS (
+  SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate,
+         SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * CAST(l_quantity AS BIGINT)) OVER w AS num,
+         SUM(CAST(l_quantity AS BIGINT)) OVER w AS den
+  FROM lineitem
+  WINDOW w AS (
+    PARTITION BY l_suppkey
+    ORDER BY l_shipdate, l_orderkey, l_linenumber
+    ROWS UNBOUNDED PRECEDING
+  )
+)
+SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate,
+       CAST((num * 100) // den AS BIGINT) / 10000.0 AS vwap
+FROM p
+"""
+
+
+@register("w36_anchored_vwap", oracle=_W36_ORACLE, tags=("W4", "F4", "A7"))
+def w36_anchored_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running VWAP per supplier over shipment order: numerator
+    (Σ price_cents·qty) and denominator (Σ qty) accumulate as exact
+    BIGINT prefix sums in ONE window pass, and the price emerges by
+    INTEGER floor division at 4-decimal precision ((num·100) div den,
+    then /10⁴) — a float quotient of integer ratios lands on exact
+    round-half ties often enough that ROUND(…, 6) diverges across
+    engines (measured: one tie in the first 5 100 fixture rows), so no
+    float division happens at all. Both operands positive, so Spark's
+    truncating ``div`` and DuckDB's flooring ``//`` agree.
+
+    Scale: one shuffle on l_suppkey, per-supplier sorted scan, two
+    frame sums sharing a single Window operator. Per-supplier prefix
+    products stay < 2⁶³ up to ~10¹² line rows per supplier (cents·qty
+    ≤ 5·10⁸ per row); past that the a32 DECIMAL(38,0) recipe applies.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    num = F.sum(
+        cents("l_extendedprice") * F.col("l_quantity").cast("bigint")
+    ).over(w)
+    den = F.sum(F.col("l_quantity").cast("bigint")).over(w)
+    p = li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        "l_shipdate",
+        num.alias("num"),
+        den.alias("den"),
+    )
+    return p.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        "l_shipdate",
+        (F.expr("(num * 100) div den") / 10000.0).alias("vwap"),
+    )
