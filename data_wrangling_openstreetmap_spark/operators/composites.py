@@ -3445,3 +3445,75 @@ def dq11_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.abs("diff")).cast("bigint").alias("max_abs_diff_cents"),
         F.sum(F.abs("diff")).cast("bigint").alias("total_abs_diff_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q46 — share-of-parent rollup: each nation's revenue as a fraction of
+# its region's — the treemap/drill-down statistic, computed as a join
+# of two aggregates rather than a window so neither level's skew
+# concentrates on one task.
+# ---------------------------------------------------------------------------
+
+_Q46_ORACLE = """
+WITH nat AS (
+  SELECT n.n_regionkey, n.n_name,
+         SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS cents,
+         CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  GROUP BY 1, 2
+),
+reg AS (
+  SELECT n_regionkey, SUM(cents) AS reg_cents FROM nat GROUP BY 1
+)
+SELECT r.r_name AS region, nat.n_name AS nation,
+       nat.n_orders,
+       nat.cents / 100.0 AS revenue,
+       ROUND(CAST(nat.cents AS DOUBLE) / reg.reg_cents, 6) AS share_of_region
+FROM nat
+JOIN reg ON reg.n_regionkey = nat.n_regionkey
+JOIN region r ON r.r_regionkey = nat.n_regionkey
+"""
+
+
+@register("q46_share_of_parent", oracle=_Q46_ORACLE, tags=("A1", "J5", "F4"))
+def q46_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nation revenue share within region: the child level aggregates
+    once (exact cents), the parent level re-aggregates the CHILD table
+    (25 rows — never the facts twice), and the share divides identical
+    integers cast to double, rounded at 6 dp. Dims broadcast; the
+    share join runs on the O(nations) aggregate.
+
+    Scale: one fact shuffle to O(nations) groups; the parent rollup
+    and both share joins touch only aggregate-sized tables. A window
+    over partitionBy(region) would compute the same number while
+    funneling every nation row of a region through one task — the
+    join-of-aggregates form is the skew-safe spelling.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    j = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    ).join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    nat = j.groupBy("n_regionkey", "n_name").agg(
+        F.sum(cents("o_totalprice")).alias("cents"),
+        F.count("*").alias("n_orders"),
+    )
+    reg = nat.groupBy("n_regionkey").agg(F.sum("cents").alias("reg_cents"))
+    out = nat.join(F.broadcast(reg), "n_regionkey").join(
+        F.broadcast(region), nat.n_regionkey == region.r_regionkey
+    )
+    return out.select(
+        F.col("r_name").alias("region"),
+        F.col("n_name").alias("nation"),
+        "n_orders",
+        (F.col("cents") / 100.0).alias("revenue"),
+        F.round(
+            F.col("cents").cast("double") / F.col("reg_cents"), 6
+        ).alias("share_of_region"),
+    )

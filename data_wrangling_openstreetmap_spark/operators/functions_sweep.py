@@ -1055,3 +1055,52 @@ def f6c_map_from_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at("line_map", F.lit(1)), F.lit(0).cast("bigint")
         ).alias("line1_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# F1/F8 — cryptographic-hash / encoding battery: md5, sha-256, base64,
+# hex — the content-addressing functions a dedup/lineage pipeline keys
+# on (exact dedup at 100 TB hashes, never compares, the text).
+# ---------------------------------------------------------------------------
+
+_F23_ORACLE = """
+SELECT doc_id,
+       md5(text) AS md5_hex,
+       sha256(text) AS sha256_hex,
+       CAST(length(to_base64(encode(text))) AS INT) AS b64_len,
+       substring(to_base64(encode(text)), 1, 16) AS b64_head,
+       hex(encode(substring(text, 1, 4))) AS hex8
+FROM documents
+WHERE doc_id < 300
+"""
+
+
+@register("f23_hash_encode_battery", oracle=_F23_ORACLE, tags=("F1", "F8", "L1"))
+def f23_hash_encode_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressing battery over document text: md5 and sha-256
+    hex digests (the dedup/lineage keys), base64 transport encoding
+    (length + head — the full string would bloat the grade), and the
+    hex dump of the first four bytes. Every output is definitional —
+    two engines agreeing means byte-identical UTF-8 encoding, digest
+    implementations, and RFC 4648 alphabets end to end.
+
+    Scale: pure map-side projections in whole-stage codegen; hashing
+    IS the scalable way to dedup/fingerprint at 100 TB (l1's
+    hash-groupBy keys on exactly these digests).
+
+    Interop note (measured): Spark's ``base64`` emits MIME-chunked
+    output — a CRLF every 76 chars — while DuckDB's ``to_base64`` is
+    unchunked RFC 4648; the CRLFs strip to the canonical form here,
+    which is also what any cross-system consumer should do.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    payload = F.encode(F.col("text"), "utf-8")
+    b64 = F.regexp_replace(F.base64(payload), "\r\n", "")
+    return docs.select(
+        "doc_id",
+        F.md5(payload).alias("md5_hex"),
+        F.sha2(payload, 256).alias("sha256_hex"),
+        F.length(b64).cast("int").alias("b64_len"),
+        F.substring(b64, 1, 16).alias("b64_head"),
+        F.hex(F.encode(F.substring("text", 1, 4), "utf-8")).alias("hex8"),
+    )
