@@ -280,6 +280,56 @@ def test_scalable_running_max_equals_global_window(spark, rows, width):
     assert got == want
 
 
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=1000),  # order key
+            st.integers(min_value=-100, max_value=100),  # value
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    st.sampled_from([1, 7, 64]),
+)
+@settings(**SETTINGS)
+def test_scalable_running_sum_and_min_equal_global_windows(spark, rows, width):
+    """Bucketed prefix SUM and prefix MIN (round-5 helpers, w33/d8's
+    substrate) must equal the global running forms for ANY order-key
+    distribution and bucket width — same contract as the max twin."""
+    from data_wrangling_openstreetmap_spark.operators._helpers import (
+        scalable_running_min,
+        scalable_running_sum,
+    )
+
+    df = spark.createDataFrame(
+        [(i, k, v) for i, (k, v) in enumerate(rows)], "id long, k long, v long"
+    )
+    bucket = F.floor(F.col("k") / width).cast("long")
+    got_sum = {
+        r.id: r.run_sum
+        for r in scalable_running_sum(
+            df, order_cols=["k", "id"], value="v", bucket=bucket
+        ).collect()
+    }
+    got_min = {
+        r.id: r.run_min
+        for r in scalable_running_min(
+            df, order_cols=["k", "id"], value="v", bucket=bucket
+        ).collect()
+    }
+    w = Window.orderBy("k", "id").rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        r.id: (r.s, r.m)
+        for r in df.select(
+            "id",
+            F.sum("v").over(w).alias("s"),
+            F.min("v").over(w).alias("m"),
+        ).collect()
+    }
+    assert got_sum == {i: sm[0] for i, sm in want.items()}
+    assert got_min == {i: sm[1] for i, sm in want.items()}
+
+
 # ---------------------------------------------------------------------------
 # asof_join (plans/sql_ext.py): equivalence with pandas merge_asof —
 # an independent reference implementation of backward-inclusive as-of.
