@@ -442,3 +442,203 @@ def x8_replace_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM x8_orders WHERE o_orderkey < 2000
         """.strip(),
     )
+
+
+# ---------------------------------------------------------------------------
+# X9 — GROUP BY ALL / ORDER BY ALL, engine vs engine: both engines ship
+# the clause natively (Spark 3.4+/DuckDB), so the oracle is the SAME
+# text — grading that the inference (group on every non-aggregate
+# select item, order on every output column) picks identical columns.
+# ---------------------------------------------------------------------------
+
+_X9_ORACLE = """
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n_orders,
+       SUM(CAST(round(o_totalprice * 100) AS BIGINT)) / CAST(100 AS DOUBLE) AS revenue
+FROM orders
+GROUP BY ALL
+ORDER BY ALL
+"""
+
+
+@register("x9_group_by_all_sql", oracle=_X9_ORACLE, tags=("A1", "O1"))
+def x9_group_by_all_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``GROUP BY ALL`` + ``ORDER BY ALL`` — the analyst shorthand both
+    engines now parse natively: the grouping key set is inferred from
+    the non-aggregate select items (status, priority) and the ordering
+    from the full output row. One text, two engines, hash-identical
+    result INCLUDING row order semantics (the driver sorts anyway, but
+    the inferred grouping must agree or counts split).
+
+    Scale: identical plan to the explicit GROUP BY — inference is
+    analysis-time sugar; one low-cardinality shuffle.
+    """
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("x9_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n_orders,
+               SUM(CAST(round(o_totalprice * 100) AS BIGINT)) / CAST(100 AS DOUBLE) AS revenue
+        FROM x9_orders
+        GROUP BY ALL
+        ORDER BY ALL
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# X10 — IDENTIFIER() clause: SQL-injection-safe dynamic table/column
+# references (Spark 3.5+). DuckDB has no IDENTIFIER; the oracle is the
+# statically-spelled equivalent — the point graded is that the dynamic
+# reference resolves to exactly the static plan.
+# ---------------------------------------------------------------------------
+
+_X10_ORACLE = """
+SELECT c_mktsegment, COUNT(*) AS n, MIN(c_custkey) AS min_key
+FROM customer GROUP BY c_mktsegment
+"""
+
+
+@register("x10_identifier_sql", oracle=_X10_ORACLE, tags=("S6", "P1"))
+def x10_identifier_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``IDENTIFIER(:tbl)``-style dynamic references: the table name
+    and the grouping column arrive as STRINGS (the multi-tenant /
+    metadata-driven pipeline case) and resolve through IDENTIFIER()
+    instead of f-string splicing — Spark validates them as identifiers,
+    closing the SQL-injection hole string formatting leaves open.
+
+    Scale: resolution happens at analysis time; the plan is byte-for-
+    byte the static query's.
+    """
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("x10_customer")
+    view, col = "x10_customer", "c_mktsegment"
+    return spark.sql(
+        "SELECT IDENTIFIER(:col), COUNT(*) AS n, MIN(c_custkey) AS min_key "
+        "FROM IDENTIFIER(:tbl) GROUP BY IDENTIFIER(:col)",
+        args={"tbl": view, "col": col},
+    )
+
+
+# ---------------------------------------------------------------------------
+# X11 — SQL session variables (Spark 4 DECLARE / SET VAR): the
+# procedural-script surface. The oracle spells the final variable
+# values as literals — grading that the variable reads see the SET
+# value, not the DEFAULT.
+# ---------------------------------------------------------------------------
+
+_X11_ORACLE = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_big
+FROM orders
+WHERE o_totalprice > 150000.0
+GROUP BY o_orderpriority
+"""
+
+
+@register("x11_sql_variables", oracle=_X11_ORACLE, tags=("P2", "A1"))
+def x11_sql_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session variables: DECLARE a threshold with one DEFAULT, SET VAR
+    it to the real value, and filter through the variable — the Spark 4
+    scripting surface that replaces client-side string splicing for
+    tunable thresholds. The DEFAULT (1e9, which would match nothing)
+    proves the read happens after SET, not at declaration.
+
+    Scale: variables fold to literals at analysis time — the filter
+    pushes down to the scan exactly as a hand-written constant would.
+    """
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("x11_orders")
+    spark.sql(
+        "DECLARE OR REPLACE VARIABLE x11_threshold DOUBLE DEFAULT 1000000000.0"
+    )
+    spark.sql("SET VAR x11_threshold = 150000.0")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               COUNT(*) AS n_big
+        FROM x11_orders
+        WHERE o_totalprice > x11_threshold
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# X12 — parameterized SQL (named parameter markers): the typed,
+# plan-cache-friendly way to pass values into spark.sql (3.4+). Oracle
+# spells the parameters as literals.
+# ---------------------------------------------------------------------------
+
+_X12_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       SUM(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total_value
+FROM events
+WHERE value BETWEEN 25.0 AND 75.0 AND event_type <> 'error'
+GROUP BY event_type
+"""
+
+
+@register("x12_parameterized_sql", oracle=_X12_ORACLE, tags=("P2", "A1"))
+def x12_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named parameter markers (:lo, :hi, :skip) bound through
+    ``spark.sql(..., args=...)`` — typed substitution at parse time
+    (no quoting bugs, no injection), the API every driver-side
+    application should use instead of f-strings.
+
+    Scale: parameters arrive as foldable literals, so BETWEEN pushes
+    down to the scan; the plan is identical to the literal query's.
+    """
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("x12_events")
+    return spark.sql(
+        """
+        SELECT event_type,
+               COUNT(*) AS n_events,
+               SUM(CAST(round(value * 100) AS BIGINT)) / CAST(100 AS DOUBLE) AS total_value
+        FROM x12_events
+        WHERE value BETWEEN :lo AND :hi AND event_type <> :skip
+        GROUP BY event_type
+        """,
+        args={"lo": 25.0, "hi": 75.0, "skip": "error"},
+    )
+
+
+# ---------------------------------------------------------------------------
+# X13 — aggregate FILTER clause, engine vs engine: per-aggregate
+# predicates without CASE scaffolding; both engines parse the standard
+# syntax, so one text grades both.
+# ---------------------------------------------------------------------------
+
+_X13_ORACLE = """
+SELECT event_type,
+       COUNT(*) AS n_all,
+       COUNT(*) FILTER (WHERE value > 50.0) AS n_big,
+       SUM(CAST(round(value * 100) AS BIGINT)) FILTER (WHERE user_id % 2 = 0)
+         / CAST(100 AS DOUBLE) AS even_user_value
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("x13_filter_clause_sql", oracle=_X13_ORACLE, tags=("A1", "P2"))
+def x13_filter_clause_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-standard aggregate ``FILTER (WHERE …)``: three aggregates
+    over one pass, each with its own predicate — the declarative form
+    of the CASE-WHEN-inside-SUM idiom, run from the identical text on
+    both engines (a FILTERed exact-cents SUM included, so null-vs-zero
+    handling of empty filter sets is graded too).
+
+    Scale: one partial+final aggregate; FILTER compiles to the same
+    conditional accumulation the CASE spelling produces.
+    """
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("x13_events")
+    return spark.sql(
+        """
+        SELECT event_type,
+               COUNT(*) AS n_all,
+               COUNT(*) FILTER (WHERE value > 50.0) AS n_big,
+               SUM(CAST(round(value * 100) AS BIGINT)) FILTER (WHERE user_id % 2 = 0)
+                 / CAST(100 AS DOUBLE) AS even_user_value
+        FROM x13_events
+        GROUP BY event_type
+        """
+    )
