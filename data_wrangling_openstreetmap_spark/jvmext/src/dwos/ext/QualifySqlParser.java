@@ -29,7 +29,11 @@ import org.apache.spark.sql.types.StructType;
  * level and outside quoted strings, so subqueries and literals that
  * merely contain the word pass through untouched; any text that does
  * not match the full documented shape is delegated unchanged (never a
- * silent partial lowering). Scale: pure parse-time sugar -- the
+ * silent partial lowering). Documented restriction (inherent to a
+ * schema-free rewrite): the window expression may reference only
+ * columns that appear in the statement's select list -- the window
+ * computes over the prefix query's OUTPUT (__q.*), exactly like the
+ * long-form subquery a user would write by hand. Scale: pure parse-time sugar -- the
  * rewritten window/filter plan is exactly what a hand-written
  * subquery produces, so pushdown, partitioning, and WindowGroupLimit
  * all behave as if the user had typed the long form.
@@ -55,7 +59,10 @@ public class QualifySqlParser implements ParserInterface {
     for (int i = 0; i < sql.length(); i++) {
       char c = sql.charAt(i);
       if (quote != 0) {
-        if (c == quote) quote = 0;
+        if (c == quote) {
+          if (i + 1 < sql.length() && sql.charAt(i + 1) == quote) i++;
+          else quote = 0;
+        }
         continue;
       }
       if (c == '\'' || c == '"' || c == '`') { quote = c; continue; }
@@ -74,11 +81,24 @@ public class QualifySqlParser implements ParserInterface {
     return -1;
   }
 
-  /** Index of the ')' matching the '(' at openIdx, or -1. */
+  /** Index of the ')' matching the '(' at openIdx, or -1 --
+   *  quote-aware, like topLevelQualify: parens inside string
+   *  literals (and doubled-quote escapes) don't count (review r5: an
+   *  OVER clause like date_format(ts, '(yyyy)') mis-balanced the
+   *  scan and a supported statement silently delegated unrewritten). */
   static int matchParen(String s, int openIdx) {
     int depth = 0;
+    char quote = 0;
     for (int i = openIdx; i < s.length(); i++) {
       char c = s.charAt(i);
+      if (quote != 0) {
+        if (c == quote) {
+          if (i + 1 < s.length() && s.charAt(i + 1) == quote) i++;
+          else quote = 0;
+        }
+        continue;
+      }
+      if (c == '\'' || c == '"' || c == '`') { quote = c; continue; }
       if (c == '(') depth++;
       else if (c == ')' && --depth == 0) return i;
     }

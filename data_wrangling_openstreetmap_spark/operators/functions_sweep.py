@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from ..functions.geospatial import euclidean_deg, grid_cell, haversine_m, in_bbox
 from ..io import load_table
 from ..registry import register
+from ._helpers import cents
 
 # ---------------------------------------------------------------------------
 # q6 — JSON extraction + aggregation (F7). Headline bench query.
@@ -1034,9 +1035,7 @@ def f6c_map_from_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 400)
     per_line = li.groupBy("l_orderkey", "l_linenumber").agg(
-        F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias(
-            "line_cents"
-        )
+        F.sum(cents("l_extendedprice")).alias("line_cents")
     )
     entries = F.map_from_entries(
         F.collect_list(

@@ -6632,8 +6632,8 @@ fit AS (
   FROM x GROUP BY dim
 )
 SELECT dim, n, mu, sigma,
-       ROUND((lo - mu) / sigma, 6) + 0 AS min_z,
-       ROUND((hi - mu) / sigma, 6) + 0 AS max_z
+       CASE WHEN sigma > 0 THEN ROUND((lo - mu) / sigma, 6) + 0 END AS min_z,
+       CASE WHEN sigma > 0 THEN ROUND((hi - mu) / sigma, 6) + 0 END AS max_z
 FROM fit
 """
 
@@ -6663,15 +6663,19 @@ def l6_feature_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("v").alias("lo"),
         F.max("v").alias("hi"),
     )
+    # sigma can round to exactly 0.0 for a (near-)constant dimension —
+    # a z-score is undefined there, and the engines disagree on x/0.0
+    # (ANSI error vs inf), so the guard is part of the contract (review
+    # r5; the q43 n>1 precedent).
+    z = lambda bound: F.when(
+        F.col("sigma") > 0,
+        F.round((F.col(bound) - F.col("mu")) / F.col("sigma"), 6) + 0,
+    )
     return fit.select(
         "dim",
         "n",
         "mu",
         "sigma",
-        (F.round((F.col("lo") - F.col("mu")) / F.col("sigma"), 6) + 0).alias(
-            "min_z"
-        ),
-        (F.round((F.col("hi") - F.col("mu")) / F.col("sigma"), 6) + 0).alias(
-            "max_z"
-        ),
+        z("lo").alias("min_z"),
+        z("hi").alias("max_z"),
     )

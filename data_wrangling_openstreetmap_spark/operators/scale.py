@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from ..io import load_table
 from ..registry import register
-from ._helpers import dsum, oracle_dsum
+from ._helpers import cents, dsum, oracle_dsum
 
 N_SALTS = 8
 
@@ -762,7 +762,7 @@ def d7_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     becomes per-partition zipping with no exchange.
     """
     cust = load_table(spark, sf_dir, "customer")
-    bal = F.round(F.col("c_acctbal") * 100).cast("bigint")
+    bal = cents("c_acctbal")
     v_old = cust.filter(F.col("c_custkey") % 97 != 0).select(
         "c_custkey",
         "c_mktsegment",

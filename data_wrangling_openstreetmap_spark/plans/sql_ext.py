@@ -426,7 +426,11 @@ def sql(spark: SparkSession, query: str) -> DataFrame:
                 "FROM <table-or-view> [rest]"
             )
         return _lower_exclude(spark, query, m)
-    if re.search(r"\*\s+REPLACE\s*\(", query, re.IGNORECASE):
+    if re.match(r"^\s*SELECT\s+\*\s+REPLACE\s*\(", query, re.IGNORECASE):
+        # Anchored dispatch (unlike EXCLUDE's search): REPLACE() is a
+        # common builtin string function, so `expr * REPLACE(col, ...)`
+        # is realistic plain SQL that must fall through to spark.sql —
+        # only the statement-initial star-REPLACE form is the construct.
         return _lower_replace(spark, query)
     if re.search(r"\bSIMILARITY\s+JOIN\b", query, re.IGNORECASE):
         m = _SIM_RE.search(query)
@@ -651,18 +655,54 @@ _REPLACE_FROM_RE = re.compile(
 
 
 def _split_top_level(text: str) -> list[str]:
-    """Split on commas that sit at paren depth 0."""
-    items, depth, start = [], 0, 0
-    for i, ch in enumerate(text):
-        if ch == "(":
+    """Split on commas at paren depth 0, OUTSIDE string literals —
+    `replace(tag, ',', ';') AS tag` must not split mid-literal."""
+    items, depth, start, quote = [], 0, 0, ""
+    i = 0
+    while i < len(text):
+        ch = text[i]
+        if quote:
+            if ch == quote:
+                # SQL doubles the quote char to escape it inside a literal
+                if i + 1 < len(text) and text[i + 1] == quote:
+                    i += 1
+                else:
+                    quote = ""
+        elif ch in ("'", '"', "`"):
+            quote = ch
+        elif ch == "(":
             depth += 1
         elif ch == ")":
             depth -= 1
         elif ch == "," and depth == 0:
             items.append(text[start:i])
             start = i + 1
+        i += 1
     items.append(text[start:])
     return [s.strip() for s in items if s.strip()]
+
+
+def _matching_paren(text: str, open_end: int) -> int:
+    """Index just PAST the ')' closing the '(' that ends at open_end,
+    quote-aware (parens inside string literals don't count); -1 if
+    unbalanced."""
+    depth, i, quote = 1, open_end, ""
+    while i < len(text) and depth:
+        ch = text[i]
+        if quote:
+            if ch == quote:
+                if i + 1 < len(text) and text[i + 1] == quote:
+                    i += 1
+                else:
+                    quote = ""
+        elif ch in ("'", '"', "`"):
+            quote = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        i += 1
+    return -1 if depth else i
 
 
 def _lower_replace(spark: SparkSession, query: str) -> DataFrame:
@@ -674,14 +714,9 @@ def _lower_replace(spark: SparkSession, query: str) -> DataFrame:
             "forms are not supported"
         )
     # find the matching close paren of the REPLACE(...) list
-    depth, i = 1, head.end()
-    while i < len(query) and depth:
-        if query[i] == "(":
-            depth += 1
-        elif query[i] == ")":
-            depth -= 1
-        i += 1
-    if depth:
+    # (quote-aware: expressions legitimately embed parens in literals)
+    i = _matching_paren(query, head.end())
+    if i < 0:
         raise SqlExtError("REPLACE list has unbalanced parentheses")
     body = query[head.end() : i - 1]
     fm = _REPLACE_FROM_RE.match(query[i:])

@@ -52,8 +52,16 @@ rows = sorted((r.user_id, r.event_id, round(r.value, 2)) for r in df.collect())
 plain = spark.sql("SELECT COUNT(*) AS n FROM ev").collect()[0].n
 # the word QUALIFY inside a string literal must NOT trigger the rule
 lit = spark.sql("SELECT 'no QUALIFY here' AS s FROM ev LIMIT 1").collect()[0].s
+# literal parens inside the OVER clause must not break the paren scan
+lp = spark.sql(
+    "SELECT user_id, event_id, ts, value FROM ev "
+    "QUALIFY ROW_NUMBER() OVER "
+    "(PARTITION BY user_id, date_format(ts, '(yyyy)') "
+    "ORDER BY value DESC, event_id) <= 1"
+).count()
 print("RESULT " + json.dumps({
-    "cols": df.columns, "rows": rows, "plain": plain, "lit": lit}))
+    "cols": df.columns, "rows": rows, "plain": plain, "lit": lit,
+    "lp": lp}))
 """
 
 
@@ -73,6 +81,7 @@ def test_injected_qualify_parser_matches_duckdb_native():
     assert got["cols"] == ["user_id", "event_id", "value"]
     assert got["plain"] == 1000  # untouched statements still parse
     assert got["lit"] == "no QUALIFY here"  # keyword in a literal ignored
+    assert got["lp"] == 15  # literal parens in OVER still lower (1/user)
     con = duckdb.connect()
     exp = sorted(
         (u, e, round(v, 2))

@@ -284,7 +284,10 @@ def test_scalable_running_max_equals_global_window(spark, rows, width):
     st.lists(
         st.tuples(
             st.integers(min_value=0, max_value=1000),  # order key
-            st.integers(min_value=-100, max_value=100),  # value
+            st.one_of(
+                st.none(),  # SUM/MIN skip nulls — the merge must too
+                st.integers(min_value=-100, max_value=100),
+            ),
         ),
         min_size=1,
         max_size=30,
@@ -295,7 +298,9 @@ def test_scalable_running_max_equals_global_window(spark, rows, width):
 def test_scalable_running_sum_and_min_equal_global_windows(spark, rows, width):
     """Bucketed prefix SUM and prefix MIN (round-5 helpers, w33/d8's
     substrate) must equal the global running forms for ANY order-key
-    distribution and bucket width — same contract as the max twin."""
+    distribution, bucket width, AND null placement (review r5: rows
+    preceding a bucket's first non-null value must surface the prior
+    buckets' total, and all-null prefixes must stay NULL)."""
     from data_wrangling_openstreetmap_spark.operators._helpers import (
         scalable_running_min,
         scalable_running_sum,

@@ -341,7 +341,13 @@ def test_replace_raises_on_bad_forms(spark):
         sql(spark, "SELECT * REPLACE (1 AS nope) FROM rp_t2")
     with pytest.raises(SqlExtError, match="AS"):
         sql(spark, "SELECT * REPLACE (id + 1) FROM rp_t2")
-    with pytest.raises(SqlExtError, match="start the statement"):
+    # a CTE prefix means the ANCHORED dispatcher never fires (REPLACE is
+    # a builtin function name, so mid-statement matches must fall
+    # through) — the text reaches spark.sql, whose parser rejects the
+    # star-REPLACE syntax it doesn't have.
+    from pyspark.errors import ParseException
+
+    with pytest.raises(ParseException):
         sql(
             spark,
             "WITH rp_t2 AS (SELECT 1 AS id) "
@@ -355,3 +361,34 @@ def test_replace_raises_on_bad_forms(spark):
             spark,
             "SELECT * REPLACE (a AS a) FROM rp_t2 JOIN rp_j2 ON rp_t2.id = rp_j2.id",
         )
+
+
+def test_replace_dispatch_does_not_intercept_builtin_replace(spark):
+    """`expr * REPLACE(col, ...)` is plain Spark SQL using the builtin
+    string function — the anchored dispatcher must fall through to
+    spark.sql, not raise (review r5, confirmed by execution pre-fix)."""
+    spark.createDataFrame([(2, "a1")], "v int, s string").createOrReplaceTempView(
+        "rp_b"
+    )
+    got = sql(spark, "SELECT v * length(REPLACE (s, 'a', 'xx')) AS x FROM rp_b")
+    assert got.collect()[0].x == 6
+
+
+def test_replace_list_scanner_is_quote_aware(spark):
+    """Commas and parens inside string literals in replacement
+    expressions must not split items or unbalance the paren scan."""
+    spark.createDataFrame(
+        [(1, "a,b(c")], "id int, tag string"
+    ).createOrReplaceTempView("rp_q")
+    got = sql(
+        spark,
+        "SELECT * REPLACE (replace(tag, ',', ';') AS tag) FROM rp_q",
+    )
+    assert got.collect()[0].tag == "a;b(c"
+    got2 = sql(
+        spark,
+        "SELECT * REPLACE (concat(tag, '(x)', ',') AS tag, id + 1 AS id) "
+        "FROM rp_q",
+    )
+    r = got2.collect()[0]
+    assert (r.id, r.tag) == (2, "a,b(c(x),")
