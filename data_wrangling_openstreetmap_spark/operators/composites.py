@@ -3517,3 +3517,150 @@ def q46_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cents").cast("double") / F.col("reg_cents"), 6
         ).alias("share_of_region"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q47 — inter-purchase interval distribution: how long between a
+# customer's consecutive orders, histogrammed in whole weeks — the
+# repurchase-cycle curve a lifecycle-marketing model is trained on.
+# ---------------------------------------------------------------------------
+
+_Q47_ORACLE = """
+WITH g AS (
+  SELECT o_custkey,
+         datediff('day',
+                  CAST(lag(o_orderdate) OVER (
+                    PARTITION BY o_custkey
+                    ORDER BY o_orderdate, o_orderkey) AS DATE),
+                  CAST(o_orderdate AS DATE)) AS gap_days
+  FROM orders
+)
+SELECT CAST(gap_days // 7 AS BIGINT) AS gap_weeks,
+       CAST(COUNT(*) AS BIGINT) AS n_intervals,
+       CAST(MIN(gap_days) AS BIGINT) AS min_days,
+       CAST(MAX(gap_days) AS BIGINT) AS max_days
+FROM g WHERE gap_days IS NOT NULL
+GROUP BY 1
+"""
+
+
+@register("q47_interpurchase_distribution", oracle=_Q47_ORACLE, tags=("W3", "A7", "A1"))
+def q47_interpurchase_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of gaps between consecutive orders per customer:
+    lag over the per-customer order timeline yields day gaps (first
+    order per customer contributes nothing), bucketed into whole weeks
+    with per-bucket day extrema. Calendar-day arithmetic on DATE casts
+    is exact integers on both engines.
+
+    Scale: one shuffle on custkey, per-customer lag scan, then an
+    O(weeks) rollup — the histogram never materializes raw pairs.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gap = F.datediff(
+        F.to_date("o_orderdate"), F.lag(F.to_date("o_orderdate")).over(w)
+    )
+    g = orders.select(gap.alias("gap_days")).filter(F.col("gap_days").isNotNull())
+    return g.groupBy(
+        F.floor(F.col("gap_days") / 7).cast("bigint").alias("gap_weeks")
+    ).agg(
+        F.count("*").alias("n_intervals"),
+        F.min("gap_days").cast("bigint").alias("min_days"),
+        F.max("gap_days").cast("bigint").alias("max_days"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DP4 — numeric correlation matrix (long form): exact-moment Pearson r
+# for every pair of lineitem's numeric measures — the profiling matrix
+# a feature-selection pass reads. DECIMAL/HUGEINT second moments (the
+# a32/a34 recipe) so the only floats are the final three divisions.
+# ---------------------------------------------------------------------------
+
+_DP4_ORACLE = """
+WITH u AS (
+  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS price,
+         CAST(l_quantity AS BIGINT) AS qty,
+         CAST(round(l_discount * 100) AS BIGINT) AS disc
+  FROM lineitem
+),
+m AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+         CAST(SUM(price) AS HUGEINT) AS sp, CAST(SUM(qty) AS HUGEINT) AS sq,
+         CAST(SUM(disc) AS HUGEINT) AS sd,
+         SUM(CAST(price AS HUGEINT) * price) AS spp,
+         SUM(CAST(qty AS HUGEINT) * qty) AS sqq,
+         SUM(CAST(disc AS HUGEINT) * disc) AS sdd,
+         SUM(CAST(price AS HUGEINT) * qty) AS spq,
+         SUM(CAST(price AS HUGEINT) * disc) AS spd,
+         SUM(CAST(qty AS HUGEINT) * disc) AS sqd
+  FROM u
+)
+SELECT pair, ROUND(cov_n / sqrt(vx * vy), 6) + 0 AS pearson_r
+FROM (
+  SELECT 'price_qty' AS pair,
+         CAST(n * spq - sp * sq AS DOUBLE) AS cov_n,
+         CAST(n * spp - sp * sp AS DOUBLE) AS vx,
+         CAST(n * sqq - sq * sq AS DOUBLE) AS vy FROM m
+  UNION ALL
+  SELECT 'price_disc',
+         CAST(n * spd - sp * sd AS DOUBLE),
+         CAST(n * spp - sp * sp AS DOUBLE),
+         CAST(n * sdd - sd * sd AS DOUBLE) FROM m
+  UNION ALL
+  SELECT 'qty_disc',
+         CAST(n * sqd - sq * sd AS DOUBLE),
+         CAST(n * sqq - sq * sq AS DOUBLE),
+         CAST(n * sdd - sd * sd AS DOUBLE) FROM m
+)
+"""
+
+
+@register("dp4_numeric_correlation_matrix", oracle=_DP4_ORACLE, tags=("A11", "A2", "F4"))
+def dp4_numeric_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations between price, quantity, and
+    discount from ONE pass of exact integer moments: every sum and
+    cross-product accumulates in DECIMAL(38,0) (HUGEINT on the oracle
+    side — BIGINT squares of cent sums overflow near 10⁹ rows, the a32
+    lesson), and r = (nΣxy − ΣxΣy)/√((nΣx² − (Σx)²)(nΣy² − (Σy)²))
+    divides identical doubles, rounded at 6 dp with the negative-zero
+    guard.
+
+    Scale: a single partial+final global aggregate (9 moments, one
+    row) — the matrix costs one scan regardless of pair count; the
+    pair expansion is a 3-row projection of that scalar row.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    d38 = lambda c: c.cast("decimal(38,0)")
+    u = li.select(
+        cents("l_extendedprice").alias("price"),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+        cents("l_discount").alias("disc"),
+    )
+    m = u.agg(
+        d38(F.count("*")).alias("n"),
+        d38(F.sum("price")).alias("sp"),
+        d38(F.sum("qty")).alias("sq"),
+        d38(F.sum("disc")).alias("sd"),
+        F.sum(d38(F.col("price")) * F.col("price")).alias("spp"),
+        F.sum(d38(F.col("qty")) * F.col("qty")).alias("sqq"),
+        F.sum(d38(F.col("disc")) * F.col("disc")).alias("sdd"),
+        F.sum(d38(F.col("price")) * F.col("qty")).alias("spq"),
+        F.sum(d38(F.col("price")) * F.col("disc")).alias("spd"),
+        F.sum(d38(F.col("qty")) * F.col("disc")).alias("sqd"),
+    )
+
+    def pair(name, sxy, sx, sxx, sy, syy):
+        cov = (F.col("n") * F.col(sxy) - F.col(sx) * F.col(sy)).cast("double")
+        vx = (F.col("n") * F.col(sxx) - F.col(sx) * F.col(sx)).cast("double")
+        vy = (F.col("n") * F.col(syy) - F.col(sy) * F.col(sy)).cast("double")
+        return m.select(
+            F.lit(name).alias("pair"),
+            (F.round(cov / F.sqrt(vx * vy), 6) + 0).alias("pearson_r"),
+        )
+
+    return (
+        pair("price_qty", "spq", "sp", "spp", "sq", "sqq")
+        .unionByName(pair("price_disc", "spd", "sp", "spp", "sd", "sdd"))
+        .unionByName(pair("qty_disc", "sqd", "sq", "sqq", "sd", "sdd"))
+    )

@@ -2601,3 +2601,70 @@ def s22_corrupt_json_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("bigint").alias("total_chars"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# S23 — schema evolution on read: a parquet dataset whose later files
+# carry an ADDED column, scanned with mergeSchema — the lakehouse
+# reality that tables grow columns mid-life and old files must read as
+# NULL there, not fail.
+# ---------------------------------------------------------------------------
+
+_S23_ORACLE = f"""
+SELECT batch,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       {oracle_dsum('o_totalprice')} AS revenue,
+       CAST(COUNT(o_orderpriority) AS BIGINT) AS n_with_priority
+FROM (
+  SELECT 'v1' AS batch, o_totalprice, NULL AS o_orderpriority
+  FROM orders WHERE o_orderkey % 2 = 0
+  UNION ALL
+  SELECT 'v2', o_totalprice, o_orderpriority
+  FROM orders WHERE o_orderkey % 2 = 1
+)
+GROUP BY batch
+"""
+
+
+@register("s23_schema_evolution", oracle=_S23_ORACLE, tags=("S1", "F8", "S6"))
+def s23_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read evolution: batch v1 writes (orderkey, totalprice,
+    batch), batch v2 adds o_orderpriority; ``mergeSchema`` unions the
+    footers so v1 rows surface NULL priority while v2 rows keep theirs
+    — counted per batch (COUNT(col) skips nulls, so n_with_priority
+    is 0 for v1 and n_rows for v2 by construction). The oracle
+    re-derives the same union from the original table.
+
+    Scale: mergeSchema costs one footer read per file at planning —
+    fine for thousands of files, delegated to the metastore beyond
+    that; the scan itself stays parallel with pruning intact. Writing
+    evolves NOTHING in old files: additive columns are a metadata-only
+    migration, which is the point.
+    """
+    import tempfile
+
+    orders = load_table(spark, sf_dir, "orders")
+    root = tempfile.mkdtemp(prefix="dwos_s23_") + "/evolved"
+    (
+        orders.filter(F.col("o_orderkey") % 2 == 0)
+        .select("o_orderkey", "o_totalprice", F.lit("v1").alias("batch"))
+        .write.mode("overwrite")
+        .parquet(root + "/b=1")
+    )
+    (
+        orders.filter(F.col("o_orderkey") % 2 == 1)
+        .select(
+            "o_orderkey", "o_totalprice", F.lit("v2").alias("batch"),
+            "o_orderpriority",
+        )
+        .write.mode("overwrite")
+        .parquet(root + "/b=2")
+    )
+    back = spark.read.option("mergeSchema", True).parquet(
+        root + "/b=1", root + "/b=2"
+    )
+    return back.groupBy("batch").agg(
+        F.count("*").alias("n_rows"),
+        dsum("o_totalprice").alias("revenue"),
+        F.count("o_orderpriority").alias("n_with_priority"),
+    )
