@@ -3318,7 +3318,7 @@ def w36_anchored_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
     INTEGER floor division at 4-decimal precision ((num·100) div den,
     then /10⁴) — a float quotient of integer ratios lands on exact
     round-half ties often enough that ROUND(…, 6) diverges across
-    engines (measured: one tie in the first 5 100 fixture rows), so no
+    engines (measured: a tie at sorted row 5060 of the sf0.001 fixture), so no
     float division happens at all. Both operands positive, so Spark's
     truncating ``div`` and DuckDB's flooring ``//`` agree.
 
