@@ -3664,3 +3664,52 @@ def dp4_numeric_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFram
         .unionByName(pair("price_disc", "spd", "sp", "spp", "sd", "sdd"))
         .unionByName(pair("qty_disc", "sqd", "sq", "sqq", "sd", "sdd"))
     )
+
+
+# ---------------------------------------------------------------------------
+# A43 — behavioral entropy per user: Shannon entropy of each user's
+# event-type mix — the exploration/repetitiveness score a
+# personalization or bot-detection model features on (0 = one-note
+# user, log2(5) ≈ 2.32 = uniform over the fixture's five types).
+# ---------------------------------------------------------------------------
+
+_A43_ORACLE = """
+WITH c AS (
+  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS k
+  FROM events GROUP BY 1, 2
+),
+t AS (SELECT user_id, SUM(k) AS n FROM c GROUP BY 1)
+SELECT c.user_id,
+       CAST(MIN(t.n) AS BIGINT) AS n_events,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       ROUND(-SUM((CAST(k AS DOUBLE) / t.n)
+                  * log2(CAST(k AS DOUBLE) / t.n)), 6) + 0 AS entropy_bits
+FROM c JOIN t ON t.user_id = c.user_id
+GROUP BY c.user_id
+"""
+
+
+@register("a43_user_entropy", oracle=_A43_ORACLE, tags=("A1", "A11", "F4"))
+def a43_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Shannon entropy over event types: exact integer counts
+    shuffle once to (user, type), the per-user total joins back on the
+    same key, and H = −Σ p·log2 p divides identical integers before
+    one rounded log each (round 6 + 0 — the TF-IDF/libm convention;
+    entropy of rational p is irrational, so round-half ties don't
+    arise). A user seen with one type scores exactly −1·log2(1) = 0.
+
+    Scale: two aggregations and one join, all partitioned by user_id
+    (the join reuses the counts table's partitioning); no windows, no
+    driver math. At 100 TB the (user, type) table is the corpus's
+    behavioral sketch — this query IS its reduction.
+    """
+    events = load_table(spark, sf_dir, "events")
+    c = events.groupBy("user_id", "event_type").agg(F.count("*").alias("k"))
+    t = c.groupBy("user_id").agg(F.sum("k").alias("n"))
+    j = c.join(t, "user_id")
+    p = F.col("k").cast("double") / F.col("n")
+    return j.groupBy("user_id").agg(
+        F.min("n").cast("bigint").alias("n_events"),
+        F.count("*").alias("n_types"),
+        (F.round(-F.sum(p * F.log2(p)), 6) + 0).alias("entropy_bits"),
+    )

@@ -851,3 +851,82 @@ def m3b_resize_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m3_image_resize(spark, sf_dir).select(
         "doc_id", "in_width", "in_height", "out_width", "out_height", "scale_num"
     )
+
+
+# ---------------------------------------------------------------------------
+# m8 — modality routing by MAGIC BYTES: the first thing a mixed-blob
+# corpus pipeline does is sniff each payload's leading bytes and route
+# it to the right decoder — container metadata lies, bytes don't. The
+# fixture synthesizes the mixture deterministically (every doc_id%4
+# class gets a real magic prefix), and BOTH engines construct AND
+# sniff the binary, so the routing itself is value-graded.
+# ---------------------------------------------------------------------------
+
+_M8_ORACLE = """
+WITH p AS (
+  SELECT doc_id,
+         CASE doc_id % 4
+           WHEN 0 THEN unhex('89504E47') || encode(text)
+           WHEN 1 THEN unhex('52494646') || encode(text)
+           WHEN 2 THEN unhex('49443303') || encode(text)
+           ELSE encode(text)
+         END AS payload
+  FROM documents
+),
+s AS (
+  SELECT doc_id, payload,
+         CASE substring(hex(payload), 1, 8)
+           WHEN '89504E47' THEN 'image/png'
+           WHEN '52494646' THEN 'audio/wav'
+           WHEN '49443303' THEN 'audio/mpeg'
+           ELSE 'text/plain'
+         END AS mime
+  FROM p
+)
+SELECT mime,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(octet_length(payload)) AS BIGINT) AS total_bytes,
+       MIN(doc_id) AS min_doc
+FROM s GROUP BY mime
+"""
+
+
+@register("m8_mime_sniff_router", oracle=_M8_ORACLE, tags=("L5", "F8", "P6"))
+def m8_mime_sniff_router(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Magic-byte sniffing over a synthesized mixed-modality corpus:
+    every fourth document is prefixed with a REAL container signature
+    (PNG / RIFF / ID3v2.3), the router reads back ONLY the payload's
+    first four bytes (hex compare — never the container hint), and the
+    mixture rolls up per detected type with byte accounting. Both
+    engines build the same blobs and sniff them, so the binary
+    concat/slice/hex path is graded end to end.
+
+    Scale: sniffing is a 4-byte projection in codegen — no decode, no
+    Python; this is the cheap gate in front of the m1/m2/m7 decoder
+    fan-out, and the rollup keys on O(types). Real corpora add a
+    magic-DB broadcast; the plan shape is identical.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    body = F.encode(F.col("text"), "utf-8")
+    payload = (
+        F.when(F.col("doc_id") % 4 == 0, F.concat(F.unhex(F.lit("89504E47")), body))
+        .when(F.col("doc_id") % 4 == 1, F.concat(F.unhex(F.lit("52494646")), body))
+        .when(F.col("doc_id") % 4 == 2, F.concat(F.unhex(F.lit("49443303")), body))
+        .otherwise(body)
+    )
+    p = docs.select("doc_id", payload.alias("payload"))
+    mime = (
+        F.when(F.hex(F.substring("payload", 1, 4)) == "89504E47", "image/png")
+        .when(F.hex(F.substring("payload", 1, 4)) == "52494646", "audio/wav")
+        .when(F.hex(F.substring("payload", 1, 4)) == "49443303", "audio/mpeg")
+        .otherwise("text/plain")
+    )
+    return (
+        p.select("doc_id", "payload", mime.alias("mime"))
+        .groupBy("mime")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.length("payload")).cast("bigint").alias("total_bytes"),
+            F.min("doc_id").alias("min_doc"),
+        )
+    )

@@ -3352,3 +3352,88 @@ def w36_anchored_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_shipdate",
         (F.expr("(num * 100) div den") / 10000.0).alias("vwap"),
     )
+
+
+# ---------------------------------------------------------------------------
+# W4 — linear-weighted moving average over the last 7 orders, spelled
+# as SEVEN EXPLICIT LAG TERMS (no frame collect): weights 7..1 with the
+# newest order heaviest, partial windows reweighted by the terms that
+# exist — the other classical smoother next to w21's EWMA and w35's
+# median, and the lag-battery formulation ports to engines without
+# frame aggregates at all.
+# ---------------------------------------------------------------------------
+
+_W37_TERMS = 7
+
+
+def _w37_sql_terms() -> str:
+    num = " + ".join(
+        f"COALESCE(({_W37_TERMS - i}) * lag(c, {i}) OVER w, 0)"
+        for i in range(_W37_TERMS)
+    )
+    den = " + ".join(
+        f"CASE WHEN lag(c, {i}) OVER w IS NULL THEN 0 ELSE {_W37_TERMS - i} END"
+        for i in range(_W37_TERMS)
+    )
+    return num, den
+
+
+_W37_NUM, _W37_DEN = _w37_sql_terms()
+
+_W37_ORACLE = f"""
+WITH b AS (
+  SELECT o_custkey, o_orderkey, o_orderdate,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS c
+  FROM orders
+),
+t AS (
+  SELECT o_custkey, o_orderkey, o_orderdate,
+         {_W37_NUM} AS num,
+         {_W37_DEN} AS den
+  FROM b
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+)
+SELECT o_custkey, o_orderkey, o_orderdate,
+       CAST((num * 100) // den AS BIGINT) / 10000.0 AS wma
+FROM t
+"""
+
+
+@register("w37_weighted_moving_average", oracle=_W37_ORACLE, tags=("W3", "W4", "F4"))
+def w37_weighted_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-order linearly-weighted moving average of customer spend:
+    num = Σ (7−i)·lag(cents, i), den = Σ weights of the lags that
+    EXIST (partial leading windows reweight instead of padding), and
+    the price emerges by the w36 integer micro-unit division — no
+    float accumulation, no round-half ties. Seven lag terms share one
+    window spec, so Spark evaluates them in a single Window operator
+    pass.
+
+    Scale: one shuffle on custkey, per-customer sorted scan; constant
+    per-row state (7 longs). The lag-battery form needs no
+    collect_list and no frame support — it is the formulation that
+    also runs on engines with bare LAG.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    b = orders.select(
+        "o_custkey", "o_orderkey", "o_orderdate",
+        cents("o_totalprice").alias("c"),
+    )
+    lags = [F.lag("c", i).over(w) for i in range(_W37_TERMS)]
+    num = sum(
+        (F.coalesce(lg, F.lit(0)) * F.lit(_W37_TERMS - i) for i, lg in enumerate(lags)),
+        F.lit(0),
+    )
+    den = sum(
+        (F.when(lg.isNull(), 0).otherwise(_W37_TERMS - i) for i, lg in enumerate(lags)),
+        F.lit(0),
+    )
+    t = b.select(
+        "o_custkey", "o_orderkey", "o_orderdate",
+        num.alias("num"), den.alias("den"),
+    )
+    return t.select(
+        "o_custkey", "o_orderkey", "o_orderdate",
+        (F.expr("(num * 100) div den") / 10000.0).alias("wma"),
+    )
