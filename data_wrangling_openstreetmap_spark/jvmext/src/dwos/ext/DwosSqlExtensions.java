@@ -8,7 +8,7 @@ import scala.runtime.AbstractFunction2;
 import scala.runtime.BoxedUnit;
 
 /**
- * spark.sql.extensions entry point: injects QualifySqlParser in front
+ * spark.sql.extensions entry point: injects DwosSqlParser in front
  * of Spark's SQL parser, adding a QUALIFY clause (the Snowflake /
  * DuckDB / BigQuery window-filter surface) to every spark.sql() call
  * in the session -- the Catalyst-level half of SURVEY section 4.2,
@@ -17,9 +17,9 @@ import scala.runtime.BoxedUnit;
  *
  * Usage:
  *   spark.driver.extraClassPath=<path>/dwos-sql-ext.jar
- *   spark.sql.extensions=dwos.ext.QualifyExtensions
+ *   spark.sql.extensions=dwos.ext.DwosSqlExtensions
  */
-public class QualifyExtensions
+public class DwosSqlExtensions
     extends AbstractFunction1<SparkSessionExtensions, BoxedUnit> {
 
   @Override
@@ -29,7 +29,7 @@ public class QualifyExtensions
           @Override
           public ParserInterface apply(
               SparkSession session, ParserInterface delegate) {
-            return new QualifySqlParser(delegate);
+            return new DwosSqlParser(delegate);
           }
         });
     return BoxedUnit.UNIT;

@@ -38,11 +38,11 @@ import org.apache.spark.sql.types.StructType;
  * subquery produces, so pushdown, partitioning, and WindowGroupLimit
  * all behave as if the user had typed the long form.
  */
-public class QualifySqlParser implements ParserInterface {
+public class DwosSqlParser implements ParserInterface {
 
   private final ParserInterface delegate;
 
-  public QualifySqlParser(ParserInterface delegate) {
+  public DwosSqlParser(ParserInterface delegate) {
     this.delegate = delegate;
   }
 
@@ -128,8 +128,142 @@ public class QualifySqlParser implements ParserInterface {
   }
 
   private String maybeRewrite(String sqlText) {
-    String lowered = rewrite(sqlText);
+    String lowered = rewriteAsof(sqlText);
+    if (lowered == null) lowered = rewrite(sqlText);
     return lowered != null ? lowered : sqlText;
+  }
+
+  // ---------------------------------------------------------------
+  // ASOF [LEFT] JOIN -> LATERAL rewrite (schema-free)
+  //
+  //   FROM <left> a ASOF [LEFT] JOIN <right> b
+  //     ON a.k = b.k [AND ...] AND a.ts >= b.ts
+  //
+  // lowers to
+  //
+  //   FROM <left> a [LEFT] JOIN LATERAL (
+  //     SELECT * FROM <right> __r
+  //     WHERE __r.k = a.k [AND ...] AND __r.ts <= a.ts
+  //     ORDER BY __r.ts DESC LIMIT 1
+  //   ) b ON TRUE
+  //
+  // which Spark decorrelates to the WindowGroupLimit rank-1 plan --
+  // one shuffle on the key, no schema resolution needed at parse
+  // time (only the ON clause's column NAMES are read). Among right
+  // rows tied on (k, ts) the winner is engine-chosen, exactly like a
+  // native as-of join. Any text not matching the documented shape
+  // delegates unchanged.
+  // ---------------------------------------------------------------
+
+  private static final Pattern ASOF_JOIN_HEAD = Pattern.compile(
+      "(?is)^\\s*(LEFT\\s+)?JOIN\\s+");
+
+  private static final Pattern ASOF_RIGHT_NAMED = Pattern.compile(
+      "^\\s*([A-Za-z_][\\w.]*)");
+
+  private static final Pattern ASOF_ALIAS_ON = Pattern.compile(
+      "(?is)^\\s+(?:AS\\s+)?([A-Za-z_]\\w*)\\s+ON\\s+");
+
+  private static final Pattern ASOF_EQ = Pattern.compile(
+      "(?s)^\\s*([A-Za-z_]\\w*)\\.([A-Za-z_]\\w*)\\s*=\\s*"
+          + "([A-Za-z_]\\w*)\\.([A-Za-z_]\\w*)\\s*$");
+
+  private static final Pattern ASOF_RANGE = Pattern.compile(
+      "(?s)^\\s*([A-Za-z_]\\w*)\\.([A-Za-z_]\\w*)\\s*(>=|<=)\\s*"
+          + "([A-Za-z_]\\w*)\\.([A-Za-z_]\\w*)\\s*;?\\s*$");
+
+  /** Index of the word ASOF at paren depth 0 outside quotes, or -1. */
+  static int topLevelAsof(String sql) {
+    int depth = 0;
+    char quote = 0;
+    for (int i = 0; i < sql.length(); i++) {
+      char c = sql.charAt(i);
+      if (quote != 0) {
+        if (c == quote) {
+          if (i + 1 < sql.length() && sql.charAt(i + 1) == quote) i++;
+          else quote = 0;
+        }
+        continue;
+      }
+      if (c == '\'' || c == '"' || c == '`') { quote = c; continue; }
+      if (c == '(') depth++;
+      else if (c == ')') depth--;
+      else if (depth == 0 && (c == 'a' || c == 'A')
+          && sql.regionMatches(true, i, "ASOF", 0, 4)
+          && (i == 0 || !Character.isLetterOrDigit(sql.charAt(i - 1))
+              && sql.charAt(i - 1) != '_')
+          && (i + 4 >= sql.length()
+              || !Character.isLetterOrDigit(sql.charAt(i + 4))
+              && sql.charAt(i + 4) != '_')) {
+        return i;
+      }
+    }
+    return -1;
+  }
+
+  /** Lowered text, or null when the statement is not an ASOF form. */
+  static String rewriteAsof(String sql) {
+    int idx = topLevelAsof(sql);
+    if (idx < 0) return null;
+    String prefix = sql.substring(0, idx);
+    if (!prefix.trim().regionMatches(true, 0, "SELECT", 0, 6)) return null;
+    String tail = sql.substring(idx + 4);
+    Matcher jm = ASOF_JOIN_HEAD.matcher(tail);
+    if (!jm.find()) return null;
+    boolean left = jm.group(1) != null;
+    int pos = jm.end();
+    String right;
+    if (pos < tail.length() && tail.charAt(pos) == '(') {
+      int close = matchParen(tail.substring(pos), 0);
+      if (close < 0) return null;
+      right = tail.substring(pos, pos + close + 1);
+      pos += close + 1;
+    } else {
+      Matcher rm = ASOF_RIGHT_NAMED.matcher(tail.substring(pos));
+      if (!rm.find()) return null;
+      right = rm.group(1);
+      pos += rm.end();
+    }
+    Matcher am = ASOF_ALIAS_ON.matcher(tail.substring(pos));
+    if (!am.find()) return null;
+    String balias = am.group(1);
+    String conds = tail.substring(pos + am.end());
+    String[] parts = conds.split("(?i)\s+AND\s+");
+    if (parts.length < 2) return null;
+    StringBuilder where = new StringBuilder();
+    String orderCol = null;
+    for (int i = 0; i < parts.length; i++) {
+      boolean last = i == parts.length - 1;
+      Matcher m = (last ? ASOF_RANGE : ASOF_EQ).matcher(parts[i]);
+      if (!m.matches()) return null;
+      String la = m.group(1), lc = m.group(2);
+      String op = last ? m.group(3) : "=";
+      String ra = m.group(last ? 4 : 3), rc = m.group(last ? 5 : 4);
+      String lhs, rhs;
+      if (ra.equalsIgnoreCase(balias) && !la.equalsIgnoreCase(balias)) {
+        lhs = la + "." + lc; rhs = "__r." + rc;
+      } else if (la.equalsIgnoreCase(balias) && !ra.equalsIgnoreCase(balias)) {
+        lhs = ra + "." + rc; rhs = "__r." + lc;
+        op = op.equals(">=") ? "<=" : op.equals("<=") ? ">=" : op;
+      } else {
+        return null;  // both or neither side is the right alias
+      }
+      if (last) {
+        // normalize to __r.ts <= left.ts (backward as-of)
+        if (!op.equals(">=")) return null;  // left.ts >= __r.ts
+        where.append("__r.").append(rhs.startsWith("__r.")
+            ? rhs.substring(4) : rhs).append(" <= ").append(lhs);
+        orderCol = rhs.startsWith("__r.") ? rhs.substring(4) : rhs;
+      } else {
+        where.append(rhs).append(" = ").append(lhs).append(" AND ");
+      }
+    }
+    if (orderCol == null) return null;
+    return prefix + (left ? "LEFT JOIN LATERAL (SELECT * FROM "
+                          : "JOIN LATERAL (SELECT * FROM ")
+        + right + " __r WHERE " + where
+        + " ORDER BY __r." + orderCol + " DESC LIMIT 1) " + balias
+        + " ON TRUE";
   }
 
   @Override

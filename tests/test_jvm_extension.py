@@ -2,13 +2,20 @@
 REAL ``spark.sql.extensions``-injected parser rule, not the pre-parse
 string-rewrite frontend. ``jvmext/dwos-sql-ext.jar`` (Java source +
 build.sh beside it) implements ParserInterface, delegating everything
-to the session parser except statements ending in the documented
-QUALIFY shape, which lower to the * EXCEPT window/filter form.
+to the session parser except two documented statement shapes:
+
+- a trailing QUALIFY clause, lowered to the ``* EXCEPT`` window/filter
+  form (schema-free because Spark 4 has ``SELECT * EXCEPT``);
+- ``ASOF [LEFT] JOIN … ON k-equalities AND a.ts >= b.ts``, lowered to
+  a correlated LATERAL ``ORDER BY ts DESC LIMIT 1`` subquery (schema-
+  free because only the ON clause's column NAMES are needed), which
+  Spark decorrelates to the WindowGroupLimit rank-1 plan.
 
 The extension must load with the JVM (driver extraClassPath), so this
 test drives a FRESH interpreter+JVM in a subprocess — the in-process
 test session can't exercise it. Engine-vs-engine: DuckDB runs its
-native QUALIFY on the same parquet.
+NATIVE QUALIFY and NATIVE ASOF JOIN on the same parquet, so the x1
+oracle semantics are graded through the injected path too.
 """
 
 from __future__ import annotations
@@ -36,18 +43,40 @@ _QUALIFY_SQL = (
     "(PARTITION BY user_id ORDER BY value DESC, event_id) <= 2"
 )
 
+# The x1_asof_sql statement shape (sql_frontend.py), run through PLAIN
+# spark.sql in the child — only the injected parser can make it parse.
+_ASOF_SQL = (
+    "SELECT p.event_id AS purchase_id, p.user_id AS user_id, "
+    "CAST(unix_micros(CAST(p.ts AS TIMESTAMP)) "
+    "- unix_micros(CAST(c.ts AS TIMESTAMP)) AS BIGINT) AS us_since_click "
+    "FROM x1_purchases p ASOF JOIN x1_clicks c "
+    "ON p.user_id = c.user_id AND p.ts >= c.ts"
+)
+
+_ASOF_DUCK = """
+SELECT p.event_id, p.user_id, CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT)
+FROM (SELECT user_id, ts, event_id FROM '{pq}' WHERE event_type = 'purchase') p
+ASOF {left}JOIN (SELECT user_id, ts, event_id FROM '{pq}' WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
 _CHILD = """
 import json, sys
 from pyspark.sql import SparkSession
-jar, sf, sql_text = sys.argv[1], sys.argv[2], sys.argv[3]
+jar, sf, qualify_sql, asof_sql = sys.argv[1], sys.argv[2], sys.argv[3], sys.argv[4]
 spark = (SparkSession.builder.master("local[2]")
     .config("spark.driver.extraClassPath", jar)
-    .config("spark.sql.extensions", "dwos.ext.QualifyExtensions")
+    .config("spark.sql.extensions", "dwos.ext.DwosSqlExtensions")
     .config("spark.ui.enabled", "false")
     .getOrCreate())
 spark.sparkContext.setLogLevel("ERROR")
-spark.read.parquet(sf + "/events.parquet").createOrReplaceTempView("ev")
-df = spark.sql(sql_text.format(src="ev"))
+ev = spark.read.parquet(sf + "/events.parquet")
+ev.createOrReplaceTempView("ev")
+ev.filter("event_type = 'purchase'").selectExpr(
+    "user_id", "ts", "event_id").createOrReplaceTempView("x1_purchases")
+ev.filter("event_type = 'click'").selectExpr(
+    "user_id", "ts", "event_id").createOrReplaceTempView("x1_clicks")
+df = spark.sql(qualify_sql.format(src="ev"))
 rows = sorted((r.user_id, r.event_id, round(r.value, 2)) for r in df.collect())
 plain = spark.sql("SELECT COUNT(*) AS n FROM ev").collect()[0].n
 # the word QUALIFY inside a string literal must NOT trigger the rule
@@ -59,19 +88,26 @@ lp = spark.sql(
     "(PARTITION BY user_id, date_format(ts, '(yyyy)') "
     "ORDER BY value DESC, event_id) <= 1"
 ).count()
+asof = sorted(tuple(r) for r in spark.sql(asof_sql).collect())
+asof_plan = spark.sql(asof_sql)._jdf.queryExecution().executedPlan().toString()
+asof_left_sql = asof_sql.replace("ASOF JOIN", "ASOF LEFT JOIN").replace(
+    "CAST(unix_micros", "CAST(coalesce(unix_micros").replace(
+    "AS BIGINT) AS us_since_click", ", -1) AS BIGINT) AS us_since_click")
+asof_left = sorted(tuple(r) for r in spark.sql(asof_left_sql).collect())
 print("RESULT " + json.dumps({
     "cols": df.columns, "rows": rows, "plain": plain, "lit": lit,
-    "lp": lp}))
+    "lp": lp, "asof": asof, "asof_left": asof_left,
+    "asof_wgl": "WindowGroupLimit" in asof_plan}))
 """
 
 
 @pytest.mark.skipif(not os.path.exists(JAR), reason="extension jar not built")
-def test_injected_qualify_parser_matches_duckdb_native():
+def test_injected_parser_matches_duckdb_native():
     out = subprocess.run(
-        [sys.executable, "-c", _CHILD, JAR, SF_SMALL, _QUALIFY_SQL],
+        [sys.executable, "-c", _CHILD, JAR, SF_SMALL, _QUALIFY_SQL, _ASOF_SQL],
         capture_output=True,
         text=True,
-        timeout=240,
+        timeout=300,
     )
     assert out.returncode == 0, out.stderr[-2000:]
     line = [l for l in out.stdout.splitlines() if l.startswith("RESULT ")]
@@ -90,3 +126,19 @@ def test_injected_qualify_parser_matches_duckdb_native():
         ).fetchall()
     )
     assert [tuple(r) for r in got["rows"]] == exp
+    # ASOF through the injected path == DuckDB's NATIVE ASOF JOIN (the
+    # x1 oracle semantics), and the lateral decorrelates to the rank-1
+    # WindowGroupLimit plan (no exhaustive join)
+    pq = f"{SF_SMALL}/events.parquet"
+    exp_asof = sorted(con.sql(_ASOF_DUCK.format(pq=pq, left="")).fetchall())
+    assert [tuple(r) for r in got["asof"]] == exp_asof
+    exp_left = sorted(
+        con.sql(
+            _ASOF_DUCK.replace(
+                "CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT)",
+                "CAST(coalesce(epoch_us(p.ts) - epoch_us(c.ts), -1) AS BIGINT)",
+            ).format(pq=pq, left="LEFT ")
+        ).fetchall()
+    )
+    assert [tuple(r) for r in got["asof_left"]] == exp_left
+    assert got["asof_wgl"] is True
