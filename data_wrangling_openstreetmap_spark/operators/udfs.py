@@ -803,3 +803,101 @@ def u11_udtf_table_arg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT * FROM type_stats(TABLE(u11_events) PARTITION BY event_type)"
     )
+
+
+# ---------------------------------------------------------------------------
+# U12 — COGROUPED applyInPandas: the two-sided grouped-map surface
+# (groupBy().cogroup().applyInPandas) — each user's purchases and
+# clicks arrive as a PAIR of pandas frames and pandas' merge_asof does
+# the per-user point-in-time matching. The oracle is DuckDB's NATIVE
+# ASOF LEFT JOIN: an independent engine implements the same semantics,
+# so the cogroup crossing (two Arrow streams, group alignment, empty
+# sides) is value-graded end to end.
+# ---------------------------------------------------------------------------
+
+_U12_SCHEMA = (
+    "user_id bigint, n_purchases bigint, n_matched bigint, total_gap_us bigint"
+)
+
+_U12_ORACLE = """
+SELECT p.user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       CAST(COUNT(c.ts) AS BIGINT) AS n_matched,
+       CAST(COALESCE(SUM(epoch_us(p.ts) - epoch_us(c.ts)), 0) AS BIGINT)
+         AS total_gap_us
+FROM (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+GROUP BY p.user_id
+"""
+
+
+def _asof_match_cogroup(pdf_p: "pd.DataFrame", pdf_c: "pd.DataFrame") -> "pd.DataFrame":
+    """Per-user as-of matcher: backward merge_asof of purchases onto
+    clicks, aggregated to (counts, exact µs gap total). Either side can
+    be empty — a clicks-only group contributes no output row (matching
+    the oracle's purchase-driven grouping), purchases with no prior
+    click count as unmatched."""
+    if len(pdf_p) == 0:
+        return pd.DataFrame(
+            {c: pd.Series(dtype="int64") for c in
+             ("user_id", "n_purchases", "n_matched", "total_gap_us")}
+        )
+    p = pdf_p.sort_values(["ts", "event_id"]).reset_index(drop=True)
+    c = (
+        pdf_c.sort_values("ts")
+        .rename(columns={"ts": "click_ts"})
+        .reset_index(drop=True)[["click_ts"]]
+    )
+    if len(c):
+        m = pd.merge_asof(
+            p, c, left_on="ts", right_on="click_ts", direction="backward"
+        )
+    else:
+        m = p.assign(click_ts=pd.NaT)
+    matched = m["click_ts"].notna()
+    # .value is integer nanoseconds; ntz µs arithmetic exactly as the
+    # engines compute epoch_us differences
+    gaps = (
+        (m.loc[matched, "ts"].astype("int64") - m.loc[matched, "click_ts"].astype("int64"))
+        // 1000
+    )
+    return pd.DataFrame(
+        {
+            "user_id": [int(p["user_id"].iloc[0])],
+            "n_purchases": [len(p)],
+            "n_matched": [int(matched.sum())],
+            "total_gap_us": [int(gaps.sum()) if len(gaps) else 0],
+        }
+    )
+
+
+@register("u12_cogrouped_asof", oracle=_U12_ORACLE, tags=("U3", "U2", "J7"))
+def u12_cogrouped_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped applyInPandas (the U-surface's two-sided rung): per
+    user, the purchase and click streams arrive as paired pandas
+    frames and `pd.merge_asof` performs backward point-in-time
+    matching — counts and the exact µs gap total per user. Graded
+    against DuckDB's NATIVE ASOF LEFT JOIN, so three independent
+    implementations of as-of semantics now agree (this cogroup, the
+    frontend/jvmext lowerings, and DuckDB's engine). Among clicks tied
+    on ts, any winner yields the same gap, so the aggregate is
+    tie-invariant by construction.
+
+    Scale: cogroup shuffles BOTH sides once on the group key and
+    zips matching groups into one Python worker call — the right
+    pattern when per-key logic needs two tables at once (the
+    alternative is a joined grouped-map that materializes the pair
+    cross-product first). Arrow-batched; per-group state is the
+    group's rows only.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    c = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    return (
+        p.groupBy("user_id")
+        .cogroup(c.groupBy("user_id"))
+        .applyInPandas(_asof_match_cogroup, _U12_SCHEMA)
+    )

@@ -54,6 +54,7 @@ PYTHON_ALLOWED = {
     "u4b_grouped_agg_udaf",  # GROUPED_AGG pandas UDAF — the U4 expression form
     "u5_udtf_tag_split",
     "u9_polymorphic_udtf",  # analyze()-schema UDTF — the crossing is the surface
+    "u12_cogrouped_asof",  # cogrouped applyInPandas — the two-sided crossing IS the surface
     "u11_udtf_table_arg",  # TABLE-argument UDTF consuming whole partitions —
     # the row-streamed Python aggregation surface is the thing graded
     "u6_map_in_arrow",  # top rung of the §2.8 transport ladder: bare
