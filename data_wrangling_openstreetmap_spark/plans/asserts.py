@@ -15,6 +15,7 @@ PYTHON_EVAL_MARKERS = (
     "ArrowEvalPython",
     "MapInPandas",
     "FlatMapGroupsInPandas",
+    "FlatMapCoGroupsInPandas",  # two-sided cogrouped applyInPandas (u12)
     "MapInArrow",
     # a Python Data Source scan renders as "BatchScan <name> ... (Python)"
     "(Python)",
