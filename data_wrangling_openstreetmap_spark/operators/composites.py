@@ -3713,3 +3713,84 @@ def a43_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_types"),
         (F.round(-F.sum(p * F.log2(p)), 6) + 0).alias("entropy_bits"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q48 — customer revenue-decile TRANSITION matrix (1995 → 1996): where
+# last year's deciles migrated — the mobility table behind churn-risk
+# and upsell models. Deciles use w32's closed-form rank bin
+# ((rn−1)·10)//n + 1 over the SCALABLE two-level rank, per year.
+# ---------------------------------------------------------------------------
+
+
+def _q48_year_cte(year: int, alias: str) -> str:
+    return f"""{alias}_per AS (
+  SELECT o_custkey, SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS units
+  FROM orders WHERE year(o_orderdate) = {year} GROUP BY o_custkey
+),
+{alias}_ranked AS (
+  SELECT o_custkey,
+         row_number() OVER (ORDER BY units, o_custkey) AS rn,
+         COUNT(*) OVER () AS n
+  FROM {alias}_per
+),
+{alias}_bin AS (
+  SELECT o_custkey, CAST(((rn - 1) * 10) // n + 1 AS BIGINT) AS decile
+  FROM {alias}_ranked
+)"""
+
+
+_Q48_ORACLE = f"""
+WITH {_q48_year_cte(1995, "a")},
+{_q48_year_cte(1996, "b")}
+SELECT a.decile AS decile_1995, b.decile AS decile_1996,
+       CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM a_bin a JOIN b_bin b ON a.o_custkey = b.o_custkey
+GROUP BY 1, 2
+"""
+
+
+@register("q48_decile_transition", oracle=_Q48_ORACLE, tags=("W1", "A1", "J1"))
+def q48_decile_transition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year decile migration: customers ranked by exact 1995
+    revenue and again by 1996 revenue (both via the closed-form rank
+    bin on a scalable two-level row number — no ntile, no global
+    sort), inner-joined on the customer, and counted per (from, to)
+    decile cell. Customers active in only one year drop out — the
+    matrix describes movement, not churn (q23's job).
+
+    Scale: each year is one keyed aggregation + scalable_row_number
+    (the only global window runs over O(#rank-buckets) aggregate
+    rows); the transition join is customer-keyed and the output is a
+    fixed ≤100-cell matrix.
+    """
+    from ._helpers import scalable_row_number
+
+    orders = load_table(spark, sf_dir, "orders")
+
+    def year_deciles(year: int, out: str) -> DataFrame:
+        per = (
+            orders.filter(F.year("o_orderdate") == year)
+            .groupBy("o_custkey")
+            .agg(F.sum(cents("o_totalprice")).alias("units"))
+        )
+        ranked = scalable_row_number(
+            per,
+            order_cols=[F.col("units"), F.col("o_custkey")],
+            bucket=F.floor(F.col("units") / F.lit(1 << 20)).cast("long"),
+            out="rn",
+        )
+        n_tot = per.agg(F.count("*").alias("n"))
+        x = (F.col("rn") - 1) * 10
+        return ranked.crossJoin(F.broadcast(n_tot)).select(
+            "o_custkey",
+            ((x - x % F.col("n")) / F.col("n") + 1).cast("bigint").alias(out),
+        )
+
+    a = year_deciles(1995, "decile_1995")
+    b = year_deciles(1996, "decile_1996")
+    return (
+        a.join(b, "o_custkey")
+        .groupBy("decile_1995", "decile_1996")
+        .agg(F.count("*").alias("n_customers"))
+    )

@@ -2668,3 +2668,62 @@ def s23_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum("o_totalprice").alias("revenue"),
         F.count("o_orderpriority").alias("n_with_priority"),
     )
+
+
+# ---------------------------------------------------------------------------
+# S24 — importance (weighted) sampling: keep each document with
+# probability proportional to a per-row weight — the data-mixing move
+# behind quality-weighted pretraining corpora (uniform sampling is s3/
+# s19's job). The draw is the 31-bit-masked multiplicative hash, so
+# the "random" decision is exact integer arithmetic on both engines.
+# ---------------------------------------------------------------------------
+
+_S24_ORACLE = """
+WITH w AS (
+  SELECT doc_id, lang,
+         LEAST(999, n_chars) AS wt,
+         ((doc_id % 2147483648) * 2654435761) % 1000 AS draw
+  FROM documents
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN draw < wt THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN draw < wt THEN doc_id ELSE 0 END) AS BIGINT)
+         AS kept_id_sum,
+       ROUND(CAST(SUM(wt) AS DOUBLE) / (1000 * COUNT(*)), 6) AS expected_rate
+FROM w GROUP BY lang
+"""
+
+
+@register("s24_importance_sample", oracle=_S24_ORACLE, tags=("S3", "P2", "A1"))
+def s24_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted sampling: weight = min(999, n_chars) (longer
+    documents kept more often, capped at p≈1), draw = Knuth
+    multiplicative hash of doc_id mod 1000, keep iff draw < weight —
+    per-language kept counts, an id-sum checksum of the EXACT kept
+    set, and the closed-form expected rate Σw/1000n for comparison.
+    Deterministic, reproducible, and seedable by changing the
+    multiplier — the properties a training-data sampler must have
+    (engine RNGs have none of them).
+
+    Scale: pure map-side arithmetic + one O(langs) rollup; the same
+    predicate drives the actual corpus write at 100 TB, so the sample
+    materializes without any shuffle at all.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    wt = F.least(F.lit(999), F.col("n_chars"))
+    draw = ((F.col("doc_id") % F.lit(2147483648)) * F.lit(2654435761)) % 1000
+    w = docs.select(
+        "doc_id", "lang", wt.alias("wt"), draw.alias("draw")
+    )
+    kept = F.col("draw") < F.col("wt")
+    return w.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(kept, 1).otherwise(0)).cast("bigint").alias("n_kept"),
+        F.sum(F.when(kept, F.col("doc_id")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("kept_id_sum"),
+        F.round(
+            F.sum("wt").cast("double") / (1000 * F.count("*")), 6
+        ).alias("expected_rate"),
+    )
