@@ -6679,3 +6679,64 @@ def l6_feature_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
         z("lo").alias("min_z"),
         z("hi").alias("max_z"),
     )
+
+
+# ---------------------------------------------------------------------------
+# L4/L2 — trigram NOVELTY curve: what fraction of each document's
+# distinct word trigrams is INTRODUCED by it (no earlier doc_id has
+# them) — the corpus-growth diagnostic that tells you when additional
+# crawl stops contributing new text (l2_shingle_dup_frac is the
+# symmetric contamination view; novelty is the ordered, marginal one).
+# ---------------------------------------------------------------------------
+
+_L4_NOVELTY_ORACLE = f"""
+WITH g AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, len(toks) - 1),
+           i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS shs
+  FROM (SELECT doc_id, {_ORACLE_TOKS} AS toks FROM documents)
+  WHERE len(toks) >= 3),
+s AS (SELECT doc_id, unnest(shs) AS sh FROM g),
+f AS (SELECT sh, MIN(doc_id) AS first_doc FROM s GROUP BY sh)
+SELECT s.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+       CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel,
+       ROUND(CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*), 6) AS novelty
+FROM s JOIN f USING (sh)
+GROUP BY s.doc_id
+"""
+
+
+@register("l4_trigram_novelty", oracle=_L4_NOVELTY_ORACLE, tags=("L4", "L2", "A1"))
+def l4_trigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marginal novelty per document under corpus order: a distinct
+    word trigram is NOVEL for the document with the minimum doc_id
+    that contains it; each document reports its trigram count, novel
+    count, and novelty ratio (exact integer division, round 6). A
+    corpus whose late documents trend toward novelty 0 has saturated —
+    further ingestion buys deduplication work, not information.
+
+    Scale: one shuffle to (trigram, min doc) — the inverted index the
+    dedup family already builds — then a trigram-keyed join back;
+    never an all-pairs comparison. The arrival order is doc_id here;
+    a real pipeline substitutes crawl timestamp, same plan.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = T.tokens(F.col("text"))
+    g = docs.select(
+        "doc_id", F.array_distinct(T.shingles(F.col("text"), 3)).alias("shs")
+    ).filter(F.size(toks) >= 3)
+    s = g.select("doc_id", F.explode("shs").alias("sh"))
+    f = s.groupBy("sh").agg(F.min("doc_id").alias("first_doc"))
+    j = s.join(f, "sh")
+    novel = F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    return j.groupBy("doc_id").agg(
+        F.count("*").alias("n_trigrams"),
+        F.sum(novel).cast("bigint").alias("n_novel"),
+        F.round(
+            F.sum(novel).cast("double") / F.count("*"), 6
+        ).alias("novelty"),
+    )
