@@ -3794,3 +3794,160 @@ def q48_decile_transition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("decile_1995", "decile_1996")
         .agg(F.count("*").alias("n_customers"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Q49 — Pareto frontier (2-D skyline): orders dominated by NO other
+# order on (price, recency) — the skyline operator of the classic
+# Börzsönyi/"skyline query" literature, computed as a prefix-max scan
+# instead of the O(n²) NOT EXISTS the semantics literally state.
+# ---------------------------------------------------------------------------
+
+_Q49_ORACLE = """
+WITH b AS (
+  SELECT o_orderkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+         CAST(o_orderdate AS DATE) AS d
+  FROM orders
+)
+SELECT o_orderkey, price_cents, CAST(d AS TIMESTAMP) AS order_date
+FROM b a
+WHERE NOT EXISTS (
+  SELECT 1 FROM b o
+  WHERE o.price_cents >= a.price_cents AND o.d >= a.d
+    AND (o.price_cents > a.price_cents OR o.d > a.d)
+)
+"""
+
+
+@register("q49_pareto_skyline", oracle=_Q49_ORACLE, tags=("W4", "A1", "P2"))
+def q49_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline of orders maximizing (price, recency): an order
+    survives iff no other order is ≥ on both dimensions and > on one.
+    The oracle states the semantics as the quadratic NOT EXISTS; the
+    Spark plan computes the identical set linearly — collapse to one
+    row per distinct price (its max date), prefix-max the dates over
+    STRICTLY higher prices (a lag over the price-ordered aggregate),
+    and keep a row iff it carries its price group's max date AND that
+    date strictly exceeds every higher price's best date. Rows tied on
+    both dimensions all survive (neither dominates), matching the
+    NOT EXISTS exactly.
+
+    Scale: one aggregation to O(distinct prices) rows; the only
+    ordered window runs over that aggregate (sweep-admitted), and the
+    verdict joins back by price — no self-join of the fact table,
+    ever. k-D skylines iterate the same scan per added dimension.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    b = orders.select(
+        "o_orderkey",
+        cents("o_totalprice").alias("price_cents"),
+        F.to_date("o_orderdate").alias("d"),
+    )
+    per_price = b.groupBy("price_cents").agg(F.max("d").alias("max_d"))
+    w = Window.orderBy(F.col("price_cents").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    frontier = per_price.withColumn("best_higher", F.max("max_d").over(w))
+    j = b.join(F.broadcast(frontier), "price_cents")
+    keep = (F.col("d") == F.col("max_d")) & (
+        F.col("best_higher").isNull() | (F.col("d") > F.col("best_higher"))
+    )
+    return j.filter(keep).select(
+        "o_orderkey",
+        "price_cents",
+        F.col("d").cast("timestamp").alias("order_date"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A45 — Tukey outlier fences per priority: exact quartiles by
+# bounded-domain counting (the a35/a41 recipe), IQR fences kept in
+# DOUBLED cents so the 1.5×IQR arithmetic stays integral, and the
+# outlier census an anomaly monitor publishes.
+# ---------------------------------------------------------------------------
+
+_A45_ORACLE = """
+WITH counts AS (
+  SELECT o_orderpriority AS pri,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS c,
+         CAST(COUNT(*) AS BIGINT) AS k
+  FROM orders GROUP BY 1, 2
+),
+cum AS (
+  SELECT pri, c, k,
+         SUM(k) OVER (PARTITION BY pri ORDER BY c ROWS UNBOUNDED PRECEDING) AS ck,
+         SUM(k) OVER (PARTITION BY pri) AS n
+  FROM counts
+),
+q AS (
+  SELECT pri,
+         MIN(CASE WHEN 4 * ck >= n THEN c END) AS q1,
+         MIN(CASE WHEN 4 * ck >= 3 * n THEN c END) AS q3,
+         CAST(MIN(n) AS BIGINT) AS n
+  FROM cum GROUP BY pri
+),
+f AS (
+  SELECT pri, n, q1, q3,
+         2 * q1 - 3 * (q3 - q1) AS lo2,
+         2 * q3 + 3 * (q3 - q1) AS hi2
+  FROM q
+)
+SELECT f.pri AS o_orderpriority, f.n AS n_orders,
+       f.q1 / 100.0 AS q1, f.q3 / 100.0 AS q3,
+       CAST(SUM(CASE WHEN 2 * counts.c < f.lo2 OR 2 * counts.c > f.hi2
+                     THEN counts.k ELSE 0 END) AS BIGINT) AS n_outliers
+FROM f JOIN counts ON counts.pri = f.pri
+GROUP BY 1, 2, 3, 4
+"""
+
+
+@register("a45_tukey_outliers", oracle=_A45_ORACLE, tags=("A1", "A11", "P2"))
+def a45_tukey_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority Tukey fences: lower quartile = smallest value with
+    cumulative count ≥ n/4 (pinned via the integer test 4·ck ≥ n; Q3
+    mirrors at 3n), fences at Q1 − 1.5·IQR and Q3 + 1.5·IQR carried
+    as DOUBLED cents (2·c vs 2·Q1 − 3·IQR) so the half-unit never
+    exists — outliers counted with pure integer comparisons; only the
+    displayed quartiles divide by 100.
+
+    Scale: the raw table is touched once by the counting groupBy; the
+    cumulative walks run over O(priorities × distinct cents) aggregate
+    rows (partitioned by priority); the fence check joins the tiny
+    per-priority fence table back to the COUNTS, not the raw rows.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    counts = orders.groupBy(
+        F.col("o_orderpriority").alias("pri"),
+        cents("o_totalprice").alias("c"),
+    ).agg(F.count("*").alias("k"))
+    w_cum = (
+        Window.partitionBy("pri")
+        .orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_tot = Window.partitionBy("pri")
+    cum = counts.withColumn("ck", F.sum("k").over(w_cum)).withColumn(
+        "n", F.sum("k").over(w_tot)
+    )
+    q = cum.groupBy("pri").agg(
+        F.min(F.when(4 * F.col("ck") >= F.col("n"), F.col("c"))).alias("q1"),
+        F.min(F.when(4 * F.col("ck") >= 3 * F.col("n"), F.col("c"))).alias("q3"),
+        F.min("n").cast("bigint").alias("n"),
+    )
+    f = q.select(
+        "pri", "n", "q1", "q3",
+        (2 * F.col("q1") - 3 * (F.col("q3") - F.col("q1"))).alias("lo2"),
+        (2 * F.col("q3") + 3 * (F.col("q3") - F.col("q1"))).alias("hi2"),
+    )
+    jf = counts.join(F.broadcast(f), "pri")
+    out = F.when(
+        (2 * F.col("c") < F.col("lo2")) | (2 * F.col("c") > F.col("hi2")),
+        F.col("k"),
+    ).otherwise(0)
+    return jf.groupBy(
+        F.col("pri").alias("o_orderpriority"),
+        F.col("n").alias("n_orders"),
+        (F.col("q1") / 100.0).alias("q1"),
+        (F.col("q3") / 100.0).alias("q3"),
+    ).agg(F.sum(out).cast("bigint").alias("n_outliers"))
