@@ -127,9 +127,94 @@ public class DwosSqlParser implements ParserInterface {
         + ") AS __q) AS __qq WHERE __qualify_rn <= " + n;
   }
 
+  /** Index of `word` at paren depth 0 outside quotes (word-bounded),
+   *  searching from `from`; -1 if absent. lastMatch=true returns the
+   *  LAST such occurrence. */
+  static int topLevelWord(String sql, String word, boolean lastMatch) {
+    int depth = 0;
+    char quote = 0;
+    int found = -1;
+    int n = word.length();
+    for (int i = 0; i < sql.length(); i++) {
+      char c = sql.charAt(i);
+      if (quote != 0) {
+        if (c == quote) {
+          if (i + 1 < sql.length() && sql.charAt(i + 1) == quote) i++;
+          else quote = 0;
+        }
+        continue;
+      }
+      if (c == '\'' || c == '"' || c == '`') { quote = c; continue; }
+      if (c == '(') depth++;
+      else if (c == ')') depth--;
+      else if (depth == 0
+          && Character.toUpperCase(c) == Character.toUpperCase(word.charAt(0))
+          && sql.regionMatches(true, i, word, 0, n)
+          && (i == 0 || !Character.isLetterOrDigit(sql.charAt(i - 1))
+              && sql.charAt(i - 1) != '_')
+          && (i + n >= sql.length()
+              || !Character.isLetterOrDigit(sql.charAt(i + n))
+              && sql.charAt(i + n) != '_')) {
+        if (!lastMatch) return i;
+        found = i;
+      }
+    }
+    return found;
+  }
+
+  // ---------------------------------------------------------------
+  // DISTINCT ON -> row_number()=1 rewrite (schema-free)
+  //
+  //   SELECT DISTINCT ON (<cols>) <sel> FROM <rest> ORDER BY <order>
+  //
+  // lowers to
+  //
+  //   SELECT <sel> FROM (
+  //     SELECT *, ROW_NUMBER() OVER (
+  //       PARTITION BY <cols> ORDER BY <order>) AS __don_rn
+  //     FROM <rest>
+  //   ) __dq WHERE __don_rn = 1
+  //
+  // (<rest> may carry its own WHERE/GROUP BY clauses -- the star
+  // select wraps them without needing an alias placement.)
+  //
+  // -- keep the FIRST row per key group under the statement's ORDER
+  // BY (the Postgres/DuckDB semantics). Documented restrictions: the
+  // select list must be plain columns of the FROM relation, and the
+  // statement must end with the ORDER BY clause.
+  // ---------------------------------------------------------------
+
+  private static final Pattern DON_HEAD = Pattern.compile(
+      "(?is)^\\s*SELECT\\s+DISTINCT\\s+ON\\s*\\(");
+
+  static String rewriteDistinctOn(String sql) {
+    Matcher h = DON_HEAD.matcher(sql);
+    if (!h.find()) return null;
+    int close = matchParen(sql, h.end() - 1);
+    if (close < 0) return null;
+    String cols = sql.substring(h.end(), close);
+    String afterCols = sql.substring(close + 1);
+    int fromIdx = topLevelWord(afterCols, "FROM", false);
+    if (fromIdx < 0) return null;
+    String sel = afterCols.substring(0, fromIdx).trim();
+    String tail = afterCols.substring(fromIdx + 4);
+    int obIdx = topLevelWord(tail, "ORDER", true);
+    if (obIdx < 0) return null;
+    Matcher ob = Pattern.compile("(?is)^ORDER\\s+BY\\s+").matcher(
+        tail.substring(obIdx));
+    if (!ob.find()) return null;
+    String rest = tail.substring(0, obIdx).trim();
+    String order = tail.substring(obIdx + ob.end()).replaceAll(";\\s*$", "").trim();
+    if (sel.isEmpty() || rest.isEmpty() || order.isEmpty()) return null;
+    return "SELECT " + sel + " FROM (SELECT *, ROW_NUMBER() OVER ("
+        + "PARTITION BY " + cols + " ORDER BY " + order
+        + ") AS __don_rn FROM " + rest + ") __dq WHERE __don_rn = 1";
+  }
+
   private String maybeRewrite(String sqlText) {
     String lowered = rewriteAsof(sqlText);
     if (lowered == null) lowered = rewrite(sqlText);
+    if (lowered == null) lowered = rewriteDistinctOn(sqlText);
     return lowered != null ? lowered : sqlText;
   }
 
@@ -228,7 +313,7 @@ public class DwosSqlParser implements ParserInterface {
     if (!am.find()) return null;
     String balias = am.group(1);
     String conds = tail.substring(pos + am.end());
-    String[] parts = conds.split("(?i)\s+AND\s+");
+    String[] parts = conds.split("(?i)\\s+AND\\s+");
     if (parts.length < 2) return null;
     StringBuilder where = new StringBuilder();
     String orderCol = null;

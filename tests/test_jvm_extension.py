@@ -2,20 +2,24 @@
 REAL ``spark.sql.extensions``-injected parser rule, not the pre-parse
 string-rewrite frontend. ``jvmext/dwos-sql-ext.jar`` (Java source +
 build.sh beside it) implements ParserInterface, delegating everything
-to the session parser except two documented statement shapes:
+to the session parser except three documented statement shapes:
 
 - a trailing QUALIFY clause, lowered to the ``* EXCEPT`` window/filter
   form (schema-free because Spark 4 has ``SELECT * EXCEPT``);
 - ``ASOF [LEFT] JOIN … ON k-equalities AND a.ts >= b.ts``, lowered to
   a correlated LATERAL ``ORDER BY ts DESC LIMIT 1`` subquery (schema-
   free because only the ON clause's column NAMES are needed), which
-  Spark decorrelates to the WindowGroupLimit rank-1 plan.
+  Spark decorrelates to the WindowGroupLimit rank-1 plan;
+- ``SELECT DISTINCT ON (cols) … ORDER BY …``, lowered to the
+  row_number()=1 window filter (the Postgres/DuckDB first-row-per-key
+  semantics).
 
 The extension must load with the JVM (driver extraClassPath), so this
 test drives a FRESH interpreter+JVM in a subprocess — the in-process
 test session can't exercise it. Engine-vs-engine: DuckDB runs its
-NATIVE QUALIFY and NATIVE ASOF JOIN on the same parquet, so the x1
-oracle semantics are graded through the injected path too.
+NATIVE QUALIFY, NATIVE ASOF JOIN, and NATIVE DISTINCT ON on the same
+parquet, so the x1/x5 oracle semantics are graded through the injected
+path too.
 """
 
 from __future__ import annotations
@@ -94,9 +98,13 @@ asof_left_sql = asof_sql.replace("ASOF JOIN", "ASOF LEFT JOIN").replace(
     "CAST(unix_micros", "CAST(coalesce(unix_micros").replace(
     "AS BIGINT) AS us_since_click", ", -1) AS BIGINT) AS us_since_click")
 asof_left = sorted(tuple(r) for r in spark.sql(asof_left_sql).collect())
+don = sorted((a, b, round(c, 2)) for a, b, c in (tuple(r) for r in spark.sql(
+    "SELECT DISTINCT ON (user_id) user_id, event_id, value FROM ev "
+    "WHERE event_type = 'click' "
+    "ORDER BY user_id, value DESC, event_id").collect()))
 print("RESULT " + json.dumps({
     "cols": df.columns, "rows": rows, "plain": plain, "lit": lit,
-    "lp": lp, "asof": asof, "asof_left": asof_left,
+    "lp": lp, "asof": asof, "asof_left": asof_left, "don": don,
     "asof_wgl": "WindowGroupLimit" in asof_plan}))
 """
 
@@ -142,3 +150,13 @@ def test_injected_parser_matches_duckdb_native():
     )
     assert [tuple(r) for r in got["asof_left"]] == exp_left
     assert got["asof_wgl"] is True
+    # DISTINCT ON through the injected path == DuckDB's NATIVE form
+    exp_don = sorted(
+        (a, b, round(c, 2))
+        for a, b, c in con.sql(
+            "SELECT DISTINCT ON (user_id) user_id, event_id, value "
+            f"FROM '{pq}' WHERE event_type = 'click' "
+            "ORDER BY user_id, value DESC, event_id"
+        ).fetchall()
+    )
+    assert [tuple(r) for r in got["don"]] == exp_don
