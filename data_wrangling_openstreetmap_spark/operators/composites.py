@@ -3951,3 +3951,90 @@ def a45_tukey_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("q1") / 100.0).alias("q1"),
         (F.col("q3") / 100.0).alias("q3"),
     ).agg(F.sum(out).cast("bigint").alias("n_outliers"))
+
+
+# ---------------------------------------------------------------------------
+# Q50 — concurrency curve (sweep line): how many user sessions are
+# open at once, per day — the capacity-planning statistic. Intervals
+# (30-min-gap sessions) become ±1 edge events; the running edge sum IS
+# the concurrency level, so the "interval overlap count" needs no
+# interval join at all.
+# ---------------------------------------------------------------------------
+
+_Q50_ORACLE = """
+WITH lagged AS (
+  SELECT user_id, event_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+), flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS new_sess
+  FROM lagged
+), sess_id AS (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+), sess AS (
+  SELECT user_id, MIN(ts) AS s, MAX(ts) + INTERVAL '30 minutes' AS e
+  FROM sess_id GROUP BY user_id, sid
+), edges AS (
+  SELECT s AS ts, 1 AS delta, user_id FROM sess
+  UNION ALL
+  SELECT e, -1, user_id FROM sess
+), lvl AS (
+  SELECT ts, SUM(delta) OVER (ORDER BY ts, delta, user_id
+                              ROWS UNBOUNDED PRECEDING) AS level
+  FROM edges
+)
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       CAST(MAX(level) AS BIGINT) AS max_concurrent,
+       CAST(COUNT(*) AS BIGINT) AS n_edges
+FROM lvl GROUP BY 1
+"""
+
+
+@register("q50_max_concurrency", oracle=_Q50_ORACLE, tags=("W4", "A7", "ST3"))
+def q50_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per day by sweep line: st3's 30-minute
+    gap sessions emit a +1 edge at session start and a −1 at end
+    (end = last event + gap), edges sort by (ts, delta, user) — ends
+    before starts at the same instant, so back-to-back sessions never
+    double-count — and the global prefix sum of deltas is the live
+    concurrency level, maxed per day. No interval self-join: overlap
+    counting is a linear scan of 2·|sessions| edges.
+
+    Scale: sessionization is the per-user partitioned pass; the ONLY
+    global ordering is the edge prefix sum, computed with
+    _helpers.scalable_running_sum over day buckets (the tiny global
+    window runs on O(#days) aggregates) — the sweep line survives any
+    corpus size the session store does.
+    """
+    from ._helpers import scalable_running_sum
+
+    events = load_table(spark, sf_dir, "events")
+    sess = events.groupBy(
+        F.session_window("ts", "30 minutes").alias("w"), "user_id"
+    ).agg(F.count("*").alias("n"))
+    starts = sess.select(
+        F.col("w.start").alias("ts"), F.lit(1).alias("delta"), "user_id"
+    )
+    ends = sess.select(
+        F.col("w.end").alias("ts"), F.lit(-1).alias("delta"), "user_id"
+    )
+    edges = starts.unionByName(ends)
+    day_bkt = F.unix_micros(F.col("ts").cast("timestamp"))
+    lvl = scalable_running_sum(
+        edges,
+        order_cols=["ts", "delta", "user_id"],
+        value="delta",
+        bucket=F.floor(day_bkt / (86400 * 1000000)).cast("long"),
+        out="level",
+    )
+    return lvl.groupBy(
+        F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.max("level").cast("bigint").alias("max_concurrent"),
+        F.count("*").alias("n_edges"),
+    )
