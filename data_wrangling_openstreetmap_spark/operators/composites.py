@@ -4038,3 +4038,116 @@ def q50_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("level").cast("bigint").alias("max_concurrent"),
         F.count("*").alias("n_edges"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q51 — RFM segmentation: Recency / Frequency / Monetary quintile
+# scores per customer plus the classic segment label — the marketing
+# workhorse composite, built from THREE scalable rank passes and
+# closed-form bins (no ntile, no global sort).
+# ---------------------------------------------------------------------------
+
+
+def _q51_rank_cte(metric_sql: str, alias: str, desc: bool) -> str:
+    order = f"{metric_sql} {'DESC' if desc else 'ASC'}, o_custkey"
+    return f"""{alias} AS (
+  SELECT o_custkey,
+         CAST(((row_number() OVER (ORDER BY {order}) - 1) * 5)
+              // (COUNT(*) OVER ()) + 1 AS BIGINT) AS score
+  FROM base
+)"""
+
+
+_Q51_ORACLE = f"""
+WITH base AS (
+  SELECT o_custkey,
+         MAX(o_orderdate) AS last_order,
+         CAST(COUNT(*) AS BIGINT) AS freq,
+         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS monet
+  FROM orders GROUP BY o_custkey
+),
+{_q51_rank_cte("last_order", "r", True)},
+{_q51_rank_cte("freq", "f", True)},
+{_q51_rank_cte("monet", "m", True)}
+SELECT base.o_custkey,
+       r.score AS r_score, f.score AS f_score, m.score AS m_score,
+       CASE
+         WHEN r.score <= 2 AND f.score <= 2 AND m.score <= 2 THEN 'champion'
+         WHEN r.score >= 4 AND f.score <= 2 THEN 'at_risk_loyal'
+         WHEN r.score <= 2 AND f.score >= 4 THEN 'new_promising'
+         WHEN r.score >= 4 AND f.score >= 4 AND m.score >= 4 THEN 'hibernating'
+         ELSE 'core'
+       END AS segment
+FROM base
+JOIN r ON r.o_custkey = base.o_custkey
+JOIN f ON f.o_custkey = base.o_custkey
+JOIN m ON m.o_custkey = base.o_custkey
+"""
+
+
+@register("q51_rfm_segmentation", oracle=_Q51_ORACLE, tags=("W1", "A1", "P6"))
+def q51_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM scores: customers ranked on recency (latest order first),
+    frequency, and monetary value — scores are quintile bins via the
+    closed-form ((rn−1)·5)//n + 1 over scalable two-level ranks (score
+    1 = best on every axis since all three rank DESC), then the rule
+    table maps score triples to the named segments a CRM campaign
+    targets. Every rank's ORDER BY ends in o_custkey, so ties are
+    deterministic on both engines.
+
+    Scale: one keyed aggregation, then three scalable_row_number
+    passes over the O(customers) aggregate (each one's only global
+    window runs on O(#rank-buckets) rows) joined back by customer key.
+    A windowless engine pays exactly the same three passes.
+    """
+    from ._helpers import scalable_row_number
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.groupBy("o_custkey").agg(
+        F.unix_micros(F.max("o_orderdate").cast("timestamp")).alias(
+            "last_order"
+        ),
+        F.count("*").alias("freq"),
+        F.sum(cents("o_totalprice")).alias("monet"),
+    )
+    n_tot = base.agg(F.count("*").alias("n"))
+
+    def quintile(metric: str, out: str, width: int) -> DataFrame:
+        neg = (-F.col(metric).cast("long")).alias("_negm")
+        ranked = scalable_row_number(
+            base.select("o_custkey", F.col(metric), neg),
+            order_cols=[F.col("_negm"), F.col("o_custkey")],
+            bucket=F.floor(F.col("_negm") / F.lit(width)).cast("long"),
+            out="rn",
+        )
+        x = (F.col("rn") - 1) * 5
+        return ranked.crossJoin(F.broadcast(n_tot)).select(
+            "o_custkey",
+            ((x - x % F.col("n")) / F.col("n") + 1).cast("bigint").alias(out),
+        )
+
+    r = quintile("last_order", "r_score", 86400 * 1000000 * 64)
+    f = quintile("freq", "f_score", 4)
+    m = quintile("monet", "m_score", 1 << 22)
+    j = (
+        base.select("o_custkey")
+        .join(r, "o_custkey")
+        .join(f, "o_custkey")
+        .join(m, "o_custkey")
+    )
+    seg = (
+        F.when(
+            (F.col("r_score") <= 2) & (F.col("f_score") <= 2) & (F.col("m_score") <= 2),
+            "champion",
+        )
+        .when((F.col("r_score") >= 4) & (F.col("f_score") <= 2), "at_risk_loyal")
+        .when((F.col("r_score") <= 2) & (F.col("f_score") >= 4), "new_promising")
+        .when(
+            (F.col("r_score") >= 4) & (F.col("f_score") >= 4) & (F.col("m_score") >= 4),
+            "hibernating",
+        )
+        .otherwise("core")
+    )
+    return j.select(
+        "o_custkey", "r_score", "f_score", "m_score", seg.alias("segment")
+    )

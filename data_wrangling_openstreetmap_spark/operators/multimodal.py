@@ -930,3 +930,82 @@ def m8_mime_sniff_router(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("min_doc"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# m9 — modality QUOTA mixer: compose a training mixture with fixed
+# per-modality quotas from the m8 routing — rank each class by a
+# deterministic hash draw, keep rank ≤ quota. The data-mixing step
+# between routing and decode in every multimodal training pipeline.
+# ---------------------------------------------------------------------------
+
+_M9_QUOTAS = {"image/png": 100, "audio/wav": 80, "audio/mpeg": 60, "text/plain": 40}
+
+_M9_ORACLE = f"""
+WITH s AS (
+  SELECT doc_id,
+         CASE doc_id % 4
+           WHEN 0 THEN 'image/png'
+           WHEN 1 THEN 'audio/wav'
+           WHEN 2 THEN 'audio/mpeg'
+           ELSE 'text/plain'
+         END AS mime,
+         ((doc_id % 2147483648) * 2654435761) % 1000000007 AS draw
+  FROM documents
+),
+r AS (
+  SELECT mime, doc_id,
+         row_number() OVER (PARTITION BY mime ORDER BY draw, doc_id) AS rk
+  FROM s
+),
+q(mime, quota) AS (VALUES ('image/png', 100), ('audio/wav', 80),
+                          ('audio/mpeg', 60), ('text/plain', 40))
+SELECT r.mime,
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(MIN(q.quota) AS BIGINT) AS quota,
+       CAST(SUM(doc_id) AS BIGINT) AS kept_id_sum
+FROM r JOIN q ON q.mime = r.mime
+WHERE rk <= q.quota
+GROUP BY r.mime
+"""
+
+
+@register("m9_modality_quota_mixer", oracle=_M9_ORACLE, tags=("L5", "S3", "W2"))
+def m9_modality_quota_mixer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-quota mixture over the m8 modality classes: every
+    document draws a deterministic pseudo-random rank key (the masked
+    Knuth hash), ranks WITHIN its class, and survives iff its rank is
+    inside the class quota — a reproducible stratified sample with
+    exact per-class counts, verified by the kept-set id checksum. The
+    quota table is the broadcast config a mixture experiment sweeps.
+
+    Scale: one shuffle partitioned by modality class for the
+    per-class rank (classes are few and large — at real scale salt
+    the rank with the s19 bucket trick or take per-class TakeOrdered,
+    both quota-exact); the quota dim broadcasts. Downstream decode
+    sees exactly quota-many payloads per class, which is the point.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    mime = (
+        F.when(F.col("doc_id") % 4 == 0, "image/png")
+        .when(F.col("doc_id") % 4 == 1, "audio/wav")
+        .when(F.col("doc_id") % 4 == 2, "audio/mpeg")
+        .otherwise("text/plain")
+    )
+    draw = (
+        (F.col("doc_id") % F.lit(2147483648)) * F.lit(2654435761)
+    ) % 1000000007
+    s = docs.select("doc_id", mime.alias("mime"), draw.alias("draw"))
+    w = Window.partitionBy("mime").orderBy("draw", "doc_id")
+    r = s.withColumn("rk", F.row_number().over(w))
+    quotas = spark.createDataFrame(
+        list(_M9_QUOTAS.items()), "mime string, quota int"
+    )
+    kept = r.join(F.broadcast(quotas), "mime").filter(
+        F.col("rk") <= F.col("quota")
+    )
+    return kept.groupBy("mime").agg(
+        F.count("*").alias("n_kept"),
+        F.min("quota").cast("bigint").alias("quota"),
+        F.sum("doc_id").cast("bigint").alias("kept_id_sum"),
+    )

@@ -922,3 +922,68 @@ def dq10_freshness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (lag_us > 21600000000).alias("is_stale"),
         "n_events",
     )
+
+
+# ---------------------------------------------------------------------------
+# DQ13 — duplicate-key impact: the fixture's lineitem does NOT enforce
+# (orderkey, linenumber) uniqueness (measured ~11.8k duplicate pairs
+# at sf0.01) — this audit quantifies the blast radius: how many key
+# groups are duplicated, how many rows ride them, and the cents at
+# stake if a consumer wrongly assumes PK semantics.
+# ---------------------------------------------------------------------------
+
+_DQ13_ORACLE = """
+WITH g AS (
+  SELECT l_orderkey, l_linenumber,
+         CAST(COUNT(*) AS BIGINT) AS k,
+         SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS grp_cents,
+         MIN(CAST(round(l_extendedprice * 100) AS BIGINT)) AS keep_cents
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_key_groups,
+       CAST(SUM(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups,
+       CAST(SUM(CASE WHEN k > 1 THEN k ELSE 0 END) AS BIGINT) AS n_dup_rows,
+       CAST(MAX(k) AS BIGINT) AS worst_multiplicity,
+       SUM(CASE WHEN k > 1 THEN grp_cents - keep_cents ELSE 0 END) / 100.0
+         AS overcount_value
+FROM g
+"""
+
+
+@register("dq13_duplicate_key_impact", oracle=_DQ13_ORACLE, tags=("A2", "L1", "A3"))
+def dq13_duplicate_key_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Primary-key-assumption audit on (l_orderkey, l_linenumber):
+    group multiplicities, rows riding duplicated keys, the worst
+    multiplicity, and the exact value a survivorship dedup (keep the
+    MIN-cents row — a deterministic policy) would remove from revenue
+    totals. One number a consumer checks before writing MERGE logic
+    that assumes the key is unique.
+
+    Scale: one hash aggregation on the candidate key with partial
+    map-side combine, then a 1-row rollup — the cheapest possible
+    full-table uniqueness census (dq3 grades a different key; this
+    one quantifies impact, not just existence).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    g = li.groupBy("l_orderkey", "l_linenumber").agg(
+        F.count("*").alias("k"),
+        F.sum(cents("l_extendedprice")).alias("grp_cents"),
+        F.min(cents("l_extendedprice")).alias("keep_cents"),
+    )
+    dup = F.col("k") > 1
+    return g.agg(
+        F.count("*").alias("n_key_groups"),
+        F.sum(F.when(dup, 1).otherwise(0)).cast("bigint").alias("n_dup_groups"),
+        F.sum(F.when(dup, F.col("k")).otherwise(0))
+        .cast("bigint")
+        .alias("n_dup_rows"),
+        F.max("k").cast("bigint").alias("worst_multiplicity"),
+        (
+            F.sum(
+                F.when(dup, F.col("grp_cents") - F.col("keep_cents")).otherwise(
+                    F.lit(0).cast("long")
+                )
+            )
+            / 100.0
+        ).alias("overcount_value"),
+    )
