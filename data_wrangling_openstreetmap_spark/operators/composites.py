@@ -4151,3 +4151,69 @@ def q51_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.select(
         "o_custkey", "r_score", "f_score", "m_score", seg.alias("segment")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q52 — cohort LTV triangle: cumulative revenue per acquisition cohort
+# by months-since-first-order — the lifetime-value table every growth
+# model is fit on (q23 counts retention; this accumulates value).
+# ---------------------------------------------------------------------------
+
+_Q52_ORACLE = """
+WITH first AS (
+  SELECT o_custkey,
+         MIN(CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT))
+           AS cohort_m
+  FROM orders GROUP BY o_custkey
+),
+rev AS (
+  SELECT f.cohort_m,
+         CAST(year(o.o_orderdate) * 12 + month(o.o_orderdate) AS BIGINT)
+           - f.cohort_m AS offset_m,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders o JOIN first f ON f.o_custkey = o.o_custkey
+  GROUP BY 1, 2
+)
+SELECT cohort_m, offset_m, n_orders,
+       SUM(cents) OVER (PARTITION BY cohort_m ORDER BY offset_m
+                        ROWS UNBOUNDED PRECEDING) / 100.0 AS cum_revenue
+FROM rev
+"""
+
+
+@register("q52_cohort_ltv", oracle=_Q52_ORACLE, tags=("A7", "W4", "J1"))
+def q52_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LTV triangle: each customer's cohort is their first-order month
+    (integer month index), every order lands at its month offset from
+    that cohort, and revenue accumulates per cohort across offsets —
+    the (cohort × offset) matrix whose rows are the value curves a
+    payback model extrapolates. Exact cents under the prefix sum;
+    division only at display.
+
+    Scale: the first-order table is one keyed aggregation that joins
+    back by customer (both sides customer-partitioned); the cumulative
+    window runs per cohort over O(offsets) aggregate rows — bounded by
+    the calendar, not the data.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    m = (F.year("o_orderdate") * 12 + F.month("o_orderdate")).cast("bigint")
+    first = orders.groupBy("o_custkey").agg(F.min(m).alias("cohort_m"))
+    j = orders.join(first, "o_custkey")
+    rev = j.groupBy(
+        "cohort_m", (m - F.col("cohort_m")).alias("offset_m")
+    ).agg(
+        F.count("*").alias("n_orders"),
+        F.sum(cents("o_totalprice")).alias("cents"),
+    )
+    w = (
+        Window.partitionBy("cohort_m")
+        .orderBy("offset_m")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return rev.select(
+        "cohort_m",
+        "offset_m",
+        "n_orders",
+        (F.sum("cents").over(w) / 100.0).alias("cum_revenue"),
+    )

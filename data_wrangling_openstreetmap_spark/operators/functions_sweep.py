@@ -1103,3 +1103,64 @@ def f23_hash_encode_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(b64, 1, 16).alias("b64_head"),
         F.hex(F.encode(F.substring("text", 1, 4), "utf-8")).alias("hex8"),
     )
+
+
+# ---------------------------------------------------------------------------
+# F2/F1 — URL parsing battery: Spark's dedicated parse_url() against a
+# hand-derived decomposition of the same synthesized URLs — the
+# log-analytics staple (l4_url_normalize regex-canonicalizes; this
+# grades the STRUCTURED extractor: host, path, query parameter).
+# ---------------------------------------------------------------------------
+
+_F24_ORACLE = """
+WITH u AS (
+  SELECT c_custkey,
+         'https://shop' || CAST(c_nationkey AS VARCHAR)
+           || '.example.com/seg/' || lower(c_mktsegment)
+           || '/item?cust=' || CAST(c_custkey AS VARCHAR)
+           || '&ref=mail' AS url
+  FROM customer
+)
+SELECT c_custkey,
+       regexp_extract(url, '^https://([^/]+)/', 1) AS host,
+       regexp_extract(url, '^https://[^/]+(/[^?]*)', 1) AS path,
+       regexp_extract(url, '[?&]cust=([^&]*)', 1) AS cust_param,
+       CAST(regexp_extract(url, '[?&]cust=([^&]*)', 1) AS BIGINT) AS cust_id
+FROM u
+"""
+
+
+@register("f24_parse_url_battery", oracle=_F24_ORACLE, tags=("F2", "F1", "L4"))
+def f24_parse_url_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parse_url() extraction — HOST, PATH, and a named QUERY
+    parameter — over URLs synthesized from the customer table, graded
+    against DuckDB's regex decomposition of the identical strings: two
+    unrelated implementations (a structured RFC parser vs hand
+    regexes) must agree byte-for-byte, including the typed cast of
+    the extracted parameter.
+
+    Scale: per-row JVM parsing in codegen — the clickstream-ETL hot
+    path; the structured form survives edge cases (encoded '&', port
+    suffixes) that ad-hoc regexes rot on, which is why the graded
+    recipe is parse_url and the regexes live in the oracle.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    url = F.concat(
+        F.lit("https://shop"),
+        F.col("c_nationkey").cast("string"),
+        F.lit(".example.com/seg/"),
+        F.lower("c_mktsegment"),
+        F.lit("/item?cust="),
+        F.col("c_custkey").cast("string"),
+        F.lit("&ref=mail"),
+    )
+    u = cust.select("c_custkey", url.alias("url"))
+    return u.select(
+        "c_custkey",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("cust")).alias("cust_param"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("cust"))
+        .cast("bigint")
+        .alias("cust_id"),
+    )
