@@ -2727,3 +2727,89 @@ def s24_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("wt").cast("double") / (1000 * F.count("*")), 6
         ).alias("expected_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# S25 — hidden `_metadata` file introspection (round 5+): Spark's file
+# sources expose per-row provenance (`_metadata.file_path`,
+# `file_size`, `row_index`) without any extra scan cost. The audit
+# writes a hash-bucketed, directory-partitioned parquet layout and
+# verifies — purely from metadata columns — that every bucket landed
+# in exactly one non-empty file whose directory name agrees with the
+# payload and whose row indexes are a contiguous 0..n-1 run.
+# ---------------------------------------------------------------------------
+
+_S25_ORACLE = """
+SELECT CAST(o_orderkey % 8 AS INT) AS bucket,
+       1 AS n_files,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       MIN(o_orderkey) AS min_key,
+       MAX(o_orderkey) AS max_key,
+       CAST(COUNT(*) - 1 AS BIGINT) AS max_row_index,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct_ri,
+       0 AS path_mismatches,
+       1 AS files_nonempty
+FROM orders
+GROUP BY 1
+"""
+
+
+@register("s25_file_metadata_audit", oracle=_S25_ORACLE, tags=("S1", "S4", "A1"))
+def s25_file_metadata_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write orders into a `partitionBy(bucket)` parquet layout (bucket
+    = o_orderkey % 8, one shuffle partition per bucket → exactly one
+    file per directory), read it back, and audit the layout using ONLY
+    the hidden `_metadata` struct: files per bucket, per-file row
+    counts, key ranges, `row_index` contiguity (max == n-1 AND all
+    distinct), directory-name/payload agreement, and non-empty file
+    sizes. The oracle recomputes every invariant from the logical
+    table — a metadata/payload divergence (lost file, duplicated row
+    group, mis-routed directory) surfaces as a hash mismatch.
+
+    Scale: this is the table-maintenance primitive at 100 TB —
+    dead-file detection, small-file census, and manifest validation
+    read NO payload bytes beyond the audited columns; the rollup keys
+    on O(buckets). `repartition(8, bucket)` guarantees each bucket is
+    written by exactly one task, so n_files is deterministically 1.
+    """
+    import tempfile
+
+    orders = load_table(spark, sf_dir, "orders")
+    path = tempfile.mkdtemp(prefix="dwos_s25_") + "/orders_bucketed"
+    (
+        orders.select(
+            "o_orderkey", (F.col("o_orderkey") % 8).cast("int").alias("bucket")
+        )
+        .repartition(8, "bucket")
+        .write.partitionBy("bucket")
+        .mode("overwrite")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path).select(
+        F.col("bucket").cast("int").alias("bucket"),
+        "o_orderkey",
+        F.col("_metadata.file_path").alias("fp"),
+        F.col("_metadata.file_size").alias("fsz"),
+        F.col("_metadata.row_index").alias("ri"),
+    )
+    path_bucket = F.regexp_extract("fp", r"bucket=(\d+)", 1).cast("int")
+    return (
+        back.withColumn("path_bucket", path_bucket)
+        .groupBy("bucket")
+        .agg(
+            F.countDistinct("fp").cast("int").alias("n_files"),
+            F.count("*").alias("n_rows"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+            F.max("ri").alias("max_row_index"),
+            F.countDistinct("ri").alias("n_distinct_ri"),
+            F.sum(
+                F.when(F.col("path_bucket") == F.col("bucket"), 0).otherwise(1)
+            )
+            .cast("int")
+            .alias("path_mismatches"),
+            F.min(F.when(F.col("fsz") > 0, 1).otherwise(0))
+            .cast("int")
+            .alias("files_nonempty"),
+        )
+    )
