@@ -987,3 +987,112 @@ def dq13_duplicate_key_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 100.0
         ).alias("overcount_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# dq12 — cross-table volume drift (round 5+): the referential volume
+# monitor between fact tables. Items-per-order is stable by
+# construction; a loader that drops lineitems (or double-loads them)
+# shifts the weekly ratio. Each week is z-scored against its trailing
+# 8-week baseline — the alert a warehouse fires BEFORE publishing a
+# partition whose child/parent row ratio drifted.
+# ---------------------------------------------------------------------------
+
+_DQ12_ORACLE = """
+WITH w AS (
+  SELECT CAST(datediff('day', TIMESTAMP '1991-12-30', o.o_orderdate) // 7
+              AS INT) AS wk,
+         CAST(COUNT(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,
+         CAST(COUNT(*) AS BIGINT) AS n_items
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1),
+r AS (SELECT wk, n_orders, n_items,
+             CAST((n_items * 1000) // n_orders AS BIGINT) AS ratio_milli
+      FROM w),
+base AS (
+  SELECT a.wk AS wk,
+         CAST(COUNT(*) AS BIGINT) AS baseline_n,
+         CAST(SUM(b.ratio_milli) AS BIGINT) AS sx,
+         CAST(SUM(b.ratio_milli * b.ratio_milli) AS BIGINT) AS sxx
+  FROM r a JOIN r b ON b.wk BETWEEN a.wk - 8 AND a.wk - 1 GROUP BY a.wk)
+SELECT r.wk, r.n_orders, r.n_items, r.ratio_milli,
+       COALESCE(base.baseline_n, 0) AS baseline_n,
+       CASE WHEN base.baseline_n >= 4
+             AND base.baseline_n * base.sxx - base.sx * base.sx > 0
+            THEN ROUND((r.ratio_milli
+                        - CAST(base.sx AS DOUBLE) / base.baseline_n)
+                 / sqrt(CAST(base.baseline_n * base.sxx - base.sx * base.sx
+                             AS DOUBLE)
+                        / (base.baseline_n * (base.baseline_n - 1))), 6) + 0
+       END AS z_ratio
+FROM r LEFT JOIN base ON r.wk = base.wk
+"""
+
+
+@register("dq12_cross_table_volume_drift", oracle=_DQ12_ORACLE, tags=("A1", "J1", "W4"))
+def dq12_cross_table_volume_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly items-per-order ratio (exact integer milli-units:
+    ``n_items*1000 div n_orders`` — truncating division is identical to
+    DuckDB's ``//`` because both operands are positive) z-scored
+    against the trailing 8-week baseline. The baseline join is an
+    EQUI-join: each week's ratio is exploded to the 8 future weeks it
+    baselines (offset 1..8) and re-aggregated — no range/theta join,
+    no global window. Mean and variance come from exact BIGINT Σx/Σx²
+    (identical doubles on both engines before the 6-dp round; ``+ 0``
+    normalizes -0.0); weeks with under 4 baseline weeks or zero
+    variance report NULL z.
+
+    Scale: the weekly rollup collapses the fact join to O(weeks) rows;
+    the explode×8 and re-aggregation run on that tiny table. The wk
+    integer is days-since-1991-12-30 div 7 — strictly positive for
+    this calendar, so floor == trunc on both engines (docstring bound,
+    st14/s19 precedent).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    wk = (
+        F.datediff(F.col("o_orderdate"), F.lit("1991-12-30").cast("date"))
+        .cast("long")
+        / 7
+    )
+    weekly = (
+        lineitem.join(
+            orders.select("o_orderkey", "o_orderdate"),
+            lineitem.l_orderkey == orders.o_orderkey,
+        )
+        .groupBy(F.floor(wk).cast("int").alias("wk"))
+        .agg(
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.count("*").alias("n_items"),
+        )
+        .withColumn(
+            "ratio_milli", F.expr("(n_items * 1000) div n_orders")
+        )
+    )
+    exploded = weekly.select(
+        "wk",
+        F.explode(F.sequence(F.lit(1), F.lit(8))).alias("off"),
+        F.col("ratio_milli").alias("b_ratio"),
+    ).select((F.col("wk") + F.col("off")).alias("target_wk"), "b_ratio")
+    base = exploded.groupBy("target_wk").agg(
+        F.count("*").alias("baseline_n"),
+        F.sum("b_ratio").alias("sx"),
+        F.sum(F.col("b_ratio") * F.col("b_ratio")).alias("sxx"),
+    )
+    j = weekly.join(base, weekly.wk == base.target_wk, "left")
+    num = F.col("ratio_milli") - F.col("sx").cast("double") / F.col("baseline_n")
+    den2 = F.col("baseline_n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    std = F.sqrt(
+        den2.cast("double") / (F.col("baseline_n") * (F.col("baseline_n") - 1))
+    )
+    return j.select(
+        "wk",
+        "n_orders",
+        "n_items",
+        "ratio_milli",
+        F.coalesce("baseline_n", F.lit(0)).alias("baseline_n"),
+        F.when(
+            (F.col("baseline_n") >= 4) & (den2 > 0),
+            F.round(num / std, 6) + 0,
+        ).alias("z_ratio"),
+    )
