@@ -6740,3 +6740,124 @@ def l4_trigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(novel).cast("double") / F.count("*"), 6
         ).alias("novelty"),
     )
+
+
+# ---------------------------------------------------------------------------
+# g13 — common-neighbor link prediction (round 5+): the classic graph
+# completion primitive. On the part co-purchase graph (parts sharing
+# an order), pairs that are NOT yet edges but share many neighbors are
+# the predicted next links ("customers who bought these together also
+# bought…"). Scores: raw common-neighbor count + Jaccard over the
+# union of neighborhoods.
+# ---------------------------------------------------------------------------
+
+_G13_CAP = 200
+_G13_K = 20
+
+_G13_ORACLE = f"""
+WITH pairs AS (
+  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+  FROM lineitem l1 JOIN lineitem l2
+    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey),
+adj AS (SELECT a AS u, b AS v FROM pairs UNION ALL SELECT b, a FROM pairs),
+deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM adj GROUP BY u),
+mid AS (SELECT adj.u AS m, adj.v AS x
+        FROM adj JOIN deg ON adj.u = deg.u WHERE deg.deg <= {_G13_CAP}),
+cand AS (
+  SELECT m1.x AS a, m2.x AS b, CAST(COUNT(*) AS BIGINT) AS cn
+  FROM mid m1 JOIN mid m2 ON m1.m = m2.m AND m1.x < m2.x
+  GROUP BY m1.x, m2.x),
+new_links AS (
+  SELECT c.a, c.b, c.cn FROM cand c
+  WHERE NOT EXISTS (SELECT 1 FROM pairs p WHERE p.a = c.a AND p.b = c.b))
+SELECT n.a AS part_a, n.b AS part_b, n.cn,
+       da.deg AS deg_a, db.deg AS deg_b,
+       CAST((n.cn * 1000000) // (da.deg + db.deg - n.cn) AS BIGINT)
+         AS jaccard_micro
+FROM new_links n
+JOIN deg da ON n.a = da.u
+JOIN deg db ON n.b = db.u
+ORDER BY n.cn DESC, jaccard_micro DESC, part_a, part_b
+LIMIT {_G13_K}
+"""
+
+
+@register("g13_link_prediction", oracle=_G13_ORACLE, tags=("J8", "A1", "O2"))
+def g13_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 predicted links on the part co-purchase graph: for every
+    non-edge pair sharing ≥1 common neighbor, count common neighbors
+    through middle vertices of degree ≤ 200 (the df-cap: hub middles
+    contribute candidates quadratically but evidence logarithmically,
+    so production link predictors drop them — same cap on both
+    engines, so parity is exact) and score Jaccard over the FULL
+    degree union in integer micro-units (``cn*1e6 div (deg_a+deg_b-cn)``
+    — positive operands, truncating div == DuckDB ``//``). Non-edge
+    filter is a left-anti join on the edge list; final top-k orders by
+    (cn, jaccard, pair) with the unique pair tiebreak.
+
+    Scale: candidate volume is Σ_(deg(m)≤cap) deg(m)² — the cap turns
+    the quadratic hub blowup into a tunable bound; everything is
+    equi-join + groupBy (hash-partitioned on part ids), and the top-k
+    compiles to TakeOrderedAndProject (no global sort). The edge list
+    itself is one self-join of lineitem on l_orderkey (orders are
+    ≤7 items in this schema, so per-order pair fan-out is bounded).
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    l1 = li.alias("l1")
+    l2 = li.alias("l2")
+    pairs = (
+        l1.join(
+            l2,
+            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+            & (F.col("l1.l_partkey") < F.col("l2.l_partkey")),
+        )
+        .select(
+            F.col("l1.l_partkey").alias("a"), F.col("l2.l_partkey").alias("b")
+        )
+        .distinct()
+    )
+    adj = pairs.union(pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))).toDF(
+        "u", "v"
+    )
+    deg = adj.groupBy("u").agg(F.count("*").alias("deg"))
+    mid = (
+        adj.join(deg, "u")
+        .where(F.col("deg") <= _G13_CAP)
+        .select(F.col("u").alias("m"), F.col("v").alias("x"))
+    )
+    m1 = mid.alias("m1")
+    m2 = mid.alias("m2")
+    cand = (
+        m1.join(
+            m2,
+            (F.col("m1.m") == F.col("m2.m")) & (F.col("m1.x") < F.col("m2.x")),
+        )
+        .groupBy(F.col("m1.x").alias("a"), F.col("m2.x").alias("b"))
+        .agg(F.count("*").alias("cn"))
+    )
+    new_links = cand.join(pairs, ["a", "b"], "left_anti")
+    da = deg.select(F.col("u").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("u").alias("b"), F.col("deg").alias("deg_b"))
+    scored = (
+        new_links.join(da, "a")
+        .join(db, "b")
+        .withColumn(
+            "jaccard_micro",
+            F.expr("(cn * 1000000) div (deg_a + deg_b - cn)"),
+        )
+    )
+    return (
+        scored.select(
+            F.col("a").alias("part_a"),
+            F.col("b").alias("part_b"),
+            "cn",
+            "deg_a",
+            "deg_b",
+            "jaccard_micro",
+        )
+        .orderBy(
+            F.desc("cn"), F.desc("jaccard_micro"), "part_a", "part_b"
+        )
+        .limit(_G13_K)
+    )
+
