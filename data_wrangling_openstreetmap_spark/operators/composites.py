@@ -4217,3 +4217,147 @@ def q52_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orders",
         (F.sum("cents").over(w) / 100.0).alias("cum_revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q53 — ABC/XYZ inventory classification (round 5+): the planning
+# matrix every supply chain runs. ABC buckets parts by cumulative
+# revenue share (A ≤ 70 %, B ≤ 90 %, C rest — share compared in exact
+# integer cross-products, never a float quotient); XYZ buckets by
+# demand volatility (coefficient of variation of monthly quantity:
+# X < 0.5, Y < 1.0, Z rest or unmeasurable).
+# ---------------------------------------------------------------------------
+
+_Q53_ORACLE = f"""
+WITH rev AS (
+  SELECT l_partkey, {oracle_cents('SUM(l_extendedprice)')} AS cents_rev
+  FROM lineitem GROUP BY l_partkey),
+tot AS (SELECT CAST(SUM(cents_rev) AS BIGINT) AS total_cents FROM rev),
+cum AS (
+  SELECT l_partkey, cents_rev,
+         CAST(SUM(cents_rev) OVER (ORDER BY cents_rev DESC, l_partkey)
+              AS BIGINT) AS cum_cents
+  FROM rev),
+abc AS (
+  SELECT l_partkey, cents_rev,
+         CASE WHEN 10 * cum_cents <= 7 * total_cents THEN 'A'
+              WHEN 10 * cum_cents <= 9 * total_cents THEN 'B'
+              ELSE 'C' END AS abc_class
+  FROM cum, tot),
+mq AS (
+  SELECT l_partkey,
+         CAST(date_part('year', l_shipdate) * 12
+              + date_part('month', l_shipdate) AS INT) AS mon,
+         CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS q
+  FROM lineitem GROUP BY 1, 2),
+vol AS (
+  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(q) AS BIGINT) AS sq,
+         CAST(SUM(q * q) AS BIGINT) AS sqq
+  FROM mq GROUP BY 1),
+xyz AS (
+  SELECT l_partkey,
+         CASE WHEN n < 2 THEN 'Z'
+              ELSE CASE
+                WHEN FLOOR(1000 * sqrt(CAST(n * sqq - sq * sq AS DOUBLE)
+                                       / (n * (n - 1)))
+                           / (CAST(sq AS DOUBLE) / n)) < 500 THEN 'X'
+                WHEN FLOOR(1000 * sqrt(CAST(n * sqq - sq * sq AS DOUBLE)
+                                       / (n * (n - 1)))
+                           / (CAST(sq AS DOUBLE) / n)) < 1000 THEN 'Y'
+                ELSE 'Z' END
+         END AS xyz_class
+  FROM vol)
+SELECT abc.abc_class, xyz.xyz_class,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(SUM(abc.cents_rev) AS BIGINT) AS class_cents,
+       CAST((SUM(abc.cents_rev) * 10000) // MAX(tot.total_cents) AS BIGINT)
+         AS share_bp
+FROM abc JOIN xyz ON abc.l_partkey = xyz.l_partkey, tot
+GROUP BY 1, 2
+"""
+
+
+@register("q53_abc_xyz", oracle=_Q53_ORACLE, tags=("A1", "W4", "J1"))
+def q53_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC×XYZ matrix over parts: cumulative-revenue class (descending
+    prefix sum of exact cents, inclusive of the current part; the 70/90
+    boundaries compare ``10*cum ≤ 7|9*total`` in BIGINT — exact up to
+    ~9e17 total cents, i.e. beyond 100 TB of 2-dp money) crossed with
+    the monthly-demand coefficient of variation (sample std / mean from
+    exact Σq/Σq² — identical doubles both engines; ``floor(1000·cv)``
+    bucketed at 500/1000 milli-units; parts observed in <2 months are
+    unmeasurable → Z). Output is the 9-cell planning matrix with part
+    counts, class revenue, and integer basis-point shares
+    (``class_cents*10000 div total`` — positive, trunc == floor).
+
+    Scale: the descending prefix sum is _helpers.scalable_running_sum
+    over coarse negated-cents buckets (no global single-partition
+    sort); both per-part profiles are one hash aggregation each; the
+    scalar total broadcasts via the single-row crossJoin pattern.
+    """
+    from ._helpers import scalable_running_sum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(cents("l_extendedprice")).alias("cents_rev")
+    )
+    tot = rev.agg(F.sum("cents_rev").cast("long").alias("total_cents"))
+    ranked = scalable_running_sum(
+        rev.withColumn("neg", -F.col("cents_rev")),
+        order_cols=[F.col("neg"), F.col("l_partkey")],
+        value="cents_rev",
+        bucket=F.floor(F.col("neg") / F.lit(1000000)).cast("long"),
+        out="cum_cents",
+    )
+    abc = ranked.crossJoin(F.broadcast(tot)).select(
+        "l_partkey",
+        "cents_rev",
+        "total_cents",
+        F.when(
+            10 * F.col("cum_cents") <= 7 * F.col("total_cents"), "A"
+        )
+        .when(10 * F.col("cum_cents") <= 9 * F.col("total_cents"), "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+    mon = (
+        F.year("l_shipdate") * 12 + F.month("l_shipdate")
+    ).cast("int")
+    mq = li.groupBy(
+        "l_partkey", mon.alias("mon")
+    ).agg(F.sum(F.round("l_quantity").cast("long")).alias("q"))
+    vol = mq.groupBy("l_partkey").agg(
+        F.count("*").alias("n"),
+        F.sum("q").alias("sq"),
+        F.sum(F.col("q") * F.col("q")).alias("sqq"),
+    )
+    cv_milli = F.floor(
+        1000
+        * F.sqrt(
+            (F.col("n") * F.col("sqq") - F.col("sq") * F.col("sq")).cast(
+                "double"
+            )
+            / (F.col("n") * (F.col("n") - 1))
+        )
+        / (F.col("sq").cast("double") / F.col("n"))
+    )
+    xyz = vol.select(
+        "l_partkey",
+        F.when(F.col("n") < 2, "Z")
+        .when(cv_milli < 500, "X")
+        .when(cv_milli < 1000, "Y")
+        .otherwise("Z")
+        .alias("xyz_class"),
+    )
+    return (
+        abc.join(xyz, "l_partkey")
+        .groupBy("abc_class", "xyz_class")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.sum("cents_rev").cast("long").alias("class_cents"),
+            F.expr(
+                "(sum(cents_rev) * 10000) div max(total_cents)"
+            ).alias("share_bp"),
+        )
+    )
