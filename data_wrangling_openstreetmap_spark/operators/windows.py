@@ -3437,3 +3437,121 @@ def w37_weighted_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey", "o_orderkey", "o_orderdate",
         (F.expr("(num * 100) div den") / 10000.0).alias("wma"),
     )
+
+
+# ---------------------------------------------------------------------------
+# w38 — rolling OLS trend (round 5+): the least-squares slope of daily
+# segment revenue over a trailing 28-day range frame — the trend line
+# a demand-planning dashboard draws, computed exactly. All five frame
+# sums (n, Σx, Σy, Σxy, Σx²) are BIGINT; the slope numerator/
+# denominator cross-products stay integer, and the micro-unit quotient
+# uses the split division q*1e6 + (r*1e6 div den) so nothing overflows
+# and no float quotient ever hits a ROUND-half tie.
+# ---------------------------------------------------------------------------
+
+_W38_ORACLE = """
+WITH daily AS (
+  SELECT c.c_mktsegment AS segment,
+         CAST(datediff('day', TIMESTAMP '1992-01-01', o.o_orderdate)
+              AS BIGINT) AS x,
+         CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS y
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2),
+framed AS (
+  SELECT segment, x, y,
+         CAST(COUNT(*) OVER w AS BIGINT) AS n,
+         CAST(SUM(x) OVER w AS BIGINT) AS sx,
+         CAST(SUM(y) OVER w AS BIGINT) AS sy,
+         CAST(SUM(x * y) OVER w AS BIGINT) AS sxy,
+         CAST(SUM(x * x) OVER w AS BIGINT) AS sxx
+  FROM daily
+  WINDOW w AS (PARTITION BY segment ORDER BY x
+               RANGE BETWEEN 27 PRECEDING AND CURRENT ROW))
+SELECT segment, x AS day_x, y AS y_cents, n AS n_days,
+       CASE WHEN n >= 8 AND n * sxx - sx * sx > 0 THEN
+         (CASE WHEN n * sxy - sx * sy < 0 THEN -1 ELSE 1 END)
+         * (  (abs(n * sxy - sx * sy) // (n * sxx - sx * sx)) * 1000000
+            + (abs(n * sxy - sx * sy) % (n * sxx - sx * sx)) * 1000000
+              // (n * sxx - sx * sx))
+       END AS slope_micro
+FROM framed
+"""
+
+
+@register("w38_rolling_ols", oracle=_W38_ORACLE, tags=("W4", "A7", "J1"))
+def w38_rolling_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-28-day OLS slope of daily revenue per market segment:
+    slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²) over the RANGE frame
+    [x−27, x] with x = days since 1992-01-01 (small, exact) and y =
+    exact revenue cents. Emitted in integer micro-units via
+    ``sign · (|num| div den · 1e6 + (|num| mod den) · 1e6 div den)`` —
+    every operand positive and < 2⁶³, truncating div == DuckDB ``//``,
+    so the quotient is exact with no float ROUND tie (CLAUDE.md
+    round-5 gotcha). Frames with <8 active days or zero x-variance
+    report NULL.
+
+    Scale: the daily rollup collapses orders to O(segments × calendar
+    days) rows before any window runs; the window partitions by
+    segment over that bounded aggregate (the a33 pattern — partition
+    count is fixed by the schema, row count by the calendar, both
+    independent of fact volume). One fact-side shuffle for the rollup,
+    one broadcast of the customer segment map.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    daily = (
+        orders.join(
+            F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+            orders.o_custkey == cust.c_custkey,
+        )
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.datediff(
+                F.col("o_orderdate"), F.lit("1992-01-01").cast("date")
+            )
+            .cast("long")
+            .alias("x"),
+        )
+        .agg(F.sum(cents("o_totalprice")).alias("y"))
+    )
+    w = (
+        Window.partitionBy("segment")
+        .orderBy("x")
+        .rangeBetween(-27, Window.currentRow)
+    )
+    framed = daily.select(
+        "segment",
+        "x",
+        "y",
+        F.count("*").over(w).alias("n"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum("y").over(w).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(w).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = F.when(
+        (F.col("n") >= 8) & (den > 0),
+        F.when(num < 0, -1)
+        .otherwise(1)
+        .cast("long")
+        * (
+            F.expr(
+                "abs(n * sxy - sx * sy) div (n * sxx - sx * sx)"
+            )
+            * 1000000
+            + F.expr(
+                "(abs(n * sxy - sx * sy) % (n * sxx - sx * sx)) * 1000000"
+                " div (n * sxx - sx * sx)"
+            )
+        ),
+    )
+    return framed.select(
+        "segment",
+        F.col("x").alias("day_x"),
+        F.col("y").alias("y_cents"),
+        F.col("n").alias("n_days"),
+        slope.alias("slope_micro"),
+    )
