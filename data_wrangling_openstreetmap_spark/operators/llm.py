@@ -6861,3 +6861,133 @@ def g13_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_G13_K)
     )
 
+
+
+# ---------------------------------------------------------------------------
+# l2f — LSH bucket-health diagnostic (round 5+): the tuning report for
+# the MinHash band join. Unlike l2_minhash_lsh (xxhash64 → rows-only
+# check), this builds a 16-hash signature from the SAME oracle-exact
+# base-31 gram hash winnowing uses, so every bucket statistic is
+# value-graded: bucket counts, singleton share, max bucket size, and
+# the candidate-pair volume Σ s·(s−1)/2 per band — the number that
+# decides whether a banding is safe to run at 100 TB.
+# ---------------------------------------------------------------------------
+
+_LSH_P = 2147483647
+_LSH_AB = [(7 * j + 3, 101 * j + 13) for j in range(16)]
+_LSH_BANDS = [(29791, 961, 31, 1)] * 4  # base-31 combine weights
+
+_L2F_SIG_SQL = ",\n         ".join(
+    f"list_min(list_transform(grams, x -> ({a} * x + {b}) % {_LSH_P}))"
+    f" AS m{j}"
+    for j, (a, b) in enumerate(_LSH_AB)
+)
+_L2F_KEYS_SQL = "\n  UNION ALL\n  ".join(
+    f"SELECT doc_id, {band} AS band,"
+    f" (m{4 * band} * 29791 + m{4 * band + 1} * 961"
+    f" + m{4 * band + 2} * 31 + m{4 * band + 3}) % {_LSH_P} AS key FROM sig"
+    for band in range(4)
+)
+
+_L2F_ORACLE = f"""
+WITH g AS (
+  SELECT doc_id,
+         list_transform(range(1, len(text) - {_WINNOW_K} + 2), i ->
+           ({" + ".join(f"CAST(ascii(text[i+{j}]) AS BIGINT)*{p}" for j, p in enumerate(_POW31))})
+           % {_WINNOW_MOD}) AS grams
+  FROM documents WHERE len(text) >= {_WINNOW_K}
+),
+sig AS (
+  SELECT doc_id,
+         {_L2F_SIG_SQL}
+  FROM g),
+keys AS (
+  {_L2F_KEYS_SQL}),
+buckets AS (
+  SELECT band, key, CAST(COUNT(*) AS BIGINT) AS s FROM keys GROUP BY 1, 2)
+SELECT band,
+       CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       CAST(SUM(s) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_singletons,
+       CAST(MAX(s) AS BIGINT) AS max_bucket,
+       CAST(SUM(s * (s - 1) // 2) AS BIGINT) AS candidate_pairs
+FROM buckets GROUP BY band
+"""
+
+
+@register("l2_lsh_bucket_health", oracle=_L2F_ORACLE, tags=("L2", "A1", "F5"))
+def l2_lsh_bucket_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-band LSH bucket census over a 16-hash MinHash signature
+    (4 bands × 4 rows): signature hash j is min over 8-char base-31
+    gram hashes of ``(aⱼ·g + bⱼ) mod 2³¹−1`` (aⱼ·g < 2.4e11 — exact
+    BIGINT), band keys the base-31 combine of each row group. Reports
+    bucket count, singleton share, largest bucket, and the exact
+    candidate-pair volume Σ s·(s−1)/2 — the pre-flight check that
+    tells you whether a skewed bucket would quadratically blow up the
+    band join BEFORE you run it. Every number is integer-exact and
+    hash-graded against DuckDB evaluating the identical arithmetic.
+
+    Scale: signature construction is one codepoint-array projection
+    (the l4_winnow_fingerprint O(L) recipe — no substr-in-HOF O(L²));
+    the only shuffle is the O(docs·bands) groupBy on (band, key). The
+    census is O(buckets) — this diagnostic costs a scan even when the
+    banding it audits would not.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    cps = F.transform(F.split(t, ""), lambda c: F.ascii(c).cast("long"))
+
+    def gram_hash(i: Column) -> Column:
+        total = F.lit(0).cast("long")
+        for j, p in enumerate(_POW31):
+            total = total + F.element_at(F.col("cps"), i + F.lit(j)) * F.lit(p)
+        return total % _WINNOW_MOD
+
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(F.col("cps")) - _WINNOW_K + 1), gram_hash
+    )
+    # One-arg lambda via closure factory: a default-arg lambda reads as
+    # a 3-arg HOF lambda on Spark 4 (memory gotcha list).
+    def _perm(a: int, b: int):
+        return lambda x: (x * F.lit(a) + F.lit(b)) % _LSH_P
+
+    sig = (
+        docs.filter(F.length(t) >= _WINNOW_K)
+        .select("doc_id", cps.alias("cps"))
+        .select("doc_id", grams.alias("grams"))
+        .select(
+            "doc_id",
+            *[
+                F.array_min(F.transform(F.col("grams"), _perm(a, b))).alias(
+                    f"m{j}"
+                )
+                for j, (a, b) in enumerate(_LSH_AB)
+            ],
+        )
+    )
+    band_keys = F.array(
+        *[
+            (
+                F.col(f"m{4 * band}") * 29791
+                + F.col(f"m{4 * band + 1}") * 961
+                + F.col(f"m{4 * band + 2}") * 31
+                + F.col(f"m{4 * band + 3}")
+            )
+            % _LSH_P
+            for band in range(4)
+        ]
+    )
+    keys = sig.select(
+        "doc_id", F.posexplode(band_keys).alias("band", "key")
+    )
+    buckets = keys.groupBy("band", "key").agg(F.count("*").alias("s"))
+    return buckets.groupBy("band").agg(
+        F.count("*").alias("n_buckets"),
+        F.sum("s").alias("n_docs"),
+        F.sum(F.when(F.col("s") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_singletons"),
+        F.max("s").alias("max_bucket"),
+        F.sum(F.expr("s * (s - 1) div 2")).cast("long").alias("candidate_pairs"),
+    )
