@@ -1009,3 +1009,66 @@ def m9_modality_quota_mixer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("quota").cast("bigint").alias("quota"),
         F.sum("doc_id").cast("bigint").alias("kept_id_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# m10 — content-addressed binary dedup (round 5+): the storage-side
+# dedup every multimodal lake runs BEFORE any decode — identical byte
+# payloads (re-crawled images, re-uploaded clips) collapse to one
+# stored object addressed by digest. Grouping key is sha256 over the
+# payload BYTES (never the logical column), so two assets dedup iff
+# their serialized bytes agree.
+# ---------------------------------------------------------------------------
+
+_M10_ORACLE = """
+WITH h AS (
+  SELECT doc_id, sha256(text) AS digest,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+  FROM documents)
+SELECT digest,
+       CAST(COUNT(*) AS BIGINT) AS n_copies,
+       MIN(doc_id) AS canonical_doc,
+       MAX(doc_id) AS last_doc,
+       CAST((COUNT(*) - 1) * MIN(n_bytes) AS BIGINT) AS wasted_bytes
+FROM h
+GROUP BY digest
+HAVING COUNT(*) >= 2
+"""
+
+
+@register("m10_binary_dedup", oracle=_M10_ORACLE, tags=("L5", "L1", "A5"))
+def m10_binary_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate binary-asset groups by SHA-256 digest: payload =
+    UTF-8 bytes of the document (the fixture's stand-in for image /
+    audio blobs, same synthesis as m0), digest = ``sha2(payload, 256)``
+    — DuckDB's ``sha256(text)`` hashes the identical UTF-8 bytes, so
+    the hex keys match engine-to-engine. Groups with ≥2 copies report
+    copy count, canonical (min) and latest (max) doc ids, and the
+    bytes reclaimed by keeping one copy.
+
+    Scale: digest is a map-side projection (64-byte key replaces the
+    payload in the shuffle — the whole point: the dedup shuffle moves
+    hashes, not the 100 TB of blobs); one hash aggregation keyed on
+    digest, skew-free by construction (SHA-256 is uniform). The
+    survivorship policy (min doc id) matches l1_exact_dedup's.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    h = docs.select(
+        "doc_id",
+        F.sha2(F.encode(F.col("text"), "utf-8"), 256).alias("digest"),
+        F.length(F.encode(F.col("text"), "utf-8")).cast("long").alias(
+            "n_bytes"
+        ),
+    )
+    return (
+        h.groupBy("digest")
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min("doc_id").alias("canonical_doc"),
+            F.max("doc_id").alias("last_doc"),
+            ((F.count("*") - 1) * F.min("n_bytes"))
+            .cast("long")
+            .alias("wasted_bytes"),
+        )
+        .filter(F.col("n_copies") >= 2)
+    )
