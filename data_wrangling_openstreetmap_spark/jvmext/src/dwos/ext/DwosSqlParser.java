@@ -211,7 +211,61 @@ public class DwosSqlParser implements ParserInterface {
         + ") AS __don_rn FROM " + rest + ") __dq WHERE __don_rn = 1";
   }
 
+  // ---------------------------------------------------------------
+  // * EXCLUDE (cols) -> * EXCEPT (cols) rewrite (token-level)
+  //
+  // DuckDB/Snowflake spell star-minus-columns EXCLUDE; Spark 4 spells
+  // it EXCEPT. The shapes are otherwise identical, so the lowering is
+  // a pure token substitution wherever the word EXCLUDE (outside
+  // quoted strings, word-bounded) directly follows a `*` and is
+  // directly followed by `(` -- valid at ANY paren depth, so it works
+  // inside subqueries and composes with the other rewrites (it runs
+  // as a pre-pass). An unquoted identifier or function named
+  // `exclude` never matches: it cannot be star-adjacent.
+  // ---------------------------------------------------------------
+
+  static String rewriteExclude(String sql) {
+    StringBuilder out = null;
+    char quote = 0;
+    int last = 0;
+    for (int i = 0; i < sql.length(); i++) {
+      char c = sql.charAt(i);
+      if (quote != 0) {
+        if (c == quote) {
+          if (i + 1 < sql.length() && sql.charAt(i + 1) == quote) i++;
+          else quote = 0;
+        }
+        continue;
+      }
+      if (c == '\'' || c == '"' || c == '`') { quote = c; continue; }
+      if ((c == 'e' || c == 'E')
+          && sql.regionMatches(true, i, "EXCLUDE", 0, 7)
+          && (i == 0 || !Character.isLetterOrDigit(sql.charAt(i - 1))
+              && sql.charAt(i - 1) != '_')
+          && (i + 7 >= sql.length()
+              || !Character.isLetterOrDigit(sql.charAt(i + 7))
+              && sql.charAt(i + 7) != '_')) {
+        int p = i - 1;
+        while (p >= 0 && Character.isWhitespace(sql.charAt(p))) p--;
+        int n = i + 7;
+        while (n < sql.length() && Character.isWhitespace(sql.charAt(n))) n++;
+        if (p >= 0 && sql.charAt(p) == '*'
+            && n < sql.length() && sql.charAt(n) == '(') {
+          if (out == null) out = new StringBuilder();
+          out.append(sql, last, i).append("EXCEPT");
+          last = i + 7;
+          i = n - 1;  // resume at the '(' (no depth tracking needed)
+        }
+      }
+    }
+    if (out == null) return null;
+    out.append(sql, last, sql.length());
+    return out.toString();
+  }
+
   private String maybeRewrite(String sqlText) {
+    String pre = rewriteExclude(sqlText);
+    if (pre != null) sqlText = pre;
     String lowered = rewriteAsof(sqlText);
     if (lowered == null) lowered = rewrite(sqlText);
     if (lowered == null) lowered = rewriteDistinctOn(sqlText);

@@ -102,10 +102,27 @@ don = sorted((a, b, round(c, 2)) for a, b, c in (tuple(r) for r in spark.sql(
     "SELECT DISTINCT ON (user_id) user_id, event_id, value FROM ev "
     "WHERE event_type = 'click' "
     "ORDER BY user_id, value DESC, event_id").collect()))
+ev.selectExpr("user_id", "event_id", "value", "event_type").createOrReplaceTempView("ev4")
+exdf = spark.sql("SELECT * EXCLUDE (event_type, value) FROM ev4 "
+                 "WHERE event_type = 'purchase'")
+excl = {"cols": exdf.columns,
+        "rows": sorted((r.user_id, r.event_id) for r in exdf.collect())}
+# EXCLUDE composes with QUALIFY (pre-pass) and in subqueries
+exq = spark.sql("SELECT * EXCLUDE (value, event_type) FROM ev4 "
+                "QUALIFY ROW_NUMBER() OVER "
+                "(PARTITION BY user_id ORDER BY event_id) <= 1")
+excl_q = {"cols": exq.columns, "n": exq.count()}
+exs = spark.sql("SELECT COUNT(*) AS n FROM "
+                "(SELECT * EXCLUDE (props) FROM ev) t")
+excl_sub = exs.collect()[0].n
+# star-adjacency guard: a string literal containing EXCLUDE( unchanged
+exlit = spark.sql("SELECT '* EXCLUDE (x)' AS s FROM ev LIMIT 1").collect()[0].s
 print("RESULT " + json.dumps({
     "cols": df.columns, "rows": rows, "plain": plain, "lit": lit,
     "lp": lp, "asof": asof, "asof_left": asof_left, "don": don,
-    "asof_wgl": "WindowGroupLimit" in asof_plan}))
+    "asof_wgl": "WindowGroupLimit" in asof_plan,
+    "excl": excl, "excl_q": excl_q, "excl_sub": excl_sub,
+    "exlit": exlit}))
 """
 
 
@@ -160,3 +177,18 @@ def test_injected_parser_matches_duckdb_native():
         ).fetchall()
     )
     assert [tuple(r) for r in got["don"]] == exp_don
+    # EXCLUDE through the injected path == DuckDB's NATIVE EXCLUDE
+    exp_excl = con.sql(
+        "SELECT * EXCLUDE (event_type, value) FROM "
+        f"(SELECT user_id, event_id, value, event_type FROM '{pq}') "
+        "WHERE event_type = 'purchase'"
+    )
+    assert got["excl"]["cols"] == [c for c in exp_excl.columns]
+    assert [tuple(r) for r in got["excl"]["rows"]] == sorted(
+        exp_excl.fetchall()
+    )
+    # composed EXCLUDE + QUALIFY: helper and excluded columns both gone
+    assert got["excl_q"]["cols"] == ["user_id", "event_id"]
+    assert got["excl_q"]["n"] == 15  # one row per user
+    assert got["excl_sub"] == 1000  # EXCLUDE lowers inside subqueries
+    assert got["exlit"] == "* EXCLUDE (x)"  # literals never rewritten
