@@ -4361,3 +4361,111 @@ def q53_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("share_bp"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# a47 — discrete-time repurchase hazard curve (round 5+): classic
+# survival analysis on the order history. For each week k since a
+# customer's first purchase: how many customers were still "at risk"
+# (no second purchase yet, observation window long enough to see week
+# k) and how many made their second purchase that week. The hazard
+# h(k) = events/at-risk is the curve retention teams read; censoring
+# (customers whose window ends before week k) is handled the
+# Kaplan–Meier way — they leave the risk set, they don't count as
+# events.
+# ---------------------------------------------------------------------------
+
+_A47_HORIZON_W = 26
+
+_A47_ORACLE = f"""
+WITH firsts AS (
+  SELECT o_custkey AS c, MIN(o_orderdate) AS f FROM orders GROUP BY 1),
+seconds AS (
+  SELECT o.o_custkey AS c, MIN(o.o_orderdate) AS s
+  FROM orders o JOIN firsts ON o.o_custkey = firsts.c
+  WHERE o.o_orderdate > firsts.f GROUP BY 1),
+horizon AS (SELECT MAX(o_orderdate) AS mx FROM orders),
+cust AS (
+  SELECT firsts.c,
+         CAST(datediff('day', firsts.f, horizon.mx) // 7 AS BIGINT) AS obs_w,
+         CAST(datediff('day', firsts.f, seconds.s) // 7 AS BIGINT) AS w
+  FROM firsts LEFT JOIN seconds ON firsts.c = seconds.c, horizon),
+ks AS (SELECT CAST(k AS INT) AS k FROM generate_series(0, {_A47_HORIZON_W}) t(k)),
+cells AS (
+  SELECT ks.k,
+         CASE WHEN cust.obs_w >= ks.k AND (cust.w IS NULL OR cust.w >= ks.k)
+              THEN 1 ELSE 0 END AS at_risk,
+         CASE WHEN cust.w = ks.k AND cust.obs_w >= ks.k
+              THEN 1 ELSE 0 END AS ev
+  FROM cust, ks)
+SELECT k, CAST(SUM(at_risk) AS BIGINT) AS n_at_risk,
+       CAST(SUM(ev) AS BIGINT) AS n_events,
+       CAST((SUM(ev) * 10000) // SUM(at_risk) AS BIGINT) AS hazard_bp
+FROM cells GROUP BY k HAVING SUM(at_risk) > 0
+"""
+
+
+@register("a47_hazard_curve", oracle=_A47_ORACLE, tags=("A1", "J2", "W3"))
+def a47_hazard_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly repurchase hazard over the first 26 weeks of each
+    customer's lifetime: time-to-second-purchase in whole weeks
+    (``datediff div 7`` — non-negative, trunc == floor), right-censored
+    at the corpus horizon (global max order date, a one-row broadcast
+    scalar). ``hazard_bp = events*10000 div at_risk`` is exact integer
+    basis points; weeks nobody could have reached are dropped.
+
+    Scale: two hash aggregations on o_custkey (first/second purchase
+    — the second via a self-join filtered to post-first orders, same
+    shuffle key), then a ×27 literal-range explode on the O(customers)
+    profile and an O(horizon) rollup. No window functions at all —
+    the risk-set recurrence is expressed as a per-(customer, week)
+    predicate, so the whole curve is two shuffles over bounded data.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    firsts = orders.groupBy(F.col("o_custkey").alias("c")).agg(
+        F.min("o_orderdate").alias("f")
+    )
+    seconds = (
+        orders.join(firsts, orders.o_custkey == firsts.c)
+        .where(F.col("o_orderdate") > F.col("f"))
+        .groupBy("c")
+        .agg(F.min("o_orderdate").alias("s"))
+    )
+    horizon = orders.agg(F.max("o_orderdate").alias("mx"))
+    cust = (
+        firsts.join(seconds, "c", "left")
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            "c",
+            F.expr("datediff(mx, f) div 7").cast("long").alias("obs_w"),
+            F.expr("datediff(s, f) div 7").cast("long").alias("w"),
+        )
+    )
+    cells = cust.select(
+        "obs_w",
+        "w",
+        F.explode(F.sequence(F.lit(0), F.lit(_A47_HORIZON_W))).alias("k"),
+    ).select(
+        F.col("k").cast("int").alias("k"),
+        F.when(
+            (F.col("obs_w") >= F.col("k"))
+            & (F.col("w").isNull() | (F.col("w") >= F.col("k"))),
+            1,
+        )
+        .otherwise(0)
+        .alias("at_risk"),
+        F.when(
+            (F.col("w") == F.col("k")) & (F.col("obs_w") >= F.col("k")), 1
+        )
+        .otherwise(0)
+        .alias("ev"),
+    )
+    return (
+        cells.groupBy("k")
+        .agg(
+            F.sum("at_risk").cast("long").alias("n_at_risk"),
+            F.sum("ev").cast("long").alias("n_events"),
+            F.expr("(sum(ev) * 10000) div sum(at_risk)").alias("hazard_bp"),
+        )
+        .filter(F.col("n_at_risk") > 0)
+    )

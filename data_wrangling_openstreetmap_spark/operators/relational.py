@@ -2813,3 +2813,124 @@ def s25_file_metadata_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("files_nonempty"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# S27 — custom Python Data Source (round 5+): Spark 4's
+# ``pyspark.sql.datasource`` API, the sanctioned way to wrap an
+# external system (REST cursor, device fleet, message-log snapshot)
+# as a first-class parallel source. The source below synthesizes a
+# deterministic telemetry feed from a closed-form row formula, so the
+# oracle regenerates the identical rows with generate_series — the
+# whole source→scan→aggregate path is value-graded.
+# ---------------------------------------------------------------------------
+
+_S27_PARTS = 8
+_S27_ROWS = 12500
+_S27_STATUSES = (
+    "ok", "warn", "error", "offline", "calibrating", "degraded", "unknown",
+)
+
+try:  # pyspark>=4 only; gate so module import never breaks
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+    )
+
+    class SynthTelemetryDataSource(DataSource):
+        """``dwos_synth``: seq → (device, reading, status) by formula.
+
+        reading_milli = ((seq mod 2³¹)·2654435761) mod 10⁶ (the s19
+        31-bit-masked Knuth hash — ANSI-overflow-safe), device = seq
+        mod 97, status = STATUSES[seq mod 7].
+        """
+
+        @classmethod
+        def name(cls) -> str:
+            return "dwos_synth"
+
+        def schema(self) -> str:
+            return (
+                "seq bigint, device_id int, reading_milli bigint,"
+                " status string"
+            )
+
+        def reader(self, schema):  # noqa: ARG002 - fixed schema
+            return _SynthTelemetryReader(self.options)
+
+    class _SynthTelemetryReader(DataSourceReader):
+        def __init__(self, options):
+            self.n_parts = int(options.get("partitions", _S27_PARTS))
+            self.rows_per = int(options.get("rowsperpartition", _S27_ROWS))
+
+        def partitions(self):
+            return [InputPartition(p) for p in range(self.n_parts)]
+
+        def read(self, partition):
+            base = partition.value * self.rows_per
+            for i in range(base, base + self.rows_per):
+                h = ((i % 2147483648) * 2654435761) % 1000000
+                yield (i, i % 97, h, _S27_STATUSES[i % 7])
+
+    _S27_AVAILABLE = True
+except ImportError:  # pragma: no cover - pyspark<4 fallback
+    _S27_AVAILABLE = False
+
+
+_S27_TOTAL = _S27_PARTS * _S27_ROWS
+
+_S27_STATUS_CASE = "CASE CAST(i % 7 AS INT) " + " ".join(
+    f"WHEN {j} THEN '{s}'" for j, s in enumerate(_S27_STATUSES)
+) + " END"
+
+_S27_ORACLE = f"""
+WITH r AS (
+  SELECT i AS seq,
+         CAST(i % 97 AS INT) AS device_id,
+         ((i % 2147483648) * 2654435761) % 1000000 AS reading_milli,
+         {_S27_STATUS_CASE} AS status
+  FROM generate_series(0, {_S27_TOTAL - 1}) t(i))
+SELECT status,
+       CAST(COUNT(*) AS BIGINT) AS n_readings,
+       CAST(COUNT(DISTINCT device_id) AS BIGINT) AS n_devices,
+       CAST(SUM(reading_milli) AS BIGINT) AS total_milli,
+       MIN(seq) AS first_seq,
+       MAX(seq) AS last_seq
+FROM r GROUP BY status
+"""
+
+
+@register("s27_python_datasource", oracle=_S27_ORACLE, tags=("S2", "S1", "A1"))
+def s27_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Register the ``dwos_synth`` Python Data Source and aggregate its
+    100 000-row telemetry feed per status: the full custom-source path
+    — ``spark.dataSource.register`` → ``read.format("dwos_synth")`` →
+    per-partition Python generators → JVM aggregation — graded against
+    DuckDB regenerating the same closed-form rows. Exact integers
+    everywhere (the Knuth draw is 31-bit-masked before multiplying).
+
+    Scale: the DataSource API's unit of parallelism is the
+    InputPartition list — 8 here, one per external shard; a real fleet
+    source returns one partition per device range/cursor page and each
+    executor pulls independently (no driver funnel). The Python rows
+    cross into the JVM Arrow-batched; everything after the scan is
+    ordinary whole-stage-codegen aggregation. This is the intended
+    pattern for sources Spark lacks a connector for.
+    """
+    if not _S27_AVAILABLE:  # pragma: no cover
+        raise NotImplementedError("pyspark.sql.datasource requires Spark 4")
+    spark.dataSource.register(SynthTelemetryDataSource)
+    feed = (
+        spark.read.format("dwos_synth")
+        .option("partitions", _S27_PARTS)
+        .option("rowsPerPartition", _S27_ROWS)
+        .load()
+    )
+    return feed.groupBy("status").agg(
+        F.count("*").alias("n_readings"),
+        F.countDistinct("device_id").alias("n_devices"),
+        F.sum("reading_milli").cast("long").alias("total_milli"),
+        F.min("seq").alias("first_seq"),
+        F.max("seq").alias("last_seq"),
+    )
