@@ -3075,3 +3075,130 @@ def s28_pushdown_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("seq").alias("last_seq"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# S29 — custom Python Data SINK (round 5+): the write half of the
+# DataSource API, with the two-phase commit a real external sink
+# needs. Each task writes its partition to a staging JSONL file and
+# returns a commit message (path + row count); the driver-side
+# ``commit`` atomically promotes staging → final only when EVERY task
+# succeeded, so a failed job leaves no partial output. The roundtrip
+# (orders → custom sink → JSON scan → rollup) is value-graded.
+# ---------------------------------------------------------------------------
+
+if _S27_AVAILABLE:
+    import dataclasses as _dc
+
+    from pyspark.sql.datasource import (  # noqa: E402
+        DataSourceWriter,
+        WriterCommitMessage,
+    )
+
+    @_dc.dataclass
+    class _JsonlCommit(WriterCommitMessage):
+        staged: str
+        n_rows: int
+
+    class JsonlSinkDataSource(DataSource):
+        """``dwos_jsonl_sink``: staged-file JSONL sink with 2PC."""
+
+        @classmethod
+        def name(cls) -> str:
+            return "dwos_jsonl_sink"
+
+        def writer(self, schema, overwrite):  # noqa: ARG002
+            return _JsonlSinkWriter(self.options["path"], list(schema.names))
+
+    class _JsonlSinkWriter(DataSourceWriter):
+        def __init__(self, path: str, cols: list):
+            self.path = path
+            self.cols = cols
+
+        def write(self, iterator):
+            import json
+            import os
+            import uuid
+
+            staging = os.path.join(self.path, "_staging")
+            os.makedirs(staging, exist_ok=True)
+            fname = os.path.join(staging, f"part-{uuid.uuid4().hex}.jsonl")
+            n = 0
+            with open(fname, "w", encoding="utf-8") as fh:
+                for row in iterator:
+                    fh.write(
+                        json.dumps(
+                            dict(zip(self.cols, row)), default=str
+                        )
+                        + "\n"
+                    )
+                    n += 1
+            return _JsonlCommit(staged=fname, n_rows=n)
+
+        def commit(self, messages):
+            import os
+
+            # All tasks succeeded -> atomic per-file rename out of
+            # staging. A real sink would commit a manifest here.
+            for m in messages:
+                final = os.path.join(self.path, os.path.basename(m.staged))
+                os.replace(m.staged, final)
+
+        def abort(self, messages):
+            import os
+
+            for m in messages:
+                if m is not None and os.path.exists(m.staged):
+                    os.remove(m.staged)
+
+
+_S29_ORACLE = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM orders
+WHERE o_orderstatus = 'F'
+GROUP BY o_orderpriority
+"""
+
+
+@register("s29_python_datasink", oracle=_S29_ORACLE, tags=("S5", "S4", "A1"))
+def s29_python_datasink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write finished orders through the custom ``dwos_jsonl_sink``
+    (per-task staging files + driver-side two-phase commit), read the
+    committed JSONL back with the ordinary JSON scan, and roll up per
+    priority in exact cents. A mismatch anywhere in the write path —
+    dropped task output, double commit, truncated file — breaks the
+    hash against DuckDB computing from the logical table.
+
+    Scale: each task streams its partition straight to its own staged
+    file (no driver funnel, no cross-task coordination until the
+    O(tasks) commit-message list); ``commit`` promotes files only
+    after every task reported success — the same
+    stage-then-atomically-publish contract every lakehouse sink
+    implements. Cents survive the JSON text roundtrip losslessly
+    (2-dp doubles).
+    """
+    import tempfile
+
+    if not _S27_AVAILABLE:  # pragma: no cover
+        raise NotImplementedError("pyspark.sql.datasource requires Spark 4")
+    spark.dataSource.register(JsonlSinkDataSource)
+    orders = load_table(spark, sf_dir, "orders")
+    path = tempfile.mkdtemp(prefix="dwos_s29_") + "/orders_jsonl"
+    (
+        orders.filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .write.format("dwos_jsonl_sink")
+        .option("path", path)
+        .mode("append")
+        .save()
+    )
+    back = spark.read.schema(
+        "o_orderkey bigint, o_orderpriority string, o_totalprice double"
+    ).json(path + "/*.jsonl")
+    return back.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(cents("o_totalprice")).alias("total_cents"),
+    )
