@@ -4469,3 +4469,161 @@ def a47_hazard_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_at_risk") > 0)
     )
+
+
+# ---------------------------------------------------------------------------
+# a48 — trimmed mean (round 5+): the robust location estimate between
+# a35's median/MAD and the plain average — drop the cheapest and
+# priciest 5 % of orders per segment, average the middle 90 % in
+# exact cents. Rank-based, so it needs a unique tiebreak, not a value
+# threshold (ties at the cut must resolve identically on both
+# engines).
+# ---------------------------------------------------------------------------
+
+_A48_ORACLE = """
+WITH j AS (
+  SELECT c.c_mktsegment AS segment, o.o_orderkey,
+         CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+r AS (
+  SELECT segment, cents,
+         ROW_NUMBER() OVER (PARTITION BY segment
+                            ORDER BY cents, o_orderkey) AS rk,
+         COUNT(*) OVER (PARTITION BY segment) AS n
+  FROM j)
+SELECT segment,
+       CAST(MAX(n) AS BIGINT) AS n_orders,
+       CAST(2 * (MAX(n) // 20) AS BIGINT) AS n_trimmed,
+       ROUND(SUM(CASE WHEN rk > n // 20 AND rk <= n - n // 20
+                      THEN cents ELSE 0 END) / 100.0
+             / SUM(CASE WHEN rk > n // 20 AND rk <= n - n // 20
+                        THEN 1 ELSE 0 END), 6) + 0 AS trimmed_mean
+FROM r GROUP BY segment
+"""
+
+
+@register("a48_trimmed_mean", oracle=_A48_ORACLE, tags=("A1", "W1", "J1"))
+def a48_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5 %-each-side trimmed mean of order value per market segment:
+    rank orders by (cents, orderkey) within segment, drop the bottom
+    and top ``n div 20`` ranks, average the exact-cent sum of the rest
+    (identical BIGINT sum ÷ identical count → identical doubles before
+    the 6-dp round; ``+ 0`` normalizes -0.0). The unique orderkey
+    tiebreak makes the cut deterministic under value ties.
+
+    Scale: one fact shuffle on segment for the window (5 segments —
+    same bounded-partition posture as w38; at higher group cardinality
+    this exact form partitions naturally, and below ~dozens of groups
+    the two-level scalable_row_number variant applies). The trim is a
+    rank predicate inside the same aggregation — no second pass.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    j = orders.join(
+        F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+        orders.o_custkey == cust.c_custkey,
+    ).select(
+        F.col("c_mktsegment").alias("segment"),
+        "o_orderkey",
+        cents("o_totalprice").alias("cents"),
+    )
+    w = Window.partitionBy("segment").orderBy("cents", "o_orderkey")
+    wn = Window.partitionBy("segment")
+    r = j.select(
+        "segment",
+        "cents",
+        F.row_number().over(w).alias("rk"),
+        F.count("*").over(wn).alias("n"),
+    )
+    kept = (F.col("rk") > F.expr("n div 20")) & (
+        F.col("rk") <= F.col("n") - F.expr("n div 20")
+    )
+    return r.groupBy("segment").agg(
+        F.max("n").cast("long").alias("n_orders"),
+        (2 * F.expr("max(n) div 20")).cast("long").alias("n_trimmed"),
+        (
+            F.round(
+                F.sum(F.when(kept, F.col("cents")).otherwise(0)) / 100.0
+                / F.sum(F.when(kept, 1).otherwise(0)),
+                6,
+            )
+            + 0
+        ).alias("trimmed_mean"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q54 — order-level SLA attainment (round 5+): did the WHOLE order
+# ship within its priority's promise? Order-level because the last
+# lineitem defines fulfilment — a per-line rate would overstate
+# attainment whenever one straggler line blows the promise.
+# ---------------------------------------------------------------------------
+
+_Q54_ORACLE = """
+WITH ship AS (
+  SELECT l_orderkey, MAX(l_shipdate) AS last_ship
+  FROM lineitem GROUP BY 1),
+sla AS (
+  SELECT o.o_orderpriority,
+         CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 30
+              WHEN o.o_orderpriority = '3-MEDIUM' THEN 60
+              ELSE 90 END AS sla_days,
+         CAST(datediff('day', o.o_orderdate, s.last_ship) AS BIGINT)
+           AS days_to_ship
+  FROM orders o JOIN ship s ON o.o_orderkey = s.l_orderkey)
+SELECT o_orderpriority,
+       CAST(MAX(sla_days) AS INT) AS sla_days,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CASE WHEN days_to_ship <= sla_days THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_attained,
+       CAST((SUM(CASE WHEN days_to_ship <= sla_days THEN 1 ELSE 0 END)
+             * 10000) // COUNT(*) AS BIGINT) AS attainment_bp,
+       CAST(MAX(days_to_ship) AS BIGINT) AS worst_days
+FROM sla GROUP BY o_orderpriority
+"""
+
+
+@register("q54_sla_attainment", oracle=_Q54_ORACLE, tags=("A1", "J1", "P6"))
+def q54_sla_attainment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share of orders whose LAST lineitem shipped within the
+    priority-dependent SLA (urgent/high 30 days, medium 60, rest 90),
+    in integer basis points (``attained*10000 div n`` — positive,
+    trunc == ``//``), plus the worst observed fulfilment time.
+
+    Scale: the per-order last-ship reduction is one hash aggregation
+    on l_orderkey; the orders join shares that key (co-partitioned
+    shuffle, no broadcast needed for the fact side); the final rollup
+    keys on 5 priorities. Calendar arithmetic is integer days.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    ship = li.groupBy("l_orderkey").agg(F.max("l_shipdate").alias("last_ship"))
+    sla_days = (
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 30
+        )
+        .when(F.col("o_orderpriority") == "3-MEDIUM", 60)
+        .otherwise(90)
+    )
+    sla = orders.join(
+        ship, orders.o_orderkey == ship.l_orderkey
+    ).select(
+        "o_orderpriority",
+        sla_days.alias("sla_days"),
+        F.datediff("last_ship", "o_orderdate").cast("long").alias(
+            "days_to_ship"
+        ),
+    )
+    att = F.sum(
+        F.when(F.col("days_to_ship") <= F.col("sla_days"), 1).otherwise(0)
+    )
+    return sla.groupBy("o_orderpriority").agg(
+        F.max("sla_days").cast("int").alias("sla_days"),
+        F.count("*").alias("n_orders"),
+        att.cast("long").alias("n_attained"),
+        F.expr(
+            "(sum(case when days_to_ship <= sla_days then 1 else 0 end)"
+            " * 10000) div count(*)"
+        ).alias("attainment_bp"),
+        F.max("days_to_ship").alias("worst_days"),
+    )
