@@ -668,3 +668,56 @@ def test_stream_daily_distinct_users_converges_minus_final_window(
     )
     assert set(got) <= set(want)  # soundness: every emitted row is exact
     assert got == want[:-1]  # completeness: all but the final window
+
+
+def test_python_stream_source_availablenow_equals_batch(spark):
+    """The custom Python streaming source (st24's contract): readStream
+    over dwos_synth_stream drains in availableNow micro-batches; the
+    complete-mode per-batch rollup must equal the batch form of the
+    same closed-form feed (complete mode: the final table is total, no
+    watermark semantics involved)."""
+    from data_wrangling_openstreetmap_spark.operators.relational import (
+        SynthStreamDataSource,
+        _S30_BATCH,
+    )
+    from data_wrangling_openstreetmap_spark.registry import REGISTRY
+
+    spark.dataSource.register(SynthStreamDataSource)
+    stream = (
+        spark.readStream.format("dwos_synth_stream")
+        .option("totalRows", 100000)
+        .option("batchRows", _S30_BATCH)
+        .load()
+    )
+    q = (
+        stream.groupBy(F.expr(f"seq div {_S30_BATCH}").alias("batch_id"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("reading_milli").cast("long").alias("total_milli"),
+            F.sum(F.when(F.col("status") == "error", 1).otherwise(0))
+            .cast("long")
+            .alias("n_errors"),
+        )
+        .writeStream.format("memory")
+        .queryName("sink_pysource")
+        .outputMode("complete")
+        .start()
+    )
+    # A simple stream reader defines one micro-batch per read() call
+    # (availableNow would drain exactly one), so run the query on the
+    # default trigger and poll the complete-mode sink until all ten
+    # offset spans have been consumed.
+    import time
+
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        if spark.table("sink_pysource").count() >= 10:
+            break
+        time.sleep(1)
+    q.stop()
+    got = sorted(tuple(r) for r in spark.table("sink_pysource").collect())
+    want = sorted(
+        tuple(r)
+        for r in REGISTRY["st24_python_stream_source"].fn(spark, SF).collect()
+    )
+    assert got == want
