@@ -3327,3 +3327,94 @@ def st24_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_errors"),
     )
+
+
+# ---------------------------------------------------------------------------
+# S31 — compression-codec roundtrips (round 5+): the same projection
+# through three codec×container combinations a lake actually mixes —
+# gzip CSV (the interchange standard), deflate JSONL (the
+# always-available pure-Java codec), zstd parquet (the storage standard). Each path must
+# decompress to byte-identical logical rows; the union rollup keyed by
+# path makes any codec-specific corruption show as a per-path hash
+# break.
+# ---------------------------------------------------------------------------
+
+_S31_ORACLE = """
+SELECT path, s_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+       CAST(SUM(CAST(round(s_acctbal * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM (
+  SELECT 'csv_gzip' AS path, s_nationkey, s_acctbal FROM supplier
+  UNION ALL
+  SELECT 'json_deflate', s_nationkey, s_acctbal FROM supplier
+  UNION ALL
+  SELECT 'parquet_zstd', s_nationkey, s_acctbal FROM supplier)
+GROUP BY path, s_nationkey
+"""
+
+
+@register("s31_compressed_roundtrip", oracle=_S31_ORACLE, tags=("S4", "S5", "S1"))
+def s31_compressed_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write suppliers through gzip-CSV, deflate-JSONL, zstd-parquet;
+    read each back and aggregate per (path, nation) in exact cents.
+    The oracle computes the same rollup three times from the logical
+    table — a codec that drops, duplicates, or mangles rows on either
+    the write or read side breaks exactly its own path's hash.
+
+    Scale: codec choice is a first-order cost knob at 100 TB — zstd
+    parquet ≈ 2–3× smaller than snappy for this shape at similar scan
+    speed, while gzip text is splittable only per-FILE, so the gzip
+    CSV path deliberately writes multiple files (repartition(4)) to
+    keep read parallelism. All three reads stream through the normal
+    distributed scans.
+    """
+    import tempfile
+
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey", "s_acctbal"
+    )
+    base = tempfile.mkdtemp(prefix="dwos_s31_")
+    schema = "s_suppkey bigint, s_nationkey bigint, s_acctbal double"
+    (
+        sup.repartition(4)
+        .write.option("compression", "gzip")
+        .option("header", True)
+        .mode("overwrite")
+        .csv(base + "/csv_gzip")
+    )
+    (
+        sup.write.option("compression", "deflate")
+        .mode("overwrite")
+        .json(base + "/json_deflate")
+    )
+    (
+        sup.write.option("compression", "zstd")
+        .mode("overwrite")
+        .parquet(base + "/pq_zstd")
+    )
+    csv_back = (
+        spark.read.schema(schema)
+        .option("header", True)
+        .csv(base + "/csv_gzip")
+        .select(F.lit("csv_gzip").alias("path"), "s_nationkey", "s_acctbal")
+    )
+    json_back = (
+        spark.read.schema(schema)
+        .json(base + "/json_deflate")
+        .select(
+            F.lit("json_deflate").alias("path"), "s_nationkey", "s_acctbal"
+        )
+    )
+    pq_back = spark.read.parquet(base + "/pq_zstd").select(
+        F.lit("parquet_zstd").alias("path"), "s_nationkey", "s_acctbal"
+    )
+    return (
+        csv_back.unionAll(json_back)
+        .unionAll(pq_back)
+        .groupBy("path", "s_nationkey")
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.sum(cents("s_acctbal")).alias("total_cents"),
+        )
+    )
