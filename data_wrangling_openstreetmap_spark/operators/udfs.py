@@ -901,3 +901,98 @@ def u12_cogrouped_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cogroup(c.groupBy("user_id"))
         .applyInPandas(_asof_match_cogroup, _U12_SCHEMA)
     )
+
+
+# ---------------------------------------------------------------------------
+# U13 — cogrouped applyInArrow (round 5+): the last unclaimed rung of
+# the grouped-crossing ladder — u3/u12 cogroup through pandas, u10
+# groups through Arrow; this cogroups through Arrow. Two fact tables
+# meet per nation as raw pyarrow Tables and reconcile with
+# pyarrow.compute only (no pandas object layer at all).
+# ---------------------------------------------------------------------------
+
+_U13_ORACLE = """
+WITH c AS (
+  SELECT c_nationkey AS nationkey,
+         CAST(COUNT(*) AS BIGINT) AS n_customers,
+         CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+           AS cust_cents
+  FROM customer GROUP BY 1),
+s AS (
+  SELECT s_nationkey AS nationkey,
+         CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+         CAST(SUM(CAST(round(s_acctbal * 100) AS BIGINT)) AS BIGINT)
+           AS supp_cents
+  FROM supplier GROUP BY 1)
+SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+       COALESCE(c.n_customers, 0) AS n_customers,
+       COALESCE(s.n_suppliers, 0) AS n_suppliers,
+       COALESCE(c.cust_cents, 0) AS cust_cents,
+       COALESCE(s.supp_cents, 0) AS supp_cents
+FROM c FULL JOIN s ON c.nationkey = s.nationkey
+"""
+
+
+@register("u13_cogrouped_arrow", oracle=_U13_ORACLE, tags=("U3", "U2", "J2"))
+def u13_cogrouped_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation customer/supplier balance reconciliation through
+    ``cogroup(...).applyInArrow``: each nation's two row sets arrive
+    as pyarrow Tables; counts and exact cents totals come from
+    pyarrow.compute with ``half_towards_infinity`` rounding (the u6
+    rule — Arrow's default banker's rounding drifts half-cent cases
+    against SQL ROUND). Either side may be empty (full-outer cogroup
+    semantics), matching the oracle's FULL JOIN of the two rollups.
+
+    Scale: cogroup shuffles both tables once on the key and streams
+    each pair of groups through the worker Arrow-natively — the shape
+    for per-key reconciliation kernels (order-book vs ledger, crawl vs
+    index) that need imperative logic across TWO inputs; everything
+    stays columnar end to end.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey"), "c_acctbal"
+    )
+    sup = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey"), "s_acctbal"
+    )
+
+    def _cents_sum(tbl: "pa.Table", col: str) -> int:
+        if tbl.num_rows == 0:
+            return 0
+        c = pc.round(
+            pc.multiply(tbl.column(col), pa.scalar(100.0)),
+            round_mode="half_towards_infinity",
+        ).cast(pa.int64())
+        return pc.sum(c).as_py() or 0
+
+    def reconcile(left: "pa.Table", right: "pa.Table") -> "pa.Table":
+        src = left if left.num_rows else right
+        nk = src.column("nationkey")[0].as_py()
+        return pa.table(
+            {
+                "nationkey": pa.array([nk], pa.int64()),
+                "n_customers": pa.array([left.num_rows], pa.int64()),
+                "n_suppliers": pa.array([right.num_rows], pa.int64()),
+                "cust_cents": pa.array(
+                    [_cents_sum(left, "c_acctbal")], pa.int64()
+                ),
+                "supp_cents": pa.array(
+                    [_cents_sum(right, "s_acctbal")], pa.int64()
+                ),
+            }
+        )
+
+    return (
+        cust.groupBy("nationkey")
+        .cogroup(sup.groupBy("nationkey"))
+        .applyInArrow(
+            reconcile,
+            schema=(
+                "nationkey bigint, n_customers bigint, n_suppliers bigint,"
+                " cust_cents bigint, supp_cents bigint"
+            ),
+        )
+    )
