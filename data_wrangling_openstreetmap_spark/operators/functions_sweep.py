@@ -1164,3 +1164,85 @@ def f24_parse_url_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("cust_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# f25 — edit-distance battery (round 5+): levenshtein in both its
+# plain and thresholded forms over part-name pairs. The thresholded
+# variant (Spark 4: ``levenshtein(l, r, k)`` returns -1 past k) is the
+# form entity resolution actually ships — the DP matrix computation
+# band-limits to O(k·len) instead of O(len²), which at 100 TB of
+# name-pair candidates is the difference between feasible and not.
+# ---------------------------------------------------------------------------
+
+_F25_ORACLE = """
+WITH p AS (
+  SELECT p_partkey, p_name FROM part WHERE p_partkey % 100 < 4),
+pairs AS (
+  SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+         a.p_name AS name_a, b.p_name AS name_b
+  FROM p a JOIN p b ON a.p_partkey < b.p_partkey),
+d AS (
+  SELECT key_a, key_b,
+         CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist
+  FROM pairs)
+SELECT dist_band,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(MIN(dist) AS BIGINT) AS min_dist,
+       CAST(MAX(dist) AS BIGINT) AS max_dist,
+       CAST(SUM(capped) AS BIGINT) AS capped_sum
+FROM (
+  SELECT CAST(LEAST(dist // 8, 4) AS INT) AS dist_band, dist,
+         CASE WHEN dist <= 12 THEN dist ELSE -1 END AS capped
+  FROM d)
+GROUP BY dist_band
+"""
+
+
+@register("f25_edit_distance_battery", oracle=_F25_ORACLE, tags=("F1", "J8", "A1"))
+def f25_edit_distance_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise levenshtein over a 4 % systematic sample of part names
+    (deterministic ``partkey % 100 < 4`` — both engines pick identical
+    rows), banded into distance classes, with the THRESHOLDED form
+    ``levenshtein(a, b, 12)`` cross-checked against DuckDB's CASE
+    emulation: Spark returns -1 beyond the threshold, the oracle
+    computes the same -1 from the unbounded distance. A divergence in
+    either implementation's DP recurrence breaks the band histogram.
+
+    Scale: the thresholded call is the point — band-limited DP costs
+    O(k·len) per pair, and real blocking (j9's sorted-prefix buckets)
+    bounds the pair count; the sample keeps this battery's all-pairs
+    form honest at fixture scale (~6k pairs at sf0.01) while the
+    banded rollup output stays O(5) rows at any scale.
+    """
+    part = load_table(spark, sf_dir, "part")
+    p = part.filter(F.col("p_partkey") % 100 < 4).select(
+        "p_partkey", "p_name"
+    )
+    a, b = p.alias("a"), p.alias("b")
+    pairs = a.join(
+        b, F.col("a.p_partkey") < F.col("b.p_partkey")
+    ).select(
+        F.col("a.p_name").alias("name_a"),
+        F.col("b.p_name").alias("name_b"),
+    )
+    d = pairs.select(
+        F.levenshtein("name_a", "name_b").cast("long").alias("dist"),
+        F.levenshtein("name_a", "name_b", 12).cast("long").alias("capped"),
+    )
+    return (
+        d.select(
+            F.least(F.expr("dist div 8"), F.lit(4)).cast("int").alias(
+                "dist_band"
+            ),
+            "dist",
+            "capped",
+        )
+        .groupBy("dist_band")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.min("dist").alias("min_dist"),
+            F.max("dist").alias("max_dist"),
+            F.sum("capped").cast("long").alias("capped_sum"),
+        )
+    )

@@ -3555,3 +3555,116 @@ def w38_rolling_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_days"),
         slope.alias("slope_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# w39 — Hampel filter (round 5+): the outlier REPAIR twin of w35's
+# rolling median. Within each trailing-7 frame: flag values beyond
+# 3×MAD of the frame median and replace them with it. All arithmetic
+# runs in quarter-cents (4× integer units), where both the
+# interpolated median (even count → half-sum) and the MAD of even
+# deviations are exact BIGINTs — the 3·MAD comparison never touches a
+# float.
+# ---------------------------------------------------------------------------
+
+_W39_ORACLE = """
+WITH f AS (
+  SELECT o_custkey, CAST(round(o_totalprice * 100) AS BIGINT) AS c,
+         list(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+           PARTITION BY o_custkey
+           ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS arr
+  FROM orders),
+m AS (SELECT *, list_sort(arr) AS sa, len(arr) AS n FROM f),
+m2 AS (
+  SELECT *, CASE WHEN n % 2 = 1 THEN 4 * sa[(n + 1) // 2]
+                 ELSE 2 * (sa[n // 2] + sa[n // 2 + 1]) END AS med4
+  FROM m),
+d AS (
+  SELECT *, list_sort(list_transform(arr, v -> abs(4 * v - med4))) AS sd
+  FROM m2),
+d2 AS (
+  SELECT *, CASE WHEN n % 2 = 1 THEN sd[(n + 1) // 2]
+                 ELSE (sd[n // 2] + sd[n // 2 + 1]) // 2 END AS mad4
+  FROM d),
+flagged AS (
+  SELECT o_custkey,
+         CASE WHEN abs(4 * c - med4) > 3 * mad4 THEN 1 ELSE 0 END AS outlier,
+         CASE WHEN abs(4 * c - med4) > 3 * mad4 THEN med4
+              ELSE 4 * c END AS repaired4
+  FROM d2)
+SELECT o_custkey,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(outlier) AS BIGINT) AS n_outliers,
+       CAST(SUM(repaired4) AS BIGINT) AS repaired_qcents
+FROM flagged GROUP BY o_custkey
+"""
+
+
+@register("w39_hampel_repair", oracle=_W39_ORACLE, tags=("W4", "F5", "A1"))
+def w39_hampel_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hampel outlier repair over each customer's trailing-7 order
+    values: frame median and MAD come from the frame's collected array
+    (sorted, middle-indexed — the w35 recipe), lifted to 4× integer
+    units so the even-count interpolations stay exact BIGINTs and the
+    ``|4c − med4| > 3·mad4`` flag is pure integer comparison. Repaired
+    totals are reported in quarter-cents.
+
+    Scale: the frame array is ≤7 longs per row inside the JVM window
+    operator (partitioned by customer — no global sort, no Python);
+    median/MAD/flag are per-row HOF arithmetic over that bounded
+    array. The per-customer rollup reuses the window's partitioning
+    key, so AQE coalesces without a second shuffle.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    f = orders.select(
+        "o_custkey",
+        cents("o_totalprice").alias("c"),
+        F.collect_list(cents("o_totalprice")).over(w).alias("arr"),
+    )
+    m = f.select(
+        "o_custkey",
+        "c",
+        "arr",
+        F.array_sort("arr").alias("sa"),
+        F.size("arr").alias("n"),
+    )
+    mid_odd = F.element_at("sa", ((F.col("n") + 1) / 2).cast("int"))
+    lo = F.element_at("sa", (F.col("n") / 2).cast("int"))
+    hi = F.element_at("sa", (F.col("n") / 2 + 1).cast("int"))
+    m2 = m.withColumn(
+        "med4",
+        F.when(F.col("n") % 2 == 1, 4 * mid_odd).otherwise(2 * (lo + hi)),
+    )
+    d = m2.withColumn(
+        "sd",
+        F.array_sort(
+            F.transform("arr", lambda v: F.abs(4 * v - F.col("med4")))
+        ),
+    )
+    sd_odd = F.element_at("sd", ((F.col("n") + 1) / 2).cast("int"))
+    d2 = d.withColumn(
+        "mad4",
+        F.when(F.col("n") % 2 == 1, sd_odd).otherwise(
+            F.expr("(element_at(sd, cast(n / 2 as int))"
+                   " + element_at(sd, cast(n / 2 + 1 as int))) div 2")
+        ),
+    )
+    is_out = F.abs(4 * F.col("c") - F.col("med4")) > 3 * F.col("mad4")
+    flagged = d2.select(
+        "o_custkey",
+        F.when(is_out, 1).otherwise(0).alias("outlier"),
+        F.when(is_out, F.col("med4")).otherwise(4 * F.col("c")).alias(
+            "repaired4"
+        ),
+    )
+    return flagged.groupBy("o_custkey").agg(
+        F.count("*").alias("n_orders"),
+        F.sum("outlier").cast("long").alias("n_outliers"),
+        F.sum("repaired4").cast("long").alias("repaired_qcents"),
+    )
