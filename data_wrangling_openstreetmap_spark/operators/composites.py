@@ -4627,3 +4627,128 @@ def q54_sla_attainment(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("attainment_bp"),
         F.max("days_to_ship").alias("worst_days"),
     )
+
+
+# ---------------------------------------------------------------------------
+# a50 — Welch's t-test, all segment pairs (round 5+): completes the
+# two-sample battery (a27 rank-based, a28 proportions, a29 KS, a30
+# chi-square) with the unequal-variance mean test. Moment sums are
+# exact — Σx in BIGINT cents, Σx² in DECIMAL(38,0) (cent squares
+# overflow BIGINT near ~10⁹ cent-rows: the round-4 gotcha) — so both
+# engines feed identical doubles into the t and Welch–Satterthwaite
+# df formulas.
+# ---------------------------------------------------------------------------
+
+_A50_ORACLE = """
+WITH s AS (
+  SELECT c.c_mktsegment AS seg,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS sx,
+         SUM(CAST(CAST(round(o.o_totalprice * 100) AS BIGINT)
+                  * CAST(round(o.o_totalprice * 100) AS BIGINT)
+                  AS HUGEINT)) AS sxx
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1),
+pairs AS (
+  SELECT a.seg AS seg_a, b.seg AS seg_b,
+         a.n AS n_a, b.n AS n_b,
+         CAST(a.sx AS DOUBLE) / a.n AS m_a,
+         CAST(b.sx AS DOUBLE) / b.n AS m_b,
+         (CAST(a.sxx AS DOUBLE)
+          - a.n * (CAST(a.sx AS DOUBLE) / a.n)
+                * (CAST(a.sx AS DOUBLE) / a.n)) / (a.n - 1) AS v_a,
+         (CAST(b.sxx AS DOUBLE)
+          - b.n * (CAST(b.sx AS DOUBLE) / b.n)
+                * (CAST(b.sx AS DOUBLE) / b.n)) / (b.n - 1) AS v_b
+  FROM s a JOIN s b ON a.seg < b.seg)
+SELECT seg_a, seg_b, n_a, n_b,
+       ROUND((m_a - m_b) / sqrt(v_a / n_a + v_b / n_b), 6) + 0 AS t_stat,
+       ROUND(((v_a / n_a + v_b / n_b) * (v_a / n_a + v_b / n_b))
+             / ((v_a / n_a) * (v_a / n_a) / (n_a - 1)
+                + (v_b / n_b) * (v_b / n_b) / (n_b - 1)), 6) + 0
+         AS welch_df
+FROM pairs
+"""
+
+
+@register("a50_welch_ttest", oracle=_A50_ORACLE, tags=("A1", "F4", "J8"))
+def a50_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t statistic and Welch–Satterthwaite
+    degrees of freedom for every market-segment pair's order values
+    (10 pairs). Per-segment moments reduce once; the pair join runs on
+    the 5-row aggregate. Every float operation consumes exact integer
+    sums in the same order on both engines, so the doubles are
+    bit-identical before the 6-dp round (``+ 0`` for -0.0).
+
+    Scale: one fact shuffle for the moment reduction (broadcast
+    segment map), then O(groups²) arithmetic on the aggregate —
+    the test itself costs nothing at any corpus size. Σx² accumulates
+    in DECIMAL(38,0)/HUGEINT (cent squares overflow BIGINT at
+    ~$10⁹ segment-years — CLAUDE.md round-4 rule).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    c = cents("o_totalprice")
+    s = (
+        orders.join(
+            F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+            orders.o_custkey == cust.c_custkey,
+        )
+        .groupBy(F.col("c_mktsegment").alias("seg"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(c).alias("sx"),
+            F.sum((c * c).cast("decimal(38,0)")).alias("sxx"),
+        )
+    )
+    a, b = s.alias("a"), s.alias("b")
+    p = a.join(b, F.col("a.seg") < F.col("b.seg")).select(
+        F.col("a.seg").alias("seg_a"),
+        F.col("b.seg").alias("seg_b"),
+        F.col("a.n").alias("n_a"),
+        F.col("b.n").alias("n_b"),
+        (F.col("a.sx").cast("double") / F.col("a.n")).alias("m_a"),
+        (F.col("b.sx").cast("double") / F.col("b.n")).alias("m_b"),
+        (
+            (
+                F.col("a.sxx").cast("double")
+                - F.col("a.n")
+                * (F.col("a.sx").cast("double") / F.col("a.n"))
+                * (F.col("a.sx").cast("double") / F.col("a.n"))
+            )
+            / (F.col("a.n") - 1)
+        ).alias("v_a"),
+        (
+            (
+                F.col("b.sxx").cast("double")
+                - F.col("b.n")
+                * (F.col("b.sx").cast("double") / F.col("b.n"))
+                * (F.col("b.sx").cast("double") / F.col("b.n"))
+            )
+            / (F.col("b.n") - 1)
+        ).alias("v_b"),
+    )
+    se2_a = F.col("v_a") / F.col("n_a")
+    se2_b = F.col("v_b") / F.col("n_b")
+    return p.select(
+        "seg_a",
+        "seg_b",
+        "n_a",
+        "n_b",
+        (
+            F.round((F.col("m_a") - F.col("m_b")) / F.sqrt(se2_a + se2_b), 6)
+            + 0
+        ).alias("t_stat"),
+        (
+            F.round(
+                ((se2_a + se2_b) * (se2_a + se2_b))
+                / (
+                    se2_a * se2_a / (F.col("n_a") - 1)
+                    + se2_b * se2_b / (F.col("n_b") - 1)
+                ),
+                6,
+            )
+            + 0
+        ).alias("welch_df"),
+    )
