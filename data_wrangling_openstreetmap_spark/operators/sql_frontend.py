@@ -642,3 +642,59 @@ def x13_filter_clause_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY event_type
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# X14 — SQL pipe syntax (round 5+): Spark 4's |> operator chain (the
+# SQL:2023-era "pipe SQL" Google/BigQuery popularized). Each stage
+# consumes the previous relation top-to-bottom — the way people read
+# queries. Spark parses it natively; the oracle is the equivalent
+# nested ANSI form in DuckDB, grading that the staged semantics
+# (filter → join → aggregate → post-filter → projection) really are
+# the classic ones.
+# ---------------------------------------------------------------------------
+
+_X14_ORACLE = """
+SELECT o_orderpriority, c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE o_orderstatus = 'O'
+GROUP BY o_orderpriority, c_mktsegment
+HAVING COUNT(*) >= 5
+"""
+
+
+@register("x14_pipe_syntax_sql", oracle=_X14_ORACLE, tags=("A1", "J1", "A5"))
+def x14_pipe_syntax_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The open-order revenue rollup written as a |> pipe chain:
+    ``FROM orders |> WHERE … |> JOIN … |> AGGREGATE … GROUP BY … |>
+    WHERE n ≥ 5 |> SELECT`` — each stage transforms the previous
+    relation in reading order; the post-aggregation ``|> WHERE`` plays
+    HAVING without the keyword. Spark 4 parses this natively (no
+    frontend rewrite involved); the oracle is the equivalent nested
+    ANSI statement, so the grade is pipe-semantics vs classic-semantics.
+
+    Scale: pure parse-time surface — the pipe chain plans to the
+    identical join/aggregate tree as the ANSI form (broadcast dim,
+    partial agg, pushed filter), so every optimizer behavior is
+    unchanged.
+    """
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("x14_orders")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "x14_customer"
+    )
+    return spark.sql(
+        """
+        FROM x14_orders
+        |> WHERE o_orderstatus = 'O'
+        |> JOIN x14_customer ON o_custkey = c_custkey
+        |> AGGREGATE COUNT(*) AS n_orders,
+                     SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                       AS revenue_cents
+           GROUP BY o_orderpriority, c_mktsegment
+        |> WHERE n_orders >= 5
+        |> SELECT o_orderpriority, c_mktsegment, n_orders, revenue_cents
+        """
+    )
