@@ -6991,3 +6991,99 @@ def l2_lsh_bucket_health(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("s").alias("max_bucket"),
         F.sum(F.expr("s * (s - 1) div 2")).cast("long").alias("candidate_pairs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# l6 — cluster separation report (round 5+): the quality gate for the
+# SemDeDup/k-means family. For every vector: exact integer squared
+# distance to its nearest centroid (cohesion, "a") and to the nearest
+# OTHER centroid (separation, "b"); per cluster, the aggregated margin
+# (Σb−Σa)/Σb and the count of boundary members (b < 2a) — the numbers
+# that say whether the clustering is tight enough for SemDeDup's
+# within-cell pruning to be safe.
+# ---------------------------------------------------------------------------
+
+_L6_SEP_ORACLE = f"""
+WITH q AS (SELECT vec_id, {_PQ_QUANT_DUCK} AS qv FROM embeddings),
+init AS (SELECT vec_id AS c, qv AS cv FROM q WHERE vec_id < {_KM_K}),
+d1 AS (
+  SELECT q.vec_id, i.c,
+         list_sum(list_transform(generate_series(1, 64),
+                  k -> (q.qv[k] - i.cv[k]) * (q.qv[k] - i.cv[k]))) AS d
+  FROM q CROSS JOIN init i),
+amin AS (
+  SELECT vec_id, min([d, c])[1] AS a, min([d, c])[2] AS c1
+  FROM d1 GROUP BY vec_id),
+bmin AS (
+  SELECT d1.vec_id, MIN(d1.d) AS b
+  FROM d1 JOIN amin ON d1.vec_id = amin.vec_id AND d1.c <> amin.c1
+  GROUP BY d1.vec_id)
+SELECT CAST(amin.c1 AS BIGINT) AS cluster,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(SUM(amin.a) AS DOUBLE) AS sum_intra,
+       CAST(SUM(bmin.b) AS DOUBLE) AS sum_nearest,
+       ROUND((CAST(SUM(bmin.b) AS DOUBLE) - CAST(SUM(amin.a) AS DOUBLE))
+             / CAST(SUM(bmin.b) AS DOUBLE), 6) + 0 AS margin,
+       CAST(SUM(CASE WHEN bmin.b < 2 * amin.a THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_boundary
+FROM amin JOIN bmin ON amin.vec_id = bmin.vec_id
+GROUP BY amin.c1
+"""
+
+
+@register("l6_cluster_separation", oracle=_L6_SEP_ORACLE, tags=("L6", "L2", "A1"))
+def l6_cluster_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified-silhouette report over the k-means init assignment
+    (centroids = first 8 vectors, the l6_kmeans_step convention): a =
+    exact integer squared distance to the assigned centroid, b = to
+    the runner-up; cluster margin = (Σb−Σa)/Σb from sums accumulated
+    in HUGEINT/DECIMAL-safe form and divided as identical doubles
+    (round 6, ``+ 0``); boundary members satisfy b < 2a — an INTEGER
+    comparison, so the boundary census is tie-proof by construction.
+
+    Scale: distances compute against the k·d broadcast centroid list
+    (the kmeans pattern — nothing quadratic); per-vector argmin and
+    runner-up are one aggregation each keyed on vec_id, the report
+    keys on k=8 clusters. Sums ride DECIMAL(38,0) before the double
+    cast, so no member count overflows BIGINT at any corpus size.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.select("vec_id", _quantize_embedding().alias("qv"))
+    init = q.where(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("c"), F.col("qv").alias("cv")
+    )
+    d = (
+        q.crossJoin(F.broadcast(init))
+        .select(
+            "vec_id",
+            "c",
+            F.aggregate(
+                F.zip_with(
+                    "qv", "cv", lambda x, y: (x - y) * (x - y)
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ).alias("d"),
+        )
+    )
+    amin = d.groupBy("vec_id").agg(
+        F.min(F.struct("d", "c")).alias("m")
+    ).select("vec_id", F.col("m.d").alias("a"), F.col("m.c").alias("c1"))
+    bmin = (
+        d.join(amin, "vec_id")
+        .where(F.col("c") != F.col("c1"))
+        .groupBy("vec_id")
+        .agg(F.min("d").alias("b"))
+    )
+    j = amin.join(bmin, "vec_id")
+    sum_a = F.sum(F.col("a").cast("decimal(38,0)")).cast("double")
+    sum_b = F.sum(F.col("b").cast("decimal(38,0)")).cast("double")
+    return j.groupBy(F.col("c1").cast("long").alias("cluster")).agg(
+        F.count("*").alias("n_members"),
+        sum_a.alias("sum_intra"),
+        sum_b.alias("sum_nearest"),
+        (F.round((sum_b - sum_a) / sum_b, 6) + 0).alias("margin"),
+        F.sum(F.when(F.col("b") < 2 * F.col("a"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_boundary"),
+    )
