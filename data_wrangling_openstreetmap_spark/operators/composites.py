@@ -4752,3 +4752,72 @@ def a50_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
             + 0
         ).alias("welch_df"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q57 — receivables aging (round 5+): the finance-desk view of open
+# orders — bucket every not-finished order by its age at the corpus
+# horizon (0–30 / 31–60 / 61–90 / 90+ days) per market segment, with
+# exact cents exposure. The aging matrix is THE collections report;
+# its bucket edges are integer day comparisons, so no float ever
+# appears.
+# ---------------------------------------------------------------------------
+
+_Q57_ORACLE = """
+WITH mx AS (SELECT MAX(o_orderdate) AS horizon FROM orders),
+aged AS (
+  SELECT c.c_mktsegment AS segment,
+         CAST(datediff('day', o.o_orderdate, mx.horizon) AS BIGINT) AS age,
+         CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey, mx
+  WHERE o.o_orderstatus <> 'F')
+SELECT segment,
+       CASE WHEN age <= 30 THEN '0-30'
+            WHEN age <= 60 THEN '31-60'
+            WHEN age <= 90 THEN '61-90'
+            ELSE '90+' END AS age_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(cents) AS BIGINT) AS exposure_cents,
+       CAST(MAX(age) AS BIGINT) AS oldest_days
+FROM aged GROUP BY 1, 2
+"""
+
+
+@register("q57_receivables_aging", oracle=_Q57_ORACLE, tags=("A1", "J1", "P6"))
+def q57_receivables_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order exposure aged against the corpus horizon (global max
+    order date — a one-row broadcast scalar) in the standard 30/60/90
+    buckets per segment: order counts, exact cents exposure, oldest
+    open order. Bucket edges are integer day comparisons.
+
+    Scale: one fact shuffle for the segment join's rollup (customer
+    map broadcasts), O(segments × 4) output. The horizon scalar is the
+    a47 crossJoin pattern — no driver round-trip.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    mx = orders.agg(F.max("o_orderdate").alias("horizon"))
+    aged = (
+        orders.where(F.col("o_orderstatus") != "F")
+        .join(
+            F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+            orders.o_custkey == cust.c_custkey,
+        )
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            F.datediff("horizon", "o_orderdate").cast("long").alias("age"),
+            cents("o_totalprice").alias("cents"),
+        )
+    )
+    bucket = (
+        F.when(F.col("age") <= 30, "0-30")
+        .when(F.col("age") <= 60, "31-60")
+        .when(F.col("age") <= 90, "61-90")
+        .otherwise("90+")
+    )
+    return aged.groupBy("segment", bucket.alias("age_bucket")).agg(
+        F.count("*").alias("n_orders"),
+        F.sum("cents").cast("long").alias("exposure_cents"),
+        F.max("age").alias("oldest_days"),
+    )

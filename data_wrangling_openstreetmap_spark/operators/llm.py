@@ -7087,3 +7087,103 @@ def l6_cluster_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_boundary"),
     )
+
+
+# ---------------------------------------------------------------------------
+# g14 — modularity audit (round 5+): Newman's Q for a candidate
+# community assignment over the co-purchase graph, in EXACT integer
+# arithmetic. Q_i = e_ii/m − (d_i/2m)² per community; the audit emits
+# each community's contribution in micro-units of the common
+# denominator 4m², so Q = Σ q_micro / 1e6 with zero float drift —
+# the metric that decides whether a partition (here the deterministic
+# partkey mod 8) beats random assignment (Q ≈ 0).
+# ---------------------------------------------------------------------------
+
+_G14_ORACLE = """
+WITH pairs AS (
+  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+  FROM lineitem l1 JOIN lineitem l2
+    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey),
+m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM pairs),
+adj AS (SELECT a AS u, b AS v FROM pairs UNION ALL SELECT b, a FROM pairs),
+deg AS (SELECT u, u % 8 AS com, CAST(COUNT(*) AS BIGINT) AS d
+        FROM adj GROUP BY 1, 2),
+coms AS (
+  SELECT com, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         CAST(SUM(d) AS BIGINT) AS degree_sum
+  FROM deg GROUP BY 1),
+internal AS (
+  SELECT a % 8 AS com, CAST(COUNT(*) AS BIGINT) AS e_in
+  FROM pairs WHERE a % 8 = b % 8 GROUP BY 1)
+SELECT coms.com AS community, n_nodes,
+       COALESCE(internal.e_in, 0) AS internal_edges,
+       degree_sum,
+       CAST((4 * m.m * COALESCE(internal.e_in, 0)
+             - degree_sum * degree_sum) * 1000000
+            // (4 * m.m * m.m) AS BIGINT) AS q_micro
+FROM coms LEFT JOIN internal ON coms.com = internal.com, m
+"""
+
+
+@register("g14_modularity", oracle=_G14_ORACLE, tags=("A1", "J8", "F4"))
+def g14_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-community modularity contribution of the partkey-mod-8
+    assignment on the co-purchase graph: with m total edges, community
+    internal-edge count e and degree sum d, the contribution is
+    (4m·e − d²)/(4m²) — emitted as ``num·1e6 floor-div 4m²`` (num is
+    SIGNED: Spark's truncating ``div`` is replaced by the explicit
+    floor ``(x − pmod(x, den))/den`` to match DuckDB's ``//``; all
+    magnitudes stay under 2⁶³ for edge counts into the billions). A
+    random assignment sums to ≈0; positive sums mean real community
+    structure worth exploiting for co-purchase blocking.
+
+    Scale: the edge list is the one lineitem self-join (bounded
+    per-order fan-out); everything downstream aggregates on node or
+    community keys. The exact-rational trick means the audit is
+    hash-gradeable — no float modularity drift across partitionings.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    l1, l2 = li.alias("l1"), li.alias("l2")
+    pairs = (
+        l1.join(
+            l2,
+            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+            & (F.col("l1.l_partkey") < F.col("l2.l_partkey")),
+        )
+        .select(
+            F.col("l1.l_partkey").alias("a"), F.col("l2.l_partkey").alias("b")
+        )
+        .distinct()
+    )
+    m = pairs.agg(F.count("*").alias("m"))
+    adj = pairs.union(
+        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).toDF("u", "v")
+    deg = adj.groupBy("u", (F.col("u") % 8).alias("com")).agg(
+        F.count("*").alias("d")
+    )
+    coms = deg.groupBy("com").agg(
+        F.count("*").alias("n_nodes"),
+        F.sum("d").cast("long").alias("degree_sum"),
+    )
+    internal = (
+        pairs.where(F.col("a") % 8 == F.col("b") % 8)
+        .groupBy((F.col("a") % 8).alias("com"))
+        .agg(F.count("*").alias("e_in"))
+    )
+    j = (
+        coms.join(internal, "com", "left")
+        .crossJoin(F.broadcast(m))
+        .withColumn("e_in", F.coalesce("e_in", F.lit(0)))
+    )
+    q_micro = F.expr(
+        "(4 * m * e_in - degree_sum * degree_sum) * 1000000"
+        " div (4 * m * m)"
+    )
+    return j.select(
+        F.col("com").alias("community"),
+        "n_nodes",
+        F.col("e_in").alias("internal_edges"),
+        "degree_sum",
+        q_micro.alias("q_micro"),
+    )

@@ -1146,10 +1146,9 @@ def dp5_join_cardinality_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
     orderkey: 64 hash buckets (31-bit-masked Knuth hash — ANSI-safe),
     per-bucket row counts and exact NDVs feed the containment estimate
     ``rows_a·rows_b div max(ndv)``, the exact answer is Σ c_a·c_b over
-    matching keys, and the signed error lands in integer basis points.
-    The error numerator can be NEGATIVE, where DuckDB's ``//`` floors
-    but Spark's ``div`` truncates — so the Spark side spells out floor
-    division as ``(x - pmod(x, d)) / d`` (round-5 gotcha list).
+    matching keys, and the signed error lands in integer basis points
+    (the numerator can be negative — fine, because DuckDB's integer
+    ``//`` and Spark's ``div`` both truncate toward zero).
 
     Scale: per-key counts are one hash aggregation each; the "actual"
     is an equi-join of the two COUNT tables (never the fact tables);
@@ -1193,11 +1192,10 @@ def dp5_join_cardinality_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("est_rows", est)
         .withColumn("actual_rows", F.coalesce("actual_rows", F.lit(0)))
     )
-    # Signed floor division to match DuckDB's `//` on a possibly
-    # negative numerator: floor(x/d) = (x - pmod(x, d)) / d with d>0.
-    num = (F.col("est_rows") - F.col("actual_rows")) * 10000
-    den = F.greatest(F.col("actual_rows"), F.lit(1))
-    err_bp = ((num - F.pmod(num, den)) / den).cast("long")
+    err_bp = F.expr(
+        "((est_rows - actual_rows) * 10000)"
+        " div greatest(actual_rows, 1)"
+    )
     return j.select(
         "bucket",
         "rows_a",
