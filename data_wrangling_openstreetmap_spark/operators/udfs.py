@@ -996,3 +996,62 @@ def u13_cogrouped_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# U14 — Arrow-optimized Python UDTF (round 5+): u5's row-expanding
+# table function upgraded to the Arrow transport (``useArrow=True``),
+# the 4.1 path that batches UDTF input/output through Arrow instead
+# of pickled rows — the same ladder rung u1→u1b climbs for scalar
+# UDFs, closed here for table functions.
+# ---------------------------------------------------------------------------
+
+_U14_ORACLE = """
+WITH ex AS (
+  SELECT p_partkey,
+         unnest(string_split(p_type, ' ')) AS word
+  FROM part)
+SELECT word,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(MIN(p_partkey) AS BIGINT) AS first_part
+FROM ex
+WHERE word <> ''
+GROUP BY word
+"""
+
+
+@register("u14_arrow_udtf", oracle=_U14_ORACLE, tags=("U5", "U2", "A1"))
+def u14_arrow_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split part types into words with an ARROW-optimized Python UDTF
+    (one eval per row, rows batched over Arrow both directions) and
+    roll up word frequencies. Identical semantics to the pickled-row
+    u5 form — the grade proves the Arrow transport changes nothing
+    but the transfer cost.
+
+    Scale: Arrow batching amortizes the per-row Python overhead that
+    makes classic UDTFs unusable in hot paths (~10× on string-heavy
+    expansion); the expansion itself stays partition-local, and the
+    rollup above it is ordinary JVM aggregation. Lateral-join the UDTF
+    so each task streams its own partition through the worker.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="word string", useArrow=True)
+    class SplitWords:
+        def eval(self, text: str):
+            if text:
+                for w in text.split(" "):
+                    if w:
+                        yield (w,)
+
+    part = load_table(spark, sf_dir, "part")
+    spark.udtf.register("u14_split_words", SplitWords)
+    part.select("p_partkey", "p_type").createOrReplaceTempView("u14_parts")
+    ex = spark.sql(
+        "SELECT p.p_partkey, s.word FROM u14_parts p,"
+        " LATERAL u14_split_words(p.p_type) s"
+    )
+    return ex.groupBy("word").agg(
+        F.count("*").alias("n_parts"),
+        F.min("p_partkey").alias("first_part"),
+    )

@@ -16,6 +16,8 @@ PYTHON_EVAL_MARKERS = (
     "MapInPandas",
     "FlatMapGroupsInPandas",
     "FlatMapCoGroupsInPandas",  # two-sided cogrouped applyInPandas (u12)
+    "FlatMapGroupsInArrow",  # grouped applyInArrow (u10)
+    "FlatMapCoGroupsInArrow",  # cogrouped applyInArrow (u13)
     "MapInArrow",
     # a Python Data Source scan renders as "BatchScan <name> ... (Python)"
     "(Python)",

@@ -55,6 +55,8 @@ PYTHON_ALLOWED = {
     "u5_udtf_tag_split",
     "u9_polymorphic_udtf",  # analyze()-schema UDTF — the crossing is the surface
     "u12_cogrouped_asof",  # cogrouped applyInPandas — the two-sided crossing IS the surface
+    "u13_cogrouped_arrow",  # cogrouped applyInArrow — the Arrow twin of u12
+    "u14_arrow_udtf",  # Arrow-optimized UDTF — the u5 rung on the Arrow transport
     "u11_udtf_table_arg",  # TABLE-argument UDTF consuming whole partitions —
     # the row-streamed Python aggregation surface is the thing graded
     "u6_map_in_arrow",  # top rung of the §2.8 transport ladder: bare
