@@ -4821,3 +4821,95 @@ def q57_receivables_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").cast("long").alias("exposure_cents"),
         F.max("age").alias("oldest_days"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q58 — difference-in-differences (round 5+): the workhorse causal
+# estimate. Treatment = promo-type parts, control = everything else;
+# periods split at 1995-06-17. DiD = (ȳ_treat,post − ȳ_treat,pre) −
+# (ȳ_ctrl,post − ȳ_ctrl,pre) on per-lineitem discounted revenue —
+# four cell means from exact cents sums, so both engines assemble the
+# identical estimate double.
+# ---------------------------------------------------------------------------
+
+_Q58_CUT = "1995-06-17"
+
+_Q58_ORACLE = f"""
+WITH cells AS (
+  SELECT CASE WHEN p.p_type LIKE 'PROMO%' THEN 1 ELSE 0 END AS treated,
+         CASE WHEN l.l_shipdate >= TIMESTAMP '{_Q58_CUT}'
+              THEN 1 ELSE 0 END AS post,
+         CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)
+           AS cents
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+s AS (
+  SELECT treated, post, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(cents) AS BIGINT) AS sx
+  FROM cells GROUP BY 1, 2)
+SELECT
+  MAX(CASE WHEN treated = 1 AND post = 0 THEN n END) AS n_treat_pre,
+  MAX(CASE WHEN treated = 1 AND post = 1 THEN n END) AS n_treat_post,
+  MAX(CASE WHEN treated = 0 AND post = 0 THEN n END) AS n_ctrl_pre,
+  MAX(CASE WHEN treated = 0 AND post = 1 THEN n END) AS n_ctrl_post,
+  ROUND(
+    (MAX(CASE WHEN treated = 1 AND post = 1 THEN CAST(sx AS DOUBLE) / n END)
+     - MAX(CASE WHEN treated = 1 AND post = 0 THEN CAST(sx AS DOUBLE) / n END))
+    - (MAX(CASE WHEN treated = 0 AND post = 1 THEN CAST(sx AS DOUBLE) / n END)
+       - MAX(CASE WHEN treated = 0 AND post = 0 THEN CAST(sx AS DOUBLE) / n END)),
+    6) + 0 AS did_cents
+FROM s
+"""
+
+
+@register("q58_diff_in_diff", oracle=_Q58_ORACLE, tags=("A2", "J1", "P6"))
+def q58_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences for promo parts around 1995-06-17 on
+    per-lineitem discounted revenue: the four cell counts plus the DiD
+    estimate in cents (6-dp rounded; every mean divides an exact
+    BIGINT cents sum by an exact count, the same operations in the
+    same order on both engines, then one final subtraction chain).
+
+    Scale: one fact shuffle for the 2×2 cell reduction (part flag
+    broadcasts with the dimension); the estimate itself is arithmetic
+    over FOUR rows. This is how causal dashboards run at 100 TB —
+    reduce to design cells first, estimate on the driver-sized result
+    (here kept distributed as a 1-row DataFrame).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    treated = F.when(F.col("p_type").like("PROMO%"), 1).otherwise(0)
+    post = F.when(
+        F.col("l_shipdate") >= F.lit(_Q58_CUT).cast("timestamp"), 1
+    ).otherwise(0)
+    rev_cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    s = (
+        li.join(
+            F.broadcast(part.select("p_partkey", "p_type")),
+            li.l_partkey == part.p_partkey,
+        )
+        .groupBy(treated.alias("treated"), post.alias("post"))
+        .agg(F.count("*").alias("n"), F.sum(rev_cents).alias("sx"))
+    )
+
+    def cell(t: int, p: int, expr):
+        return F.max(
+            F.when((F.col("treated") == t) & (F.col("post") == p), expr)
+        )
+
+    mean = F.col("sx").cast("double") / F.col("n")
+    return s.agg(
+        cell(1, 0, F.col("n")).alias("n_treat_pre"),
+        cell(1, 1, F.col("n")).alias("n_treat_post"),
+        cell(0, 0, F.col("n")).alias("n_ctrl_pre"),
+        cell(0, 1, F.col("n")).alias("n_ctrl_post"),
+        (
+            F.round(
+                (cell(1, 1, mean) - cell(1, 0, mean))
+                - (cell(0, 1, mean) - cell(0, 0, mean)),
+                6,
+            )
+            + 0
+        ).alias("did_cents"),
+    )
