@@ -7187,3 +7187,95 @@ def g14_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "degree_sum",
         q_micro.alias("q_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# g15 — degree assortativity (round 5+): Newman's r — the Pearson
+# correlation of endpoint degrees over the (symmetrized) edge list.
+# Positive r: hubs prefer hubs (social-style graph); negative:
+# hub-and-spoke (catalog-style). All five moment sums are exact
+# BIGINTs over integer degrees, so the final correlation double is
+# engine-identical before the 6-dp round.
+# ---------------------------------------------------------------------------
+
+_G15_ORACLE = """
+WITH pairs AS (
+  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+  FROM lineitem l1 JOIN lineitem l2
+    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey),
+adj AS (SELECT a AS u, b AS v FROM pairs UNION ALL SELECT b, a FROM pairs),
+deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY u),
+ed AS (
+  SELECT du.d AS x, dv.d AS y
+  FROM adj JOIN deg du ON adj.u = du.u JOIN deg dv ON adj.v = dv.u),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM ed)
+SELECT n AS n_edge_ends,
+       ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE)), 6) + 0
+         AS assortativity
+FROM s
+"""
+
+
+@register("g15_assortativity", oracle=_G15_ORACLE, tags=("A2", "J8", "F4"))
+def g15_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the co-purchase graph: join each
+    directed edge end to its endpoint degrees and correlate. By
+    symmetry Σx = Σy here, but both moment sets are computed
+    independently (the formula stays correct for directed or bipartite
+    variants). Output is one row: edge-end count and r.
+
+    Scale: two hash joins of the edge list against the O(nodes) degree
+    table (both sides key-partitioned on part ids), one global moment
+    reduction — the whole statistic is three shuffles regardless of
+    graph size, and the moment magnitudes stay under 2⁶³ for degree
+    sums into the billions.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    l1, l2 = li.alias("l1"), li.alias("l2")
+    pairs = (
+        l1.join(
+            l2,
+            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+            & (F.col("l1.l_partkey") < F.col("l2.l_partkey")),
+        )
+        .select(
+            F.col("l1.l_partkey").alias("a"), F.col("l2.l_partkey").alias("b")
+        )
+        .distinct()
+    )
+    adj = pairs.union(
+        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).toDF("u", "v")
+    deg = adj.groupBy("u").agg(F.count("*").alias("d"))
+    du = deg.select(F.col("u").alias("u"), F.col("d").alias("x"))
+    dv = deg.select(F.col("u").alias("v"), F.col("d").alias("y"))
+    ed = adj.join(du, "u").join(dv, "v").select("x", "y")
+    s = ed.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+            "double"
+        )
+    )
+    return s.select(
+        F.col("n").alias("n_edge_ends"),
+        (F.round(num / den, 6) + 0).alias("assortativity"),
+    )
