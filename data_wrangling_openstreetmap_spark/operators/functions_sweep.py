@@ -1246,3 +1246,87 @@ def f25_edit_distance_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("capped").cast("long").alias("capped_sum"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# f26 — try_* battery (round 5+): the ANSI-mode safety valves. Under
+# ANSI SQL a bad cast / division-by-zero / out-of-bounds index THROWS
+# (the f8/f14 contract); the try_* family returns NULL instead — the
+# form ingestion pipelines must use when the data, not the query, is
+# untrusted. Mixed parseable/garbage strings are derived from part
+# rows deterministically; the battery counts survivors per class.
+# ---------------------------------------------------------------------------
+
+_F26_ORACLE = """
+WITH c AS (
+  SELECT p_partkey % 3 AS parse_class,
+         CASE p_partkey % 3
+           WHEN 0 THEN CAST(p_size AS VARCHAR)
+           WHEN 1 THEN p_name
+           ELSE '1995-0' || CAST(p_size % 9 + 1 AS VARCHAR) || '-15'
+         END AS s,
+         p_size
+  FROM part)
+SELECT CAST(parse_class AS BIGINT) AS parse_class,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(TRY_CAST(s AS INTEGER)) AS BIGINT) AS n_int_ok,
+       CAST(SUM(COALESCE(TRY_CAST(s AS INTEGER), 0)) AS BIGINT) AS int_sum,
+       CAST(COUNT(TRY_CAST(s AS TIMESTAMP)) AS BIGINT) AS n_ts_ok,
+       CAST(COUNT(CASE WHEN p_size <> 25
+                       THEN 100.0 / (p_size - 25) END) AS BIGINT)
+         AS n_div_ok,
+       CAST(COUNT(CASE WHEN p_size <= 2 THEN 'x' END) AS BIGINT)
+         AS n_elem_ok
+FROM c GROUP BY 1
+"""
+
+
+@register("f26_try_battery", oracle=_F26_ORACLE, tags=("F8", "P7", "A1"))
+def f26_try_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor census for the try_* family over deterministic mixed
+    input (class 0: integer strings, class 1: part-name garbage,
+    class 2: ISO dates): ``try_cast`` to INT and TIMESTAMP,
+    ``try_divide`` with a zero-hitting denominator, and
+    ``try_element_at`` past the array bound — every one returns NULL
+    where ANSI mode would throw, and the oracle reproduces each NULL
+    with explicit CASE guards (DuckDB's TRY_CAST for the casts). The
+    int survivors also checksum their parsed sum.
+
+    Scale: pure map-side projections + one rollup on 3 classes; the
+    point is semantic (ANSI-safe ingestion never aborts a 100 TB job
+    over one malformed cell — it quarantines NULLs the dq suite then
+    counts).
+    """
+    part = load_table(spark, sf_dir, "part")
+    s = (
+        F.when(
+            F.col("p_partkey") % 3 == 0, F.col("p_size").cast("string")
+        )
+        .when(F.col("p_partkey") % 3 == 1, F.col("p_name"))
+        .otherwise(
+            F.concat(
+                F.lit("1995-0"),
+                (F.col("p_size") % 9 + 1).cast("string"),
+                F.lit("-15"),
+            )
+        )
+    )
+    c = part.select(
+        (F.col("p_partkey") % 3).alias("parse_class"),
+        s.alias("s"),
+        "p_size",
+    )
+    as_int = F.expr("try_cast(s AS INT)")
+    as_ts = F.try_to_timestamp(F.col("s"))
+    div = F.try_divide(F.lit(100.0), F.col("p_size") - 25)
+    elem = F.try_element_at(
+        F.array(F.lit("x"), F.lit("y")), F.col("p_size")
+    )
+    return c.groupBy("parse_class").agg(
+        F.count("*").alias("n_rows"),
+        F.count(as_int).alias("n_int_ok"),
+        F.sum(F.coalesce(as_int, F.lit(0))).cast("long").alias("int_sum"),
+        F.count(as_ts).alias("n_ts_ok"),
+        F.count(div).alias("n_div_ok"),
+        F.count(elem).alias("n_elem_ok"),
+    )
