@@ -4913,3 +4913,118 @@ def q58_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             + 0
         ).alias("did_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q59 — duration-capped sessionization (round 5+): real session rules
+# are two-dimensional — split on a 30-minute inactivity gap AND on a
+# 4-hour maximum session length (a device left streaming must not
+# produce one infinite session). The cap anchors to the gap-session's
+# first event, so the split is closed-form per row: no recurrence, no
+# iterative pass — the property that keeps sessionization one window
+# + one projection at 100 TB.
+# ---------------------------------------------------------------------------
+
+_Q59_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+               OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+              THEN 1 ELSE 0 END AS new_gap
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+gs AS (
+  SELECT user_id, ts,
+         SUM(new_gap) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS gap_sid
+  FROM flagged),
+anchored AS (
+  SELECT user_id, ts, gap_sid,
+         MIN(ts) OVER (PARTITION BY user_id, gap_sid) AS gap_start
+  FROM gs),
+capped AS (
+  SELECT user_id, ts, gap_sid,
+         (epoch_us(ts) - epoch_us(gap_start)) // CAST(14400000000 AS BIGINT) AS sub
+  FROM anchored),
+sess AS (
+  SELECT user_id, gap_sid, sub,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 1000000 AS BIGINT)
+           AS span_s
+  FROM capped GROUP BY 1, 2, 3)
+SELECT user_id,
+       CAST(COUNT(DISTINCT gap_sid) AS BIGINT) AS n_gap_sessions,
+       CAST(COUNT(*) AS BIGINT) AS n_capped_sessions,
+       CAST(MAX(n_events) AS BIGINT) AS max_session_events,
+       CAST(MAX(span_s) AS BIGINT) AS max_span_s
+FROM sess GROUP BY user_id
+"""
+
+
+@register("q59_capped_sessions", oracle=_Q59_ORACLE, tags=("ST3", "W3", "A1"))
+def q59_capped_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-rule sessionization: 30-minute gap splits (lag + running
+    flag sum — the st3 batch recurrence) THEN a 4-hour length cap
+    anchored at each gap-session's first event (``elapsed div 4h`` —
+    closed-form, so a marathon stream splits deterministically without
+    any iterative re-anchoring). Per user: gap-session and
+    capped-session counts, the largest session, the longest span.
+    Every timestamp difference is exact integer microseconds.
+
+    Scale: every window partitions by user (and gap-session) — bounded
+    state, no global sort; the anchor MIN is one more pass over the
+    same partitioning, and Spark reuses the exchange. Anchored capping
+    is the scalable discipline: a rolling 4h-from-last-split rule
+    would be an inherently sequential recurrence.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev_us = F.lag(us).over(w)
+    wrun = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            prev_us.isNull() | (us - prev_us > 1800 * 1000000), 1
+        )
+        .otherwise(0)
+        .alias("new_gap"),
+    )
+    gs = flagged.select(
+        "user_id", "ts", F.sum("new_gap").over(wrun).alias("gap_sid")
+    )
+    wanchor = Window.partitionBy("user_id", "gap_sid")
+    anchored = gs.select(
+        "user_id",
+        "ts",
+        "gap_sid",
+        F.min("ts").over(wanchor).alias("gap_start"),
+    )
+    sub = F.expr(
+        "(unix_micros(cast(ts as timestamp))"
+        " - unix_micros(cast(gap_start as timestamp)))"
+        " div 14400000000"  # 4h in µs as a BIGINT literal (ANSI: 4*3600*1000000 overflows INT)
+    )
+    sess = (
+        anchored.select("user_id", "ts", "gap_sid", sub.alias("sub"))
+        .groupBy("user_id", "gap_sid", "sub")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.expr(
+                "(unix_micros(cast(max(ts) as timestamp))"
+                " - unix_micros(cast(min(ts) as timestamp))) div 1000000"
+            ).alias("span_s"),
+        )
+    )
+    return sess.groupBy("user_id").agg(
+        F.countDistinct("gap_sid").alias("n_gap_sessions"),
+        F.count("*").alias("n_capped_sessions"),
+        F.max("n_events").alias("max_session_events"),
+        F.max("span_s").alias("max_span_s"),
+    )
