@@ -5028,3 +5028,108 @@ def q59_capped_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_events").alias("max_session_events"),
         F.max("span_s").alias("max_span_s"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q60 — rate/volume decomposition (round 5+): the FP&A bridge. The
+# year-over-year revenue change per segment splits EXACTLY into
+# volume effect ΔQ·P₀, rate effect Q₀·ΔP, and the joint term ΔQ·ΔP
+# (rev = qty · avg-price, so the three terms reconcile to ΔR by
+# algebra, not approximation). Everything is derived from two exact
+# integer pairs (Σqty, Σcents) per cell — the decomposition is pure
+# arithmetic on the 2-row-per-segment aggregate.
+# ---------------------------------------------------------------------------
+
+_Q60_ORACLE = """
+WITH cells AS (
+  SELECT c.c_mktsegment AS segment,
+         CAST(date_part('year', o.o_orderdate) AS INT) AS yr,
+         CAST(SUM(CAST(round(l.l_quantity) AS BIGINT)) AS BIGINT) AS q,
+         CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS r
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+  GROUP BY 1, 2),
+w AS (
+  SELECT segment,
+         MAX(CASE WHEN yr = 1996 THEN q END) AS q0,
+         MAX(CASE WHEN yr = 1996 THEN r END) AS r0,
+         MAX(CASE WHEN yr = 1997 THEN q END) AS q1,
+         MAX(CASE WHEN yr = 1997 THEN r END) AS r1
+  FROM cells GROUP BY segment)
+SELECT segment, q0, q1, r0, r1,
+       ROUND((q1 - q0) * (CAST(r0 AS DOUBLE) / q0) / 100, 6) + 0
+         AS volume_effect,
+       ROUND(q0 * (CAST(r1 AS DOUBLE) / q1 - CAST(r0 AS DOUBLE) / q0) / 100,
+             6) + 0 AS rate_effect,
+       ROUND((q1 - q0)
+             * (CAST(r1 AS DOUBLE) / q1 - CAST(r0 AS DOUBLE) / q0) / 100,
+             6) + 0 AS joint_effect,
+       ROUND(CAST(r1 - r0 AS DOUBLE) / 100, 6) + 0 AS total_delta
+FROM w
+"""
+
+
+@register("q60_rate_volume_decomposition", oracle=_Q60_ORACLE, tags=("A1", "J1", "F4"))
+def q60_rate_volume_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1996→1997 revenue bridge per segment: with Q = total quantity
+    and P = R/Q average unit price, ΔR = ΔQ·P₀ + Q₀·ΔP + ΔQ·ΔP — the
+    three effects and the total are each divisions/products of exact
+    integer pairs performed identically on both engines (round 6,
+    ``+ 0``), and they reconcile to the exact cents delta by
+    construction. The window is restricted to the two complete years,
+    so every cell exists.
+
+    Scale: one fact reduction to (segment, year) grain — the bridge is
+    arithmetic over ten rows. The orders join shares the l_orderkey
+    shuffle key; the customer segment map broadcasts.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    cells = (
+        li.join(
+            orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+            li.l_orderkey == orders.o_orderkey,
+        )
+        .where(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(
+            F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.year("o_orderdate").cast("int").alias("yr"),
+        )
+        .agg(
+            F.sum(F.round("l_quantity").cast("long")).alias("q"),
+            F.sum(cents("l_extendedprice")).alias("r"),
+        )
+    )
+    w = cells.groupBy("segment").agg(
+        F.max(F.when(F.col("yr") == 1996, F.col("q"))).alias("q0"),
+        F.max(F.when(F.col("yr") == 1996, F.col("r"))).alias("r0"),
+        F.max(F.when(F.col("yr") == 1997, F.col("q"))).alias("q1"),
+        F.max(F.when(F.col("yr") == 1997, F.col("r"))).alias("r1"),
+    )
+    p0 = F.col("r0").cast("double") / F.col("q0")
+    p1 = F.col("r1").cast("double") / F.col("q1")
+    dq = F.col("q1") - F.col("q0")
+    return w.select(
+        "segment",
+        "q0",
+        "q1",
+        "r0",
+        "r1",
+        (F.round(dq * p0 / 100, 6) + 0).alias("volume_effect"),
+        (F.round(F.col("q0") * (p1 - p0) / 100, 6) + 0).alias("rate_effect"),
+        (F.round(dq * (p1 - p0) / 100, 6) + 0).alias("joint_effect"),
+        (F.round((F.col("r1") - F.col("r0")).cast("double") / 100, 6) + 0)
+        .alias("total_delta"),
+    )
