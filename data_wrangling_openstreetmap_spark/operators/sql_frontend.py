@@ -698,3 +698,92 @@ def x14_pipe_syntax_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> SELECT o_orderpriority, c_mktsegment, n_orders, revenue_cents
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# X15 — lateral column aliases (round 5+): referencing a select-list
+# alias from a LATER item in the same select list (Spark 3.4+ native,
+# DuckDB native) — the surface that kills the "nest three subqueries
+# to name an expression" pattern. Same text runs on both engines.
+# ---------------------------------------------------------------------------
+
+_X15_ORACLE = """
+SELECT o_orderpriority,
+       CAST(round(SUM(o_totalprice) * 100) / 100 AS DOUBLE) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(revenue / n_orders, 2) + 0 AS avg_order,
+       ROUND(avg_order / 1000, 4) + 0 AS avg_korder
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@register("x15_lateral_alias_sql", oracle=_X15_ORACLE, tags=("A1", "F4"))
+def x15_lateral_alias_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral column aliases in aggregate position: ``avg_order``
+    consumes the ``revenue``/``n_orders`` aliases defined earlier in
+    the SAME select list, and ``avg_korder`` chains one further — the
+    oracle is the IDENTICAL text (DuckDB resolves lateral aliases
+    natively too), so the grade proves both engines bind the chain
+    the same way. Money rides the integer-cents recipe before the
+    divisions; rounds carry ``+ 0``.
+
+    Scale: parse-time sugar — the bound plan is the same single
+    hash aggregation the nested-subquery spelling produces.
+    """
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_x15")
+    return spark.sql(_X15_ORACLE.replace("FROM orders", "FROM orders_x15"))
+
+
+# ---------------------------------------------------------------------------
+# X16 — native UNPIVOT clause (round 5+): the SQL-standard spelling of
+# a13's wide→long melt, parsed natively by BOTH engines. Wide per-year
+# revenue columns fold back into (year, revenue) rows; the oracle
+# recomputes the long form directly from the base table, so a wrong
+# column→row mapping in either engine's UNPIVOT breaks the hash.
+# ---------------------------------------------------------------------------
+
+_X16_ORACLE = """
+SELECT o_orderpriority,
+       CAST(date_part('year', o_orderdate) AS INT) AS yr,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY 1, 2
+"""
+
+
+@register("x16_unpivot_sql", oracle=_X16_ORACLE, tags=("A12", "A1"))
+def x16_unpivot_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot 1995–1997 revenue into wide year columns, then fold them
+    back with Spark's native SQL ``UNPIVOT`` clause — the roundtrip
+    must reproduce exactly the long-form rollup the oracle computes
+    directly (column-name → year mapping, NULL cells for empty years
+    dropped per UNPIVOT's default EXCLUDE NULLS).
+
+    Scale: UNPIVOT is a zero-shuffle projection (each wide row emits
+    ≤3 long rows in place); the preceding pivot is the only
+    aggregation. The wide intermediate keys on 5 priorities — tiny at
+    any corpus size.
+    """
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_x16")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, CAST(substr(yr_col, 2) AS INT) AS yr,
+               revenue_cents
+        FROM (
+          SELECT * FROM (
+            SELECT o_orderpriority,
+                   concat('y', year(o_orderdate)) AS yr,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders_x16
+            WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+              AND o_orderdate <  TIMESTAMP '1998-01-01'
+          )
+          PIVOT (SUM(cents) FOR yr IN ('y1995', 'y1996', 'y1997'))
+        )
+        UNPIVOT (revenue_cents FOR yr_col IN (`y1995`, `y1996`, `y1997`))
+        """
+    )
