@@ -1072,3 +1072,123 @@ def m10_binary_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_copies") >= 2)
     )
+
+
+# ---------------------------------------------------------------------------
+# l0m — multimodal curation pipeline (round 5+): the end-to-end chain
+# a multimodal training lake runs BEFORE any decode, as ONE graded
+# plan — magic-byte mime routing (m8) → content-addressed dedup
+# keep-first (m10) → per-modality quota mix (m9) → manifest stats.
+# Composing the stages matters: dedup must run inside each modality
+# (the same bytes under a different container are different assets),
+# and quotas must apply to the DEDUPED pool or duplicate-heavy
+# modalities overfill.
+# ---------------------------------------------------------------------------
+
+_L0M_QUOTAS = {"image/png": 60, "audio/wav": 50, "audio/mpeg": 40, "text/plain": 30}
+
+_L0M_ORACLE = f"""
+WITH s AS (
+  SELECT doc_id,
+         CASE doc_id % 4
+           WHEN 0 THEN 'image/png'
+           WHEN 1 THEN 'audio/wav'
+           WHEN 2 THEN 'audio/mpeg'
+           ELSE 'text/plain'
+         END AS mime,
+         sha256(text) AS digest,
+         CAST(octet_length(encode(text)) AS BIGINT) + 4 AS n_bytes
+  FROM documents),
+dedup AS (
+  SELECT mime, digest, MIN(doc_id) AS doc_id, MIN(n_bytes) AS n_bytes,
+         CAST(COUNT(*) AS BIGINT) AS n_copies
+  FROM s GROUP BY mime, digest),
+ranked AS (
+  SELECT mime, doc_id, n_bytes, n_copies,
+         row_number() OVER (
+           PARTITION BY mime
+           ORDER BY ((doc_id % 2147483648) * 2654435761) % 1000000007,
+                    doc_id) AS rk
+  FROM dedup),
+q(mime, quota) AS (VALUES ('image/png', 60), ('audio/wav', 50),
+                          ('audio/mpeg', 40), ('text/plain', 30))
+SELECT s2.mime,
+       CAST(MAX(raw.n_raw) AS BIGINT) AS n_raw,
+       CAST(COUNT(*) AS BIGINT) AS n_unique,
+       CAST(SUM(CASE WHEN s2.rk <= q.quota THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_selected,
+       CAST(SUM(CASE WHEN s2.rk <= q.quota THEN s2.n_bytes ELSE 0 END)
+            AS BIGINT) AS selected_bytes,
+       CAST(MIN(CASE WHEN s2.rk <= q.quota THEN s2.doc_id END) AS BIGINT)
+         AS first_selected
+FROM ranked s2
+JOIN q ON s2.mime = q.mime
+JOIN (SELECT mime, COUNT(*) AS n_raw FROM s GROUP BY mime) raw
+  ON s2.mime = raw.mime
+GROUP BY s2.mime
+"""
+
+
+@register("l0_multimodal_curation", oracle=_L0M_ORACLE, tags=("L5", "L1", "W2"))
+def l0_multimodal_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One plan from raw bytes to training manifest: route by the m8
+    magic-byte prefix (payload = 4 magic bytes + UTF-8 body, so
+    n_bytes = body + 4), dedup per (mime, sha256-of-body) keeping the
+    lowest doc id, rank the survivors by the 31-bit-masked Knuth draw,
+    and admit ranks within each modality's quota (60/50/40/30).
+    Reports raw vs unique vs selected counts, admitted bytes, and the
+    first admitted id per modality.
+
+    Scale: digests replace payloads in the dedup shuffle (the m10
+    point); the quota rank partitions by mime — 4 partitions of
+    corpus-scale size, the one deliberate skew in this family (same
+    posture as m9; swap in the two-level scalable_row_number per mime
+    when modality cardinality stops bounding the partition count).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    mime = (
+        F.when(F.col("doc_id") % 4 == 0, "image/png")
+        .when(F.col("doc_id") % 4 == 1, "audio/wav")
+        .when(F.col("doc_id") % 4 == 2, "audio/mpeg")
+        .otherwise("text/plain")
+    )
+    body = F.encode(F.col("text"), "utf-8")
+    s = docs.select(
+        "doc_id",
+        mime.alias("mime"),
+        F.sha2(body, 256).alias("digest"),
+        (F.length(body).cast("long") + 4).alias("n_bytes"),
+    )
+    raw = s.groupBy("mime").agg(F.count("*").alias("n_raw"))
+    dedup = s.groupBy("mime", "digest").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min("n_bytes").alias("n_bytes"),
+        F.count("*").alias("n_copies"),
+    )
+    draw = ((F.col("doc_id") % F.lit(2147483648)) * F.lit(2654435761)) % F.lit(
+        1000000007
+    )
+    wr = Window.partitionBy("mime").orderBy(draw, "doc_id")
+    ranked = dedup.withColumn("rk", F.row_number().over(wr))
+    quotas = spark.createDataFrame(
+        list(_L0M_QUOTAS.items()), "mime string, quota int"
+    )
+    sel = F.col("rk") <= F.col("quota")
+    return (
+        ranked.join(F.broadcast(quotas), "mime")
+        .join(F.broadcast(raw), "mime")
+        .groupBy("mime")
+        .agg(
+            F.max("n_raw").cast("long").alias("n_raw"),
+            F.count("*").alias("n_unique"),
+            F.sum(F.when(sel, 1).otherwise(0)).cast("long").alias(
+                "n_selected"
+            ),
+            F.sum(F.when(sel, F.col("n_bytes")).otherwise(0))
+            .cast("long")
+            .alias("selected_bytes"),
+            F.min(F.when(sel, F.col("doc_id"))).cast("long").alias(
+                "first_selected"
+            ),
+        )
+    )
