@@ -6755,10 +6755,8 @@ _G13_CAP = 200
 _G13_K = 20
 
 _G13_ORACLE = f"""
-WITH pairs AS (
-  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
-  FROM lineitem l1 JOIN lineitem l2
-    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey),
+WITH {oracle_co_edges(1)},
+pairs AS (SELECT u AS a, v AS b FROM e),
 adj AS (SELECT a AS u, b AS v FROM pairs UNION ALL SELECT b, a FROM pairs),
 deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM adj GROUP BY u),
 mid AS (SELECT adj.u AS m, adj.v AS x
@@ -6802,19 +6800,10 @@ def g13_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     itself is one self-join of lineitem on l_orderkey (orders are
     ≤7 items in this schema, so per-order pair fan-out is bounded).
     """
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    l1 = li.alias("l1")
-    l2 = li.alias("l2")
-    pairs = (
-        l1.join(
-            l2,
-            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
-            & (F.col("l1.l_partkey") < F.col("l2.l_partkey")),
-        )
-        .select(
-            F.col("l1.l_partkey").alias("a"), F.col("l2.l_partkey").alias("b")
-        )
-        .distinct()
+    # Reuse the shared basket self-join (CLAUDE.md reuse rule): edges
+    # with min_support=1 ARE the distinct co-purchase pairs.
+    pairs = co_purchase_edges(spark, sf_dir, 1).select(
+        F.col("u").alias("a"), F.col("v").alias("b")
     )
     adj = pairs.union(pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))).toDF(
         "u", "v"
@@ -7099,11 +7088,9 @@ def l6_cluster_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # partkey mod 8) beats random assignment (Q ≈ 0).
 # ---------------------------------------------------------------------------
 
-_G14_ORACLE = """
-WITH pairs AS (
-  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
-  FROM lineitem l1 JOIN lineitem l2
-    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey),
+_G14_ORACLE = f"""
+WITH {oracle_co_edges(1)},
+pairs AS (SELECT u AS a, v AS b FROM e),
 m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM pairs),
 adj AS (SELECT a AS u, b AS v FROM pairs UNION ALL SELECT b, a FROM pairs),
 deg AS (SELECT u, u % 8 AS com, CAST(COUNT(*) AS BIGINT) AS d
@@ -7142,18 +7129,10 @@ def g14_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     community keys. The exact-rational trick means the audit is
     hash-gradeable — no float modularity drift across partitionings.
     """
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    l1, l2 = li.alias("l1"), li.alias("l2")
-    pairs = (
-        l1.join(
-            l2,
-            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
-            & (F.col("l1.l_partkey") < F.col("l2.l_partkey")),
-        )
-        .select(
-            F.col("l1.l_partkey").alias("a"), F.col("l2.l_partkey").alias("b")
-        )
-        .distinct()
+    # Reuse the shared basket self-join (CLAUDE.md reuse rule): edges
+    # with min_support=1 ARE the distinct co-purchase pairs.
+    pairs = co_purchase_edges(spark, sf_dir, 1).select(
+        F.col("u").alias("a"), F.col("v").alias("b")
     )
     m = pairs.agg(F.count("*").alias("m"))
     adj = pairs.union(
@@ -7198,11 +7177,9 @@ def g14_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # engine-identical before the 6-dp round.
 # ---------------------------------------------------------------------------
 
-_G15_ORACLE = """
-WITH pairs AS (
-  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
-  FROM lineitem l1 JOIN lineitem l2
-    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey),
+_G15_ORACLE = f"""
+WITH {oracle_co_edges(1)},
+pairs AS (SELECT u AS a, v AS b FROM e),
 adj AS (SELECT a AS u, b AS v FROM pairs UNION ALL SELECT b, a FROM pairs),
 deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY u),
 ed AS (
@@ -7238,18 +7215,10 @@ def g15_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph size, and the moment magnitudes stay under 2⁶³ for degree
     sums into the billions.
     """
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    l1, l2 = li.alias("l1"), li.alias("l2")
-    pairs = (
-        l1.join(
-            l2,
-            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
-            & (F.col("l1.l_partkey") < F.col("l2.l_partkey")),
-        )
-        .select(
-            F.col("l1.l_partkey").alias("a"), F.col("l2.l_partkey").alias("b")
-        )
-        .distinct()
+    # Reuse the shared basket self-join (CLAUDE.md reuse rule): edges
+    # with min_support=1 ARE the distinct co-purchase pairs.
+    pairs = co_purchase_edges(spark, sf_dir, 1).select(
+        F.col("u").alias("a"), F.col("v").alias("b")
     )
     adj = pairs.union(
         pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
