@@ -3418,3 +3418,125 @@ def s31_compressed_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(cents("s_acctbal")).alias("total_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# S32/ST25 — PARTITIONED Python streaming source (round 5+): the
+# high-volume half of the streaming DataSource API (st24's simple
+# reader prefetches on the driver; this one plans offsets on the
+# driver and reads on EXECUTORS). ``latestOffset`` advances one
+# 20 000-row span per micro-batch; ``partitions(start, end)`` splits
+# the span into 4 executor-read slices — the Kafka-shaped contract.
+# ---------------------------------------------------------------------------
+
+_ST25_SPAN = 20000
+_ST25_SLICES = 4
+
+if _S27_AVAILABLE:
+
+    class SynthPartitionedStreamDataSource(DataSource):
+        """``dwos_synth_pstream``: executor-read micro-batched feed."""
+
+        @classmethod
+        def name(cls) -> str:
+            return "dwos_synth_pstream"
+
+        def schema(self) -> str:
+            return (
+                "seq bigint, device_id int, reading_milli bigint,"
+                " status string"
+            )
+
+        def streamReader(self, schema):  # noqa: ARG002
+            return _SynthPartitionedStreamReader(self.options)
+
+    class _RangePartition(InputPartition):
+        def __init__(self, lo: int, hi: int):
+            self.lo = lo
+            self.hi = hi
+
+    from pyspark.sql.datasource import DataSourceStreamReader
+
+    class _SynthPartitionedStreamReader(DataSourceStreamReader):
+        def __init__(self, options):
+            self.total = int(options.get("totalrows", _S27_PARTS * _S27_ROWS))
+            self.span = int(options.get("spanrows", _ST25_SPAN))
+
+        def initialOffset(self) -> dict:
+            return {"seq": 0}
+
+        def latestOffset(self) -> dict:
+            # One span per micro-batch until the closed-form feed ends.
+            # A real source returns "whatever the upstream has now".
+            self._latest = getattr(self, "_latest", 0)
+            self._latest = min(self._latest + self.span, self.total)
+            return {"seq": self._latest}
+
+        def partitions(self, start: dict, end: dict):
+            lo, hi = start["seq"], end["seq"]
+            if hi <= lo:
+                return [_RangePartition(lo, lo)]
+            step = max(1, (hi - lo) // _ST25_SLICES)
+            bounds = list(range(lo, hi, step))[:_ST25_SLICES] + [hi]
+            return [
+                _RangePartition(a, b)
+                for a, b in zip(bounds, bounds[1:])
+                if b > a
+            ]
+
+        def read(self, partition):
+            for i in range(partition.lo, partition.hi):
+                h = ((i % 2147483648) * 2654435761) % 1000000
+                yield (i, i % 97, h, _S27_STATUSES[i % 7])
+
+        def commit(self, end: dict) -> None:
+            pass
+
+        def stop(self) -> None:
+            pass
+
+
+_ST25_ORACLE = f"""
+WITH r AS (
+  SELECT i AS seq,
+         CAST(i % 97 AS INT) AS device_id,
+         ((i % 2147483648) * 2654435761) % 1000000 AS reading_milli
+  FROM generate_series(0, {_S27_PARTS * _S27_ROWS - 1}) t(i))
+SELECT seq // {_ST25_SPAN} AS span_id,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT device_id) AS BIGINT) AS n_devices,
+       CAST(SUM(reading_milli) AS BIGINT) AS total_milli
+FROM r GROUP BY 1
+"""
+
+
+@register("st25_partitioned_stream_source", oracle=_ST25_ORACLE, tags=("ST1", "S2", "A1"))
+def st25_partitioned_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-span rollup of the partitioned streaming source's feed
+    (span = one ``latestOffset`` micro-batch; each span reads as 4
+    executor slices). Batch-equivalent contract form — the live
+    ``readStream.format("dwos_synth_pstream")`` run is driven in
+    tests/test_streaming.py and must converge to these rows.
+
+    Scale: this is the Kafka shape — the driver only plans offset
+    spans; rows are generated/fetched ON EXECUTORS, 4-way parallel per
+    batch, so source throughput scales with the cluster, not the
+    driver. Offsets are dicts; recovery replans ``partitions(start,
+    end)`` over any committed span and re-reads deterministically.
+    """
+    if not _S27_AVAILABLE:  # pragma: no cover
+        raise NotImplementedError("pyspark.sql.datasource requires Spark 4")
+    spark.dataSource.register(SynthTelemetryDataSource)
+    feed = (
+        spark.read.format("dwos_synth")
+        .option("partitions", _S27_PARTS)
+        .option("rowsPerPartition", _S27_ROWS)
+        .load()
+    )
+    return feed.groupBy(
+        F.expr(f"seq div {_ST25_SPAN}").alias("span_id")
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("device_id").alias("n_devices"),
+        F.sum("reading_milli").cast("long").alias("total_milli"),
+    )

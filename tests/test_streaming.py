@@ -721,3 +721,74 @@ def test_python_stream_source_availablenow_equals_batch(spark):
         for r in REGISTRY["st24_python_stream_source"].fn(spark, SF).collect()
     )
     assert got == want
+
+
+def test_partitioned_python_stream_source_equals_batch(spark):
+    """st25's live contract: the PARTITIONED streaming source
+    (executor-side reads, driver-side offset planning) drains five
+    latestOffset spans; the complete-mode per-span rollup must equal
+    the batch form of the closed-form feed."""
+    from data_wrangling_openstreetmap_spark.operators.relational import (
+        SynthPartitionedStreamDataSource,
+        _ST25_SPAN,
+    )
+    from data_wrangling_openstreetmap_spark.registry import REGISTRY
+
+    spark.dataSource.register(SynthPartitionedStreamDataSource)
+    stream = (
+        spark.readStream.format("dwos_synth_pstream")
+        .option("totalRows", 100000)
+        .option("spanRows", _ST25_SPAN)
+        .load()
+    )
+    # countDistinct is unsupported on streams — the live check grades
+    # the count/sum columns; n_devices stays a batch-form-only column.
+    q = (
+        stream.groupBy(F.expr(f"seq div {_ST25_SPAN}").alias("span_id"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("reading_milli").cast("long").alias("total_milli"),
+        )
+        .writeStream.format("memory")
+        .queryName("sink_pstream")
+        .outputMode("complete")
+        .start()
+    )
+    import time
+
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        if spark.table("sink_pstream").count() >= 5:
+            break
+        time.sleep(1)
+    q.stop()
+    got = sorted(tuple(r) for r in spark.table("sink_pstream").collect())
+    want = sorted(
+        tuple(r)
+        for r in REGISTRY["st25_partitioned_stream_source"]
+        .fn(spark, SF)
+        .select("span_id", "n_rows", "total_milli")
+        .collect()
+    )
+    assert got == want
+
+
+def test_python_datasink_abort_cleans_staging(tmp_path):
+    """s29's 2PC contract, failure half: a task writes to staging, the
+    job aborts, staging is cleaned and nothing is promoted."""
+    from data_wrangling_openstreetmap_spark.operators.relational import (
+        _JsonlSinkWriter,
+    )
+
+    w = _JsonlSinkWriter(str(tmp_path), ["a", "b"])
+    msg = w.write(iter([(1, "x"), (2, "y")]))
+    staged = tmp_path / "_staging"
+    assert len(list(staged.iterdir())) == 1 and msg.n_rows == 2
+    w.abort([msg, None])  # None = a task that never reported
+    assert list(staged.iterdir()) == []
+    assert [p for p in tmp_path.iterdir() if p.name != "_staging"] == []
+    # commit half: promote then staging is empty and the file is final
+    msg2 = w.write(iter([(3, "z")]))
+    w.commit([msg2])
+    finals = [p for p in tmp_path.iterdir() if p.name != "_staging"]
+    assert len(finals) == 1 and list(staged.iterdir()) == []
