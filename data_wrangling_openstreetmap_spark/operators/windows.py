@@ -3668,3 +3668,85 @@ def w39_hampel_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("outlier").cast("long").alias("n_outliers"),
         F.sum("repaired4").cast("long").alias("repaired_qcents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# w41 — MASE forecast evaluation (round 5+): is a naive last-month
+# forecast actually better than the seasonal-naive baseline? MASE =
+# MAE(naive-1) / MAE(seasonal-12) over the months where both are
+# defined — the scale-free forecast metric (Hyndman) that q26's
+# regression forecast should beat before anyone ships it. Absolute
+# errors are exact integer cents; only the final ratio is a double.
+# ---------------------------------------------------------------------------
+
+_W41_ORACLE = """
+WITH monthly AS (
+  SELECT c.c_mktsegment AS segment,
+         CAST(date_part('year', o.o_orderdate) * 12
+              + date_part('month', o.o_orderdate) AS INT) AS mon,
+         CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS r
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2),
+lagged AS (
+  SELECT segment, mon, r,
+         lag(r, 1)  OVER (PARTITION BY segment ORDER BY mon) AS r1,
+         lag(r, 12) OVER (PARTITION BY segment ORDER BY mon) AS r12
+  FROM monthly)
+SELECT segment,
+       CAST(COUNT(*) AS BIGINT) AS n_months,
+       CAST(SUM(abs(r - r1)) AS BIGINT) AS naive_abs_err,
+       CAST(SUM(abs(r - r12)) AS BIGINT) AS seasonal_abs_err,
+       ROUND(CAST(SUM(abs(r - r1)) AS DOUBLE)
+             / SUM(abs(r - r12)), 6) + 0 AS mase
+FROM lagged
+WHERE r1 IS NOT NULL AND r12 IS NOT NULL
+GROUP BY segment
+"""
+
+
+@register("w41_mase", oracle=_W41_ORACLE, tags=("W3", "A7", "F4"))
+def w41_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean-absolute-scaled-error of the naive one-month forecast
+    against the seasonal-naive (12-month) baseline, per segment, over
+    the months where both lags exist (dense TPC-H calendar — no month
+    gaps to fabricate). MASE < 1 means last-month beats last-year.
+    Both error sums are exact BIGINT cents; one division, round 6,
+    ``+ 0``.
+
+    Scale: the monthly rollup collapses facts to O(segments × months);
+    both lags share one partitioned window pass (same partition/order
+    → a single Window node). The caveat that matters at scale: lag-12
+    assumes a DENSE month series — gap-filling (q44's spine) must run
+    first on sparse series or the "season" silently shifts.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    monthly = (
+        orders.join(
+            F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+            orders.o_custkey == cust.c_custkey,
+        )
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+            .cast("int")
+            .alias("mon"),
+        )
+        .agg(F.sum(cents("o_totalprice")).alias("r"))
+    )
+    w = Window.partitionBy("segment").orderBy("mon")
+    lagged = monthly.select(
+        "segment",
+        "r",
+        F.lag("r", 1).over(w).alias("r1"),
+        F.lag("r", 12).over(w).alias("r12"),
+    ).where(F.col("r1").isNotNull() & F.col("r12").isNotNull())
+    naive = F.sum(F.abs(F.col("r") - F.col("r1")))
+    seasonal = F.sum(F.abs(F.col("r") - F.col("r12")))
+    return lagged.groupBy("segment").agg(
+        F.count("*").alias("n_months"),
+        naive.cast("long").alias("naive_abs_err"),
+        seasonal.cast("long").alias("seasonal_abs_err"),
+        (F.round(naive.cast("double") / seasonal, 6) + 0).alias("mase"),
+    )
