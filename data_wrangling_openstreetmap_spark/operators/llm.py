@@ -7248,3 +7248,78 @@ def g15_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_edge_ends"),
         (F.round(num / den, 6) + 0).alias("assortativity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# l3f — FILTERED vector search (round 5+): top-k among only the
+# vectors whose document passes a metadata predicate — the feature
+# that separates a vector database from a similarity kernel. This is
+# the PRE-filter strategy (restrict candidates, then rank): exact
+# recall under any selectivity, vs post-filtering which silently
+# under-fills k when the predicate is selective.
+# ---------------------------------------------------------------------------
+
+_L3F_ORACLE = """
+WITH en AS (
+  SELECT e.vec_id, e.embedding
+  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+  WHERE d.lang = 'en'),
+q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 50 = 0)
+SELECT q.vec_id AS query_id, en.vec_id AS neighbor_id,
+       ROUND(list_cosine_similarity(q.embedding::DOUBLE[],
+                                    en.embedding::DOUBLE[]), 6) AS cosine
+FROM q JOIN en ON q.vec_id <> en.vec_id
+QUALIFY row_number() OVER (
+  PARTITION BY q.vec_id
+  ORDER BY ROUND(list_cosine_similarity(q.embedding::DOUBLE[],
+                                        en.embedding::DOUBLE[]), 6) DESC,
+           en.vec_id) <= 3
+"""
+
+
+@register("l3_filtered_topk", oracle=_L3F_ORACLE, tags=("L3", "J3", "W2"))
+def l3_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 cosine neighbors restricted to English-language documents
+    (semi-join of the vector table against the metadata predicate
+    BEFORE any distance math), for the vec_id % 50 == 0 query set.
+    Rounded-score + neighbor-id tiebreak, the q10 convention.
+
+    Scale: pre-filtering is the only strategy with exact recall —
+    and it also SHRINKS the candidate side before the O(q·n·d) rank
+    work. The metadata predicate travels as a semi-join on the shared
+    id (pushed to the documents scan); at IVF scale the same filter
+    applies to the posting lists before ADC. Post-filtering the global
+    top-k would return <k for selective predicates.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    en = (
+        e.join(
+            docs.where(F.col("lang") == "en").select("doc_id"),
+            e.vec_id == F.col("doc_id"),
+            "left_semi",
+        )
+        .select("vec_id", "embedding", V.norm(F.col("embedding")).alias("nrm"))
+    )
+    q = e.where(F.col("vec_id") % 50 == 0).select(
+        "vec_id", "embedding", V.norm(F.col("embedding")).alias("nrm")
+    )
+    a, b = q.alias("a"), en.alias("b")
+    cos = F.round(
+        V.dot(F.col("a.embedding"), F.col("b.embedding"))
+        / (F.col("a.nrm") * F.col("b.nrm")),
+        6,
+    )
+    pairs = a.join(b, F.col("a.vec_id") != F.col("b.vec_id")).select(
+        F.col("a.vec_id").alias("query_id"),
+        F.col("b.vec_id").alias("neighbor_id"),
+        cos.alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), "neighbor_id"
+    )
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("query_id", "neighbor_id", "cosine")
+    )

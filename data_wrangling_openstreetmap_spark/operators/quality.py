@@ -1206,3 +1206,91 @@ def dp5_join_cardinality_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
         "actual_rows",
         err_bp.alias("err_bp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# dp6 — functional-dependency miner (round 5+): does column X
+# determine column Y? For each candidate FD the miner counts
+# determinant values with more than one distinct dependent — zero
+# violations means the FD holds exactly (schema-inference /
+# normalization evidence). Candidates cover true FDs (nation →
+# region), near-FDs, and non-FDs, so the output is a spectrum, not a
+# tautology.
+# ---------------------------------------------------------------------------
+
+_DP6_ORACLE = """
+WITH cand AS (
+  SELECT 'n_nationkey->n_regionkey' AS fd,
+         CAST(n_nationkey AS VARCHAR) AS det,
+         CAST(n_regionkey AS VARCHAR) AS dep
+  FROM nation
+  UNION ALL
+  SELECT 'c_custkey->c_mktsegment', CAST(c_custkey AS VARCHAR), c_mktsegment
+  FROM customer
+  UNION ALL
+  SELECT 'c_mktsegment->c_nationkey', c_mktsegment,
+         CAST(c_nationkey AS VARCHAR)
+  FROM customer
+  UNION ALL
+  SELECT 'o_custkey->o_orderpriority', CAST(o_custkey AS VARCHAR),
+         o_orderpriority
+  FROM orders),
+per_det AS (
+  SELECT fd, det, CAST(COUNT(DISTINCT dep) AS BIGINT) AS n_dep
+  FROM cand GROUP BY 1, 2)
+SELECT fd,
+       CAST(COUNT(*) AS BIGINT) AS n_determinants,
+       CAST(SUM(CASE WHEN n_dep > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violating,
+       CAST(MAX(n_dep) AS BIGINT) AS max_dependents,
+       CAST(SUM(CASE WHEN n_dep > 1 THEN 1 ELSE 0 END) = 0 AS INT) AS holds
+FROM per_det GROUP BY fd
+"""
+
+
+@register("dp6_fd_miner", oracle=_DP6_ORACLE, tags=("A3", "A1", "O3"))
+def dp6_fd_miner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact functional-dependency check over four candidates spanning
+    the spectrum: nation→region (holds by schema), custkey→segment
+    (holds — custkey is a key), segment→nation and custkey(of orders)→
+    priority (violated). Violation = a determinant value observed with
+    ≥2 distinct dependents; ``holds`` is the 0/1 verdict a schema
+    normalizer consumes. Values stringify so every candidate shares
+    one long-form shape.
+
+    Scale: one union of projections, one (fd, det) distinct-dependent
+    aggregation, one O(fd) rollup — the standard two-level FD counting
+    that scales linearly; a full lattice search would batch candidates
+    through this same shape level by level.
+    """
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+
+    def cand(df, fd, det, dep):
+        return df.select(
+            F.lit(fd).alias("fd"),
+            F.col(det).cast("string").alias("det"),
+            F.col(dep).cast("string").alias("dep"),
+        )
+
+    c = (
+        cand(nation, "n_nationkey->n_regionkey", "n_nationkey", "n_regionkey")
+        .unionAll(cand(cust, "c_custkey->c_mktsegment", "c_custkey", "c_mktsegment"))
+        .unionAll(
+            cand(cust, "c_mktsegment->c_nationkey", "c_mktsegment", "c_nationkey")
+        )
+        .unionAll(
+            cand(orders, "o_custkey->o_orderpriority", "o_custkey", "o_orderpriority")
+        )
+    )
+    per_det = c.groupBy("fd", "det").agg(
+        F.countDistinct("dep").alias("n_dep")
+    )
+    viol = F.sum(F.when(F.col("n_dep") > 1, 1).otherwise(0))
+    return per_det.groupBy("fd").agg(
+        F.count("*").alias("n_determinants"),
+        viol.cast("long").alias("n_violating"),
+        F.max("n_dep").alias("max_dependents"),
+        (viol == 0).cast("int").alias("holds"),
+    )
