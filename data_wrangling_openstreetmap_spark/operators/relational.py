@@ -3540,3 +3540,47 @@ def st25_partitioned_stream_source(spark: SparkSession, sf_dir: str) -> DataFram
         F.countDistinct("device_id").alias("n_devices"),
         F.sum("reading_milli").cast("long").alias("total_milli"),
     )
+
+
+# ---------------------------------------------------------------------------
+# S33 — corrupt-file resilience (round 5+): a directory containing
+# one garbage "parquet" must not kill the scan when
+# ``ignoreCorruptFiles`` is on. At 100 TB a handful of truncated
+# uploads per day is BASELINE reality; the choice is per-read and
+# deliberate (default off = fail fast for financial exactness, on =
+# availability for best-effort analytics). The survivors' rollup is
+# value-graded against the logical table.
+# ---------------------------------------------------------------------------
+
+_S33_ORACLE = """
+SELECT n_nationkey, n_name, n_regionkey FROM nation
+"""
+
+
+@register("s33_corrupt_file_resilience", oracle=_S33_ORACLE, tags=("S1", "P7"))
+def s33_corrupt_file_resilience(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write nation to a directory, drop a non-parquet garbage file
+    beside it (wrong magic, truncated footer), and read the directory
+    back with ``ignoreCorruptFiles=true``: the scan must return
+    exactly the clean rows — no crash, no phantom rows. The oracle is
+    the logical table, so a silently-dropped GOOD file would also
+    break the hash.
+
+    Scale: per-read option (not session-wide), matching how a
+    production lake scopes the tradeoff: ingestion audits read strict
+    and quarantine, dashboards read resilient. The corrupt file is
+    skipped at footer-validation time — no row-level work is wasted.
+    """
+    import os
+    import tempfile
+
+    nation = load_table(spark, sf_dir, "nation")
+    path = tempfile.mkdtemp(prefix="dwos_s33_") + "/nation_pq"
+    nation.write.mode("overwrite").parquet(path)
+    with open(os.path.join(path, "part-corrupt.parquet"), "wb") as fh:
+        fh.write(b"NOTPARQUET" * 64)  # wrong magic, no footer
+    back = (
+        spark.read.option("ignoreCorruptFiles", "true")
+        .parquet(path)
+    )
+    return back.select("n_nationkey", "n_name", "n_regionkey")
