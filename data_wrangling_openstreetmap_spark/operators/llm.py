@@ -7323,3 +7323,106 @@ def l3_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .select("query_id", "neighbor_id", "cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# l4k — keyness / log-likelihood ratio (round 5+): Dunning's G² for
+# "which words distinguish the English corpus from the rest" — the
+# corpus-comparison statistic (keyword extraction, domain-shift
+# detection, contamination forensics) that raw frequency ratios get
+# wrong for rare words. Counts are exact integers; G² assembles from
+# ln() of integer-ratio doubles identically on both engines.
+# ---------------------------------------------------------------------------
+
+_L4K_MIN_COUNT = 20
+_L4K_TOPK = 20
+
+_L4K_ORACLE = f"""
+WITH t AS (
+  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_en,
+         unnest({_ORACLE_TOKS}) AS word
+  FROM documents),
+wc AS (
+  SELECT word,
+         CAST(SUM(is_en) AS BIGINT) AS a,
+         CAST(SUM(1 - is_en) AS BIGINT) AS b
+  FROM t GROUP BY word),
+tot AS (
+  SELECT CAST(SUM(a) AS BIGINT) AS na, CAST(SUM(b) AS BIGINT) AS nb
+  FROM wc),
+g AS (
+  SELECT word, a, b,
+         ROUND(2 * (
+           CASE WHEN a > 0 THEN a * ln(CAST(a AS DOUBLE) * (na + nb)
+                                       / (CAST(na AS DOUBLE) * (a + b)))
+                ELSE 0 END
+           + CASE WHEN b > 0 THEN b * ln(CAST(b AS DOUBLE) * (na + nb)
+                                         / (CAST(nb AS DOUBLE) * (a + b)))
+                  ELSE 0 END), 6) + 0 AS g2
+  FROM wc, tot WHERE a + b >= {_L4K_MIN_COUNT})
+SELECT word, a AS en_count, b AS other_count, g2
+FROM g ORDER BY g2 DESC, word LIMIT {_L4K_TOPK}
+"""
+
+
+@register("l4_keyness_llr", oracle=_L4K_ORACLE, tags=("L4", "A1", "O2"))
+def l4_keyness_llr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 keywords by Dunning G² between the English and
+    non-English sub-corpora: per-word observed counts vs expectations
+    under the pooled rate, 2·Σ O·ln(O/E) with zero-count terms
+    dropping out exactly. Words under 20 total occurrences are
+    excluded (G² is unstable there and the cut bounds the ranked set);
+    ordering is (rounded G² desc, word) — the unique-tiebreak rule.
+
+    Scale: one explode + one word-grain aggregation (the l4_word_freq
+    shuffle), a two-scalar broadcast for the totals, and a
+    TakeOrderedAndProject top-k — no per-word state beyond the count
+    pair, so the statistic runs at full-corpus scale for the cost of
+    a word count.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("is_en"),
+        F.explode(T.tokens(F.col("text"))).alias("word"),
+    )
+    wc = t.groupBy("word").agg(
+        F.sum("is_en").cast("long").alias("a"),
+        F.sum(1 - F.col("is_en")).cast("long").alias("b"),
+    )
+    tot = wc.agg(
+        F.sum("a").cast("long").alias("na"),
+        F.sum("b").cast("long").alias("nb"),
+    )
+    j = wc.where(F.col("a") + F.col("b") >= _L4K_MIN_COUNT).crossJoin(
+        F.broadcast(tot)
+    )
+    n_all = F.col("na") + F.col("nb")
+    term_a = F.when(
+        F.col("a") > 0,
+        F.col("a")
+        * F.log(
+            F.col("a").cast("double")
+            * n_all
+            / (F.col("na").cast("double") * (F.col("a") + F.col("b")))
+        ),
+    ).otherwise(0.0)
+    term_b = F.when(
+        F.col("b") > 0,
+        F.col("b")
+        * F.log(
+            F.col("b").cast("double")
+            * n_all
+            / (F.col("nb").cast("double") * (F.col("a") + F.col("b")))
+        ),
+    ).otherwise(0.0)
+    g2 = F.round(2 * (term_a + term_b), 6) + 0
+    return (
+        j.select(
+            "word",
+            F.col("a").alias("en_count"),
+            F.col("b").alias("other_count"),
+            g2.alias("g2"),
+        )
+        .orderBy(F.desc("g2"), "word")
+        .limit(_L4K_TOPK)
+    )
