@@ -7426,3 +7426,48 @@ def l4_keyness_llr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("g2"), "word")
         .limit(_L4K_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# l1h — duplicate-family size histogram (round 5+): the shape report
+# dedup tuning reads before choosing survivorship policy. How much of
+# the corpus sits in singletons vs pairs vs heavy families? Family =
+# exact-text group (the l1 keep-min convention); the histogram keys
+# on family size, so the output is O(max family size) regardless of
+# corpus volume.
+# ---------------------------------------------------------------------------
+
+_L1H_ORACLE = """
+WITH fam AS (
+  SELECT text, CAST(COUNT(*) AS BIGINT) AS size
+  FROM documents GROUP BY text)
+SELECT size AS family_size,
+       CAST(COUNT(*) AS BIGINT) AS n_families,
+       CAST(size * COUNT(*) AS BIGINT) AS n_docs,
+       CAST((size - 1) * COUNT(*) AS BIGINT) AS n_removable
+FROM fam GROUP BY size
+"""
+
+
+@register("l1_dup_size_histogram", oracle=_L1H_ORACLE, tags=("L1", "A1"))
+def l1_dup_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram of exact-duplicate family sizes with the document
+    mass and removable-copy count per size class — Σ n_removable is
+    exactly the row savings l1_exact_dedup realizes, and a heavy tail
+    here is the signal to switch survivorship from keep-min to
+    quality-ranked (l1_survivorship_dedup).
+
+    Scale: two hash aggregations (text-hash grain, then size grain);
+    the first shuffle moves digests at 100 TB (group by a hash of the
+    text, the m10 trick) — family sizes are identical because the
+    grouping key is injective on content.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    fam = docs.groupBy("text").agg(F.count("*").alias("size"))
+    return fam.groupBy(F.col("size").alias("family_size")).agg(
+        F.count("*").alias("n_families"),
+        (F.col("family_size") * F.count("*")).cast("long").alias("n_docs"),
+        ((F.col("family_size") - 1) * F.count("*"))
+        .cast("long")
+        .alias("n_removable"),
+    )
