@@ -217,12 +217,32 @@ public class DwosSqlParser implements ParserInterface {
   // DuckDB/Snowflake spell star-minus-columns EXCLUDE; Spark 4 spells
   // it EXCEPT. The shapes are otherwise identical, so the lowering is
   // a pure token substitution wherever the word EXCLUDE (outside
-  // quoted strings, word-bounded) directly follows a `*` and is
-  // directly followed by `(` -- valid at ANY paren depth, so it works
-  // inside subqueries and composes with the other rewrites (it runs
-  // as a pre-pass). An unquoted identifier or function named
-  // `exclude` never matches: it cannot be star-adjacent.
+  // quoted strings, word-bounded) directly follows a PROJECTION star
+  // and is directly followed by `(` -- valid at ANY paren depth, so it
+  // works inside subqueries and composes with the other rewrites (it
+  // runs as a pre-pass). A projection star is one preceded by `.`
+  // (alias.*), `(`, `,`, or the keyword SELECT -- so `price *
+  // exclude(qty)` (multiplication by a function named exclude) never
+  // matches. The string scanner also honors backslash escapes inside
+  // '...'/"..." literals (Spark supports them; `...` identifiers
+  // don't).
   // ---------------------------------------------------------------
+
+  /** True when the `*` at starIdx is a projection star, not the
+   *  multiplication operator. */
+  static boolean isProjectionStar(String sql, int starIdx) {
+    int q = starIdx - 1;
+    if (q >= 0 && sql.charAt(q) == '.') return true;  // alias.*
+    while (q >= 0 && Character.isWhitespace(sql.charAt(q))) q--;
+    if (q < 0) return false;  // bare leading '*' is not a statement
+    char pc = sql.charAt(q);
+    if (pc == '(' || pc == ',') return true;
+    int end = q + 1;
+    while (q >= 0 && (Character.isLetterOrDigit(sql.charAt(q))
+        || sql.charAt(q) == '_')) q--;
+    return sql.regionMatches(true, q + 1, "SELECT", 0, 6)
+        && end - (q + 1) == 6;
+  }
 
   static String rewriteExclude(String sql) {
     StringBuilder out = null;
@@ -231,6 +251,8 @@ public class DwosSqlParser implements ParserInterface {
     for (int i = 0; i < sql.length(); i++) {
       char c = sql.charAt(i);
       if (quote != 0) {
+        if (c == '\\' && (quote == '\'' || quote == '"')
+            && i + 1 < sql.length()) { i++; continue; }
         if (c == quote) {
           if (i + 1 < sql.length() && sql.charAt(i + 1) == quote) i++;
           else quote = 0;
@@ -249,7 +271,7 @@ public class DwosSqlParser implements ParserInterface {
         while (p >= 0 && Character.isWhitespace(sql.charAt(p))) p--;
         int n = i + 7;
         while (n < sql.length() && Character.isWhitespace(sql.charAt(n))) n++;
-        if (p >= 0 && sql.charAt(p) == '*'
+        if (p >= 0 && sql.charAt(p) == '*' && isProjectionStar(sql, p)
             && n < sql.length() && sql.charAt(n) == '(') {
           if (out == null) out = new StringBuilder();
           out.append(sql, last, i).append("EXCEPT");

@@ -4230,7 +4230,7 @@ def q52_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q53_ORACLE = f"""
 WITH rev AS (
-  SELECT l_partkey, {oracle_cents('SUM(l_extendedprice)')} AS cents_rev
+  SELECT l_partkey, SUM({oracle_cents('l_extendedprice')}) AS cents_rev
   FROM lineitem GROUP BY l_partkey),
 tot AS (SELECT CAST(SUM(cents_rev) AS BIGINT) AS total_cents FROM rev),
 cum AS (
@@ -4511,11 +4511,13 @@ def a48_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 6-dp round; ``+ 0`` normalizes -0.0). The unique orderkey
     tiebreak makes the cut deterministic under value ties.
 
-    Scale: one fact shuffle on segment for the window (5 segments —
-    same bounded-partition posture as w38; at higher group cardinality
-    this exact form partitions naturally, and below ~dozens of groups
-    the two-level scalable_row_number variant applies). The trim is a
-    rank predicate inside the same aggregation — no second pass.
+    Scale: the window ranks the RAW order fact inside 5 segment
+    partitions — unlike w38 (whose window runs over a calendar-bounded
+    aggregate), this shape per-partition-sorts the full fact and is
+    the honest cost of an exact rank trim; at 100 TB swap in the
+    two-level scalable_row_number per segment (same cut, no
+    single-partition sort). The trim is a rank predicate inside the
+    same aggregation — no second pass.
     """
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
@@ -4927,7 +4929,7 @@ def q58_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q59_ORACLE = """
 WITH flagged AS (
-  SELECT user_id, ts,
+  SELECT user_id, ts, event_id,
          CASE WHEN lag(ts) OVER w IS NULL
                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
               THEN 1 ELSE 0 END AS new_gap
@@ -4935,7 +4937,7 @@ WITH flagged AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
 gs AS (
   SELECT user_id, ts,
-         SUM(new_gap) OVER (PARTITION BY user_id ORDER BY ts
+         SUM(new_gap) OVER (PARTITION BY user_id ORDER BY ts, event_id
                             ROWS UNBOUNDED PRECEDING) AS gap_sid
   FROM flagged),
 anchored AS (

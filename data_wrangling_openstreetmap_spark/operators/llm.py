@@ -6864,7 +6864,6 @@ def g13_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _LSH_P = 2147483647
 _LSH_AB = [(7 * j + 3, 101 * j + 13) for j in range(16)]
-_LSH_BANDS = [(29791, 961, 31, 1)] * 4  # base-31 combine weights
 
 _L2F_SIG_SQL = ",\n         ".join(
     f"list_min(list_transform(grams, x -> ({a} * x + {b}) % {_LSH_P}))"
@@ -7117,9 +7116,9 @@ def g14_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-community modularity contribution of the partkey-mod-8
     assignment on the co-purchase graph: with m total edges, community
     internal-edge count e and degree sum d, the contribution is
-    (4m·e − d²)/(4m²) — emitted as ``num·1e6 floor-div 4m²`` (num is
-    SIGNED: Spark's truncating ``div`` is replaced by the explicit
-    floor ``(x − pmod(x, den))/den`` to match DuckDB's ``//``; all
+    (4m·e − d²)/(4m²) — emitted as ``num·1e6 div 4m²`` (num is
+    SIGNED — safe because DuckDB's integer ``//`` and Spark's ``div``
+    BOTH truncate toward zero, verified ``-7//2 = -3`` on both; all
     magnitudes stay under 2⁶³ for edge counts into the billions). A
     random assignment sums to ≈0; positive sums mean real community
     structure worth exploiting for co-purchase blocking.

@@ -2949,13 +2949,21 @@ def s27_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
 _S28_LO = 30000
 _S28_HI = 69999  # inclusive
 
-if _S27_AVAILABLE:
+try:  # the Filter classes are pyspark>=4.1 (pushFilters API) — gate
+    # separately from the 4.0 DataSource surface so a 4.0 runtime still
+    # imports this module (s28 then reports NotImplementedError).
     from pyspark.sql.datasource import (  # noqa: E402
         GreaterThan,
         GreaterThanOrEqual,
         LessThan,
         LessThanOrEqual,
     )
+
+    _S28_AVAILABLE = _S27_AVAILABLE
+except ImportError:  # pragma: no cover - pyspark 4.0
+    _S28_AVAILABLE = False
+
+if _S28_AVAILABLE:
 
     class SynthPushdownDataSource(DataSource):
         """``dwos_synth_pushdown``: the s27 feed + seq-range pushdown."""
@@ -3049,10 +3057,15 @@ def s28_pushdown_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     carries only surviving rows. Absorbed filters are consumed (not
     yielded back), so Spark plans no redundant re-filter.
     """
-    if not _S27_AVAILABLE:  # pragma: no cover
-        raise NotImplementedError("pyspark.sql.datasource requires Spark 4")
+    if not _S28_AVAILABLE:  # pragma: no cover
+        raise NotImplementedError("pushFilters requires Spark 4.1")
     # Runtime SQL conf (default false on 4.1) — set here so the
-    # operator works under the driver's plain session too.
+    # operator works under the driver's plain session too. Deliberately
+    # NOT restored: pushdown resolves at query-planning time, which for
+    # this lazily-returned DataFrame happens after this function exits;
+    # leaving the capability on session-wide is the intended state (the
+    # other Python sources implement no pushFilters, so their behavior
+    # is unchanged either way).
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(SynthPushdownDataSource)
     feed = (

@@ -709,7 +709,8 @@ def x14_pipe_syntax_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _X15_ORACLE = """
 SELECT o_orderpriority,
-       CAST(round(SUM(o_totalprice) * 100) / 100 AS DOUBLE) AS revenue,
+       SUM(CAST(round(o_totalprice * 100) AS BIGINT)) / CAST(100 AS DOUBLE)
+         AS revenue,
        CAST(COUNT(*) AS BIGINT) AS n_orders,
        ROUND(revenue / n_orders, 2) + 0 AS avg_order,
        ROUND(avg_order / 1000, 4) + 0 AS avg_korder

@@ -41,6 +41,10 @@ def assert_in_plan(df: DataFrame, *fragments: str) -> str:
 
 
 def assert_no_python_eval(df: DataFrame, name: str = "") -> None:
-    plan = plan_string(df)
+    # SIMPLE mode, deliberately: a Python Data Source scan renders its
+    # "(Python)" tag only in explain("simple") — the formatted plan
+    # says just "BatchScan <name>" (the CLAUDE.md formatted-plan
+    # blindness gotcha, round-5+ instance).
+    plan = plan_string(df, mode="simple")
     hits = [m for m in PYTHON_EVAL_MARKERS if m in plan]
     assert not hits, f"{name}: Python-boundary operators {hits} in plan:\n{plan}"

@@ -117,12 +117,22 @@ exs = spark.sql("SELECT COUNT(*) AS n FROM "
 excl_sub = exs.collect()[0].n
 # star-adjacency guard: a string literal containing EXCLUDE( unchanged
 exlit = spark.sql("SELECT '* EXCLUDE (x)' AS s FROM ev LIMIT 1").collect()[0].s
+# multiplication guard: a function NAMED exclude must not trigger the
+# rewrite (price * exclude(...) is arithmetic, not a projection star)
+spark.udf.register("exclude", lambda x: x, "double")
+exmul = spark.sql(
+    "SELECT value * exclude(value) AS v FROM ev LIMIT 1").collect()[0].v
+# backslash-escaped quote must not flip the scanner's string state:
+# the EXCLUDE( below sits INSIDE a literal that follows an escaped '
+exesc = spark.sql(
+    "SELECT 'it\\\\'s * ' AS p, '* EXCLUDE (x)' AS s FROM ev LIMIT 1"
+).collect()[0].s
 print("RESULT " + json.dumps({
     "cols": df.columns, "rows": rows, "plain": plain, "lit": lit,
     "lp": lp, "asof": asof, "asof_left": asof_left, "don": don,
     "asof_wgl": "WindowGroupLimit" in asof_plan,
     "excl": excl, "excl_q": excl_q, "excl_sub": excl_sub,
-    "exlit": exlit}))
+    "exlit": exlit, "exmul": exmul is not None, "exesc": exesc}))
 """
 
 
@@ -192,3 +202,5 @@ def test_injected_parser_matches_duckdb_native():
     assert got["excl_q"]["n"] == 15  # one row per user
     assert got["excl_sub"] == 1000  # EXCLUDE lowers inside subqueries
     assert got["exlit"] == "* EXCLUDE (x)"  # literals never rewritten
+    assert got["exmul"] is True  # a UDF named exclude is not a star form
+    assert got["exesc"] == "* EXCLUDE (x)"  # escaped quotes keep state

@@ -57,6 +57,12 @@ PYTHON_ALLOWED = {
     "u12_cogrouped_asof",  # cogrouped applyInPandas — the two-sided crossing IS the surface
     "u13_cogrouped_arrow",  # cogrouped applyInArrow — the Arrow twin of u12
     "u14_arrow_udtf",  # Arrow-optimized UDTF — the u5 rung on the Arrow transport
+    # Python Data Source scans ((Python)-tagged BatchScan — the source
+    # API is the surface being graded):
+    "s27_python_datasource",
+    "s28_pushdown_datasource",
+    "st24_python_stream_source",
+    "st25_partitioned_stream_source",
     "u11_udtf_table_arg",  # TABLE-argument UDTF consuming whole partitions —
     # the row-streamed Python aggregation surface is the thing graded
     "u6_map_in_arrow",  # top rung of the §2.8 transport ladder: bare
