@@ -577,3 +577,127 @@ def test_wilson_lower_bound_is_conservative(spark):
         )
 
     assert wilson(3, 3) < wilson(95, 100)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["ge", "gt", "le", "lt"]),
+            st.integers(min_value=-5000, max_value=120000),
+        ),
+        max_size=6,
+    )
+)
+def test_pushdown_reader_equals_unfiltered_scan_plus_predicate(filters):
+    """s28's pruning contract as a property: for ANY conjunction of seq
+    bounds, (pushFilters → partitions → clamped reads) must produce
+    exactly the rows of the full feed that satisfy the conjunction —
+    pruning may never drop a matching row or leak a filtered one."""
+    from pyspark.sql.datasource import (
+        GreaterThan,
+        GreaterThanOrEqual,
+        LessThan,
+        LessThanOrEqual,
+    )
+
+    from data_wrangling_openstreetmap_spark.operators.relational import (
+        _SynthPushdownReader,
+    )
+
+    mk = {
+        "ge": GreaterThanOrEqual,
+        "gt": GreaterThan,
+        "le": LessThanOrEqual,
+        "lt": LessThan,
+    }
+    r = _SynthPushdownReader({"partitions": "8", "rowsperpartition": "1000"})
+    fs = [mk[k](("seq",), v) for k, v in filters]
+    leftover = list(r.pushFilters(list(fs)))
+    assert leftover == []  # every seq bound is absorbed
+    got = sorted(
+        row[0] for part in r.partitions() for row in r.read(part)
+    )
+    lo, hi = 0, 8 * 1000 - 1
+    for k, v in filters:
+        if k == "ge":
+            lo = max(lo, v)
+        elif k == "gt":
+            lo = max(lo, v + 1)
+        elif k == "le":
+            hi = min(hi, v)
+        else:
+            hi = min(hi, v - 1)
+    assert got == list(range(max(lo, 0), min(hi, 7999) + 1))
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=10**7), min_size=1, max_size=7))
+def test_hampel_quarter_cent_median_mad_match_python(spark, frame):
+    """w39's 4×-unit median/MAD arithmetic equals float statistics on
+    arbitrary frames (including even counts and all-equal values)."""
+    import statistics
+
+    df = spark.createDataFrame([(frame,)], "arr array<bigint>")
+    n = len(frame)
+    sa = sorted(frame)
+    med4_expected = (
+        4 * sa[n // 2] if n % 2 == 1 else 2 * (sa[n // 2 - 1] + sa[n // 2])
+    )
+    assert med4_expected == round(4 * statistics.median(frame))
+    devs = sorted(abs(4 * v - med4_expected) for v in frame)
+    mad4_expected = (
+        devs[n // 2]
+        if n % 2 == 1
+        else (devs[n // 2 - 1] + devs[n // 2]) // 2
+    )
+    row = df.select(
+        F.array_sort("arr").alias("sa"), F.size("arr").alias("n")
+    ).select(
+        F.when(
+            F.col("n") % 2 == 1,
+            4 * F.element_at("sa", ((F.col("n") + 1) / 2).cast("int")),
+        )
+        .otherwise(
+            2
+            * (
+                F.element_at("sa", (F.col("n") / 2).cast("int"))
+                + F.element_at("sa", (F.col("n") / 2 + 1).cast("int"))
+            )
+        )
+        .alias("med4"),
+        "sa",
+        "n",
+    ).select(
+        "med4",
+        F.array_sort(
+            F.transform("sa", lambda v: F.abs(4 * v - F.col("med4")))
+        ).alias("sd"),
+        "n",
+    ).select(
+        "med4",
+        F.when(
+            F.col("n") % 2 == 1,
+            F.element_at("sd", ((F.col("n") + 1) / 2).cast("int")),
+        )
+        .otherwise(
+            F.expr(
+                "(element_at(sd, cast(n / 2 as int))"
+                " + element_at(sd, cast(n / 2 + 1 as int))) div 2"
+            )
+        )
+        .alias("mad4"),
+    ).collect()[0]
+    assert row.med4 == med4_expected
+    assert row.mad4 == mad4_expected
+
+
+def test_modularity_contributions_sum_to_valid_q(spark):
+    """g14 invariant: Σ q_micro/1e6 is a valid modularity (−0.5 ≤ Q ≤ 1)
+    and Σ e_in ≤ m, Σ degree_sum = 2m."""
+    from data_wrangling_openstreetmap_spark.registry import REGISTRY
+
+    rows = REGISTRY["g14_modularity"].fn(spark, "/root/testdata/sf0.001").collect()
+    q = sum(r.q_micro for r in rows) / 1e6
+    assert -0.5 <= q <= 1.0
+    assert sum(r.internal_edges for r in rows) <= sum(r.degree_sum for r in rows) / 2
