@@ -7470,3 +7470,55 @@ def l1_dup_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_removable"),
     )
+
+
+# ---------------------------------------------------------------------------
+# l6q — quantile (rank-uniform) feature transform (round 5+): map a
+# raw feature to its empirical quantile (rank − ½)/n — the
+# distribution-free normalization (first half of rank-gauss) that
+# makes heavy-tailed features comparable across shards and training
+# runs. Exact integer micro-units: q = (2·rank − 1)·10⁶ div 2n.
+# ---------------------------------------------------------------------------
+
+_L6Q_ORACLE = """
+WITH r AS (
+  SELECT doc_id, n_chars,
+         row_number() OVER (ORDER BY n_chars, doc_id) AS rk,
+         COUNT(*) OVER () AS n
+  FROM documents)
+SELECT doc_id, n_chars,
+       CAST(((2 * rk - 1) * 1000000) // (2 * n) AS BIGINT) AS q_micro
+FROM r
+"""
+
+
+@register("l6_quantile_transform", oracle=_L6Q_ORACLE, tags=("L6", "W1", "F4"))
+def l6_quantile_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-quantile transform of the document-length feature:
+    global rank by (n_chars, doc_id) — the unique tiebreak makes the
+    transform a bijection — then q = (2·rank − 1)/2n in exact integer
+    micro-units (positive operands, trunc div == DuckDB ``//``).
+    Downstream, Φ⁻¹(q) completes rank-gauss; the quantile itself is
+    the engine-exact part and the one that needs the corpus.
+
+    Scale: the global rank is _helpers.scalable_row_number over coarse
+    n_chars buckets — no single-partition sort at any corpus size; the
+    transform then is a pure projection. The oracle's window form is
+    the semantic spec, not the 100 TB plan.
+    """
+    from ._helpers import scalable_row_number
+
+    docs = load_table(spark, sf_dir, "documents")
+    tot = docs.agg(F.count("*").alias("n"))
+    ranked = scalable_row_number(
+        docs.select("doc_id", "n_chars"),
+        key="n_chars",
+        bucket_width=64,
+        order_cols=[F.col("n_chars"), F.col("doc_id")],
+        out="rk",
+    )
+    return ranked.crossJoin(F.broadcast(tot)).select(
+        "doc_id",
+        "n_chars",
+        F.expr("((2 * rk - 1) * 1000000) div (2 * n)").alias("q_micro"),
+    )
