@@ -5135,3 +5135,114 @@ def q60_rate_volume_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame
         (F.round((F.col("r1") - F.col("r0")).cast("double") / 100, 6) + 0)
         .alias("total_delta"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q61 — last-touch attribution (round 5+): every purchase credits the
+# LAST click by the same user within a 7-day lookback; purchases with
+# no qualifying click are organic. The marketing rollup that sits on
+# top of the as-of machinery (j7/j12/x1) — here the deliverable is
+# the per-campaign revenue ledger, exact to the cent, with integer
+# basis-point shares.
+# ---------------------------------------------------------------------------
+
+_Q61_ORACLE = """
+WITH p AS (
+  SELECT event_id, user_id, ts,
+         CAST(round(value * 100) AS BIGINT) AS rev
+  FROM events WHERE event_type = 'purchase'),
+c AS (
+  SELECT user_id, ts, event_id,
+         'cmp_' || CAST(CAST(json_extract_string(props, '$.k') AS INTEGER) % 4
+                        AS VARCHAR) AS campaign
+  FROM events WHERE event_type = 'click'),
+ranked AS (
+  SELECT p.event_id, p.rev, c.campaign,
+         row_number() OVER (PARTITION BY p.event_id
+                            ORDER BY c.ts DESC, c.event_id DESC) AS rk
+  FROM p JOIN c
+    ON p.user_id = c.user_id
+   AND c.ts <= p.ts
+   AND epoch_us(p.ts) - epoch_us(c.ts) <= 7 * 86400 * CAST(1000000 AS BIGINT)),
+attributed AS (
+  SELECT p.event_id, p.rev, COALESCE(r.campaign, 'organic') AS campaign
+  FROM p LEFT JOIN (SELECT * FROM ranked WHERE rk = 1) r
+    ON p.event_id = r.event_id),
+tot AS (SELECT CAST(SUM(rev) AS BIGINT) AS total_rev FROM attributed)
+SELECT campaign,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       CAST(SUM(rev) AS BIGINT) AS revenue_cents,
+       CAST((SUM(rev) * 10000) // tot.total_rev AS BIGINT) AS share_bp
+FROM attributed, tot
+GROUP BY campaign, tot.total_rev
+"""
+
+
+@register("q61_attribution_lasttouch", oracle=_Q61_ORACLE, tags=("J7", "F7", "A1"))
+def q61_attribution_lasttouch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-campaign attributed revenue: campaign = the JSON props key
+    of the winning click (last by (ts, event_id) within the 7-day
+    lookback, rank-1 per purchase), organic when no click qualifies.
+    Counts, exact cents, and ``rev·10⁴ div total`` basis points.
+
+    Scale: the candidate join keys on user_id (hash shuffle both
+    sides) with the time predicates applied in-join; the rank-1 window
+    partitions per purchase. Clicks per (user, week) are bounded in
+    any real event stream, so candidate fan-out is bounded — the same
+    posture as the graded as-of family, plus a JSON extraction that
+    stays in codegen.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("rev"),
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("c_event_id"),
+        F.concat(
+            F.lit("cmp_"),
+            (
+                F.get_json_object("props", "$.k").cast("int") % 4
+            ).cast("string"),
+        ).alias("campaign"),
+    )
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    cus = F.unix_micros(F.col("c_ts").cast("timestamp"))
+    cand = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("ts"))
+        & (us - cus <= F.lit(604800000000)),  # 7 d in µs as one BIGINT literal
+    )
+    wr = Window.partitionBy("event_id").orderBy(
+        F.desc("c_ts"), F.desc("c_event_id")
+    )
+    winner = (
+        cand.withColumn("rk", F.row_number().over(wr))
+        .where(F.col("rk") == 1)
+        .select("event_id", "campaign")
+    )
+    attributed = p.join(winner, "event_id", "left").select(
+        "rev", F.coalesce("campaign", F.lit("organic")).alias("campaign")
+    )
+    tot = attributed.agg(F.sum("rev").cast("long").alias("total_rev"))
+    return (
+        attributed.groupBy("campaign")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.sum("rev").cast("long").alias("revenue_cents"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "campaign",
+            "n_purchases",
+            "revenue_cents",
+            F.expr("(revenue_cents * 10000) div total_rev").alias(
+                "share_bp"
+            ),
+        )
+    )
