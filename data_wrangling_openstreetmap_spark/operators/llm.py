@@ -7522,3 +7522,151 @@ def l6_quantile_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         F.expr("((2 * rk - 1) * 1000000) div (2 * n)").alias("q_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# l4c — quality-score calibration against duplication (round 5+): does
+# the heuristic quality score actually separate duplicated boilerplate
+# from original text? Bin documents by score decile and measure the
+# exact-duplicate rate per bin — the reliability-diagram cut that
+# validates (or indicts) a filter before it gates a 100 TB corpus.
+# ---------------------------------------------------------------------------
+
+_L4C_ORACLE = rf"""
+WITH q AS (
+  SELECT doc_id, text,
+         LEAST(1.0, len({_ORACLE_TOKS}) / 50.0)
+           * (CASE WHEN len({_ORACLE_TOKS}) > 0
+                   THEN CAST(len({_ORACLE_DTOKS}) AS DOUBLE)
+                        / len({_ORACLE_TOKS})
+                   ELSE 0.0 END) AS quality
+  FROM documents),
+fam AS (SELECT text, COUNT(*) AS fam_size FROM documents GROUP BY text),
+j AS (
+  SELECT LEAST(CAST(floor(q.quality * 10) AS INT), 9) AS score_decile,
+         CASE WHEN fam.fam_size > 1 THEN 1 ELSE 0 END AS is_dup
+  FROM q JOIN fam ON q.text = fam.text)
+SELECT score_decile,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(is_dup) AS BIGINT) AS n_dup,
+       CAST((SUM(is_dup) * 10000) // COUNT(*) AS BIGINT) AS dup_rate_bp
+FROM j GROUP BY score_decile
+"""
+
+
+@register("l4_score_calibration", oracle=_L4C_ORACLE, tags=("L4", "L1", "A1"))
+def l4_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate rate per quality-score decile (score = the
+    l4_quality_score heuristic; label = exact-text family size > 1).
+    A well-calibrated score shows dup_rate_bp falling as the decile
+    rises; a flat curve means the filter is noise against duplication.
+    The decile floor runs on engine-identical doubles (integer-ratio
+    arithmetic), rates are integer basis points.
+
+    Scale: family sizes join back on the text hash (digest shuffle,
+    the m10 trick); the score is a per-row projection; the calibration
+    table keys on 10 deciles. This is the evaluation loop every
+    quality gate needs BEFORE it deletes anything.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = T.tokens(F.col("text"))
+    n_t = F.size(toks)
+    n_d = F.size(F.array_distinct(toks))
+    quality = F.least(F.lit(1.0), n_t / 50.0) * F.when(
+        n_t > 0, n_d.cast("double") / n_t
+    ).otherwise(0.0)
+    q = docs.select("text", quality.alias("quality"))
+    fam = docs.groupBy("text").agg(F.count("*").alias("fam_size"))
+    j = q.join(fam, "text").select(
+        F.least(F.floor(F.col("quality") * 10).cast("int"), F.lit(9)).alias(
+            "score_decile"
+        ),
+        F.when(F.col("fam_size") > 1, 1).otherwise(0).alias("is_dup"),
+    )
+    return j.groupBy("score_decile").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("is_dup").cast("long").alias("n_dup"),
+        F.expr("(sum(is_dup) * 10000) div count(*)").alias("dup_rate_bp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# l1b — fixed-block chunk-dedup census (round 5+): the storage-layer
+# question under every content-addressed store — if documents split
+# into fixed 256-char blocks addressed by digest, how much of the
+# corpus is block-level redundant? Catches PARTIAL duplication
+# (shared boilerplate headers/footers) that whole-document dedup
+# (l1/m10) cannot see.
+# ---------------------------------------------------------------------------
+
+_L1B_CHUNK = 256
+
+_L1B_ORACLE = f"""
+WITH chunks AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           range(0, CAST(ceil(len(text) / {_L1B_CHUNK}.0) AS BIGINT)),
+           i -> sha256(text[i * {_L1B_CHUNK} + 1 : (i + 1) * {_L1B_CHUNK}])
+         )) AS block_digest
+  FROM documents WHERE len(text) > 0),
+blocks AS (
+  SELECT block_digest, CAST(COUNT(*) AS BIGINT) AS refs
+  FROM chunks GROUP BY block_digest)
+SELECT CAST(SUM(refs) AS BIGINT) AS total_blocks,
+       CAST(COUNT(*) AS BIGINT) AS unique_blocks,
+       CAST(SUM(refs - 1) AS BIGINT) AS dedupable_blocks,
+       CAST((SUM(refs - 1) * 10000) // SUM(refs) AS BIGINT)
+         AS dedup_ratio_bp,
+       CAST(MAX(refs) AS BIGINT) AS hottest_block_refs
+FROM blocks
+"""
+
+
+@register("l1_block_dedup_census", oracle=_L1B_ORACLE, tags=("L1", "F1", "A2"))
+def l1_block_dedup_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide fixed-block dedup ratio: every document splits into
+    256-CHARACTER blocks (character slicing — identical positions on
+    both engines regardless of UTF-8 byte widths), each block keys by
+    its SHA-256, and the census reports total vs unique vs dedupable
+    blocks plus the hottest block's reference count. One number —
+    dedup_ratio_bp — is the storage savings a block-level CAS would
+    realize over this corpus.
+
+    Scale: blocks explode map-side (O(total chars) work), the shuffle
+    moves 64-hex digests only, and the census is a global aggregate.
+    Character (not byte) blocks keep the oracle exact; a production
+    store would chunk bytes — same plan, different slicer.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_blocks = F.ceil(F.length("text") / F.lit(float(_L1B_CHUNK))).cast("int")
+    chunks = (
+        docs.where(F.length("text") > 0)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), n_blocks - 1),
+                    lambda i: F.sha2(
+                        F.encode(
+                            F.substring(
+                                F.col("text"),
+                                (i * _L1B_CHUNK + 1).cast("int"),
+                                _L1B_CHUNK,
+                            ),
+                            "utf-8",
+                        ),
+                        256,
+                    ),
+                )
+            ).alias("block_digest")
+        )
+    )
+    blocks = chunks.groupBy("block_digest").agg(F.count("*").alias("refs"))
+    return blocks.agg(
+        F.sum("refs").cast("long").alias("total_blocks"),
+        F.count("*").alias("unique_blocks"),
+        F.sum(F.col("refs") - 1).cast("long").alias("dedupable_blocks"),
+        F.expr("(sum(refs - 1) * 10000) div sum(refs)").alias(
+            "dedup_ratio_bp"
+        ),
+        F.max("refs").alias("hottest_block_refs"),
+    )
