@@ -7670,3 +7670,110 @@ def l1_block_dedup_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.max("refs").alias("hottest_block_refs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# l4a — exact AUC of the quality score (round 5+): discrimination to
+# l4_score_calibration's reliability. AUC = P(score_unique >
+# score_dup) with ½ credit for ties — computed EXACTLY via the
+# Mann-Whitney rank identity in doubled-rank integer units (every
+# tie-averaged rank ×2 is an integer), so the one number that
+# summarizes the filter is hash-exact, not a float estimate.
+# ---------------------------------------------------------------------------
+
+_L4A_TOKS_D = _ORACLE_TOKS.replace("text", "d.text")
+_L4A_DTOKS_D = f"list_distinct({_L4A_TOKS_D})"
+
+_L4A_ORACLE = rf"""
+WITH q AS (
+  SELECT LEAST(1.0, len({_L4A_TOKS_D}) / 50.0)
+           * (CASE WHEN len({_L4A_TOKS_D}) > 0
+                   THEN CAST(len({_L4A_DTOKS_D}) AS DOUBLE)
+                        / len({_L4A_TOKS_D})
+                   ELSE 0.0 END) AS score,
+         CASE WHEN fam.fam_size > 1 THEN 0 ELSE 1 END AS is_unique
+  FROM documents d
+  JOIN (SELECT text, COUNT(*) AS fam_size FROM documents GROUP BY text) fam
+    ON d.text = fam.text),
+g AS (
+  SELECT score, CAST(COUNT(*) AS BIGINT) AS cnt,
+         CAST(SUM(is_unique) AS BIGINT) AS pos
+  FROM q GROUP BY score),
+c AS (
+  SELECT score, cnt, pos,
+         CAST(COALESCE(SUM(cnt) OVER (ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS below
+  FROM g),
+s AS (
+  SELECT CAST(SUM(pos * (2 * below + cnt + 1)) AS BIGINT) AS rank2_sum,
+         CAST(SUM(pos) AS BIGINT) AS n_pos,
+         CAST(SUM(cnt - pos) AS BIGINT) AS n_neg
+  FROM c)
+SELECT n_pos, n_neg,
+       CASE WHEN n_pos * n_neg > 0
+            THEN CAST(((rank2_sum - n_pos * (n_pos + 1)) * 500000)
+                      // (n_pos * n_neg) AS BIGINT)
+       END AS auc_micro
+FROM s
+"""
+
+
+@register("l4_score_auc", oracle=_L4A_ORACLE, tags=("L4", "W1", "A2"))
+def l4_score_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUC of the quality score for predicting "document is unique"
+    (vs exact-duplicate): per distinct score, tie-averaged rank ×2 =
+    2·below + cnt + 1 (integer); U = (Σ₊rank − n₊(n₊+1)/2); AUC =
+    U/(n₊·n₋) in exact integer micro-units via ``·5·10⁵ div`` (the ×2
+    and ÷2 fold together). Positive operands, trunc == ``//``.
+
+    One-class corpora (no duplicates at all, as at tiny fixture
+    scales) report NULL — AUC is undefined without both classes, and
+    the ANSI guard is the same CASE on both engines.
+
+    Scale: scores reduce to their distinct values first (bounded by
+    the token-count grid, but not provably small — so the cumulative
+    count uses _helpers.scalable_running_sum over coarse score
+    buckets, never a bare global window); everything after is O(distinct
+    scores). The same shape scores ANY classifier column at 100 TB.
+    """
+    from ._helpers import scalable_running_sum
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = T.tokens(F.col("text"))
+    n_t = F.size(toks)
+    n_d = F.size(F.array_distinct(toks))
+    score = F.least(F.lit(1.0), n_t / 50.0) * F.when(
+        n_t > 0, n_d.cast("double") / n_t
+    ).otherwise(0.0)
+    fam = docs.groupBy("text").agg(F.count("*").alias("fam_size"))
+    q = docs.join(fam, "text").select(
+        score.alias("score"),
+        F.when(F.col("fam_size") > 1, 0).otherwise(1).alias("is_unique"),
+    )
+    g = q.groupBy("score").agg(
+        F.count("*").alias("cnt"), F.sum("is_unique").cast("long").alias("pos")
+    )
+    c = scalable_running_sum(
+        g,
+        order_cols=[F.col("score")],
+        value="cnt",
+        bucket=F.floor(F.col("score") * 64).cast("long"),
+        out="cum_incl",
+    ).withColumn("below", F.coalesce(F.col("cum_incl") - F.col("cnt"), F.lit(0)))
+    s = c.agg(
+        F.sum(F.col("pos") * (2 * F.col("below") + F.col("cnt") + 1))
+        .cast("long")
+        .alias("rank2_sum"),
+        F.sum("pos").cast("long").alias("n_pos"),
+        F.sum(F.col("cnt") - F.col("pos")).cast("long").alias("n_neg"),
+    )
+    return s.select(
+        "n_pos",
+        "n_neg",
+        F.expr(
+            "CASE WHEN n_pos * n_neg > 0 THEN"
+            " ((rank2_sum - n_pos * (n_pos + 1)) * 500000)"
+            " div (n_pos * n_neg) END"
+        ).alias("auc_micro"),
+    )
