@@ -3750,3 +3750,111 @@ def w41_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
         seasonal.cast("long").alias("seasonal_abs_err"),
         (F.round(naive.cast("double") / seasonal, 6) + 0).alias("mase"),
     )
+
+
+# ---------------------------------------------------------------------------
+# w42 — local-peak census (round 5+): strict local maxima of the daily
+# revenue series per segment — the signal-processing primitive under
+# peak/trough labeling, promo-spike detection, and seasonality eyeball
+# checks. A peak is strictly above BOTH neighbors, so ties never
+# count and the census is integer-exact.
+# ---------------------------------------------------------------------------
+
+_W42_ORACLE = """
+WITH daily AS (
+  SELECT c.c_mktsegment AS segment,
+         CAST(datediff('day', TIMESTAMP '1992-01-01', o.o_orderdate)
+              AS BIGINT) AS x,
+         CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS y
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2),
+lagged AS (
+  SELECT segment, x, y,
+         lag(y)  OVER (PARTITION BY segment ORDER BY x) AS yp,
+         lead(y) OVER (PARTITION BY segment ORDER BY x) AS yn
+  FROM daily),
+peaks AS (
+  SELECT segment, x, y
+  FROM lagged WHERE yp IS NOT NULL AND yn IS NOT NULL
+                AND y > yp AND y > yn),
+gaps AS (
+  SELECT segment, x,
+         x - lag(x) OVER (PARTITION BY segment ORDER BY x) AS gap
+  FROM peaks)
+SELECT p.segment,
+       CAST(COUNT(*) AS BIGINT) AS n_peaks,
+       CAST(MAX(p.y) AS BIGINT) AS tallest_cents,
+       CAST(MIN(g.min_gap) AS BIGINT) AS min_gap_days,
+       CAST(MAX(g.max_gap) AS BIGINT) AS max_gap_days
+FROM peaks p
+JOIN (SELECT segment, MIN(gap) AS min_gap, MAX(gap) AS max_gap
+      FROM gaps GROUP BY segment) g
+  ON p.segment = g.segment
+GROUP BY p.segment
+"""
+
+
+@register("w42_peak_census", oracle=_W42_ORACLE, tags=("W3", "A1", "F4"))
+def w42_peak_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict local maxima of daily segment revenue (y > both
+    neighbors; series endpoints are never peaks) with the peak count,
+    the tallest peak, and the min/max spacing between consecutive
+    peaks — all integers, both lags in the same partitioned window
+    pass.
+
+    Scale: the same bounded (segments × calendar) aggregate grain as
+    w38/w41; lag/lead and the inter-peak gaps all partition by
+    segment. Peak detection over a 100 TB fact costs exactly one
+    rollup plus two O(days) window passes.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    daily = (
+        orders.join(
+            F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+            orders.o_custkey == cust.c_custkey,
+        )
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date"))
+            .cast("long")
+            .alias("x"),
+        )
+        .agg(F.sum(cents("o_totalprice")).alias("y"))
+    )
+    w = Window.partitionBy("segment").orderBy("x")
+    lagged = daily.select(
+        "segment",
+        "x",
+        "y",
+        F.lag("y").over(w).alias("yp"),
+        F.lead("y").over(w).alias("yn"),
+    )
+    peaks = lagged.where(
+        F.col("yp").isNotNull()
+        & F.col("yn").isNotNull()
+        & (F.col("y") > F.col("yp"))
+        & (F.col("y") > F.col("yn"))
+    ).select("segment", "x", "y")
+    gaps = peaks.select(
+        "segment", (F.col("x") - F.lag("x").over(w)).alias("gap")
+    )
+    g = gaps.groupBy("segment").agg(
+        F.min("gap").alias("min_gap"), F.max("gap").alias("max_gap")
+    )
+    return (
+        peaks.groupBy("segment")
+        .agg(
+            F.count("*").alias("n_peaks"),
+            F.max("y").alias("tallest_cents"),
+        )
+        .join(g, "segment")
+        .select(
+            "segment",
+            "n_peaks",
+            "tallest_cents",
+            F.col("min_gap").alias("min_gap_days"),
+            F.col("max_gap").alias("max_gap_days"),
+        )
+    )
