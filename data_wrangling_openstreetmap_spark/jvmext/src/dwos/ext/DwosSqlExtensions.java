@@ -32,6 +32,14 @@ public class DwosSqlExtensions
             return new DwosSqlParser(delegate);
           }
         });
+    // Catalyst FUNCTION injection (the second section 4.2 extension point):
+    // dwos_cents -- the exact-money macro, resolved into plain
+    // Multiply/Round/Cast nodes at analysis time.
+    extensions.injectFunction(
+        new scala.Tuple3<>(
+            DwosFunctions.CENTS_ID,
+            DwosFunctions.CENTS_INFO,
+            new DwosFunctions.CentsBuilder()));
     return BoxedUnit.UNIT;
   }
 }

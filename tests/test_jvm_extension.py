@@ -127,12 +127,23 @@ exmul = spark.sql(
 exesc = spark.sql(
     "SELECT 'it\\\\'s * ' AS p, '* EXCLUDE (x)' AS s FROM ev LIMIT 1"
 ).collect()[0].s
+# injected Catalyst FUNCTION: dwos_cents resolves to Multiply/Round/
+# Cast at analysis time; values must equal the spelled-out recipe
+fn_rows = spark.sql(
+    "SELECT SUM(dwos_cents(value)) AS a,"
+    " SUM(CAST(round(value * 100) AS BIGINT)) AS b,"
+    " dwos_cents(12.345) AS c FROM ev"
+).collect()[0]
+fn_ok = (fn_rows.a == fn_rows.b) and fn_rows.c in (1234, 1235)
+fn_desc = spark.sql("DESCRIBE FUNCTION dwos_cents").collect()
+fn_reg = any("dwos_cents" in str(r) for r in fn_desc)
 print("RESULT " + json.dumps({
     "cols": df.columns, "rows": rows, "plain": plain, "lit": lit,
     "lp": lp, "asof": asof, "asof_left": asof_left, "don": don,
     "asof_wgl": "WindowGroupLimit" in asof_plan,
     "excl": excl, "excl_q": excl_q, "excl_sub": excl_sub,
-    "exlit": exlit, "exmul": exmul is not None, "exesc": exesc}))
+    "exlit": exlit, "exmul": exmul is not None, "exesc": exesc,
+    "fn_ok": fn_ok, "fn_reg": fn_reg}))
 """
 
 
@@ -204,3 +215,7 @@ def test_injected_parser_matches_duckdb_native():
     assert got["exlit"] == "* EXCLUDE (x)"  # literals never rewritten
     assert got["exmul"] is True  # a UDF named exclude is not a star form
     assert got["exesc"] == "* EXCLUDE (x)"  # escaped quotes keep state
+    # injected function: registered in the catalog, value-identical to
+    # the spelled-out exact-cents recipe
+    assert got["fn_reg"] is True
+    assert got["fn_ok"] is True
