@@ -7777,3 +7777,137 @@ def l4_score_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (n_pos * n_neg) END"
         ).alias("auc_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# l2g — b-bit minwise hashing, b=1 (round 5+): Li & König's storage
+# trick — keep only the LOWEST BIT of each minhash; 64 hashes cost 8
+# bytes per document instead of 256. Estimator Ĵ = 2·agree/64 − 1.
+# Because the 64 permutations reuse the oracle-exact (aⱼ·g + bⱼ) mod p
+# family, BOTH the estimate and the true trigram Jaccard are integer-
+# exact and the per-pair estimation error is hash-graded — a measured
+# accuracy curve, not a citation.
+# ---------------------------------------------------------------------------
+
+_L2G_AB = [(7 * j + 3, 101 * j + 13) for j in range(64)]
+_L2G_SAMPLE = 20  # doc_id % 20 == 0 → ~5 % systematic sample
+
+_L2G_SIG_SQL = ",\n         ".join(
+    f"list_min(list_transform(grams, x -> ({a} * x + {b}) % {_LSH_P})) % 2"
+    f" AS bit{j}"
+    for j, (a, b) in enumerate(_L2G_AB)
+)
+_L2G_AGREE_SQL = " + ".join(
+    f"CASE WHEN a.bit{j} = b.bit{j} THEN 1 ELSE 0 END" for j in range(64)
+)
+
+_L2G_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, text FROM documents
+  WHERE doc_id % {_L2G_SAMPLE} = 0 AND len(text) >= {_WINNOW_K}),
+g AS (
+  SELECT doc_id,
+         list_transform(range(1, len(text) - {_WINNOW_K} + 2), i ->
+           ({" + ".join(f"CAST(ascii(text[i+{j}]) AS BIGINT)*{p}" for j, p in enumerate(_POW31))})
+           % {_WINNOW_MOD}) AS grams
+  FROM d),
+sig AS (
+  SELECT doc_id,
+         list_distinct(grams) AS gset,
+         {_L2G_SIG_SQL}
+  FROM g),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(len(list_intersect(a.gset, b.gset)) AS BIGINT) AS inter,
+         CAST(len(a.gset) + len(b.gset)
+              - len(list_intersect(a.gset, b.gset)) AS BIGINT) AS uni,
+         CAST({_L2G_AGREE_SQL} AS BIGINT) AS agree
+  FROM sig a JOIN sig b ON a.doc_id < b.doc_id)
+SELECT doc_a, doc_b,
+       CAST((inter * 1000) // uni AS BIGINT) AS j_true_milli,
+       CAST(((2 * agree - 64) * 1000) // 64 AS BIGINT) AS j_est_milli,
+       agree
+FROM pairs
+WHERE inter > 0 OR agree >= 48
+"""
+
+
+@register("l2_bbit_minhash", oracle=_L2G_ORACLE, tags=("L2", "F5", "J8"))
+def l2_bbit_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-bit minwise signatures over a 5 % systematic sample: per pair,
+    the exact trigram Jaccard (integer milli-units from set
+    intersection) next to the b-bit estimate ``(2·agree − 64)·1000 div
+    64`` (negative allowed — both engines truncate toward zero). Pairs
+    with no overlap AND a sub-48 bit agreement are dropped to keep the
+    graded set informative. Identical texts agree on all 64 bits by
+    construction; unrelated pairs hover near agree ≈ 32 (Ĵ ≈ 0).
+
+    Scale: signatures are 64 map-side HOF folds (one codepoint-array
+    pass, the winnow recipe) collapsing each document to 64 BITS — the
+    point of the technique: at 100 TB the pair phase ships 8-byte
+    sketches, not gram sets. The all-pairs join here is bounded by the
+    sample; production pairs come from LSH buckets
+    (l2_lsh_bucket_health audits those).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    cps = F.transform(F.split(t, ""), lambda c: F.ascii(c).cast("long"))
+
+    def gram_hash(i: Column) -> Column:
+        total = F.lit(0).cast("long")
+        for j, p in enumerate(_POW31):
+            total = total + F.element_at(F.col("cps"), i + F.lit(j)) * F.lit(p)
+        return total % _WINNOW_MOD
+
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(F.col("cps")) - _WINNOW_K + 1), gram_hash
+    )
+
+    def _bit(a: int, b: int):
+        return lambda x: (x * F.lit(a) + F.lit(b)) % _LSH_P
+
+    sig = (
+        docs.filter(
+            (F.col("doc_id") % _L2G_SAMPLE == 0)
+            & (F.length(t) >= _WINNOW_K)
+        )
+        .select("doc_id", cps.alias("cps"))
+        .select("doc_id", grams.alias("grams"))
+        .select(
+            "doc_id",
+            F.array_distinct("grams").alias("gset"),
+            *[
+                (
+                    F.array_min(F.transform(F.col("grams"), _bit(a, b))) % 2
+                ).alias(f"bit{j}")
+                for j, (a, b) in enumerate(_L2G_AB)
+            ],
+        )
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    agree = sum(
+        F.when(F.col(f"a.bit{j}") == F.col(f"b.bit{j}"), 1).otherwise(0)
+        for j in range(64)
+    )
+    inter = F.size(F.array_intersect(F.col("a.gset"), F.col("b.gset"))).cast(
+        "long"
+    )
+    uni = (
+        F.size(F.col("a.gset")) + F.size(F.col("b.gset"))
+    ).cast("long") - inter
+    pairs = a.join(b, F.col("a.doc_id") < F.col("b.doc_id")).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        inter.alias("inter"),
+        uni.alias("uni"),
+        agree.cast("long").alias("agree"),
+    )
+    return pairs.where(
+        (F.col("inter") > 0) | (F.col("agree") >= 48)
+    ).select(
+        "doc_a",
+        "doc_b",
+        F.expr("(inter * 1000) div uni").alias("j_true_milli"),
+        F.expr("((2 * agree - 64) * 1000) div 64").alias("j_est_milli"),
+        "agree",
+    )
