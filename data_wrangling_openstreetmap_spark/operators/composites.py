@@ -5246,3 +5246,89 @@ def q61_attribution_lasttouch(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q62 — price elasticity per brand (round 5+): the log-log regression
+# slope of quantity on unit price across a brand's lineitems. Floats
+# enter once — ln() per row, identical doubles on both engines — and
+# are immediately QUANTIZED to integer micro-units, so every
+# aggregation downstream is exact and order-free (the engine's
+# quantize-then-aggregate discipline applied to a float-native
+# statistic).
+# ---------------------------------------------------------------------------
+
+_Q62_ORACLE = """
+WITH r AS (
+  SELECT p.p_brand AS brand,
+         CAST(round(ln(l.l_extendedprice / l.l_quantity) * 1000000)
+              AS BIGINT) AS lx,
+         CAST(round(ln(l.l_quantity) * 1000000) AS BIGINT) AS ly
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE l.l_quantity > 0),
+s AS (
+  SELECT brand, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(lx) AS BIGINT) AS sx, CAST(SUM(ly) AS BIGINT) AS sy,
+         SUM(CAST(lx AS HUGEINT) * ly) AS sxy,
+         SUM(CAST(lx AS HUGEINT) * lx) AS sxx
+  FROM r GROUP BY brand)
+SELECT brand, n,
+       ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) + 0
+         AS elasticity
+FROM s
+"""
+
+
+@register("q62_price_elasticity", oracle=_Q62_ORACLE, tags=("A1", "J1", "F4"))
+def q62_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLS slope of ln(qty) on ln(unit price) per brand: per-row logs
+    round to integer micro-units (identical doubles → identical
+    integers), moment sums accumulate exactly (Σx·y in
+    HUGEINT/DECIMAL — micro-unit products reach ~10²⁶ per group), and
+    the slope divides exact values cast to double in the same order on
+    both engines. Negative elasticity = normal demand; the per-brand
+    spread is the pricing team's report.
+
+    Scale: one fact shuffle to brand grain (25 brands) with map-side
+    partials doing the Σ work; the ln/round projection is whole-stage
+    codegen. Quantize-then-aggregate is what makes a log-space
+    statistic hash-gradeable at all — raw double sums drift with
+    partition order.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    lx = F.round(
+        F.log(F.col("l_extendedprice") / F.col("l_quantity")) * 1000000
+    ).cast("long")
+    ly = F.round(F.log(F.col("l_quantity")) * 1000000).cast("long")
+    r = (
+        li.where(F.col("l_quantity") > 0)
+        .join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            li.l_partkey == part.p_partkey,
+        )
+        .select(F.col("p_brand").alias("brand"), lx.alias("lx"), ly.alias("ly"))
+    )
+    s = r.groupBy("brand").agg(
+        F.count("*").alias("n"),
+        F.sum("lx").alias("sx"),
+        F.sum("ly").alias("sy"),
+        F.sum(
+            F.col("lx").cast("decimal(38,0)") * F.col("ly").cast("decimal(38,0)")
+        ).alias("sxy"),
+        F.sum(
+            F.col("lx").cast("decimal(38,0)") * F.col("lx").cast("decimal(38,0)")
+        ).alias("sxx"),
+    )
+    num = F.col("n").cast("double") * F.col("sxy").cast("double") - F.col(
+        "sx"
+    ).cast("double") * F.col("sy").cast("double")
+    den = F.col("n").cast("double") * F.col("sxx").cast("double") - F.col(
+        "sx"
+    ).cast("double") * F.col("sx").cast("double")
+    return s.select(
+        "brand", "n", (F.round(num / den, 6) + 0).alias("elasticity")
+    )
