@@ -3597,3 +3597,115 @@ def s33_corrupt_file_resilience(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(path)
     )
     return back.select("n_nationkey", "n_name", "n_regionkey")
+
+
+# ---------------------------------------------------------------------------
+# S34 — Neyman sample allocation (round 5+): how many of a 1000-doc
+# labeling budget each language stratum gets under optimal (minimum-
+# variance) allocation n_h ∝ N_h·σ_h. Weights quantize to integer
+# micro-units, the split uses exact integer floor division, and the
+# leftover seats assign by LARGEST REMAINDER — the Hamilton
+# apportionment, fully integer, so the allocation sums to exactly the
+# budget on both engines.
+# ---------------------------------------------------------------------------
+
+_S34_BUDGET = 1000
+
+_S34_ORACLE = f"""
+WITH s AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(n_chars) AS BIGINT) AS sx,
+         CAST(SUM(n_chars * n_chars) AS BIGINT) AS sxx
+  FROM documents GROUP BY lang),
+w AS (
+  SELECT lang, n,
+         CAST(round(n * sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                             / (CAST(n AS DOUBLE) * (n - 1))) * 1000000 + 0)
+              AS BIGINT) AS w_micro
+  FROM s WHERE n >= 2),
+tot AS (SELECT CAST(SUM(w_micro) AS BIGINT) AS wt FROM w),
+base AS (
+  SELECT lang, n, w_micro,
+         CAST(({_S34_BUDGET} * w_micro) // tot.wt AS BIGINT) AS alloc_floor,
+         CAST(({_S34_BUDGET} * w_micro) % tot.wt AS BIGINT) AS rem
+  FROM w, tot),
+leftover AS (
+  SELECT CAST({_S34_BUDGET} - SUM(alloc_floor) AS BIGINT) AS extra FROM base),
+ranked AS (
+  SELECT lang, n, w_micro, alloc_floor,
+         row_number() OVER (ORDER BY rem DESC, lang) AS rk
+  FROM base)
+SELECT ranked.lang, ranked.n AS stratum_size, ranked.w_micro,
+       CAST(ranked.alloc_floor
+            + CASE WHEN ranked.rk <= leftover.extra THEN 1 ELSE 0 END
+            AS BIGINT) AS n_sampled
+FROM ranked, leftover
+"""
+
+
+@register("s34_neyman_allocation", oracle=_S34_ORACLE, tags=("S3", "A1", "W1"))
+def s34_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum-variance budget split across language strata:
+    w_h = N_h·σ_h (σ from exact Σx/Σx², one sqrt per stratum,
+    quantized to micro-units — identical integers both engines), seats
+    = exact integer floor shares plus largest-remainder top-up ranked
+    by (remainder, lang). Σ n_sampled == budget exactly; single-doc
+    strata (σ undefined) are excluded on both sides.
+
+    Scale: the stratum reduction is one hash aggregation; everything
+    after runs on O(strata) rows (the global remainder rank uses
+    scalable_row_number over remainder buckets — same discipline as
+    every other global rank, even though strata counts are tiny). The
+    allocation then drives s3b-style stratified draws.
+    """
+    from ._helpers import scalable_row_number
+
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.groupBy("lang").agg(
+        F.count("*").alias("n"),
+        F.sum("n_chars").cast("long").alias("sx"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).cast("long").alias("sxx"),
+    )
+    sigma = F.sqrt(
+        (
+            F.col("n").cast("double") * F.col("sxx")
+            - F.col("sx").cast("double") * F.col("sx")
+        )
+        / (F.col("n").cast("double") * (F.col("n") - 1))
+    )
+    w = s.where(F.col("n") >= 2).select(
+        "lang",
+        "n",
+        F.round(F.col("n") * sigma * 1000000 + 0).cast("long").alias(
+            "w_micro"
+        ),
+    )
+    tot = w.agg(F.sum("w_micro").cast("long").alias("wt"))
+    base = w.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n",
+        "w_micro",
+        F.expr(f"({_S34_BUDGET} * w_micro) div wt").alias("alloc_floor"),
+        F.expr(f"({_S34_BUDGET} * w_micro) % wt").alias("rem"),
+    )
+    leftover = base.agg(
+        (F.lit(_S34_BUDGET) - F.sum("alloc_floor")).cast("long").alias("extra")
+    )
+    ranked = scalable_row_number(
+        base.withColumn("neg_rem", -F.col("rem")),
+        key="neg_rem",
+        bucket_width=1 << 40,
+        order_cols=[F.col("neg_rem"), F.col("lang")],
+        out="rk",
+    )
+    return ranked.crossJoin(F.broadcast(leftover)).select(
+        "lang",
+        F.col("n").alias("stratum_size"),
+        "w_micro",
+        (
+            F.col("alloc_floor")
+            + F.when(F.col("rk") <= F.col("extra"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_sampled"),
+    )
