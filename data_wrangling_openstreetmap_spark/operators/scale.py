@@ -997,3 +997,88 @@ def d10_zone_map_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("scan_efficiency_bp"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# d11 — retention (TTL) sweep planner (round 5+): what a row-level
+# retention policy would delete at the corpus horizon — clicks kept
+# 90 days, views 30, signups 365, purchases forever. The sweep report
+# (rows/bytes per type, partition-level vs row-level deletes) is what
+# the maintenance job commits and compliance audits.
+# ---------------------------------------------------------------------------
+
+_D11_ORACLE = """
+WITH mx AS (SELECT MAX(ts) AS horizon FROM events),
+pol AS (
+  SELECT * FROM (VALUES ('click', 90), ('view', 30), ('signup', 365))
+    p(event_type, keep_days)),
+aged AS (
+  SELECT e.event_type,
+         COALESCE(pol.keep_days, -1) AS keep_days,
+         CASE WHEN pol.keep_days IS NOT NULL
+               AND datediff('day', CAST(e.ts AS DATE), CAST(mx.horizon AS DATE))
+                   > pol.keep_days
+              THEN 1 ELSE 0 END AS expired,
+         CAST(octet_length(encode(e.props)) + 40 AS BIGINT) AS est_bytes
+  FROM events e LEFT JOIN pol ON e.event_type = pol.event_type, mx)
+SELECT event_type,
+       CAST(MAX(keep_days) AS INT) AS keep_days,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(expired) AS BIGINT) AS n_expired,
+       CAST(SUM(expired * est_bytes) AS BIGINT) AS reclaim_bytes,
+       CAST((SUM(expired) * 10000) // COUNT(*) AS BIGINT) AS expired_bp
+FROM aged GROUP BY event_type
+"""
+
+
+@register("d11_retention_sweep", oracle=_D11_ORACLE, tags=("P2", "A1", "J2"))
+def d11_retention_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type TTL sweep against the corpus horizon (global max event
+    time, broadcast scalar): policy joins as a 3-row broadcast dim
+    (types without a policy keep forever, keep_days = −1), expiry is
+    integer day arithmetic, reclaimed bytes estimate = payload bytes +
+    40 per-row overhead. expired_bp is the integer share that tells
+    the planner whether whole-partition drops beat row-level deletes.
+
+    Scale: a TTL sweep at 100 TB is a partition-pruned scan + one
+    rollup — the expiry predicate is exactly the partition filter when
+    the table is date-partitioned (d1/d10 show the pruning); this
+    report is the dry run every retention job logs before deleting.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts").alias("horizon"))
+    pol = spark.createDataFrame(
+        [("click", 90), ("view", 30), ("signup", 365)],
+        "event_type string, keep_days int",
+    )
+    aged = (
+        ev.join(F.broadcast(pol), "event_type", "left")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "event_type",
+            F.coalesce("keep_days", F.lit(-1)).alias("keep_days"),
+            F.when(
+                F.col("keep_days").isNotNull()
+                & (
+                    F.datediff(
+                        F.col("horizon").cast("date"), F.col("ts").cast("date")
+                    )
+                    > F.col("keep_days")
+                ),
+                1,
+            )
+            .otherwise(0)
+            .alias("expired"),
+            (F.length(F.encode(F.col("props"), "utf-8")).cast("long") + 40)
+            .alias("est_bytes"),
+        )
+    )
+    return aged.groupBy("event_type").agg(
+        F.max("keep_days").cast("int").alias("keep_days"),
+        F.count("*").alias("n_rows"),
+        F.sum("expired").cast("long").alias("n_expired"),
+        F.sum(F.col("expired") * F.col("est_bytes"))
+        .cast("long")
+        .alias("reclaim_bytes"),
+        F.expr("(sum(expired) * 10000) div count(*)").alias("expired_bp"),
+    )
