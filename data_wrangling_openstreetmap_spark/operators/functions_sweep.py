@@ -1281,7 +1281,7 @@ FROM c GROUP BY 1
 """
 
 
-@register("f26_try_battery", oracle=_F26_ORACLE, tags=("F8", "P7", "A1"))
+@register("f26_try_battery", oracle=_F26_ORACLE, tags=("F8", "P2", "A1"))
 def f26_try_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Survivor census for the try_* family over deterministic mixed
     input (class 0: integer strings, class 1: part-name garbage,

@@ -3570,7 +3570,7 @@ SELECT n_nationkey, n_name, n_regionkey FROM nation
 """
 
 
-@register("s33_corrupt_file_resilience", oracle=_S33_ORACLE, tags=("S1", "P7"))
+@register("s33_corrupt_file_resilience", oracle=_S33_ORACLE, tags=("S1", "P2"))
 def s33_corrupt_file_resilience(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write nation to a directory, drop a non-parquet garbage file
     beside it (wrong magic, truncated footer), and read the directory

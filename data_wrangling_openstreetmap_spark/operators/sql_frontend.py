@@ -756,7 +756,7 @@ GROUP BY 1, 2
 """
 
 
-@register("x16_unpivot_sql", oracle=_X16_ORACLE, tags=("A12", "A1"))
+@register("x16_unpivot_sql", oracle=_X16_ORACLE, tags=("O3", "A1"))
 def x16_unpivot_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot 1995–1997 revenue into wide year columns, then fold them
     back with Spark's native SQL ``UNPIVOT`` clause — the roundtrip
