@@ -5146,10 +5146,10 @@ def q60_rate_volume_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame
 # basis-point shares.
 # ---------------------------------------------------------------------------
 
-_Q61_ORACLE = """
+_Q61_ORACLE = f"""
 WITH p AS (
   SELECT event_id, user_id, ts,
-         CAST(round(value * 100) AS BIGINT) AS rev
+         {oracle_cents('value')} AS rev
   FROM events WHERE event_type = 'purchase'),
 c AS (
   SELECT user_id, ts, event_id,
@@ -5197,7 +5197,7 @@ def q61_attribution_lasttouch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         "ts",
-        F.round(F.col("value") * 100).cast("long").alias("rev"),
+        cents("value").alias("rev"),
     )
     c = ev.where(F.col("event_type") == "click").select(
         F.col("user_id").alias("c_user"),
@@ -5273,11 +5273,13 @@ s AS (
          SUM(CAST(lx AS HUGEINT) * lx) AS sxx
   FROM r GROUP BY brand)
 SELECT brand, n,
-       ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) + 0
-         AS elasticity
+       CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0
+            THEN ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) + 0
+       END AS elasticity
 FROM s
 """
 
@@ -5329,6 +5331,10 @@ def q62_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
     den = F.col("n").cast("double") * F.col("sxx").cast("double") - F.col(
         "sx"
     ).cast("double") * F.col("sx").cast("double")
+    # Zero x-variance (e.g. a single-lineitem brand): DuckDB 0.0/0.0 is
+    # NULL but Spark is NaN — guard to NULL on both engines.
     return s.select(
-        "brand", "n", (F.round(num / den, 6) + 0).alias("elasticity")
+        "brand",
+        "n",
+        F.when(den != 0, F.round(num / den, 6) + 0).alias("elasticity"),
     )

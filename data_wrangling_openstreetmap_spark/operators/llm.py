@@ -7706,14 +7706,15 @@ c AS (
               AS BIGINT) AS below
   FROM g),
 s AS (
-  SELECT CAST(SUM(pos * (2 * below + cnt + 1)) AS BIGINT) AS rank2_sum,
+  SELECT SUM(CAST(pos AS HUGEINT) * (2 * below + cnt + 1)) AS rank2_sum,
          CAST(SUM(pos) AS BIGINT) AS n_pos,
          CAST(SUM(cnt - pos) AS BIGINT) AS n_neg
   FROM c)
 SELECT n_pos, n_neg,
        CASE WHEN n_pos * n_neg > 0
-            THEN CAST(((rank2_sum - n_pos * (n_pos + 1)) * 500000)
-                      // (n_pos * n_neg) AS BIGINT)
+            THEN CAST(((rank2_sum - CAST(n_pos AS HUGEINT) * (n_pos + 1))
+                       * 500000)
+                      // (CAST(n_pos AS HUGEINT) * n_neg) AS BIGINT)
        END AS auc_micro
 FROM s
 """
@@ -7725,7 +7726,8 @@ def l4_score_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     (vs exact-duplicate): per distinct score, tie-averaged rank ×2 =
     2·below + cnt + 1 (integer); U = (Σ₊rank − n₊(n₊+1)/2); AUC =
     U/(n₊·n₋) in exact integer micro-units via ``·5·10⁵ div`` (the ×2
-    and ÷2 fold together). Positive operands, trunc == ``//``.
+    and ÷2 fold together; sums ride DECIMAL(38,0)/HUGEINT so nothing
+    overflows at corpus scale). Positive operands, trunc == ``//``.
 
     One-class corpora (no duplicates at all, as at tiny fixture
     scales) report NULL — AUC is undefined without both classes, and
@@ -7761,10 +7763,13 @@ def l4_score_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucket=F.floor(F.col("score") * 64).cast("long"),
         out="cum_incl",
     ).withColumn("below", F.coalesce(F.col("cum_incl") - F.col("cnt"), F.lit(0)))
+    # Rank sums and their ×5·10⁵ product accumulate in DECIMAL(38,0)/
+    # HUGEINT — BIGINT overflows near ~4M docs (round-4 Σu² rule).
     s = c.agg(
-        F.sum(F.col("pos") * (2 * F.col("below") + F.col("cnt") + 1))
-        .cast("long")
-        .alias("rank2_sum"),
+        F.sum(
+            F.col("pos").cast("decimal(38,0)")
+            * (2 * F.col("below") + F.col("cnt") + 1)
+        ).alias("rank2_sum"),
         F.sum("pos").cast("long").alias("n_pos"),
         F.sum(F.col("cnt") - F.col("pos")).cast("long").alias("n_neg"),
     )
@@ -7772,9 +7777,10 @@ def l4_score_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_pos",
         "n_neg",
         F.expr(
-            "CASE WHEN n_pos * n_neg > 0 THEN"
-            " ((rank2_sum - n_pos * (n_pos + 1)) * 500000)"
-            " div (n_pos * n_neg) END"
+            "CASE WHEN n_pos * n_neg > 0 THEN CAST("
+            " ((rank2_sum - CAST(n_pos AS DECIMAL(38,0)) * (n_pos + 1))"
+            "  * 500000)"
+            " div (CAST(n_pos AS DECIMAL(38,0)) * n_neg) AS BIGINT) END"
         ).alias("auc_micro"),
     )
 

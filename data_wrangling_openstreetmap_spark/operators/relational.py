@@ -3620,22 +3620,22 @@ WITH s AS (
 w AS (
   SELECT lang, n,
          CAST(round(n * sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
-                             / (CAST(n AS DOUBLE) * (n - 1))) * 1000000 + 0)
-              AS BIGINT) AS w_micro
+                             / (CAST(n AS DOUBLE) * (n - 1))) * 1000 + 0)
+              AS BIGINT) AS w_milli
   FROM s WHERE n >= 2),
-tot AS (SELECT CAST(SUM(w_micro) AS BIGINT) AS wt FROM w),
+tot AS (SELECT CAST(SUM(w_milli) AS BIGINT) AS wt FROM w),
 base AS (
-  SELECT lang, n, w_micro,
-         CAST(({_S34_BUDGET} * w_micro) // tot.wt AS BIGINT) AS alloc_floor,
-         CAST(({_S34_BUDGET} * w_micro) % tot.wt AS BIGINT) AS rem
+  SELECT lang, n, w_milli,
+         CAST(({_S34_BUDGET} * w_milli) // tot.wt AS BIGINT) AS alloc_floor,
+         CAST(({_S34_BUDGET} * w_milli) % tot.wt AS BIGINT) AS rem
   FROM w, tot),
 leftover AS (
   SELECT CAST({_S34_BUDGET} - SUM(alloc_floor) AS BIGINT) AS extra FROM base),
 ranked AS (
-  SELECT lang, n, w_micro, alloc_floor,
+  SELECT lang, n, w_milli, alloc_floor,
          row_number() OVER (ORDER BY rem DESC, lang) AS rk
   FROM base)
-SELECT ranked.lang, ranked.n AS stratum_size, ranked.w_micro,
+SELECT ranked.lang, ranked.n AS stratum_size, ranked.w_milli,
        CAST(ranked.alloc_floor
             + CASE WHEN ranked.rk <= leftover.extra THEN 1 ELSE 0 END
             AS BIGINT) AS n_sampled
@@ -3647,7 +3647,9 @@ FROM ranked, leftover
 def s34_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Minimum-variance budget split across language strata:
     w_h = N_h·σ_h (σ from exact Σx/Σx², one sqrt per stratum,
-    quantized to micro-units — identical integers both engines), seats
+    quantized to MILLI-units — identical integers both engines, and
+    budget·w stays in BIGINT up to N_h·σ_h ≈ 9·10¹² — beyond any real
+    document-count × char-σ product; scale note, round-4 rule), seats
     = exact integer floor shares plus largest-remainder top-up ranked
     by (remainder, lang). Σ n_sampled == budget exactly; single-doc
     strata (σ undefined) are excluded on both sides.
@@ -3676,17 +3678,17 @@ def s34_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = s.where(F.col("n") >= 2).select(
         "lang",
         "n",
-        F.round(F.col("n") * sigma * 1000000 + 0).cast("long").alias(
-            "w_micro"
+        F.round(F.col("n") * sigma * 1000 + 0).cast("long").alias(
+            "w_milli"
         ),
     )
-    tot = w.agg(F.sum("w_micro").cast("long").alias("wt"))
+    tot = w.agg(F.sum("w_milli").cast("long").alias("wt"))
     base = w.crossJoin(F.broadcast(tot)).select(
         "lang",
         "n",
-        "w_micro",
-        F.expr(f"({_S34_BUDGET} * w_micro) div wt").alias("alloc_floor"),
-        F.expr(f"({_S34_BUDGET} * w_micro) % wt").alias("rem"),
+        "w_milli",
+        F.expr(f"({_S34_BUDGET} * w_milli) div wt").alias("alloc_floor"),
+        F.expr(f"({_S34_BUDGET} * w_milli) % wt").alias("rem"),
     )
     leftover = base.agg(
         (F.lit(_S34_BUDGET) - F.sum("alloc_floor")).cast("long").alias("extra")
@@ -3701,7 +3703,7 @@ def s34_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.crossJoin(F.broadcast(leftover)).select(
         "lang",
         F.col("n").alias("stratum_size"),
-        "w_micro",
+        "w_milli",
         (
             F.col("alloc_floor")
             + F.when(F.col("rk") <= F.col("extra"), 1).otherwise(0)

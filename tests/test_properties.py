@@ -594,16 +594,21 @@ def test_pushdown_reader_equals_unfiltered_scan_plus_predicate(filters):
     bounds, (pushFilters → partitions → clamped reads) must produce
     exactly the rows of the full feed that satisfy the conjunction —
     pruning may never drop a matching row or leak a filtered one."""
-    from pyspark.sql.datasource import (
-        GreaterThan,
-        GreaterThanOrEqual,
-        LessThan,
-        LessThanOrEqual,
-    )
+    try:  # pushFilters Filter classes are pyspark>=4.1; skip gracefully
+        from pyspark.sql.datasource import (
+            GreaterThan,
+            GreaterThanOrEqual,
+            LessThan,
+            LessThanOrEqual,
+        )
 
-    from data_wrangling_openstreetmap_spark.operators.relational import (
-        _SynthPushdownReader,
-    )
+        from data_wrangling_openstreetmap_spark.operators.relational import (
+            _SynthPushdownReader,
+        )
+    except ImportError:
+        import pytest as _pytest
+
+        _pytest.skip("pushFilters API requires pyspark 4.1")
 
     mk = {
         "ge": GreaterThanOrEqual,
