@@ -3858,3 +3858,124 @@ def w42_peak_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("max_gap").alias("max_gap_days"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# w43 — interval union (round 5+): how many calendar days was each
+# segment "busy" (≥1 order open between order date and last ship)?
+# Overlapping intervals merge into islands via the classic sweep:
+# an interval starts a new island iff its start exceeds the running
+# max of all earlier ends. Union length, island count, and the
+# longest continuous busy stretch — the utilization numbers a
+# capacity planner reads.
+# ---------------------------------------------------------------------------
+
+_W43_ORACLE = """
+WITH iv AS (
+  SELECT c.c_mktsegment AS segment, o.o_orderkey,
+         CAST(datediff('day', TIMESTAMP '1992-01-01', o.o_orderdate)
+              AS BIGINT) AS s,
+         CAST(datediff('day', TIMESTAMP '1992-01-01', ship.last_ship)
+              AS BIGINT) AS e
+  FROM orders o
+  JOIN (SELECT l_orderkey, MAX(l_shipdate) AS last_ship
+        FROM lineitem GROUP BY 1) ship ON o.o_orderkey = ship.l_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey),
+flagged AS (
+  SELECT segment, o_orderkey, s, e,
+         CASE WHEN MAX(e) OVER (PARTITION BY segment ORDER BY s, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+               OR s > MAX(e) OVER (PARTITION BY segment ORDER BY s, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS new_island
+  FROM iv),
+islands AS (
+  SELECT segment, s, e,
+         SUM(new_island) OVER (PARTITION BY segment ORDER BY s, o_orderkey
+           ROWS UNBOUNDED PRECEDING) AS island_id
+  FROM flagged),
+merged AS (
+  SELECT segment, island_id,
+         MIN(s) AS island_start, MAX(e) AS island_end
+  FROM islands GROUP BY 1, 2)
+SELECT segment,
+       CAST(COUNT(*) AS BIGINT) AS n_islands,
+       CAST(SUM(island_end - island_start + 1) AS BIGINT) AS union_days,
+       CAST(MAX(island_end - island_start + 1) AS BIGINT) AS longest_days
+FROM merged GROUP BY segment
+"""
+
+
+@register("w43_interval_union", oracle=_W43_ORACLE, tags=("W4", "J1", "A1"))
+def w43_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged busy-interval statistics per segment: intervals =
+    [order date, last lineitem ship date] in integer days; a new
+    island starts where the interval's start exceeds the EXCLUSIVE
+    prefix max of earlier ends ((start, orderkey)-ordered, so ties are
+    deterministic); island ids are the running flag sum; union length
+    sums the merged spans. The oracle's flag window orders by the same
+    keys but its island sum may order ties by (s, e) — equivalent,
+    because tied-start rows share their flag decision.
+
+    Scale: both windows partition by segment (bounded count) over
+    O(orders-per-segment) rows — the sweep is one sort per partition,
+    no global ordering; the island rollup reuses the partition key.
+    Interval-union at 100 TB is exactly this plan over date-bucketed
+    sub-partitions when a single segment outgrows one partition.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+    ship = li.groupBy("l_orderkey").agg(F.max("l_shipdate").alias("last_ship"))
+    base = F.lit("1992-01-01").cast("date")
+    iv = (
+        orders.join(ship, orders.o_orderkey == ship.l_orderkey)
+        .join(
+            F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+            orders.o_custkey == cust.c_custkey,
+        )
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            "o_orderkey",
+            F.datediff("o_orderdate", base).cast("long").alias("s"),
+            F.datediff("last_ship", base).cast("long").alias("e"),
+        )
+    )
+    w_prev = (
+        Window.partitionBy("segment")
+        .orderBy("s", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = iv.select(
+        "segment",
+        "o_orderkey",
+        "s",
+        "e",
+        F.when(
+            F.max("e").over(w_prev).isNull()
+            | (F.col("s") > F.max("e").over(w_prev)),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_island"),
+    )
+    w_run = (
+        Window.partitionBy("segment")
+        .orderBy("s", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    islands = flagged.select(
+        "segment",
+        "s",
+        "e",
+        F.sum("new_island").over(w_run).alias("island_id"),
+    )
+    merged = islands.groupBy("segment", "island_id").agg(
+        F.min("s").alias("island_start"), F.max("e").alias("island_end")
+    )
+    span = F.col("island_end") - F.col("island_start") + 1
+    return merged.groupBy("segment").agg(
+        F.count("*").alias("n_islands"),
+        F.sum(span).cast("long").alias("union_days"),
+        F.max(span).cast("long").alias("longest_days"),
+    )
