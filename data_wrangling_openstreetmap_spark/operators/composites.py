@@ -5338,3 +5338,136 @@ def q62_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.when(den != 0, F.round(num / den, 6) + 0).alias("elasticity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# a51 — deterministic permutation test (round 5+): is the BUILDING vs
+# AUTOMOBILE order-value difference explainable by labeling chance?
+# 64 pseudo-permutations reassign each pooled order by one bit of a
+# Knuth hash (a fresh odd multiplier per replicate), the null
+# distribution of mean differences comes out exactly, and the p-value
+# is the integer share of replicates at least as extreme as the
+# observed difference — a resampling test with zero RNG state, fully
+# hash-gradeable.
+# ---------------------------------------------------------------------------
+
+_A51_PERMS = 64
+
+_A51_ORACLE = f"""
+WITH pooled AS (
+  SELECT o.o_orderkey AS k,
+         CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS grp,
+         CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE c.c_mktsegment IN ('BUILDING', 'AUTOMOBILE')),
+obs AS (
+  SELECT CAST(SUM(CASE WHEN grp = 1 THEN cents END) AS DOUBLE)
+           / SUM(CASE WHEN grp = 1 THEN 1 END)
+         - CAST(SUM(CASE WHEN grp = 0 THEN cents END) AS DOUBLE)
+           / SUM(CASE WHEN grp = 0 THEN 1 END) AS d
+  FROM pooled),
+perms AS (
+  SELECT t.j,
+         ((((pooled.k % 2147483648) * (2654435761 + 2 * t.j))
+           % 2147483648) // 8192) % 2 AS bit,
+         pooled.cents
+  FROM pooled, generate_series(0, {_A51_PERMS - 1}) t(j)),
+nulls AS (
+  SELECT j,
+         CAST(SUM(CASE WHEN bit = 1 THEN cents END) AS DOUBLE)
+           / SUM(CASE WHEN bit = 1 THEN 1 END)
+         - CAST(SUM(CASE WHEN bit = 0 THEN cents END) AS DOUBLE)
+           / SUM(CASE WHEN bit = 0 THEN 1 END) AS d
+  FROM perms
+  GROUP BY j
+  HAVING SUM(CASE WHEN bit = 1 THEN 1 END) > 0
+     AND SUM(CASE WHEN bit = 0 THEN 1 END) > 0)
+SELECT ROUND(obs.d / 100, 6) + 0 AS obs_diff,
+       CAST(COUNT(*) AS BIGINT) AS n_perms,
+       CAST(SUM(CASE WHEN abs(nulls.d) >= abs(obs.d) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_extreme,
+       CAST((SUM(CASE WHEN abs(nulls.d) >= abs(obs.d) THEN 1 ELSE 0 END)
+             * 10000) // COUNT(*) AS BIGINT) AS p_bp
+FROM nulls, obs
+GROUP BY obs.d
+"""
+
+
+@register("a51_permutation_test", oracle=_A51_ORACLE, tags=("A2", "A1", "F4"))
+def a51_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Randomization test on the two-segment mean difference: replicate
+    j relabels each pooled order by bit 13 of ``(key mod 2³¹)·(2654435761
+    + 2j) mod 2³¹`` (31-bit-masked — ANSI-safe; a fresh odd multiplier
+    per replicate), every replicate's mean difference is computed from
+    exact cents sums, and p = share of replicates with |d| ≥ |observed|
+    in integer basis points. Degenerate replicates (an empty side)
+    drop out on both engines.
+
+    Scale: the pooled fact explodes ×64 map-side and reduces in ONE
+    hash aggregation keyed on (replicate, bit) — at 100 TB that is 64
+    passes' worth of statistics for one shuffle; the comparison table
+    is O(replicates). This is how resampling inference runs on a
+    cluster: derandomized, replicated via hash bits, never via RNG
+    state.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    pooled = (
+        orders.join(
+            F.broadcast(
+                cust.select("c_custkey", "c_mktsegment").where(
+                    F.col("c_mktsegment").isin("BUILDING", "AUTOMOBILE")
+                )
+            ),
+            orders.o_custkey == cust.c_custkey,
+        )
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.when(F.col("c_mktsegment") == "BUILDING", 1)
+            .otherwise(0)
+            .alias("grp"),
+            cents("o_totalprice").alias("cents"),
+        )
+    )
+    def mean_diff(flag):
+        s1 = F.sum(F.when(F.col(flag) == 1, F.col("cents")))
+        n1 = F.sum(F.when(F.col(flag) == 1, 1))
+        s0 = F.sum(F.when(F.col(flag) == 0, F.col("cents")))
+        n0 = F.sum(F.when(F.col(flag) == 0, 1))
+        return s1.cast("double") / n1 - s0.cast("double") / n0, n1, n0
+
+    d_obs, _, _ = mean_diff("grp")
+    obs = pooled.agg(d_obs.alias("d_obs"))
+    perms = pooled.select(
+        "cents",
+        "k",
+        F.explode(F.sequence(F.lit(0), F.lit(_A51_PERMS - 1))).alias("j"),
+    ).select(
+        "j",
+        "cents",
+        F.expr(
+            "((((k % 2147483648) * (2654435761 + 2 * j))"
+            " % 2147483648) div 8192) % 2"
+        ).alias("bit"),
+    )
+    d_null, n1, n0 = mean_diff("bit")
+    nulls = (
+        perms.groupBy("j")
+        .agg(d_null.alias("d"), n1.alias("n1"), n0.alias("n0"))
+        .where((F.col("n1") > 0) & (F.col("n0") > 0))
+    )
+    ext = F.sum(
+        F.when(F.abs(F.col("d")) >= F.abs(F.col("d_obs")), 1).otherwise(0)
+    )
+    return (
+        nulls.crossJoin(F.broadcast(obs))
+        .agg(
+            (F.round(F.max("d_obs") / 100, 6) + 0).alias("obs_diff"),
+            F.count("*").alias("n_perms"),
+            ext.cast("long").alias("n_extreme"),
+            F.expr(
+                "(sum(case when abs(d) >= abs(d_obs) then 1 else 0 end)"
+                " * 10000) div count(*)"
+            ).alias("p_bp"),
+        )
+    )
