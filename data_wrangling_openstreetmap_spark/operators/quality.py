@@ -1294,3 +1294,91 @@ def dp6_fd_miner(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_dep").alias("max_dependents"),
         (viol == 0).cast("int").alias("holds"),
     )
+
+
+# ---------------------------------------------------------------------------
+# dp7 — shuffle-partition advisor (round 5+): the sizing arithmetic
+# behind spark.sql.shuffle.partitions and files.maxPartitionBytes,
+# value-graded. Bytes-per-row estimates come from the schema (fixed
+# widths + measured string lengths), target partition size is 128 MiB,
+# and the advisor emits the partition count and skew headroom each
+# table needs — the numbers this repo's own config comments cite.
+# ---------------------------------------------------------------------------
+
+_DP7_TARGET = 134217728  # 128 MiB
+
+_DP7_ORACLE = f"""
+WITH est AS (
+  SELECT 'orders' AS tbl, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(50 + octet_length(encode(o_orderpriority))
+                  + octet_length(encode(o_orderstatus))) AS BIGINT)
+           AS est_bytes
+  FROM orders
+  UNION ALL
+  SELECT 'lineitem', CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(90 + octet_length(encode(l_returnflag))
+                  + octet_length(encode(l_linestatus))) AS BIGINT)
+  FROM lineitem
+  UNION ALL
+  SELECT 'documents', CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(30 + octet_length(encode(text))
+                  + octet_length(encode(lang))) AS BIGINT)
+  FROM documents)
+SELECT tbl, n_rows, est_bytes,
+       CAST(est_bytes // n_rows AS BIGINT) AS bytes_per_row,
+       CAST(GREATEST((est_bytes + {_DP7_TARGET} - 1) // {_DP7_TARGET}, 1)
+            AS BIGINT) AS advised_partitions,
+       CAST(({_DP7_TARGET}) // GREATEST(est_bytes // n_rows, 1) AS BIGINT)
+         AS rows_per_partition
+FROM est
+"""
+
+
+@register("dp7_shuffle_partition_advisor", oracle=_DP7_ORACLE, tags=("A2", "F1", "O3"))
+def dp7_shuffle_partition_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-count advice per table: estimated in-memory bytes =
+    fixed-width column footprint + measured string payload per row
+    (exact integer sums), advised partitions = ceil(bytes / 128 MiB)
+    via the ``(x + t − 1) div t`` integer ceiling, plus the implied
+    rows-per-partition. The same arithmetic sizes
+    spark.sql.shuffle.partitions at any corpus scale — run the advisor
+    on catalog stats instead of a scan when they exist.
+
+    Scale: three independent single-pass reductions (string lengths
+    are the only per-row work); output is O(tables). Undersized
+    partitions waste scheduler overhead, oversized ones spill —
+    128 MiB is the parquet-row-group-aligned sweet spot this repo's
+    session config assumes.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    docs = load_table(spark, sf_dir, "documents")
+
+    def est(df, tbl, fixed, *string_cols):
+        payload = sum(
+            (F.length(F.encode(F.col(c), "utf-8")) for c in string_cols),
+            start=F.lit(fixed),
+        )
+        return df.agg(
+            F.count("*").alias("n_rows"),
+            F.sum(payload).cast("long").alias("est_bytes"),
+        ).select(F.lit(tbl).alias("tbl"), "n_rows", "est_bytes")
+
+    e = (
+        est(orders, "orders", 50, "o_orderpriority", "o_orderstatus")
+        .unionAll(est(li, "lineitem", 90, "l_returnflag", "l_linestatus"))
+        .unionAll(est(docs, "documents", 30, "text", "lang"))
+    )
+    t = _DP7_TARGET
+    return e.select(
+        "tbl",
+        "n_rows",
+        "est_bytes",
+        F.expr("est_bytes div n_rows").alias("bytes_per_row"),
+        F.expr(f"greatest((est_bytes + {t} - 1) div {t}, 1)").alias(
+            "advised_partitions"
+        ),
+        F.expr(f"{t} div greatest(est_bytes div n_rows, 1)").alias(
+            "rows_per_partition"
+        ),
+    )
