@@ -5471,3 +5471,122 @@ def a51_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("p_bp"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# a52 — price indices (round 5+): Laspeyres (base-weighted), Paasche
+# (current-weighted), and Fisher between 1996 and 1997 over the parts
+# traded in BOTH years. Unit prices quantize to integer micro-cents
+# via exact division (``rev_cents·1000 div qty``), the four
+# cross-products Σp·q accumulate in DECIMAL(38,0)/HUGEINT, and the
+# indices emerge as integer micro-ratios — macro-economics with a
+# hash-exact answer.
+# ---------------------------------------------------------------------------
+
+_A52_ORACLE = """
+WITH py AS (
+  SELECT l_partkey,
+         CAST(date_part('year', o_orderdate) AS INT) AS yr,
+         CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS q,
+         CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS rev
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate <  TIMESTAMP '1998-01-01'
+  GROUP BY 1, 2),
+p AS (SELECT l_partkey, yr, q, (rev * 1000) // q AS p_micro FROM py),
+matched AS (
+  SELECT p0.l_partkey, p0.q AS q0, p0.p_micro AS pm0,
+         p1.q AS q1, p1.p_micro AS pm1
+  FROM p p0 JOIN p p1 ON p0.l_partkey = p1.l_partkey
+  WHERE p0.yr = 1996 AND p1.yr = 1997),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_parts,
+         SUM(CAST(pm1 AS HUGEINT) * q0) AS p1q0,
+         SUM(CAST(pm0 AS HUGEINT) * q0) AS p0q0,
+         SUM(CAST(pm1 AS HUGEINT) * q1) AS p1q1,
+         SUM(CAST(pm0 AS HUGEINT) * q1) AS p0q1
+  FROM matched)
+SELECT n_parts,
+       CAST((p1q0 * 1000000) // p0q0 AS BIGINT) AS laspeyres_micro,
+       CAST((p1q1 * 1000000) // p0q1 AS BIGINT) AS paasche_micro,
+       ROUND(sqrt((CAST(p1q0 AS DOUBLE) / CAST(p0q0 AS DOUBLE))
+                  * (CAST(p1q1 AS DOUBLE) / CAST(p0q1 AS DOUBLE))), 6) + 0
+         AS fisher
+FROM s
+"""
+
+
+@register("a52_price_indices", oracle=_A52_ORACLE, tags=("A2", "J1", "F4"))
+def a52_price_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1996→1997 price indices over parts traded both years: unit
+    price = exact integer micro-cents (truncating division — positive
+    operands), Laspeyres = Σp₁q₀/Σp₀q₀ and Paasche = Σp₁q₁/Σp₀q₁ as
+    integer micro-ratios from DECIMAL(38,0)/HUGEINT cross-products,
+    Fisher = √(L·P) as the one float (identical doubles both engines,
+    round 6). Values near 10⁶ mean flat prices.
+
+    Scale: one fact reduction to (part, year) grain, a self-join on
+    part id (hash-partitioned, both sides already reduced), one global
+    moment row. The micro-quantization is what makes a price INDEX —
+    a ratio of products of ratios — hash-gradeable at any volume.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    py = (
+        li.join(
+            orders.select("o_orderkey", "o_orderdate"),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .where(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .groupBy(
+            "l_partkey", F.year("o_orderdate").cast("int").alias("yr")
+        )
+        .agg(
+            F.sum(F.round("l_quantity").cast("long")).alias("q"),
+            F.sum(cents("l_extendedprice")).alias("rev"),
+        )
+    )
+    p = py.select(
+        "l_partkey", "yr", "q", F.expr("(rev * 1000) div q").alias("p_micro")
+    )
+    p0 = p.where(F.col("yr") == 1996).select(
+        "l_partkey", F.col("q").alias("q0"), F.col("p_micro").alias("pm0")
+    )
+    p1 = p.where(F.col("yr") == 1997).select(
+        "l_partkey", F.col("q").alias("q1"), F.col("p_micro").alias("pm1")
+    )
+    both = p0.join(p1, "l_partkey")
+    dec = lambda c: F.col(c).cast("decimal(38,0)")
+    s = both.agg(
+        F.count("*").alias("n_parts"),
+        F.sum(dec("pm1") * dec("q0")).alias("p1q0"),
+        F.sum(dec("pm0") * dec("q0")).alias("p0q0"),
+        F.sum(dec("pm1") * dec("q1")).alias("p1q1"),
+        F.sum(dec("pm0") * dec("q1")).alias("p0q1"),
+    )
+    return s.select(
+        "n_parts",
+        F.expr("CAST((p1q0 * 1000000) div p0q0 AS BIGINT)").alias(
+            "laspeyres_micro"
+        ),
+        F.expr("CAST((p1q1 * 1000000) div p0q1 AS BIGINT)").alias(
+            "paasche_micro"
+        ),
+        (
+            F.round(
+                F.sqrt(
+                    (F.col("p1q0").cast("double") / F.col("p0q0").cast("double"))
+                    * (
+                        F.col("p1q1").cast("double")
+                        / F.col("p0q1").cast("double")
+                    )
+                ),
+                6,
+            )
+            + 0
+        ).alias("fisher"),
+    )
