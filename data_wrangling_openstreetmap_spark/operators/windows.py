@@ -3979,3 +3979,144 @@ def w43_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(span).cast("long").alias("union_days"),
         F.max(span).cast("long").alias("longest_days"),
     )
+
+
+# ---------------------------------------------------------------------------
+# w44 — drawdown duration (round 5+): w28 measures how DEEP cumulative
+# revenue falls below its running peak; this measures how LONG. Runs
+# of consecutive observed days underwater (cum < peak) are the
+# recovery-time statistic risk desks track next to depth.
+# ---------------------------------------------------------------------------
+
+_W44_ORACLE = """
+WITH daily AS (
+  SELECT c.c_mktsegment AS segment,
+         CAST(datediff('day', TIMESTAMP '1992-01-01', o.o_orderdate)
+              AS BIGINT) AS x,
+         CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS y
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2),
+cum0 AS (
+  SELECT segment, x,
+         SUM(y) OVER (PARTITION BY segment ORDER BY x
+                      ROWS UNBOUNDED PRECEDING) AS c
+  FROM daily),
+cum AS (
+  SELECT segment, x, c,
+         MAX(c) OVER (PARTITION BY segment ORDER BY x
+                      ROWS UNBOUNDED PRECEDING) AS peak
+  FROM cum0),
+flags AS (
+  SELECT segment, x,
+         CASE WHEN c < peak THEN 1 ELSE 0 END AS under,
+         peak - c AS depth
+  FROM cum),
+runs AS (
+  SELECT segment, x, under, depth,
+         CASE WHEN under = 1
+               AND COALESCE(lag(under) OVER (PARTITION BY segment
+                                             ORDER BY x), 0) = 0
+              THEN 1 ELSE 0 END AS new_run
+  FROM flags),
+rid AS (
+  SELECT segment, under, depth,
+         SUM(new_run) OVER (PARTITION BY segment ORDER BY x
+                            ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM runs),
+per_run AS (
+  SELECT segment, run_id, CAST(COUNT(*) AS BIGINT) AS run_days
+  FROM rid WHERE under = 1 GROUP BY 1, 2)
+SELECT f.segment,
+       CAST(SUM(f.under) AS BIGINT) AS underwater_days,
+       CAST(COUNT(*) AS BIGINT) AS observed_days,
+       CAST(MAX(f.depth) AS BIGINT) AS max_depth_cents,
+       COALESCE(MAX(r.max_run), 0) AS longest_run_days
+FROM flags f
+LEFT JOIN (SELECT segment, CAST(MAX(run_days) AS BIGINT) AS max_run
+           FROM per_run GROUP BY segment) r
+  ON f.segment = r.segment
+GROUP BY f.segment, r.max_run
+"""
+
+
+@register("w44_drawdown_duration", oracle=_W44_ORACLE, tags=("W4", "W3", "A1"))
+def w44_drawdown_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Underwater-run statistics per segment: cumulative daily revenue
+    vs its running peak (two stacked prefix windows over the same
+    partitioned order), runs of consecutive observed underwater days
+    via the lag-flag/running-sum recurrence, reporting total days
+    underwater, the deepest gap in exact cents, and the longest run.
+    Depth is peak − cum with both from the SAME prefix sums — exact
+    BIGINTs, never a float.
+
+    Scale: every window partitions by segment over the bounded
+    (segments × calendar) aggregate — the w38/w41/w42 grain; the run
+    rollup reuses the partition key. Drawdown DURATION needs the
+    ordered recurrence, so it rides windows; drawdown DEPTH alone
+    (w28) would not.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    daily = (
+        orders.join(
+            F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+            orders.o_custkey == cust.c_custkey,
+        )
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date"))
+            .cast("long")
+            .alias("x"),
+        )
+        .agg(F.sum(cents("o_totalprice")).alias("y"))
+    )
+    w = (
+        Window.partitionBy("segment")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = daily.select(
+        "segment",
+        "x",
+        F.sum("y").over(w).alias("c"),
+    ).withColumn("peak", F.max("c").over(w))
+    flags = cum.select(
+        "segment",
+        "x",
+        F.when(F.col("c") < F.col("peak"), 1).otherwise(0).alias("under"),
+        (F.col("peak") - F.col("c")).alias("depth"),
+    )
+    wl = Window.partitionBy("segment").orderBy("x")
+    runs = flags.withColumn(
+        "new_run",
+        F.when(
+            (F.col("under") == 1)
+            & (F.coalesce(F.lag("under").over(wl), F.lit(0)) == 0),
+            1,
+        ).otherwise(0),
+    )
+    rid = runs.withColumn("run_id", F.sum("new_run").over(w))
+    per_run = (
+        rid.where(F.col("under") == 1)
+        .groupBy("segment", "run_id")
+        .agg(F.count("*").alias("run_days"))
+        .groupBy("segment")
+        .agg(F.max("run_days").cast("long").alias("max_run"))
+    )
+    return (
+        flags.groupBy("segment")
+        .agg(
+            F.sum("under").cast("long").alias("underwater_days"),
+            F.count("*").alias("observed_days"),
+            F.max("depth").alias("max_depth_cents"),
+        )
+        .join(per_run, "segment", "left")
+        .select(
+            "segment",
+            "underwater_days",
+            "observed_days",
+            "max_depth_cents",
+            F.coalesce("max_run", F.lit(0)).alias("longest_run_days"),
+        )
+    )
