@@ -4120,3 +4120,83 @@ def w44_drawdown_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("max_run", F.lit(0)).alias("longest_run_days"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# w45 — burstiness / index of dispersion (round 5+): is order arrival
+# Poisson-like or bursty? The Fano factor — variance over mean of
+# daily order counts — is 1 for a Poisson process, >1 for bursty
+# (campaign-driven) demand, <1 for regularized flow. Computed per
+# segment over the observed-day series from exact integer count
+# moments.
+# ---------------------------------------------------------------------------
+
+_W45_ORACLE = """
+WITH daily AS (
+  SELECT c.c_mktsegment AS segment,
+         CAST(datediff('day', TIMESTAMP '1992-01-01', o.o_orderdate)
+              AS BIGINT) AS x,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2),
+s AS (
+  SELECT segment, CAST(COUNT(*) AS BIGINT) AS days,
+         CAST(SUM(n) AS BIGINT) AS sn,
+         CAST(SUM(n * n) AS BIGINT) AS snn,
+         CAST(MAX(n) AS BIGINT) AS peak
+  FROM daily GROUP BY segment)
+SELECT segment, days, sn AS total_orders, peak AS peak_day_orders,
+       ROUND(((CAST(days AS DOUBLE) * snn - CAST(sn AS DOUBLE) * sn)
+              / (CAST(days AS DOUBLE) * (days - 1)))
+             / (CAST(sn AS DOUBLE) / days), 6) + 0 AS fano
+FROM s
+WHERE days >= 2 AND sn > 0
+"""
+
+
+@register("w45_burstiness", oracle=_W45_ORACLE, tags=("A7", "A2", "F4"))
+def w45_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fano factor of daily order counts per segment: sample variance
+    over mean from exact integer moments (days, Σn, Σn²) — identical
+    doubles on both engines before the 6-dp round. Degenerate series
+    (<2 observed days or zero orders) drop on both sides. Values ≫1
+    flag bursty demand that invalidates Poisson capacity models.
+
+    Scale: one reduction to (segment, day) grain, one O(segments)
+    moment rollup — the cheapest possible point-process diagnostic;
+    the same two-aggregation shape computes Fano at ANY grain
+    (hour × region, minute × endpoint) by swapping the group keys.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    daily = (
+        orders.join(
+            F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+            orders.o_custkey == cust.c_custkey,
+        )
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date"))
+            .cast("long")
+            .alias("x"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    s = daily.groupBy("segment").agg(
+        F.count("*").alias("days"),
+        F.sum("n").cast("long").alias("sn"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("snn"),
+        F.max("n").alias("peak"),
+    )
+    var = (
+        F.col("days").cast("double") * F.col("snn")
+        - F.col("sn").cast("double") * F.col("sn")
+    ) / (F.col("days").cast("double") * (F.col("days") - 1))
+    mean = F.col("sn").cast("double") / F.col("days")
+    return s.where((F.col("days") >= 2) & (F.col("sn") > 0)).select(
+        "segment",
+        "days",
+        F.col("sn").alias("total_orders"),
+        F.col("peak").alias("peak_day_orders"),
+        (F.round(var / mean, 6) + 0).alias("fano"),
+    )
