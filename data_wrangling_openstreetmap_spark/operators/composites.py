@@ -5590,3 +5590,126 @@ def a52_price_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
             + 0
         ).alias("fisher"),
     )
+
+
+# ---------------------------------------------------------------------------
+# a53 — X̄/R control chart (round 5+): statistical process control
+# over weekly revenue subgroups. Each week's first 5 observed days
+# (rank within week — fixed subgroup size, as Shewhart requires) form
+# a subgroup; limits are X̄̄ ± A₂(5)·R̄ with the textbook constant
+# A₂ = 0.577. The out-of-control census is the alert a process
+# monitor pages on.
+# ---------------------------------------------------------------------------
+
+_A53_A2 = 0.577  # Shewhart A2 for subgroup size 5
+
+_A53_ORACLE = f"""
+WITH daily AS (
+  SELECT c.c_mktsegment AS segment,
+         CAST(datediff('day', TIMESTAMP '1992-01-01', o.o_orderdate)
+              AS BIGINT) AS x,
+         CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS y
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT segment, x // 7 AS wk, y,
+         row_number() OVER (PARTITION BY segment, x // 7 ORDER BY x) AS rk
+  FROM daily),
+sub AS (
+  SELECT segment, wk,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(MAX(y) - MIN(y) AS BIGINT) AS r
+  FROM ranked WHERE rk <= 5
+  GROUP BY 1, 2 HAVING COUNT(*) = 5),
+grand AS (
+  SELECT segment, CAST(COUNT(*) AS BIGINT) AS n_subgroups,
+         CAST(SUM(sy) AS BIGINT) AS ssy,
+         CAST(SUM(r) AS BIGINT) AS sr
+  FROM sub GROUP BY segment)
+SELECT g.segment, g.n_subgroups,
+       ROUND(CAST(g.ssy AS DOUBLE) / (5 * g.n_subgroups) / 100, 6) + 0
+         AS xbarbar,
+       ROUND(CAST(g.sr AS DOUBLE) / g.n_subgroups / 100, 6) + 0 AS rbar,
+       CAST(SUM(CASE WHEN CAST(s.sy AS DOUBLE) / 5
+                          > CAST(g.ssy AS DOUBLE) / (5 * g.n_subgroups)
+                            + {_A53_A2} * (CAST(g.sr AS DOUBLE)
+                                           / g.n_subgroups)
+                      OR CAST(s.sy AS DOUBLE) / 5
+                         < CAST(g.ssy AS DOUBLE) / (5 * g.n_subgroups)
+                           - {_A53_A2} * (CAST(g.sr AS DOUBLE)
+                                          / g.n_subgroups)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_out_of_control
+FROM grand g JOIN sub s ON g.segment = s.segment
+GROUP BY g.segment, g.n_subgroups, g.ssy, g.sr
+"""
+
+
+@register("a53_xbar_control", oracle=_A53_ORACLE, tags=("A1", "W1", "F4"))
+def a53_xbar_control(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shewhart X̄/R chart per segment: subgroups = each week's first
+    5 observed days of revenue (rank-selected so every subgroup has
+    exactly n=5 — the constant A₂ depends on n), X̄̄ and R̄ from exact
+    cents sums, control limits X̄̄ ± 0.577·R̄, and the count of
+    subgroups breaching them. Every mean divides exact integers the
+    same way on both engines, so even the limit COMPARISONS agree
+    bit-for-bit.
+
+    Scale: daily rollup → per-(segment, week) rank (partitioned
+    window, bounded partitions) → two O(subgroups) aggregations. SPC
+    over a 100 TB event firehose is exactly this plan at a finer
+    grain — the constants table is the only thing that changes.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    daily = (
+        orders.join(
+            F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+            orders.o_custkey == cust.c_custkey,
+        )
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date"))
+            .cast("long")
+            .alias("x"),
+        )
+        .agg(F.sum(cents("o_totalprice")).alias("y"))
+    )
+    wk = F.expr("x div 7")
+    wr = Window.partitionBy("segment", wk).orderBy("x")
+    ranked = daily.select(
+        "segment", wk.alias("wk"), "y", F.row_number().over(wr).alias("rk")
+    )
+    sub = (
+        ranked.where(F.col("rk") <= 5)
+        .groupBy("segment", "wk")
+        .agg(
+            F.sum("y").cast("long").alias("sy"),
+            (F.max("y") - F.min("y")).cast("long").alias("r"),
+            F.count("*").alias("cnt"),
+        )
+        .where(F.col("cnt") == 5)
+    )
+    grand = sub.groupBy("segment").agg(
+        F.count("*").alias("n_subgroups"),
+        F.sum("sy").cast("long").alias("ssy"),
+        F.sum("r").cast("long").alias("sr"),
+    )
+    xbb = F.col("ssy").cast("double") / (5 * F.col("n_subgroups"))
+    rbar = F.col("sr").cast("double") / F.col("n_subgroups")
+    xbar = F.col("sy").cast("double") / 5
+    out = F.when(
+        (xbar > xbb + _A53_A2 * rbar) | (xbar < xbb - _A53_A2 * rbar), 1
+    ).otherwise(0)
+    return (
+        grand.join(sub, "segment")
+        .groupBy("segment", "n_subgroups", "ssy", "sr")
+        .agg(F.sum(out).cast("long").alias("n_out_of_control"))
+        .select(
+            "segment",
+            "n_subgroups",
+            (F.round(xbb / 100, 6) + 0).alias("xbarbar"),
+            (F.round(rbar / 100, 6) + 0).alias("rbar"),
+            "n_out_of_control",
+        )
+    )
