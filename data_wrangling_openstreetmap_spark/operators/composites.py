@@ -5713,3 +5713,104 @@ def a53_xbar_control(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_out_of_control",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# a54 — record statistics (round 5+): extreme-value theory's cleanest
+# testable fact — in an i.i.d. series of n observations the expected
+# number of running records is the harmonic number H_n, regardless of
+# the distribution. Daily segment revenue: observed record days
+# (strict new maxima) against H_n; a large excess means trend, not
+# luck. H_n folds in ascending k order on BOTH engines (sequential
+# list folds), so even the float expectation is engine-identical.
+# ---------------------------------------------------------------------------
+
+_A54_ORACLE = """
+WITH daily AS (
+  SELECT c.c_mktsegment AS segment,
+         CAST(datediff('day', TIMESTAMP '1992-01-01', o.o_orderdate)
+              AS BIGINT) AS x,
+         CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS y
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2),
+rec AS (
+  SELECT segment, x, y,
+         CASE WHEN MAX(y) OVER (PARTITION BY segment ORDER BY x
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+               OR y > MAX(y) OVER (PARTITION BY segment ORDER BY x
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS is_record
+  FROM daily),
+s AS (
+  SELECT segment,
+         CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(SUM(is_record) AS BIGINT) AS n_records
+  FROM rec GROUP BY segment)
+SELECT segment, n_days, n_records,
+       ROUND(list_sum(list_transform(range(1, n_days + 1),
+                                     k -> 1.0 / k)), 6) + 0
+         AS expected_records
+FROM s
+"""
+
+
+@register("a54_record_statistics", oracle=_A54_ORACLE, tags=("W4", "A1", "F5"))
+def a54_record_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running-record census per segment: a record day strictly beats
+    the exclusive prefix max of daily revenue (exact cents); the
+    i.i.d. expectation is the harmonic number H_n, folded over
+    sequence(1..n) in the same ascending order on both engines so the
+    double matches bit-for-bit before the round. Observed ≫ expected
+    is the distribution-free trend test.
+
+    Scale: the record flag is one partitioned prefix-max window over
+    the bounded daily grain; H_n is a per-row O(n_days) fold on the
+    O(segments) result — nothing scales with fact volume but the
+    first rollup.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    daily = (
+        orders.join(
+            F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+            orders.o_custkey == cust.c_custkey,
+        )
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date"))
+            .cast("long")
+            .alias("x"),
+        )
+        .agg(F.sum(cents("o_totalprice")).alias("y"))
+    )
+    w_prev = (
+        Window.partitionBy("segment")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    rec = daily.select(
+        "segment",
+        F.when(
+            F.max("y").over(w_prev).isNull()
+            | (F.col("y") > F.max("y").over(w_prev)),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_record"),
+    )
+    s = rec.groupBy("segment").agg(
+        F.count("*").alias("n_days"),
+        F.sum("is_record").cast("long").alias("n_records"),
+    )
+    harmonic = F.aggregate(
+        F.sequence(F.lit(1).cast("long"), F.col("n_days")),
+        F.lit(0.0),
+        lambda acc, k: acc + F.lit(1.0) / k,
+    )
+    return s.select(
+        "segment",
+        "n_days",
+        "n_records",
+        (F.round(harmonic, 6) + 0).alias("expected_records"),
+    )
