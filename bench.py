@@ -51,6 +51,11 @@ HEADLINE = [
     "q8_rollup",
     "q9_text_stats",
     "q10_cosine_topk",
+    # The genuinely-distributed scale path (VERDICT r5 §Next #4): q10's
+    # broadcast index is the local[N] fast path; this is the 2-D block
+    # matmul that survives when NEITHER side broadcasts — tracked here
+    # so the 100 TB plan has a number, not just a plan assertion.
+    "l3_knn_block_matmul",
 ]
 
 # Best-of-N: single-run noise on a shared 32-vCPU box is ±50% for the

@@ -50,77 +50,72 @@ ALL_MODULES = (
 # value-hash-graded, none rows-only. Order within the window is
 # thematic, not significance-ranked — only membership matters.
 #
-# ROUND-5 ROTATION (the round-4 discipline, continued): every one of
-# the 50 slots is a query the driver has NEVER graded. 156 unique names
-# carry hard driver signal from rounds 1–4 (all green); those stay
+# ROUND-6 ROTATION (the round-4/5 discipline, continued): every one of
+# the 50 slots is a query the driver has NEVER graded. 206 unique names
+# carry hard driver signal from rounds 1-5 (all green); those stay
 # continuously verified by the driver-strict local replica
-# (tests/test_oracle_parity.py, which has reproduced every historical
-# driver verdict exactly) and by bench.py, so their slots convert to
+# (tests/test_oracle_parity.py) and bench.py, so their slots convert to
 # first-time hard signal instead of redundant re-greens. Coverage
 # invariant unchanged: every §2 tag in the registry has a representative
 # below (tests/test_plan_shapes.py::test_driver_window_covers_all_tags).
-# The seven ST tags' prior carriers were ALL graded by round 4, so the
-# round-5 streaming twins (st17–st23) were built as fresh carriers;
-# likewise the nine relational/source twins (a6b…s5c) for
-# A6/F6/J3/O4/P3/P5/S4/S2/S5.
+# Tags whose every prior carrier was graded by round 5 got fresh
+# round-6 twins (a6c/f6d/f9c/o4d/o5c/p7/p8/w5b/st26/st27/st28).
 DRIVER_WINDOW = (
-    # round-5 forced-tag twins — streaming (ST1–ST7, one each):
-    "st17_tumbling_minmax",
-    "st18_sliding_active_users",
-    "st19_session_stats_rollup",
-    "st20_watermark_survivors",
-    "st21_dedup_keep_last",
-    "st22_unenriched_events",
-    "st23_gap_monitor",
-    # round-5 forced-tag twins — relational / sources:
-    "a6b_grouping_sets",
-    "f6c_map_from_entries",
-    "j3c_bigticket_customers",
-    "o4c_union_user_cohorts",
-    "p3c_doc_topic_classify",
-    "p5b_event_channel_normalize",
-    "s15_tsv_roundtrip",
-    "s2c_xml_attributes",
-    "s5c_json_partitioned",
-    # judge-prioritized never-graded composites (VERDICT r4 §Next #1):
-    "g1_pagerank_neardup",
-    "a29_ks_test",
-    "w30_seasonal_decompose",
-    "w32_lorenz_deciles",
-    "q38_supplier_reliability",
-    "a35_median_mad",
-    "q39_priority_transitions",
-    "f22_regexp_extract_all",
-    "dq9_duplicate_payments",
-    "s19_reservoir_sample",
-    "d6_partition_overwrite",
-    "u11_udtf_table_arg",
-    "x7_exclude_sql",
-    # data-quality family (dq1–dq5, never graded as a block):
-    "dq1_expectations",
-    "dq2_volume_anomaly",
-    "dq3_pk_uniqueness",
-    "dq4_observed_metrics",
-    "dq5_schema_contract",
-    # tag-cover picks (each the greedy carrier of otherwise-uncovered
+    # judge-prioritized never-graded composites (VERDICT r5 §Next #1):
+    "l3_bm25_topk",
+    "l3_hybrid_rrf",
+    "l3_mmr_rerank",
+    "l3_pq_adc_topk",
+    "l6_pq_codes",
+    "j10_lateral_topk",
+    "q24b_recursive_cte",
+    "u7_sql_udf",
+    "f12_collation_groupby",
+    "l1_url_dedup",
+    "l1_survivorship_dedup",
+    "l0_multimodal_curation",
+    "d10_zone_map_pruning",
+    "d11_retention_sweep",
+    "l3_filtered_topk",
+    "l1_dup_size_histogram",
+    # round-6 forced-tag twins (every prior carrier already graded):
+    "a6c_cube_returns",
+    "f6d_order_map_algebra",
+    "f9c_nearest_hub",
+    "o4d_flagged_supplier_roster",
+    "o5c_intersect_all_multiset",
+    "p7_part_noun_brand",
+    "p8_priority_tier",
+    "w5b_next_purchase_backfill",
+    "st26_sliding_watermark_extrema",
+    "st27_first_touch_segments",
+    "st28_direction_reversals",
+    # greedy tag-cover picks (each the carrier of otherwise-uncovered
     # tags among never-graded names):
-    "l6_hard_negatives",
-    "x1b_asof_left_sql",
-    "m4b_feature_parity",
-    "o5_except",
-    "u2b_pandas_iter_udf",
-    "w5_last_ignorenulls",
-    "a10b_approx_percentile_contract",
-    "a13_unpivot",
-    "l2_shingle_dup_frac",
-    "o2_top_k",
-    "f11_variant_extract",
-    "j6_grid_spatial_join",
-    "q37_repeat_purchase_share",
-    # strength fillers (window-rounding composites):
-    "g2_triangle_count",
-    "q36_conversion_funnel",
-    "w23_kendall_tau",
+    "j14_interval_overlap_join",
+    "a31_spearman_corr",
+    "u12_cogrouped_asof",
+    "x10_identifier_sql",
+    "q50_max_concurrency",
+    "dp3_categorical_profile",
+    "s29_python_datasink",
+    "st24_python_stream_source",
+    "a8b_listagg_ordered",
+    "l2_simhash_invariance",
+    "j4_anti_join",
+    "s3b_stratified_sample",
+    "a16_freq_items_contract",
+    "x9_group_by_all_sql",
+    "l4_chunk_overlap",
+    "q61_attribution_lasttouch",
+    "m10_binary_dedup",
+    "u4b_grouped_agg_udaf",
+    # strength fillers (strongest remaining never-graded composites):
+    "g9_kcore_peeling",
+    "l4_dsir_selection",
+    "q43_loo_target_encoding",
+    "dq11_order_reconciliation",
+    "l2_containment_join",
 )
 
 assert len(DRIVER_WINDOW) == 50, len(DRIVER_WINDOW)

@@ -252,29 +252,121 @@ def l2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # L2c — MinHash + LSH banding candidates (the 100 TB near-dup path).
-# Algorithm-specific hashes (xxhash64) aren't oracle-expressible →
-# rows-only check; tests assert every exact duplicate pair is recalled.
+# ROUND 6 (VERDICT r5 §Next #5): the signature now uses an
+# oracle-EXPRESSIBLE universal hash family — a 31-polynomial base hash
+# of each shingle mod 2^31-1 (the l4_winnow_fingerprint recipe,
+# unicode-codepoint-exact on both engines), seed-varied by 16 affine
+# maps (a_i*h + b_i) mod p — so the full shingle → signature → band →
+# candidate-pair pipeline is hash-graded against DuckDB, not rows-only.
+# The production-grade xxhash64 family remains in functions/text.py
+# (minhash_signature / lsh_band_keys) for callers that don't need
+# cross-engine reproducibility.
 # ---------------------------------------------------------------------------
 
+_MH_P = 2147483647  # 2^31-1, the winnow modulus; a*h fits BIGINT
+_MH_A = [12289 + 40503 * i for i in range(16)]
+_MH_B = [7919 + 104729 * i for i in range(16)]
+_MH_BANDKEY_MULT = 1000003
 
-@register("l2_minhash_lsh", oracle=None, tags=("L2",))
+_MH_BASE_HASH_SQL = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(range(1, len(s) + 1), j -> CAST(ascii(s[j]) AS BIGINT))), "
+    f"(acc, c) -> (acc * 31 + c) % {_MH_P})"
+)
+
+
+def _mh_band_key_sql(b: int) -> str:
+    expr = str(b)
+    for r in range(4):
+        expr = f"(({expr}) * {_MH_BANDKEY_MULT} + s{4 * b + r}) % {_MH_P}"
+    return expr
+
+
+_MINHASH_LSH_ORACLE = f"""
+WITH t AS (SELECT doc_id, {_ORACLE_TOKS} AS toks FROM documents),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+              ELSE list_transform(range(1, len(toks) - 1),
+                                  i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+         END AS shs
+  FROM t),
+hs AS (
+  SELECT doc_id, list_transform(shs, s -> {_MH_BASE_HASH_SQL}) AS hv
+  FROM sh),
+sig AS (
+  SELECT doc_id,
+         {", ".join(f"list_min(list_transform(hv, h -> ({_MH_A[i]} * h + {_MH_B[i]}) % {_MH_P})) AS s{i}" for i in range(16))}
+  FROM hs),
+banded AS (
+  {" UNION ALL ".join(f"SELECT doc_id, {b} AS band, {_mh_band_key_sql(b)} AS key FROM sig" for b in range(4))}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM banded a JOIN banded b
+  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+"""
+
+
+@register("l2_minhash_lsh", oracle=_MINHASH_LSH_ORACLE, tags=("L2",))
 def l2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(16 hashes) → LSH(4 bands × 4 rows) candidate pairs.
 
     shingle → signature → band keys is one map-side projection; the only
     shuffle groups by (band, key) — candidates meet in buckets, so cost
     is O(n·bands + Σ bucket²) instead of O(n²). Identical texts share
-    every band key, so exact-duplicate recall is 1.0 by construction;
-    the 0.9-Jaccard recall of this parameterization is cross-checked in
-    tests against l2_jaccard_pairs.
+    every band key, so exact-duplicate recall is 1.0 by construction
+    (hash-family-independent); the 0.9-Jaccard recall of this
+    parameterization is cross-checked in tests against l2_jaccard_pairs.
+
+    Hash family (round 6): base hash = in-order codepoint fold
+    (acc*31 + c) mod 2^31-1 per shingle (identical fold on both
+    engines — the winnow recipe), then h_i = (a_i*h + b_i) mod p over
+    16 fixed affine seeds; band key re-folds the band's 4 slots with a
+    distinct multiplier. Every intermediate fits BIGINT (a_i·h <
+    2^51), so the DuckDB oracle reproduces the exact candidate set.
     """
     docs = load_table(spark, sf_dir, "documents")
-    sig = docs.select(
+
+    def base_hash(s):
+        return F.aggregate(
+            F.filter(F.split(s, ""), lambda ch: ch != ""),
+            F.lit(0).cast("long"),
+            lambda acc, ch: (acc * 31 + F.ascii(ch)) % _MH_P,
+        )
+
+    hs = docs.select(
         "doc_id",
-        T.minhash_signature(T.shingles(F.col("text"), k=3), n_hashes=16).alias("sig"),
+        F.transform(T.shingles(F.col("text"), k=3), base_hash).alias("hv"),
     )
+    def seeded_min(i: int):
+        # NB: a plain `lambda h, i=i:` would NOT work here — F.transform
+        # treats a two-argument lambda as (element, index) and binds the
+        # element INDEX over the default, silently corrupting the seed.
+        a_i, b_i = _MH_A[i], _MH_B[i]
+        return F.array_min(
+            F.transform(F.col("hv"), lambda h: (F.lit(a_i) * h + F.lit(b_i)) % _MH_P)
+        ).alias(f"s{i}")
+
+    sig = hs.select("doc_id", *[seeded_min(i) for i in range(16)])
+
+    def band_key(b: int):
+        expr = F.lit(b).cast("long")
+        for r in range(4):
+            expr = (expr * _MH_BANDKEY_MULT + F.col(f"s{4 * b + r}")) % _MH_P
+        return expr
+
     banded = sig.select(
-        "doc_id", F.explode(T.lsh_band_keys(F.col("sig"), bands=4, rows=4)).alias("bk")
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"), band_key(b).alias("key")
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bk"),
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     a = banded.alias("a")
     b = banded.alias("b")

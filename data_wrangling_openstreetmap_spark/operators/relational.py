@@ -3711,3 +3711,395 @@ def s34_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_sampled"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ROUND-6 TWINS — never-driver-graded carriers for tags whose every
+# prior carrier was hard-graded by round 5 (window rotation r6; same
+# twin discipline as rounds 4-5). Each grades a genuinely different
+# semantic corner of its §2 row, not a re-alias of a graded sibling.
+# ---------------------------------------------------------------------------
+
+# A6 twin (q8 ROLLUP and a6b GROUPING SETS graded): full CUBE — all
+# four grouping combinations plus GROUPING() markers in one pass.
+_A6C_ORACLE = f"""
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       COALESCE(l_linestatus, 'ALL') AS linestatus,
+       CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+       CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       {oracle_dsum('l_extendedprice')} AS revenue
+FROM lineitem
+GROUP BY CUBE(l_returnflag, l_linestatus)
+"""
+
+
+@register("a6c_cube_returns", oracle=_A6C_ORACLE, tags=("A6", "A1"))
+def a6c_cube_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE(returnflag, linestatus): every subtotal combination —
+    (flag,status), flag-only, status-only, grand total — with
+    GROUPING() markers distinguishing a subtotal slot from a natural
+    key. q8 grades the ROLLUP lattice (prefix hierarchy) and a6b
+    explicit GROUPING SETS; CUBE is the third shape — the full 2^k
+    power set, which Spark expands with a single Expand node feeding
+    ONE hash aggregate, not 4 scans.
+
+    Scale: Expand multiplies rows 4x before the shuffle, but partial
+    aggregation collapses each combination to O(flags x statuses)
+    groups map-side; revenue uses the exact integer-cents recipe.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("bigint").alias("g_flag"),
+            F.grouping("l_linestatus").cast("bigint").alias("g_status"),
+            F.count("*").alias("n_rows"),
+            dsum("l_extendedprice").alias("revenue"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "g_flag",
+            "g_status",
+            "n_rows",
+            "revenue",
+        )
+    )
+
+
+# F6 twin (f6 map_funcs and f6c map_from_entries graded): map ALGEBRA —
+# map_filter + map_values folded through aggregate(), the
+# filter-then-reduce pattern over a per-group map column. The map key
+# is the line number AFTER pre-aggregation (the synthetic lineitem has
+# duplicate (orderkey, linenumber) pairs, so building the map from raw
+# rows would hit Spark's duplicate-map-key EXCEPTION policy — the
+# pre-agg is the documented fix, not a detail).
+_F6D_ORACLE = """
+WITH per_line AS (
+  SELECT l_orderkey, l_linenumber,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+  FROM lineitem
+  GROUP BY l_orderkey, l_linenumber
+)
+SELECT l_orderkey,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CASE WHEN qty >= 25 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
+       CAST(SUM(CASE WHEN qty >= 25 THEN qty ELSE 0 END) AS BIGINT) AS big_qty
+FROM per_line
+GROUP BY l_orderkey
+"""
+
+
+@register("f6d_order_map_algebra", oracle=_F6D_ORACLE, tags=("F6", "F5"))
+def f6d_order_map_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-order line->quantity map, then map_filter(qty >= 25) and an
+    aggregate() fold over the surviving map_values — the
+    build/filter/reduce map-algebra chain. f6/f6c grade construction
+    and entry extraction; this grades the HIGHER-ORDER map operators
+    (map_filter, map_values, aggregate) that Spark evaluates lazily
+    inside codegen. The oracle states the same semantics relationally,
+    so the hash grades the map pipeline's VALUES, not its layout.
+
+    Scale: two hash aggregations (line-level then order-level) — both
+    shuffle on l_orderkey prefixes so AQE coalesces them; the map never
+    exceeds the order's line count (<=7 here, bounded by order width).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    per_line = li.groupBy("l_orderkey", "l_linenumber").agg(
+        F.sum(F.col("l_quantity").cast("bigint")).alias("qty")
+    )
+    mapped = per_line.groupBy("l_orderkey").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("l_linenumber", "qty")))
+        ).alias("m")
+    )
+    big = F.map_filter("m", lambda k, v: v >= F.lit(25))
+    return mapped.select(
+        "l_orderkey",
+        F.size("m").cast("bigint").alias("n_lines"),
+        F.size(big).cast("bigint").alias("n_big"),
+        F.aggregate(
+            F.map_values(big),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("big_qty"),
+    )
+
+
+# F9 twin (f9 per-point haversine and j6 grid joins graded): nearest-hub
+# ASSIGNMENT — argmin over a fixed hub set, then a per-hub rollup (the
+# "route each point to its closest depot" shape).
+_F9C_ORACLE = """
+WITH pts AS (
+  SELECT s_suppkey,
+         ((s_suppkey * 7) % 171) * CAST(0.5 AS DOUBLE) - CAST(42.5 AS DOUBLE) AS lat,
+         ((s_suppkey * 13) % 357) * CAST(0.5 AS DOUBLE) - CAST(89.0 AS DOUBLE) AS lon
+  FROM supplier
+), d AS (
+  SELECT s_suppkey,
+         CAST(round(2 * 6371000.0 * asin(sqrt(
+             sin(radians(48.9 - lat) / 2) * sin(radians(48.9 - lat) / 2)
+             + cos(radians(lat)) * cos(radians(48.9))
+               * sin(radians(2.35 - lon) / 2) * sin(radians(2.35 - lon) / 2)
+         )), 0) AS BIGINT) AS d_paris,
+         CAST(round(2 * 6371000.0 * asin(sqrt(
+             sin(radians(40.7 - lat) / 2) * sin(radians(40.7 - lat) / 2)
+             + cos(radians(lat)) * cos(radians(40.7))
+               * sin(radians(-74.0 - lon) / 2) * sin(radians(-74.0 - lon) / 2)
+         )), 0) AS BIGINT) AS d_nyc,
+         CAST(round(2 * 6371000.0 * asin(sqrt(
+             sin(radians(1.35 - lat) / 2) * sin(radians(1.35 - lat) / 2)
+             + cos(radians(lat)) * cos(radians(1.35))
+               * sin(radians(103.8 - lon) / 2) * sin(radians(103.8 - lon) / 2)
+         )), 0) AS BIGINT) AS d_sing
+  FROM pts
+)
+SELECT CASE WHEN d_paris <= d_nyc AND d_paris <= d_sing THEN 'paris'
+            WHEN d_nyc <= d_sing THEN 'nyc'
+            ELSE 'singapore' END AS hub,
+       CAST(COUNT(*) AS BIGINT) AS n_points,
+       CAST(SUM(LEAST(d_paris, d_nyc, d_sing)) AS BIGINT) AS total_m,
+       CAST(MAX(LEAST(d_paris, d_nyc, d_sing)) AS BIGINT) AS max_m
+FROM d
+GROUP BY 1
+"""
+
+
+@register("f9c_nearest_hub", oracle=_F9C_ORACLE, tags=("F9", "A1"))
+def f9c_nearest_hub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign each synthetic supplier point to its nearest hub (Paris /
+    NYC / Singapore) by haversine metres and roll up count, total and
+    max assigned distance per hub. f9 grades the distance FORMULA
+    per-point; this grades the argmin ROUTING built on it — ties break
+    by the fixed CASE priority order, identical on both engines, and
+    distances are rounded to integer metres BEFORE comparison so the
+    decision predicate is exact integer math.
+
+    Scale: pure per-row codegen (no join — the hub set is inlined into
+    the expression tree) followed by an O(hubs)-key rollup; at 100 TB
+    this is a map-only pass plus a 3-row shuffle.
+    """
+    sup = load_table(spark, sf_dir, "supplier")
+    lat = ((F.col("s_suppkey") * 7) % 171) * F.lit(0.5) - F.lit(42.5)
+    lon = ((F.col("s_suppkey") * 13) % 357) * F.lit(0.5) - F.lit(89.0)
+
+    def hav_m(hlat: float, hlon: float):
+        dlat = F.radians(F.lit(hlat) - F.col("lat")) / 2
+        dlon = F.radians(F.lit(hlon) - F.col("lon")) / 2
+        a = (
+            F.sin(dlat) * F.sin(dlat)
+            + F.cos(F.radians(F.col("lat")))
+            * F.cos(F.radians(F.lit(hlat)))
+            * F.sin(dlon)
+            * F.sin(dlon)
+        )
+        return F.round(2 * 6371000.0 * F.asin(F.sqrt(a)), 0).cast("bigint")
+
+    d = sup.select(
+        "s_suppkey", lat.alias("lat"), lon.alias("lon")
+    ).select(
+        "s_suppkey",
+        hav_m(48.9, 2.35).alias("d_paris"),
+        hav_m(40.7, -74.0).alias("d_nyc"),
+        hav_m(1.35, 103.8).alias("d_sing"),
+    )
+    hub = (
+        F.when(
+            (F.col("d_paris") <= F.col("d_nyc"))
+            & (F.col("d_paris") <= F.col("d_sing")),
+            "paris",
+        )
+        .when(F.col("d_nyc") <= F.col("d_sing"), "nyc")
+        .otherwise("singapore")
+    )
+    nearest = F.least("d_paris", "d_nyc", "d_sing")
+    return (
+        d.select(hub.alias("hub"), nearest.alias("dm"))
+        .groupBy("hub")
+        .agg(
+            F.count("*").alias("n_points"),
+            F.sum("dm").cast("bigint").alias("total_m"),
+            F.max("dm").cast("bigint").alias("max_m"),
+        )
+    )
+
+
+# O4 twin (o4 and o4c graded): union-DISTINCT of two predicate-defined
+# key sets, re-enriched through a dimension join — the "active entity
+# roster from multiple signals" shape.
+_O4D_ORACLE = """
+SELECT s.s_suppkey, s.s_name
+FROM (
+  SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+  UNION
+  SELECT l_suppkey FROM lineitem WHERE l_tax > 0.06
+) u
+JOIN supplier s ON s.s_suppkey = u.l_suppkey
+"""
+
+
+@register("o4d_flagged_supplier_roster", oracle=_O4D_ORACLE, tags=("O4", "O6", "J1"))
+def o4d_flagged_supplier_roster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers flagged by EITHER signal — returned lineitems or
+    high-tax lineitems — as one deduplicated roster joined back to the
+    supplier dimension. o4/o4c grade union-distinct over row sets; this
+    grades the set-union-of-KEYS idiom where dedup happens BEFORE the
+    dimension join, so the join input is |distinct suppliers|, not
+    |lineitem|.
+
+    Scale: each branch aggregates to its distinct key set map-side
+    before the union's shuffle; the roster is dimension-sized, so the
+    supplier join broadcasts.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    keys = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select("l_suppkey")
+        .union(li.filter(F.col("l_tax") > 0.06).select("l_suppkey"))
+        .distinct()
+    )
+    return keys.join(
+        F.broadcast(sup), keys.l_suppkey == sup.s_suppkey
+    ).select("s_suppkey", "s_name")
+
+
+# O5 twin (o5_intersect / o5_except graded, both set-DISTINCT): the
+# MULTISET form — INTERSECT ALL keeps min(multiplicity) copies.
+_O5C_ORACLE = """
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_common
+FROM (
+  SELECT user_id FROM events WHERE event_type = 'click'
+  INTERSECT ALL
+  SELECT user_id FROM events WHERE event_type = 'view'
+)
+GROUP BY user_id
+"""
+
+
+@register("o5c_intersect_all_multiset", oracle=_O5C_ORACLE, tags=("O5",))
+def o5c_intersect_all_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL between the click and view user-id multisets: each
+    user survives min(n_clicks, n_views) times, then a rollup counts
+    the survivors. The graded o5 pair covers set-distinct semantics;
+    this grades BAG semantics — the variant where multiplicity is the
+    signal (paired-action capacity per user) — via Spark's
+    intersectAll, which plans as a counted hash join, not a distinct.
+
+    Scale: one shuffle on user_id with map-side partial counts on each
+    branch; output is bounded by distinct users.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id")
+    views = ev.filter(F.col("event_type") == "view").select("user_id")
+    return (
+        clicks.intersectAll(views)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_common"))
+    )
+
+
+# P3+P4 twin (p3/p3c classify and p4/f22 extract graded): classify AND
+# extract in one projection — regex routing on one column drives the
+# rollup key, a capture group on another drives the bucket.
+_P7_ORACLE = """
+SELECT CASE
+         WHEN regexp_matches(p_name, '\\bwidget\\b') THEN 'widget'
+         WHEN regexp_matches(p_name, '\\bbolt\\b') THEN 'bolt'
+         WHEN regexp_matches(p_name, '\\bgear\\b') THEN 'gear'
+         WHEN regexp_matches(p_name, '\\bring\\b') THEN 'ring'
+         ELSE 'other'
+       END AS noun,
+       CAST(regexp_extract(p_brand, '#(\\d+)$', 1) AS BIGINT) % 5 AS brand_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(MIN(p_partkey) AS BIGINT) AS min_part,
+       CAST(SUM(p_size) AS BIGINT) AS total_size
+FROM part
+GROUP BY 1, 2
+"""
+
+
+@register("p7_part_noun_brand", oracle=_P7_ORACLE, tags=("P3", "P4"))
+def p7_part_noun_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex-classify the part-name NOUN (word-bounded first-match
+    chain) and regex-EXTRACT the numeric brand id (capture group cast
+    to int, bucketed mod 5) in the same projection — the graded p3/p4
+    carriers each exercise one of the two regex modes in isolation;
+    this grades their composition, where the classifier routes and the
+    extractor parameterizes the same rollup.
+
+    Scale: both regexes run per-row inside codegen (JVM regex, no
+    Python); the rollup keys on O(nouns x 5) groups.
+    """
+    part = load_table(spark, sf_dir, "part")
+    noun = (
+        F.when(F.col("p_name").rlike(r"\bwidget\b"), "widget")
+        .when(F.col("p_name").rlike(r"\bbolt\b"), "bolt")
+        .when(F.col("p_name").rlike(r"\bgear\b"), "gear")
+        .when(F.col("p_name").rlike(r"\bring\b"), "ring")
+        .otherwise("other")
+    )
+    brand_bucket = (
+        F.regexp_extract(F.col("p_brand"), r"#(\d+)$", 1).cast("bigint") % 5
+    )
+    return (
+        part.select(
+            noun.alias("noun"), brand_bucket.alias("brand_bucket"), "p_partkey", "p_size"
+        )
+        .groupBy("noun", "brand_bucket")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.min("p_partkey").cast("bigint").alias("min_part"),
+            F.sum("p_size").cast("bigint").alias("total_size"),
+        )
+    )
+
+
+# P5 twin (p5 broadcast-join and p5b string-literal-map graded): the
+# DERIVED-key dictionary — parse an int code out of a composite string,
+# normalize through an int-keyed literal map with a fallback.
+_P8_ORACLE = f"""
+SELECT CASE CAST(substr(o_orderpriority, 1, 1) AS INT)
+         WHEN 1 THEN 'critical' WHEN 2 THEN 'critical'
+         WHEN 3 THEN 'standard'
+         WHEN 4 THEN 'deferred' WHEN 5 THEN 'deferred'
+         ELSE 'unknown'
+       END AS tier,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       {oracle_dsum('o_totalprice')} AS revenue
+FROM orders
+GROUP BY 1
+"""
+
+
+@register("p8_priority_tier", oracle=_P8_ORACLE, tags=("P5", "F8"))
+def p8_priority_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalize '1-URGENT'..'5-LOW' into three tiers by parsing the
+    LEADING CODE (substring -> int cast) and looking it up in an
+    int-keyed literal map with a coalesce fallback. p5 grades the
+    broadcast-join dictionary and p5b the string-keyed literal map on a
+    clean key; this grades the derive-then-normalize chain (cast
+    crossing a type boundary mid-expression — the F8 corner).
+
+    Scale: zero-shuffle expression work plus an O(tiers)-key rollup;
+    the map literal rides the plan to every executor.
+    """
+    mapping = F.create_map(
+        F.lit(1), F.lit("critical"),
+        F.lit(2), F.lit("critical"),
+        F.lit(3), F.lit("standard"),
+        F.lit(4), F.lit("deferred"),
+        F.lit(5), F.lit("deferred"),
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    code = F.substring("o_orderpriority", 1, 1).cast("int")
+    tier = F.coalesce(mapping[code], F.lit("unknown"))
+    return (
+        orders.select(tier.alias("tier"), "o_totalprice")
+        .groupBy("tier")
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum("o_totalprice").alias("revenue"),
+        )
+    )

@@ -1077,3 +1077,243 @@ def st23_gap_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_long_gaps"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ROUND-6 STREAMING TWINS — every ST tag's round-5 carriers (st17-st23)
+# were hard-graded; the r6 rotation window needs fresh never-graded
+# carriers for ST2/ST4/ST5/ST6/ST7. Same discipline: each grades a
+# different semantic corner, not a re-alias.
+# ---------------------------------------------------------------------------
+
+# ST2+ST4 twin (st18 sliding distinct, st20 watermark pricing graded):
+# the COMPOSITION — watermark-surviving rows feed the hop expansion, so
+# the sliding curve is computed over exactly what a live query with
+# withWatermark('ts', '10 minutes') would have admitted.
+_ST26_ORACLE = """
+WITH j AS (
+  SELECT ts, event_id, value,
+         ts + to_seconds(((event_id % 2147483648) * 2654435761) % 1800) AS arrival_ts
+  FROM events
+), arr AS (
+  SELECT ts, event_id, value,
+         MAX(ts) OVER (ORDER BY arrival_ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hi
+  FROM j
+), kept AS (
+  SELECT ts, value FROM arr
+  WHERE epoch_us(hi) - epoch_us(ts) <= 600000000
+), expanded AS (
+  SELECT
+    unnest(generate_series(
+      time_bucket(INTERVAL '20 minutes', ts) - INTERVAL '40 minutes',
+      time_bucket(INTERVAL '20 minutes', ts),
+      INTERVAL '20 minutes'
+    )) AS window_start,
+    value
+  FROM kept
+)
+SELECT window_start,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value
+FROM expanded
+GROUP BY window_start
+"""
+
+
+@register("st26_sliding_watermark_extrema", oracle=_ST26_ORACLE, tags=("ST2", "ST4"))
+def st26_sliding_watermark_extrema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows hopping every 20 minutes over ONLY the rows that
+    survive a 10-minute watermark under the deterministic 0-30-min
+    transit-delay replay (st20's Knuth-hash jitter, exact BIGINT both
+    engines). st18 grades the hop expansion on a complete stream and
+    st20 the watermark drop in isolation; this grades their
+    composition — the answer a live sliding-window query actually
+    publishes, where late rows are missing FROM THE WINDOWS, not just
+    counted.
+
+    Scale: the running event-time high-water mark is
+    _helpers.scalable_running_max (bucketed prefix-max, no global
+    single-partition sort); survivors expand 3x into covering windows
+    before an O(windows)-key rollup with min/max (merge-exact, no
+    accumulation drift).
+    """
+    from ._helpers import scalable_running_max
+
+    events = load_table(spark, sf_dir, "events")
+    jitter = ((F.col("event_id") % F.lit(2147483648)) * F.lit(2654435761)) % 1800
+    j = events.select(
+        "ts",
+        "event_id",
+        "value",
+        (F.col("ts") + F.make_dt_interval(secs=jitter.cast("double"))).alias(
+            "arrival_ts"
+        ),
+    )
+    hour_bkt = F.floor(
+        F.unix_micros(F.col("arrival_ts").cast("timestamp")) / (3600 * 1000000)
+    )
+    arr = scalable_running_max(
+        j,
+        order_cols=["arrival_ts", "event_id"],
+        value="ts",
+        bucket=hour_bkt,
+        out="hi",
+    )
+    behind_us = F.unix_micros(F.col("hi").cast("timestamp")) - F.unix_micros(
+        F.col("ts").cast("timestamp")
+    )
+    kept = arr.filter(behind_us <= F.lit(600000000).cast("long")).select("ts", "value")
+    return (
+        kept.groupBy(F.window("ts", "1 hour", "20 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "n_events",
+            "min_value",
+            "max_value",
+        )
+    )
+
+
+# ST5+ST6 twin (st21 keep-last dedup, st22 anti-enrichment graded):
+# keep-FIRST dedup feeding the HAPPY-PATH stream-static enrichment —
+# the "first touch per user x type, attributed to a segment" pipeline.
+_ST27_ORACLE = f"""
+WITH first_touch AS (
+  SELECT user_id, event_type, ts, value
+  FROM events
+  QUALIFY row_number() OVER (
+    PARTITION BY user_id, event_type ORDER BY ts, event_id
+  ) = 1
+)
+SELECT c.c_mktsegment AS segment, f.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_first_touches,
+       {oracle_dsum('f.value')} AS first_touch_value
+FROM first_touch f
+JOIN customer c ON c.c_custkey = f.user_id + 1
+GROUP BY 1, 2
+"""
+
+
+@register("st27_first_touch_segments", oracle=_ST27_ORACLE, tags=("ST5", "ST6"))
+def st27_first_touch_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First event per (user, event_type) — the dropDuplicates
+    streaming contract (keep-first; st21 grades keep-LAST) — enriched
+    through the static customer dimension (same user_id+1 key mapping
+    as st6/st22) and rolled up per (market segment, event type). This
+    is the batch image of dropDuplicates -> stream-static INNER join ->
+    rollup: dedup state is one row per key, the dimension broadcasts
+    into every micro-batch, and unmatched users drop out (st22 grades
+    exactly the complement).
+
+    Scale: one shuffle on the dedup key, a broadcast dimension join,
+    then an O(segments x types)-key rollup with exact integer cents.
+    """
+    events = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    first_touch = (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "value")
+    )
+    return (
+        first_touch.join(
+            F.broadcast(cust),
+            first_touch.user_id + 1 == cust.c_custkey,
+        )
+        .groupBy(F.col("c_mktsegment").alias("segment"), "event_type")
+        .agg(
+            F.count("*").alias("n_first_touches"),
+            dsum("value").alias("first_touch_value"),
+        )
+    )
+
+
+# ST7 twin (st7 running sum, st16 extrema, st23 lag-gap graded): a
+# TWO-FIELD state machine — {last_value, last_nonzero_direction} —
+# counting value-direction REVERSALS per user (the zigzag detector).
+_ST28_ORACLE = """
+WITH d AS (
+  SELECT event_id, user_id, ts, value,
+         CASE WHEN value > lag(value) OVER w THEN 1
+              WHEN value < lag(value) OVER w THEN -1
+              ELSE 0 END AS dir
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), p AS (
+  SELECT event_id, user_id, ts, dir,
+         last_value(nullif(dir, 0) IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS prev_nz
+  FROM d
+)
+SELECT event_id, user_id, ts,
+       CAST(dir AS BIGINT) AS dir,
+       CAST(SUM(CASE WHEN dir <> 0 AND prev_nz IS NOT NULL AND dir = -prev_nz
+                     THEN 1 ELSE 0 END) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS UNBOUNDED PRECEDING
+       ) AS BIGINT) AS n_reversals
+FROM p
+"""
+
+
+@register("st28_direction_reversals", oracle=_ST28_ORACLE, tags=("ST7", "W3"))
+def st28_direction_reversals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user value-direction reversal counter: each event's movement
+    direction vs the previous value (+1/-1/0) and a running count of
+    sign REVERSALS against the last NONZERO direction — the batch image
+    of a stateful operator whose state is {last_value,
+    last_nonzero_direction, n_reversals}. st23's state reads one
+    lagged field; this one's transition depends on a field (the last
+    nonzero direction) that an unbounded number of rows may have left
+    untouched — the ignore-nulls lookback that plain lag cannot
+    express.
+
+    Scale: one shuffle on user_id; dir, the ignore-nulls lookback and
+    the prefix count all share the same partitioned sort. Double
+    comparisons are parity-safe (same stored doubles, same predicate,
+    both engines).
+    """
+    events = load_table(spark, sf_dir, "events")
+    w_order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_prev = w_order.rowsBetween(Window.unboundedPreceding, -1)
+    w_frame = w_order.rowsBetween(Window.unboundedPreceding, 0)
+    prev_value = F.lag("value").over(w_order)
+    dir_ = (
+        F.when(F.col("value") > prev_value, 1)
+        .when(F.col("value") < prev_value, -1)
+        .otherwise(0)
+    )
+    d = events.select(
+        "event_id", "user_id", "ts", dir_.alias("dir")
+    )
+    p = d.withColumn(
+        "prev_nz",
+        F.last(F.nullif(F.col("dir"), F.lit(0)), ignorenulls=True).over(w_prev),
+    )
+    reversal = (
+        (F.col("dir") != 0)
+        & F.col("prev_nz").isNotNull()
+        & (F.col("dir") == -F.col("prev_nz"))
+    )
+    return p.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("dir").cast("bigint").alias("dir"),
+        F.sum(F.when(reversal, 1).otherwise(0))
+        .over(w_frame)
+        .cast("bigint")
+        .alias("n_reversals"),
+    )

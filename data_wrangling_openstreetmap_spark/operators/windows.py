@@ -3188,9 +3188,14 @@ def w33_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     comparison; only cusum divides, identically on both engines, then
     rounds at 6 dp.
 
-    Scale: one shuffle to the O(days) daily table, then
-    scalable_running_sum + scalable_running_min over month buckets —
-    the only global windows run over the O(#months) bucket tables.
+    Scale: one shuffle to the O(days) daily table, which is then
+    localCheckpoint'ed — the two stacked prefix decompositions each
+    re-read their input twice (documented family trade-off on
+    scalable_running_sum), so without the checkpoint the orders scan
+    re-derives 8x and the audit blows past 14 exchanges (VERDICT r5
+    §Next #7). Checkpointing the O(days) aggregate is O(days) storage
+    and truncates every downstream re-scan to a tiny cached relation;
+    the remaining global windows run over the O(#months) bucket tables.
     Day count rides a 1-row broadcast.
     """
     from ._helpers import scalable_running_min, scalable_running_sum
@@ -3198,7 +3203,7 @@ def w33_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     daily = orders.groupBy(F.col("o_orderdate").alias("d")).agg(
         F.sum(cents("o_totalprice")).alias("c")
-    )
+    ).localCheckpoint(eager=True)
     s = daily.agg(F.count("*").alias("n"), F.sum("c").alias("tot"))
     j = daily.crossJoin(F.broadcast(s)).withColumn(
         "y",
@@ -3207,7 +3212,9 @@ def w33_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("decimal(38,0)"),
     )
     month_bkt = F.year("d") * 12 + F.month("d")
-    j = scalable_running_sum(j, order_cols=["d"], value="y", bucket=month_bkt, out="pf")
+    j = scalable_running_sum(
+        j, order_cols=["d"], value="y", bucket=month_bkt, out="pf"
+    ).localCheckpoint(eager=True)  # O(days); running_min re-reads it twice
     j = scalable_running_min(j, order_cols=["d"], value="pf", bucket=month_bkt, out="mn_p")
     mn = F.least(F.lit(0).cast("decimal(38,0)"), F.col("mn_p"))
     s_scaled = (F.col("pf") - mn).cast("decimal(38,0)")
@@ -4199,4 +4206,49 @@ def w45_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sn").alias("total_orders"),
         F.col("peak").alias("peak_day_orders"),
         (F.round(var / mean, 6) + 0).alias("fano"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ROUND-6 TWIN — W5's only carriers (w5_last_ignorenulls forward fill)
+# were hard-graded by round 5; this grades the MIRRORED frame.
+# ---------------------------------------------------------------------------
+
+_W5B_ORACLE = """
+SELECT event_id, user_id,
+       first_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+         AS next_purchase_value,
+       lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         AS prev_type
+FROM events
+"""
+
+
+@register("w5b_next_purchase_backfill", oracle=_W5B_ORACLE, tags=("W5", "W3"))
+def w5b_next_purchase_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward fill: for every event, the value of the user's NEXT
+    purchase strictly after it (NULL once no purchase remains), plus
+    the lag'd previous event type. w5 grades last+IGNORE NULLS over the
+    trailing frame (forward fill); this grades first+IGNORE NULLS over
+    the LEADING frame starting at 1 FOLLOWING — the frame direction and
+    the strict-exclusion-of-current-row boundary are each easy to get
+    silently wrong, and label-leakage checks in training pipelines
+    depend on exactly this shape.
+
+    Scale: one shuffle on user_id; both window functions share the
+    same sort, so Spark evaluates them in a single Window node pass.
+    """
+    events = load_table(spark, sf_dir, "events")
+    w_order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_follow = w_order.rowsBetween(1, Window.unboundedFollowing)
+    purchase_value = F.when(F.col("event_type") == "purchase", F.col("value"))
+    return events.select(
+        "event_id",
+        "user_id",
+        F.first(purchase_value, ignorenulls=True)
+        .over(w_follow)
+        .alias("next_purchase_value"),
+        F.lag("event_type").over(w_order).alias("prev_type"),
     )

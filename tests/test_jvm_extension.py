@@ -147,6 +147,60 @@ print("RESULT " + json.dumps({
 """
 
 
+JVMEXT_DIR = os.path.dirname(JAR)
+
+
+@pytest.mark.skipif(not os.path.exists(JAR), reason="extension jar not built")
+def test_committed_jar_matches_java_source():
+    """The committed jar must be byte-identical (per class) to a fresh
+    javac build of src/dwos/ext/*.java — otherwise the jar can silently
+    drift from the checked-in source while the subprocess test keeps
+    passing against stale bytecode (ADVICE r5). Recompiles into a temp
+    dir with the same pyspark-bundled classpath build.sh uses."""
+    import shutil
+    import tempfile
+    import zipfile
+
+    javac = shutil.which("javac")
+    if javac is None:
+        pytest.skip("no JDK in environment; cannot verify jar provenance")
+    import pyspark
+
+    jars_glob = os.path.join(os.path.dirname(pyspark.__file__), "jars", "*")
+    srcs = sorted(
+        os.path.join(JVMEXT_DIR, "src", "dwos", "ext", f)
+        for f in os.listdir(os.path.join(JVMEXT_DIR, "src", "dwos", "ext"))
+        if f.endswith(".java")
+    )
+    assert srcs, "no Java sources beside the jar"
+    with tempfile.TemporaryDirectory() as tmp:
+        out = subprocess.run(
+            [javac, "-cp", jars_glob, "-d", tmp, *srcs],
+            capture_output=True,
+            text=True,
+            timeout=300,
+        )
+        assert out.returncode == 0, out.stderr[-2000:]
+        rebuilt = {}
+        for root, _, files in os.walk(tmp):
+            for f in files:
+                if f.endswith(".class"):
+                    full = os.path.join(root, f)
+                    rel = os.path.relpath(full, tmp).replace(os.sep, "/")
+                    with open(full, "rb") as fh:
+                        rebuilt[rel] = fh.read()
+        with zipfile.ZipFile(JAR) as zf:
+            committed = {
+                n: zf.read(n) for n in zf.namelist() if n.endswith(".class")
+            }
+        assert set(rebuilt) == set(committed), (
+            f"class set drift: only-in-source={sorted(set(rebuilt) - set(committed))} "
+            f"only-in-jar={sorted(set(committed) - set(rebuilt))}"
+        )
+        stale = [n for n in rebuilt if rebuilt[n] != committed[n]]
+        assert not stale, f"jar bytecode differs from fresh source build: {stale}"
+
+
 @pytest.mark.skipif(not os.path.exists(JAR), reason="extension jar not built")
 def test_injected_parser_matches_duckdb_native():
     out = subprocess.run(

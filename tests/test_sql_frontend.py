@@ -392,3 +392,39 @@ def test_replace_list_scanner_is_quote_aware(spark):
     )
     r = got2.collect()[0]
     assert (r.id, r.tag) == (2, "a,b(c(x),")
+
+
+def test_exclude_and_replace_quote_awkward_columns(spark):
+    """Schema columns that need backticks (reserved words, spaces) must
+    survive the star rewrite — the generated select list quotes every
+    identifier (ADVICE r5)."""
+    spark.createDataFrame(
+        [(1, 2, 3)], "id int, `order` int, `a b` int"
+    ).createOrReplaceTempView("ex_awkward")
+    got = sql(spark, "SELECT * EXCLUDE (`order`) FROM ex_awkward")
+    assert got.columns == ["id", "a b"]
+    got2 = sql(spark, "SELECT * REPLACE (id + 10 AS id) FROM ex_awkward")
+    assert got2.columns == ["id", "order", "a b"]
+    assert got2.collect()[0][0] == 11
+
+
+def test_replace_case_sensitive_session_matches_exactly(spark):
+    """Under spark.sql.caseSensitive=true, REPLACE must substitute only
+    the exactly-named column, never both of two case-distinct columns
+    (ADVICE r5)."""
+    old = spark.conf.get("spark.sql.caseSensitive")
+    spark.conf.set("spark.sql.caseSensitive", "true")
+    try:
+        spark.createDataFrame([(1, 2)], "v int, V int").createOrReplaceTempView(
+            "ex_case"
+        )
+        got = sql(spark, "SELECT * REPLACE (v * 100 AS v) FROM ex_case")
+        row = got.collect()[0]
+        assert got.columns == ["v", "V"]
+        assert (row[0], row[1]) == (100, 2)
+        # and naming the wrong case must be a resolution error, not a
+        # silent double substitution
+        with pytest.raises(SqlExtError, match="not in"):
+            sql(spark, "SELECT * REPLACE (1 AS vv) FROM ex_case")
+    finally:
+        spark.conf.set("spark.sql.caseSensitive", old)
