@@ -3769,11 +3769,13 @@ def q48_decile_transition(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
 
     def year_deciles(year: int, out: str) -> DataFrame:
+        # localCheckpoint: per (O(active customers)) feeds the rank's
+        # double scan plus the count — re-derived 3x otherwise.
         per = (
             orders.filter(F.year("o_orderdate") == year)
             .groupBy("o_custkey")
             .agg(F.sum(cents("o_totalprice")).alias("units"))
-        )
+        ).localCheckpoint(eager=True)
         ranked = scalable_row_number(
             per,
             order_cols=[F.col("units"), F.col("o_custkey")],
@@ -4103,13 +4105,17 @@ def q51_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ._helpers import scalable_row_number
 
     orders = load_table(spark, sf_dir, "orders")
+    # localCheckpoint: base (O(customers)) feeds n_tot, three
+    # scalable_row_number passes (each double-scanning its input — the
+    # documented family trade-off) and the final key spine — 16
+    # exchanges without truncation.
     base = orders.groupBy("o_custkey").agg(
         F.unix_micros(F.max("o_orderdate").cast("timestamp")).alias(
             "last_order"
         ),
         F.count("*").alias("freq"),
         F.sum(cents("o_totalprice")).alias("monet"),
-    )
+    ).localCheckpoint(eager=True)
     n_tot = base.agg(F.count("*").alias("n"))
 
     def quintile(metric: str, out: str, width: int) -> DataFrame:

@@ -2336,7 +2336,14 @@ def l3_ann_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     itself is two left-semi joins on (vec_id, neighbor_id) int pairs —
     negligible next to the searches.
     """
-    exact = q10_cosine_topk(spark, sf_dir).select("vec_id", "neighbor_id")
+    # localCheckpoint: exact feeds two semi-joins and two aggregates —
+    # each reuse would re-run the full Arrow matmul top-k otherwise
+    # (11 shuffles without truncation; O(queries x 5) storage).
+    exact = (
+        q10_cosine_topk(spark, sf_dir)
+        .select("vec_id", "neighbor_id")
+        .localCheckpoint(eager=True)
+    )
     out = None
     for method, fn in (("ivf", l3_ann_ivf), ("lsh", l3_ann_lsh)):
         ann = fn(spark, sf_dir).select("vec_id", "neighbor_id")
@@ -3860,13 +3867,16 @@ def l6_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cov"),
         )
     )
+    # localCheckpoint: c (64² rows) feeds the v seed plus one join per
+    # power step — each reuse would re-run the full covariance pass over
+    # the exploded corpus (16 exchanges without truncation).
     c = upper.unionByName(
         upper.filter(F.col("dim_i") != F.col("dim_j")).select(
             F.col("dim_j").alias("dim_i"),
             F.col("dim_i").alias("dim_j"),
             "cov",
         )
-    )
+    ).localCheckpoint(eager=True)
     v = c.filter(F.col("dim_j") == 1).select(
         F.col("dim_i").alias("d"), F.col("cov").alias("x")
     )
@@ -4108,7 +4118,10 @@ def g2_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordering changes the key assignment, not the shape. Edge
     construction reuses a14's basket self-join, bounded per order.
     """
-    e = co_purchase_edges(spark, sf_dir, _G2_MIN_SUP).select("u", "v")
+    # localCheckpoint: e feeds five branches (deg union, the three-way
+    # triangle join, n_edges) — without truncation each re-derives the
+    # basket self-join (22 exchanges; 6 after; O(edges) storage).
+    e = co_purchase_edges(spark, sf_dir, _G2_MIN_SUP).select("u", "v").localCheckpoint(eager=True)
     deg = (
         e.select(F.col("u").alias("node"))
         .unionByName(e.select(F.col("v").alias("node")))
@@ -5586,7 +5599,9 @@ def g3_shortest_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     output. The oracle's recursive CTE dedups (node, hops) pairs via
     UNION, bounding it at V·(cap+1) rows.
     """
-    e = co_purchase_edges(spark, sf_dir, _G3_MIN_SUP).select("u", "v")
+    # localCheckpoint: e feeds the symmetrized union twice plus the
+    # source pick — truncate once, O(edges) storage.
+    e = co_purchase_edges(spark, sf_dir, _G3_MIN_SUP).select("u", "v").localCheckpoint(eager=True)
     ud = e.select(F.col("u").alias("s"), F.col("v").alias("d")).unionByName(
         e.select(F.col("v").alias("s"), F.col("u").alias("d"))
     )
@@ -6021,7 +6036,8 @@ def g5_powerlaw_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
     already prunes. For web-scale graphs the fold becomes a two-level
     sum of per-bucket partial logs — same integers, no array.
     """
-    e = co_purchase_edges(spark, sf_dir, 2).select("u", "v")
+    # localCheckpoint: the endpoint union derives e twice.
+    e = co_purchase_edges(spark, sf_dir, 2).select("u", "v").localCheckpoint(eager=True)
     deg = (
         e.select(F.col("u").alias("node"))
         .unionByName(e.select(F.col("v").alias("node")))
@@ -6390,7 +6406,9 @@ def g7_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges — beyond that, shard the moment sums per degree bucket and
     decimal-merge.
     """
-    e = co_purchase_edges(spark, sf_dir, 2).select("u", "v")
+    # localCheckpoint: e feeds the degree union (twice) and the
+    # double degree-annotation join — 19 exchanges without it.
+    e = co_purchase_edges(spark, sf_dir, 2).select("u", "v").localCheckpoint(eager=True)
     deg = (
         e.select(F.col("u").alias("node"))
         .unionByName(e.select(F.col("v").alias("node")))
@@ -6479,7 +6497,10 @@ def g8_clustering_by_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     linear in triangles; degrees and the final rollup are bounded-key
     aggregations.
     """
-    e = co_purchase_edges(spark, sf_dir, 2).select("u", "v")
+    # localCheckpoint: e feeds five branches and tri three — the worst
+    # re-derivation blowup in the registry (45 exchanges; single digits
+    # after). Both checkpoints are O(edges)/O(triangles) storage.
+    e = co_purchase_edges(spark, sf_dir, 2).select("u", "v").localCheckpoint(eager=True)
     e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
     tri = (
         e1.join(e2, F.col("e1.v") == F.col("e2.u"))
@@ -6490,7 +6511,7 @@ def g8_clustering_by_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("e1.u").alias("a"), F.col("e1.v").alias("b"), F.col("e2.v").alias("c")
         )
-    )
+    ).localCheckpoint(eager=True)
     tri_nodes = (
         tri.select(F.col("a").alias("node"))
         .unionByName(tri.select(F.col("b").alias("node")))
@@ -6894,18 +6915,21 @@ def g13_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     # Reuse the shared basket self-join (CLAUDE.md reuse rule): edges
     # with min_support=1 ARE the distinct co-purchase pairs.
+    # localCheckpoints: pairs feeds the symmetrize union (x2) and the
+    # non-edge anti join; deg feeds the cap filter and both endpoint
+    # annotations; mid self-joins. 48 exchanges without truncation.
     pairs = co_purchase_edges(spark, sf_dir, 1).select(
         F.col("u").alias("a"), F.col("v").alias("b")
-    )
+    ).localCheckpoint(eager=True)
     adj = pairs.union(pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))).toDF(
         "u", "v"
     )
-    deg = adj.groupBy("u").agg(F.count("*").alias("deg"))
+    deg = adj.groupBy("u").agg(F.count("*").alias("deg")).localCheckpoint(eager=True)
     mid = (
         adj.join(deg, "u")
         .where(F.col("deg") <= _G13_CAP)
         .select(F.col("u").alias("m"), F.col("v").alias("x"))
-    )
+    ).localCheckpoint(eager=True)
     m1 = mid.alias("m1")
     m2 = mid.alias("m2")
     cand = (
@@ -6946,8 +6970,8 @@ def g13_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # l2f — LSH bucket-health diagnostic (round 5+): the tuning report for
-# the MinHash band join. Unlike l2_minhash_lsh (xxhash64 → rows-only
-# check), this builds a 16-hash signature from the SAME oracle-exact
+# the MinHash band join. Like l2_minhash_lsh (oracle-exact since round
+# 6), this builds a 16-hash signature from the SAME oracle-exact
 # base-31 gram hash winnowing uses, so every bucket statistic is
 # value-graded: bucket counts, singleton share, max bucket size, and
 # the candidate-pair volume Σ s·(s−1)/2 per band — the number that
@@ -7222,9 +7246,11 @@ def g14_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     # Reuse the shared basket self-join (CLAUDE.md reuse rule): edges
     # with min_support=1 ARE the distinct co-purchase pairs.
+    # localCheckpoint: pairs feeds m, the symmetrize union (x2) and the
+    # internal-edge filter — O(edges) storage, 15 exchanges without it.
     pairs = co_purchase_edges(spark, sf_dir, 1).select(
         F.col("u").alias("a"), F.col("v").alias("b")
-    )
+    ).localCheckpoint(eager=True)
     m = pairs.agg(F.count("*").alias("m"))
     adj = pairs.union(
         pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
@@ -7308,12 +7334,14 @@ def g15_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     # Reuse the shared basket self-join (CLAUDE.md reuse rule): edges
     # with min_support=1 ARE the distinct co-purchase pairs.
+    # localCheckpoints: pairs symmetrizes twice; adj feeds deg plus the
+    # double degree-annotation join — 22 exchanges without truncation.
     pairs = co_purchase_edges(spark, sf_dir, 1).select(
         F.col("u").alias("a"), F.col("v").alias("b")
-    )
+    ).localCheckpoint(eager=True)
     adj = pairs.union(
         pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).toDF("u", "v")
+    ).toDF("u", "v").localCheckpoint(eager=True)
     deg = adj.groupBy("u").agg(F.count("*").alias("d"))
     du = deg.select(F.col("u").alias("u"), F.col("d").alias("x"))
     dv = deg.select(F.col("u").alias("v"), F.col("d").alias("y"))

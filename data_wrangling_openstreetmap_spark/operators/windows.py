@@ -2465,11 +2465,13 @@ def w22_weekly_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.date_trunc("day", "ts").alias("day")
     ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("x"))
     w_ord = Window.partitionBy("event_type").orderBy("day")
+    # localCheckpoint: idx (O(days x types)) feeds the moment aggregate
+    # and both sides of the lag self-join — re-derived 3x otherwise.
     idx = daily.select(
         "event_type",
         F.row_number().over(w_ord).cast("long").alias("i"),
         "x",
-    )
+    ).localCheckpoint(eager=True)
     m = idx.groupBy("event_type").agg(
         F.count("*").alias("n"), F.sum("x").alias("t")
     )
@@ -3091,11 +3093,13 @@ def w32_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ._helpers import cents, scalable_row_number
 
+    # localCheckpoint: per_cust (O(customers)) feeds the rank's double
+    # scan plus the total count — re-derived 3x otherwise.
     per_cust = (
         load_table(spark, sf_dir, "orders")
         .groupBy("o_custkey")
         .agg(F.sum(cents("o_totalprice")).alias("units"))
-    )
+    ).localCheckpoint(eager=True)
     ranked = scalable_row_number(
         per_cust,
         order_cols=[F.col("units"), F.col("o_custkey")],
