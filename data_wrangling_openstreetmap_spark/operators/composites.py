@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from ..io import load_table
 from ..registry import register
-from ._helpers import cents, dsum, oracle_cents, oracle_dsum
+from ._helpers import cents, ckpt, dsum, oracle_cents, oracle_dsum
 
 # ---------------------------------------------------------------------------
 # q13 — order-count distribution (the TPC-H Q13 shape): left outer join
@@ -3775,7 +3775,7 @@ def q48_decile_transition(spark: SparkSession, sf_dir: str) -> DataFrame:
             orders.filter(F.year("o_orderdate") == year)
             .groupBy("o_custkey")
             .agg(F.sum(cents("o_totalprice")).alias("units"))
-        ).localCheckpoint(eager=True)
+        ).transform(ckpt)
         ranked = scalable_row_number(
             per,
             order_cols=[F.col("units"), F.col("o_custkey")],
@@ -4115,7 +4115,7 @@ def q51_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count("*").alias("freq"),
         F.sum(cents("o_totalprice")).alias("monet"),
-    ).localCheckpoint(eager=True)
+    ).transform(ckpt)
     n_tot = base.agg(F.count("*").alias("n"))
 
     def quintile(metric: str, out: str, width: int) -> DataFrame:

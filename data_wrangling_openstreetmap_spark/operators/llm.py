@@ -29,6 +29,7 @@ from ..functions import text as T
 from ..functions import vectors as V
 from ..io import load_table
 from ..registry import register
+from ._helpers import ckpt
 
 # DuckDB expression for the same token array Spark's T.tokens() builds.
 _ORACLE_TOKS = r"list_filter(string_split_regex(text, '\s+'), x -> x != '')"
@@ -2186,14 +2187,18 @@ def l3_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# L2 — MinHash-LSH recall CONTRACT (makes the rows-only sketch gradable).
-# The candidate pairs themselves hinge on xxhash64, which DuckDB cannot
-# reproduce — but the property a user relies on CAN be graded: every
+# L2 — MinHash-LSH recall CONTRACT. Historically this made the then-
+# rows-only xxhash64 sketch gradable; since round 6 l2_minhash_lsh's
+# candidate set is itself hash-graded (universal hash family above),
+# and this contract remains as the complementary ACCURACY grade: every
 # pair whose true shingle-Jaccard clears the sketch's design threshold
 # must surface as an LSH candidate. The oracle computes the exact
 # hi-similarity pair count in pure SQL and expects the recall verdict
 # true, so the hash breaks iff the sketch parameterization regresses —
-# the same accuracy-contract pattern as a4's HLL.
+# the same accuracy-contract pattern as a4's HLL. The contract is
+# hash-family-agnostic: it joins against l2_minhash_lsh's ACTUAL
+# candidates, so it now grades the round-6 universal family's recall
+# (still 1.0 on the fixture — all 25 hi pairs surface).
 # ---------------------------------------------------------------------------
 
 _MH_RECALL_ORACLE = r"""
@@ -2342,7 +2347,7 @@ def l3_ann_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = (
         q10_cosine_topk(spark, sf_dir)
         .select("vec_id", "neighbor_id")
-        .localCheckpoint(eager=True)
+        .transform(ckpt)
     )
     out = None
     for method, fn in (("ivf", l3_ann_ivf), ("lsh", l3_ann_lsh)):
@@ -3876,7 +3881,7 @@ def l6_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dim_i").alias("dim_j"),
             "cov",
         )
-    ).localCheckpoint(eager=True)
+    ).transform(ckpt)
     v = c.filter(F.col("dim_j") == 1).select(
         F.col("dim_i").alias("d"), F.col("cov").alias("x")
     )
@@ -4121,7 +4126,7 @@ def g2_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # localCheckpoint: e feeds five branches (deg union, the three-way
     # triangle join, n_edges) — without truncation each re-derives the
     # basket self-join (22 exchanges; 6 after; O(edges) storage).
-    e = co_purchase_edges(spark, sf_dir, _G2_MIN_SUP).select("u", "v").localCheckpoint(eager=True)
+    e = co_purchase_edges(spark, sf_dir, _G2_MIN_SUP).select("u", "v").transform(ckpt)
     deg = (
         e.select(F.col("u").alias("node"))
         .unionByName(e.select(F.col("v").alias("node")))
@@ -5601,7 +5606,7 @@ def g3_shortest_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     # localCheckpoint: e feeds the symmetrized union twice plus the
     # source pick — truncate once, O(edges) storage.
-    e = co_purchase_edges(spark, sf_dir, _G3_MIN_SUP).select("u", "v").localCheckpoint(eager=True)
+    e = co_purchase_edges(spark, sf_dir, _G3_MIN_SUP).select("u", "v").transform(ckpt)
     ud = e.select(F.col("u").alias("s"), F.col("v").alias("d")).unionByName(
         e.select(F.col("v").alias("s"), F.col("u").alias("d"))
     )
@@ -6037,7 +6042,7 @@ def g5_powerlaw_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum of per-bucket partial logs — same integers, no array.
     """
     # localCheckpoint: the endpoint union derives e twice.
-    e = co_purchase_edges(spark, sf_dir, 2).select("u", "v").localCheckpoint(eager=True)
+    e = co_purchase_edges(spark, sf_dir, 2).select("u", "v").transform(ckpt)
     deg = (
         e.select(F.col("u").alias("node"))
         .unionByName(e.select(F.col("v").alias("node")))
@@ -6408,7 +6413,7 @@ def g7_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     # localCheckpoint: e feeds the degree union (twice) and the
     # double degree-annotation join — 19 exchanges without it.
-    e = co_purchase_edges(spark, sf_dir, 2).select("u", "v").localCheckpoint(eager=True)
+    e = co_purchase_edges(spark, sf_dir, 2).select("u", "v").transform(ckpt)
     deg = (
         e.select(F.col("u").alias("node"))
         .unionByName(e.select(F.col("v").alias("node")))
@@ -6500,7 +6505,7 @@ def g8_clustering_by_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     # localCheckpoint: e feeds five branches and tri three — the worst
     # re-derivation blowup in the registry (45 exchanges; single digits
     # after). Both checkpoints are O(edges)/O(triangles) storage.
-    e = co_purchase_edges(spark, sf_dir, 2).select("u", "v").localCheckpoint(eager=True)
+    e = co_purchase_edges(spark, sf_dir, 2).select("u", "v").transform(ckpt)
     e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
     tri = (
         e1.join(e2, F.col("e1.v") == F.col("e2.u"))
@@ -6511,7 +6516,7 @@ def g8_clustering_by_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("e1.u").alias("a"), F.col("e1.v").alias("b"), F.col("e2.v").alias("c")
         )
-    ).localCheckpoint(eager=True)
+    ).transform(ckpt)
     tri_nodes = (
         tri.select(F.col("a").alias("node"))
         .unionByName(tri.select(F.col("b").alias("node")))
@@ -6920,16 +6925,16 @@ def g13_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     # annotations; mid self-joins. 48 exchanges without truncation.
     pairs = co_purchase_edges(spark, sf_dir, 1).select(
         F.col("u").alias("a"), F.col("v").alias("b")
-    ).localCheckpoint(eager=True)
+    ).transform(ckpt)
     adj = pairs.union(pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))).toDF(
         "u", "v"
     )
-    deg = adj.groupBy("u").agg(F.count("*").alias("deg")).localCheckpoint(eager=True)
+    deg = adj.groupBy("u").agg(F.count("*").alias("deg")).transform(ckpt)
     mid = (
         adj.join(deg, "u")
         .where(F.col("deg") <= _G13_CAP)
         .select(F.col("u").alias("m"), F.col("v").alias("x"))
-    ).localCheckpoint(eager=True)
+    ).transform(ckpt)
     m1 = mid.alias("m1")
     m2 = mid.alias("m2")
     cand = (
@@ -7250,7 +7255,7 @@ def g14_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # internal-edge filter — O(edges) storage, 15 exchanges without it.
     pairs = co_purchase_edges(spark, sf_dir, 1).select(
         F.col("u").alias("a"), F.col("v").alias("b")
-    ).localCheckpoint(eager=True)
+    ).transform(ckpt)
     m = pairs.agg(F.count("*").alias("m"))
     adj = pairs.union(
         pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
@@ -7338,10 +7343,10 @@ def g15_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # double degree-annotation join — 22 exchanges without truncation.
     pairs = co_purchase_edges(spark, sf_dir, 1).select(
         F.col("u").alias("a"), F.col("v").alias("b")
-    ).localCheckpoint(eager=True)
+    ).transform(ckpt)
     adj = pairs.union(
         pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).toDF("u", "v").localCheckpoint(eager=True)
+    ).toDF("u", "v").transform(ckpt)
     deg = adj.groupBy("u").agg(F.count("*").alias("d"))
     du = deg.select(F.col("u").alias("u"), F.col("d").alias("x"))
     dv = deg.select(F.col("u").alias("v"), F.col("d").alias("y"))

@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from ..io import load_table
 from ..registry import register
-from ._helpers import cents, dsum, money
+from ._helpers import cents, ckpt, dsum, money
 
 # ---------------------------------------------------------------------------
 # q3 — top-k per group (W1 + W2). Headline bench query.
@@ -2471,7 +2471,7 @@ def w22_weekly_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.row_number().over(w_ord).cast("long").alias("i"),
         "x",
-    ).localCheckpoint(eager=True)
+    ).transform(ckpt)
     m = idx.groupBy("event_type").agg(
         F.count("*").alias("n"), F.sum("x").alias("t")
     )
@@ -3099,7 +3099,7 @@ def w32_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "orders")
         .groupBy("o_custkey")
         .agg(F.sum(cents("o_totalprice")).alias("units"))
-    ).localCheckpoint(eager=True)
+    ).transform(ckpt)
     ranked = scalable_row_number(
         per_cust,
         order_cols=[F.col("units"), F.col("o_custkey")],
@@ -3207,7 +3207,7 @@ def w33_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     daily = orders.groupBy(F.col("o_orderdate").alias("d")).agg(
         F.sum(cents("o_totalprice")).alias("c")
-    ).localCheckpoint(eager=True)
+    ).transform(ckpt)
     s = daily.agg(F.count("*").alias("n"), F.sum("c").alias("tot"))
     j = daily.crossJoin(F.broadcast(s)).withColumn(
         "y",
@@ -3218,7 +3218,7 @@ def w33_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     month_bkt = F.year("d") * 12 + F.month("d")
     j = scalable_running_sum(
         j, order_cols=["d"], value="y", bucket=month_bkt, out="pf"
-    ).localCheckpoint(eager=True)  # O(days); running_min re-reads it twice
+    ).transform(ckpt)  # O(days); running_min re-reads it twice
     j = scalable_running_min(j, order_cols=["d"], value="pf", bucket=month_bkt, out="mn_p")
     mn = F.least(F.lit(0).cast("decimal(38,0)"), F.col("mn_p"))
     s_scaled = (F.col("pf") - mn).cast("decimal(38,0)")

@@ -115,6 +115,16 @@ def _ident_key(spark: SparkSession):
     cs = str(spark.conf.get("spark.sql.caseSensitive", "false")).lower() == "true"
     return (lambda s: s) if cs else str.lower
 
+
+def _unquote_ident(c: str) -> str:
+    """Strip surrounding backticks from a user-written column name and
+    unescape doubled backticks (the inverse of _qid) — EXCLUDE/REPLACE
+    lists must accept the same quoted spellings the rewrite emits."""
+    c = c.strip()
+    if len(c) >= 2 and c[0] == c[-1] == "`":
+        c = c[1:-1].replace("``", "`")
+    return c
+
 _ASOF_RE = re.compile(
     rf"""
     \bFROM\s+ (?P<lt>{_IDENT}) (?:\s+AS)? \s+ (?P<la>{_IDENT})
@@ -632,14 +642,12 @@ def _lower_exclude(spark: SparkSession, query: str, m: re.Match) -> DataFrame:
             "would silently drop the other relations' columns"
         )
     key = _ident_key(spark)
-
-    def unquote(c: str) -> str:
-        c = c.strip()
-        if len(c) >= 2 and c[0] == c[-1] == "`":
-            c = c[1:-1].replace("``", "`")
-        return c
-
-    excluded = [key(unquote(c)) for c in m.group("cols").split(",") if c.strip()]
+    # _split_top_level is quote-aware, so a backticked name containing a
+    # comma does not mis-split (review r6); names containing ')' remain
+    # out of reach of _EXCLUDE_RE's capture and raise the malformed error.
+    excluded = [
+        key(_unquote_ident(c)) for c in _split_top_level(m.group("cols"))
+    ]
     schema_cols = spark.table(table).columns
     missing = [c for c in excluded if c not in [key(s) for s in schema_cols]]
     if missing:
@@ -672,8 +680,11 @@ _REPLACE_HEAD_RE = re.compile(
     r"^\s*SELECT\s+\*\s+REPLACE\s*\(", re.IGNORECASE
 )
 
+# The AS target accepts a bare identifier OR a backticked name (spaces,
+# hyphens, reserved words) — EXCLUDE accepts quoted names, so REPLACE
+# must too (review r6; the ADVICE-r5 quoting fix was half-applied).
 _REPLACE_ITEM_RE = re.compile(
-    r"^\s*(?P<expr>.+?)\s+AS\s+(?P<col>[A-Za-z_]\w*)\s*$",
+    r"^\s*(?P<expr>.+?)\s+AS\s+(?P<col>[A-Za-z_]\w*|`(?:[^`]|``)+`)\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 
@@ -768,7 +779,7 @@ def _lower_replace(spark: SparkSession, query: str) -> DataFrame:
             raise SqlExtError(
                 f"REPLACE item must be '<expr> AS <col>', got: {item!r}"
             )
-        repl[key(im.group("col"))] = im.group("expr")
+        repl[key(_unquote_ident(im.group("col")))] = im.group("expr")
     table = fm.group("table")
     schema_cols = spark.table(table).columns
     missing = [c for c in repl if c not in [key(s) for s in schema_cols]]

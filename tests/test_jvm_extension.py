@@ -167,12 +167,22 @@ def test_committed_jar_matches_java_source():
     import pyspark
 
     jars_glob = os.path.join(os.path.dirname(pyspark.__file__), "jars", "*")
+    src_dir = os.path.join(JVMEXT_DIR, "src", "dwos", "ext")
+    assert os.path.isdir(src_dir), (
+        f"extension jar exists but its Java sources are missing ({src_dir}) "
+        "— the jar is unverifiable; restore src/ or drop the jar"
+    )
     srcs = sorted(
-        os.path.join(JVMEXT_DIR, "src", "dwos", "ext", f)
-        for f in os.listdir(os.path.join(JVMEXT_DIR, "src", "dwos", "ext"))
+        os.path.join(src_dir, f)
+        for f in os.listdir(src_dir)
         if f.endswith(".java")
     )
     assert srcs, "no Java sources beside the jar"
+    # NB: byte-identity assumes the jar was built by THIS environment's
+    # JDK with build.sh's flags (true here — the jar is rebuilt in-container
+    # whenever the source changes). A legitimately different JDK would
+    # fail this test; the fix is `sh jvmext/build.sh` to refresh the jar,
+    # which is exactly the drift-repair the test exists to force.
     with tempfile.TemporaryDirectory() as tmp:
         out = subprocess.run(
             [javac, "-cp", jars_glob, "-d", tmp, *srcs],

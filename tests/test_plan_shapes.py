@@ -20,6 +20,19 @@ from data_wrangling_openstreetmap_spark.registry import REGISTRY, _ensure_loaded
 _ensure_loaded()
 SF = "/root/testdata/sf0.001"
 
+
+@pytest.fixture(autouse=True)
+def full_plan_visibility(monkeypatch):
+    """Disable the round-6 single-shot lineage truncations
+    (_helpers.ckpt) for every plan assertion in this module: a
+    localCheckpoint hides its prefix subplan from explain(), so a bad
+    construct (single-partition sort, unallowlisted Python crossing,
+    lost broadcast) inside a checkpointed prefix would otherwise pass
+    the sweeps vacuously — the lineage-truncation twin of the
+    formatted-plan blindness gotcha. Value tests keep the truncation;
+    only the plan auditors need full visibility."""
+    monkeypatch.setenv("DWOS_FULL_PLAN", "1")
+
 # Queries allowed to cross the JVM↔Python boundary (vectorized by
 # design: broadcast-matmul k-NN, Arrow-batched multimodal decode, and
 # the §2.8 U-surface whose point is the crossing). l3_ann_ivf moved OUT

@@ -428,3 +428,25 @@ def test_replace_case_sensitive_session_matches_exactly(spark):
             sql(spark, "SELECT * REPLACE (1 AS vv) FROM ex_case")
     finally:
         spark.conf.set("spark.sql.caseSensitive", old)
+
+
+def test_replace_targets_backticked_column(spark):
+    """REPLACE must accept a backtick-quoted AS target — EXCLUDE does,
+    so the quoting surface has to be symmetric (review r6)."""
+    spark.createDataFrame([(1, 5)], "id int, `a b` int").createOrReplaceTempView(
+        "rp_awkward"
+    )
+    got = sql(spark, "SELECT * REPLACE (`a b` * 2 AS `a b`) FROM rp_awkward")
+    row = got.collect()[0]
+    assert got.columns == ["id", "a b"]
+    assert (row[0], row[1]) == (1, 10)
+
+
+def test_exclude_list_split_is_backtick_aware(spark):
+    """A quoted EXCLUDE name containing a comma must not mis-split the
+    column list (review r6: the split is quote-aware)."""
+    spark.createDataFrame(
+        [(1, 2, 3)], "id int, `a,b` int, v int"
+    ).createOrReplaceTempView("ex_comma")
+    got = sql(spark, "SELECT * EXCLUDE (`a,b`) FROM ex_comma")
+    assert got.columns == ["id", "v"]
