@@ -188,3 +188,26 @@ def hopping_avg(events: DataFrame) -> DataFrame:
         .agg(F.count("*").alias("n_events"), davg("value").alias("avg_value"))
         .select(F.col("w.start").alias("window_start"), "n_events", "avg_value")
     )
+
+
+def sliding_extrema(events: DataFrame) -> DataFrame:
+    """ST2+ST4 (st26's streaming shape): 1-hour windows hopping every
+    20 minutes with per-window count and value extrema. Min/max merge
+    associatively, so the windowed state stays incremental under
+    out-of-order arrival; convergence under a jittered replay with a
+    watermark wider than the disorder bound is pinned in
+    tests/test_streaming.py."""
+    return (
+        events.groupBy(F.window("ts", "1 hour", "20 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "n_events",
+            "min_value",
+            "max_value",
+        )
+    )

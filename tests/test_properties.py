@@ -706,3 +706,56 @@ def test_modularity_contributions_sum_to_valid_q(spark):
     q = sum(r.q_micro for r in rows) / 1e6
     assert -0.5 <= q <= 1.0
     assert sum(r.internal_edges for r in rows) <= sum(r.degree_sum for r in rows) / 2
+
+
+def test_ckpt_full_plan_escape_hatch(spark, monkeypatch):
+    """_helpers.ckpt must truncate lineage by default (explain shows a
+    checkpoint scan, not the source) and be a NO-OP under
+    DWOS_FULL_PLAN=1 — the contract the plan-sweep visibility fixture
+    relies on; if the env gate silently broke, every structural sweep
+    over a checkpointed prefix would pass vacuously again."""
+    from data_wrangling_openstreetmap_spark.operators._helpers import ckpt
+
+    df = spark.range(10).withColumnRenamed("id", "v")
+    monkeypatch.setenv("DWOS_FULL_PLAN", "1")
+    assert ckpt(df) is df  # full-visibility mode: identity
+    monkeypatch.delenv("DWOS_FULL_PLAN")
+    out = ckpt(df)
+    assert out is not df
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan, plan
+    assert [r.v for r in out.collect()] == list(range(10))
+
+
+from hypothesis import given as _given_split, settings as _settings_split
+from hypothesis import strategies as _st_split
+
+
+@_given_split(
+    names=_st_split.lists(
+        _st_split.text(
+            alphabet=_st_split.characters(
+                codec="ascii", categories=("L", "N", "P", "Z")
+            ),
+            min_size=1,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+@_settings_split(max_examples=60, deadline=None)
+def test_split_top_level_roundtrips_backticked_names(names):
+    """Property: joining backtick-quoted identifiers with ',' and
+    re-splitting with the quote-aware scanner recovers every original
+    name — including names containing commas, parens, and quotes (the
+    EXCLUDE-list surface of review r6)."""
+    from data_wrangling_openstreetmap_spark.plans.sql_ext import (
+        _qid,
+        _split_top_level,
+        _unquote_ident,
+    )
+
+    joined = ", ".join(_qid(n) for n in names)
+    parts = _split_top_level(joined)
+    assert [_unquote_ident(p) for p in parts] == names

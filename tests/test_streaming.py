@@ -824,3 +824,34 @@ def test_foreachbatch_idempotent_merge_survives_replay(spark, tmp_path):
     assert got.count() == ev.count()
     assert got.select(F.sum("event_id")).collect()[0][0] == \
         ev.select(F.sum("event_id")).collect()[0][0]
+
+
+def test_stream_sliding_extrema_converges_under_jittered_arrival(
+    spark, jittered_replay_dir
+):
+    """ST2+ST4 composition (st26's streaming shape) under out-of-order
+    replay: events arrive event-time-plus-jitter (0-15 min transit
+    delay), the 30-minute watermark exceeds the disorder bound, so NO
+    row is behind the watermark and the hopping extrema must converge
+    to the batch hop expansion EXACTLY — every covering window present
+    once, min/max unaffected by arrival order. (The drop side of the
+    watermark is measured separately by test_watermark_drops_late_data;
+    st26's batch image grades the composed drop semantics.) The 48 h
+    sentinel pushes the watermark past every real window so append mode
+    flushes them; the sentinel's own windows stay unflushed and are cut
+    by the window_start bound."""
+    run_to_memory(
+        read_event_stream(spark, jittered_replay_dir),
+        TR.sliding_extrema,
+        "sink_sliding_extrema_jitter",
+        output_mode="append",
+        watermark="30 minutes",
+    )
+    events = load_table(spark, SF, "events")
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    got = spark.table("sink_sliding_extrema_jitter").filter(
+        F.col("window_start") <= max_ts
+    )
+    want = TR.sliding_extrema(events)
+    assert _rows(got) == _rows(want)
+    assert got.count() > 0
