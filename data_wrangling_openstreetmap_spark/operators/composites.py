@@ -1670,7 +1670,15 @@ def j14_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     )
-    a, b = cells.alias("a"), cells.alias("b")
+    # merge hint: both sides are the SAME exploded fact-sized relation,
+    # but Catalyst can't size through explode(sequence(...)) and may
+    # estimate the build side under the broadcast threshold — at sf0.1
+    # in a default 1g-heap session that broadcast OOMs, and shuffle_hash
+    # merely moves the OOM to the per-task hash build (both observed in
+    # the round-6 sf0.1 sweep). A sort-merge join spills gracefully at
+    # ANY memory budget, the right default for a fact×fact equi-join on
+    # (custkey, cell).
+    a, b = cells.alias("a"), cells.hint("merge").alias("b")
     pairs = (
         a.join(
             b,
@@ -4019,13 +4027,21 @@ def q50_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     sess = events.groupBy(
         F.session_window("ts", "30 minutes").alias("w"), "user_id"
     ).agg(F.count("*").alias("n"))
-    starts = sess.select(
-        F.col("w.start").alias("ts"), F.lit(1).alias("delta"), "user_id"
-    )
-    ends = sess.select(
-        F.col("w.end").alias("ts"), F.lit(-1).alias("delta"), "user_id"
-    )
-    edges = starts.unionByName(ends)
+    # One explode instead of a start/end UNION: the union form derives
+    # the sessionization twice (and the prefix-sum helper's double scan
+    # doubles that again); exploding both edges from one row keeps a
+    # single derivation, and ckpt covers the helper's re-read.
+    edges = sess.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("w.start").alias("ts"), F.lit(1).alias("delta")),
+                F.struct(F.col("w.end").alias("ts"), F.lit(-1).alias("delta")),
+            )
+        ).alias("e"),
+        "user_id",
+    ).select(
+        F.col("e.ts").alias("ts"), F.col("e.delta").alias("delta"), "user_id"
+    ).transform(ckpt)
     day_bkt = F.unix_micros(F.col("ts").cast("timestamp"))
     lvl = scalable_running_sum(
         edges,

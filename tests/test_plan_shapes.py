@@ -399,3 +399,15 @@ def test_global_sort_uses_range_partitioning(spark):
     plan = plan_string(df, "simple")
     assert "rangepartitioning" in plan
     assert "SinglePartition" not in plan
+
+
+def test_j14_exploded_self_join_is_sort_merge(spark):
+    """The (custkey, cell) interval self-join joins two copies of the
+    SAME exploded fact-sized relation. Catalyst cannot size through
+    explode(sequence(...)) and (observed at sf0.1 in a default-heap
+    session) may estimate the build side under the broadcast threshold
+    — broadcasting a fact-sized side OOMs. The merge hint pins the
+    spill-safe sort-merge strategy; this guard keeps it pinned."""
+    df = REGISTRY["j14_interval_overlap_join"].fn(spark, SF)
+    plan = plan_string(df, "simple")
+    assert "SortMergeJoin" in plan
