@@ -6869,7 +6869,14 @@ def l4_trigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 # union of neighborhoods.
 # ---------------------------------------------------------------------------
 
-_G13_CAP = 200
+# df-cap for middle vertices: candidate volume is Σ_(deg(m)≤cap) deg(m)²,
+# so the cap IS the memory knob. 64 keeps the sf0.1 candidate set
+# (~10⁷ pairs) inside a default-1g 8-thread local session — cap 200
+# produced ~10⁸ and OOMed the round-6 sf0.1 sweep even with spilling.
+# Production sizes this to executor memory; the semantics (drop hub
+# middles — quadratic candidates, logarithmic evidence) are unchanged
+# and the constant is shared verbatim with the DuckDB oracle.
+_G13_CAP = 64
 _G13_K = 20
 
 _G13_ORACLE = f"""

@@ -2744,19 +2744,22 @@ WITH daily AS (
   SELECT d, rev_units,
          CAST(COUNT(*) OVER w AS BIGINT) AS n,
          CAST(SUM(rev_units) OVER w AS BIGINT) AS s1,
-         CAST(SUM(rev_units * rev_units) OVER w AS BIGINT) AS s2
+         -- HUGEINT: a daily cent total squares past BIGINT around
+         -- $10^9/day (the a32/round-4 overflow class; w26 hit it at
+         -- sf0.1 in the round-6 sweep)
+         SUM(CAST(rev_units AS HUGEINT) * rev_units) OVER w AS s2
   FROM daily
   WINDOW w AS (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
 )
 SELECT CAST(d AS TIMESTAMP) AS day,
        rev_units / 100.0 AS revenue,
        round(s1 / (100.0 * n), 6) + 0 AS mid_band,
-       round(sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)) / (100.0 * n), 6) + 0 AS sigma,
+       round(sqrt(CAST(n * s2 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)) / (100.0 * n), 6) + 0 AS sigma,
        round(s1 / (100.0 * n)
-             + 2 * sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)) / (100.0 * n), 6) + 0
+             + 2 * sqrt(CAST(n * s2 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)) / (100.0 * n), 6) + 0
          AS upper_band,
        round(s1 / (100.0 * n)
-             - 2 * sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)) / (100.0 * n), 6) + 0
+             - 2 * sqrt(CAST(n * s2 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)) / (100.0 * n), 6) + 0
          AS lower_band
 FROM m
 """
@@ -2766,15 +2769,15 @@ FROM m
 def w26_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bollinger bands over daily order revenue: trailing-7-OBSERVATION
     mean and population σ (partial windows at the head use their actual
-    n), bands at ±2σ. Every moment (Σx, Σx²) is an exact BIGINT of
-    integer cents, so mean and σ are single double expressions computed
-    from identical integers on both engines — then rounded to 6 dp
-    (`+ 0` normalizes -0.0).
+    n), bands at ±2σ. Σx stays an exact BIGINT of integer cents; Σx²
+    accumulates in DECIMAL(38,0)/HUGEINT (the a32/round-4 recipe —
+    a daily cent total squares past BIGINT around $10⁹/day, which the
+    round-6 sf0.1 sweep hit under ANSI), so mean and σ are single
+    double expressions computed from identical exact integers on both
+    engines — then rounded to 6 dp (`+ 0` normalizes -0.0).
 
     Scale: the frame runs over the O(days) daily aggregate — bounded
-    input, the plan sweep's admissible SinglePartition shape. Σx² of
-    cents needs ~2×10⁹ daily dollars before the BIGINT square matters;
-    past that, re-shard to per-window decimal partials.
+    input, the plan sweep's admissible SinglePartition shape.
     """
     daily = (
         load_table(spark, sf_dir, "orders")
@@ -2785,11 +2788,18 @@ def w26_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = (
         daily.withColumn("n", F.count("*").over(w))
         .withColumn("s1", F.sum("rev_units").over(w))
-        .withColumn("s2", F.sum(F.col("rev_units") * F.col("rev_units")).over(w))
+        .withColumn(
+            "s2",
+            F.sum(
+                F.col("rev_units").cast("decimal(38,0)") * F.col("rev_units")
+            ).over(w),
+        )
     )
-    sigma = F.sqrt((F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")).cast("double")) / (
-        100.0 * F.col("n")
+    var_scaled = (
+        F.col("n") * F.col("s2")
+        - F.col("s1").cast("decimal(38,0)") * F.col("s1")
     )
+    sigma = F.sqrt(var_scaled.cast("double")) / (100.0 * F.col("n"))
     mid = F.col("s1") / (100.0 * F.col("n"))
     return m.select(
         F.col("d").cast("timestamp").alias("day"),
