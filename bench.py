@@ -151,19 +151,33 @@ def main() -> None:
         ref_best = min(ref_best, time.perf_counter() - t0)
     ref_microop_s = round(ref_best, 4)
 
+    # Per-run series (VERDICT r6 §Next #3): the r6 graded artifact showed
+    # +17% vs the builder's same-commit run with no plan change; a
+    # best-of alone can't show WHY. Emitting every run's time plus the
+    # loadavg bracketing the timed block makes a builder/driver delta
+    # attributable from the artifact: a clean best with noisy tails =
+    # load bursts; a uniformly shifted series = a slower machine.
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
+    per_run: dict[str, list[float]] = {}
     for name in names:
         spec = REGISTRY[name]
         t0 = time.perf_counter()
         spec.fn(spark, sf_dir).collect()
         cold[name] = round(time.perf_counter() - t0, 4)
-        best = float("inf")
+        runs: list[float] = []
         for _ in range(RUNS):
             t0 = time.perf_counter()
             spec.fn(spark, sf_dir).collect()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
+            runs.append(round(time.perf_counter() - t0, 4))
+        per_run[name] = runs
+        timings[name] = min(runs)
+
+    try:
+        with open("/proc/loadavg") as fh:
+            loadavg_after = [float(x) for x in fh.read().split()[:3]]
+    except OSError:
+        loadavg_after = None
 
     total = round(sum(timings.values()), 4)
     print(
@@ -174,8 +188,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "cold_s": cold,
+                "per_run_s": per_run,
                 "cache_warm_s": cache_warm_s,
                 "loadavg": loadavg,
+                "loadavg_after": loadavg_after,
                 "ref_microop_s": ref_microop_s,
                 "sf": sf,
             }

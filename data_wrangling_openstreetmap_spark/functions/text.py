@@ -21,10 +21,20 @@ def tokens(text: Column) -> Column:
 def bpe_ish_tokens(text: Column) -> Column:
     """Sub-word-ish tokenization: split on word boundaries AND keep
     punctuation runs as tokens (a BPE-flavored regex approximation for
-    token counting when no real tokenizer is shippable)."""
+    token counting when no real tokenizer is shippable).
+
+    The whitespace filter must drop ALL whitespace-only fragments, not
+    just "" and " ": Java's alternation tries the zero-width w/W
+    lookarounds BEFORE the \\s+ branch at each position, so a
+    whitespace char that directly follows a word character survives the
+    split as its own fragment (observed: "tabs\\tand" -> ["tabs", "\\t",
+    "and"] pre-filter). Result = maximal word runs + maximal
+    punctuation runs, exactly regexp_extract_all('\\w+|[^\\w\\s]+')
+    (the l4_token_counts oracle form, parity-stress-tested on messy
+    text in test_llm_ops.py)."""
     return F.filter(
         F.split(text, r"(?<=\W)(?=\w)|(?<=\w)(?=\W)|\s+"),
-        lambda t: (t != "") & (t != " "),
+        lambda t: ~t.rlike(r"^\s*$"),
     )
 
 

@@ -50,72 +50,94 @@ ALL_MODULES = (
 # value-hash-graded, none rows-only. Order within the window is
 # thematic, not significance-ranked — only membership matters.
 #
-# ROUND-6 ROTATION (the round-4/5 discipline, continued): every one of
-# the 50 slots is a query the driver has NEVER graded. 206 unique names
-# carry hard driver signal from rounds 1-5 (all green); those stay
+# ROUND-7 ROTATION (the round-4/5/6 discipline, continued): every one
+# of the 50 slots is a query the driver has NEVER hash-graded (248
+# unique names carry rows+schema driver signal from rounds 1-6, all
+# green; zero overlap with this window — asserted against the
+# CORRECTNESS_r01–r06 union when the window was built). Those 248 stay
 # continuously verified by the driver-strict local replica
-# (tests/test_oracle_parity.py) and bench.py, so their slots convert to
-# first-time hard signal instead of redundant re-greens. Coverage
-# invariant unchanged: every §2 tag in the registry has a representative
-# below (tests/test_plan_shapes.py::test_driver_window_covers_all_tags).
-# Tags whose every prior carrier was graded by round 5 got fresh
-# round-6 twins (a6c/f6d/f9c/o4d/o5c/p7/p8/w5b/st26/st27/st28).
+# (tests/test_oracle_parity.py). Coverage invariant unchanged: every §2
+# tag in the registry has a representative below
+# (tests/test_plan_shapes.py::test_driver_window_covers_all_tags).
+# Tags whose every prior carrier was graded by round 6 got fresh
+# round-7 twins (a6d/p9/p10/f7c/o8/f9d/st29/st30/st31/u15/w5c).
+#
+# SENTINEL RE-GRADE LANE (VERDICT r6 §Next #6, policy effective round
+# 8): once the never-graded pool can no longer fill 50 slots — or from
+# round 8 regardless, for ~5 slots — the window reserves slots for
+# CHURN SENTINELS: previously-green names whose source or shared
+# helpers changed since their grade, chosen each round by diffing the
+# operators/ tree against the round the name was graded in. Round-8
+# sentinel candidates from round-7 churn: f6d_order_map_algebra
+# (graded r6; FLOOR coercion edit r7), st26_sliding_watermark_extrema
+# (graded r6; scalable_running_max signature gained the range path),
+# q50_max_concurrency (graded r6; ckpt call-site annotation). This
+# round all 50 slots stay first-timers: the pool entering r7 held 192
+# oracled never-graded names, so first-time signal still dominates
+# regression signal in expected information.
 DRIVER_WINDOW = (
-    # judge-prioritized never-graded composites (VERDICT r5 §Next #1):
-    "l3_bm25_topk",
-    "l3_hybrid_rrf",
-    "l3_mmr_rerank",
-    "l3_pq_adc_topk",
-    "l6_pq_codes",
-    "j10_lateral_topk",
-    "q24b_recursive_cte",
-    "u7_sql_udf",
-    "f12_collation_groupby",
-    "l1_url_dedup",
-    "l1_survivorship_dedup",
-    "l0_multimodal_curation",
-    "d10_zone_map_pruning",
-    "d11_retention_sweep",
-    "l3_filtered_topk",
-    "l1_dup_size_histogram",
-    # round-6 forced-tag twins (every prior carrier already graded):
-    "a6c_cube_returns",
-    "f6d_order_map_algebra",
-    "f9c_nearest_hub",
-    "o4d_flagged_supplier_roster",
-    "o5c_intersect_all_multiset",
-    "p7_part_noun_brand",
-    "p8_priority_tier",
-    "w5b_next_purchase_backfill",
-    "st26_sliding_watermark_extrema",
-    "st27_first_touch_segments",
-    "st28_direction_reversals",
+    # judge-prioritized never-graded composites (VERDICT r6 §Next #1),
+    # led by l2_minhash_lsh — its round-6 full oracle has never felt
+    # the driver's own hash (the r1 record was the rows-only fail):
+    "l2_minhash_lsh",
+    "l4_unigram_logprob",
+    "l4_bigram_logprob",
+    "l6_power_iteration",
+    "g13_link_prediction",
+    "q51_rfm_segmentation",
+    "w33_cusum_drift",
+    "l2_paragraph_dedup",
+    "l3_pq_rerank",
+    # round-7 oracle conversion (VERDICT r6 §Next #4): rows-only → full
+    # oracle via the codepoint-fold fingerprint + extraction-form
+    # tokenizer oracle:
+    "l4_token_counts",
+    # round-7 forced-tag twins (every prior carrier already graded):
+    "a6d_subtotal_leaderboard",
+    "p9_anchored_type_noun",
+    "p10_override_dictionary",
+    "f7c_props_semi_buckets",
+    "o8_clean_engaged_users",
+    "f9d_bbox_grid_density",
+    "st29_emitted_hop_windows",
+    "st30_redelivery_dedup_enrich",
+    "st31_spend_since_signup",
+    "u15_udf_keyed_median_udaf",
+    "w5c_anchor_bracket",
     # greedy tag-cover picks (each the carrier of otherwise-uncovered
     # tags among never-graded names):
-    "j14_interval_overlap_join",
-    "a31_spearman_corr",
-    "u12_cogrouped_asof",
-    "x10_identifier_sql",
-    "q50_max_concurrency",
-    "dp3_categorical_profile",
-    "s29_python_datasink",
-    "st24_python_stream_source",
-    "a8b_listagg_ordered",
-    "l2_simhash_invariance",
-    "j4_anti_join",
-    "s3b_stratified_sample",
-    "a16_freq_items_contract",
-    "x9_group_by_all_sql",
-    "l4_chunk_overlap",
-    "q61_attribution_lasttouch",
-    "m10_binary_dedup",
-    "u4b_grouped_agg_udaf",
-    # strength fillers (strongest remaining never-graded composites):
-    "g9_kcore_peeling",
-    "l4_dsir_selection",
-    "q43_loo_target_encoding",
-    "dq11_order_reconciliation",
-    "l2_containment_join",
+    "q26_forecast_revenue",
+    "q30_event_pattern_match",
+    "s23_schema_evolution",
+    "u13_cogrouped_arrow",
+    "m9_modality_quota_mixer",
+    "dp6_fd_miner",
+    "j16_interval_anti_join",
+    "s31_compressed_roundtrip",
+    "st25_partitioned_stream_source",
+    "w15_longest_streak",
+    "q25_shipping_priority",
+    "n2_deep_flatten",
+    "l4_url_normalize",
+    "q59_capped_sessions",
+    "dp5_join_cardinality_planner",
+    "o6_distinct",
+    "x1c_asof_multikey_sql",
+    "x14_pipe_syntax_sql",
+    "u14_arrow_udtf",
+    # strength fillers (strongest remaining never-graded composites;
+    # w26 and l4_quality_deciles carry round-6/7 scale fixes — their
+    # first grade doubles as regression signal on those fixes):
+    "w26_bollinger_bands",
+    "l4_quality_deciles",
+    "j1_salted_skew_join",
+    "l4_tfidf_topk",
+    "g14_modularity",
+    "q52_cohort_ltv",
+    "a50_welch_ttest",
+    "w38_rolling_ols",
+    "dq7_benford_audit",
+    "q62_price_elasticity",
 )
 
 assert len(DRIVER_WINDOW) == 50, len(DRIVER_WINDOW)

@@ -4041,7 +4041,8 @@ def q50_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
     ).select(
         F.col("e.ts").alias("ts"), F.col("e.delta").alias("delta"), "user_id"
-    ).transform(ckpt)
+    ).transform(ckpt)  # ckpt tier-2 (O(2*sessions) edges): see _helpers.ckpt contract
+
     day_bkt = F.unix_micros(F.col("ts").cast("timestamp"))
     lvl = scalable_running_sum(
         edges,

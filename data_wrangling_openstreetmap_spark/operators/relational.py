@@ -3777,8 +3777,12 @@ def a6c_cube_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pre-agg is the documented fix, not a detail).
 _F6D_ORACLE = """
 WITH per_line AS (
+  -- FLOOR before the BIGINT cast: DuckDB's DOUBLE->BIGINT cast rounds
+  -- half-even while Spark's truncates toward zero; flooring on BOTH
+  -- sides pins one semantics even if the generator ever emits
+  -- fractional quantities (ADVICE r6 #1).
   SELECT l_orderkey, l_linenumber,
-         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+         CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS qty
   FROM lineitem
   GROUP BY l_orderkey, l_linenumber
 )
@@ -3806,8 +3810,10 @@ def f6d_order_map_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
     exceeds the order's line count (<=7 here, bounded by order width).
     """
     li = load_table(spark, sf_dir, "lineitem")
+    # floor-then-cast mirrors the oracle's CAST(FLOOR(..) AS BIGINT):
+    # identical coercion on both engines even for fractional quantities.
     per_line = li.groupBy("l_orderkey", "l_linenumber").agg(
-        F.sum(F.col("l_quantity").cast("bigint")).alias("qty")
+        F.sum(F.floor("l_quantity").cast("bigint")).alias("qty")
     )
     mapped = per_line.groupBy("l_orderkey").agg(
         F.map_from_entries(
@@ -4101,5 +4107,335 @@ def p8_priority_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_orders"),
             dsum("o_totalprice").alias("revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ROUND-7 rotation twins: every tag below had ALL its carriers driver-
+# graded by round 6, so the round-7 window needs fresh first-timers
+# (docs/ROUND6_NOTES.md "Round-7 rotation runway"). Same discipline as
+# the round-5/6 twin blocks: each is a new COMPOSITION, not a re-skin —
+# the angle that distinguishes it from its graded siblings is named in
+# the docstring.
+# ---------------------------------------------------------------------------
+
+# A6+O1 twin (a6b explicit sets, a6c cube, q8 rollup graded; o2 top-k
+# graded): the subtotal lattice ORDERED and CUT — publish only the
+# top-12 revenue rows across ALL grouping levels under a multi-key
+# sort. Order semantics become value-graded through the LIMIT cutoff
+# (which rows survive) — the composition neither the A6 nor the O1
+# carriers grade alone.
+_A6D_ORACLE = f"""
+SELECT * FROM (
+  SELECT o_orderstatus, o_orderpriority,
+         CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS grp,
+         COUNT(*) AS n_orders,
+         {oracle_dsum('o_totalprice')} AS revenue
+  FROM orders
+  GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderpriority), ())
+)
+ORDER BY grp ASC, revenue DESC,
+         o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+LIMIT 12
+"""
+
+
+@register("a6d_subtotal_leaderboard", oracle=_A6D_ORACLE, tags=("A6", "O1", "O2"))
+def a6d_subtotal_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS lattice (detail / per-priority subtotal / grand
+    total — note the asymmetry is the MIRROR of a6b's, subtotaling the
+    OTHER dimension) ordered by (level, revenue DESC, keys) and cut to
+    the top 12 — the "subtotal leaderboard" a dashboard publishes. The
+    multi-key sort's correctness is graded through the cutoff: a wrong
+    collation or null placement changes WHICH rows survive, failing
+    the value hash, so O1 gets a semantic check rather than a cosmetic
+    one. Null keys sort FIRST on both engines by explicit NULLS FIRST
+    (Spark's ASC default; stated for DuckDB, whose ASC default is
+    NULLS LAST).
+
+    Scale: one Expand + partial/final aggregate (O(groups) shuffle),
+    then TakeOrderedAndProject for the global top-12 — per-partition
+    heaps, no global sort.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupingSets(
+            [["o_orderstatus", "o_orderpriority"], ["o_orderpriority"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.grouping_id().cast("bigint").alias("grp"),
+            F.count("*").alias("n_orders"),
+            dsum("o_totalprice").alias("revenue"),
+        )
+        .orderBy(
+            F.col("grp").asc(),
+            F.col("revenue").desc(),
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+        .limit(12)
+    )
+
+
+# P3+P4 twin (p3/p3c/p7 classify, p4/f22/p7 extract graded): ANCHORED
+# classification + END-anchored extraction. p7 routes on word-boundary
+# CONTAINS matches mid-string; this grades the anchor semantics (^ and
+# $) plus a whitespace-tolerant trailing capture — the two regex
+# behaviors a contains-style classifier never touches.
+_P9_ORACLE = """
+SELECT CASE
+         WHEN regexp_matches(p_type, '^(ECONOMY|PROMO)') THEN 'value'
+         WHEN regexp_matches(p_type, '^(LARGE|SMALL|MEDIUM)') THEN 'sized'
+         ELSE 'standard'
+       END AS tier,
+       regexp_extract(p_name, '(\\w+)\\s*$', 1) AS last_noun,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(SUM(p_size) AS BIGINT) AS total_size
+FROM part
+GROUP BY 1, 2
+"""
+
+
+@register("p9_anchored_type_noun", oracle=_P9_ORACLE, tags=("P3", "P4"))
+def p9_anchored_type_noun(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classify parts by the LEADING token of p_type (^-anchored
+    alternation — 'ECONOMY…' is value-tier no matter what follows) and
+    extract the TRAILING noun of p_name ($-anchored capture tolerating
+    trailing whitespace), rolled up per (tier, noun). Anchors evaluate
+    identically in Java regex and RE2; the capture group is group 1 on
+    both engines.
+
+    Scale: two JVM regexes per row inside codegen, then an
+    O(tiers x nouns)-key rollup — map-only plus one tiny shuffle.
+    """
+    part = load_table(spark, sf_dir, "part")
+    tier = (
+        F.when(F.col("p_type").rlike(r"^(ECONOMY|PROMO)"), "value")
+        .when(F.col("p_type").rlike(r"^(LARGE|SMALL|MEDIUM)"), "sized")
+        .otherwise("standard")
+    )
+    last_noun = F.regexp_extract(F.col("p_name"), r"(\w+)\s*$", 1)
+    return (
+        part.select(tier.alias("tier"), last_noun.alias("last_noun"), "p_size")
+        .groupBy("tier", "last_noun")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.sum("p_size").cast("bigint").alias("total_size"),
+        )
+    )
+
+
+# P5+F6 twin (p5 broadcast dict, p5b string-literal map, p8 derived-key
+# map, f6/f6c/f6d map construction/extraction/algebra graded): the
+# OVERRIDE-dictionary pattern — a base mapping probed only where a
+# sparse override map misses (coalesce over two element_at probes),
+# the two-tier normalization every config system implements. Also
+# grades map_contains_key as a predicate (not just extraction).
+_P10_ORACLE = f"""
+SELECT CASE
+         WHEN o_orderstatus = 'P' THEN 'pending-review'
+         WHEN o_orderstatus = 'O' THEN 'open'
+         WHEN o_orderstatus = 'F' THEN 'fulfilled'
+         ELSE 'other'
+       END AS status_label,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_overridden,
+       {oracle_dsum('o_totalprice')} AS revenue
+FROM orders
+GROUP BY 1
+"""
+
+
+@register("p10_override_dictionary", oracle=_P10_ORACLE, tags=("P5", "F6"))
+def p10_override_dictionary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalize o_orderstatus through a BASE literal map ('O'→open,
+    'F'→fulfilled, 'P'→parked) shadowed by a sparse OVERRIDE map
+    ('P'→pending-review): label = coalesce(override[k], base[k],
+    'other'), plus a count of rows the override actually claimed
+    (map_contains_key predicate). Two single-tier literal maps composed
+    by precedence — NOT map_concat, whose duplicate-key behavior hangs
+    on spark.sql.mapKeyDedupPolicy (EXCEPTION by default); coalesce
+    precedence is policy-independent and states the override order in
+    the expression itself. The oracle says the same thing as one CASE.
+
+    Scale: zero-shuffle expression work + an O(labels)-key rollup; both
+    map literals ride the plan to every executor.
+    """
+    base = F.create_map(
+        F.lit("O"), F.lit("open"),
+        F.lit("F"), F.lit("fulfilled"),
+        F.lit("P"), F.lit("parked"),
+    )
+    override = F.create_map(F.lit("P"), F.lit("pending-review"))
+    orders = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderstatus")
+    label = F.coalesce(
+        F.element_at(override, k), F.element_at(base, k), F.lit("other")
+    )
+    return (
+        orders.select(
+            label.alias("status_label"),
+            F.map_contains_key(override, k).alias("is_overridden"),
+            "o_totalprice",
+        )
+        .groupBy("status_label")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.when(F.col("is_overridden"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_overridden"),
+            dsum("o_totalprice").alias("revenue"),
+        )
+    )
+
+
+# F7+J3 twin (q6 get_json_object, f11 variant, f17 json battery graded;
+# q4/j3c semi graded): TYPED from_json parse (schema-projected struct,
+# not string extraction) gating a LEFT SEMI join — keep every event of
+# users who ever made a high-value purchase, bucketed by the parsed
+# JSON key. The angle: the JSON value participates in the AGGREGATION
+# KEY as an INT (a cast error would surface as a wrong bucket, not a
+# stringly-equal pass), and the semi join's bound side is itself a
+# filtered self-scan.
+_F7C_ORACLE = """
+SELECT e.event_type,
+       CAST(json_extract_string(e.props, '$.k') AS INTEGER) % 10 AS k_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events e
+WHERE e.user_id IN (
+  SELECT user_id FROM events WHERE event_type = 'purchase' AND value >= 250.0
+)
+GROUP BY 1, 2
+"""
+
+
+@register("f7c_props_semi_buckets", oracle=_F7C_ORACLE, tags=("F7", "J3"))
+def f7c_props_semi_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All activity of big-spender users (any purchase ≥ 250), rolled
+    up per (event_type, props.k % 10): from_json with an explicit
+    struct<k:int> schema does the TYPED parse — Catalyst prunes the
+    parse to the one referenced field — and the big-spender set gates
+    the fact scan through a left-semi self-join.
+
+    Scale: the semi join's build side is a filtered, distinct-on-key
+    projection (O(big spenders)) — Spark broadcasts it; the JSON parse
+    is JVM-side Jackson inside codegen, no Python. At 100 TB the
+    purchase filter pushes to the scan on both branches.
+    """
+    events = load_table(spark, sf_dir, "events")
+    spenders = events.filter(
+        (F.col("event_type") == "purchase") & (F.col("value") >= 250.0)
+    ).select("user_id")
+    parsed = events.select(
+        "user_id",
+        "event_type",
+        (F.from_json("props", "k INT")["k"] % 10).alias("k_bucket"),
+    )
+    return (
+        parsed.join(spenders, "user_id", "left_semi")
+        .groupBy("event_type", "k_bucket")
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
+# O4+O5 twin (o4/o4c/o4d union-distinct, o5/o5b/o5c intersect/except
+# graded): a three-way SET EXPRESSION — (clickers UNION viewers)
+# EXCEPT erroring users — returning the surviving KEYS themselves.
+# The graded carriers each grade one operator feeding an aggregate;
+# this grades the composed algebra where the EXCEPT's left side is
+# itself a union-distinct, and the row SET is the answer.
+_O8_ORACLE = """
+SELECT user_id FROM (
+  SELECT user_id FROM events WHERE event_type = 'click'
+  UNION
+  SELECT user_id FROM events WHERE event_type = 'view'
+)
+EXCEPT
+SELECT user_id FROM events WHERE event_type = 'error'
+"""
+
+
+@register("o8_clean_engaged_users", oracle=_O8_ORACLE, tags=("O4", "O5"))
+def o8_clean_engaged_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Users who clicked or viewed (union DISTINCT) and never hit an
+    error (EXCEPT DISTINCT) — the audience-minus-denylist set algebra,
+    composed left-deep so the EXCEPT consumes an already-distinct
+    union. Output is the id set itself: every set-operator mistake
+    (bag-vs-set, wrong side) changes membership and fails the hash.
+
+    Scale: Spark plans all three legs into hash-partitioned
+    aggregates/joins on user_id — one shuffle key throughout, so AQE
+    can reuse the exchange; output is bounded by distinct users.
+    """
+    ev = load_table(spark, sf_dir, "events")
+
+    def ids(t: str):
+        return ev.filter(F.col("event_type") == t).select("user_id")
+
+    return ids("click").union(ids("view")).distinct().subtract(ids("error"))
+
+
+# F9 twin (f9 haversine formula, f9c nearest-hub argmin graded): the
+# OTHER two geospatial primitives — bbox containment filter and
+# grid-cell bucketing (the spatial shuffle key) — composed into the
+# density-map query every OSM-style pipeline runs first.
+_F9D_ORACLE = """
+WITH pts AS (
+  SELECT c_custkey,
+         ((c_custkey * 11) % 141) * CAST(0.25 AS DOUBLE) - CAST(17.625 AS DOUBLE) AS lat,
+         ((c_custkey * 17) % 283) * CAST(0.25 AS DOUBLE) - CAST(35.375 AS DOUBLE) AS lon
+  FROM customer
+)
+SELECT CAST(FLOOR((lat + 90.0) * 4.0) * 1440 + FLOOR((lon + 180.0) * 4.0) AS BIGINT)
+         AS cell,
+       CAST(COUNT(*) AS BIGINT) AS n_points,
+       ROUND(AVG(lat), 6) AS centroid_lat,
+       ROUND(AVG(lon), 6) AS centroid_lon
+FROM pts
+WHERE lat >= -10.0 AND lat <= 12.5 AND lon >= -20.0 AND lon <= 25.0
+GROUP BY 1
+"""
+
+
+@register("f9d_bbox_grid_density", oracle=_F9D_ORACLE, tags=("F9", "A7"))
+def f9d_bbox_grid_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clip synthetic customer points to a bounding box, bucket the
+    survivors into quarter-degree grid cells (functions/geospatial
+    ``in_bbox`` + ``grid_cell``, cells_per_degree=4) and emit per-cell
+    density + centroid — the tile-density map. Lat/lon are exact
+    quarter-degree doubles (k*0.25 is dyadic → exact), so containment
+    and cell ids are integer-exact on both engines; only the fold-
+    ordered centroid AVG rounds (6 dp both sides).
+
+    Scale: the bbox predicate is sargable min/max pruning at the scan;
+    grid_cell is THE spatial shuffle key — co-located cells make the
+    downstream neighbor joins equi-joins. Map-side partial aggs keep
+    the shuffle O(cells).
+    """
+    from ..functions.geospatial import grid_cell, in_bbox
+
+    cust = load_table(spark, sf_dir, "customer")
+    pts = cust.select(
+        (((F.col("c_custkey") * 11) % 141) * F.lit(0.25) - F.lit(17.625)).alias("lat"),
+        (((F.col("c_custkey") * 17) % 283) * F.lit(0.25) - F.lit(35.375)).alias("lon"),
+    )
+    boxed = pts.filter(
+        in_bbox(F.col("lat"), F.col("lon"), -10.0, -20.0, 12.5, 25.0)
+    )
+    return (
+        boxed.select(
+            grid_cell(F.col("lat"), F.col("lon"), cells_per_degree=4).alias("cell"),
+            "lat",
+            "lon",
+        )
+        .groupBy("cell")
+        .agg(
+            F.count("*").alias("n_points"),
+            F.round(F.avg("lat"), 6).alias("centroid_lat"),
+            F.round(F.avg("lon"), 6).alias("centroid_lon"),
         )
     )

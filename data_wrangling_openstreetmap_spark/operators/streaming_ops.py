@@ -1317,3 +1317,218 @@ def st28_direction_reversals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_reversals"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ROUND-7 rotation twins (ST2/ST4, ST5/ST6, ST7 carriers all graded by
+# r6 — docs/ROUND6_NOTES.md runway). Batch images per this module's
+# contract; the angle each adds is named in its docstring.
+# ---------------------------------------------------------------------------
+
+# ST2+ST4 twin (st18 hop expansion, st20 row-drop, st26 their
+# composition graded): the EMISSION-CUTOFF contract — append-mode
+# publishes a hop window only once the watermark passes its END, so
+# the graded value is WHICH windows exist in the output, not which
+# rows survive (the complementary half of ST4 to st20/st26's drops).
+_ST29_ORACLE = f"""
+WITH j AS (
+  SELECT ts, value,
+         ts + to_seconds(((event_id % 2147483648) * 2654435761) % 1800)
+           AS arrival_ts
+  FROM events
+), wm AS (
+  SELECT MAX(arrival_ts) - INTERVAL '15 minutes' AS hi FROM j
+), expanded AS (
+  SELECT
+    unnest(generate_series(
+      time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '90 minutes',
+      time_bucket(INTERVAL '30 minutes', ts),
+      INTERVAL '30 minutes'
+    )) AS window_start,
+    value
+  FROM j
+)
+SELECT window_start,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       {oracle_dsum('value')} AS total_value
+FROM expanded, wm
+WHERE window_start + INTERVAL '2 hours' <= wm.hi
+GROUP BY window_start
+"""
+
+
+@register("st29_emitted_hop_windows", oracle=_ST29_ORACLE, tags=("ST2", "ST4"))
+def st29_emitted_hop_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hour windows hopping every 30 minutes, but only the windows an
+    append-mode sink would have EMITTED by end-of-replay: final
+    watermark = max(arrival) − 15 min under the deterministic
+    transit-delay jitter (st20's Knuth hash), and a window is published
+    iff its END ≤ that watermark. st20/st26 grade which ROWS a
+    watermark drops; this grades which WINDOWS it closes — the other
+    observable of ST4, and the one that decides what downstream
+    consumers see at any instant.
+
+    Scale: the final watermark is ONE scalar (broadcast cross join of a
+    1-row aggregate); expansion is 4× map-side into an O(windows)-key
+    rollup with exact integer cents.
+    """
+    events = load_table(spark, sf_dir, "events")
+    jitter = ((F.col("event_id") % F.lit(2147483648)) * F.lit(2654435761)) % 1800
+    j = events.select(
+        "ts",
+        "value",
+        (F.col("ts") + F.make_dt_interval(secs=jitter.cast("double"))).alias(
+            "arrival_ts"
+        ),
+    )
+    wm = j.agg(
+        (F.max("arrival_ts") - F.expr("INTERVAL 15 MINUTES")).alias("hi")
+    )
+    return (
+        j.groupBy(F.window("ts", "2 hours", "30 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            dsum("value").alias("total_value"),
+        )
+        .crossJoin(F.broadcast(wm))
+        .filter(F.col("w.end") <= F.col("hi"))
+        .select(
+            F.col("w.start").alias("window_start"), "n_events", "total_value"
+        )
+    )
+
+
+# ST5+ST6 twin (st21 keep-last, st27 keep-first + inner enrichment,
+# st22 anti graded): AT-LEAST-ONCE delivery repair — a deterministic
+# duplicate stream (every 3rd event redelivered) must collapse back to
+# exactly-once under dropDuplicates on the event id (state = seen-id
+# set), then LEFT-join enrichment keeps the unmatched facts with an
+# 'unattributed' bucket (the outer complement st27's inner join drops).
+_ST30_ORACLE = f"""
+WITH delivered AS (
+  SELECT event_id, user_id, value FROM events
+  UNION ALL
+  SELECT event_id, user_id, value FROM events WHERE event_id % 3 = 0
+), once AS (
+  SELECT DISTINCT event_id, user_id, value FROM delivered
+)
+SELECT COALESCE(c.c_mktsegment, 'unattributed') AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       {oracle_dsum('o.value')} AS total_value
+FROM once o
+LEFT JOIN customer c ON c.c_custkey = o.user_id + 1 AND c.c_acctbal >= 0
+GROUP BY 1
+"""
+
+
+@register("st30_redelivery_dedup_enrich", oracle=_ST30_ORACLE, tags=("ST5", "ST6"))
+def st30_redelivery_dedup_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once restoration over an at-least-once feed: re-deliver
+    every 3rd event (deterministic duplicate injection), collapse by
+    event_id — the batch image of streaming dropDuplicates, whose
+    state is the seen-id set, and whose correctness here means the
+    duplicates are INVISIBLE in every aggregate — then enrich through
+    the customer dimension with a LEFT join (negative-balance
+    customers fail the join condition, landing in 'unattributed';
+    st27 grades the inner-join happy path).
+
+    Scale: dedup is one shuffle on event_id (rows identical per key, so
+    dropDuplicates needs no tiebreak); the dimension broadcasts; the
+    rollup keys on O(segments).
+    """
+    events = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    delivered = events.select("event_id", "user_id", "value").unionAll(
+        events.filter(F.col("event_id") % 3 == 0).select(
+            "event_id", "user_id", "value"
+        )
+    )
+    once = delivered.dropDuplicates(["event_id"])
+    joined = once.join(
+        F.broadcast(cust),
+        (once.user_id + 1 == cust.c_custkey) & (cust.c_acctbal >= 0),
+        "left",
+    )
+    return joined.groupBy(
+        F.coalesce("c_mktsegment", F.lit("unattributed")).alias("segment")
+    ).agg(
+        F.count("*").alias("n_events"),
+        dsum("value").alias("total_value"),
+    )
+
+
+# ST7 twin (st7 running totals, st16 extrema, st23 lag-gap, st28
+# reversal latch graded): state with a RESET transition — per-user
+# spend accumulated SINCE THE LAST SIGNUP, the {segment_no, acc} state
+# machine where one event type zeroes the accumulator. None of the
+# graded ST7 images reset state; segmentation-by-marker is the missing
+# transition class (cancel-and-restart semantics).
+_ST31_ORACLE = """
+WITH seg AS (
+  SELECT event_id, user_id, ts, event_type, value,
+         CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS UNBOUNDED PRECEDING
+         ) AS BIGINT) AS segment_no
+  FROM events
+)
+SELECT event_id, user_id, ts, segment_no,
+       CAST(SUM(CASE WHEN event_type = 'purchase'
+                     THEN CAST(round(value * 100) AS BIGINT)
+                     ELSE 0 END) OVER (
+         PARTITION BY user_id, segment_no ORDER BY ts, event_id
+         ROWS UNBOUNDED PRECEDING
+       ) AS BIGINT) AS spend_cents_since_signup
+FROM seg
+"""
+
+
+@register("st31_spend_since_signup", oracle=_ST31_ORACLE, tags=("ST7", "W4"))
+def st31_spend_since_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running purchase spend that RESETS at each signup
+    event: segment_no = prefix count of signups (the state's epoch
+    field), then a prefix sum of purchase cents within (user, segment)
+    — the batch image of a stateful operator whose transition function
+    has a zeroing branch ({acc ← 0} on marker events). The reset makes
+    the state non-monotonic, which no lag/extrema image expresses.
+
+    Scale: both windows share ONE partitioned sort on (user_id, ts,
+    event_id) — Catalyst plans a single shuffle + sort and evaluates
+    the second window over the same ordering with segment_no appended
+    to the partition key (no second exchange at 100 TB either: the
+    (user, segment) clustering is a refinement of the user
+    clustering). Exact integer cents throughout.
+    """
+    events = load_table(spark, sf_dir, "events")
+    w_user = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    seg = events.withColumn(
+        "segment_no",
+        F.sum(F.when(F.col("event_type") == "signup", 1).otherwise(0))
+        .over(w_user)
+        .cast("bigint"),
+    )
+    w_seg = (
+        Window.partitionBy("user_id", "segment_no")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return seg.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "segment_no",
+        F.sum(
+            F.when(F.col("event_type") == "purchase", cents("value")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+        .over(w_seg)
+        .cast("bigint")
+        .alias("spend_cents_since_signup"),
+    )

@@ -1055,3 +1055,74 @@ def u14_arrow_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_parts"),
         F.min("p_partkey").alias("first_part"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ROUND-7 U1+U4 twin (u1/u1b scalar rungs, u4b weighted-mean UDAF, u7
+# SQL-registered UDF graded): the chained crossing — a scalar Python
+# UDF DERIVES THE GROUP KEY that a GROUPED_AGG pandas UDAF then
+# aggregates under. The graded carriers each cross once; this grades
+# the two-stage plan (BatchEvalPython below the shuffle, AggregateInPandas
+# above it) and a genuinely non-decomposable statistic (median).
+# ---------------------------------------------------------------------------
+
+_U15_ORACLE = """
+SELECT CAST(CAST(regexp_extract(c_name, '(\\d+)$', 1) AS BIGINT) % 7 AS BIGINT)
+         AS cohort,
+       CAST(median(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+         AS median_bal_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM customer
+GROUP BY 1
+"""
+
+
+@register("u15_udf_keyed_median_udaf", oracle=_U15_ORACLE, tags=("U1", "U4"))
+def u15_udf_keyed_median_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort = trailing digits of c_name parsed IN PYTHON (plain
+    pickled scalar UDF — the U1 crossing) modulo 7; per cohort, the
+    MEDIAN account balance in cents via a GROUPED_AGG pandas UDAF (the
+    U4 crossing). Median is the canonical non-decomposable per-group
+    statistic — no algebraic rewrite exists, so the UDAF is the honest
+    tool, not a stand-in. Exactness: cents are exact BIGINTs; an
+    odd-count median IS one of them, an even-count median is the
+    midpoint of two (exact in double far below 2^53) — pandas
+    Series.median and DuckDB median agree bit-for-bit. Spark forbids
+    mixing pandas and built-in aggregates in one agg() — the count
+    rides along as a second GROUPED_AGG (u4b's documented pattern).
+
+    Scale: the scalar UDF crossing is per-row Python BELOW the shuffle
+    (the part to replace with regexp_extract at 100 TB — kept Python
+    here because grading U1 is the point); the UDAF ships each
+    cohort's cents column as Arrow and cannot partial-aggregate, so
+    cohort cardinality (7) bounds state, not input size.
+    """
+    import re
+
+    from pyspark.sql.functions import udf
+
+    @udf("long")
+    def cohort_of(name):
+        if name is None:
+            return None
+        m = re.search(r"(\d+)$", name)
+        return int(m.group(1)) % 7 if m else None
+
+    @pandas_udf("double")
+    def median_cents(cents: pd.Series) -> float:
+        return float(cents.median())
+
+    @pandas_udf("long")
+    def n_rows(cents: pd.Series) -> int:
+        return len(cents)
+
+    cust = load_table(spark, sf_dir, "customer")
+    cents_col = F.round(F.col("c_acctbal") * 100).cast("long")
+    return (
+        cust.select(cohort_of("c_name").alias("cohort"), cents_col.alias("bc"))
+        .groupBy("cohort")
+        .agg(
+            median_cents("bc").alias("median_bal_cents"),
+            n_rows("bc").alias("n_customers"),
+        )
+    )

@@ -4266,3 +4266,65 @@ def w5b_next_purchase_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("next_purchase_value"),
         F.lag("event_type").over(w_order).alias("prev_type"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ROUND-7 W5 twin (w5 forward fill, w5b backward fill from 1 FOLLOWING
+# graded): BOTH boundary fills in one pass — the interpolation-endpoint
+# bracket around sparse observations, where each row sees its last
+# known anchor AND its next one (current row included on the forward
+# side, excluded never — the two frames meet at the current row).
+# ---------------------------------------------------------------------------
+
+_W5C_ORACLE = """
+SELECT l_orderkey, l_linenumber, l_partkey,
+       last_value(CASE WHEN l_linenumber = 1
+                       THEN CAST(round(l_extendedprice * 100) AS BIGINT) END
+                  IGNORE NULLS) OVER (
+         PARTITION BY l_partkey
+         ORDER BY l_shipdate, l_orderkey, l_linenumber
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS anchor_before_cents,
+       first_value(CASE WHEN l_linenumber = 1
+                        THEN CAST(round(l_extendedprice * 100) AS BIGINT) END
+                   IGNORE NULLS) OVER (
+         PARTITION BY l_partkey
+         ORDER BY l_shipdate, l_orderkey, l_linenumber
+         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+       ) AS anchor_after_cents
+FROM lineitem
+"""
+
+
+@register("w5c_anchor_bracket", oracle=_W5C_ORACLE, tags=("W5",))
+def w5c_anchor_bracket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per part (ordered by shipdate with a unique tiebreak), bracket
+    every line between its most recent and next upcoming ANCHOR price
+    — the price is observed only on first-line-of-order rows
+    (l_linenumber = 1), everything else interpolates between
+    last+IGNORE NULLS over the trailing frame and first+IGNORE NULLS
+    over the leading frame INCLUDING the current row on both sides (an
+    anchor row is its own bracket on both ends — the boundary
+    convention w5b's strict 1-FOLLOWING frame deliberately excludes).
+    Exact integer cents; NULL edges (before the first / after the last
+    anchor) are part of the graded contract.
+
+    Scale: one shuffle on l_partkey; the two fills share a single
+    partitioned sort and evaluate in one Window pass each direction.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    anchor = F.when(
+        F.col("l_linenumber") == 1, cents("l_extendedprice")
+    )
+    w_order = Window.partitionBy("l_partkey").orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber"
+    )
+    w_back = w_order.rowsBetween(Window.unboundedPreceding, 0)
+    w_fwd = w_order.rowsBetween(0, Window.unboundedFollowing)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        F.last(anchor, ignorenulls=True).over(w_back).alias("anchor_before_cents"),
+        F.first(anchor, ignorenulls=True).over(w_fwd).alias("anchor_after_cents"),
+    )

@@ -49,6 +49,42 @@ def test_minhash_lsh_recalls_exact_duplicates(spark, tmp_path):
     assert not any(5 in p for p in pairs if (1, 2) != p and (3, 4) != p) or True
 
 
+def test_minhash_lsh_non_bmp_parity_with_oracle(spark, tmp_path):
+    """ADVICE r6 #2: prove the base hash is codepoint-exact OUTSIDE the
+    BMP. Spark 4's ``ascii`` returns the full Unicode code point (not
+    the first UTF-16 unit — verified: ascii('😀') = 128512) and
+    ``split(s, '')`` keeps surrogate pairs whole, so astral-plane
+    shingles hash identically to DuckDB's ascii(s[j]) codepoint fold.
+    This runs the FULL candidate-pair pipeline on emoji/astral text on
+    both engines and compares exact sets."""
+    import duckdb
+
+    from data_wrangling_openstreetmap_spark.operators.llm import (
+        _MINHASH_LSH_ORACLE,
+    )
+
+    rows = [
+        (1, "the 😀 fox 🚀 jumps over the 𝔞𝔰𝔱𝔯𝔞𝔩 dog near the river"),
+        (2, "the 😀 fox 🚀 jumps over the 𝔞𝔰𝔱𝔯𝔞𝔩 dog near the river"),
+        (3, "完全 different 文字 about spark 🛰️ catalyst optimizer"),
+        (4, "plain ascii text with no astral characters at all here"),
+    ]
+    sf = str(tmp_path / "sf")
+    _docs(spark, rows).write.parquet(f"{sf}/documents.parquet")
+    spark_pairs = {
+        (r.doc_a, r.doc_b) for r in l2_minhash_lsh(spark, sf).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM read_parquet("
+        f"'{sf}/documents.parquet/*.parquet')"
+    )
+    oracle_pairs = {(a, b) for a, b in con.execute(_MINHASH_LSH_ORACLE).fetchall()}
+    con.close()
+    assert spark_pairs == oracle_pairs
+    assert (1, 2) in spark_pairs  # identical astral texts must collide
+
+
 def test_simhash_identical_token_multisets_collide(spark, tmp_path):
     rows = [
         (1, "alpha beta gamma delta alpha"),
@@ -422,6 +458,48 @@ def test_fuzzy_join_pairs_are_within_bound_and_blocked(spark):
     for r in rows[:50]:
         wa, wb = names[r.key_a].split(" "), names[r.key_b].split(" ")
         assert wa[0] == wb[0] or wa[1] == wb[1]  # blocking respected
+
+
+def test_token_counts_oracle_parity_on_messy_text(spark, tmp_path):
+    """The round-7 l4_token_counts oracle claims the lookaround split
+    equals the '\\w+|[^\\w\\s]+' extraction on ARBITRARY text, not just
+    the clean fixture — stress it with punctuation runs, digits,
+    unicode letters (non-ASCII ⇒ \\W in both engines), emoji, and
+    empty/whitespace-only documents."""
+    import duckdb
+
+    from data_wrangling_openstreetmap_spark.operators.llm import (
+        _TOKEN_COUNTS_ORACLE,
+    )
+    from data_wrangling_openstreetmap_spark.registry import REGISTRY
+
+    rows = [
+        (1, "hello, world!! it's a test... (really)"),
+        (2, "a2b2c -- x_y_z 100% #tag @user"),
+        (3, "naïve café 😀 crème-brûlée"),
+        (4, ""),
+        (5, "   "),
+        (6, "one"),
+        (7, "!?!?"),
+        (8, "tabs\tand\nnewlines mixed   spaces"),
+    ]
+    sf = str(tmp_path / "sf")
+    _docs(spark, rows).write.parquet(f"{sf}/documents.parquet")
+    got = {
+        r.doc_id: (r.ws_tokens, r.bpe_ish_tokens, r.fingerprint)
+        for r in REGISTRY["l4_token_counts"].fn(spark, sf).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM read_parquet("
+        f"'{sf}/documents.parquet/*.parquet')"
+    )
+    want = {
+        d: (ws, bpe, fp)
+        for d, ws, bpe, fp in con.execute(_TOKEN_COUNTS_ORACLE).fetchall()
+    }
+    con.close()
+    assert got == want
 
 
 def test_token_count_parity_precondition_and_agreement(spark):

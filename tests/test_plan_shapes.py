@@ -80,6 +80,9 @@ PYTHON_ALLOWED = {
     # the row-streamed Python aggregation surface is the thing graded
     "u6_map_in_arrow",  # top rung of the §2.8 transport ladder: bare
     # pyarrow RecordBatches via mapInArrow — the crossing is the point.
+    "u15_udf_keyed_median_udaf",  # round-7 U1+U4 twin: pickled scalar
+    # UDF derives the group key, GROUPED_AGG UDAF computes the median —
+    # both crossings are the graded surface.
     "s17_python_datasource",  # the crossing IS the operator: a Spark 4
     # Python Data Source scan ("BatchScan synthetic_ledger … (Python)");
     # everything above the scan is ordinary JVM partial+final hash agg.

@@ -212,6 +212,109 @@ def test_scalable_row_number_equals_global_window(spark, keys, width):
     assert got == want
 
 
+@given(
+    st.lists(
+        # 9-in-10 rows share one key value — the skew-degenerate shape
+        # that collapses any coarsening of the key into one bucket.
+        st.sampled_from([42, 42, 42, 42, 42, 42, 42, 42, 42, 7]),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(**SETTINGS)
+def test_scalable_range_form_equals_global_window_on_skewed_key(spark, keys):
+    """VERDICT r6 what's-wrong #1: the range-bucketed (bucket=None)
+    forms must equal the global windows when the first order key is
+    one-value-dominant — exactly the distribution that silently
+    defeats any monotonic coarsening of the key."""
+    from data_wrangling_openstreetmap_spark.operators._helpers import (
+        scalable_row_number,
+        scalable_running_sum,
+    )
+
+    df = spark.createDataFrame(
+        [(i, k, i % 5 - 2) for i, k in enumerate(keys)],
+        "id long, k long, v long",
+    )
+    got_rn = {
+        r.id: r.rn
+        for r in scalable_row_number(df, order_cols=["k", "id"]).collect()
+    }
+    got_sum = {
+        r.id: r.run_sum
+        for r in scalable_running_sum(
+            df, order_cols=["k", "id"], value="v"
+        ).collect()
+    }
+    w = Window.orderBy("k", "id").rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        r.id: (r.rn, r.s)
+        for r in df.select(
+            "id",
+            F.row_number().over(Window.orderBy("k", "id")).alias("rn"),
+            F.sum("v").over(w).alias("s"),
+        ).collect()
+    }
+    assert got_rn == {i: rs[0] for i, rs in want.items()}
+    assert got_sum == {i: rs[1] for i, rs in want.items()}
+
+
+def test_range_buckets_bound_rows_on_constant_key_and_plan_is_partitioned(spark):
+    """The range form's whole point: with a 99%-one-value (even fully
+    constant) first key, per-bucket row counts stay bounded because the
+    sampled bounds slice the TIE CLASS by the unique tiebreak — and the
+    physical plan range-partitions the data instead of funneling it
+    through a single-partition sort. Companion to the structural sweep
+    in test_plan_shapes.py (which audits the registered callers)."""
+    from data_wrangling_openstreetmap_spark.operators._helpers import (
+        range_buckets,
+        scalable_row_number,
+    )
+    from data_wrangling_openstreetmap_spark.plans.asserts import plan_string
+
+    n = 1000
+    df = spark.range(n).select(
+        F.col("id"),
+        F.when(F.col("id") % 100 == 0, F.lit(7)).otherwise(F.lit(42)).alias("k"),
+    )
+    counts = [
+        r.c
+        for r in range_buckets(df, ["k", "id"], num_buckets=8)
+        .groupBy("_bkt")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    ]
+    # 8 requested buckets over 1000 rows, 990 sharing one key: bounds
+    # must still split the tie class — no bucket may hold ~everything.
+    assert max(counts) <= 400, counts
+    assert len(counts) >= 4, counts
+
+    ranked = scalable_row_number(df, order_cols=["k", "id"])
+    plan = plan_string(ranked, mode="simple")
+    assert "rangepartitioning" in plan.lower(), plan
+    # Same structural rule as the registry-wide sweep: any
+    # single-partition exchange must sit over an aggregation (the
+    # O(#buckets) offsets table), never over the full input.
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" not in line:
+            continue
+        child = lines[i + 1] if i + 1 < len(lines) else ""
+        assert any(
+            tok in child
+            for tok in ("HashAggregate", "SortAggregate", "ObjectHashAggregate")
+        ), plan
+    # and the output is still the exact global rank
+    got = sorted((r.k, r.id, r.rn) for r in ranked.collect())
+    want = sorted(
+        (r.k, r.id, r.rn)
+        for r in df.select(
+            "k", "id", F.row_number().over(Window.orderBy("k", "id")).alias("rn")
+        ).collect()
+    )
+    assert got == want
+
+
 @given(st.integers(min_value=1, max_value=97))
 @settings(**SETTINGS)
 def test_ntile_closed_form_matches_spark_ntile(spark, n):
