@@ -136,7 +136,11 @@ DRIVER_WINDOW = (
     "q52_cohort_ltv",
     "a50_welch_ttest",
     "w38_rolling_ols",
-    "dq7_benford_audit",
+    # round-7 simhash oracle conversion (the minhash recipe's third
+    # application) — like minhash, the fresh cross-engine hash family
+    # deserves the driver's own verdict; its only prior record is the
+    # r1 no_oracle row:
+    "l2_simhash",
     "q62_price_elasticity",
 )
 

@@ -401,22 +401,97 @@ def l2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register("l2_simhash", oracle=None, tags=("L2",))
-def l2_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash per document: for each bit, majority vote of
-    xxhash64(token) bits over all tokens (occurrence-weighted). Hamming
-    neighbors ⇒ near-duplicates; identical token multisets ⇒ identical
-    fingerprints (asserted in tests).
+# Full oracle since round 7 (the minhash/token-counts recipe, third
+# application): the signature is re-founded on the oracle-expressible
+# 31-poly codepoint fold, seed-varied by TWO affine maps — 62 vote
+# lanes (31 bits each) instead of xxhash64's 64. The production
+# xxhash64 family stays in functions/text.py (simhash64), still
+# exercised by the l2_simhash_invariance contract and the property
+# tests; THIS op is the cross-engine-reproducible form.
+_SH_A1, _SH_B1 = 48271, 11213
+_SH_A2, _SH_B2 = 16807, 104651
 
-    Scale: pure projection, no shuffle at all — the downstream near-dup
-    join buckets on 16-bit fingerprint chunks (pigeonhole: hamming ≤ 3
-    ⇒ at least one of 4 chunks identical), same meet-in-bucket shape as
-    MinHash-LSH.
+
+def _sh_lane_sql(arr: str, lane_base: int) -> str:
+    terms = [
+        f"(CASE WHEN 2 * list_sum(list_transform({arr}, h -> (h >> {b}) & 1))"
+        f" > len({arr}) THEN (CAST(1 AS BIGINT) << {lane_base + b}) ELSE 0 END)"
+        for b in range(31)
+    ]
+    return " + ".join(terms)
+
+
+_SIMHASH_ORACLE = f"""
+WITH t AS (SELECT doc_id, {_ORACLE_TOKS} AS toks FROM documents),
+h AS MATERIALIZED (
+  -- MATERIALIZED: DuckDB inlines plain CTEs per reference, which would
+  -- recompute the per-token codepoint fold once per bit expression.
+  SELECT doc_id,
+         list_transform(toks, s -> ({_SH_A1} * {_MH_BASE_HASH_SQL} + {_SH_B1}) % {_MH_P}) AS a1,
+         list_transform(toks, s -> ({_SH_A2} * {_MH_BASE_HASH_SQL} + {_SH_B2}) % {_MH_P}) AS a2
+  FROM t)
+SELECT doc_id,
+       CAST({_sh_lane_sql('a1', 0)} + {_sh_lane_sql('a2', 31)} AS BIGINT)
+         AS simhash
+FROM h
+"""
+
+
+@register("l2_simhash", oracle=_SIMHASH_ORACLE, tags=("L2",))
+def l2_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """62-bit SimHash per document: for each bit, occurrence-weighted
+    majority vote over all tokens — bit b set iff MORE than half the
+    token hashes have bit b set (strict majority; the tie rule is part
+    of the graded contract). Hamming neighbors ⇒ near-duplicates;
+    identical token multisets ⇒ identical fingerprints (asserted in
+    tests, order-invariance by construction since votes sum over the
+    multiset). Hash family (round 7): per-token 31-poly codepoint fold
+    seed-varied by two affine maps mod 2^31−1 — 31 vote lanes each,
+    exactly reproducible in the DuckDB oracle, so the fingerprints are
+    value-hash-graded (the xxhash64 production family remains in
+    functions/text.py for callers not needing cross-engine
+    reproduction; 62 vs 64 bits changes nothing downstream — the
+    chunk-bucket join splits whatever width into 4 chunks).
+
+    Scale: pure projection, no shuffle at all — the fold arrays are
+    computed ONCE in a projection and the 62 per-bit folds re-read the
+    materialized arrays (both engines; the oracle's CTE is MATERIALIZED
+    for the same reason). The downstream near-dup join buckets on
+    16-bit fingerprint chunks (pigeonhole: hamming ≤ 3 ⇒ at least one
+    of 4 chunks identical), same meet-in-bucket shape as MinHash-LSH.
     """
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", T.simhash64(T.tokens(F.col("text"))).alias("simhash")
+
+    def lane(seed_a: int, seed_b: int):
+        def xf(t):
+            return (F.lit(seed_a) * _codepoint_fold(t) + F.lit(seed_b)) % _MH_P
+
+        return xf
+
+    hs = docs.select(
+        "doc_id",
+        F.transform(T.tokens(F.col("text")), lane(_SH_A1, _SH_B1)).alias("a1"),
+        F.transform(T.tokens(F.col("text")), lane(_SH_A2, _SH_B2)).alias("a2"),
     )
+
+    def vote_for_bit(b: int):
+        # HOF lambdas must take exactly (acc, x) — no captured defaults
+        # (two-arg transform lambdas bind (element, index); CLAUDE.md).
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    simhash = None
+    for lane_col, base in (("a1", 0), ("a2", 31)):
+        for b in range(31):
+            vote = F.aggregate(F.col(lane_col), F.lit(0), vote_for_bit(b))
+            bit = (
+                F.when(vote > 0, F.lit(1).cast("long"))
+                .otherwise(F.lit(0).cast("long"))
+            )
+            term = F.shiftleft(bit, base + b)
+            simhash = term if simhash is None else simhash.bitwiseOR(term)
+    return hs.select("doc_id", simhash.alias("simhash"))
 
 
 # ---------------------------------------------------------------------------

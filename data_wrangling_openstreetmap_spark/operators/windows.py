@@ -3321,7 +3321,15 @@ WITH p AS (
   FROM lineitem
   WINDOW w AS (
     PARTITION BY l_suppkey
-    ORDER BY l_shipdate, l_orderkey, l_linenumber
+    -- (shipdate, orderkey, linenumber) is NOT unique in the synthetic
+    -- lineitem (duplicate line pairs, the f6d note); appending the two
+    -- VALUE columns makes tie order fully deterministic — remaining
+    -- ties are identical rows, whose order cannot change a prefix sum.
+    -- Found by the round-7 sf0.1 sweep: exactly one differing-value
+    -- tie class (suppkey 707), which both engines ordered by luck
+    -- until a concurrent-load run flipped Spark's shuffle arrival.
+    ORDER BY l_shipdate, l_orderkey, l_linenumber,
+             l_quantity, round(l_extendedprice * 100)
     ROWS UNBOUNDED PRECEDING
   )
 )
@@ -3351,7 +3359,15 @@ def w36_anchored_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     w = (
         Window.partitionBy("l_suppkey")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        # value columns appended: see the oracle's WINDOW comment (the
+        # key triple is not unique; ties must not reorder under load).
+        .orderBy(
+            "l_shipdate",
+            "l_orderkey",
+            "l_linenumber",
+            "l_quantity",
+            F.round(F.col("l_extendedprice") * 100),
+        )
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     num = F.sum(
@@ -4282,14 +4298,16 @@ SELECT l_orderkey, l_linenumber, l_partkey,
                        THEN CAST(round(l_extendedprice * 100) AS BIGINT) END
                   IGNORE NULLS) OVER (
          PARTITION BY l_partkey
-         ORDER BY l_shipdate, l_orderkey, l_linenumber
+         ORDER BY l_shipdate, l_orderkey, l_linenumber,
+                  l_quantity, round(l_extendedprice * 100)
          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
        ) AS anchor_before_cents,
        first_value(CASE WHEN l_linenumber = 1
                         THEN CAST(round(l_extendedprice * 100) AS BIGINT) END
                    IGNORE NULLS) OVER (
          PARTITION BY l_partkey
-         ORDER BY l_shipdate, l_orderkey, l_linenumber
+         ORDER BY l_shipdate, l_orderkey, l_linenumber,
+                  l_quantity, round(l_extendedprice * 100)
          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
        ) AS anchor_after_cents
 FROM lineitem
@@ -4316,8 +4334,15 @@ def w5c_anchor_bracket(spark: SparkSession, sf_dir: str) -> DataFrame:
     anchor = F.when(
         F.col("l_linenumber") == 1, cents("l_extendedprice")
     )
+    # value columns appended to the order: the key triple is NOT
+    # unique in the synthetic lineitem (the w36 sf0.1 lesson) — ties
+    # must not reorder the fills under shuffle-arrival nondeterminism.
     w_order = Window.partitionBy("l_partkey").orderBy(
-        "l_shipdate", "l_orderkey", "l_linenumber"
+        "l_shipdate",
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        F.round(F.col("l_extendedprice") * 100),
     )
     w_back = w_order.rowsBetween(Window.unboundedPreceding, 0)
     w_fwd = w_order.rowsBetween(0, Window.unboundedFollowing)

@@ -214,9 +214,11 @@ def test_scalable_row_number_equals_global_window(spark, keys, width):
 
 @given(
     st.lists(
-        # 9-in-10 rows share one key value — the skew-degenerate shape
-        # that collapses any coarsening of the key into one bucket.
-        st.sampled_from([42, 42, 42, 42, 42, 42, 42, 42, 42, 7]),
+        # 8-in-10 rows share one key value — the skew-degenerate shape
+        # that collapses any coarsening of the key into one bucket —
+        # plus occasional NULL keys (range partitioning and window
+        # ordering must agree on null placement: both nulls-first).
+        st.sampled_from([42, 42, 42, 42, 42, 42, 42, 42, 7, None]),
         min_size=1,
         max_size=40,
     )
