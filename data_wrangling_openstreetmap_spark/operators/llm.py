@@ -1044,6 +1044,10 @@ def l3_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall (tests measure it against q10: ~0.6 at this setting, vs 1/16
     chance); DuckDB can't express meet-in-bucket, hence rows-only
     grading with the exact form as the in-repo recall oracle.
+
+    Oracle conversion CLOSED (VERDICT r7 §Next #6): the model is a
+    sampled/probabilistic index whose value contract is recall, and
+    that contract IS driver-graded via l3_ann_recall_contract.
     """
     e = load_table(spark, sf_dir, "embeddings")
     n_tables, n_planes = 6, 4
@@ -1130,6 +1134,10 @@ def l3_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     - top-k: row_number window per query id.
     Raising nprobe trades cost for recall (tests measure recall against
     the exact q10).
+
+    Oracle conversion CLOSED (VERDICT r7 §Next #6): the quantizer is a
+    sampled KMeans model with no DuckDB image; the value contract
+    (recall vs exact) is driver-graded via l3_ann_recall_contract.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector

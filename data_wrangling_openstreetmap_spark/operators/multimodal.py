@@ -72,7 +72,9 @@ def m1_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     typed metadata via mapInPandas with the production batch shape.
 
     Rows-only graded (codec output isn't SQL-expressible); determinism
-    and schema are unit-tested.
+    and schema are unit-tested. Oracle conversion CLOSED (VERDICT r7
+    §Next #6): the checksum is zlib.crc32, which has no DuckDB image;
+    the crc-free parity twin m5 carries the full cross-engine grade.
     """
     docs = load_table(spark, sf_dir, "documents")
     payload = docs.select(
@@ -144,7 +146,9 @@ def m2_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     a video blob) fans out to every 5th frame as its own row with a
     timestamp and checksum — the shape a training pipeline feeds to a
     vision encoder. Rows-only graded; determinism, fan-out cardinality
-    (5 frames/doc), and schema are unit-tested.
+    (5 frames/doc), and schema are unit-tested. Oracle conversion
+    CLOSED (VERDICT r7 §Next #6): the frame checksum is zlib.crc32 (no
+    DuckDB image); the crc-free twin m2b carries the full grade.
 
     Scale: mapInPandas streams batches worker-parallel and the 1→N
     fan-out happens inside the Python worker — no explode-shuffle of
@@ -216,6 +220,9 @@ def m3_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     rescale math is exact integer arithmetic so the stage is
     deterministic without any float tolerance. Rows-only graded;
     determinism, aspect-ratio preservation, and schema are unit-tested.
+    Oracle conversion CLOSED (VERDICT r7 §Next #6): the payload
+    checksum is zlib.crc32 (no DuckDB image); the integer rescale math
+    itself is fully covered by the graded m-pipeline parity twins.
 
     Scale: like m1 — worker-parallel projection, binary never shuffled;
     at 100 TB the only knob is arrow.maxRecordsPerBatch vs payload size.
@@ -271,6 +278,9 @@ def m4_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output is scalar-only (dim, norm, checksum of rounded components):
     the array itself stays internal so any grading path can hash rows.
+    Oracle conversion CLOSED (VERDICT r7 §Next #6): the component
+    checksum is zlib.crc32 (no DuckDB image); the crc-free twin m4b
+    carries the full cross-engine grade of the same vector math.
 
     Scale: one Python crossing for the encode, then everything is
     codegen; features (32 B/row here) ride shuffles, payloads never do.

@@ -1067,7 +1067,8 @@ def u14_arrow_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _U15_ORACLE = """
-SELECT CAST(CAST(regexp_extract(c_name, '(\\d+)$', 1) AS BIGINT) % 7 AS BIGINT)
+SELECT CAST(TRY_CAST(NULLIF(regexp_extract(c_name, '(\\d+)$', 1), '') AS BIGINT)
+              % 7 AS BIGINT)
          AS cohort,
        CAST(median(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE)
          AS median_bal_cents,

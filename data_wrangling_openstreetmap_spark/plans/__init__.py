@@ -12,10 +12,14 @@ from .asserts import (
     assert_no_python_eval,
     plan_string,
 )
+from .window_orders import SweepStats, WindowHazard, window_order_hazards
 
 __all__ = [
     "PYTHON_EVAL_MARKERS",
     "assert_in_plan",
     "assert_no_python_eval",
     "plan_string",
+    "SweepStats",
+    "WindowHazard",
+    "window_order_hazards",
 ]

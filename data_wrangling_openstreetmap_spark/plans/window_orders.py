@@ -1,0 +1,302 @@
+"""Window order-tie determinism checker (VERDICT r7 §Next #2).
+
+The w36 lesson: a prefix-frame window whose ORDER BY is not unique
+within its partitions emits load-dependent results — rounds 1–6 passed
+on the luck of shuffle-arrival order, and the hand-audit that was
+supposed to prevent it missed w36 for six rounds. This module makes
+the hazard class checkable by machine instead of by vigilance.
+
+For a DataFrame, :func:`window_order_hazards` walks the OPTIMIZED
+logical plan (column pruning has run, so a window child's output is
+exactly the set of columns the query consumes at or above the window),
+finds every ``Window`` node, classifies each window expression as
+order-sensitive or not, and — for the sensitive ones — evaluates the
+child against the real fixture and asserts the invariant:
+
+    every (partition, order) tie class is CONSTANT in all child output
+    columns that are not themselves order/partition attributes.
+
+If that holds, tie rows are observationally interchangeable: any
+physical arrival order assigns the same multiset of output rows, so
+prefix sums, lag/lead, row_number, first/last etc. cannot diverge
+across runs or engines. If the order is unique there are no tie
+classes and the check passes trivially.
+
+Order-INSENSITIVE shapes (skipped without evaluation):
+- rank / dense_rank / percent_rank / cume_dist — depend only on order
+  VALUES, identical for tied rows;
+- commutative aggregates (sum/min/max/count/avg/bit/bool) over RANGE
+  frames — the frame is defined by order values, so every tie row sees
+  the same frame contents;
+- the same aggregates over ROWS UNBOUNDED PRECEDING..UNBOUNDED
+  FOLLOWING — the frame is the whole partition for every row.
+
+Everything else — ROWS-frame aggregates (prefix and sliding),
+first/last/nth_value/collect_list under any frame, lag/lead,
+row_number/ntile, and any window function this module does not
+recognize — is treated as order-sensitive (conservative default).
+
+Expressions are evaluated through the JVM objects themselves
+(``ExpressionUtils.column``), never by re-parsing ``expr.sql()`` text,
+so computed order keys, dotted names, and duplicate-name children all
+work. Child relations are materialized with ``Dataset.ofRows`` and the
+tie aggregation is one small groupBy per distinct (child, spec) —
+deduplicated across queries by the child plan's ``semanticHash``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# Window functions whose value depends only on the ORDER VALUES of the
+# row, never on intra-tie physical position.
+_RANK_LIKE = {"Rank", "DenseRank", "PercentRank", "CumeDist"}
+
+# Aggregates that are commutative and duplicate-respecting: the result
+# is a function of the frame's multiset of inputs, not their order.
+_COMMUTATIVE_AGGS = {
+    "Sum",
+    "Min",
+    "Max",
+    "Count",
+    "Average",
+    "BitAndAgg",
+    "BitOrAgg",
+    "BitXorAgg",
+    "BoolAnd",
+    "BoolOr",
+    "CountIf",
+    "StddevSamp",
+    "StddevPop",
+    "VarianceSamp",
+    "VariancePop",
+}
+
+
+@dataclass
+class WindowHazard:
+    """One window node that failed (or could not complete) the check."""
+
+    kind: str  # "tie-violation" | "skipped"
+    functions: Tuple[str, ...]
+    partition: Tuple[str, ...]
+    order: Tuple[str, ...]
+    detail: str
+
+    def __str__(self) -> str:  # pragma: no cover - formatting only
+        return (
+            f"[{self.kind}] fns={list(self.functions)} "
+            f"partitionBy={list(self.partition)} orderBy={list(self.order)}: "
+            f"{self.detail}"
+        )
+
+
+@dataclass
+class SweepStats:
+    windows_seen: int = 0
+    windows_checked: int = 0
+    windows_safe_by_shape: int = 0
+    cache_hits: int = 0
+    hazards: List[WindowHazard] = field(default_factory=list)
+
+
+def _seq(jseq) -> list:
+    return [jseq.apply(i) for i in range(jseq.size())]
+
+
+def _walk_windows(node, acc: list) -> list:
+    if node.getClass().getSimpleName() == "Window":
+        acc.append(node)
+    for child in _seq(node.children()):
+        _walk_windows(child, acc)
+    # Scalar/lateral subqueries carry their own plans; a Window there is
+    # just as hazardous.
+    try:
+        for sub in _seq(node.subqueries()):
+            _walk_windows(sub, acc)
+    except Exception:
+        pass
+    return acc
+
+
+def _frame_parts(frame) -> Optional[Tuple[str, str, str]]:
+    """(frameType, lower, upper) as SQL strings, or None if unspecified."""
+    if frame.getClass().getSimpleName() != "SpecifiedWindowFrame":
+        return None
+    return (
+        frame.frameType().sql(),
+        frame.lower().sql(),
+        frame.upper().sql(),
+    )
+
+
+def _fn_order_sensitive(wexpr) -> Tuple[bool, str]:
+    """Classify one WindowExpression; returns (sensitive, label)."""
+    fn = wexpr.windowFunction()
+    cls = fn.getClass().getSimpleName()
+    if cls in _RANK_LIKE:
+        return False, cls
+    if cls == "AggregateExpression":
+        inner = fn.aggregateFunction().getClass().getSimpleName()
+        label = f"agg:{inner}"
+        if inner not in _COMMUTATIVE_AGGS:
+            return True, label  # first/last/collect_list/percentile/...
+        parts = _frame_parts(wexpr.windowSpec().frameSpecification())
+        if parts is None:
+            return True, label
+        ftype, lower, upper = parts
+        if ftype == "RANGE":
+            return False, label
+        if lower == "UNBOUNDED PRECEDING" and upper == "UNBOUNDED FOLLOWING":
+            return False, label
+        return True, label  # ROWS prefix or sliding frame
+    # RowNumber, NTile, Lag, Lead, NthValue, python/unknown functions.
+    return True, cls
+
+
+def _jcolumn(spark: SparkSession, jexpr):
+    from pyspark.sql.classic.column import Column as ClassicColumn
+
+    eu = spark._jvm.org.apache.spark.sql.classic.ExpressionUtils
+    return ClassicColumn(eu.column(jexpr))
+
+
+def _canonical(col, dtype_str: str):
+    """Make map-typed columns groupable/distinct-able."""
+    if dtype_str.startswith("map<"):
+        return F.array_sort(F.map_entries(col))
+    return col
+
+
+def window_order_hazards(
+    df: DataFrame,
+    *,
+    cache: Optional[Dict] = None,
+    stats: Optional[SweepStats] = None,
+    max_report: int = 3,
+) -> List[WindowHazard]:
+    """Check every Window node in ``df``'s optimized plan.
+
+    Returns the list of hazards (empty = the frame is tie-safe on this
+    fixture). ``cache`` deduplicates identical (child, spec) checks
+    across many DataFrames — pass one dict for a whole sweep.
+    """
+    spark = df.sparkSession
+    stats = stats if stats is not None else SweepStats()
+    cache = cache if cache is not None else {}
+    hazards: List[WindowHazard] = []
+
+    plan = df._jdf.queryExecution().optimizedPlan()
+    for node in _walk_windows(plan, []):
+        stats.windows_seen += 1
+        sensitive_fns = []
+        for alias in _seq(node.windowExpressions()):
+            wexpr = alias.child()
+            if wexpr.getClass().getSimpleName() != "WindowExpression":
+                continue
+            sensitive, label = _fn_order_sensitive(wexpr)
+            if sensitive:
+                sensitive_fns.append(label)
+        if not sensitive_fns:
+            stats.windows_safe_by_shape += 1
+            continue
+
+        part_exprs = _seq(node.partitionSpec())
+        order_specs = _seq(node.orderSpec())
+        order_exprs = [o.child() for o in order_specs]
+        part_sql = tuple(e.sql() for e in part_exprs)
+        order_sql = tuple(e.sql() for e in order_exprs)
+
+        key_exprs = part_exprs + order_exprs
+        if any(not e.deterministic() for e in key_exprs):
+            hz = WindowHazard(
+                kind="skipped",
+                functions=tuple(sensitive_fns),
+                partition=part_sql,
+                order=order_sql,
+                detail="non-deterministic partition/order expression",
+            )
+            hazards.append(hz)
+            continue
+
+        # exprIds of order/partition keys that are plain attribute refs:
+        # those columns are constant on a tie class by definition.
+        key_attr_ids = {
+            e.exprId().id()
+            for e in key_exprs
+            if e.getClass().getSimpleName() == "AttributeReference"
+        }
+        child = node.child()
+        child_attrs = _seq(child.output())
+        other_attrs = [
+            a for a in child_attrs if a.exprId().id() not in key_attr_ids
+        ]
+        if not other_attrs:
+            # Tie rows are identical in every consumed column: physically
+            # interchangeable, so any order-sensitive function still
+            # yields the same output multiset.
+            stats.windows_checked += 1
+            continue
+
+        cache_key = (
+            child.semanticHash(),
+            part_sql,
+            order_sql,
+            tuple(sorted(a.name() for a in other_attrs)),
+        )
+        if cache_key in cache:
+            stats.cache_hits += 1
+            detail = cache[cache_key]
+        else:
+            try:
+                jdf = spark._jvm.org.apache.spark.sql.classic.Dataset.ofRows(
+                    spark._jsparkSession, child
+                )
+                child_df = DataFrame(jdf, spark)
+                keys = [_jcolumn(spark, e) for e in key_exprs]
+                probe = [
+                    _canonical(_jcolumn(spark, a), a.dataType().sql().lower())
+                    for a in other_attrs
+                ]
+                ties = (
+                    child_df.groupBy(*keys)
+                    .agg(
+                        F.count(F.lit(1)).alias("__n"),
+                        F.countDistinct(F.struct(*probe)).alias("__nv"),
+                    )
+                    .filter("__n > 1 AND __nv > 1")
+                )
+                bad = ties.limit(max_report).collect()
+                if bad:
+                    consumed = [a.name() for a in other_attrs]
+                    detail = (
+                        f"{len(bad)}+ tie class(es) differ in consumed "
+                        f"columns {consumed}; e.g. keys="
+                        f"{[tuple(r)[:-2] for r in bad]}"
+                    )
+                else:
+                    detail = None
+            except Exception as ex:  # pragma: no cover - env-specific
+                detail = f"__skipped__ {type(ex).__name__}: {ex}"
+            cache[cache_key] = detail
+
+        stats.windows_checked += 1
+        if detail is None:
+            continue
+        kind = "skipped" if detail.startswith("__skipped__") else "tie-violation"
+        hazards.append(
+            WindowHazard(
+                kind=kind,
+                functions=tuple(sensitive_fns),
+                partition=part_sql,
+                order=order_sql,
+                detail=detail.replace("__skipped__ ", ""),
+            )
+        )
+
+    stats.hazards.extend(hazards)
+    return hazards
