@@ -50,98 +50,110 @@ ALL_MODULES = (
 # value-hash-graded, none rows-only. Order within the window is
 # thematic, not significance-ranked — only membership matters.
 #
-# ROUND-7 ROTATION (the round-4/5/6 discipline, continued): every one
-# of the 50 slots is a query the driver has NEVER hash-graded (248
-# unique names carry rows+schema driver signal from rounds 1-6, all
-# green; zero overlap with this window — asserted against the
-# CORRECTNESS_r01–r06 union when the window was built). Those 248 stay
-# continuously verified by the driver-strict local replica
-# (tests/test_oracle_parity.py). Coverage invariant unchanged: every §2
-# tag in the registry has a representative below
+# ROUND-8 ROTATION (the round-4..7 discipline, continued): 45 of the
+# 50 slots are queries the driver has NEVER hash-graded (303 unique
+# names carry driver signal from rounds 1-7, all green at their latest
+# grade; zero overlap with the 45 — asserted against the
+# CORRECTNESS_r01–r07 union when the window was built). The graded 303
+# stay continuously verified by the driver-strict local replica
+# (tests/test_oracle_parity.py) and the per-round full-registry sf0.1
+# sweep. Coverage invariant unchanged: every §2 tag in the registry has
+# a representative below
 # (tests/test_plan_shapes.py::test_driver_window_covers_all_tags).
-# Tags whose every prior carrier was graded by round 6 got fresh
-# round-7 twins (a6d/p9/p10/f7c/o8/f9d/st29/st30/st31/u15/w5c).
 #
-# SENTINEL RE-GRADE LANE (VERDICT r6 §Next #6, policy effective round
-# 8): once the never-graded pool can no longer fill 50 slots — or from
-# round 8 regardless, for ~5 slots — the window reserves slots for
-# CHURN SENTINELS: previously-green names whose source or shared
-# helpers changed since their grade, chosen each round by diffing the
-# operators/ tree against the round the name was graded in. Round-8
-# sentinel candidates from round-7 churn: f6d_order_map_algebra
-# (graded r6; FLOOR coercion edit r7), st26_sliding_watermark_extrema
-# (graded r6; scalable_running_max signature gained the range path),
-# q50_max_concurrency (graded r6; ckpt call-site annotation). This
-# round all 50 slots stay first-timers: the pool entering r7 held 192
-# oracled never-graded names, so first-time signal still dominates
-# regression signal in expected information.
+# SENTINEL LANE, FIRST ACTIVATION (policy below, VERDICT r6 §Next #6 /
+# r7 §Next #4): 5 slots re-grade previously-green names whose source
+# or ORACLE text changed after their grade —
+#   f6d_order_map_algebra          graded r6; FLOOR coercion edit r7
+#   st26_sliding_watermark_extrema graded r6; scalable_running_max
+#                                  signature gained the range path r7
+#   q50_max_concurrency            graded r6; ckpt call-site churn r7
+#   f7c_props_semi_buckets         graded r7; oracle TRY_CAST edit r8
+#                                  (ADVICE r7 #1)
+#   u15_udf_keyed_median_udaf      graded r7; oracle NULLIF/TRY_CAST
+#                                  edit r8 (ADVICE r7 #2)
+# Round-9 sentinel candidates (pick by diffing operators/ against each
+# name's grade round): any name whose window ORDER BY is touched by
+# future tie-hazard fixes (the w36 class — though the structural sweep
+# in tests/test_window_orders.py should keep that set empty), plus
+# whichever graded oracles get lenience edits from ADVICE r8.
+#
+# SENTINEL RE-GRADE POLICY (standing, effective round 8): once the
+# never-graded pool can no longer fill 50 slots — or from round 8
+# regardless, for ~5 slots — the window reserves slots for CHURN
+# SENTINELS: previously-green names whose source or shared helpers
+# changed since their grade, chosen each round by diffing the
+# operators/ tree against the round the name was graded in.
+#
+# TAG ARITHMETIC forcing this round's 9 twins: entering round 8, 27 of
+# the 68 registry tags had NO oracled never-graded carrier (A4 A5 A6 F6
+# F7 F9 J3 J4 J7 O1 O4 O5 O6 P3 P4 P5 ST1-ST7 U1 U4 U5 W5). The five
+# churn sentinels above cover 7 of them organically (F6 ST2 ST3 ST4 F7
+# J3 U1 U4); the remaining 16 get fresh round-8 twins (p11 o10 a55 j17
+# f27 u16 st32 st33 st34 — 9 additions, registry 460→469, vs burning
+# ~14 more window slots on coverage-only re-grades, which the ≥45
+# first-timer target forbids).
 DRIVER_WINDOW = (
-    # judge-prioritized never-graded composites (VERDICT r6 §Next #1),
-    # led by l2_minhash_lsh — its round-6 full oracle has never felt
-    # the driver's own hash (the r1 record was the rows-only fail):
-    "l2_minhash_lsh",
-    "l4_unigram_logprob",
-    "l4_bigram_logprob",
-    "l6_power_iteration",
-    "g13_link_prediction",
-    "q51_rfm_segmentation",
-    "w33_cusum_drift",
-    "l2_paragraph_dedup",
-    "l3_pq_rerank",
-    # round-7 oracle conversion (VERDICT r6 §Next #4): rows-only → full
-    # oracle via the codepoint-fold fingerprint + extraction-form
-    # tokenizer oracle:
-    "l4_token_counts",
-    # round-7 forced-tag twins (every prior carrier already graded):
-    "a6d_subtotal_leaderboard",
-    "p9_anchored_type_noun",
-    "p10_override_dictionary",
+    # judge-prioritized (VERDICT r7 §Next #1), led by w36_anchored_vwap:
+    # its ORDER BY semantics changed in the round-7 tie fix and it has
+    # NEVER been driver-graded; the rest are the named older §2-adjacent
+    # carriers with no hard signal:
+    "w36_anchored_vwap",
+    "a10_percentiles",
+    "a12_pivot",
+    "a20_weighted_median",
+    "a17_conditional_distinct",
+    "dq6_psi_drift",
+    "d7_snapshot_diff",
+    "f10_binary_encodings",
+    # round-8 tag twins (all first-timers; see TAG ARITHMETIC above):
+    "p11_chained_parse_normalize",
+    "o10_cohort_set_algebra",
+    "a55_priority_rollup_contract",
+    "j17_error_free_attribution",
+    "f27_quadrant_ring_density",
+    "u16_udtf_signature_rollup",
+    "st32_emitted_hourly_by_type",
+    "st33_first_touch_snowflake",
+    "st34_record_break_counter",
+    # churn sentinels (see SENTINEL LANE above):
+    "f6d_order_map_algebra",
+    "st26_sliding_watermark_extrema",
+    "q50_max_concurrency",
     "f7c_props_semi_buckets",
-    "o8_clean_engaged_users",
-    "f9d_bbox_grid_density",
-    "st29_emitted_hop_windows",
-    "st30_redelivery_dedup_enrich",
-    "st31_spend_since_signup",
     "u15_udf_keyed_median_udaf",
-    "w5c_anchor_bracket",
-    # greedy tag-cover picks (each the carrier of otherwise-uncovered
-    # tags among never-graded names):
-    "q26_forecast_revenue",
-    "q30_event_pattern_match",
-    "s23_schema_evolution",
-    "u13_cogrouped_arrow",
-    "m9_modality_quota_mixer",
-    "dp6_fd_miner",
-    "j16_interval_anti_join",
-    "s31_compressed_roundtrip",
-    "st25_partitioned_stream_source",
-    "w15_longest_streak",
-    "q25_shipping_priority",
-    "n2_deep_flatten",
-    "l4_url_normalize",
-    "q59_capped_sessions",
-    "dp5_join_cardinality_planner",
-    "o6_distinct",
-    "x1c_asof_multikey_sql",
-    "x14_pipe_syntax_sql",
-    "u14_arrow_udtf",
-    # strength fillers (strongest remaining never-graded composites;
-    # w26 and l4_quality_deciles carry round-6/7 scale fixes — their
-    # first grade doubles as regression signal on those fixes):
-    "w26_bollinger_bands",
-    "l4_quality_deciles",
-    "j1_salted_skew_join",
-    "l4_tfidf_topk",
-    "g14_modularity",
-    "q52_cohort_ltv",
-    "a50_welch_ttest",
-    "w38_rolling_ols",
-    # round-7 simhash oracle conversion (the minhash recipe's third
-    # application) — like minhash, the fresh cross-engine hash family
-    # deserves the driver's own verdict; its only prior record is the
-    # r1 no_oracle row:
-    "l2_simhash",
-    "q62_price_elasticity",
+    # greedy tag-cover picks (each the never-graded carrier of tags no
+    # other window entry covers):
+    "q28_local_supplier_volume",
+    "s3c_class_balanced_sample",
+    "m6_scene_cuts",
+    "a30_chi_square",
+    "l6_cluster_separation",
+    "q31_association_rules",
+    "s21_orc_roundtrip",
+    "a18_percentile_matrix",
+    "a23_arg_extrema",
+    "s10_negative_sampling",
+    "l1_corpus_diff",
+    "l4_zipf_slope",
+    "m1b_decode_parity",
+    "s22_corrupt_json_audit",
+    "s27_python_datasource",
+    "x8_replace_sql",
+    "w11_ewma",
+    # strength fillers (strongest remaining never-graded composites,
+    # spread across the window/dedup/quality/graph/source families):
+    "w28_max_drawdown",
+    "q42_order_streaks",
+    "l2_bbit_minhash",
+    "l4_keyness_llr",
+    "dq13_duplicate_key_impact",
+    "dp4_numeric_correlation_matrix",
+    "g7_degree_assortativity",
+    "s34_neyman_allocation",
+    "f24_parse_url_battery",
+    "w19_theil_sen",
+    "q58_diff_in_diff",
 )
 
 assert len(DRIVER_WINDOW) == 50, len(DRIVER_WINDOW)

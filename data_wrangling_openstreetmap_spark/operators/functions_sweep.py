@@ -1330,3 +1330,81 @@ def f26_try_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(div).alias("n_div_ok"),
         F.count(elem).alias("n_elem_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ROUND-8 F9 twin (f9 formula battery, f9c fixed-hub argmin routing,
+# f9d bbox+grid density, j6/j13/d3 spatial joins/curves — every F9
+# carrier graded). The angle: DIRECTIONAL analytics — quadrant
+# classification is pure sign algebra on exact quarter-degree deltas
+# (no trig at all), and the haversine ring bucket reuses f9c's
+# integer-metre rounding so the bucket edge is integer math.
+# ---------------------------------------------------------------------------
+
+_F27_ORACLE = """
+WITH pts AS (
+  SELECT c_custkey,
+         ((c_custkey * 7) % 161) * CAST(0.25 AS DOUBLE) - CAST(20.0 AS DOUBLE) AS lat,
+         ((c_custkey * 13) % 289) * CAST(0.25 AS DOUBLE) - CAST(36.125 AS DOUBLE) AS lon
+  FROM customer
+), m AS (
+  SELECT c_custkey, lat, lon,
+         CASE WHEN lat >= 10.25 THEN 'N' ELSE 'S' END ||
+         CASE WHEN lon >= -2.5 THEN 'E' ELSE 'W' END AS quadrant,
+         CAST(round(2 * 6371000.0 * asin(sqrt(
+             sin(radians(10.25 - lat) / 2) * sin(radians(10.25 - lat) / 2)
+             + cos(radians(lat)) * cos(radians(10.25))
+               * sin(radians(-2.5 - lon) / 2) * sin(radians(-2.5 - lon) / 2)
+         ))) AS BIGINT) AS dist_m
+  FROM pts
+)
+SELECT quadrant,
+       dist_m // 500000 AS ring,
+       CAST(COUNT(*) AS BIGINT) AS n_points,
+       CAST(SUM(dist_m) AS BIGINT) AS total_m,
+       CAST(MIN(dist_m) AS BIGINT) AS nearest_m
+FROM m
+GROUP BY 1, 2
+"""
+
+
+@register("f27_quadrant_ring_density", oracle=_F27_ORACLE, tags=("F9", "A7"))
+def f27_quadrant_ring_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional density map around an anchor: each synthetic
+    customer point lands in a compass quadrant (pure sign comparisons
+    on exact quarter-degree coordinates — no trig in the CLASSIFIER)
+    and a 500 km great-circle ring (haversine_m rounded to integer
+    metres BEFORE the integer floor-division bucket, f9c's recipe, so
+    the bucket edges are exact on both engines); per (quadrant, ring):
+    density, exact BIGINT metre total, nearest approach.
+
+    Scale: map-only expression work into an O(4·rings)-key rollup —
+    one tiny shuffle; the quadrant/ring pair is the natural spatial
+    shuffle key for any downstream per-sector join.
+    """
+    anchor_lat, anchor_lon = 10.25, -2.5
+    cust = load_table(spark, sf_dir, "customer")
+    pts = cust.select(
+        (((F.col("c_custkey") * 7) % 161) * F.lit(0.25) - F.lit(20.0)).alias("lat"),
+        (((F.col("c_custkey") * 13) % 289) * F.lit(0.25) - F.lit(36.125)).alias(
+            "lon"
+        ),
+    )
+    quadrant = F.concat(
+        F.when(F.col("lat") >= anchor_lat, F.lit("N")).otherwise(F.lit("S")),
+        F.when(F.col("lon") >= anchor_lon, F.lit("E")).otherwise(F.lit("W")),
+    )
+    dist_m = F.round(
+        haversine_m(
+            F.col("lat"), F.col("lon"), F.lit(anchor_lat), F.lit(anchor_lon)
+        )
+    ).cast("bigint")
+    return (
+        pts.select(quadrant.alias("quadrant"), dist_m.alias("dist_m"))
+        .groupBy("quadrant", (F.expr("dist_m div 500000")).alias("ring"))
+        .agg(
+            F.count("*").alias("n_points"),
+            F.sum("dist_m").alias("total_m"),
+            F.min("dist_m").alias("nearest_m"),
+        )
+    )

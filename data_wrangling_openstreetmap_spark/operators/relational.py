@@ -4303,7 +4303,7 @@ def p10_override_dictionary(spark: SparkSession, sf_dir: str) -> DataFrame:
 # filtered self-scan.
 _F7C_ORACLE = """
 SELECT e.event_type,
-       CAST(json_extract_string(e.props, '$.k') AS INTEGER) % 10 AS k_bucket,
+       TRY_CAST(json_extract_string(e.props, '$.k') AS INTEGER) % 10 AS k_bucket,
        CAST(COUNT(*) AS BIGINT) AS n_events
 FROM events e
 WHERE e.user_id IN (
@@ -4438,4 +4438,241 @@ def f9d_bbox_grid_density(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("lat"), 6).alias("centroid_lat"),
             F.round(F.avg("lon"), 6).alias("centroid_lon"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ROUND-8 P3+P4+P5 twin (p9 anchored classify+extract, p10 map-backed
+# override dictionary graded r7; p3/p4/p5/p3b/p5b/p7/p8 graded earlier
+# — every P-tag carrier holds a driver grade, so the window needs a
+# fresh one). The angle: all three P stages CHAIN — the regex-extracted
+# token is the dict-normalization KEY and the classified tier is a
+# co-grouping key, so a wrong extract or a wrong lookup lands in the
+# wrong output row, not a dropped column.
+# ---------------------------------------------------------------------------
+
+_P11_ORACLE = """
+SELECT CASE
+         WHEN regexp_matches(p_type, '^(STANDARD|LARGE)') THEN 'bulk'
+         WHEN regexp_matches(p_type, 'ECO') THEN 'eco'
+         ELSE 'spot'
+       END AS tier,
+       CASE regexp_extract(p_name, '(\\w+)\\s*$', 1)
+         WHEN 'widget' THEN 'assembly'
+         WHEN 'bolt' THEN 'fasteners'
+         WHEN 'rod' THEN 'stock'
+         ELSE 'misc'
+       END AS department,
+       TRY_CAST(regexp_extract(p_brand, '#(\\d+)$', 1) AS BIGINT) % 4
+         AS brand_mod,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(SUM(p_size) AS BIGINT) AS total_size,
+       CAST(SUM(CAST(round(p_retailprice * 100) AS BIGINT)) AS BIGINT)
+         AS price_cents
+FROM part
+GROUP BY 1, 2, 3
+"""
+
+
+@register("p11_chained_parse_normalize", oracle=_P11_ORACLE, tags=("P3", "P4", "P5"))
+def p11_chained_parse_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The parse chain as one pipeline: regex-CLASSIFY p_type into a
+    tier (P3), regex-EXTRACT the trailing noun of p_name and the brand
+    number of p_brand (P4), DICT-NORMALIZE the noun into a department
+    through a literal map with a 'misc' default (P5), then roll up per
+    (tier, department, brand_mod). The extracted noun is the lookup
+    key and all three derived values are grouping keys, so any stage
+    erring reroutes rows to a different output row — the chain grades
+    end-to-end, not stage-by-stage. Digitless brands yield NULL
+    brand_mod on both engines (TRY_CAST ↔ Spark's lenient cast).
+
+    Scale: pure map-side expression work (regexes are per-row codegen,
+    the dict is an inline literal map, no join) into an
+    O(tiers·departments·4)-key hash aggregate — one low-cardinality
+    shuffle at any scale.
+    """
+    part = load_table(spark, sf_dir, "part")
+    tier = (
+        F.when(F.col("p_type").rlike("^(STANDARD|LARGE)"), F.lit("bulk"))
+        .when(F.col("p_type").rlike("ECO"), F.lit("eco"))
+        .otherwise(F.lit("spot"))
+    )
+    noun = F.regexp_extract(F.col("p_name"), r"(\w+)\s*$", 1)
+    dept_map = F.create_map(
+        F.lit("widget"), F.lit("assembly"),
+        F.lit("bolt"), F.lit("fasteners"),
+        F.lit("rod"), F.lit("stock"),
+    )
+    department = F.coalesce(dept_map[noun], F.lit("misc"))
+    brand_num = F.regexp_extract(F.col("p_brand"), r"#(\d+)$", 1).cast("bigint")
+    return (
+        part.select(
+            tier.alias("tier"),
+            department.alias("department"),
+            (brand_num % 4).alias("brand_mod"),
+            "p_size",
+            "p_retailprice",
+        )
+        .groupBy("tier", "department", "brand_mod")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.sum("p_size").cast("bigint").alias("total_size"),
+            F.sum(cents("p_retailprice")).alias("price_cents"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ROUND-8 O1+O4+O5+O6 twin (o4/o4b/o4c/o4d union-distinct, o5/o5c/o8/o9
+# intersect-except, o6 distinct, o2/a6d ordered output — all graded).
+# The angle: a four-way SET-ALGEBRA chain where every operator changes
+# the surviving membership, finished by a DISTINCT projection that
+# collapses keys to attribute pairs and a multi-key ORDER BY.
+# ---------------------------------------------------------------------------
+
+_O10_ORACLE = """
+WITH purchasers AS (
+  SELECT DISTINCT user_id + 1 AS ck FROM events WHERE event_type = 'purchase'
+), rich AS (
+  SELECT c_custkey AS ck FROM customer WHERE c_acctbal >= 5000.0
+), active95 AS (
+  SELECT DISTINCT o_custkey AS ck FROM orders
+  WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+), errored AS (
+  SELECT DISTINCT user_id + 1 AS ck FROM events WHERE event_type = 'error'
+), survivors AS (
+  SELECT ck FROM (SELECT ck FROM purchasers UNION SELECT ck FROM rich)
+  INTERSECT
+  SELECT ck FROM active95
+  EXCEPT
+  SELECT ck FROM errored
+)
+SELECT DISTINCT c.c_mktsegment AS segment,
+       CAST(c.c_nationkey AS INTEGER) AS nationkey
+FROM survivors s
+JOIN customer c ON c.c_custkey = s.ck
+ORDER BY segment, nationkey
+"""
+
+
+@register(
+    "o10_cohort_set_algebra",
+    oracle=_O10_ORACLE,
+    tags=("O1", "O4", "O5", "O6"),
+)
+def o10_cohort_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort membership by set algebra: (purchasers ∪ big-balance)
+    ∩ pre-1996-active ∖ error-emitters, resolved to the DISTINCT
+    (segment, nationkey) pairs those customers span, multi-key ordered.
+    UNION is distinct-semantics (O4), INTERSECT and EXCEPT prune (O5),
+    the final projection dedups pairs (O6), and the output is a
+    deterministic two-key sort (O1). Membership errors anywhere in the
+    chain add or drop whole pairs, so the small output is a sharp
+    detector.
+
+    Scale: each leg reduces to a distinct-key set before any set op —
+    all four set operators shuffle only the bigint key column; the
+    resolve join broadcasts nothing wider than (key, segment, nation).
+    """
+    events = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    purchasers = (
+        events.filter(F.col("event_type") == "purchase")
+        .select((F.col("user_id") + 1).alias("ck"))
+        .distinct()
+    )
+    rich = cust.filter(F.col("c_acctbal") >= 5000.0).select(
+        F.col("c_custkey").alias("ck")
+    )
+    active95 = (
+        orders.filter(F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+        .select(F.col("o_custkey").alias("ck"))
+        .distinct()
+    )
+    errored = (
+        events.filter(F.col("event_type") == "error")
+        .select((F.col("user_id") + 1).alias("ck"))
+        .distinct()
+    )
+    survivors = (
+        purchasers.union(rich).distinct().intersect(active95).subtract(errored)
+    )
+    return (
+        survivors.join(cust, survivors.ck == cust.c_custkey)
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("c_nationkey").alias("nationkey"),
+        )
+        .distinct()
+        .orderBy("segment", "nationkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ROUND-8 A4+A5+A6 twin (a4/a4b/a10b/a16/a21/a24 sketch contracts,
+# a5/a5b HAVING, a6/a6b/a6c/a6d/q8 rollup-cube — all carriers graded).
+# The angle: the three A-surfaces CO-OCCUR — a ROLLUP lattice filtered
+# by HAVING, carrying an HLL estimate graded as a within-tolerance
+# contract right next to the exact distinct count it approximates.
+# ---------------------------------------------------------------------------
+
+_A55_ORACLE = """
+SELECT o_orderpriority,
+       o_orderstatus,
+       CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) AS lvl,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_exact,
+       TRUE AS hll_within_5pct
+FROM orders
+GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+HAVING COUNT(*) >= 5
+"""
+
+
+@register(
+    "a55_priority_rollup_contract",
+    oracle=_A55_ORACLE,
+    tags=("A4", "A5", "A6"),
+)
+def a55_priority_rollup_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (priority, status) — detail rows, per-priority
+    subtotals, grand total (A6) — kept only where the group holds ≥5
+    orders (A5), each row carrying the exact customer distinct count
+    plus the a4-style sketch contract: approx_count_distinct (HLL++,
+    rsd=0.02) must land within 5% of exact, graded as a boolean so the
+    cross-engine hash compares the CONTRACT, not the sketch's
+    engine-specific estimate (DuckDB emits literal TRUE).
+
+    Scale: rollup is one shuffle over the 2-level key lattice with
+    map-side partials; HLL merges as a fixed-size sketch, while the
+    exact COUNT DISTINCT is the expensive expand — at 100 TB keep the
+    sketch column and drop the exact one (here both exist precisely so
+    the fixture grades their agreement).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    g = (
+        orders.rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.grouping_id().alias("lvl"),
+            F.count("*").alias("n_orders"),
+            F.sum(cents("o_totalprice")).alias("revenue_cents"),
+            F.countDistinct("o_custkey").alias("n_exact"),
+            F.approx_count_distinct("o_custkey", rsd=0.02).alias("n_approx"),
+        )
+        .filter(F.col("n_orders") >= 5)
+    )
+    return g.select(
+        "o_orderpriority",
+        "o_orderstatus",
+        F.col("lvl").cast("bigint").alias("lvl"),
+        "n_orders",
+        "revenue_cents",
+        "n_exact",
+        (
+            F.abs(F.col("n_approx") - F.col("n_exact"))
+            <= F.col("n_exact") * 0.05
+        ).alias("hll_within_5pct"),
     )

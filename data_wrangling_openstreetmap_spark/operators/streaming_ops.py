@@ -1532,3 +1532,221 @@ def st31_spend_since_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("spend_cents_since_signup"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ROUND-8 ST1+ST4 twin (q7/st12/st17/st24/st25 tumbling, st4/st14/st20/
+# st26/st29 watermark observables — all carriers graded). st29 graded
+# which HOP windows a watermark closes; this grades the TUMBLING
+# emission set under a different delay/jitter pair, the per-key
+# variant an append-mode consumer actually reads.
+# ---------------------------------------------------------------------------
+
+_ST32_ORACLE = f"""
+WITH j AS (
+  SELECT ts, event_type, value,
+         ts + to_seconds(((event_id % 2147483648) * 1103515245) % 1200)
+           AS arrival_ts
+  FROM events
+), wm AS (
+  SELECT MAX(arrival_ts) - INTERVAL '10 minutes' AS hi FROM j
+)
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       {oracle_dsum('value')} AS total_value,
+       CAST(MAX(round(value * 100)) AS BIGINT) AS max_cents
+FROM j, wm
+WHERE time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' <= wm.hi
+GROUP BY 1, 2
+"""
+
+
+@register("st32_emitted_hourly_by_type", oracle=_ST32_ORACLE, tags=("ST1", "ST4"))
+def st32_emitted_hourly_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour aggregates per event_type, restricted to the
+    windows an append-mode sink would have EMITTED by end-of-replay:
+    final watermark = max(arrival) − 10 min under a deterministic
+    LCG-multiplier transit jitter (different constants than st29's
+    Knuth hash, so the two emission sets are independent observables),
+    and a window is published iff its END ≤ that watermark. This is
+    ST1's tumbling rollup composed with ST4's closure rule — the
+    per-key variant of st29's hop-window grade.
+
+    Scale: watermark is ONE broadcast scalar; the rollup is a single
+    shuffle on O(hours · event_types) keys with map-side partials and
+    exact integer cents.
+    """
+    events = load_table(spark, sf_dir, "events")
+    jitter = ((F.col("event_id") % F.lit(2147483648)) * F.lit(1103515245)) % 1200
+    j = events.select(
+        "ts",
+        "event_type",
+        "value",
+        (F.col("ts") + F.make_dt_interval(secs=jitter.cast("double"))).alias(
+            "arrival_ts"
+        ),
+    )
+    wm = j.agg(
+        (F.max("arrival_ts") - F.expr("INTERVAL 10 MINUTES")).alias("hi")
+    )
+    return (
+        j.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            dsum("value").alias("total_value"),
+            F.max(cents("value")).alias("max_cents"),
+        )
+        .crossJoin(F.broadcast(wm))
+        .filter(F.col("w.end") <= F.col("hi"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+            "max_cents",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ROUND-8 ST5+ST6 twin (st5/st15/st21/st27/st30 dedup kinds, st6/st8/
+# st9/st22/st30 stream joins — all carriers graded). st27 graded
+# keep-first per USER with a one-hop inner enrich; st30 graded
+# redelivery collapse with a one-hop outer enrich. This grades
+# keep-first per (user, event_type) — composite dedup state — through
+# a TWO-hop snowflake (customer → nation) stream-static enrichment.
+# ---------------------------------------------------------------------------
+
+_ST33_ORACLE = f"""
+WITH ranked AS (
+  SELECT user_id, event_type, ts, value,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id, event_type ORDER BY ts, event_id
+         ) AS rn
+  FROM events
+), firsts AS (
+  SELECT user_id, event_type, value FROM ranked WHERE rn = 1
+)
+SELECT f.event_type,
+       n.n_name AS nation,
+       CAST(COUNT(*) AS BIGINT) AS n_first_touches,
+       {oracle_dsum('f.value')} AS total_value
+FROM firsts f
+JOIN customer c ON c.c_custkey = f.user_id + 1
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "st33_first_touch_snowflake", oracle=_ST33_ORACLE, tags=("ST5", "ST6")
+)
+def st33_first_touch_snowflake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-FIRST dedup on the composite key (user, event_type) — the
+    batch image of streaming dropDuplicates with a two-column state
+    key, made deterministic by the (ts, event_id) arrival tiebreak —
+    then stream-static enrichment through a SNOWFLAKE: customer
+    resolves the user, nation resolves the region, both joined as
+    broadcast dimensions, rolled up per (event_type, nation).
+
+    Scale: dedup is one shuffle on the composite key (window rank,
+    first row only); both dimension hops broadcast — the fact rows
+    never reshuffle after the dedup exchange. At 100 TB streaming
+    state is one row per live (user, type) pair — the composite key
+    multiplies state cardinality by the type arity, the cost this
+    query makes visible.
+    """
+    events = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    firsts = (
+        events.select(
+            "user_id", "event_type", "ts", "event_id", "value",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "value")
+    )
+    return (
+        firsts.join(
+            F.broadcast(cust), firsts.user_id + 1 == cust.c_custkey
+        )
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("event_type", F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("n_first_touches"),
+            dsum("value").alias("total_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ROUND-8 ST7 twin (st7/st16/st23/st28/st31 stateful shapes — all
+# graded). st16 tracked running extrema per user, st28 counted
+# direction reversals row-by-row; this grades the RECORD-BREAK
+# counter — state is (running max, count) per user and the observable
+# is the per-user FINAL summary, the emit-on-completion image.
+# ---------------------------------------------------------------------------
+
+_ST34_ORACLE = """
+WITH seq AS (
+  SELECT user_id, value, ts, event_id,
+         MAX(value) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS prior_max
+  FROM events
+), flagged AS (
+  SELECT user_id, value,
+         CASE WHEN prior_max IS NULL OR value > prior_max
+              THEN 1 ELSE 0 END AS is_record
+  FROM seq
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(is_record) AS BIGINT) AS n_records,
+       CAST(round(MAX(value) * 100) AS BIGINT) AS peak_cents
+FROM flagged
+GROUP BY user_id
+"""
+
+
+@register("st34_record_break_counter", oracle=_ST34_ORACLE, tags=("ST7",))
+def st34_record_break_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary-stateful counter: per user, how many events set a new
+    personal value record (strictly exceed the running max over the
+    (ts, event_id)-ordered history — the first event always does), plus
+    the final peak in cents. The streaming image is
+    applyInPandasWithState with (running_max, n_records, n_events)
+    state per user and a single emit at completion; the batch image
+    computes the same via a prefix-max window and a per-user rollup.
+    Unlike st16 (the extrema VALUES) the observable here counts
+    CROSSINGS, so a single out-of-order row changes the answer — the
+    property that makes it a genuine ST7 state machine rather than a
+    commutative aggregate.
+
+    Scale: one shuffle on user_id shared by the window and the rollup
+    (the window's partitioning satisfies the groupBy), state O(users).
+    Value doubles compare exactly (same parquet bits on both engines),
+    so no rounding is needed until the output cents.
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = events.select(
+        "user_id",
+        "value",
+        (
+            F.col("value") > F.coalesce(F.max("value").over(w), F.lit(float("-inf")))
+        ).cast("int").alias("is_record"),
+    )
+    return flagged.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum("is_record").cast("bigint").alias("n_records"),
+        F.max(cents("value")).alias("peak_cents"),
+    )

@@ -1127,3 +1127,97 @@ def u15_udf_keyed_median_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_rows("bc").alias("n_customers"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ROUND-8 U5+U1 twin (u5/u8/u9/u11/u14 UDTF rungs, u1/u1b/u7/u15 scalar
+# rungs — every carrier graded). The angle: the UDTF's EXPLODED rows
+# feed a scalar Python UDF whose output is the AGGREGATION KEY — u14
+# grades the Arrow UDTF transport, u15 grades scalar-UDF-derived keys
+# over base rows; this grades the chain UDTF → scalar UDF → keyed agg,
+# where a fan-out bug and a normalization bug are distinguishable.
+# ---------------------------------------------------------------------------
+
+_U16_ORACLE = """
+WITH s AS (
+  SELECT p_partkey, string_split(p_name, ' ') AS parts FROM part
+), w AS (
+  SELECT p_partkey,
+         unnest(parts) AS word,
+         unnest(generate_series(0, len(parts) - 1)) AS pos
+  FROM s
+)
+SELECT regexp_replace(lower(word), '[aeiou]', '', 'g') AS signature,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(pos) AS BIGINT) AS pos_sum,
+       CAST(MIN(p_partkey) AS BIGINT) AS first_part
+FROM w
+WHERE word <> ''
+GROUP BY 1
+"""
+
+
+@register(
+    "u16_udtf_signature_rollup",
+    oracle=_U16_ORACLE,
+    tags=("U5", "U1"),
+)
+def u16_udtf_signature_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDTF → scalar-UDF chain: a Python UDTF explodes p_name into
+    (word, pos) rows with the word's 0-based position (U5 — the
+    fan-out and the positional state live in Python), then a pickled
+    scalar UDF collapses each word to its devowelled lowercase
+    signature (U1), which becomes the aggregation key for a count /
+    position-mass / first-part rollup. A fan-out error shifts pos_sum,
+    a normalization error reroutes whole groups — the two Python
+    stages are separately observable in the result.
+
+    Oracle: LATERAL unnest(string_split(...)) with ROW_NUMBER()-derived
+    positions and the same regexp normalization in SQL. The UDTF skips
+    empty tokens exactly as the WHERE word <> '' does (F.split-style
+    empty artifacts; the round-6 gotcha).
+
+    Scale: the UDTF is one Python crossing streaming name-length rows
+    (fan-out inside the worker, not an explode-shuffle); the scalar
+    UDF is the second crossing — at 100 TB both fold into one
+    mapInArrow pass; the rollup shuffles O(signatures) keys.
+    """
+    from pyspark.sql.functions import udf, udtf
+
+    @udtf(returnType="word string, pos bigint")
+    class SplitWithPos:
+        def eval(self, text: str):
+            if text:
+                # original split indices, empties skipped AFTER
+                # enumeration — mirrors the oracle's parallel-unnest
+                # zip + WHERE word <> '' (round-6 F.split gotcha)
+                for i, w in enumerate(text.split(" ")):
+                    if w:
+                        yield (w, i)
+
+    import re
+
+    @udf("string")
+    def signature(word: str) -> str:
+        if word is None:
+            return None
+        return re.sub(r"[aeiou]", "", word.lower())
+
+    part = load_table(spark, sf_dir, "part")
+    spark.udtf.register("u16_split_pos", SplitWithPos)
+    part.select("p_partkey", "p_name").createOrReplaceTempView("u16_parts")
+    exploded = spark.sql(
+        "SELECT p.p_partkey, s.word, s.pos FROM u16_parts p,"
+        " LATERAL u16_split_pos(p.p_name) s"
+    )
+    return (
+        exploded.select(
+            "p_partkey", "pos", signature(F.col("word")).alias("signature")
+        )
+        .groupBy("signature")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("pos").alias("pos_sum"),
+            F.min("p_partkey").alias("first_part"),
+        )
+    )

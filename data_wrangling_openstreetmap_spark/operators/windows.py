@@ -4353,3 +4353,117 @@ def w5c_anchor_bracket(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last(anchor, ignorenulls=True).over(w_back).alias("anchor_before_cents"),
         F.first(anchor, ignorenulls=True).over(w_fwd).alias("anchor_after_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ROUND-8 J4+J7+W5 twin (j4/j16/st22/q21/q22 anti, j7/x1/x1b/x1c/j15/u12
+# as-of, w5/w5b/w5c last-ignorenulls — every carrier graded). The
+# angle: the three surfaces GATE each other — an anti join prunes the
+# probe set BEFORE the as-of timeline is built, and the as-of itself is
+# the union + carry-forward (last ignorenulls) formulation, so a wrong
+# anti keeps phantom users and a wrong carry mis-attributes every
+# downstream purchase.
+# ---------------------------------------------------------------------------
+
+_J17_ORACLE = """
+WITH clean AS (
+  SELECT * FROM events e
+  WHERE e.event_type = 'purchase'
+    AND NOT EXISTS (
+      SELECT 1 FROM events x
+      WHERE x.event_type = 'error' AND x.user_id = e.user_id
+        AND CAST(x.ts AS DATE) = CAST(e.ts AS DATE)
+    )
+)
+SELECT p.event_id AS purchase_id,
+       p.user_id AS user_id,
+       v.event_id AS view_id,
+       CAST(epoch_us(p.ts) - epoch_us(v.ts) AS BIGINT) AS us_since_view,
+       CAST(round(v.value * 100) AS BIGINT) AS view_cents
+FROM clean p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id AND p.ts >= v.ts
+"""
+
+
+@register(
+    "j17_error_free_attribution",
+    oracle=_J17_ORACLE,
+    tags=("J4", "J7", "W5"),
+)
+def j17_error_free_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """View→purchase attribution restricted to error-free user-days:
+    an ANTI join drops every purchase made on a calendar day where the
+    same user emitted an 'error' event (J4 — keyed on the composite
+    (user, day) so the prune is selective, not user-emptying: the
+    fixture's users all error EVENTUALLY, but ~2/3 of purchase days
+    are clean), then each surviving purchase is as-of joined
+    to the user's latest view at or before it (J7) via the union +
+    carry-forward idiom — last(ignorenulls) over the per-user timeline
+    (W5) carries the view id, timestamp, and value-in-cents forward,
+    with views sorting before purchases on timestamp ties so the join
+    bound is inclusive like DuckDB's native ASOF (oracle: ASOF LEFT
+    JOIN + NOT EXISTS).
+
+    Scale: the anti join's build side is the distinct error-user set
+    (small → broadcast); the as-of is ONE shuffle on user_id with a
+    per-user sorted scan — no range explosion, the same 100 TB shape
+    as j7. Order (ts, kind, event_id) is unique (event ids are), so
+    the carry windows are tie-safe by construction.
+    """
+    events = load_table(spark, sf_dir, "events")
+    err_days = (
+        events.filter(F.col("event_type") == "error")
+        .select("user_id", F.to_date("ts").alias("err_day"))
+        .distinct()
+    )
+    purch = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    purchases = purch.join(
+        F.broadcast(err_days),
+        (purch.user_id == err_days.user_id)
+        & (F.to_date(purch.ts) == err_days.err_day),
+        "left_anti",
+    ).select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("kind"),
+        F.col("event_id"),
+        F.lit(None).cast("double").alias("vvalue"),
+    )
+    views = events.filter(F.col("event_type") == "view").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("kind"),  # views sort before purchases on ts ties
+        F.col("event_id"),
+        F.col("value").alias("vvalue"),
+    )
+    timeline = views.unionByName(purchases)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    view_id = F.when(F.col("kind") == 0, F.col("event_id"))
+    filled = timeline.select(
+        "user_id",
+        "kind",
+        "event_id",
+        ts_us.alias("ts_us"),
+        F.last(view_id, ignorenulls=True).over(w).alias("view_id"),
+        F.last(F.when(F.col("kind") == 0, ts_us), ignorenulls=True)
+        .over(w)
+        .alias("view_us"),
+        F.last(cents(F.col("vvalue")), ignorenulls=True)
+        .over(w)
+        .alias("view_cents"),
+    )
+    return filled.filter(F.col("kind") == 1).select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        "view_id",
+        (F.col("ts_us") - F.col("view_us")).alias("us_since_view"),
+        "view_cents",
+    )

@@ -86,6 +86,9 @@ PYTHON_ALLOWED = {
     "s17_python_datasource",  # the crossing IS the operator: a Spark 4
     # Python Data Source scan ("BatchScan synthetic_ledger … (Python)");
     # everything above the scan is ordinary JVM partial+final hash agg.
+    "u16_udtf_signature_rollup",  # round-8 U5+U1 twin: UDTF fan-out
+    # feeding a scalar-UDF-derived aggregation key — both crossings are
+    # the graded surface.
 }
 # Driver-side generators (XML demo) — plan built over generated input.
 SLOW_BUILD = {"osm_wrangle_demo"}
