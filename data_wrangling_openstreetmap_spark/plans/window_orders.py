@@ -42,6 +42,13 @@ so computed order keys, dotted names, and duplicate-name children all
 work. Child relations are materialized with ``Dataset.ofRows`` and the
 tie aggregation is one small groupBy per distinct (child, spec) —
 deduplicated across queries by the child plan's ``semanticHash``.
+
+:func:`sort_limit_hazards` applies the same machinery to the repo's
+other hand-enforced order invariant — "every ORDER BY under a LIMIT
+carries a unique tiebreak": a global Sort + LIMIT k is flagged iff the
+tie class CONTAINING the k-th row straddles the cut AND its rows differ
+in any other output column (boundary-exact, so coarse orders whose cut
+lands on a class edge pass without a tiebreak).
 """
 
 from __future__ import annotations
@@ -298,5 +305,170 @@ def window_order_hazards(
             )
         )
 
+    stats.hazards.extend(hazards)
+    return hazards
+
+
+# ---------------------------------------------------------------------------
+# Top-k boundary ties: the repo's OTHER hand-enforced order invariant
+# ("every ORDER BY under a LIMIT carries a unique tiebreak"), made
+# machine-checkable with the same plan-walk machinery. A global
+# Sort + Limit k is nondeterministic iff the tie class that CONTAINS
+# the k-th row straddles the boundary AND its rows differ in any other
+# output column — rows inside the limit and fully-contained tie
+# classes can tie freely.
+# ---------------------------------------------------------------------------
+
+
+def _walk_sort_limits(node, acc: list) -> list:
+    """Collect (limit_k, sort_node) for GlobalLimit over a global Sort
+    (optionally through LocalLimit/Project that preserve row identity)."""
+    cls = node.getClass().getSimpleName()
+    if cls == "GlobalLimit":
+        k_expr = node.limitExpr()
+        child = node.child()
+        # peel LocalLimit (same k) and row-preserving wrappers
+        while child.getClass().getSimpleName() == "LocalLimit":
+            child = child.child()
+        if child.getClass().getSimpleName() == "Sort" and getattr(
+            child, "global"
+        )():
+            try:
+                k = int(k_expr.eval(None))
+            except Exception:
+                k = None
+            acc.append((k, child))
+    for ch in _seq(node.children()):
+        _walk_sort_limits(ch, acc)
+    try:
+        for sub in _seq(node.subqueries()):
+            _walk_sort_limits(sub, acc)
+    except Exception:
+        pass
+    return acc
+
+
+def _sort_order_column(spark: SparkSession, so):
+    """SortOrder -> a PySpark Column with the same direction/nulls."""
+    col = _jcolumn(spark, so.child())
+    direction = so.direction().sql()
+    nulls = so.nullOrdering().sql()
+    if direction == "ASC":
+        return col.asc_nulls_last() if nulls == "NULLS LAST" else col.asc_nulls_first()
+    return col.desc_nulls_first() if nulls == "NULLS FIRST" else col.desc_nulls_last()
+
+
+def sort_limit_hazards(
+    df: DataFrame,
+    *,
+    cache: Optional[Dict] = None,
+    stats: Optional[SweepStats] = None,
+) -> List[WindowHazard]:
+    """Check every global Sort under a LIMIT in ``df``'s optimized plan:
+    the k-boundary tie class must be value-identical in every other
+    output column (or not straddle the boundary at all)."""
+    spark = df.sparkSession
+    stats = stats if stats is not None else SweepStats()
+    cache = cache if cache is not None else {}
+    hazards: List[WindowHazard] = []
+
+    plan = df._jdf.queryExecution().optimizedPlan()
+    for k, sort_node in _walk_sort_limits(plan, []):
+        stats.windows_seen += 1
+        order_specs = _seq(sort_node.order())
+        order_exprs = [o.child() for o in order_specs]
+        order_sql = tuple(e.sql() for e in order_exprs)
+        if k is None or any(not e.deterministic() for e in order_exprs):
+            hazards.append(
+                WindowHazard(
+                    kind="skipped",
+                    functions=("limit",),
+                    partition=(),
+                    order=order_sql,
+                    detail="non-literal limit or non-deterministic sort key",
+                )
+            )
+            continue
+        key_attr_ids = {
+            e.exprId().id()
+            for e in order_exprs
+            if e.getClass().getSimpleName() == "AttributeReference"
+        }
+        child = sort_node.child()
+        other_attrs = [
+            a
+            for a in _seq(child.output())
+            if a.exprId().id() not in key_attr_ids
+        ]
+        if not other_attrs:
+            stats.windows_checked += 1
+            continue  # boundary ties are full duplicates — interchangeable
+        cache_key = (
+            "sortlimit",
+            child.semanticHash(),
+            k,
+            order_sql,
+            tuple(sorted(a.name() for a in other_attrs)),
+        )
+        if cache_key in cache:
+            stats.cache_hits += 1
+            detail = cache[cache_key]
+        else:
+            try:
+                jdf = spark._jvm.org.apache.spark.sql.classic.Dataset.ofRows(
+                    spark._jsparkSession, child
+                )
+                child_df = DataFrame(jdf, spark)
+                keys = [_jcolumn(spark, e) for e in order_exprs]
+                probe = [
+                    _canonical(_jcolumn(spark, a), a.dataType().sql().lower())
+                    for a in other_attrs
+                ]
+                classes = child_df.groupBy(*keys).agg(
+                    F.count(F.lit(1)).alias("__n"),
+                    F.countDistinct(F.struct(*probe)).alias("__nv"),
+                )
+                from pyspark.sql import Window as _W
+
+                wspec = _W.orderBy(
+                    *[_sort_order_column(spark, so) for so in order_specs]
+                ).rowsBetween(_W.unboundedPreceding, 0)
+                # single-partition window over O(tie classes) rows —
+                # checker-only, never a production plan
+                boundary = (
+                    classes.withColumn("__cum", F.sum("__n").over(wspec))
+                    .filter(
+                        (F.col("__cum") - F.col("__n") < F.lit(k))
+                        & (F.col("__cum") > F.lit(k))
+                        & (F.col("__nv") > 1)
+                    )
+                    .limit(3)
+                    .collect()
+                )
+                if boundary:
+                    detail = (
+                        f"LIMIT {k} boundary tie class straddles the cut "
+                        f"with non-identical rows in "
+                        f"{[a.name() for a in other_attrs]}: keys="
+                        f"{[tuple(r)[:-3] for r in boundary]}"
+                    )
+                else:
+                    detail = None
+            except Exception as ex:  # pragma: no cover - env-specific
+                detail = f"__skipped__ {type(ex).__name__}: {ex}"
+            cache[cache_key] = detail
+        stats.windows_checked += 1
+        if detail is None:
+            continue
+        kind = "skipped" if detail.startswith("__skipped__") else "tie-violation"
+        hazards.append(
+            WindowHazard(
+                kind=kind,
+                functions=("limit",),
+                partition=(),
+                order=order_sql,
+                detail=detail.replace("__skipped__ ", ""),
+            )
+        )
     stats.hazards.extend(hazards)
     return hazards

@@ -93,23 +93,73 @@ def test_checker_passes_fixed_w36(spark):
     assert not hazards, [str(h) for h in hazards]
 
 
-@pytest.mark.timeout(1200)
-def test_registry_windows_tie_safe(spark):
-    """The full sweep: every Window node of every registered query is
-    tie-safe on the sf0.1 fixture. 'skipped' entries fail too — a
-    window the checker cannot evaluate is a hole, not a pass."""
+@pytest.mark.timeout(1800)
+def test_registry_order_determinism(spark):
+    """The full sweep, BOTH checkers in one pass over the registry (each
+    query is constructed at sf0.1 exactly once): every Window node is
+    tie-safe AND every global Sort+LIMIT cuts at a class edge or inside
+    a value-identical tie class. 'skipped' entries fail too — a site
+    the checker cannot evaluate is a hole, not a pass."""
+    from data_wrangling_openstreetmap_spark.plans.window_orders import (
+        sort_limit_hazards,
+    )
+
     _ensure_loaded()
     cache: dict = {}
-    stats = SweepStats()
+    wstats = SweepStats()
+    lstats = SweepStats()
     failures = []
     for name, spec in REGISTRY.items():
         if name in SKIP:
             continue
         df = spec.fn(spark, SWEEP_SF)
-        for hz in window_order_hazards(df, cache=cache, stats=stats):
+        for hz in window_order_hazards(df, cache=cache, stats=wstats):
+            failures.append(f"{name}: {hz}")
+        for hz in sort_limit_hazards(df, cache=cache, stats=lstats):
             failures.append(f"{name}: {hz}")
     assert not failures, "\n".join(failures)
     # the sweep must have actually inspected the surface, not vacuously
     # passed because plan walking broke
-    assert stats.windows_seen > 150, stats
-    assert stats.windows_checked > 100, stats
+    assert wstats.windows_seen > 150, wstats
+    assert wstats.windows_checked > 100, wstats
+    assert lstats.windows_seen >= 15, lstats  # sort+limit sites walked
+
+
+# ---------------------------------------------------------------------------
+# Top-k boundary ties — the repo's other hand-enforced order invariant
+# ("every ORDER BY under a LIMIT carries a unique tiebreak"), checked
+# with the same machinery (plans/window_orders.sort_limit_hazards).
+# ---------------------------------------------------------------------------
+
+from pyspark.sql import functions as _F  # noqa: E402
+
+from data_wrangling_openstreetmap_spark.plans.window_orders import (  # noqa: E402
+    sort_limit_hazards,
+)
+
+
+def test_sort_limit_checker_flags_boundary_tie(spark):
+    """A limit whose cut falls inside a tie class with differing rows
+    must be flagged; adding the unique tiebreak clears it."""
+    df = spark.range(100).select(_F.col("id"), (_F.col("id") % 7).alias("g"))
+    bad = df.orderBy(_F.col("g").desc()).limit(5)
+    hz = sort_limit_hazards(bad)
+    assert len(hz) == 1 and hz[0].kind == "tie-violation", [str(h) for h in hz]
+    good = df.orderBy(_F.col("g").desc(), "id").limit(5)
+    assert not sort_limit_hazards(good)
+    # a cut landing exactly on a class edge is safe even without the
+    # tiebreak: ids 0..97 % 7 gives 14 rows per class, limit 14 takes
+    # the whole g=6 class
+    edge = (
+        spark.range(98)
+        .select(_F.col("id"), (_F.col("id") % 7).alias("g"))
+        .orderBy(_F.col("g").desc())
+        .limit(14)
+    )
+    assert not sort_limit_hazards(edge)
+
+
+# (the registry-wide sort+limit sweep runs inside
+# test_registry_order_determinism above, sharing one construction pass
+# with the window sweep — 20 sites on the current tree, all
+# unique-tiebreak)
