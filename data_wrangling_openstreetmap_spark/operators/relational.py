@@ -4484,7 +4484,8 @@ def p11_chained_parse_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     key and all three derived values are grouping keys, so any stage
     erring reroutes rows to a different output row — the chain grades
     end-to-end, not stage-by-stage. Digitless brands yield NULL
-    brand_mod on both engines (TRY_CAST ↔ Spark's lenient cast).
+    brand_mod on both engines (oracle TRY_CAST ↔ Spark try_cast —
+    a plain cast would THROW under the session's default ANSI mode).
 
     Scale: pure map-side expression work (regexes are per-row codegen,
     the dict is an inline literal map, no join) into an
@@ -4504,7 +4505,12 @@ def p11_chained_parse_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("rod"), F.lit("stock"),
     )
     department = F.coalesce(dept_map[noun], F.lit("misc"))
-    brand_num = F.regexp_extract(F.col("p_brand"), r"#(\d+)$", 1).cast("bigint")
+    # try_cast, not cast: ANSI mode is on, and a digitless brand makes
+    # regexp_extract return '' — the oracle's TRY_CAST yields NULL, so
+    # the Spark side must degrade identically instead of erroring
+    brand_num = F.regexp_extract(F.col("p_brand"), r"#(\d+)$", 1).try_cast(
+        "bigint"
+    )
     return (
         part.select(
             tier.alias("tier"),
@@ -4598,15 +4604,17 @@ def o10_cohort_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivors = (
         purchasers.union(rich).distinct().intersect(active95).subtract(errored)
     )
-    return (
+    pairs = (
         survivors.join(cust, survivors.ck == cust.c_custkey)
         .select(
             F.col("c_mktsegment").alias("segment"),
             F.col("c_nationkey").alias("nationkey"),
         )
         .distinct()
-        .orderBy("segment", "nationkey")
     )
+    # O(segments × nations) output — presentation sort without the
+    # range-exchange sampling job
+    return present_sorted(pairs, "segment", "nationkey")
 
 
 # ---------------------------------------------------------------------------

@@ -1738,12 +1738,17 @@ def st34_record_break_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    prior_max = F.max("value").over(w)
+    # mirror the oracle's CASE exactly, including NULL values: a NULL
+    # value on the FIRST row still counts (prior_max IS NULL fires
+    # regardless), while NULL > prior_max is NULL → the ELSE 0 branch.
+    # A -inf coalesce would instead SKIP the null-first-row case.
     flagged = events.select(
         "user_id",
         "value",
-        (
-            F.col("value") > F.coalesce(F.max("value").over(w), F.lit(float("-inf")))
-        ).cast("int").alias("is_record"),
+        F.when(
+            prior_max.isNull() | (F.col("value") > prior_max), 1
+        ).otherwise(0).alias("is_record"),
     )
     return flagged.groupBy("user_id").agg(
         F.count("*").alias("n_events"),

@@ -4381,7 +4381,13 @@ SELECT p.event_id AS purchase_id,
        CAST(epoch_us(p.ts) - epoch_us(v.ts) AS BIGINT) AS us_since_view,
        CAST(round(v.value * 100) AS BIGINT) AS view_cents
 FROM clean p
-ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+ASOF LEFT JOIN (
+  -- deterministic tiebreak: DuckDB's ASOF picks an ARBITRARY row among
+  -- equal-timestamp views, while the Spark carry always ends on the
+  -- max event_id — pre-collapse ties to that same row
+  SELECT * FROM events WHERE event_type = 'view'
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1
+) v
   ON p.user_id = v.user_id AND p.ts >= v.ts
 """
 

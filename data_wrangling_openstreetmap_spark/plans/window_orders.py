@@ -321,15 +321,34 @@ def window_order_hazards(
 
 
 def _walk_sort_limits(node, acc: list) -> list:
-    """Collect (limit_k, sort_node) for GlobalLimit over a global Sort
-    (optionally through LocalLimit/Project that preserve row identity)."""
+    """Collect (limit_k, sort_node, observable_exprs) for GlobalLimit
+    over a global Sort, peeling LocalLimit and Project wrappers. A
+    Project between the limit and the sort NARROWS what the query can
+    observe — only its output expressions matter for tie
+    interchangeability — so the projection list (if any) is returned as
+    the observable set instead of the sort child's full output.
+    ``observable_exprs`` is None when no Project intervenes."""
     cls = node.getClass().getSimpleName()
     if cls == "GlobalLimit":
         k_expr = node.limitExpr()
         child = node.child()
-        # peel LocalLimit (same k) and row-preserving wrappers
-        while child.getClass().getSimpleName() == "LocalLimit":
+        observable = None
+        n_projects = 0
+        # peel LocalLimit and row-preserving Project wrappers; the
+        # Project (the optimizer collapses stacks, so at most one is
+        # expected) is what the query observes — its expressions
+        # reference the Sort's output, so they evaluate on the sort
+        # child directly
+        while child.getClass().getSimpleName() in ("LocalLimit", "Project"):
+            if child.getClass().getSimpleName() == "Project":
+                n_projects += 1
+                observable = _seq(child.projectList())
             child = child.child()
+        if n_projects > 1:
+            # stacked Projects would make `observable` reference the
+            # lower Project's output, not the sort child — flag loudly
+            # instead of mis-evaluating (never happens post-optimizer)
+            observable = "UNSUPPORTED"
         if child.getClass().getSimpleName() == "Sort" and getattr(
             child, "global"
         )():
@@ -337,7 +356,7 @@ def _walk_sort_limits(node, acc: list) -> list:
                 k = int(k_expr.eval(None))
             except Exception:
                 k = None
-            acc.append((k, child))
+            acc.append((k, child, observable))
     for ch in _seq(node.children()):
         _walk_sort_limits(ch, acc)
     try:
@@ -373,19 +392,24 @@ def sort_limit_hazards(
     hazards: List[WindowHazard] = []
 
     plan = df._jdf.queryExecution().optimizedPlan()
-    for k, sort_node in _walk_sort_limits(plan, []):
+    for k, sort_node, observable in _walk_sort_limits(plan, []):
         stats.windows_seen += 1
         order_specs = _seq(sort_node.order())
         order_exprs = [o.child() for o in order_specs]
         order_sql = tuple(e.sql() for e in order_exprs)
-        if k is None or any(not e.deterministic() for e in order_exprs):
+        if (
+            k is None
+            or observable == "UNSUPPORTED"
+            or any(not e.deterministic() for e in order_exprs)
+        ):
             hazards.append(
                 WindowHazard(
                     kind="skipped",
                     functions=("limit",),
                     partition=(),
                     order=order_sql,
-                    detail="non-literal limit or non-deterministic sort key",
+                    detail="non-literal limit, stacked projections, or "
+                    "non-deterministic sort key",
                 )
             )
             continue
@@ -395,11 +419,27 @@ def sort_limit_hazards(
             if e.getClass().getSimpleName() == "AttributeReference"
         }
         child = sort_node.child()
-        other_attrs = [
-            a
-            for a in _seq(child.output())
-            if a.exprId().id() not in key_attr_ids
-        ]
+        if observable is not None:
+            # a Project above the sort narrows what the query can
+            # observe: only its expressions (minus pure key references)
+            # must be constant on boundary ties. Alias exprs unwrap to
+            # their child for the key-reference test; all exprs evaluate
+            # against the sort child (the Project's input).
+            other_attrs = []
+            for e in observable:
+                inner = e.child() if e.getClass().getSimpleName() == "Alias" else e
+                if (
+                    inner.getClass().getSimpleName() == "AttributeReference"
+                    and inner.exprId().id() in key_attr_ids
+                ):
+                    continue
+                other_attrs.append(inner)
+        else:
+            other_attrs = [
+                a
+                for a in _seq(child.output())
+                if a.exprId().id() not in key_attr_ids
+            ]
         if not other_attrs:
             stats.windows_checked += 1
             continue  # boundary ties are full duplicates — interchangeable
@@ -408,7 +448,9 @@ def sort_limit_hazards(
             child.semanticHash(),
             k,
             order_sql,
-            tuple(sorted(a.name() for a in other_attrs)),
+            # observable entries may be arbitrary expressions, not just
+            # attributes — key on their SQL text
+            tuple(sorted(a.sql() for a in other_attrs)),
         )
         if cache_key in cache:
             stats.cache_hits += 1
@@ -449,7 +491,7 @@ def sort_limit_hazards(
                     detail = (
                         f"LIMIT {k} boundary tie class straddles the cut "
                         f"with non-identical rows in "
-                        f"{[a.name() for a in other_attrs]}: keys="
+                        f"{[a.sql() for a in other_attrs]}: keys="
                         f"{[tuple(r)[:-3] for r in boundary]}"
                     )
                 else:

@@ -248,3 +248,19 @@ def test_p11_departments_are_exhaustive(spark):
     assert depts <= {"assembly", "fasteners", "stock", "misc"}
     tiers = {r[0] for r in out.select("tier").distinct().collect()}
     assert tiers <= {"bulk", "eco", "spot"}
+
+
+def test_precondition_events_user_ts_unique(spark):
+    """Precondition parity companion for the ASOF oracle family
+    (j7/j17/x1/x1b/x1c): DuckDB's ASOF JOIN picks an ARBITRARY row
+    among equal-timestamp build-side matches and the jvmext lowering's
+    ORDER BY ts DESC LIMIT 1 is equally tie-arbitrary, so every as-of
+    parity grade silently assumes (user_id, ts) is unique in events.
+    Pin the assumption at the sweep scale so fixture drift fails loudly
+    (j17's oracle additionally collapses ties via QUALIFY — defense in
+    depth, not a reason to drop this check)."""
+    events = load_table(spark, "/root/testdata/sf0.1", "events")
+    dups = (
+        events.groupBy("user_id", "ts").count().filter(F.col("count") > 1)
+    )
+    assert dups.count() == 0

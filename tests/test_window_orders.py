@@ -122,7 +122,7 @@ def test_registry_order_determinism(spark):
     # passed because plan walking broke
     assert wstats.windows_seen > 150, wstats
     assert wstats.windows_checked > 100, wstats
-    assert lstats.windows_seen >= 15, lstats  # sort+limit sites walked
+    assert lstats.windows_seen >= 20, lstats  # sort+limit sites walked
 
 
 # ---------------------------------------------------------------------------
@@ -161,5 +161,6 @@ def test_sort_limit_checker_flags_boundary_tie(spark):
 
 # (the registry-wide sort+limit sweep runs inside
 # test_registry_order_determinism above, sharing one construction pass
-# with the window sweep — 20 sites on the current tree, all
-# unique-tiebreak)
+# with the window sweep — 23 sites on the current tree, all
+# unique-tiebreak; the Project-peel review fix surfaced 3 sites the
+# first cut missed: w28_max_drawdown, a29_ks_test, l4_oov_rate)
