@@ -1,0 +1,74 @@
+"""Dynamic arrival-order-independence probe over the graded window.
+
+The static order-determinism sweep (tests/test_window_orders.py)
+PROVES tie-safety from the plan + fixture; this module attacks from
+the other side: run every DRIVER_WINDOW query twice — once normally,
+once with every table's rows adversarially re-partitioned and
+intra-partition-scrambled — and demand the result multisets be
+IDENTICAL. This is exactly the failure mode w36 exhibited in round 7
+(shuffle-arrival order flipped under load), reproduced deliberately
+instead of waiting for a loaded machine, and it also validates the
+static checker's safe-by-shape exemptions (rank-like, RANGE-frame
+aggregates) empirically: an exemption that were wrong would flip here.
+
+Scramble mechanics: each operator module binds ``load_table`` by name
+(``from ..io import load_table``), so the patch must rebind the symbol
+in every module, not in io. The scramble is deterministic
+(seeded rand) so a failure reproduces.
+
+Exact equality is demanded, not tolerance: the repo's money recipe
+makes aggregate folds integer-exact, and the float-bearing queries
+already survive partition-count churn (the hostile-config probe), so
+any difference here is a real arrival-order dependence.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_wrangling_openstreetmap_spark import io as dwos_io
+from data_wrangling_openstreetmap_spark.operators import ALL_MODULES, DRIVER_WINDOW
+from data_wrangling_openstreetmap_spark.registry import REGISTRY, _ensure_loaded
+
+SF = "/root/testdata/sf0.01"
+
+
+def _scrambling_load_table(spark, sf_dir, name):
+    df = dwos_io.load_table(spark, sf_dir, name)
+    # new partitioning + scrambled intra-partition order, seeded so a
+    # failure is reproducible; the extra column is dropped again
+    return (
+        df.withColumn("__shuf", F.rand(42))
+        .repartition(11, F.col("__shuf"))
+        .sortWithinPartitions("__shuf")
+        .drop("__shuf")
+    )
+
+
+def _rows(df):
+    return sorted(
+        [tuple(r) for r in df.collect()],
+        key=lambda t: tuple((v is None, str(type(v)), v) for v in t),
+    )
+
+
+@pytest.mark.timeout(1800)
+def test_driver_window_is_arrival_order_independent(spark, monkeypatch):
+    _ensure_loaded()
+    failures = []
+    for name in DRIVER_WINDOW:
+        spec = REGISTRY[name]
+        monkeypatch.undo()
+        baseline = _rows(spec.fn(spark, SF))
+        for mod in ALL_MODULES:
+            if hasattr(mod, "load_table"):
+                monkeypatch.setattr(mod, "load_table", _scrambling_load_table)
+        scrambled = _rows(spec.fn(spark, SF))
+        if baseline != scrambled:
+            diff = [
+                (b, s) for b, s in zip(baseline, scrambled) if b != s
+            ][:3]
+            failures.append(f"{name}: {len(baseline)} vs {len(scrambled)} rows, first diffs {diff}")
+    monkeypatch.undo()
+    assert not failures, "\n".join(failures)
