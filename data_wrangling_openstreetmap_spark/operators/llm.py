@@ -1138,6 +1138,11 @@ def l3_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle conversion CLOSED (VERDICT r7 §Next #6): the quantizer is a
     sampled KMeans model with no DuckDB image; the value contract
     (recall vs exact) is driver-graded via l3_ann_recall_contract.
+    Round-8 arrival-order audit: this is the registry's ONE
+    layout-dependent query — df.sample's Bernoulli draw depends on
+    partition layout, so centroids (hence neighbor sets) vary with
+    arrival order while the recall contract stays green under any
+    layout (docs/ROUND8_NOTES.md §11).
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector

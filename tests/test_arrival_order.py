@@ -36,10 +36,14 @@ SF = "/root/testdata/sf0.01"
 
 def _scrambling_load_table(spark, sf_dir, name):
     df = dwos_io.load_table(spark, sf_dir, name)
-    # new partitioning + scrambled intra-partition order, seeded so a
-    # failure is reproducible; the extra column is dropped again
+    # new partitioning + scrambled intra-partition order; the scramble
+    # key is a DETERMINISTIC hash of the whole row (not rand()) so the
+    # probe reproduces exactly AND stays legal inside lateral
+    # subqueries, which reject non-deterministic inputs
     return (
-        df.withColumn("__shuf", F.rand(42))
+        df.withColumn(
+            "__shuf", F.xxhash64(*[F.col(c) for c in df.columns])
+        )
         .repartition(11, F.col("__shuf"))
         .sortWithinPartitions("__shuf")
         .drop("__shuf")
