@@ -50,33 +50,37 @@ ALL_MODULES = (
 # value-hash-graded, none rows-only. Order within the window is
 # thematic, not significance-ranked — only membership matters.
 #
-# ROUND-8 ROTATION (the round-4..7 discipline, continued): 45 of the
-# 50 slots are queries the driver has NEVER hash-graded (303 unique
-# names carry driver signal from rounds 1-7, all green at their latest
+# ROUND-9 ROTATION (the round-4..8 discipline, continued): 45 of the
+# 50 slots are queries the driver has NEVER hash-graded (348 unique
+# names carry driver signal from rounds 1-8, all green at their latest
 # grade; zero overlap with the 45 — asserted against the
-# CORRECTNESS_r01–r07 union when the window was built). The graded 303
+# CORRECTNESS_r01–r08 union when the window was built). The graded 348
 # stay continuously verified by the driver-strict local replica
 # (tests/test_oracle_parity.py) and the per-round full-registry sf0.1
 # sweep. Coverage invariant unchanged: every §2 tag in the registry has
 # a representative below
 # (tests/test_plan_shapes.py::test_driver_window_covers_all_tags).
 #
-# SENTINEL LANE, FIRST ACTIVATION (policy below, VERDICT r6 §Next #6 /
-# r7 §Next #4): 5 slots re-grade previously-green names whose source
-# or ORACLE text changed after their grade —
-#   f6d_order_map_algebra          graded r6; FLOOR coercion edit r7
-#   st26_sliding_watermark_extrema graded r6; scalable_running_max
-#                                  signature gained the range path r7
-#   q50_max_concurrency            graded r6; ckpt call-site churn r7
-#   f7c_props_semi_buckets         graded r7; oracle TRY_CAST edit r8
-#                                  (ADVICE r7 #1)
-#   u15_udf_keyed_median_udaf      graded r7; oracle NULLIF/TRY_CAST
-#                                  edit r8 (ADVICE r7 #2)
-# Round-9 sentinel candidates (pick by diffing operators/ against each
-# name's grade round): any name whose window ORDER BY is touched by
-# future tie-hazard fixes (the w36 class — though the structural sweep
-# in tests/test_window_orders.py should keep that set empty), plus
-# whichever graded oracles get lenience edits from ADVICE r8.
+# SENTINEL LANE, ROUND 9 (standing policy below): 5 slots re-grade
+# previously-green names whose source or shared helpers changed after
+# their grade —
+#   j17_error_free_attribution  graded r8; single-struct carry rewrite
+#                               r9 (ADVICE r8 #2) — the automatic pick
+#   st29_emitted_hop_windows    graded r7; streaming_ops.py churned r8
+#                               (st32–st34) — covers ST2+ST4
+#   st19_session_stats_rollup   graded r5; streaming_ops.py churned
+#                               r6–r8 — covers ST3
+#   f6c_map_from_entries        graded r5; functions_sweep.py churned
+#                               r6–r8 AND it is the one allowlisted
+#                               unsorted-collect site of the new
+#                               aggregate-order sweep (round 9's
+#                               machine check names it) — covers F6
+#   l3_pq_rerank                graded r7; llm.py churned r8 — covers
+#                               L3 (+L6, W2)
+# Round-10 sentinel candidates: any name whose oracle gets an ADVICE-r9
+# lenience edit (automatic picks), plus windows.py names graded ≤r8
+# (the j17 struct-carry edit is that file's only r9 churn, but the
+# A11→extension-tag note touches its tag metadata).
 #
 # SENTINEL RE-GRADE POLICY (standing, effective round 8): once the
 # never-graded pool can no longer fill 50 slots — or from round 8
@@ -85,75 +89,79 @@ ALL_MODULES = (
 # changed since their grade, chosen each round by diffing the
 # operators/ tree against the round the name was graded in.
 #
-# TAG ARITHMETIC forcing this round's 9 twins: entering round 8, 27 of
+# TAG ARITHMETIC forcing this round's 9 twins: entering round 9, 31 of
 # the 68 registry tags had NO oracled never-graded carrier (A4 A5 A6 F6
-# F7 F9 J3 J4 J7 O1 O4 O5 O6 P3 P4 P5 ST1-ST7 U1 U4 U5 W5). The five
-# churn sentinels above cover 7 of them organically (F6 ST2 ST3 ST4 F7
-# J3 U1 U4); the remaining 16 get fresh round-8 twins (p11 o10 a55 j17
-# f27 u16 st32 st33 st34 — 9 additions, registry 460→469, vs burning
-# ~14 more window slots on coverage-only re-grades, which the ≥45
-# first-timer target forbids).
+# F7 F9 J3 J4 J6 J7 L3 O1 O4 O5 O6 P1 P3 P4 P5 S5 ST1-ST7 U1 U4 U5 W5).
+# The five churn sentinels above cover 8 of them organically (J4 J7 W5
+# ST2 ST3 ST4 F6 L3); the remaining 23 get fresh round-9 twins (a56
+# o11 p12 f28 j18 u17 st35 st36 st37 — 9 additions, registry 469→478,
+# vs burning ~20 more window slots on coverage-only re-grades, which
+# the ≥45 first-timer target forbids).
 DRIVER_WINDOW = (
-    # judge-prioritized (VERDICT r7 §Next #1), led by w36_anchored_vwap:
-    # its ORDER BY semantics changed in the round-7 tie fix and it has
-    # NEVER been driver-graded; the rest are the named older §2-adjacent
-    # carriers with no hard signal:
-    "w36_anchored_vwap",
-    "a10_percentiles",
-    "a12_pivot",
-    "a20_weighted_median",
-    "a17_conditional_distinct",
-    "dq6_psi_drift",
-    "d7_snapshot_diff",
-    "f10_binary_encodings",
-    # round-8 tag twins (all first-timers; see TAG ARITHMETIC above):
-    "p11_chained_parse_normalize",
-    "o10_cohort_set_algebra",
-    "a55_priority_rollup_contract",
-    "j17_error_free_attribution",
-    "f27_quadrant_ring_density",
-    "u16_udtf_signature_rollup",
-    "st32_emitted_hourly_by_type",
-    "st33_first_touch_snowflake",
-    "st34_record_break_counter",
+    # judge-prioritized (VERDICT r8 §Next #1): the seven §2-canonical
+    # carriers whose coverage-table rows still cite graded siblings —
+    # after this round every §2 row cites its own canonical grade:
+    "p6_conditional",
+    "j2_outer_join",
+    "j5_broadcast_join",
+    "a7_date_bucket",
+    "w1_rank_kinds",
+    "w3_lag_lead",
+    "w4_running_sum",
+    # round-9 tag twins (all first-timers; see TAG ARITHMETIC above):
+    "a56_margin_lattice_contract",
+    "o11_supplier_roster_exchange",
+    "p12_customer_profile_shaping",
+    "f28_type_map_combinators",
+    "j18_depot_proximity_semi",
+    "u17_udtf_keyed_median_chain",
+    "st35_emitted_daily_priorities",
+    "st36_daily_first_touch",
+    "st37_type_streak_state",
     # churn sentinels (see SENTINEL LANE above):
-    "f6d_order_map_algebra",
-    "st26_sliding_watermark_extrema",
-    "q50_max_concurrency",
-    "f7c_props_semi_buckets",
-    "u15_udf_keyed_median_udaf",
+    "j17_error_free_attribution",
+    "st29_emitted_hop_windows",
+    "st19_session_stats_rollup",
+    "f6c_map_from_entries",
+    "l3_pq_rerank",
     # greedy tag-cover picks (each the never-graded carrier of tags no
     # other window entry covers):
-    "q28_local_supplier_volume",
-    "s3c_class_balanced_sample",
-    "m6_scene_cuts",
-    "a30_chi_square",
-    "l6_cluster_separation",
-    "q31_association_rules",
-    "s21_orc_roundtrip",
-    "a18_percentile_matrix",
-    "a23_arg_extrema",
-    "s10_negative_sampling",
-    "l1_corpus_diff",
-    "l4_zipf_slope",
-    "m1b_decode_parity",
-    "s22_corrupt_json_audit",
-    "s27_python_datasource",
-    "x8_replace_sql",
-    "w11_ewma",
-    # strength fillers (strongest remaining never-graded composites,
-    # spread across the window/dedup/quality/graph/source families):
-    "w28_max_drawdown",
-    "q42_order_streaks",
-    "l2_bbit_minhash",
-    "l4_keyness_llr",
-    "dq13_duplicate_key_impact",
-    "dp4_numeric_correlation_matrix",
-    "g7_degree_assortativity",
-    "s34_neyman_allocation",
-    "f24_parse_url_battery",
-    "w19_theil_sen",
-    "q58_diff_in_diff",
+    "g15_assortativity",
+    "f23_hash_encode_battery",
+    "s12_orc_roundtrip",
+    "l4_repetition_stats",
+    "m7_audio_vad",
+    "dp2_key_skew_report",
+    "a22_ab_lift",
+    "s9_temperature_resample",
+    "l4_token_counts_parity",
+    "l4_trigram_novelty",
+    "m3b_resize_parity",
+    "dp7_shuffle_partition_advisor",
+    "s25_file_metadata_audit",
+    "s28_pushdown_datasource",
+    # strength fillers (strongest remaining never-graded names, spread
+    # across the window/stats/graph/source/SQL-frontend families;
+    # a11_stats_agg and a15_robust_outliers are the two carriers of the
+    # A11 extension tag the round-8 verdict flagged — grading them
+    # closes that nit with driver signal; w22_weekly_autocorr is the
+    # checkpoint-hidden window the round-9 full-plan sweep newly
+    # covers, so a driver grade pins its value contract too):
+    "a11_stats_agg",
+    "a15_robust_outliers",
+    "w12_running_distinct",
+    "w16_ohlc_resample",
+    "w22_weekly_autocorr",
+    "w43_interval_union",
+    "q24_hierarchy_closure",
+    "q48_decile_transition",
+    "a33_seasonal_index",
+    "g3_shortest_hops",
+    "l6_random_projection",
+    "l4_sequence_packing",
+    "f15_date_arithmetic",
+    "x16_unpivot_sql",
+    "dq10_freshness_audit",
 )
 
 assert len(DRIVER_WINDOW) == 50, len(DRIVER_WINDOW)

@@ -1408,3 +1408,103 @@ def f27_quadrant_ring_density(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("dist_m").alias("nearest_m"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ROUND-9 F6+F7 twin (f6 construction/lookup, f6b mutation HOFs, f6c
+# map_from_entries, f6d ordered algebra, p10 override dict — all
+# graded; q6/f7c/f11/f13 cover the JSON surface). The remaining
+# un-graded F6 surface is the two-map combinators: map_zip_with and
+# transform_keys. The angle: per-user sum- and count-maps keyed by
+# event type (values fed by the JSON-extracted props.k — the F7 leg),
+# combined into an integer-mean map via map_zip_with and re-keyed via
+# transform_keys, every readout recomputed flat by the oracle.
+# ---------------------------------------------------------------------------
+
+_F28_ORACLE = """
+WITH k AS (
+  SELECT user_id, event_type,
+         CAST(props->>'k' AS BIGINT) AS k
+  FROM events WHERE user_id < 120
+), per_type AS (
+  SELECT user_id, event_type,
+         CAST(SUM(k) AS BIGINT) AS ksum,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM k GROUP BY user_id, event_type
+)
+SELECT user_id,
+       CAST(COUNT(*) AS INT) AS n_types,
+       CAST(SUM(ksum) AS BIGINT) AS k_total,
+       COALESCE(MAX(CASE WHEN event_type = 'click' THEN ksum // n END),
+                -1) AS click_mean_floor,
+       COALESCE(MAX(CASE WHEN event_type = 'error' THEN n END), -1)
+         AS n_errors
+FROM per_type
+GROUP BY user_id
+"""
+
+
+@register("f28_type_map_combinators", oracle=_F28_ORACLE, tags=("F6", "F7"))
+def f28_type_map_combinators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-map combinator battery: per user, a sum-map and a count-map
+    keyed by event type are built with map_from_entries over
+    SORT-WRAPPED collected pairs (keys unique by construction — the
+    inner groupBy — and the sort satisfies the aggregate-order sweep),
+    the values fed by get_json_object(props, '$.k') (F7: the typed
+    JSON extraction). map_zip_with folds the two maps into an
+    integer-floor mean map — both maps are keyed identically so no
+    null branch fires — and transform_keys uppercases the count-map's
+    keys; each readout (size, total via aggregate over map_values,
+    element_at of the zipped and re-keyed maps) is recomputed FLAT by
+    the oracle, so the combinators must be lossless. Missing types
+    normalize to -1 on both sides (element_at → NULL → coalesce).
+    Integer floor division (ksum div n ↔ DuckDB //) dodges the
+    float-quotient ROUND-half tie gotcha.
+
+    Scale: the maps live only inside aggregated per-user rows,
+    O(event-types) entries each; two hash aggregates share the
+    user_id shuffle (the second groups a superset key); the
+    combinators are per-row JVM expressions in codegen.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 120)
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    per_type = ev.select("user_id", "event_type", k.alias("k")).groupBy(
+        "user_id", "event_type"
+    ).agg(F.sum("k").alias("ksum"), F.count("*").alias("n"))
+    maps = per_type.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("event_type"), F.col("ksum")))
+            )
+        ).alias("sum_map"),
+        F.map_from_entries(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("event_type"), F.col("n")))
+            )
+        ).alias("cnt_map"),
+    )
+    # integer floor division inside the lambda: (s - s % n) is exactly
+    # divisible, so the double quotient is exact and the cast lossless
+    # (ksum ≥ 0 in the fixture, so truncation == floor == DuckDB //)
+    mean_map = F.map_zip_with(
+        F.col("sum_map"),
+        F.col("cnt_map"),
+        lambda t, s, n: ((s - s % n) / n).cast("bigint"),
+    )
+    upper_cnt = F.transform_keys(F.col("cnt_map"), lambda t, n: F.upper(t))
+    return maps.select(
+        "user_id",
+        F.size("sum_map").alias("n_types"),
+        F.aggregate(
+            F.map_values("sum_map"),
+            F.lit(0).cast("bigint"),
+            # coalesce: SQL SUM ignores NULLs, a raw fold would poison
+            lambda acc, v: acc + F.coalesce(v, F.lit(0).cast("bigint")),
+        ).alias("k_total"),
+        F.coalesce(
+            F.element_at(mean_map, F.lit("click")), F.lit(-1).cast("bigint")
+        ).alias("click_mean_floor"),
+        F.coalesce(
+            F.element_at(upper_cnt, F.lit("ERROR")), F.lit(-1).cast("bigint")
+        ).alias("n_errors"),
+    )

@@ -4684,3 +4684,260 @@ def a55_priority_rollup_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.col("n_exact") * 0.05
         ).alias("hll_within_5pct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ROUND-9 A4+A5+A6 twin (a55 rolled the lattice on ORDERS with an HLL
+# contract; a6/a6b/a6c/a6d/q8 cover rollup, cube, and both asymmetric
+# subtotal lattices — all graded). The remaining un-graded lattice
+# SHAPE is dual marginals + detail: GROUPING SETS ((a,b),(a),(b)) has
+# no () member and two independent one-dimension cuts, so it is
+# expressible as neither ROLLUP nor CUBE — exactly the "report page
+# with two margin tables" query.
+# ---------------------------------------------------------------------------
+
+_A56_ORACLE = """
+SELECT l_returnflag,
+       l_linestatus,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS lvl,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
+       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents,
+       CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_exact,
+       TRUE AS hll_within_5pct
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                        (l_returnflag), (l_linestatus))
+HAVING COUNT(*) >= 50
+"""
+
+
+@register(
+    "a56_margin_lattice_contract",
+    oracle=_A56_ORACLE,
+    tags=("A4", "A5", "A6"),
+)
+def a56_margin_lattice_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dual-marginal GROUPING SETS over lineitem — detail (flag,
+    status) cells plus BOTH one-dimension margins, no grand total (A6:
+    the lattice neither ROLLUP nor CUBE can express), pruned to groups
+    of ≥50 items (A5), each row carrying the exact part distinct count
+    beside the a4-style sketch contract: approx_count_distinct (HLL++,
+    rsd=0.02) must land within 5% of exact, graded as a boolean so the
+    hash compares the CONTRACT, not the engine-specific estimate
+    (DuckDB emits literal TRUE; the GROUPING bitmask parity was
+    verified in round 8's a55). Quantities are integral doubles in the
+    fixture, so CAST to BIGINT sums exactly on both engines.
+
+    Scale: one Expand (×3 lattice members) into a single partial/final
+    hash aggregate — the shuffle carries O(flags·statuses + flags +
+    statuses) keys; the exact COUNT DISTINCT is the expensive expand
+    (at 100 TB keep the fixed-size HLL sketch and drop the exact
+    column — both exist here precisely so the fixture grades their
+    agreement).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    g = (
+        li.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_returnflag"], ["l_linestatus"]],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.grouping_id().cast("bigint").alias("lvl"),
+            F.count("*").alias("n_items"),
+            F.sum(F.col("l_quantity").cast("bigint")).alias("total_qty"),
+            F.sum(cents("l_extendedprice")).alias("revenue_cents"),
+            F.countDistinct("l_partkey").alias("n_exact"),
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("n_approx"),
+        )
+        .filter(F.col("n_items") >= 50)
+    )
+    return g.select(
+        "l_returnflag",
+        "l_linestatus",
+        "lvl",
+        "n_items",
+        "total_qty",
+        "revenue_cents",
+        "n_exact",
+        (
+            F.abs(F.col("n_approx") - F.col("n_exact"))
+            <= F.col("n_exact") * 0.05
+        ).alias("hll_within_5pct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ROUND-9 O1+O4+O5+O6+S5 twin (o10 graded the four-way customer set
+# chain; s5/s5b/s5c/s22/s29/s31 graded the JSON surface). The angle:
+# the SUPPLIER-side set chain with a JSON-sink HANDOFF in the middle —
+# the surviving roster is written as line-delimited JSON and read back
+# schema-declared BEFORE resolution, the "cohort exchange file" shape
+# a two-team pipeline actually ships, so sink fidelity is graded
+# through set membership rather than a roundtrip count.
+# ---------------------------------------------------------------------------
+
+_O11_ORACLE = """
+WITH returners AS (
+  SELECT DISTINCT l_suppkey AS sk FROM lineitem WHERE l_returnflag = 'R'
+), rich AS (
+  SELECT s_suppkey AS sk FROM supplier WHERE s_acctbal >= 3000.0
+), act95 AS (
+  SELECT DISTINCT l_suppkey AS sk FROM lineitem
+  WHERE l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+), taxfree AS (
+  SELECT DISTINCT l_suppkey AS sk FROM lineitem WHERE l_tax = 0.0
+), roster AS (
+  SELECT sk FROM (SELECT sk FROM returners UNION SELECT sk FROM rich)
+  INTERSECT
+  SELECT sk FROM act95
+  EXCEPT
+  SELECT sk FROM taxfree
+)
+SELECT DISTINCT CAST(s.s_nationkey AS INTEGER) AS nationkey,
+       CASE WHEN s.s_acctbal >= 5000.0 THEN 'high' ELSE 'base' END AS band
+FROM roster r
+JOIN supplier s ON s.s_suppkey = r.sk
+ORDER BY nationkey, band
+"""
+
+
+@register(
+    "o11_supplier_roster_exchange",
+    oracle=_O11_ORACLE,
+    tags=("O1", "O4", "O5", "O6", "S5"),
+)
+def o11_supplier_roster_exchange(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier cohort set algebra with a JSON exchange file in the
+    middle: (returned-item shippers ∪ rich) ∩ pre-1996 shippers ∖
+    tax-free shippers (O4/O5 — UNION is distinct-semantics, the chain
+    is explicitly left-nested to dodge the INTERSECT-binds-tighter
+    precedence divergence), the surviving keys WRITTEN as line-
+    delimited JSON and read back schema-declared (S5 — a dropped or
+    mangled key changes set membership, so sink fidelity is graded
+    through the final roster), then resolved to DISTINCT (nation,
+    balance-band) pairs (O6) under a two-key presentation sort (O1).
+
+    Scale: every leg reduces to a distinct bigint key set before any
+    set op — all four set operators shuffle only the key column; the
+    JSON handoff writes one file per partition in parallel and reads
+    back splittable JSONL with a declared schema (inference = an extra
+    full pass at 100 TB); resolution joins the roster to the supplier
+    dim and dedups O(nations·2) pairs.
+    """
+    import tempfile
+
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    returners = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select(F.col("l_suppkey").alias("sk"))
+        .distinct()
+    )
+    rich = sup.filter(F.col("s_acctbal") >= 3000.0).select(
+        F.col("s_suppkey").alias("sk")
+    )
+    act95 = (
+        li.filter(F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+        .select(F.col("l_suppkey").alias("sk"))
+        .distinct()
+    )
+    taxfree = (
+        li.filter(F.col("l_tax") == 0.0)
+        .select(F.col("l_suppkey").alias("sk"))
+        .distinct()
+    )
+    roster = returners.union(rich).distinct().intersect(act95).subtract(taxfree)
+    path = tempfile.mkdtemp(prefix="dwos_o11_") + "/roster_json"
+    roster.write.mode("overwrite").json(path)
+    back = spark.read.schema("sk bigint").json(path)
+    pairs = (
+        back.join(sup, back.sk == sup.s_suppkey)
+        .select(
+            F.col("s_nationkey").alias("nationkey"),
+            F.when(F.col("s_acctbal") >= 5000.0, F.lit("high"))
+            .otherwise(F.lit("base"))
+            .alias("band"),
+        )
+        .distinct()
+    )
+    return present_sorted(pairs, "nationkey", "band")
+
+
+# ---------------------------------------------------------------------------
+# ROUND-9 P1+P3+P4+P5 twin (p11 chained the three parse stages into
+# GROUPING keys on part; p1 graded bare projection on its own). The
+# angle: STAGE-PER-COLUMN row shaping on the customer dim — every P
+# surface lands in its own output column of a keyed per-row frame, so
+# the grade localizes which stage broke (p11's rollup can only say
+# "rows rerouted"), and P1's projection/rename/computed surface is the
+# frame itself rather than a prelude.
+# ---------------------------------------------------------------------------
+
+_P12_ORACLE = """
+SELECT c_custkey AS customer_key,
+       upper(c_name) AS display_name,
+       TRY_CAST(regexp_extract(c_name, '(\\d+)$', 1) AS BIGINT) AS cust_num,
+       CASE
+         WHEN regexp_matches(c_mktsegment, '^(AUTO|MACH)') THEN 'industrial'
+         WHEN regexp_matches(c_mktsegment, 'HOLD$') THEN 'consumer'
+         ELSE 'commercial'
+       END AS seg_class,
+       CASE c_mktsegment
+         WHEN 'BUILDING' THEN 'b2b'
+         WHEN 'FURNITURE' THEN 'b2b'
+         WHEN 'HOUSEHOLD' THEN 'b2c'
+         ELSE 'mixed'
+       END AS channel,
+       CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+FROM customer
+WHERE c_custkey < 400
+"""
+
+
+@register(
+    "p12_customer_profile_shaping",
+    oracle=_P12_ORACLE,
+    tags=("P1", "P3", "P4", "P5"),
+)
+def p12_customer_profile_shaping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row customer profile shaping, one P surface per column:
+    rename + computed projection frames the row (P1: customer_key /
+    display_name / bal_cents), the trailing digits of c_name are
+    regex-EXTRACTED into cust_num (P4, try_cast so a digitless name
+    degrades to NULL identically under ANSI), the segment is
+    regex-CLASSIFIED by anchored prefix/suffix patterns (P3), and
+    dict-NORMALIZED to a sales channel through a literal map with a
+    'mixed' default (P5). Keyed per-row output — a broken stage shows
+    up in ITS column, not as rerouted aggregate rows (p11's failure
+    mode).
+
+    Scale: zero shuffles — pure per-row codegen expressions behind a
+    pushed-down key filter; the dictionary is an inline literal map,
+    never a join.
+    """
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 400)
+    seg_class = (
+        F.when(F.col("c_mktsegment").rlike("^(AUTO|MACH)"), F.lit("industrial"))
+        .when(F.col("c_mktsegment").rlike("HOLD$"), F.lit("consumer"))
+        .otherwise(F.lit("commercial"))
+    )
+    channel_map = F.create_map(
+        F.lit("BUILDING"), F.lit("b2b"),
+        F.lit("FURNITURE"), F.lit("b2b"),
+        F.lit("HOUSEHOLD"), F.lit("b2c"),
+    )
+    return cust.select(
+        F.col("c_custkey").alias("customer_key"),
+        F.upper("c_name").alias("display_name"),
+        F.regexp_extract(F.col("c_name"), r"(\d+)$", 1)
+        .try_cast("bigint")
+        .alias("cust_num"),
+        seg_class.alias("seg_class"),
+        F.coalesce(channel_map[F.col("c_mktsegment")], F.lit("mixed")).alias(
+            "channel"
+        ),
+        cents("c_acctbal").alias("bal_cents"),
+    )

@@ -1082,3 +1082,135 @@ def d11_retention_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("reclaim_bytes"),
         F.expr("(sum(expired) * 10000) div count(*)").alias("expired_bp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ROUND-9 J3+J6+F9 twin (j6_grid_spatial_join graded the PAIR
+# enumeration within radius; q4/j3b/j3c/f7c graded plain semi joins;
+# f9/f9c/f9d/f27 the geospatial function surface). The angle: the
+# EXISTS form of the spatial join — customers near AT LEAST ONE depot
+# — where the depot set is itself a LEFT SEMI reduction of suppliers
+# against the fact table, so the J3 and J6 legs compose in one plan
+# and the grid bucketing must not duplicate or drop near-boundary
+# members (the semi's distinct collapse is part of the grade).
+# ---------------------------------------------------------------------------
+
+_J18_RADIUS = 0.7  # ≤ 1.0 (the cell size) or 3×3 coverage breaks
+
+_J18_ORACLE = f"""
+WITH cpts AS (
+  SELECT c_custkey AS id, c_mktsegment, c_acctbal,
+         (c_custkey % 170) * 0.5 - 42.0 AS lat,
+         (c_custkey % 355) * 0.5 - 88.0 AS lon
+  FROM customer
+), depots AS (
+  SELECT (s_suppkey % 140) * 0.5 - 35.0 AS lat,
+         (s_suppkey * 7 % 280) * 0.5 - 70.0 AS lon
+  FROM supplier s
+  WHERE EXISTS (SELECT 1 FROM lineitem
+                WHERE l_suppkey = s.s_suppkey
+                  AND l_returnflag = 'R' AND l_quantity >= 45.0)
+)
+SELECT c.c_mktsegment AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n_near,
+       CAST(SUM(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS BIGINT)
+         AS bal_cents
+FROM cpts c
+WHERE EXISTS (
+  SELECT 1 FROM depots d
+  WHERE sqrt((c.lat - d.lat) * (c.lat - d.lat)
+           + (c.lon - d.lon) * (c.lon - d.lon)) <= {_J18_RADIUS}
+)
+GROUP BY 1
+"""
+
+
+@register(
+    "j18_depot_proximity_semi", oracle=_J18_ORACLE, tags=("J3", "J6", "F9")
+)
+def j18_depot_proximity_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers within {radius}° of at least one ACTIVE depot, rolled
+    up per market segment. The depot set is a LEFT SEMI reduction
+    first (J3: suppliers with a returned ≥45-quantity shipment — the
+    existence test, not a join multiplication), then the proximity
+    test is the EXISTS form of j6's grid-bucketed range join (J6/F9):
+    customer probes replicate to their 3×3 cell neighborhood, a LEFT
+    SEMI join against depot cells keeps probes whose cell holds a
+    close-enough depot, and a DISTINCT collapses the ≤9 surviving
+    replicas of each customer back to one membership row. Distances
+    use explicit multiplication + sqrt (correctly rounded on both
+    engines; same formula discipline as j6). Coordinates are exact
+    multiples of 0.5°, so the boundary compare is bit-deterministic.
+
+    Scale: both semi joins keep the probe side un-multiplied — the
+    depot side collapses to distinct keys before the spatial stage and
+    broadcasts (O(suppliers) points); the spatial shuffle keys are int
+    cell coords (same density-skew caveat as j6: salt hot cells). The
+    replicate-then-distinct is 9× on the probe side only, and the
+    distinct reuses the segment rollup's shuffle at O(customers) keys.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    sup = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem")
+    active = sup.join(
+        li.filter(
+            (F.col("l_returnflag") == "R") & (F.col("l_quantity") >= 45.0)
+        ).select("l_suppkey"),
+        sup.s_suppkey == F.col("l_suppkey"),
+        "left_semi",
+    )
+    d_lat = (F.col("s_suppkey") % 140) * 0.5 - 35.0
+    d_lon = (F.col("s_suppkey") * 7 % 280) * 0.5 - 70.0
+    depots = active.select(
+        d_lat.alias("d_lat"),
+        d_lon.alias("d_lon"),
+        F.floor(d_lat).cast("long").alias("cell_row"),
+        F.floor(d_lon).cast("long").alias("cell_col"),
+    )
+    c_lat = (F.col("c_custkey") % 170) * 0.5 - 42.0
+    c_lon = (F.col("c_custkey") % 355) * 0.5 - 88.0
+    pts = cust.select(
+        F.col("c_custkey").alias("id"),
+        "c_mktsegment",
+        "c_acctbal",
+        c_lat.alias("lat"),
+        c_lon.alias("lon"),
+        F.floor(c_lat).cast("long").alias("base_row"),
+        F.floor(c_lon).cast("long").alias("base_col"),
+    )
+    offsets = F.expr(
+        "explode(flatten(transform(sequence(-1,1), dr -> "
+        "transform(sequence(-1,1), dc -> struct(dr, dc)))))"
+    )
+    probes = pts.select(
+        "id",
+        "c_mktsegment",
+        "c_acctbal",
+        "lat",
+        "lon",
+        "base_row",
+        "base_col",
+        offsets.alias("o"),
+    ).select(
+        "id",
+        "c_mktsegment",
+        "c_acctbal",
+        "lat",
+        "lon",
+        (F.col("base_row") + F.col("o.dr")).alias("probe_row"),
+        (F.col("base_col") + F.col("o.dc")).alias("probe_col"),
+    )
+    dx = F.col("lat") - F.col("d_lat")
+    dy = F.col("lon") - F.col("d_lon")
+    near = probes.join(
+        F.broadcast(depots),
+        (F.col("probe_row") == F.col("cell_row"))
+        & (F.col("probe_col") == F.col("cell_col"))
+        & (F.sqrt(dx * dx + dy * dy) <= _J18_RADIUS),
+        "left_semi",
+    )
+    members = near.select("id", "c_mktsegment", "c_acctbal").distinct()
+    return members.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count("*").alias("n_near"),
+        F.sum(cents("c_acctbal")).alias("bal_cents"),
+    )

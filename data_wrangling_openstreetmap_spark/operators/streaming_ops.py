@@ -1755,3 +1755,245 @@ def st34_record_break_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("is_record").cast("bigint").alias("n_records"),
         F.max(cents("value")).alias("peak_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ROUND-9 ST1+ST4 twin (st32 graded the hourly per-type EVENTS
+# emission set; q7/st12/st17/st24/st25 the tumbling surface; st4/st14/
+# st20/st26/st29 the watermark observables). The angle: DAILY tumbling
+# windows over the ORDERS stream — a different stream source, a
+# coarser grain where window alignment itself (UTC epoch-day
+# bucketing) is part of the grade, and a third independent jitter
+# (Lehmer multiplier) so the emission set shares nothing with st29's
+# Knuth hash or st32's LCG.
+# ---------------------------------------------------------------------------
+
+_ST35_ORACLE = f"""
+WITH j AS (
+  SELECT o_orderdate, o_orderpriority, o_totalprice,
+         o_orderdate + to_seconds(((o_orderkey % 2147483648) * 48271) % 1800)
+           AS arrival_ts
+  FROM orders
+), wm AS (
+  SELECT MAX(arrival_ts) - INTERVAL '30 minutes' AS hi FROM j
+)
+SELECT time_bucket(INTERVAL '1 day', o_orderdate) AS window_start,
+       o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       {oracle_dsum('o_totalprice')} AS revenue
+FROM j, wm
+WHERE time_bucket(INTERVAL '1 day', o_orderdate) + INTERVAL '1 day' <= wm.hi
+GROUP BY 1, 2
+"""
+
+
+@register("st35_emitted_daily_priorities", oracle=_ST35_ORACLE, tags=("ST1", "ST4"))
+def st35_emitted_daily_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily tumbling order totals per priority, restricted to the
+    windows an append-mode sink would have EMITTED by end-of-replay:
+    final watermark = max(arrival) − 30 min under a deterministic
+    Lehmer-multiplier transit jitter (48271 — independent of st29's
+    Knuth hash and st32's LCG, so the three emission sets are
+    uncorrelated observables), and a day window is published iff its
+    END ≤ that watermark. The day grain makes the bucket ALIGNMENT
+    part of the grade: both engines must land rows on UTC epoch-day
+    boundaries (session timeZone=UTC ↔ DuckDB's naive timestamps) —
+    a tz-shifted engine moves boundary orders across windows and fails
+    the hash, which hourly grades can't see.
+
+    Scale: watermark is ONE broadcast scalar; the rollup is a single
+    shuffle on O(days · priorities) keys with map-side partials and
+    exact integer cents.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    jitter = ((F.col("o_orderkey") % F.lit(2147483648)) * F.lit(48271)) % 1800
+    j = orders.select(
+        "o_orderdate",
+        "o_orderpriority",
+        "o_totalprice",
+        (
+            F.col("o_orderdate") + F.make_dt_interval(secs=jitter.cast("double"))
+        ).alias("arrival_ts"),
+    )
+    wm = j.agg(
+        (F.max("arrival_ts") - F.expr("INTERVAL 30 MINUTES")).alias("hi")
+    )
+    return (
+        j.groupBy(F.window("o_orderdate", "1 day").alias("w"), "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum("o_totalprice").alias("revenue"),
+        )
+        .crossJoin(F.broadcast(wm))
+        .filter(F.col("w.end") <= F.col("hi"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "o_orderpriority",
+            "n_orders",
+            "revenue",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ROUND-9 ST5+ST6 twin (st33 graded keep-first on (user, type) through
+# a two-hop snowflake; st5/st15/st21/st27/st30 the dedup kinds, st6/
+# st8/st9/st22 the join kinds). The angle: CALENDAR-KEYED dedup state
+# — keep-first per (user, day), the "daily first touch" whose
+# streaming state is one row per user-day and must be EXPIRED by a
+# day-scoped TTL rather than held forever (the state-growth axis none
+# of the graded dedup carriers exercise) — enriched through the
+# customer dim and rolled per (day, segment).
+# ---------------------------------------------------------------------------
+
+_ST36_ORACLE = f"""
+WITH ranked AS (
+  SELECT user_id, CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day, value, ts,
+         event_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id, CAST(ts AS DATE) ORDER BY ts, event_id
+         ) AS rn
+  FROM events
+), firsts AS (
+  SELECT user_id, day, value FROM ranked WHERE rn = 1
+)
+SELECT f.day,
+       c.c_mktsegment AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n_first_touches,
+       {oracle_dsum('f.value')} AS total_value
+FROM firsts f
+JOIN customer c ON c.c_custkey = f.user_id + 1
+GROUP BY 1, 2
+"""
+
+
+@register("st36_daily_first_touch", oracle=_ST36_ORACLE, tags=("ST5", "ST6"))
+def st36_daily_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-FIRST dedup on the CALENDAR-composite key (user, day) —
+    the batch image of streaming dropDuplicates whose state key embeds
+    event time, made deterministic by the (ts, event_id) arrival
+    tiebreak — then stream-static enrichment through the broadcast
+    customer dim and a (day, segment) rollup. Against st33 (composite
+    key = user × type, state bounded by live pairs) the day-keyed
+    state GROWS per day unless expired: the streaming image sets a
+    watermark-scoped dropDuplicatesWithinWatermark / state TTL of one
+    day, which this batch observable is the ground truth for.
+
+    Scale: dedup is one shuffle on (user, day) (window rank, first
+    row only); the dimension hop broadcasts; the rollup reshuffles
+    only O(days · segments) keys. Streaming state at 100 TB is one
+    row per user-day inside the watermark horizon — the TTL, not the
+    corpus, bounds it.
+    """
+    events = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    day = F.to_date("ts")
+    firsts = (
+        events.select(
+            "user_id",
+            # midnight-timestamp bucket (the a7 idiom): DATE-typed
+            # columns hit the driver's dtype-family gate
+            day.cast("timestamp").alias("day"),
+            "ts",
+            "event_id",
+            "value",
+            F.row_number().over(
+                Window.partitionBy("user_id", day).orderBy("ts", "event_id")
+            ).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .select("user_id", "day", "value")
+    )
+    return (
+        firsts.join(F.broadcast(cust), firsts.user_id + 1 == cust.c_custkey)
+        .groupBy("day", F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("*").alias("n_first_touches"),
+            dsum("value").alias("total_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ROUND-9 ST7 twin (st34 graded the record-break counter; st7/st16/
+# st23/st28/st31 the other stateful shapes). The angle: RUN-LENGTH
+# state — the per-user longest streak of consecutive SAME-TYPE events
+# in (ts, event_id) arrival order. State is (current type, current run
+# length, best run length): a lag-equality flag and a prefix-sum
+# segment id in batch, a three-field per-key state in streaming.
+# Unlike q42's gaps-and-islands (VALUE-indexed runs over distinct
+# calendar months), these runs are ARRIVAL-sequence runs — a single
+# out-of-order row splits or merges a run, the genuine ST7 property.
+# ---------------------------------------------------------------------------
+
+_ST37_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type, ts, event_id,
+         LAG(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS prev_type
+  FROM events
+), runs AS (
+  SELECT user_id, event_type,
+         SUM(CASE WHEN prev_type IS NULL OR prev_type <> event_type
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM seq
+), rl AS (
+  SELECT user_id, run_id, CAST(COUNT(*) AS BIGINT) AS len
+  FROM runs GROUP BY user_id, run_id
+)
+SELECT user_id,
+       CAST(SUM(len) AS BIGINT) AS n_events,
+       CAST(COUNT(*) AS BIGINT) AS n_runs,
+       CAST(MAX(len) AS BIGINT) AS longest_streak
+FROM rl
+GROUP BY user_id
+"""
+
+
+@register("st37_type_streak_state", oracle=_ST37_ORACLE, tags=("ST7",))
+def st37_type_streak_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary-stateful run-length tracker: per user, the longest
+    streak of consecutive same-type events plus the run count, over
+    the (ts, event_id)-ordered history. The streaming image is
+    applyInPandasWithState with (last_type, run_len, best_len,
+    n_events, n_runs) per user and a single emit at completion; the
+    batch image computes the same via lag-equality flags, a prefix-sum
+    run id, and a two-level rollup. The observable counts TRANSITIONS,
+    so a single out-of-order row changes the answer — q42's
+    gaps-and-islands runs are value-indexed (distinct months) and
+    immune to arrival order, which is exactly why this twin grades the
+    ARRIVAL-sequence variant instead.
+
+    Scale: one shuffle on user_id serves the lag window, the prefix
+    sum, AND both rollups (the (user, run_id) grouping is a key
+    refinement of the window partitioning — no second exchange);
+    state is O(users) in streaming, O(runs) in batch.
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    run_id = F.sum(
+        F.when(
+            F.col("prev_type").isNull()
+            | (F.col("prev_type") != F.col("event_type")),
+            1,
+        ).otherwise(0)
+    ).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    runs = seq.select("user_id", run_id.alias("run_id"))
+    rl = runs.groupBy("user_id", "run_id").agg(F.count("*").alias("len"))
+    return rl.groupBy("user_id").agg(
+        F.sum("len").alias("n_events"),
+        F.count("*").alias("n_runs"),
+        F.max("len").alias("longest_streak"),
+    )

@@ -1221,3 +1221,106 @@ def u16_udtf_signature_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("p_partkey").alias("first_part"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ROUND-9 U1+U4+U5 twin (u15 graded scalar-UDF key → UDAF, u16 graded
+# UDTF → scalar-UDF key → built-in rollup — every U-tag carrier holds
+# a grade). The angle: ALL THREE Python crossings in one chain — UDTF
+# fan-out, scalar-UDF-derived key, and a GROUPED_AGG pandas UDAF
+# computing a non-decomposable statistic — so the full
+# Python-boundary pipeline (fan-out → rekey → Arrow aggregate) is one
+# graded observable rather than three pairwise ones.
+# ---------------------------------------------------------------------------
+
+_U17_ORACLE = """
+WITH s AS (
+  SELECT doc_id, string_split(text, ' ') AS parts
+  FROM documents WHERE doc_id < 150
+), w AS (
+  SELECT doc_id,
+         unnest(parts) AS word,
+         unnest(generate_series(0, len(parts) - 1)) AS pos
+  FROM s
+)
+SELECT substring(lower(word), 1, 1)
+         || CAST(LEAST(length(word), 6) AS VARCHAR) AS shape_key,
+       CAST(median(pos) AS DOUBLE) AS median_pos,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_words
+FROM w
+WHERE word <> ''
+GROUP BY 1
+"""
+
+
+@register(
+    "u17_udtf_keyed_median_chain",
+    oracle=_U17_ORACLE,
+    tags=("U5", "U1", "U4"),
+)
+def u17_udtf_keyed_median_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full three-crossing Python chain: a UDTF explodes document
+    text into (word, pos) rows with original split positions (U5 —
+    empties skipped AFTER enumeration, the round-6 F.split gotcha), a
+    pickled scalar UDF collapses each word to its shape key — first
+    letter + length capped at 6 — (U1), and per shape key a
+    GROUPED_AGG pandas UDAF computes the MEDIAN word position (U4,
+    non-decomposable; exact per the u15 argument: an odd-count median
+    IS an integer position, an even-count median is a midpoint of two
+    — exact in double far below 2^53), beside a pandas nunique doc
+    count and a plain count riding as further GROUPED_AGGs (Spark
+    forbids mixing pandas and built-in aggregates in one agg()).
+
+    Scale: the UDTF is one streaming crossing (fan-out inside the
+    worker, no explode-shuffle); the scalar UDF is the second (fold
+    both into one mapInArrow pass at 100 TB); the UDAF ships each
+    key's positions as Arrow and cannot partial-aggregate — key
+    cardinality (≤ letters × 6), not input size, bounds its state.
+    """
+    from pyspark.sql.functions import udf, udtf
+
+    @udtf(returnType="doc_id bigint, word string, pos bigint")
+    class SplitDocWords:
+        def eval(self, doc_id, text: str):
+            if text:
+                for i, w in enumerate(text.split(" ")):
+                    if w:
+                        yield (doc_id, w, i)
+
+    @udf("string")
+    def shape_key(word: str):
+        if word is None:
+            return None
+        return f"{word.lower()[0]}{min(len(word), 6)}"
+
+    @pandas_udf("double")
+    def median_pos(pos: pd.Series) -> float:
+        return float(pos.median())
+
+    @pandas_udf("long")
+    def n_distinct_docs(doc_ids: pd.Series) -> int:
+        return int(doc_ids.nunique())
+
+    @pandas_udf("long")
+    def n_rows(pos: pd.Series) -> int:
+        return len(pos)
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    spark.udtf.register("u17_split_doc_words", SplitDocWords)
+    docs.select("doc_id", "text").createOrReplaceTempView("u17_docs")
+    exploded = spark.sql(
+        "SELECT s.doc_id, s.word, s.pos FROM u17_docs d,"
+        " LATERAL u17_split_doc_words(d.doc_id, d.text) s"
+    )
+    return (
+        exploded.select(
+            "doc_id", "pos", shape_key(F.col("word")).alias("shape_key")
+        )
+        .groupBy("shape_key")
+        .agg(
+            median_pos("pos").alias("median_pos"),
+            n_distinct_docs("doc_id").alias("n_docs"),
+            n_rows("pos").alias("n_words"),
+        )
+    )

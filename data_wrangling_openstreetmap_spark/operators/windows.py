@@ -4406,10 +4406,17 @@ def j17_error_free_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     are clean), then each surviving purchase is as-of joined
     to the user's latest view at or before it (J7) via the union +
     carry-forward idiom — last(ignorenulls) over the per-user timeline
-    (W5) carries the view id, timestamp, and value-in-cents forward,
-    with views sorting before purchases on timestamp ties so the join
-    bound is inclusive like DuckDB's native ASOF (oracle: ASOF LEFT
-    JOIN + NOT EXISTS).
+    (W5) carries ONE struct of (view id, timestamp, value-in-cents)
+    forward, with views sorting before purchases on timestamp ties so
+    the join bound is inclusive like DuckDB's native ASOF (oracle:
+    ASOF LEFT JOIN + NOT EXISTS). The single-struct carry (ADVICE r8
+    #2) keeps the three attributes CONSISTENT by construction: three
+    independent last() windows would desynchronize on a view row whose
+    value is NULL — cents(NULL) is NULL, so only the cents carry would
+    skip that view and point at an older one, diverging from the ASOF
+    oracle (which emits the new view with NULL cents). The fixture has
+    no NULL values today, so this is a latent-bug fix, not a results
+    change.
 
     Scale: the anti join's build side is the distinct error-user set
     (small → broadcast); the as-of is ONE shuffle on user_id with a
@@ -4452,24 +4459,29 @@ def j17_error_free_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
-    view_id = F.when(F.col("kind") == 0, F.col("event_id"))
+    # single-struct carry: the view's (id, ts, cents) travel as ONE
+    # value, so a NULL vvalue yields a NULL cents FIELD inside a
+    # non-null struct — the struct itself is still carried, exactly
+    # like the oracle's ASOF row with round(NULL*100) = NULL
+    view_rec = F.when(
+        F.col("kind") == 0,
+        F.struct(
+            F.col("event_id").alias("vid"),
+            ts_us.alias("vus"),
+            cents(F.col("vvalue")).alias("vcents"),
+        ),
+    )
     filled = timeline.select(
         "user_id",
         "kind",
         "event_id",
         ts_us.alias("ts_us"),
-        F.last(view_id, ignorenulls=True).over(w).alias("view_id"),
-        F.last(F.when(F.col("kind") == 0, ts_us), ignorenulls=True)
-        .over(w)
-        .alias("view_us"),
-        F.last(cents(F.col("vvalue")), ignorenulls=True)
-        .over(w)
-        .alias("view_cents"),
+        F.last(view_rec, ignorenulls=True).over(w).alias("vrec"),
     )
     return filled.filter(F.col("kind") == 1).select(
         F.col("event_id").alias("purchase_id"),
         "user_id",
-        "view_id",
-        (F.col("ts_us") - F.col("view_us")).alias("us_since_view"),
-        "view_cents",
+        F.col("vrec.vid").alias("view_id"),
+        (F.col("ts_us") - F.col("vrec.vus")).alias("us_since_view"),
+        F.col("vrec.vcents").alias("view_cents"),
     )

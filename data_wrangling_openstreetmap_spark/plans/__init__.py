@@ -12,7 +12,13 @@ from .asserts import (
     assert_no_python_eval,
     plan_string,
 )
-from .window_orders import SweepStats, WindowHazard, window_order_hazards
+from .window_orders import (
+    SweepStats,
+    WindowHazard,
+    aggregate_order_hazards,
+    checkpoint_opaque,
+    window_order_hazards,
+)
 
 __all__ = [
     "PYTHON_EVAL_MARKERS",
@@ -21,5 +27,7 @@ __all__ = [
     "plan_string",
     "SweepStats",
     "WindowHazard",
+    "aggregate_order_hazards",
+    "checkpoint_opaque",
     "window_order_hazards",
 ]

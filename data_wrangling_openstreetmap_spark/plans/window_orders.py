@@ -49,6 +49,34 @@ carries a unique tiebreak": a global Sort + LIMIT k is flagged iff the
 tie class CONTAINING the k-th row straddles the cut AND its rows differ
 in any other output column (boundary-exact, so coarse orders whose cut
 lands on a class edge pass without a tiebreak).
+
+:func:`aggregate_order_hazards` (round 9, VERDICT r8 §Next #2) closes
+the third order-nondeterminism class — GROUP BY aggregates whose value
+depends on arrival order — with two checks over every ``Aggregate``
+node:
+
+1. STRUCTURAL: each ``collect_list``/``collect_set`` must be wrapped in
+   ``sort_array``/``array_sort`` somewhere above it in the SAME output
+   expression (the a8 idiom). This mechanizes the grep convention from
+   ROUND8_NOTES §10; a consumed-order-insensitively site must be
+   allowlisted BY NAME at the call site with its justification.
+   (Limitation: a sort over an OUTER array that nests the collect
+   deeper — e.g. ``sort_array(array(collect_list(x)))`` — would pass;
+   no such construct exists and none should be written.)
+2. EMPIRICAL: each ``first``/``last``/``any_value`` aggregate's
+   argument must be CONSTANT within every group on the real fixture —
+   the same tie-class evaluation the window checker runs, with the
+   grouping keys playing the partition role. ``ignoreNulls`` functions
+   probe null-ignoring distinctness; the strict forms count a NULL as
+   a distinct value (struct-wrapped countDistinct).
+
+:func:`checkpoint_opaque` reports whether a plan contains ``LogicalRDD``
+leaves — lineage truncated by ``localCheckpoint``, invisible to every
+plan walker here. The sweeps run under ``DWOS_FULL_PLAN=1`` so the
+single-shot ``_helpers.ckpt`` truncations vanish (ADVICE r8 #1: windows
+below a checkpoint were silently unswept); the UNCONDITIONAL iterative
+checkpoints (graph loops) remain and must be explicitly allowlisted by
+the caller, so the blind spot is loud instead of silent.
 """
 
 from __future__ import annotations
@@ -512,5 +540,196 @@ def sort_limit_hazards(
                 detail=detail.replace("__skipped__ ", ""),
             )
         )
+    stats.hazards.extend(hazards)
+    return hazards
+
+
+# ---------------------------------------------------------------------------
+# Aggregate-node order conventions (round 9, VERDICT r8 §Next #2): the
+# third order-nondeterminism class, after window ties (rounds 7–8) and
+# Sort+LIMIT boundary ties (round 8). collect_list/collect_set emit
+# ARRIVAL-ordered arrays; first/last/any_value pick an ARRIVAL-chosen
+# row — both are deterministic only if (a) the collect is sorted by
+# value or (b) the picked argument is constant per group.
+# ---------------------------------------------------------------------------
+
+_ORDERED_COLLECTS = {"CollectList", "CollectSet"}
+_SORT_WRAPPERS = {"SortArray", "ArraySort"}
+_PICK_AGGS = {"First", "Last", "AnyValue"}
+
+
+def _walk_class(node, cls_name: str, acc: list) -> list:
+    if node.getClass().getSimpleName() == cls_name:
+        acc.append(node)
+    for child in _seq(node.children()):
+        _walk_class(child, cls_name, acc)
+    try:
+        for sub in _seq(node.subqueries()):
+            _walk_class(sub, cls_name, acc)
+    except Exception:
+        pass
+    return acc
+
+
+def checkpoint_opaque(df: DataFrame) -> int:
+    """Number of ``LogicalRDD`` leaves in the optimized plan — each one
+    a lineage truncation this module's walkers cannot see through.
+    Callers sweeping for order hazards must either neutralize the
+    truncation (``DWOS_FULL_PLAN=1`` for ``_helpers.ckpt`` sites) or
+    allowlist the query by name with a justification."""
+    plan = df._jdf.queryExecution().optimizedPlan()
+    return len(_walk_class(plan, "LogicalRDD", []))
+
+
+def _scan_expr_collects(expr, under_sort: bool, collects: list, picks: list):
+    """Recursive expression walk: record bare (unsorted) collect_list /
+    collect_set aggregate calls, and every first/last/any_value call
+    with its (function class, ignoreNulls, argument expr, FILTER expr).
+    The FILTER clause matters: Catalyst's RewriteDistinctAggregates
+    emits ``first(partial) FILTER (WHERE gid = 0)`` internally, and the
+    pick argument is constant only WITHIN the filtered rows — probing
+    without the filter false-flags every multi-distinct aggregate."""
+    cls = expr.getClass().getSimpleName()
+    if cls in _SORT_WRAPPERS:
+        under_sort = True
+    if cls == "AggregateExpression":
+        fn = expr.aggregateFunction()
+        inner = fn.getClass().getSimpleName()
+        if inner in _ORDERED_COLLECTS and not under_sort:
+            args = ", ".join(c.sql() for c in _seq(fn.children()))
+            collects.append(f"{inner}({args})")
+        if inner in _PICK_AGGS:
+            try:
+                ignore_nulls = bool(fn.ignoreNulls())
+            except Exception:
+                ignore_nulls = False
+            # the pick argument is the function's first child (First/
+            # Last carry the ignoreNulls flag separately in Spark 4)
+            arg = _seq(fn.children())[0]
+            filt = expr.filter()
+            filt_expr = filt.get() if filt.isDefined() else None
+            picks.append((inner, ignore_nulls, arg, filt_expr))
+    for child in _seq(expr.children()):
+        _scan_expr_collects(child, under_sort, collects, picks)
+
+
+def aggregate_order_hazards(
+    df: DataFrame,
+    *,
+    cache: Optional[Dict] = None,
+    stats: Optional[SweepStats] = None,
+) -> List[WindowHazard]:
+    """Check every Aggregate node in ``df``'s optimized plan:
+    collect_* must be sort-wrapped (structural), first/last/any_value
+    arguments must be constant per group on the fixture (empirical).
+    Returns hazards; reuse one ``cache`` across a sweep."""
+    spark = df.sparkSession
+    stats = stats if stats is not None else SweepStats()
+    cache = cache if cache is not None else {}
+    hazards: List[WindowHazard] = []
+
+    plan = df._jdf.queryExecution().optimizedPlan()
+    for node in _walk_class(plan, "Aggregate", []):
+        stats.windows_seen += 1
+        collects: list = []
+        picks: list = []
+        for named in _seq(node.aggregateExpressions()):
+            _scan_expr_collects(named, False, collects, picks)
+        group_exprs = _seq(node.groupingExpressions())
+        group_sql = tuple(e.sql() for e in group_exprs)
+
+        if collects:
+            hazards.append(
+                WindowHazard(
+                    kind="unsorted-collect",
+                    functions=tuple(collects),
+                    partition=group_sql,
+                    order=(),
+                    detail="collect_list/collect_set not wrapped in "
+                    "sort_array/array_sort — array order is arrival order",
+                )
+            )
+        if not picks:
+            if not collects:
+                stats.windows_safe_by_shape += 1
+            continue
+
+        if any(not e.deterministic() for e in group_exprs):
+            hazards.append(
+                WindowHazard(
+                    kind="skipped",
+                    functions=tuple(p[0] for p in picks),
+                    partition=group_sql,
+                    order=(),
+                    detail="non-deterministic grouping expression",
+                )
+            )
+            continue
+
+        child = node.child()
+        pick_sql = tuple(
+            f"{fn}({arg.sql()}){' ignorenulls' if ign else ''}"
+            + (f" filter({filt.sql()})" if filt is not None else "")
+            for fn, ign, arg, filt in picks
+        )
+        cache_key = ("aggpick", child.semanticHash(), group_sql, pick_sql)
+        if cache_key in cache:
+            stats.cache_hits += 1
+            detail = cache[cache_key]
+        else:
+            try:
+                jdf = spark._jvm.org.apache.spark.sql.classic.Dataset.ofRows(
+                    spark._jsparkSession, child
+                )
+                child_df = DataFrame(jdf, spark)
+                keys = [_jcolumn(spark, e) for e in group_exprs]
+                aggs = []
+                for i, (fn, ign, arg, filt) in enumerate(picks):
+                    col = _canonical(
+                        _jcolumn(spark, arg), arg.dataType().sql().lower()
+                    )
+                    # ignoreNulls picks can never return a NULL the
+                    # strict form could — probe null-ignoring
+                    # distinctness; strict forms must also agree on
+                    # WHERE the nulls are, so count NULL as a value
+                    # via the struct wrap.
+                    probe = col if ign else F.struct(col)
+                    if filt is not None:
+                        # rows failing the FILTER are invisible to the
+                        # pick — a when() that yields NULL (plain or
+                        # struct alike) drops them from countDistinct
+                        probe = F.when(_jcolumn(spark, filt), probe)
+                    aggs.append(F.countDistinct(probe).alias(f"__nv{i}"))
+                nv_cols = [f"__nv{i}" for i in range(len(picks))]
+                grouped = child_df.groupBy(*keys).agg(*aggs) if keys else (
+                    child_df.agg(*aggs)
+                )
+                cond = " OR ".join(f"{c} > 1" for c in nv_cols)
+                bad = grouped.filter(cond).limit(3).collect()
+                if bad:
+                    detail = (
+                        f"non-constant pick argument(s) within group(s): "
+                        f"{[tuple(r) for r in bad]} for {list(pick_sql)}"
+                    )
+                else:
+                    detail = None
+            except Exception as ex:  # pragma: no cover - env-specific
+                detail = f"__skipped__ {type(ex).__name__}: {ex}"
+            cache[cache_key] = detail
+
+        stats.windows_checked += 1
+        if detail is None:
+            continue
+        kind = "skipped" if detail.startswith("__skipped__") else "tie-violation"
+        hazards.append(
+            WindowHazard(
+                kind=kind,
+                functions=pick_sql,
+                partition=group_sql,
+                order=(),
+                detail=detail.replace("__skipped__ ", ""),
+            )
+        )
+
     stats.hazards.extend(hazards)
     return hazards

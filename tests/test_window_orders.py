@@ -93,36 +93,108 @@ def test_checker_passes_fixed_w36(spark):
     assert not hazards, [str(h) for h in hazards]
 
 
-@pytest.mark.timeout(1800)
-def test_registry_order_determinism(spark):
-    """The full sweep, BOTH checkers in one pass over the registry (each
-    query is constructed at sf0.1 exactly once): every Window node is
-    tie-safe AND every global Sort+LIMIT cuts at a class edge or inside
-    a value-identical tie class. 'skipped' entries fail too — a site
-    the checker cannot evaluate is a hole, not a pass."""
+# collect_list/collect_set sites allowed to stay UNSORTED inside an
+# Aggregate, each with its consumed-order-insensitively justification
+# (the machine check replaces ROUND8_NOTES §10's grep convention; a
+# NEW unsorted collect site fails the sweep unless argued here):
+COLLECT_ALLOWLIST = {
+    # the map is consumed ONLY order-insensitively — size(),
+    # array_max(map_keys()), element_at() — and never leaves the query
+    # as a column; map_from_entries ignores entry order up to the
+    # (guaranteed-unique) keys.
+    "f6c_map_from_entries",
+}
+
+# Queries whose optimized plan contains LogicalRDD leaves EVEN under
+# DWOS_FULL_PLAN=1 — lineage the plan walkers cannot see through
+# (ADVICE r8 #1: make the blind spot loud, not silent). Two benign
+# causes only: UNCONDITIONAL iterative-loop checkpoints (graph/dedup
+# fixpoints — without them plan analysis itself OOMs; their loop
+# bodies are aggregate/join-only and are separately covered by the
+# arrival-order audit) and driver-local literal frames
+# (spark.createDataFrame of bounded lookup tables / collected
+# scalars). Any NEW opaque query fails the sweep until argued here.
+CKPT_OPAQUE_ALLOWLIST = {
+    # iterative fixpoints / sampled-model seeds:
+    "l2_dup_clusters",
+    "g1_pagerank_neardup",
+    "g3_shortest_hops",
+    "g9_kcore_peeling",
+    "l3_ann_ivf",
+    "l3_ann_recall_contract",
+    "l3_mmr_rerank",
+    "l4_vocab_coverage",
+    # driver-local literal frames (bounded createDataFrame inputs):
+    "m9_modality_quota_mixer",
+    "l0_multimodal_curation",
+    "dq4_observed_metrics",
+    "dq5_schema_contract",
+    "dq7_benford_audit",
+    "p5_dict_normalize",
+    "j6_range_join",
+    "d11_retention_sweep",
+}
+
+
+@pytest.mark.timeout(2400)
+def test_registry_order_determinism(spark, monkeypatch):
+    """The full sweep, ALL THREE checkers in one pass over the registry
+    (each query is constructed at sf0.1 exactly once): every Window
+    node is tie-safe, every global Sort+LIMIT cuts at a class edge or
+    inside a value-identical tie class, and every Aggregate's
+    collect_* is sort-wrapped / first-last-any_value argument is
+    constant per group. 'skipped' entries fail too — a site the
+    checker cannot evaluate is a hole, not a pass.
+
+    Runs under DWOS_FULL_PLAN=1 (ADVICE r8 #1): _helpers.ckpt
+    truncates lineage to a LogicalRDD leaf, so windows computed below
+    a single-shot checkpoint (w22's row_number, w33's running-sum
+    internals, the composites ckpt sites) were invisible to the round-8
+    sweep. With the truncation neutralized they are walked like any
+    other node; the residual opaque plans (iterative checkpoints,
+    literal frames) are asserted against CKPT_OPAQUE_ALLOWLIST so the
+    remaining blind spot is enumerated, not silent."""
     from data_wrangling_openstreetmap_spark.plans.window_orders import (
+        aggregate_order_hazards,
+        checkpoint_opaque,
         sort_limit_hazards,
     )
 
+    monkeypatch.setenv("DWOS_FULL_PLAN", "1")
     _ensure_loaded()
     cache: dict = {}
     wstats = SweepStats()
     lstats = SweepStats()
+    astats = SweepStats()
     failures = []
+    opaque = []
     for name, spec in REGISTRY.items():
         if name in SKIP:
             continue
         df = spec.fn(spark, SWEEP_SF)
+        if checkpoint_opaque(df):
+            opaque.append(name)
         for hz in window_order_hazards(df, cache=cache, stats=wstats):
             failures.append(f"{name}: {hz}")
         for hz in sort_limit_hazards(df, cache=cache, stats=lstats):
             failures.append(f"{name}: {hz}")
+        for hz in aggregate_order_hazards(df, cache=cache, stats=astats):
+            if hz.kind == "unsorted-collect" and name in COLLECT_ALLOWLIST:
+                continue
+            failures.append(f"{name}: {hz}")
     assert not failures, "\n".join(failures)
+    unexplained = set(opaque) - CKPT_OPAQUE_ALLOWLIST
+    assert not unexplained, (
+        f"plan walkers are blind below these queries' LogicalRDD leaves; "
+        f"justify in CKPT_OPAQUE_ALLOWLIST or remove the truncation: "
+        f"{sorted(unexplained)}"
+    )
     # the sweep must have actually inspected the surface, not vacuously
     # passed because plan walking broke
     assert wstats.windows_seen > 150, wstats
     assert wstats.windows_checked > 100, wstats
     assert lstats.windows_seen >= 20, lstats  # sort+limit sites walked
+    assert astats.windows_seen > 500, astats  # Aggregate nodes walked
 
 
 # ---------------------------------------------------------------------------
@@ -164,3 +236,58 @@ def test_sort_limit_checker_flags_boundary_tie(spark):
 # with the window sweep — 23 sites on the current tree, all
 # unique-tiebreak; the Project-peel review fix surfaced 3 sites the
 # first cut missed: w28_max_drawdown, a29_ks_test, l4_oov_rate)
+
+
+# ---------------------------------------------------------------------------
+# Aggregate-order checker (round 9, VERDICT r8 §Next #2): the third
+# order-nondeterminism class — GROUP BY collect_*/first/last — made
+# machine-checkable, with revert evidence for both sub-checks.
+# ---------------------------------------------------------------------------
+
+from data_wrangling_openstreetmap_spark.plans.window_orders import (  # noqa: E402
+    aggregate_order_hazards,
+)
+
+
+def test_aggregate_checker_flags_bare_collect(spark):
+    """A collect_list with no sort_array/array_sort above it must be
+    flagged; the a8 idiom (inline sort wrap) clears it — the grep
+    convention from ROUND8_NOTES §10, now executable."""
+    df = spark.range(100).select(
+        _F.col("id"), (_F.col("id") % 7).alias("g"), (_F.col("id") % 3).alias("v")
+    )
+    bad = df.groupBy("g").agg(_F.collect_list("v").alias("xs"))
+    hz = aggregate_order_hazards(bad)
+    assert len(hz) == 1 and hz[0].kind == "unsorted-collect", [str(h) for h in hz]
+    good = df.groupBy("g").agg(_F.sort_array(_F.collect_list("v")).alias("xs"))
+    assert not aggregate_order_hazards(good)
+    # collect_set is arrival-ordered too
+    bad_set = df.groupBy("g").agg(_F.collect_set("v").alias("xs"))
+    assert [h.kind for h in aggregate_order_hazards(bad_set)] == ["unsorted-collect"]
+
+
+def test_aggregate_checker_flags_nonconstant_first(spark):
+    """first() over a non-constant-per-group argument is an arrival
+    pick — flagged empirically; a functionally-dependent argument
+    passes, and Catalyst's multi-distinct rewrite (first(partial)
+    FILTER (WHERE gid = …)) must NOT false-flag because the probe
+    honors the FILTER clause."""
+    df = spark.range(100).select(
+        _F.col("id"), (_F.col("id") % 7).alias("g"), (_F.col("id") % 3).alias("v")
+    )
+    bad = df.groupBy("g").agg(_F.first("v").alias("fv"))
+    hz = aggregate_order_hazards(bad)
+    assert len(hz) == 1 and hz[0].kind == "tie-violation", [str(h) for h in hz]
+    good = df.groupBy("g").agg(_F.first(_F.col("g") * 2).alias("fv"))
+    assert not aggregate_order_hazards(good)
+    # two countDistincts + a plain agg → RewriteDistinctAggregates emits
+    # internal FILTERed first() picks that are constant WITHIN the gid
+    # branch — must pass clean
+    rewrite = df.groupBy("g").agg(
+        _F.count("id").alias("n"),
+        _F.countDistinct("id").alias("d1"),
+        _F.countDistinct("v").alias("d2"),
+    )
+    assert not aggregate_order_hazards(rewrite), [
+        str(h) for h in aggregate_order_hazards(rewrite)
+    ]
