@@ -1495,11 +1495,18 @@ def f28_type_map_combinators(spark: SparkSession, sf_dir: str) -> DataFrame:
     return maps.select(
         "user_id",
         F.size("sum_map").alias("n_types"),
-        F.aggregate(
-            F.map_values("sum_map"),
-            F.lit(0).cast("bigint"),
-            # coalesce: SQL SUM ignores NULLs, a raw fold would poison
-            lambda acc, v: acc + F.coalesce(v, F.lit(0).cast("bigint")),
+        # SQL SUM semantics exactly: skip NULL values via coalesce, but
+        # an ALL-NULL (or empty) value set yields NULL, not 0 — the
+        # exists() guard mirrors that. The fixture has no NULL k today
+        # (props.k is always present), so this is latent-divergence
+        # proofing, the j17/ADVICE-r8 class.
+        F.when(
+            F.exists(F.map_values("sum_map"), lambda v: v.isNotNull()),
+            F.aggregate(
+                F.map_values("sum_map"),
+                F.lit(0).cast("bigint"),
+                lambda acc, v: acc + F.coalesce(v, F.lit(0).cast("bigint")),
+            ),
         ).alias("k_total"),
         F.coalesce(
             F.element_at(mean_map, F.lit("click")), F.lit(-1).cast("bigint")
