@@ -135,24 +135,33 @@ def test_running_sum_last_equals_total(spark, values):
         assert cur.rs == prev.rs + cur.v
 
 
-@given(st.lists(words, min_size=1, max_size=12))
-@settings(**SETTINGS)
-def test_simhash_is_token_order_invariant(spark, toks):
+def test_simhash_is_token_order_invariant(spark):
     """simhash64 votes over the token MULTISET — any permutation of the
     tokens (here: reversal, and a sorted copy) must fingerprint
-    identically, while remaining sensitive to multiset changes."""
-    text = " ".join(toks)
-    rev = " ".join(reversed(toks))
-    srt = " ".join(sorted(toks))
-    df = spark.createDataFrame(
-        [(text, rev, srt)], "a string, b string, c string"
-    ).select(
+    identically. Batched: the 64-bit-vote expression tree costs ~6 s of
+    analysis/codegen PER QUERY, so the former @given form (10 examples
+    = 10 queries) was the suite's third-slowest test; one seeded batch
+    of 16 multisets in ONE query checks more cases at a tenth the
+    cost (round-9 suite-time trim)."""
+    import random
+
+    rng = random.Random(0xD5EED)
+    alphabet = [f"w{i}" for i in range(40)] + ["a", "b", "–", "x7"]
+    cases = [
+        [rng.choice(alphabet) for _ in range(rng.randint(1, 12))]
+        for _ in range(16)
+    ]
+    rows = [
+        (" ".join(t), " ".join(reversed(t)), " ".join(sorted(t)))
+        for t in cases
+    ]
+    df = spark.createDataFrame(rows, "a string, b string, c string").select(
         T.simhash64(T.tokens(F.col("a"))).alias("ha"),
         T.simhash64(T.tokens(F.col("b"))).alias("hb"),
         T.simhash64(T.tokens(F.col("c"))).alias("hc"),
     )
-    r = df.collect()[0]
-    assert r.ha == r.hb == r.hc
+    for r in df.collect():
+        assert r.ha == r.hb == r.hc
 
 
 @given(st.lists(st.integers(min_value=0, max_value=1000), min_size=2, max_size=9))
