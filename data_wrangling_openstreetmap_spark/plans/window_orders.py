@@ -555,6 +555,16 @@ def sort_limit_hazards(
 
 _ORDERED_COLLECTS = {"CollectList", "CollectSet"}
 _SORT_WRAPPERS = {"SortArray", "ArraySort"}
+# ArraySort ALWAYS carries a LambdaFunction comparator child — the
+# default one is a full-element total order whose canonical SQL starts
+# with this IF-chain. A CUSTOM comparator (array_sort(col, (a,b)->…))
+# may ignore element fields, leaving comparator-ties arrival-ordered,
+# so only the default form counts as a sort wrapper; anything else
+# must take the allowlist path. SortArray's second child is just the
+# asc/desc literal — always a full order.
+_DEFAULT_COMPARATOR_PREFIX = (
+    "lambdafunction((IF((namedlambdavariable() < namedlambdavariable()), -1,"
+)
 _PICK_AGGS = {"First", "Last", "AnyValue"}
 
 
@@ -590,8 +600,17 @@ def _scan_expr_collects(expr, under_sort: bool, collects: list, picks: list):
     pick argument is constant only WITHIN the filtered rows — probing
     without the filter false-flags every multi-distinct aggregate."""
     cls = expr.getClass().getSimpleName()
-    if cls in _SORT_WRAPPERS:
+    if cls == "SortArray":
         under_sort = True
+    elif cls == "ArraySort":
+        try:
+            is_default = expr.function().sql().startswith(
+                _DEFAULT_COMPARATOR_PREFIX
+            )
+        except Exception:
+            is_default = False
+        if is_default:
+            under_sort = True
     if cls == "AggregateExpression":
         fn = expr.aggregateFunction()
         inner = fn.getClass().getSimpleName()

@@ -266,6 +266,28 @@ def test_aggregate_checker_flags_bare_collect(spark):
     assert [h.kind for h in aggregate_order_hazards(bad_set)] == ["unsorted-collect"]
 
 
+def test_aggregate_checker_rejects_custom_comparator_sort(spark):
+    """array_sort with a CUSTOM comparator must NOT count as a sort
+    wrapper — a comparator that ignores element fields (here: always
+    0) leaves comparator-ties in arrival order; only the default
+    full-element total order is a proof of determinism."""
+    df = spark.range(100).select(
+        _F.col("id"), (_F.col("id") % 7).alias("g"), (_F.col("id") % 3).alias("v")
+    )
+    bad = df.groupBy("g").agg(
+        _F.array_sort(
+            _F.collect_list("v"), lambda a, b: _F.lit(0).cast("int")
+        ).alias("xs")
+    )
+    hz = aggregate_order_hazards(bad)
+    assert [h.kind for h in hz] == ["unsorted-collect"], [str(h) for h in hz]
+    # the default comparator (and default over structs) still passes
+    good = df.groupBy("g").agg(
+        _F.array_sort(_F.collect_list(_F.struct("v", "id"))).alias("xs")
+    )
+    assert not aggregate_order_hazards(good)
+
+
 def test_aggregate_checker_flags_nonconstant_first(spark):
     """first() over a non-constant-per-group argument is an arrival
     pick — flagged empirically; a functionally-dependent argument
