@@ -60,9 +60,12 @@ node:
    expression (the a8 idiom). This mechanizes the grep convention from
    ROUND8_NOTES §10; a consumed-order-insensitively site must be
    allowlisted BY NAME at the call site with its justification.
-   (Limitation: a sort over an OUTER array that nests the collect
-   deeper — e.g. ``sort_array(array(collect_list(x)))`` — would pass;
-   no such construct exists and none should be written.)
+   Sort wrappers must genuinely order the collect: a CUSTOM
+   ``array_sort`` comparator does not count (it may ignore element
+   fields, leaving comparator-ties arrival-ordered), and a sort over
+   an OUTER constructed array (``sort_array(array(collect_list(x)))``,
+   ``array_repeat``) does not reach the nested collect — both fall
+   through to the allowlist path.
 2. EMPIRICAL: each ``first``/``last``/``any_value`` aggregate's
    argument must be CONSTANT within every group on the real fixture —
    the same tie-class evaluation the window checker runs, with the
@@ -565,6 +568,10 @@ _SORT_WRAPPERS = {"SortArray", "ArraySort"}
 _DEFAULT_COMPARATOR_PREFIX = (
     "lambdafunction((IF((namedlambdavariable() < namedlambdavariable()), -1,"
 )
+# Nodes that CONSTRUCT a new array/collection whose ELEMENTS may nest
+# the collect's array — an outer sort orders the constructed array,
+# not the nested ones, so under_sort must not propagate through them.
+_ARRAY_NESTERS = {"CreateArray", "ArrayRepeat"}
 _PICK_AGGS = {"First", "Last", "AnyValue"}
 
 
@@ -611,6 +618,12 @@ def _scan_expr_collects(expr, under_sort: bool, collects: list, picks: list):
             is_default = False
         if is_default:
             under_sort = True
+    elif cls in _ARRAY_NESTERS:
+        # an outer sort orders THIS node's output array, not arrays
+        # nested inside its elements — a collect below here is NOT
+        # sorted by that outer wrapper (closes the documented
+        # sort_array(array(collect_list(x))) vacuous pass)
+        under_sort = False
     if cls == "AggregateExpression":
         fn = expr.aggregateFunction()
         inner = fn.getClass().getSimpleName()

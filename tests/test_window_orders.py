@@ -288,6 +288,19 @@ def test_aggregate_checker_rejects_custom_comparator_sort(spark):
     assert not aggregate_order_hazards(good)
 
 
+def test_aggregate_checker_sees_through_outer_array_nesting(spark):
+    """A sort over an OUTER constructed array does not order the
+    nested collect — sort_array(array(collect_list(x))) must flag."""
+    df = spark.range(100).select(
+        _F.col("id"), (_F.col("id") % 7).alias("g"), (_F.col("id") % 3).alias("v")
+    )
+    bad = df.groupBy("g").agg(
+        _F.sort_array(_F.array(_F.collect_list("v"))).alias("xs")
+    )
+    hz = aggregate_order_hazards(bad)
+    assert [h.kind for h in hz] == ["unsorted-collect"], [str(h) for h in hz]
+
+
 def test_aggregate_checker_flags_nonconstant_first(spark):
     """first() over a non-constant-per-group argument is an arrival
     pick — flagged empirically; a functionally-dependent argument
