@@ -559,19 +559,61 @@ def sort_limit_hazards(
 _ORDERED_COLLECTS = {"CollectList", "CollectSet"}
 _SORT_WRAPPERS = {"SortArray", "ArraySort"}
 # ArraySort ALWAYS carries a LambdaFunction comparator child — the
-# default one is a full-element total order whose canonical SQL starts
-# with this IF-chain. A CUSTOM comparator (array_sort(col, (a,b)->…))
-# may ignore element fields, leaving comparator-ties arrival-ordered,
-# so only the default form counts as a sort wrapper; anything else
-# must take the allowlist path. SortArray's second child is just the
-# asc/desc literal — always a full order.
-_DEFAULT_COMPARATOR_PREFIX = (
-    "lambdafunction((IF((namedlambdavariable() < namedlambdavariable()), -1,"
+# default one is a full-element total order. A CUSTOM comparator
+# (array_sort(col, (a,b)->…)) may ignore element fields or fail
+# totality (e.g. ``(a,b) -> if(a<b,-1,0)`` returns 0 for BOTH a==b and
+# a>b), leaving comparator-ties arrival-ordered — and a SQL-text form
+# of that very comparator canonicalizes to an IF-chain sharing the
+# default's PREFIX, so prefix matching is unsound (ADVICE r9 #1).
+# Only FULL SQL equality against the two canonical default forms
+# counts as a sort wrapper: the constant-folded non-nullable chain and
+# the nullable null-handling chain (NULLs sort last, then the same
+# total order). Both are element-type-independent (struct and bigint
+# elements render identically); tests/test_window_orders.py re-derives
+# them from a live session so Spark-version drift fails loudly.
+# SortArray's second child is just the asc/desc literal — always a
+# full order.
+_NLV = "namedlambdavariable()"
+_DEFAULT_CMP_CORE = (
+    f"(IF(({_NLV} < {_NLV}), -1, (IF(({_NLV} > {_NLV}), 1, 0))))"
 )
-# Nodes that CONSTRUCT a new array/collection whose ELEMENTS may nest
-# the collect's array — an outer sort orders the constructed array,
-# not the nested ones, so under_sort must not propagate through them.
-_ARRAY_NESTERS = {"CreateArray", "ArrayRepeat"}
+_DEFAULT_COMPARATOR_SQLS = frozenset(
+    {
+        # non-nullable elements: the bare total-order chain
+        f"lambdafunction({_DEFAULT_CMP_CORE}, {_NLV}, {_NLV})",
+        # nullable elements: NULL/NULL → 0, one-sided NULL → ±1, else
+        # the same chain
+        "lambdafunction((IF((("
+        f"{_NLV} IS NULL) AND ({_NLV} IS NULL)), 0, "
+        f"(IF(({_NLV} IS NULL), 1, (IF(({_NLV} IS NULL), -1, "
+        f"{_DEFAULT_CMP_CORE})))))), {_NLV}, {_NLV})",
+    }
+)
+# Nodes through which a sort wrapper PROVABLY still canonicalizes a
+# collect's output (ADVICE r9 #3 inverted the old CreateArray/
+# ArrayRepeat blacklist — any constructor not listed here resets
+# under_sort, so CreateMap/MapValues/MapFromEntries nesting now takes
+# the allowlist path instead of vacuously passing). Transparency test:
+# the node maps the multiset of its input elements to an output
+# multiset that is ARRIVAL-INDEPENDENT (elementwise or set-algebraic),
+# so sorting its output yields one canonical array. Deliberately
+# absent: ArrayTransform (a two-arg (element, index) lambda injects
+# arrival position), Slice/ElementAt/ArraysZip (positional pre-sort),
+# every map/array CONSTRUCTOR (the sort orders the constructed
+# collection, not arrays nested in its elements).
+_SORT_TRANSPARENT = {
+    "Alias",
+    "Cast",
+    "Concat",
+    "Reverse",
+    "ArrayDistinct",
+    "ArrayCompact",
+    "Flatten",
+    "ArrayUnion",
+    "ArrayIntersect",
+    "ArrayExcept",
+    "ArrayRemove",
+}
 _PICK_AGGS = {"First", "Last", "AnyValue"}
 
 
@@ -607,24 +649,9 @@ def _scan_expr_collects(expr, under_sort: bool, collects: list, picks: list):
     pick argument is constant only WITHIN the filtered rows — probing
     without the filter false-flags every multi-distinct aggregate."""
     cls = expr.getClass().getSimpleName()
-    if cls == "SortArray":
-        under_sort = True
-    elif cls == "ArraySort":
-        try:
-            is_default = expr.function().sql().startswith(
-                _DEFAULT_COMPARATOR_PREFIX
-            )
-        except Exception:
-            is_default = False
-        if is_default:
-            under_sort = True
-    elif cls in _ARRAY_NESTERS:
-        # an outer sort orders THIS node's output array, not arrays
-        # nested inside its elements — a collect below here is NOT
-        # sorted by that outer wrapper (closes the documented
-        # sort_array(array(collect_list(x))) vacuous pass)
-        under_sort = False
     if cls == "AggregateExpression":
+        # judged on the INCOMING flag — the chain of wrappers ABOVE the
+        # collect decides whether its output order is canonical
         fn = expr.aggregateFunction()
         inner = fn.getClass().getSimpleName()
         if inner in _ORDERED_COLLECTS and not under_sort:
@@ -641,6 +668,27 @@ def _scan_expr_collects(expr, under_sort: bool, collects: list, picks: list):
             filt = expr.filter()
             filt_expr = filt.get() if filt.isDefined() else None
             picks.append((inner, ignore_nulls, arg, filt_expr))
+    # flag for the CHILDREN: set by sort wrappers, passed through
+    # provably-transparent nodes, severed by everything else
+    if cls == "SortArray":
+        under_sort = True
+    elif cls == "ArraySort":
+        try:
+            is_default = expr.function().sql() in _DEFAULT_COMPARATOR_SQLS
+        except Exception:
+            is_default = False
+        # a custom comparator is NOT a sort wrapper AND severs any
+        # outer sort (its output order is comparator-defined, possibly
+        # tie-ambiguous) — fail-safe toward the allowlist path
+        under_sort = is_default
+    elif cls not in _SORT_TRANSPARENT:
+        # fail-safe default: any node not PROVEN to pass a canonical
+        # ordering through (constructors, positional ops, lambdas,
+        # unknown future nodes) severs the sort — closes both the
+        # sort_array(array(collect_list(x))) nesting pass and its map
+        # twins (CreateMap/MapValues/MapFromEntries) in one rule
+        # (ADVICE r9 #3)
+        under_sort = False
     for child in _seq(expr.children()):
         _scan_expr_collects(child, under_sort, collects, picks)
 

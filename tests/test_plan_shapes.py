@@ -381,24 +381,24 @@ def test_block_matmul_knn_is_distributed():
 # sort-limit / aggregate order conventions got.)
 BOUNDED_COLLECT_SITES = {
     # plan checkers: witness reporting capped by limit(...)
-    ("plans/window_orders.py", "bad = ties.limit(max_report).collect()"),
-    ("plans/window_orders.py", ".collect()"),  # boundary probe, .limit(3) above
-    ("plans/window_orders.py", "bad = grouped.filter(cond).limit(3).collect()"),
+    ("plans/window_orders.py", "bad = ties.limit(max_report).collect()", 1),
+    ("plans/window_orders.py", ".collect()", 1),  # boundary probe, .limit(3) above
+    ("plans/window_orders.py", "bad = grouped.filter(cond).limit(3).collect()", 1),
     # streaming replay: ONE scalar max per call (watermark anchor)
-    ("streaming/replay.py", 'max_ts = events.agg(F.max("ts")).collect()[0][0]'),
-    ("streaming/replay.py", 'max_ts = staged.agg(F.max("_arrival")).collect()[0][0]'),
+    ("streaming/replay.py", 'max_ts = events.agg(F.max("ts")).collect()[0][0]', 1),
+    ("streaming/replay.py", 'max_ts = staged.agg(F.max("_arrival")).collect()[0][0]', 1),
     # MMR rerank: pool + pool² rows, quadratic in the POOL never the
     # corpus (llm.py docstring carries the size argument)
-    ("operators/llm.py", 'pool = cand.select("id", "rel").collect()'),
-    ("operators/llm.py", "sim_rows = sims.collect()"),
+    ("operators/llm.py", 'pool = cand.select("id", "rel").collect()', 1),
+    ("operators/llm.py", "sim_rows = sims.collect()", 1),
     # Lloyd step: k·d centroid rows (the pyspark.ml KMeans pattern)
-    ("operators/llm.py", "rows = dims.collect()"),
+    ("operators/llm.py", "rows = dims.collect()", 1),
     # bounded staging sample for the binaryFile demo input
-    ("operators/multimodal.py", "for r in sample.collect():  # bounded staging: |docs|/50 small files"),
+    ("operators/multimodal.py", "for r in sample.collect():  # bounded staging: |docs|/50 small files", 1),
     # ONE scalar max (synthetic-key ceiling)
-    ("operators/composites.py", 'max_key = cust.agg(F.max("c_custkey")).collect()[0][0]'),
+    ("operators/composites.py", 'max_key = cust.agg(F.max("c_custkey")).collect()[0][0]', 1),
     # OSM demo XML generator: .limit(max_nodes) two lines above
-    ("sources/osm_gen.py", ".collect()"),
+    ("sources/osm_gen.py", ".collect()", 1),
 }
 # (.first()/.head(n)/.take(n) are bounded by construction — ≤ n rows —
 # so they are not scanned; a16's freqItems .first() is the one site.)
@@ -409,11 +409,19 @@ _DRIVER_MATERIALIZERS = (".collect()", ".toPandas()", "collectAsList", "toLocalI
 def test_bounded_collect_allowlist():
     """Every driver-side materialization in the package must be in
     BOUNDED_COLLECT_SITES (see its header). Catches both a NEW unbounded
-    collect and an edit to a justified line."""
+    collect and an edit to a justified line. ADVICE r9 #2 hardening:
+    (a) collect_list/collect_set SUBSTRINGS are stripped before the
+    materializer test rather than skipping the whole line, so
+    ``df.agg(F.collect_list(x)).collect()`` cannot evade the scan;
+    (b) entries carry an occurrence COUNT, so a second identical bare
+    '.collect()' continuation line is a new-site failure, not silently
+    absorbed by the existing justification."""
+    import collections
+
     import data_wrangling_openstreetmap_spark as pkg
 
     root = os.path.dirname(os.path.abspath(pkg.__file__))
-    found = set()
+    counts: collections.Counter = collections.Counter()
     for dirpath, _dirs, files in os.walk(root):
         for fname in files:
             if not fname.endswith(".py"):
@@ -425,10 +433,12 @@ def test_bounded_collect_allowlist():
                     stripped = line.strip()
                     if stripped.startswith("#"):
                         continue
-                    if any(m in stripped for m in _DRIVER_MATERIALIZERS):
-                        if "collect_list" in stripped or "collect_set" in stripped:
-                            continue
-                        found.add((rel, stripped))
+                    cleaned = stripped.replace("collect_list(", "").replace(
+                        "collect_set(", ""
+                    )
+                    if any(m in cleaned for m in _DRIVER_MATERIALIZERS):
+                        counts[(rel, stripped)] += 1
+    found = {(rel, line, n) for (rel, line), n in counts.items()}
     new = found - BOUNDED_COLLECT_SITES
     gone = BOUNDED_COLLECT_SITES - found
     assert not new, f"unjustified driver-side materializations: {sorted(new)}"

@@ -301,6 +301,108 @@ def test_aggregate_checker_sees_through_outer_array_nesting(spark):
     assert [h.kind for h in hz] == ["unsorted-collect"], [str(h) for h in hz]
 
 
+def test_aggregate_checker_default_comparator_full_equality(spark):
+    """ADVICE r9 #1 closure, both directions. Under-selective: a
+    SQL-text custom comparator ``(a,b) -> if(a<b,-1,0)`` canonicalizes
+    to an IF-chain sharing the default comparator's PREFIX but is not a
+    total order (a>b and a==b both return 0) — full-equality matching
+    must flag it. Over-selective: the default comparator over NULLABLE
+    elements keeps its IsNull IF-chain in canonical SQL — it IS a total
+    order and must pass."""
+    df = spark.range(100).select(
+        _F.col("id"), (_F.col("id") % 7).alias("g"), (_F.col("id") % 3).alias("v")
+    )
+    df.createOrReplaceTempView("t_cmp_probe")
+    # prefix-sharing non-total comparator → must flag
+    bad = spark.sql(
+        "SELECT g, array_sort(collect_list(v), (a, b) -> if(a < b, -1, 0)) xs "
+        "FROM t_cmp_probe GROUP BY g"
+    )
+    hz = aggregate_order_hazards(bad)
+    assert [h.kind for h in hz] == ["unsorted-collect"], [str(h) for h in hz]
+    # default comparator over NULLABLE elements → must pass (no
+    # spurious allowlist burden)
+    good = df.groupBy("g").agg(
+        _F.array_sort(
+            _F.collect_list(_F.when(_F.col("v") > 0, _F.col("id")))
+        ).alias("xs")
+    )
+    assert not aggregate_order_hazards(good), [
+        str(h) for h in aggregate_order_hazards(good)
+    ]
+
+
+def test_default_comparator_canonical_sqls_current(spark):
+    """The hardcoded canonical default-comparator SQL forms must match
+    what THIS Spark build emits (nullable, non-nullable, and struct
+    elements) — Spark-version drift fails here loudly instead of
+    silently turning the full-equality check into reject-everything."""
+    from data_wrangling_openstreetmap_spark.plans.window_orders import (
+        _DEFAULT_COMPARATOR_SQLS,
+        _seq,
+    )
+
+    def comparator_sqls(df):
+        out = []
+
+        def walk_expr(expr):
+            if expr.getClass().getSimpleName() == "ArraySort":
+                out.append(expr.function().sql())
+            for c in _seq(expr.children()):
+                walk_expr(c)
+
+        def walk_plan(node):
+            for e in _seq(node.expressions()):
+                walk_expr(e)
+            for c in _seq(node.children()):
+                walk_plan(c)
+
+        walk_plan(df._jdf.queryExecution().optimizedPlan())
+        return out
+
+    nonnull = spark.range(3).select(
+        _F.array_sort(_F.array(_F.col("id"), _F.col("id") + 1)).alias("a")
+    )
+    nullable = spark.range(3).select(
+        _F.array_sort(_F.array(_F.when(_F.col("id") > 0, _F.col("id")))).alias("a")
+    )
+    struct = spark.range(3).select(
+        _F.array_sort(_F.array(_F.struct(_F.col("id").alias("x")))).alias("a")
+    )
+    for frame in (nonnull, nullable, struct):
+        sqls = comparator_sqls(frame)
+        assert sqls, "probe found no ArraySort in the plan"
+        for s in sqls:
+            assert s in _DEFAULT_COMPARATOR_SQLS, s
+
+
+def test_aggregate_checker_sees_through_map_nesting(spark):
+    """ADVICE r9 #3 closure: a sort over map-constructed nesting —
+    sort_array(map_values(map(k, collect_list(x)))) — orders the OUTER
+    array of arrays, not the collect's elements; the transparent-node
+    whitelist severs under_sort at CreateMap/MapValues, so this flags.
+    A sort through a genuinely transparent chain (concat) still
+    passes."""
+    df = spark.range(100).select(
+        _F.col("id"), (_F.col("id") % 7).alias("g"), (_F.col("id") % 3).alias("v")
+    )
+    bad = df.groupBy("g").agg(
+        _F.sort_array(
+            _F.map_values(_F.create_map(_F.lit("k"), _F.collect_list("v")))
+        ).alias("xs")
+    )
+    hz = aggregate_order_hazards(bad)
+    assert [h.kind for h in hz] == ["unsorted-collect"], [str(h) for h in hz]
+    good = df.groupBy("g").agg(
+        _F.sort_array(
+            _F.concat(_F.collect_list("v"), _F.array(_F.lit(-1)))
+        ).alias("xs")
+    )
+    assert not aggregate_order_hazards(good), [
+        str(h) for h in aggregate_order_hazards(good)
+    ]
+
+
 def test_aggregate_checker_flags_nonconstant_first(spark):
     """first() over a non-constant-per-group argument is an arrival
     pick — flagged empirically; a functionally-dependent argument
