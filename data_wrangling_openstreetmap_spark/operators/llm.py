@@ -29,7 +29,7 @@ from ..functions import text as T
 from ..functions import vectors as V
 from ..io import load_table
 from ..registry import register
-from ._helpers import ckpt
+from ._helpers import ckpt, iter_ckpt
 
 # DuckDB expression for the same token array Spark's T.tokens() builds.
 _ORACLE_TOKS = r"list_filter(string_split_regex(text, '\s+'), x -> x != '')"
@@ -1538,7 +1538,7 @@ def l2_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
         .withColumn("label", F.col("doc_id"))
-        .localCheckpoint()
+        .transform(iter_ckpt)
     )
     try:
         for _ in range(20):  # ≥ any realistic dup-cluster diameter
@@ -1555,7 +1555,7 @@ def l2_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
                     ).alias("label"),
                 )
-                .localCheckpoint()
+                .transform(iter_ckpt)
             )
             changed = (
                 new_labels.alias("n")
@@ -2828,7 +2828,7 @@ def g1_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Catalyst still walked the tree. Post-checkpoint the loop sees a
     # leaf scan; blocks are released by the ContextCleaner when the
     # result goes out of scope.
-    e = e.localCheckpoint()
+    e = e.transform(iter_ckpt)
     deg = e.groupBy("src").agg(F.count("*").alias("d"))
     ranks = deg.select(
         F.col("src").alias("id"), F.lit(_PR_SCALE).cast("long").alias("r")
@@ -5751,7 +5751,7 @@ def g3_shortest_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     # localCheckpoint per round truncates the loop's logical lineage —
     # without it the plan tree doubles every iteration (union-of-join of
     # the previous round) and plan analysis itself OOMs by round ~8.
-    dist = src.localCheckpoint()
+    dist = src.transform(iter_ckpt)
     n_prev = dist.count()
     for _ in range(_G3_MAX_HOPS):
         grown = (
@@ -5760,7 +5760,7 @@ def g3_shortest_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             .unionByName(dist.select("node", "hops"))
             .groupBy("node")
             .agg(F.min("hops").alias("hops"))
-        ).localCheckpoint()
+        ).transform(iter_ckpt)
         n_now = grown.count()
         dist = grown
         if n_now == n_prev:
@@ -6762,7 +6762,7 @@ def g9_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
     comes from the LSH candidate stage and rounds bound by core depth,
     typically ≪ diameter.
     """.format(k=_G9_K, r=_G9_ROUNDS)
-    cur = co_purchase_edges(spark, sf_dir, 2).select("u", "v").localCheckpoint()
+    cur = co_purchase_edges(spark, sf_dir, 2).select("u", "v").transform(iter_ckpt)
     prev_cnt = cur.count()
     for _ in range(_G9_ROUNDS):
         deg = (
@@ -6776,7 +6776,7 @@ def g9_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
             cur.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
             .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
             .select("u", "v")
-            .localCheckpoint()
+            .transform(iter_ckpt)
         )
         cnt = nxt.count()
         cur = nxt

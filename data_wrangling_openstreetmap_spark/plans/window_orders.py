@@ -813,3 +813,188 @@ def aggregate_order_hazards(
 
     stats.hazards.extend(hazards)
     return hazards
+
+
+# ---------------------------------------------------------------------------
+# Multi-column carry desync (round 10, VERDICT r9 §Next #2): the
+# FOURTH order-correctness class, mechanizing the j17 lesson. TWO OR
+# MORE first/last(IGNORE NULLS) picks over the same window spec form a
+# coherent multi-column carry ONLY if their arguments' NULL patterns
+# coincide row-wise — then every pick skips exactly the same rows and
+# lands on the same source row. If the patterns can diverge, one
+# column carries from a DIFFERENT (older) row than another, silently
+# desyncing the carried tuple: j17's (view ts, view cents) pair did
+# exactly this on NULL view values, green on the NULL-free fixture for
+# two rounds. first/last WITHOUT ignoreNulls always pick the frame
+# edge row for every argument — no desync possible — so only
+# ignoreNulls picks are probed.
+# ---------------------------------------------------------------------------
+
+
+def _null_pattern(expr) -> Optional[tuple]:
+    """Resolve an expression's NULL condition to a canonical token, or
+    None if unprovable. Handled forms (everything the repo's carry
+    sites legitimately use):
+
+    - statically non-nullable expression → ("never-null",)
+    - bare attribute a → ("isnull", a.sql())
+    - single-branch CASE WHEN c THEN v [ELSE NULL] with v non-nullable
+      and c deterministic → ("not", c.sql()), normalized to
+      ("isnull", x.sql()) when c is IsNotNull(x) — so a bare carried
+      column and its ``when(col.isNotNull(), companion)`` twin resolve
+      EQUAL (the w8 gap-fill idiom).
+
+    The resolver is deliberately conservative: a pattern it cannot
+    prove is a hazard, not a pass — the j17 desync was LATENT (zero
+    diverging rows on the NULL-free fixture), so only static proof
+    counts; the fixture probe is triage detail."""
+    cls = expr.getClass().getSimpleName()
+    if cls == "Alias":
+        return _null_pattern(expr.child())
+    try:
+        if not expr.nullable():
+            return ("never-null",)
+    except Exception:
+        return None
+    if cls == "AttributeReference":
+        return ("isnull", expr.sql())
+    if cls == "CaseWhen":
+        try:
+            branches = _seq(expr.branches())
+            else_opt = expr.elseValue()
+        except Exception:
+            return None
+        if len(branches) != 1:
+            return None
+        if else_opt.isDefined():
+            ev = else_opt.get()
+            is_null_literal = (
+                ev.getClass().getSimpleName() == "Literal"
+                and ev.value() is None
+            )
+            if not is_null_literal:
+                return None
+        cond = branches[0]._1()
+        val = branches[0]._2()
+        if val.nullable() or not cond.deterministic():
+            return None
+        if cond.getClass().getSimpleName() == "IsNotNull":
+            return ("isnull", _seq(cond.children())[0].sql())
+        return ("not", cond.sql())
+    return None
+
+
+def multi_carry_hazards(
+    df: DataFrame,
+    *,
+    cache: Optional[Dict] = None,
+    stats: Optional[SweepStats] = None,
+) -> List[WindowHazard]:
+    """STATICALLY verify, for every Window node carrying ≥2 DISTINCT
+    first/last(ignoreNulls) arguments under the same (function, frame),
+    that the arguments are provably NULL-SYNCED (``_null_pattern``
+    tokens resolve and agree) — then every pick skips the same rows and
+    lands on the same source row. Unproven groups → hazard, with the
+    fixture's empirical desync count in the detail (0 = LATENT, the
+    j17 shape; >0 = live divergence). Queries whose contract is
+    genuinely per-column-independent carry-forward must be allowlisted
+    by name at the call site with a justification."""
+    spark = df.sparkSession
+    stats = stats if stats is not None else SweepStats()
+    cache = cache if cache is not None else {}
+    hazards: List[WindowHazard] = []
+
+    plan = df._jdf.queryExecution().optimizedPlan()
+    for node in _walk_windows(plan, []):
+        groups: Dict[tuple, dict] = {}
+        for alias in _seq(node.windowExpressions()):
+            wexpr = alias.child()
+            if wexpr.getClass().getSimpleName() != "WindowExpression":
+                continue
+            fn = wexpr.windowFunction()
+            if fn.getClass().getSimpleName() != "AggregateExpression":
+                continue
+            agg = fn.aggregateFunction()
+            inner = agg.getClass().getSimpleName()
+            if inner not in ("First", "Last"):
+                continue
+            try:
+                ignore_nulls = bool(agg.ignoreNulls())
+            except Exception:
+                ignore_nulls = False
+            if not ignore_nulls:
+                continue
+            frame = wexpr.windowSpec().frameSpecification().sql()
+            arg = _seq(agg.children())[0]
+            groups.setdefault((inner, frame), {}).setdefault(arg.sql(), arg)
+
+        part_sql = tuple(e.sql() for e in _seq(node.partitionSpec()))
+        order_sql = tuple(o.child().sql() for o in _seq(node.orderSpec()))
+        child = node.child()
+        for (inner, frame), by_sql in sorted(groups.items()):
+            if len(by_sql) < 2:
+                continue
+            stats.windows_seen += 1
+            arg_sqls = tuple(sorted(by_sql))
+            patterns = {s: _null_pattern(by_sql[s]) for s in arg_sqls}
+            if (
+                all(p is not None for p in patterns.values())
+                and len(set(patterns.values())) == 1
+            ):
+                # provably NULL-synced: all picks always skip the same
+                # rows → coherent carry under ANY input, not just the
+                # fixture
+                stats.windows_safe_by_shape += 1
+                continue
+            cache_key = ("carry", child.semanticHash(), inner, frame, arg_sqls)
+            if cache_key in cache:
+                stats.cache_hits += 1
+                detail = cache[cache_key]
+            else:
+                # unprovable → hazard; the fixture desync count is
+                # TRIAGE detail only (0 = latent j17 shape, >0 = live)
+                try:
+                    jdf = spark._jvm.org.apache.spark.sql.classic.Dataset.ofRows(
+                        spark._jsparkSession, child
+                    )
+                    child_df = DataFrame(jdf, spark)
+                    cols = [_jcolumn(spark, by_sql[s]) for s in arg_sqls]
+                    base = cols[0]
+                    aggs = [
+                        F.count(
+                            F.when(base.isNull() != c.isNull(), F.lit(1))
+                        ).alias(f"__desync{i}")
+                        for i, c in enumerate(cols[1:], 1)
+                    ]
+                    row = child_df.agg(*aggs).collect()[0]
+                    n_desync = sum(int(v) for v in row)
+                    triage = (
+                        "LATENT — restructure to a single-struct carry "
+                        "or allowlist with a precondition test"
+                        if n_desync == 0
+                        else "LIVE divergence"
+                    )
+                    detail = (
+                        f"{inner}(… IGNORE NULLS) carries not PROVABLY "
+                        f"NULL-synced (patterns {patterns}); fixture "
+                        f"desync rows: {n_desync} ({triage})"
+                    )
+                except Exception as ex:  # pragma: no cover - env-specific
+                    detail = f"__skipped__ {type(ex).__name__}: {ex}"
+                cache[cache_key] = detail
+            stats.windows_checked += 1
+            if detail is None:
+                continue
+            kind = "skipped" if detail.startswith("__skipped__") else "carry-desync"
+            hazards.append(
+                WindowHazard(
+                    kind=kind,
+                    functions=(f"{inner} ignorenulls",) + arg_sqls,
+                    partition=part_sql,
+                    order=order_sql,
+                    detail=detail.replace("__skipped__ ", ""),
+                )
+            )
+
+    stats.hazards.extend(hazards)
+    return hazards

@@ -384,6 +384,8 @@ BOUNDED_COLLECT_SITES = {
     ("plans/window_orders.py", "bad = ties.limit(max_report).collect()", 1),
     ("plans/window_orders.py", ".collect()", 1),  # boundary probe, .limit(3) above
     ("plans/window_orders.py", "bad = grouped.filter(cond).limit(3).collect()", 1),
+    # carry-desync probe: ONE row (count aggregates per argument pair)
+    ("plans/window_orders.py", "row = child_df.agg(*aggs).collect()[0]", 1),
     # streaming replay: ONE scalar max per call (watermark anchor)
     ("streaming/replay.py", 'max_ts = events.agg(F.max("ts")).collect()[0][0]', 1),
     ("streaming/replay.py", 'max_ts = staged.agg(F.max("_arrival")).collect()[0][0]', 1),
@@ -443,6 +445,157 @@ def test_bounded_collect_allowlist():
     gone = BOUNDED_COLLECT_SITES - found
     assert not new, f"unjustified driver-side materializations: {sorted(new)}"
     assert not gone, f"stale allowlist entries (update/remove): {sorted(gone)}"
+
+
+# Round-10 latent-NULL audit (VERDICT r9 §Next #2): every HOF fold
+# (F.aggregate / F.reduce) in package source, audited for the
+# fold-vs-SQL-aggregate divergence class that bit j17 and f28 — a fold
+# returns its INIT on an empty array and poisons on NULL elements,
+# where SQL SUM/AVG return NULL and skip NULLs. Each site is frozen as
+# (path, stripped first line, occurrence count); editing or adding a
+# fold re-opens its justification here. Categories:
+#   guarded    — exists()/when() NULL-guard mirrors SQL semantics
+#   mirrored   — the oracle computes the SAME fold/recurrence (or
+#                CASE…ELSE 0), so empty/NULL behavior matches BY TEXT
+#   total      — array provably non-empty with non-null elements by
+#                construction (sequence(1,n), fixed-dim embeddings,
+#                collect_list of non-null aggregates over a non-empty
+#                group, fake_feature_batch's fixed-width output)
+#   precond    — empty array reachable only for empty/sub-k-token
+#                text, excluded by the fixture invariants pinned in
+#                test_fold_fixture_preconditions
+AGGREGATE_FOLD_SITES = {
+    # simhash bit votes: fold is the DEFINITION (oracle mirrors the
+    # same vote recurrence); empty shingle set needs precond
+    ("functions/text.py", 'vote = F.aggregate(th, F.lit(0), vote_for_bit(b))', 1),  # mirrored+precond
+    ("functions/vectors.py", 'F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x * x)', 1),  # total (fixed-dim)
+    ("functions/vectors.py", 'return F.aggregate(', 1),  # total (fixed-dim dot)
+    ("operators/composites.py", 'F.aggregate(', 1),  # total: items = collect over non-empty order group, qty non-null
+    ("operators/composites.py", 'F.aggregate(F.col("cells"), F.lit(0.0), lambda acc, x: acc + term(x))', 1),  # total: chi2 cells collect non-empty
+    ("operators/composites.py", 'harmonic = F.aggregate(', 1),  # total: sequence(1, n_days), n_days >= 1
+    ("operators/functions_sweep.py", 'F.aggregate(', 1),  # guarded: f28's exists() NULL-guard (the r9 fix)
+    ("operators/llm.py", 'F.aggregate(', 2),  # total: fixed-dim zip_with (ann seed + l6 slices)
+    ("operators/llm.py", 'fold = F.aggregate(', 1),  # guarded: size()==0 -> NULL by design (documented at site)
+    ("operators/llm.py", 'lsum = F.aggregate(', 1),  # mirrored: empty fold = 0.0 sentinel documented at site
+    ("operators/llm.py", 'return F.aggregate(', 3),  # total ×2 (_pq_sqdist/_int_dot fixed-dim) + mirrored+precond (rolling hash: oracle same recurrence, empty -> 0 both)
+    ("operators/llm.py", 'sq_sum = lambda arr: F.aggregate(  # noqa: E731', 1),  # total (fixed-dim)
+    ("operators/llm.py", 'sum_len = F.aggregate(', 1),  # precond: n>=1 tokens (0/0 under ANSI otherwise)
+    ("operators/llm.py", 'vote = F.aggregate(F.col(lane_col), F.lit(0), vote_for_bit(b))', 1),  # mirrored+precond (simhash lanes)
+    ("operators/multimodal.py", 'F.aggregate(', 2),  # total: fake_feature_batch fixed-width feat
+    ("operators/multimodal.py", 'l1 = F.aggregate(vec, F.lit(0.0), lambda acc, x: acc + x)', 1),  # total (same)
+    ("operators/quality.py", 'F.aggregate(F.col("cells"), F.lit(0.0), lambda acc, x: acc + term(x))', 1),  # total: psi cells collect non-empty
+    ("operators/relational.py", 'F.aggregate(', 1),  # mirrored: f6d oracle CASE..ELSE 0 — empty map folds to 0 on BOTH sides
+    ("operators/windows.py", 'F.aggregate(F.col("xs"), acc0, step).alias("hw"),', 1),  # total: xs collect of non-null cents over non-empty group
+    ("operators/windows.py", 'F.aggregate(F.col("xs"), acc0, step).alias("w"),', 1),  # total (same)
+    ("operators/windows.py", 'return F.aggregate(', 1),  # total (w35 fixed window arrays)
+    ("operators/windows.py", 's = F.aggregate(', 1),  # total: entropy cs = collect of count(*) >= 1
+    ("operators/windows.py", 'wsum = F.aggregate(', 1),  # total: gini xs = collect of non-null sums
+}
+
+
+def test_aggregate_fold_allowlist():
+    """Every F.aggregate/F.reduce fold in the package must be frozen in
+    AGGREGATE_FOLD_SITES with its audited justification — the
+    fold-vs-SUM NULL/empty divergence class produced two latent bugs in
+    round 9 (j17, f28); this makes the third one a failing test at the
+    moment it is written instead of a driver surprise later."""
+    import collections
+
+    import data_wrangling_openstreetmap_spark as pkg
+
+    root = os.path.dirname(os.path.abspath(pkg.__file__))
+    counts: collections.Counter = collections.Counter()
+    for dirpath, _dirs, files in os.walk(root):
+        for fname in files:
+            if not fname.endswith(".py"):
+                continue
+            path = os.path.join(dirpath, fname)
+            rel = os.path.relpath(path, root).replace(os.sep, "/")
+            with open(path, encoding="utf-8") as fh:
+                for line in fh:
+                    stripped = line.strip()
+                    if stripped.startswith("#"):
+                        continue
+                    if "F.aggregate(" in stripped or "F.reduce(" in stripped:
+                        counts[(rel, stripped)] += 1
+    found = {(rel, line, n) for (rel, line), n in counts.items()}
+    new = found - AGGREGATE_FOLD_SITES
+    gone = AGGREGATE_FOLD_SITES - found
+    assert not new, f"unaudited HOF fold sites (see header): {sorted(new)}"
+    assert not gone, f"stale fold allowlist entries: {sorted(gone)}"
+
+
+def test_fold_fixture_preconditions():
+    """The 'precond'-class fold sites above rely on these fixture
+    invariants; if the generator ever emits empty/NULL text, NULL event
+    values, or NULL lineitem measures, this fails BEFORE a latent
+    fold-vs-SUM divergence can grade green (the j17/f28 lesson: green
+    on a NULL-free fixture proves nothing about NULL semantics)."""
+    import duckdb
+
+    for sf in ("0.001", "0.01", "0.1"):
+        con = duckdb.connect()
+        n_bad_text, min_tokens = con.execute(
+            f"""SELECT sum(CASE WHEN text IS NULL OR length(trim(text)) = 0
+                             THEN 1 ELSE 0 END),
+                       min(length(string_split(text, ' ')))
+                FROM read_parquet('/root/testdata/sf{sf}/documents.parquet')"""
+        ).fetchone()
+        assert n_bad_text == 0, f"sf{sf}: NULL/empty documents.text"
+        assert min_tokens >= 1, f"sf{sf}: token-less document"
+        n_null = con.execute(
+            f"""SELECT sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)
+                FROM read_parquet('/root/testdata/sf{sf}/events.parquet')"""
+        ).fetchone()[0]
+        assert n_null == 0, f"sf{sf}: NULL events.value"
+        n_null_li = con.execute(
+            f"""SELECT sum(CASE WHEN l_quantity IS NULL
+                                  OR l_extendedprice IS NULL
+                             THEN 1 ELSE 0 END)
+                FROM read_parquet('/root/testdata/sf{sf}/lineitem.parquet')"""
+        ).fetchone()[0]
+        assert n_null_li == 0, f"sf{sf}: NULL lineitem measures"
+        n_bad_emb = con.execute(
+            f"""SELECT sum(CASE WHEN embedding IS NULL
+                                  OR len(embedding) <> 64
+                             THEN 1 ELSE 0 END)
+                FROM read_parquet('/root/testdata/sf{sf}/embeddings.parquet')"""
+        ).fetchone()[0]
+        assert n_bad_emb == 0, f"sf{sf}: ragged/NULL embeddings"
+
+
+def test_no_direct_local_checkpoint():
+    """Operators must truncate lineage ONLY through _helpers.ckpt
+    (env-neutralizable) or _helpers.iter_ckpt (pre-checkpoint frame
+    captured for the order sweeps) — a direct DataFrame.localCheckpoint
+    call would mint a LogicalRDD leaf the plan walkers can neither
+    neutralize nor capture, silently re-opening the round-8/9
+    checkpoint blind spot. This scan is what upgrades 'every LogicalRDD
+    is a walked capture or a bounded literal frame' from convention to
+    machine-checked invariant (VERDICT r9 §Next #3)."""
+    import data_wrangling_openstreetmap_spark as pkg
+
+    root = os.path.dirname(os.path.abspath(pkg.__file__))
+    offenders = []
+    for dirpath, _dirs, files in os.walk(root):
+        for fname in files:
+            if not fname.endswith(".py"):
+                continue
+            path = os.path.join(dirpath, fname)
+            rel = os.path.relpath(path, root).replace(os.sep, "/")
+            if rel == "operators/_helpers.py":  # the two sanctioned wrappers
+                continue
+            with open(path, encoding="utf-8") as fh:
+                for lineno, line in enumerate(fh, 1):
+                    stripped = line.strip()
+                    if stripped.startswith("#"):
+                        continue
+                    if ".localCheckpoint(" in stripped:
+                        offenders.append(f"{rel}:{lineno}: {stripped}")
+    assert not offenders, (
+        "direct localCheckpoint calls (use _helpers.ckpt / iter_ckpt):\n"
+        + "\n".join(offenders)
+    )
 
 
 def test_tag_vocabulary():

@@ -106,20 +106,22 @@ COLLECT_ALLOWLIST = {
 }
 
 # Queries whose optimized plan contains LogicalRDD leaves EVEN under
-# DWOS_FULL_PLAN=1 — lineage the plan walkers cannot see through
-# (ADVICE r8 #1: make the blind spot loud, not silent). Two benign
-# causes only: UNCONDITIONAL iterative-loop checkpoints (graph/dedup
-# fixpoints — without them plan analysis itself OOMs; their loop
-# bodies are aggregate/join-only and are separately covered by the
-# arrival-order audit) and driver-local literal frames
-# (spark.createDataFrame of bounded lookup tables / collected
-# scalars). Any NEW opaque query fails the sweep until argued here.
+# DWOS_FULL_PLAN=1 with NO captured pre-checkpoint frames (round 10,
+# VERDICT r9 §Next #3 shrank this from 16: iterative-fixpoint loops
+# now route through _helpers.iter_ckpt, which hands every round's
+# PRE-checkpoint plan to this sweep for walking, so truncation is no
+# longer a blind spot — g1/g3/g9/l2_dup_clusters left the list). The
+# one benign cause left: driver-local LITERAL frames —
+# spark.createDataFrame of bounded lookup tables / collected scalars
+# (each bounded per BOUNDED_COLLECT_SITES or literal data). Such a
+# LogicalRDD is a TRUE leaf: there is no hidden subplan below it to
+# walk. Any NEW opaque query fails the sweep until argued here;
+# test_plan_shapes.py::test_no_direct_local_checkpoint guarantees no
+# operator can mint an uncaptured truncation outside the helpers.
 CKPT_OPAQUE_ALLOWLIST = {
-    # iterative fixpoints / sampled-model seeds:
-    "l2_dup_clusters",
-    "g1_pagerank_neardup",
-    "g3_shortest_hops",
-    "g9_kcore_peeling",
+    # bounded sampled-model / pooled literal frames (collected rows →
+    # createDataFrame; sizes: 16×64 centroids, pool+pool² sims, k·d
+    # vocab dims):
     "l3_ann_ivf",
     "l3_ann_recall_contract",
     "l3_mmr_rerank",
@@ -150,10 +152,15 @@ def test_registry_order_determinism(spark, monkeypatch):
     truncates lineage to a LogicalRDD leaf, so windows computed below
     a single-shot checkpoint (w22's row_number, w33's running-sum
     internals, the composites ckpt sites) were invisible to the round-8
-    sweep. With the truncation neutralized they are walked like any
-    other node; the residual opaque plans (iterative checkpoints,
-    literal frames) are asserted against CKPT_OPAQUE_ALLOWLIST so the
-    remaining blind spot is enumerated, not silent."""
+    sweep. Round 10 (VERDICT r9 §Next #3): the UNCONDITIONAL iterative
+    checkpoints are walked too — _helpers.PRECKPT_CAPTURE collects each
+    round's pre-checkpoint frame during construction and every captured
+    frame runs through all three checkers, so g1/g3/g9/l2_dup_clusters'
+    loop internals stop being statically invisible. The residual opaque
+    plans (bounded createDataFrame literal frames — true leaves with
+    nothing below) are asserted against CKPT_OPAQUE_ALLOWLIST so the
+    remaining set is enumerated, not silent."""
+    from data_wrangling_openstreetmap_spark.operators import _helpers
     from data_wrangling_openstreetmap_spark.plans.window_orders import (
         aggregate_order_hazards,
         checkpoint_opaque,
@@ -168,20 +175,39 @@ def test_registry_order_determinism(spark, monkeypatch):
     astats = SweepStats()
     failures = []
     opaque = []
-    for name, spec in REGISTRY.items():
-        if name in SKIP:
-            continue
-        df = spec.fn(spark, SWEEP_SF)
-        if checkpoint_opaque(df):
-            opaque.append(name)
-        for hz in window_order_hazards(df, cache=cache, stats=wstats):
+    captured_frames = 0
+
+    def check(name, frame):
+        for hz in window_order_hazards(frame, cache=cache, stats=wstats):
             failures.append(f"{name}: {hz}")
-        for hz in sort_limit_hazards(df, cache=cache, stats=lstats):
+        for hz in sort_limit_hazards(frame, cache=cache, stats=lstats):
             failures.append(f"{name}: {hz}")
-        for hz in aggregate_order_hazards(df, cache=cache, stats=astats):
+        for hz in aggregate_order_hazards(frame, cache=cache, stats=astats):
             if hz.kind == "unsorted-collect" and name in COLLECT_ALLOWLIST:
                 continue
             failures.append(f"{name}: {hz}")
+
+    for name, spec in REGISTRY.items():
+        if name in SKIP:
+            continue
+        _helpers.PRECKPT_CAPTURE = []
+        try:
+            df = spec.fn(spark, SWEEP_SF)
+            caps = _helpers.PRECKPT_CAPTURE
+        finally:
+            _helpers.PRECKPT_CAPTURE = None
+        if checkpoint_opaque(df) and not caps:
+            # LogicalRDD leaves with NO captured truncation behind them
+            # — by test_no_direct_local_checkpoint these can only be
+            # createDataFrame literal frames
+            opaque.append(name)
+        check(name, df)
+        captured_frames += len(caps)
+        for pre in caps:
+            # each iterative round's pre-checkpoint plan, walked like
+            # any other query plan (its own leaf is the PREVIOUS
+            # round's checkpoint, whose pre-plan was captured earlier)
+            check(name, pre)
     assert not failures, "\n".join(failures)
     unexplained = set(opaque) - CKPT_OPAQUE_ALLOWLIST
     assert not unexplained, (
@@ -189,6 +215,12 @@ def test_registry_order_determinism(spark, monkeypatch):
         f"justify in CKPT_OPAQUE_ALLOWLIST or remove the truncation: "
         f"{sorted(unexplained)}"
     )
+    stale = CKPT_OPAQUE_ALLOWLIST - set(opaque)
+    assert not stale, f"allowlist entries no longer opaque (remove): {sorted(stale)}"
+    # the capture path must have actually fired (4 iterative queries,
+    # ≥1 pre-checkpoint frame each round) — a broken hook would
+    # silently regress to the round-9 blind spot
+    assert captured_frames >= 8, captured_frames
     # the sweep must have actually inspected the surface, not vacuously
     # passed because plan walking broke
     assert wstats.windows_seen > 150, wstats
