@@ -180,6 +180,17 @@ def main() -> None:
         loadavg_after = None
 
     total = round(sum(timings.values()), 4)
+    # Self-interpreting noise normalization (VERDICT r9 §Next #5): the
+    # box's per-core speed drifts ±2× between samples (ref_microop_s
+    # 0.061 r8 → 0.083–0.120 r9 on IDLE loadavg), so the raw total
+    # alone reads as a regression when only the VM slowed.
+    # normalized_total = value / ref_microop_s is dimensionless and
+    # machine-speed-invariant; the r8–r9 band for THIS query set is
+    # ~21–30. A normalized_total inside the band with a shifted raw
+    # total is environmental by construction — no notes archaeology.
+    normalized_total = (
+        round(total / ref_microop_s, 2) if ref_microop_s > 0 else None
+    )
     print(
         json.dumps(
             {
@@ -193,6 +204,7 @@ def main() -> None:
                 "loadavg": loadavg,
                 "loadavg_after": loadavg_after,
                 "ref_microop_s": ref_microop_s,
+                "normalized_total": normalized_total,
                 "sf": sf,
             }
         )

@@ -380,21 +380,30 @@ def j7_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    # single-struct carry (round 10, the j17 discipline): the click's
+    # (id, ts) travel as ONE value, so a hypothetical NULL click_id
+    # yields a NULL FIELD inside the still-carried struct instead of
+    # silently carrying an OLDER click's id against this click's ts —
+    # the multi-carry desync the static sweep
+    # (plans/window_orders.multi_carry_hazards) now flags. Fixture has
+    # no NULL event ids, so values are unchanged; the shape is now
+    # provably NULL-synced under ANY input.
+    click_rec = F.when(
+        F.col("kind") == 0,
+        F.struct(F.col("click_id").alias("cid"), ts_us.alias("cus")),
+    )
     filled = timeline.select(
         "user_id",
         "kind",
         "purchase_id",
         ts_us.alias("ts_us"),
-        F.last("click_id", ignorenulls=True).over(w).alias("click_id"),
-        F.last(F.when(F.col("kind") == 0, ts_us), ignorenulls=True)
-        .over(w)
-        .alias("click_us"),
+        F.last(click_rec, ignorenulls=True).over(w).alias("crec"),
     )
     return filled.filter(F.col("kind") == 1).select(
         F.col("purchase_id"),
         "user_id",
-        "click_id",
-        (F.col("ts_us") - F.col("click_us")).alias("us_since_click"),
+        F.col("crec.cid").alias("click_id"),
+        (F.col("ts_us") - F.col("crec.cus")).alias("us_since_click"),
     )
 
 
@@ -2058,15 +2067,24 @@ def j15_nearest_event_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("click_id"),  # unused on purchase rows
         F.lit(1).alias("kind"),
     )
+    # single-struct carry (round 10, the j17 discipline — see j7): the
+    # click's (id, us) travel as ONE ignorenulls pick per direction, so
+    # the pair can never desync onto different source clicks; the
+    # multi-carry static sweep (plans/window_orders.multi_carry_hazards)
+    # flags the old two-column form as not provably NULL-synced.
+    # Fixture values unchanged (no NULL event ids).
     tl = clicks.unionByName(purchases).select(
         "user_id",
         "ts",
         "kind",
         F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
-        F.when(F.col("kind") == 0, F.col("click_id")).alias("c_id"),
-        F.when(F.col("kind") == 0, F.unix_micros(F.col("ts").cast("timestamp"))).alias(
-            "c_us"
-        ),
+        F.when(
+            F.col("kind") == 0,
+            F.struct(
+                F.col("click_id").alias("cid"),
+                F.unix_micros(F.col("ts").cast("timestamp")).alias("cus"),
+            ),
+        ).alias("c_rec"),
         F.when(F.col("kind") == 1, F.col("click_id")).alias("p_id"),
     )
     order = [F.col("us"), F.col("kind")]
@@ -2080,16 +2098,27 @@ def j15_nearest_event_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(*order)
         .rowsBetween(0, Window.unboundedFollowing)
     )
-    enriched = tl.select(
-        "user_id",
-        "us",
-        "kind",
-        "p_id",
-        F.last("c_id", ignorenulls=True).over(w_prev).alias("prev_id"),
-        F.last("c_us", ignorenulls=True).over(w_prev).alias("prev_us"),
-        F.first("c_id", ignorenulls=True).over(w_next).alias("next_id"),
-        F.first("c_us", ignorenulls=True).over(w_next).alias("next_us"),
-    ).filter(F.col("kind") == 1)
+    enriched = (
+        tl.select(
+            "user_id",
+            "us",
+            "kind",
+            "p_id",
+            F.last("c_rec", ignorenulls=True).over(w_prev).alias("prev_rec"),
+            F.first("c_rec", ignorenulls=True).over(w_next).alias("next_rec"),
+        )
+        .filter(F.col("kind") == 1)
+        .select(
+            "user_id",
+            "us",
+            "kind",
+            "p_id",
+            F.col("prev_rec.cid").alias("prev_id"),
+            F.col("prev_rec.cus").alias("prev_us"),
+            F.col("next_rec.cid").alias("next_id"),
+            F.col("next_rec.cus").alias("next_us"),
+        )
+    )
     far = F.lit(_J15_FAR)
     prev_cand = F.struct(
         F.coalesce(F.col("us") - F.col("prev_us"), far).alias("gap_us"),

@@ -931,12 +931,29 @@ def multi_carry_hazards(
         part_sql = tuple(e.sql() for e in _seq(node.partitionSpec()))
         order_sql = tuple(o.child().sql() for o in _seq(node.orderSpec()))
         child = node.child()
+        # Catalyst pre-projects computed window arguments into the
+        # child Project (arg becomes a bare `_wN` attribute) — resolve
+        # one level through it so `when(cond, x)` args keep their
+        # static null pattern instead of degrading to ("isnull", _wN).
+        subst: Dict[int, object] = {}
+        if child.getClass().getSimpleName() == "Project":
+            for ne in _seq(child.projectList()):
+                if ne.getClass().getSimpleName() == "Alias":
+                    subst[ne.exprId().id()] = ne.child()
+
+        def _resolved_pattern(arg):
+            if arg.getClass().getSimpleName() == "AttributeReference":
+                defn = subst.get(arg.exprId().id())
+                if defn is not None:
+                    return _null_pattern(defn)
+            return _null_pattern(arg)
+
         for (inner, frame), by_sql in sorted(groups.items()):
             if len(by_sql) < 2:
                 continue
             stats.windows_seen += 1
             arg_sqls = tuple(sorted(by_sql))
-            patterns = {s: _null_pattern(by_sql[s]) for s in arg_sqls}
+            patterns = {s: _resolved_pattern(by_sql[s]) for s in arg_sqls}
             if (
                 all(p is not None for p in patterns.values())
                 and len(set(patterns.values())) == 1

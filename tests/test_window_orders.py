@@ -164,6 +164,7 @@ def test_registry_order_determinism(spark, monkeypatch):
     from data_wrangling_openstreetmap_spark.plans.window_orders import (
         aggregate_order_hazards,
         checkpoint_opaque,
+        multi_carry_hazards,
         sort_limit_hazards,
     )
 
@@ -173,6 +174,7 @@ def test_registry_order_determinism(spark, monkeypatch):
     wstats = SweepStats()
     lstats = SweepStats()
     astats = SweepStats()
+    cstats = SweepStats()
     failures = []
     opaque = []
     captured_frames = 0
@@ -185,6 +187,11 @@ def test_registry_order_determinism(spark, monkeypatch):
         for hz in aggregate_order_hazards(frame, cache=cache, stats=astats):
             if hz.kind == "unsorted-collect" and name in COLLECT_ALLOWLIST:
                 continue
+            failures.append(f"{name}: {hz}")
+        # 4th class (round 10): multi-column ignorenulls carry desync —
+        # the j17 shape, STATICALLY checked (latent instances flag even
+        # on the NULL-free fixture)
+        for hz in multi_carry_hazards(frame, cache=cache, stats=cstats):
             failures.append(f"{name}: {hz}")
 
     for name, spec in REGISTRY.items():
@@ -227,6 +234,9 @@ def test_registry_order_determinism(spark, monkeypatch):
     assert wstats.windows_checked > 100, wstats
     assert lstats.windows_seen >= 20, lstats  # sort+limit sites walked
     assert astats.windows_seen > 500, astats  # Aggregate nodes walked
+    # multi-carry groups: w8/w9's synced fill pairs must have been seen
+    # and proven safe by shape (static null-pattern equality)
+    assert cstats.windows_seen + cstats.windows_safe_by_shape >= 2, cstats
 
 
 # ---------------------------------------------------------------------------
@@ -331,6 +341,105 @@ def test_aggregate_checker_sees_through_outer_array_nesting(spark):
     )
     hz = aggregate_order_hazards(bad)
     assert [h.kind for h in hz] == ["unsorted-collect"], [str(h) for h in hz]
+
+
+def test_multi_carry_checker_flags_latent_desync(spark):
+    """Round-10 revert evidence for the FOURTH order class (the j17
+    shape): two ignorenulls carries whose NULL patterns are not
+    statically tied must flag EVEN when the probe data has zero
+    diverging rows — latency is the defining property of this class.
+    Here `x` is SCHEMA-nullable but never null in the data (the j7
+    shape: event ids are nullable in the parquet schema, never null in
+    the fixture): `when(kind==0, x)` cannot be proven NULL-synced with
+    `when(kind==0, t)` because a NULL x on a kind=0 row would desync
+    them — yet the probe data has ZERO diverging rows."""
+    from data_wrangling_openstreetmap_spark.plans.window_orders import (
+        multi_carry_hazards,
+    )
+    from pyspark.sql import Window as W
+
+    df = spark.createDataFrame(
+        [(i % 5, i, i % 2, i * 10) for i in range(100)],
+        "u long, t long, kind long, x long",  # x nullable, never null
+    )
+    w = W.partitionBy("u").orderBy("t").rowsBetween(W.unboundedPreceding, 0)
+    bad = df.select(
+        "u",
+        "t",
+        _F.last(_F.when(_F.col("kind") == 0, _F.col("x")), ignorenulls=True)
+        .over(w)
+        .alias("last_id"),
+        _F.last(_F.when(_F.col("kind") == 0, _F.col("t")), ignorenulls=True)
+        .over(w)
+        .alias("last_ts"),
+    )
+    hz = multi_carry_hazards(bad)
+    assert [h.kind for h in hz] == ["carry-desync"], [str(h) for h in hz]
+    assert "LATENT" in hz[0].detail, hz[0].detail
+
+    # the j17/j7/j15 discipline — ONE struct carry — passes (single
+    # distinct argument, no group to desync)
+    rec = _F.when(
+        _F.col("kind") == 0,
+        _F.struct(_F.col("x").alias("i"), _F.col("t").alias("ts")),
+    )
+    good = df.select(
+        "u", "t", _F.last(rec, ignorenulls=True).over(w).alias("rec")
+    )
+    assert not multi_carry_hazards(good)
+
+
+def test_multi_carry_checker_passes_synced_pair(spark):
+    """Two carries gated on the SAME condition with non-nullable
+    branches are provably NULL-synced — the static resolver (including
+    the look-through of Catalyst's pre-projection) must pass them with
+    NO empirical job, the w8/w9 gap-fill idiom."""
+    from data_wrangling_openstreetmap_spark.plans.window_orders import (
+        SweepStats,
+        multi_carry_hazards,
+    )
+    from pyspark.sql import Window as W
+
+    df = spark.range(100).select(
+        (_F.col("id") % 5).alias("u"),
+        _F.col("id").alias("t"),
+        (_F.col("id") % 2).alias("kind"),
+    )
+    w = W.partitionBy("u").orderBy("t").rowsBetween(W.unboundedPreceding, 0)
+    cond = _F.col("kind") == 0
+    synced = df.select(
+        "u",
+        "t",
+        _F.last(_F.when(cond, _F.col("t") * 10), ignorenulls=True)
+        .over(w)
+        .alias("c_a"),
+        _F.last(_F.when(cond, _F.col("t") + 1), ignorenulls=True)
+        .over(w)
+        .alias("c_b"),
+    )
+    stats = SweepStats()
+    assert not multi_carry_hazards(synced, stats=stats)
+    assert stats.windows_safe_by_shape == 1, stats
+    assert stats.windows_checked == 0, stats  # no Spark job ran
+
+    # the w8 idiom: a bare carried column + its isNotNull-gated
+    # companion resolve to the SAME pattern
+    df2 = spark.range(100).select(
+        (_F.col("id") % 5).alias("u"),
+        _F.col("id").alias("t"),
+        _F.when(_F.col("id") % 3 == 0, _F.col("id")).alias("v"),
+    )
+    w8ish = df2.select(
+        "u",
+        "t",
+        _F.last("v", ignorenulls=True).over(w).alias("prev_v"),
+        _F.last(_F.when(_F.col("v").isNotNull(), _F.col("t")), ignorenulls=True)
+        .over(w)
+        .alias("prev_t"),
+    )
+    assert not multi_carry_hazards(w8ish), [
+        str(h) for h in multi_carry_hazards(w8ish)
+    ]
 
 
 def test_aggregate_checker_default_comparator_full_equality(spark):
