@@ -50,37 +50,33 @@ ALL_MODULES = (
 # value-hash-graded, none rows-only. Order within the window is
 # thematic, not significance-ranked — only membership matters.
 #
-# ROUND-9 ROTATION (the round-4..8 discipline, continued): 45 of the
-# 50 slots are queries the driver has NEVER hash-graded (348 unique
-# names carry driver signal from rounds 1-8, all green at their latest
+# ROUND-10 ROTATION (the round-4..9 discipline, continued): 45 of the
+# 50 slots are queries the driver has NEVER hash-graded (393 unique
+# names carry driver signal from rounds 1-9, all green at their latest
 # grade; zero overlap with the 45 — asserted against the
-# CORRECTNESS_r01–r08 union when the window was built). The graded 348
+# CORRECTNESS_r01–r09 union when the window was built). The graded 393
 # stay continuously verified by the driver-strict local replica
 # (tests/test_oracle_parity.py) and the per-round full-registry sf0.1
 # sweep. Coverage invariant unchanged: every §2 tag in the registry has
 # a representative below
 # (tests/test_plan_shapes.py::test_driver_window_covers_all_tags).
 #
-# SENTINEL LANE, ROUND 9 (standing policy below): 5 slots re-grade
+# SENTINEL LANE, ROUND 10 (standing policy below): 5 slots re-grade
 # previously-green names whose source or shared helpers changed after
 # their grade —
-#   j17_error_free_attribution  graded r8; single-struct carry rewrite
-#                               r9 (ADVICE r8 #2) — the automatic pick
-#   st29_emitted_hop_windows    graded r7; streaming_ops.py churned r8
-#                               (st32–st34) — covers ST2+ST4
-#   st19_session_stats_rollup   graded r5; streaming_ops.py churned
-#                               r6–r8 — covers ST3
-#   f6c_map_from_entries        graded r5; functions_sweep.py churned
-#                               r6–r8 AND it is the one allowlisted
-#                               unsorted-collect site of the new
-#                               aggregate-order sweep (round 9's
-#                               machine check names it) — covers F6
-#   l3_pq_rerank                graded r7; llm.py churned r8 — covers
-#                               L3 (+L6, W2)
-# Round-10 sentinel candidates: any name whose oracle gets an ADVICE-r9
-# lenience edit (automatic picks), plus windows.py names graded ≤r8
-# (the j17 struct-carry edit is that file's only r9 churn, but the
-# A11→extension-tag note touches its tag metadata).
+#   j7_asof_join            graded r2; round-10 single-struct carry
+#                           rewrite (the multi-carry sweep's own
+#                           finding) — the automatic pick; covers J7+W5
+#   j15_nearest_event_join  graded r4; round-10 single-struct carry
+#                           rewrite — automatic pick; covers W5+W3
+#   l3_knn_block_matmul     graded r3; llm.py churned r4–r10 (the
+#                           iter_ckpt rewrite landed in its module this
+#                           round) — covers L3, and it is a headline
+#                           bench query
+#   st5_dedup_first         graded r3; streaming_ops.py churned r4–r10
+#                           (st38–st40 land this round) — covers ST5+L1
+#   st7_running_user_totals graded r3; same streaming_ops churn —
+#                           covers ST7+W4
 #
 # SENTINEL RE-GRADE POLICY (standing, effective round 8): once the
 # never-graded pool can no longer fill 50 slots — or from round 8
@@ -89,79 +85,75 @@ ALL_MODULES = (
 # changed since their grade, chosen each round by diffing the
 # operators/ tree against the round the name was graded in.
 #
-# TAG ARITHMETIC forcing this round's 9 twins: entering round 9, 31 of
-# the 68 registry tags had NO oracled never-graded carrier (A4 A5 A6 F6
-# F7 F9 J3 J4 J6 J7 L3 O1 O4 O5 O6 P1 P3 P4 P5 S5 ST1-ST7 U1 U4 U5 W5).
-# The five churn sentinels above cover 8 of them organically (J4 J7 W5
-# ST2 ST3 ST4 F6 L3); the remaining 23 get fresh round-9 twins (a56
-# o11 p12 f28 j18 u17 st35 st36 st37 — 9 additions, registry 469→478,
-# vs burning ~20 more window slots on coverage-only re-grades, which
-# the ≥45 first-timer target forbids).
+# TAG ARITHMETIC forcing this round's 10 twins: entering round 10, 38
+# of the 69 registry tags had NO oracled never-graded carrier (A4 A5
+# A6 A9 F6 F7 F9 J3 J4 J6 J7 L3 O1 O3 O4 O5 O6 P1 P3 P4 P5 S2 S4 S5
+# S6 ST1-ST7 U1-U5 W5 — ROUND9_NOTES §8's precomputed list). The five
+# churn sentinels above cover 7 organically (J7 W5 L3 ST5 ST7 + L1
+# W2-adjacent); the remaining 31 get the ten round-10 twins (o12 s13
+# p13 a57 j19 f29 u18 st38 st39 st40 — registry 478→488), each a
+# multi-tag composite per the recipe that has now worked three rounds.
 DRIVER_WINDOW = (
-    # judge-prioritized (VERDICT r8 §Next #1): the seven §2-canonical
-    # carriers whose coverage-table rows still cite graded siblings —
-    # after this round every §2 row cites its own canonical grade:
-    "p6_conditional",
-    "j2_outer_join",
-    "j5_broadcast_join",
-    "a7_date_bucket",
-    "w1_rank_kinds",
-    "w3_lag_lead",
-    "w4_running_sum",
-    # round-9 tag twins (all first-timers; see TAG ARITHMETIC above):
-    "a56_margin_lattice_contract",
-    "o11_supplier_roster_exchange",
-    "p12_customer_profile_shaping",
-    "f28_type_map_combinators",
-    "j18_depot_proximity_semi",
-    "u17_udtf_keyed_median_chain",
-    "st35_emitted_daily_priorities",
-    "st36_daily_first_touch",
-    "st37_type_streak_state",
+    # round-10 tag twins (all first-timers; see TAG ARITHMETIC above):
+    "o12_channel_ledger",
+    "s13_sink_relay",
+    "p13_part_shaping",
+    "a57_priority_cube_modes",
+    "j19_clean_hot_price_bands",
+    "f29_user_geo_profile",
+    "u18_five_crossing_bridge",
+    "st38_daily_segment_revenue",
+    "st39_emitted_daily_hops",
+    "st40_segment_session_dwell",
     # churn sentinels (see SENTINEL LANE above):
-    "j17_error_free_attribution",
-    "st29_emitted_hop_windows",
-    "st19_session_stats_rollup",
-    "f6c_map_from_entries",
-    "l3_pq_rerank",
+    "j7_asof_join",
+    "j15_nearest_event_join",
+    "l3_knn_block_matmul",
+    "st5_dedup_first",
+    "st7_running_user_totals",
+    # thin-tag carriers the verdict named (the LAST never-graded
+    # carrier of F2 / L2 / W2 respectively) plus the round-10
+    # carry-sweep's newly-proven w8:
+    "l4_readability",
+    "l2_lsh_bucket_health",
+    "w27_top_movers",
+    "w8_gap_fill_calendar",
     # greedy tag-cover picks (each the never-graded carrier of tags no
     # other window entry covers):
-    "g15_assortativity",
-    "f23_hash_encode_battery",
-    "s12_orc_roundtrip",
-    "l4_repetition_stats",
-    "m7_audio_vad",
-    "dp2_key_skew_report",
-    "a22_ab_lift",
-    "s9_temperature_resample",
-    "l4_token_counts_parity",
-    "l4_trigram_novelty",
-    "m3b_resize_parity",
-    "dp7_shuffle_partition_advisor",
-    "s25_file_metadata_audit",
-    "s28_pushdown_datasource",
-    # strength fillers (strongest remaining never-graded names, spread
-    # across the window/stats/graph/source/SQL-frontend families;
-    # a11_stats_agg and a15_robust_outliers are the two carriers of the
-    # A11 extension tag the round-8 verdict flagged — grading them
-    # closes that nit with driver signal; w22_weekly_autocorr is the
-    # checkpoint-hidden window the round-9 full-plan sweep newly
-    # covers, so a driver grade pins its value contract too):
-    "a11_stats_agg",
-    "a15_robust_outliers",
-    "w12_running_distinct",
-    "w16_ohlc_resample",
-    "w22_weekly_autocorr",
-    "w43_interval_union",
-    "q24_hierarchy_closure",
-    "q48_decile_transition",
-    "a33_seasonal_index",
-    "g3_shortest_hops",
-    "l6_random_projection",
-    "l4_sequence_packing",
-    "f15_date_arithmetic",
-    "x16_unpivot_sql",
-    "dq10_freshness_audit",
+    "a28_two_proportion_test",
+    "l6_quantile_transform",
+    "a14_copurchase_pairs",
+    "f18_parameterized_sql",
+    "m0_binary_ingest",
+    "q11_market_share",
+    "s11_temporal_split",
+    "l4_vocab_coverage",
+    "l1_block_dedup_census",
+    "q35_mom_growth",
+    "a25_entropy_profile",
+    # strength fillers (remaining never-graded names spread across the
+    # window/stats/SQL-frontend/source/function families so one broken
+    # module cannot take out a whole window):
+    "q27_ltv_curves",
+    "q29_event_transitions",
+    "l6_int8_quantize",
+    "w13_time_weighted_avg",
+    "w14_dist_functions",
+    "w18_cusum_changepoint",
+    "x11_sql_variables",
+    "x13_filter_clause_sql",
+    "s20_range_source",
+    "s24_importance_sample",
+    "f16_bitwise",
+    "f25_edit_distance_battery",
+    "dq7_benford_audit",
+    "g5_powerlaw_alpha",
+    "g8_clustering_by_degree",
+    "l4_oov_rate",
+    "q34_pareto_share",
+    "a32_hhi_concentration",
+    "a34_segment_beta",
+    "q44_dense_monthly_spine",
 )
 
 assert len(DRIVER_WINDOW) == 50, len(DRIVER_WINDOW)

@@ -1515,3 +1515,105 @@ def f28_type_map_combinators(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at(upper_cnt, F.lit("ERROR")), F.lit(-1).cast("bigint")
         ).alias("n_errors"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ROUND-10 F6+F7+F9 twin (f28 graded the two-map combinators over JSON
+# values; f9/j18 the geospatial surface alone). The angle: one
+# per-user profile where each family feeds a DIFFERENT output column —
+# JSON-extracted error magnitudes (F7), a type→count map consumed
+# through element_at and a thresholded map_filter (F6), and a
+# synthesized home point bucketed/measured with the geo battery (F9) —
+# so a break localizes to its family.
+# ---------------------------------------------------------------------------
+
+_F29_ORACLE = """
+WITH per_type AS (
+  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CASE WHEN event_type = 'error'
+                  THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+                  ELSE 0 END) AS err_k
+  FROM events GROUP BY user_id, event_type
+), prof AS (
+  SELECT user_id,
+         CAST(SUM(n) AS BIGINT) AS n_events,
+         CAST(COALESCE(MAX(CASE WHEN event_type = 'click' THEN n END), -1)
+              AS BIGINT) AS n_click,
+         CAST(SUM(CASE WHEN n >= 20 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_heavy_types,
+         CAST(SUM(err_k) AS BIGINT) AS err_k_sum
+  FROM per_type GROUP BY user_id
+), pts AS (
+  SELECT user_id,
+         (user_id % 170) * CAST(0.5 AS DOUBLE) - CAST(42.0 AS DOUBLE) AS lat,
+         (user_id % 355) * CAST(0.5 AS DOUBLE) - CAST(88.0 AS DOUBLE) AS lon
+  FROM prof
+)
+SELECT p.user_id, p.n_events, p.n_click, p.n_heavy_types, p.err_k_sum,
+       CAST(floor((t.lat + 90.0) * 10.0) AS BIGINT) * 3600
+         + CAST(floor((t.lon + 180.0) * 10.0) AS BIGINT) AS cell_id,
+       round(2 * 6371000.0 * asin(sqrt(
+           sin(radians(35.7 - t.lat) / 2) * sin(radians(35.7 - t.lat) / 2)
+           + cos(radians(t.lat)) * cos(radians(35.7))
+             * sin(radians(139.7 - t.lon) / 2)
+             * sin(radians(139.7 - t.lon) / 2)
+       )), 0) AS hav_m_tokyo,
+       (t.lat BETWEEN 20.0 AND 50.0 AND t.lon BETWEEN 100.0 AND 150.0)
+         AS in_asia_box
+FROM prof p JOIN pts t ON p.user_id = t.user_id
+"""
+
+
+@register(
+    "f29_user_geo_profile",
+    oracle=_F29_ORACLE,
+    tags=("F6", "F7", "F9"),
+)
+def f29_user_geo_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user profile across three function families: error-event
+    magnitudes JSON-extracted from props (F7), the per-type count MAP
+    consumed through element_at('click') and a size(map_filter(n≥20))
+    threshold (F6 — the map never leaves the query, per the no-map-
+    output driver rule), and the f9 synthesized home point's grid
+    cell, great-circle distance to Tokyo (rounded to whole meters —
+    libm slack), and Asia-bbox verdict (F9).
+
+    Scale: one shuffle to (user, type), one to user; the map is
+    O(event types) per user; geo math is pure codegen arithmetic —
+    no Python anywhere.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    per_type = ev.select(
+        "user_id",
+        "event_type",
+        F.when(F.col("event_type") == "error", k).otherwise(0).alias("ek"),
+    ).groupBy("user_id", "event_type").agg(
+        F.count("*").alias("n"), F.sum("ek").alias("err_k")
+    )
+    maps = per_type.groupBy("user_id").agg(
+        F.sum("n").alias("n_events"),
+        F.sum("err_k").alias("err_k_sum"),
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("event_type", "n")))
+        ).alias("cnt_map"),
+    )
+    lat = (F.col("user_id") % 170) * 0.5 - 42.0
+    lon = (F.col("user_id") % 355) * 0.5 - 88.0
+    tokyo_lat, tokyo_lon = F.lit(35.7), F.lit(139.7)
+    return maps.select(
+        "user_id",
+        "n_events",
+        F.coalesce(
+            F.element_at("cnt_map", F.lit("click")), F.lit(-1).cast("bigint")
+        ).alias("n_click"),
+        F.size(F.map_filter("cnt_map", lambda t, n: n >= 20))
+        .cast("bigint")
+        .alias("n_heavy_types"),
+        "err_k_sum",
+        grid_cell(lat, lon, 10).alias("cell_id"),
+        F.round(haversine_m(lat, lon, tokyo_lat, tokyo_lon), 0).alias(
+            "hav_m_tokyo"
+        ),
+        in_bbox(lat, lon, 20.0, 100.0, 50.0, 150.0).alias("in_asia_box"),
+    )

@@ -4701,7 +4701,7 @@ SELECT l_returnflag,
        l_linestatus,
        CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS lvl,
        CAST(COUNT(*) AS BIGINT) AS n_items,
-       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
+       CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS total_qty,
        CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
          AS revenue_cents,
        CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_exact,
@@ -4747,7 +4747,7 @@ def a56_margin_lattice_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.grouping_id().cast("bigint").alias("lvl"),
             F.count("*").alias("n_items"),
-            F.sum(F.col("l_quantity").cast("bigint")).alias("total_qty"),
+            F.sum(F.floor("l_quantity").cast("bigint")).alias("total_qty"),
             F.sum(cents("l_extendedprice")).alias("revenue_cents"),
             F.countDistinct("l_partkey").alias("n_exact"),
             F.approx_count_distinct("l_partkey", rsd=0.02).alias("n_approx"),
@@ -4940,4 +4940,478 @@ def p12_customer_profile_shaping(spark: SparkSession, sf_dir: str) -> DataFrame:
             "channel"
         ),
         cents("c_acctbal").alias("bal_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ROUND-10 O1+O3+O4+O5+O6 twin (o10/o11 graded the customer and
+# supplier key-set chains). The angle: the EVENTS-side ledger where
+# UNION ALL itself is a graded leg — the touchpoint multiset keeps
+# duplicates and its per-user counts flow to the output, so bag
+# semantics (O3) are value-graded rather than implied, alongside the
+# distinct-union / intersect / except cohort algebra and a large
+# ordered output (orderBy, not the presentation coalesce — this result
+# is O(users), not O(groups)).
+# ---------------------------------------------------------------------------
+
+_O12_ORACLE = """
+WITH touch_all AS (
+  SELECT user_id FROM events WHERE event_type = 'click'
+  UNION ALL
+  SELECT user_id FROM events WHERE event_type = 'view'
+), touch_counts AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_touch
+  FROM touch_all GROUP BY user_id
+), error_heavy AS (
+  SELECT user_id FROM events
+  GROUP BY user_id
+  HAVING SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+       > SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+), cohort AS (
+  SELECT user_id FROM (
+    SELECT user_id FROM events WHERE event_type = 'signup'
+    UNION
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+  )
+  INTERSECT
+  SELECT DISTINCT user_id FROM touch_all
+  EXCEPT
+  SELECT user_id FROM error_heavy
+)
+SELECT c.user_id, t.n_touch
+FROM cohort c JOIN touch_counts t ON c.user_id = t.user_id
+ORDER BY t.n_touch DESC, c.user_id
+"""
+
+
+@register(
+    "o12_channel_ledger",
+    oracle=_O12_ORACLE,
+    tags=("O1", "O3", "O4", "O5", "O6"),
+)
+def o12_channel_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engaged-but-clean cohort over the event ledger: the click+view
+    touchpoint MULTISET (UNION ALL — duplicate rows are the point, the
+    per-user touch counts grade bag semantics directly), the cohort =
+    (signups ∪ buyers) ∩ distinct-touchers ∖ ERROR-HEAVY users (more
+    errors than purchases — every user has every event type in this
+    fixture, so an entity-level error test would empty the cohort;
+    union-distinct / intersect / except left-nested like o10/o11 to
+    dodge precedence divergence), resolved back to per-user touch
+    counts under a DESC count + user key total order.
+
+    Scale: every set leg reduces to a distinct bigint key column
+    before its set op (one narrow shuffle each); the touch counts are
+    one map-side-combined aggregation; the final orderBy is a genuine
+    range-partitioned sort because the output is O(users) — the
+    presentation coalesce(1) would single-task it at 100 TB.
+    """
+    events = load_table(spark, sf_dir, "events")
+
+    def leg(etype: str) -> DataFrame:
+        return events.filter(F.col("event_type") == etype).select("user_id")
+
+    touch_all = leg("click").unionAll(leg("view"))
+    touch_counts = touch_all.groupBy("user_id").agg(
+        F.count("*").alias("n_touch")
+    )
+    error_heavy = (
+        events.groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "error", 1).otherwise(0)
+            ).alias("ne"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("np"),
+        )
+        .filter(F.col("ne") > F.col("np"))
+        .select("user_id")
+    )
+    cohort = (
+        leg("signup").union(leg("purchase")).distinct()
+        .intersect(touch_all.distinct())
+        .subtract(error_heavy)
+    )
+    return (
+        cohort.join(touch_counts, "user_id")
+        .select("user_id", "n_touch")
+        .orderBy(F.col("n_touch").desc(), "user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ROUND-10 S2+S4+S5+S6 twin (s2/s4/s5/s6 graded each sink in
+# isolation; o11 graded one JSON handoff inside a set chain). The
+# angle: the full RELAY — one enriched dim pushed through all four
+# sinks IN SEQUENCE (XML → CSV → JSON → catalog table), each stage
+# reading the previous stage's output, so a lossy encode/decode at ANY
+# hop corrupts the final aggregate. One query grades the whole
+# interchange surface.
+# ---------------------------------------------------------------------------
+
+_S13_ORACLE = """
+SELECT r_name,
+       CAST(COUNT(*) AS BIGINT) AS n_nations,
+       MIN(n_name) AS first_nation,
+       CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+@register(
+    "s13_sink_relay", oracle=_S13_ORACLE, tags=("S2", "S4", "S5", "S6")
+)
+def s13_sink_relay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Region-enriched nation dim relayed XML → CSV → JSON → catalog
+    table, each hop re-reading the previous sink's files; the oracle
+    runs on the ORIGINAL parquet, so the final per-region aggregate is
+    a fidelity proof for all four encode/decode pairs at once
+    (s2/s4/s5/s6 grade each pair alone — this grades their
+    composition, the real multi-team relay shape).
+
+    Scale: every hop is a distributed write (one file per partition)
+    and a splittable read-back with a DECLARED schema — at 100 TB the
+    XML reader streams row elements per split, CSV/JSONL split on line
+    boundaries, and the catalog table write is the same parquet writer
+    as any sink; schema inference would add a full pass per hop.
+    """
+    import tempfile
+
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    base = nation.join(
+        region, nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey", "n_name", "r_name")
+    root = tempfile.mkdtemp(prefix="dwos_s13_")
+
+    xml_path = root + "/hop1_xml"
+    base.write.format("xml").option("rowTag", "row").mode("overwrite").save(
+        xml_path
+    )
+    hop1 = (
+        spark.read.format("xml")
+        .option("rowTag", "row")
+        .load(xml_path)
+        .select(
+            F.col("n_nationkey").cast("bigint").alias("n_nationkey"),
+            F.col("n_name").cast("string").alias("n_name"),
+            F.col("r_name").cast("string").alias("r_name"),
+        )
+    )
+
+    csv_path = root + "/hop2_csv"
+    hop1.write.option("header", True).mode("overwrite").csv(csv_path)
+    hop2 = (
+        spark.read.schema("n_nationkey bigint, n_name string, r_name string")
+        .option("header", True)
+        .csv(csv_path)
+    )
+
+    json_path = root + "/hop3_json"
+    hop2.write.mode("overwrite").json(json_path)
+    hop3 = spark.read.schema(
+        "n_nationkey bigint, n_name string, r_name string"
+    ).json(json_path)
+
+    spark.sql("DROP TABLE IF EXISTS s13_nation_relay")
+    (
+        hop3.write.mode("overwrite")
+        .format("parquet")
+        .option("path", root + "/hop4_table")
+        .saveAsTable("s13_nation_relay")
+    )
+    final = spark.table("s13_nation_relay")
+    return final.groupBy("r_name").agg(
+        F.count("*").alias("n_nations"),
+        F.min("n_name").alias("first_nation"),
+        F.sum("n_nationkey").alias("key_sum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ROUND-10 P1+P3+P4+P5 twin (p11 chained parse stages into grouping
+# keys; p12 shaped customer rows stage-per-column). The angle: the
+# PART catalog — adjective/noun product names where the regex CLASSIFY
+# and EXTRACT stages work on different name segments (anchored first
+# word vs anchored last word), and the dictionary normalizes the
+# ship-tier vocabulary (p_type) rather than a segment code.
+# ---------------------------------------------------------------------------
+
+_P13_ORACLE = """
+SELECT p_partkey AS part_key,
+       upper(p_name) AS display_name,
+       CASE
+         WHEN regexp_matches(p_name, '^(red|hot)') THEN 'warm'
+         WHEN regexp_matches(p_name, '^(blue|cold)') THEN 'cool'
+         ELSE 'neutral'
+       END AS tone,
+       regexp_extract(p_name, '([a-z]+)$', 1) AS noun,
+       CASE p_type
+         WHEN 'ECONOMY' THEN 'eco'
+         WHEN 'SMALL' THEN 'compact'
+         WHEN 'STANDARD' THEN 'std'
+         ELSE 'other'
+       END AS tier,
+       CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents
+FROM part
+WHERE p_partkey % 3 = 0
+"""
+
+
+@register(
+    "p13_part_shaping",
+    oracle=_P13_ORACLE,
+    tags=("P1", "P3", "P4", "P5"),
+)
+def p13_part_shaping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row part shaping, one P surface per column: computed
+    projection frames the row (P1: part_key / display_name /
+    price_cents), the name's ANCHORED FIRST word classifies a tone via
+    regex alternation (P3), the ANCHORED LAST word is regex-extracted
+    as the product noun (P4), and p_type is dict-normalized to a ship
+    tier through a literal map with an 'other' default (P5). A broken
+    stage shows in ITS column.
+
+    Scale: zero shuffles — per-row codegen expressions behind a
+    pushed-down key filter; the dictionary is an inline literal map.
+    """
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_partkey") % 3 == 0
+    )
+    tone = (
+        F.when(F.col("p_name").rlike("^(red|hot)"), F.lit("warm"))
+        .when(F.col("p_name").rlike("^(blue|cold)"), F.lit("cool"))
+        .otherwise(F.lit("neutral"))
+    )
+    tier_map = F.create_map(
+        F.lit("ECONOMY"), F.lit("eco"),
+        F.lit("SMALL"), F.lit("compact"),
+        F.lit("STANDARD"), F.lit("std"),
+    )
+    return part.select(
+        F.col("p_partkey").alias("part_key"),
+        F.upper("p_name").alias("display_name"),
+        tone.alias("tone"),
+        F.regexp_extract(F.col("p_name"), r"([a-z]+)$", 1).alias("noun"),
+        F.coalesce(tier_map[F.col("p_type")], F.lit("other")).alias("tier"),
+        cents("p_retailprice").alias("price_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ROUND-10 A4+A5+A6+A9 twin (a56 graded the dual-marginal GROUPING
+# SETS lattice + HLL on lineitem). The angle: the ORDERS-side full
+# CUBE (the third grouping surface after rollup and grouping sets)
+# with the HLL accuracy contract and HAVING riding on it, and the MODE
+# as a null-safe LEFT JOIN of the detail-grain modal month onto the
+# lattice — margins get a NULL modal month, so the join's NULL-safe
+# key handling is itself part of the grade.
+# ---------------------------------------------------------------------------
+
+_A57_ORACLE = f"""
+WITH detail AS (
+  SELECT o_orderpriority, o_orderstatus,
+         date_part('month', o_orderdate) AS m, COUNT(*) AS cnt
+  FROM orders GROUP BY 1, 2, 3
+), modal AS (
+  SELECT o_orderpriority, o_orderstatus, m AS modal_month
+  FROM detail
+  QUALIFY row_number() OVER (
+    PARTITION BY o_orderpriority, o_orderstatus ORDER BY cnt DESC, m
+  ) = 1
+), lattice AS (
+  SELECT o_orderpriority, o_orderstatus,
+         CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) AS lvl,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         {oracle_dsum('o_totalprice')} AS revenue,
+         CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust_exact
+  FROM orders
+  GROUP BY CUBE (o_orderpriority, o_orderstatus)
+  HAVING COUNT(*) >= 20
+)
+SELECT l.o_orderpriority, l.o_orderstatus, l.lvl, l.n_orders, l.revenue,
+       l.n_cust_exact, TRUE AS hll_within_5pct,
+       CAST(m.modal_month AS BIGINT) AS modal_month
+FROM lattice l LEFT JOIN modal m
+  ON l.o_orderpriority IS NOT DISTINCT FROM m.o_orderpriority
+ AND l.o_orderstatus IS NOT DISTINCT FROM m.o_orderstatus
+"""
+
+
+@register(
+    "a57_priority_cube_modes",
+    oracle=_A57_ORACLE,
+    tags=("A4", "A5", "A6", "A9"),
+)
+def a57_priority_cube_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CUBE over (priority, status) with counts, exact revenue,
+    exact vs approx distinct customers (A4 — the HLL estimate graded as
+    a within-5% verdict, the a4/a56 contract recipe), HAVING on the
+    aggregated count (A5), and the detail-grain MODAL ORDER MONTH (A9 —
+    count + row_number with the lexicographic tiebreak, never mode())
+    left-joined onto the lattice with NULL-SAFE keys, so cube margins
+    carry NULL modal months instead of cross-matching (A6: the
+    grouping_id bitmask is graded against DuckDB's GROUPING, the a55
+    equivalence).
+
+    Scale: the cube is one shuffle with map-side partials over
+    4×|priorities×statuses| keys; the modal join broadcasts an
+    O(groups) table; approx_count_distinct keeps the 100 TB path — one
+    HLL sketch per group instead of a distinct-expansion shuffle.
+    """
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    detail = orders.groupBy(
+        "o_orderpriority", "o_orderstatus", F.month("o_orderdate").alias("m")
+    ).agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("o_orderpriority", "o_orderstatus").orderBy(
+        F.col("cnt").desc(), "m"
+    )
+    modal = (
+        detail.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("o_orderpriority").alias("mp"),
+            F.col("o_orderstatus").alias("ms"),
+            F.col("m").alias("modal_month"),
+        )
+    )
+    lattice = (
+        orders.cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.grouping_id().cast("bigint").alias("lvl"),
+            F.count("*").alias("n_orders"),
+            dsum("o_totalprice").alias("revenue"),
+            F.countDistinct("o_custkey").alias("n_cust_exact"),
+            F.approx_count_distinct("o_custkey", rsd=0.02).alias("n_approx"),
+        )
+        .filter(F.col("n_orders") >= 20)
+    )
+    return lattice.join(
+        F.broadcast(modal),
+        lattice.o_orderpriority.eqNullSafe(modal.mp)
+        & lattice.o_orderstatus.eqNullSafe(modal.ms),
+        "left",
+    ).select(
+        "o_orderpriority",
+        "o_orderstatus",
+        "lvl",
+        "n_orders",
+        "revenue",
+        "n_cust_exact",
+        (
+            F.abs(F.col("n_approx") - F.col("n_cust_exact"))
+            <= F.col("n_cust_exact") * 0.05
+        ).alias("hll_within_5pct"),
+        "modal_month",
+    )
+
+
+# ---------------------------------------------------------------------------
+# ROUND-10 J3+J4+J6 twin (q4 graded plain semi, j4 plain anti, j6 the
+# literal-frame range join, j18 the grid-EXISTS proximity semi). The
+# angle: the three join kinds CHAINED on one relation — semi through a
+# two-hop product filter, anti on returns, then a DERIVED-band theta
+# join (the bands come from a min/max aggregate, not a literal frame,
+# so the non-equi side is itself computed).
+# ---------------------------------------------------------------------------
+
+_J19_ORACLE = """
+WITH ret_orders AS (
+  SELECT DISTINCT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
+), clean AS (
+  SELECT l_extendedprice, l_quantity FROM lineitem
+  WHERE l_partkey IN (
+          SELECT p_partkey FROM part WHERE regexp_matches(p_name, '^hot ')
+        )
+    AND l_orderkey NOT IN (SELECT l_orderkey FROM ret_orders)
+), stats AS (
+  SELECT MIN(l_extendedprice) AS mn, MAX(l_extendedprice) AS mx
+  FROM lineitem
+), bands AS (
+  SELECT i,
+         mn + CAST(i AS DOUBLE) * ((mx - mn) / 4.0) AS lo,
+         mn + CAST(i + 1 AS DOUBLE) * ((mx - mn) / 4.0)
+           + CASE WHEN i = 3 THEN 1.0 ELSE 0.0 END AS hi
+  FROM stats, (SELECT unnest(generate_series(0, 3)) AS i)
+)
+SELECT CAST(b.i AS BIGINT) AS band,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS total_qty,
+       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS price_cents
+FROM clean c JOIN bands b
+  ON c.l_extendedprice >= b.lo AND c.l_extendedprice < b.hi
+GROUP BY b.i
+"""
+
+
+@register(
+    "j19_clean_hot_price_bands",
+    oracle=_J19_ORACLE,
+    tags=("J3", "J4", "J6"),
+)
+def j19_clean_hot_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lineitems of 'hot *' parts (LEFT SEMI through the part dim)
+    from orders with NO returned line anywhere (LEFT ANTI on the
+    returned-order key set — the grain matters: every SUPPLIER has a
+    returned line somewhere in this fixture, so an entity-level anti
+    would be vacuously empty, while ~30% of orders are fully clean at
+    every SF), banded by extended price through a THETA join against
+    four equal-width bands DERIVED from the lineitem min/max (the top
+    band's upper edge is +1 so the max lands inside). Band edges use
+    identical parenthesization on both engines — span/4 first, then
+    the integer multiple — so boundary membership is double-exact.
+
+    Scale: the semi broadcasts the hot part keys (tiny dim); the anti
+    is one shuffle on l_orderkey against a distinct key set; the theta
+    join broadcasts a 4-row band table under a nested-loop — the only
+    sane physical plan for a non-equi predicate this small.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    hot_keys = part.filter(F.col("p_name").rlike("^hot ")).select("p_partkey")
+    ret_orders = (
+        li.filter(F.col("l_returnflag") == "R").select("l_orderkey").distinct()
+    )
+    clean = (
+        li.join(
+            F.broadcast(hot_keys),
+            li.l_partkey == hot_keys.p_partkey,
+            "left_semi",
+        )
+        .join(ret_orders, "l_orderkey", "left_anti")
+        .select("l_extendedprice", "l_quantity")
+    )
+    stats = li.agg(
+        F.min("l_extendedprice").alias("mn"),
+        F.max("l_extendedprice").alias("mx"),
+    )
+    span4 = (F.col("mx") - F.col("mn")) / F.lit(4.0)
+    bands = stats.select(
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("i"), "mn", "mx"
+    ).select(
+        "i",
+        (F.col("mn") + F.col("i").cast("double") * span4).alias("lo"),
+        (
+            F.col("mn")
+            + (F.col("i") + 1).cast("double") * span4
+            + F.when(F.col("i") == 3, F.lit(1.0)).otherwise(F.lit(0.0))
+        ).alias("hi"),
+    )
+    return (
+        clean.join(
+            F.broadcast(bands),
+            (clean.l_extendedprice >= bands.lo)
+            & (clean.l_extendedprice < bands.hi),
+        )
+        .groupBy(F.col("i").cast("bigint").alias("band"))
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.floor("l_quantity").cast("bigint")).alias("total_qty"),
+            F.sum(cents("l_extendedprice")).alias("price_cents"),
+        )
     )

@@ -1997,3 +1997,236 @@ def st37_type_streak_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_runs"),
         F.max("len").alias("longest_streak"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ROUND-10 ST1+ST6 twin (q7/st12/st17/st24/st25/st32/st35 graded the
+# tumbling surface; st6/st36 the stream-static joins). The angle:
+# windowed aggregation THEN dimension enrichment — the
+# aggregate-before-join order matters in streaming (state is
+# O(windows × users) not O(events), and the static join adds no
+# state), and no graded carrier composes the two in this order.
+# ---------------------------------------------------------------------------
+
+_ST38_ORACLE = f"""
+SELECT time_bucket(INTERVAL '1 day', e.ts) AS day,
+       c.c_mktsegment AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       {oracle_dsum('e.value')} AS revenue
+FROM events e JOIN customer c ON e.user_id + 1 = c.c_custkey
+WHERE e.event_type = 'purchase'
+GROUP BY 1, 2
+"""
+
+
+@register("st38_daily_segment_revenue", oracle=_ST38_ORACLE, tags=("ST1", "ST6"))
+def st38_daily_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily tumbling purchase revenue per customer segment: the
+    windowed aggregate runs FIRST (per-user day cells — the streaming
+    state story: O(open windows × users), bounded by the watermark
+    horizon), then the broadcast customer dim maps users onto segments
+    and a stateless second rollup lands on (day, segment). In the
+    streaming image the static join after the windowed agg adds ZERO
+    state — join-then-aggregate would instead re-key every event
+    through the dim before state assignment.
+
+    Scale: one shuffle to (day, user) with map-side partials, a
+    broadcast hash join, and an O(days × segments) re-aggregation that
+    AQE coalesces; exact integer cents end to end.
+    """
+    events = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    per_user_day = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            F.window("ts", "1 day").alias("w"), "user_id"
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(cents("value")).alias("rev_cents"),
+        )
+    )
+    return (
+        per_user_day.join(
+            F.broadcast(cust), per_user_day.user_id + 1 == cust.c_custkey
+        )
+        .groupBy(
+            F.col("w.start").alias("day"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        .agg(
+            F.sum("n").cast("bigint").alias("n_purchases"),
+            (F.sum("rev_cents") / 100.0).alias("revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ROUND-10 ST2+ST4 twin (st29 graded emitted 2h/30min hops on events).
+# The angle: DAY-grain hops on the ORDERS stream — 2-day windows
+# sliding daily, a third jitter family (Lehmer 69621), and a 45-minute
+# horizon, so window alignment (UTC epoch days), the hop expansion,
+# and the emission cut are graded on a source none of the hop carriers
+# touch.
+# ---------------------------------------------------------------------------
+
+_ST39_ORACLE = f"""
+WITH j AS (
+  SELECT o_orderdate, o_orderstatus, o_totalprice,
+         o_orderdate + to_seconds(((o_orderkey % 2147483648) * 69621) % 2700)
+           AS arrival_ts
+  FROM orders
+), wm AS (
+  SELECT MAX(arrival_ts) - INTERVAL '45 minutes' AS hi FROM j
+), expanded AS (
+  SELECT
+    unnest(generate_series(
+      time_bucket(INTERVAL '1 day', o_orderdate) - INTERVAL '1 day',
+      time_bucket(INTERVAL '1 day', o_orderdate),
+      INTERVAL '1 day'
+    )) AS window_start,
+    o_orderstatus,
+    o_totalprice
+  FROM j
+)
+SELECT window_start,
+       o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       {oracle_dsum('o_totalprice')} AS revenue
+FROM expanded, wm
+WHERE window_start + INTERVAL '2 days' <= wm.hi
+GROUP BY window_start, o_orderstatus
+"""
+
+
+@register("st39_emitted_daily_hops", oracle=_ST39_ORACLE, tags=("ST2", "ST4"))
+def st39_emitted_daily_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-day windows hopping every day over the ORDERS stream, cut to
+    the set an append-mode sink would have EMITTED: final watermark =
+    max(arrival) − 45 min under a Lehmer-69621 transit jitter
+    (independent of st29's Knuth hash, st32's LCG, and st35's 48271
+    multiplier — four uncorrelated emission observables now carry
+    ST4), emission iff window END ≤ watermark. Each order lands in
+    exactly TWO windows; the day-grain alignment grades UTC epoch-day
+    bucketing through the hop expansion.
+
+    Scale: watermark is ONE broadcast scalar; the hop doubles rows
+    map-side before a single shuffle on O(days × statuses) keys with
+    partial aggregation.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    jitter = ((F.col("o_orderkey") % F.lit(2147483648)) * F.lit(69621)) % 2700
+    j = orders.select(
+        "o_orderdate",
+        "o_orderstatus",
+        "o_totalprice",
+        (
+            F.col("o_orderdate") + F.make_dt_interval(secs=jitter.cast("double"))
+        ).alias("arrival_ts"),
+    )
+    wm = j.agg(
+        (F.max("arrival_ts") - F.expr("INTERVAL 45 MINUTES")).alias("hi")
+    )
+    return (
+        j.groupBy(
+            F.window("o_orderdate", "2 days", "1 day").alias("w"),
+            "o_orderstatus",
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum("o_totalprice").alias("revenue"),
+        )
+        .crossJoin(F.broadcast(wm))
+        .filter(F.col("w.end") <= F.col("hi"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "o_orderstatus",
+            "n_orders",
+            "revenue",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ROUND-10 ST3+ST6 twin (st3/st11/st19 graded per-user session shapes;
+# st6/st36/st38 the static joins). The angle: session windows resolved
+# through the customer dim to a SEGMENT-level dwell report — sessions
+# are computed per user (the only correct session key) and only then
+# enriched, so the rollup grades both the 40-minute merge semantics
+# and the join's key arithmetic.
+# ---------------------------------------------------------------------------
+
+_ST40_ORACLE = """
+WITH lagged AS (
+  SELECT user_id, event_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+), flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN prev_ts IS NULL
+                OR ts - prev_ts > INTERVAL '40 minutes'
+              THEN 1 ELSE 0 END AS new_sess
+  FROM lagged
+), sess AS (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (
+           PARTITION BY user_id ORDER BY ts
+           ROWS UNBOUNDED PRECEDING
+         ) AS sess_id
+  FROM flagged
+), per_sess AS (
+  SELECT user_id, sess_id, COUNT(*) AS n_ev,
+         epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS dur_us
+  FROM sess
+  GROUP BY user_id, sess_id
+)
+SELECT c.c_mktsegment AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(MAX(p.n_ev) AS BIGINT) AS max_session_events,
+       CAST(SUM(p.dur_us) AS BIGINT) AS total_session_us
+FROM per_sess p JOIN customer c ON p.user_id + 1 = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
+@register("st40_segment_session_dwell", oracle=_ST40_ORACLE, tags=("ST3", "ST6"))
+def st40_segment_session_dwell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SEGMENT session dwell under a 40-minute gap: session_window
+    merges per user (events exactly GAP apart merge, mirrored by the
+    oracle's strict `>` split test; dwell = end − start − gap), the
+    broadcast customer dim maps users to segments, and the rollup
+    reports session count, busiest session, and total dwell µs per
+    segment — one misassigned or missplit session shifts three
+    integers in one row.
+
+    Scale: session merge is a per-user sorted scan after one shuffle
+    on user_id; the dim broadcasts; the segment rollup shuffles
+    O(users) pre-aggregated rows. µs-exact BIGINT arithmetic.
+    """
+    events = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    gap_us = F.lit(40 * 60 * 1000000).cast("long")
+    sess = events.groupBy(
+        F.session_window("ts", "40 minutes").alias("w"), "user_id"
+    ).agg(F.count("*").alias("n_ev"))
+    dur_us = (
+        F.unix_micros(F.col("w.end").cast("timestamp"))
+        - F.unix_micros(F.col("w.start").cast("timestamp"))
+        - gap_us
+    )
+    per_sess = sess.select("user_id", "n_ev", dur_us.alias("dur_us"))
+    return (
+        per_sess.join(
+            F.broadcast(cust), per_sess.user_id + 1 == cust.c_custkey
+        )
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.max("n_ev").alias("max_session_events"),
+            F.sum("dur_us").cast("bigint").alias("total_session_us"),
+        )
+    )

@@ -1324,3 +1324,129 @@ def u17_udtf_keyed_median_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_rows("pos").alias("n_words"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ROUND-10 U1+U2+U3+U4+U5 twin (u17 chained UDTF → scalar UDF →
+# GROUPED_AGG; u2/u3 graded the pandas scalar and grouped-map alone).
+# The angle: ALL FIVE Python crossings in ONE pipeline, each stage
+# feeding the next — the full bridge surface a Python-heavy corpus
+# pipeline actually exercises, value-graded end to end.
+# ---------------------------------------------------------------------------
+
+_U18_ORACLE = """
+WITH s AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS parts
+  FROM documents WHERE doc_id < 120
+), w AS (
+  SELECT lang,
+         unnest(parts) AS word
+  FROM s
+), n AS (
+  SELECT lang,
+         lower(regexp_replace(word, '[^a-zA-Z]', '', 'g')) AS norm
+  FROM w WHERE word <> ''
+), scored AS (
+  SELECT lang,
+         CAST(length(norm)
+              + 2 * (length(norm)
+                     - length(regexp_replace(norm, '[aeiou]', '', 'g')))
+           AS BIGINT) AS score
+  FROM n WHERE norm <> ''
+), cent AS (
+  SELECT lang,
+         score * (COUNT(*) OVER (PARTITION BY lang))
+           - (SUM(score) OVER (PARTITION BY lang)) AS centered
+  FROM scored
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(median(centered) AS DOUBLE) AS median_centered
+FROM cent
+GROUP BY lang
+"""
+
+
+@register(
+    "u18_five_crossing_bridge",
+    oracle=_U18_ORACLE,
+    tags=("U1", "U2", "U3", "U4", "U5"),
+)
+def u18_five_crossing_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every Python bridge in one chain: a UDTF explodes text into
+    words (U5 — enumerate THEN skip empties), a pickled scalar UDF
+    normalizes each word to its a–z skeleton (U1), a vectorized pandas
+    scalar UDF scores it — length + 2·vowels, integer (U2), an
+    applyInPandas grouped-map centers each score against its language
+    group as score·n − Σscore, kept INTEGER so the crossing is exact
+    (U3 — float means would drift cross-engine; integer centering
+    cannot), and a GROUPED_AGG pandas UDAF takes the per-language
+    median (U4 — midpoint of two int64s, exact in double).
+
+    The oracle replays the identical pipeline relationally: parallel
+    unnest + WHERE, regexp skeleton, vowel count by length difference,
+    window-centered integers, median. Any crossing that mangles rows,
+    order-buckets, or types breaks the hash.
+
+    Scale: UDTF + scalar UDF + pandas UDF are three Arrow/pickle
+    streaming crossings (fold into one mapInArrow pass at 100 TB); the
+    grouped-map ships each language's words once (state O(group), and
+    languages are few — for per-document grouping use a window
+    instead); the UDAF's state is O(languages).
+    """
+    from pyspark.sql.functions import udf, udtf
+
+    @udtf(returnType="lang string, word string")
+    class SplitLangWords:
+        def eval(self, lang, text: str):
+            if text:
+                for w in text.split(" "):
+                    if w:
+                        yield (lang, w)
+
+    @udf("string")
+    def skeleton(word: str):
+        if word is None:
+            return None
+        import re
+
+        return re.sub(r"[^a-z]", "", word.lower())
+
+    @pandas_udf("long")
+    def vowel_score(norm: pd.Series) -> pd.Series:
+        return (norm.str.len() + 2 * norm.str.count("[aeiou]")).astype("int64")
+
+    def center(key, g: pd.DataFrame) -> pd.DataFrame:
+        n = len(g)
+        total = int(g["score"].sum())
+        return pd.DataFrame(
+            {"lang": key[0], "centered": g["score"] * n - total}
+        )
+
+    @pandas_udf("double")
+    def median_centered(c: pd.Series) -> float:
+        return float(c.median())
+
+    @pandas_udf("long")
+    def n_rows(c: pd.Series) -> int:
+        return len(c)
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    spark.udtf.register("u18_split_lang_words", SplitLangWords)
+    docs.select("lang", "text").createOrReplaceTempView("u18_docs")
+    exploded = spark.sql(
+        "SELECT s.lang, s.word FROM u18_docs d,"
+        " LATERAL u18_split_lang_words(d.lang, d.text) s"
+    )
+    scored = (
+        exploded.select("lang", skeleton(F.col("word")).alias("norm"))
+        .filter(F.col("norm") != "")
+        .select("lang", vowel_score(F.col("norm")).alias("score"))
+    )
+    centered = scored.groupBy("lang").applyInPandas(
+        center, "lang string, centered long"
+    )
+    return centered.groupBy("lang").agg(
+        n_rows("centered").alias("n_words"),
+        median_centered("centered").alias("median_centered"),
+    )

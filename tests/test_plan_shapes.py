@@ -94,6 +94,9 @@ PYTHON_ALLOWED = {
     "u17_udtf_keyed_median_chain",  # round-9 U5+U1+U4 twin: all three
     # crossings chained (UDTF fan-out → scalar-UDF key → GROUPED_AGG
     # median) — the Python boundary pipeline IS the graded surface.
+    "u18_five_crossing_bridge",  # round-10 U1+U2+U3+U4+U5 twin: all
+    # FIVE crossings chained (UDTF → scalar UDF → pandas scalar →
+    # applyInPandas → GROUPED_AGG) — the full bridge IS the surface.
 }
 # Driver-side generators (XML demo) — plan built over generated input.
 SLOW_BUILD = {"osm_wrangle_demo"}
