@@ -18,13 +18,13 @@ SF = "/root/testdata/sf0.001"
 
 
 @pytest.mark.parametrize("name", sorted(REGISTRY))
-def test_golden_snapshot(spark, name):
+def test_golden_snapshot(spark, built_smoke, name):
     path = golden_path(name)
     if not os.path.exists(path):
         pytest.fail(
             f"missing golden for {name}; run `python -m tests.make_golden {name}`"
         )
-    df = REGISTRY[name].fn(spark, SF)
+    df = built_smoke.df(name)  # shared sf0.001 construction (conftest)
     got = render(df.columns, [tuple(r) for r in df.collect()])
     with open(path) as f:
         want = f.read()

@@ -174,9 +174,15 @@ def test_whole_stage_codegen_covers_flagship(spark):
 @pytest.mark.parametrize(
     "name", sorted(set(REGISTRY) - PYTHON_ALLOWED - SLOW_BUILD)
 )
-def test_graded_queries_never_cross_into_python(spark, name):
-    df = REGISTRY[name].fn(spark, SF)
-    assert_no_python_eval(df, name)
+def test_graded_queries_never_cross_into_python(spark, built_smoke, name):
+    # pre-execution plan snapshot from the shared construction memo
+    # (conftest SmokeBuilds) — simple mode, per the formatted-plan
+    # blindness gotcha and the "(Python)" data-source tag
+    plan = built_smoke.plan(name)
+    from data_wrangling_openstreetmap_spark.plans import PYTHON_EVAL_MARKERS
+
+    hits = [m for m in PYTHON_EVAL_MARKERS if m in plan]
+    assert not hits, f"{name}: Python-boundary operators {hits} in plan:\n{plan}"
 
 
 def test_q14_broadcasts_part_and_pushes_date_filter(spark):
@@ -262,21 +268,21 @@ _BOUNDED_FEEDERS = (
     "LocalTableScan",  # literal/collected constants, bounded by definition
 )
 
-# One plan build per registered query, shared by every structural sweep
-# below (building a plan executes any in-operator convergence loops, so
-# rebuilding per sweep would double the suite's cost).
-_PLAN_CACHE: dict[str, str] = {}
+# One plan STRING per registered query, shared by every structural
+# sweep below via the session-wide built_smoke memo (conftest), also
+# shared with the golden module and the never-cross sweep — one build
+# per query per suite (building a plan executes any in-operator
+# convergence loops, so rebuilding per sweep would multiply the
+# suite's cost).
 
 
-def _simple_plan(spark, name: str) -> str:
-    if name not in _PLAN_CACHE:
-        df = REGISTRY[name].fn(spark, SF)
-        _PLAN_CACHE[name] = plan_string(df, mode="simple")
-    return _PLAN_CACHE[name]
+def _simple_plan(built_smoke, name: str) -> str:
+    # the shared memo's PRE-EXECUTION snapshot (conftest SmokeBuilds)
+    return built_smoke.plan(name)
 
 
 @pytest.mark.parametrize("name", sorted(set(REGISTRY) - SLOW_BUILD))
-def test_no_unpartitioned_window_over_unbounded_input(spark, name):
+def test_no_unpartitioned_window_over_unbounded_input(spark, built_smoke, name):
     """Hard scale invariant (VERDICT r2 #3): no query may funnel
     UNBOUNDED input through a single-partition exchange — the shape
     that serializes the whole dataset through one task at 100 TB.
@@ -291,7 +297,7 @@ def test_no_unpartitioned_window_over_unbounded_input(spark, name):
     sorts (s3, s10, deciles, RRF) were rewritten so their only
     single-partition exchanges are over post-aggregation bucket-offset
     tables — which is exactly what this structural rule admits."""
-    plan = _simple_plan(spark, name)
+    plan = _simple_plan(built_smoke, name)
     lines = plan.splitlines()
     for i, line in enumerate(lines):
         if "Exchange SinglePartition" not in line:
@@ -315,14 +321,14 @@ _MAX_PLAN_EXCHANGES = 100
 
 
 @pytest.mark.parametrize("name", sorted(set(REGISTRY) - SLOW_BUILD))
-def test_plan_exchange_count_bounded(spark, name):
+def test_plan_exchange_count_bounded(spark, built_smoke, name):
     """Plan-size guard (VERDICT r4 next-round #3): no registered
     query's physical plan may exceed _MAX_PLAN_EXCHANGES exchange
     nodes. Value checks can't see this failure mode — an unrolled
     iterative lineage still computes the right answer while Catalyst
     walks a ~900-node tree, and the planning cost scales with rounds
     (which scale with data diameter at 100 TB)."""
-    plan = _simple_plan(spark, name)
+    plan = _simple_plan(built_smoke, name)
     n = plan.count("Exchange")
     assert n <= _MAX_PLAN_EXCHANGES, (
         f"{name}: {n} exchange nodes in one plan (cap "
