@@ -428,3 +428,70 @@ def test_st40_matches_lag_cumsum_sessionization(spark):
         )
     )
     assert _rows(twin) == _rows(built)
+
+
+# ---------------------------------------------------------------------------
+# AGGREGATE_FOLD_SITES spot checks (round 10, verdict #2): executable
+# evidence for two audited "mirrored" classifications — the claims the
+# freeze test records but cannot itself verify.
+# ---------------------------------------------------------------------------
+
+
+def test_rolling_hash_empty_string_matches_oracle_recurrence(spark):
+    """The `mirrored+precond` claim for the codepoint fold: on an EMPTY
+    string both the Spark fold and the DuckDB recurrence yield the init
+    (0), so the precondition (no empty text) guards the OTHER precond
+    sites, not this one — the fold's empty-input behavior itself is
+    engine-identical."""
+    import duckdb
+
+    from data_wrangling_openstreetmap_spark.operators.llm import _codepoint_fold
+
+    df = spark.createDataFrame([("",), ("a",), ("ab",)], "s string")
+    got = {
+        r["s"]: r["h"]
+        for r in df.select("s", _codepoint_fold(F.col("s")).alias("h")).collect()
+    }
+    con = duckdb.connect()
+    want = {
+        s: con.execute(
+            "SELECT list_reduce(list_prepend(0::BIGINT, "
+            "[unicode(c) FOR c IN string_split(?, '') IF c <> '']), "
+            "(acc, c) -> (acc * 31 + c) % 2147483647)",
+            [s],
+        ).fetchone()[0]
+        for s in ("", "a", "ab")
+    }
+    assert got == want, (got, want)
+
+
+def test_f6d_empty_filtered_map_folds_to_zero_on_both_engines(spark):
+    """The `mirrored` claim for f6d's map fold: an order whose every
+    line is below the qty threshold yields an EMPTY filtered map — the
+    Spark fold returns its 0 init and the oracle's CASE…ELSE 0 SUM
+    returns 0, NOT NULL (the exact shape that diverged in f28 before
+    its guard; f6d is sound because the oracle says ELSE 0)."""
+    df = spark.createDataFrame(
+        [(1, 1, 5), (1, 2, 7)], "l_orderkey long, l_linenumber long, qty long"
+    )
+    m = df.groupBy("l_orderkey").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("l_linenumber", "qty")))
+        ).alias("m")
+    )
+    big = F.map_filter("m", lambda k, v: v >= F.lit(25))
+    out = m.select(
+        F.aggregate(
+            F.map_values(big),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("big_qty")
+    ).collect()
+    assert [r["big_qty"] for r in out] == [0]
+    import duckdb
+
+    want = duckdb.connect().execute(
+        "SELECT CAST(SUM(CASE WHEN qty >= 25 THEN qty ELSE 0 END) AS BIGINT) "
+        "FROM (VALUES (5), (7)) t(qty)"
+    ).fetchone()[0]
+    assert want == 0
