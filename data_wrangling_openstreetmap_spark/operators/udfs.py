@@ -1410,7 +1410,14 @@ def u18_five_crossing_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
             return None
         import re
 
-        return re.sub(r"[^a-z]", "", word.lower())
+        # strip FIRST, lower SECOND — mirrors the oracle's
+        # lower(regexp_replace(word, '[^a-zA-Z]', '', 'g')) exactly.
+        # The lower-then-strip order is LATENTLY divergent: Python
+        # .lower() maps some non-ASCII points INTO [a-z] (Kelvin sign
+        # U+212A → 'k', 'İ' → 'i'+combining dot) which SQL's ASCII
+        # class strips — green on this fixture, wrong on exotic text
+        # (the j17 latency class, caught in round-10 self-review).
+        return re.sub(r"[^a-zA-Z]", "", word).lower()
 
     @pandas_udf("long")
     def vowel_score(norm: pd.Series) -> pd.Series:
