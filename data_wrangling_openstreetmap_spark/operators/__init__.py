@@ -50,33 +50,55 @@ ALL_MODULES = (
 # value-hash-graded, none rows-only. Order within the window is
 # thematic, not significance-ranked — only membership matters.
 #
-# ROUND-10 ROTATION (the round-4..9 discipline, continued): 45 of the
-# 50 slots are queries the driver has NEVER hash-graded (393 unique
-# names carry driver signal from rounds 1-9, all green at their latest
-# grade; zero overlap with the 45 — asserted against the
-# CORRECTNESS_r01–r09 union when the window was built). The graded 393
-# stay continuously verified by the driver-strict local replica
-# (tests/test_oracle_parity.py) and the per-round full-registry sf0.1
-# sweep. Coverage invariant unchanged: every §2 tag in the registry has
-# a representative below
-# (tests/test_plan_shapes.py::test_driver_window_covers_all_tags).
+# ROUND-11 ROTATION — THE POOL-CLOSING ROUND: 48 of the 50 slots are
+# the ENTIRE remaining never-driver-graded oracled pool (438 unique
+# names carry driver signal from rounds 1-10, all green at their latest
+# grade; the 48 below are exactly the oracled registry minus that union
+# — recomputed from CORRECTNESS_r01–r10 when this window was built, and
+# matching VERDICT r10 / ROUND10_NOTES §10 to the name). If this window
+# grades green, cumulative unique = 486 and EVERY full-oracle query has
+# been driver-hash-graded at least once; the only never-graded names
+# left are the two rows-only multimodal codec stubs (m3_image_resize,
+# m4_feature_extract — no oracle by design, env-gated codecs).
 #
-# SENTINEL LANE, ROUND 10 (standing policy below): 5 slots re-grade
-# previously-green names whose source or shared helpers changed after
-# their grade —
-#   j7_asof_join            graded r2; round-10 single-struct carry
-#                           rewrite (the multi-carry sweep's own
-#                           finding) — the automatic pick; covers J7+W5
-#   j15_nearest_event_join  graded r4; round-10 single-struct carry
-#                           rewrite — automatic pick; covers W5+W3
-#   l3_knn_block_matmul     graded r3; llm.py churned r4–r10 (the
-#                           iter_ckpt rewrite landed in its module this
-#                           round) — covers L3, and it is a headline
-#                           bench query
-#   st5_dedup_first         graded r3; streaming_ops.py churned r4–r10
-#                           (st38–st40 land this round) — covers ST5+L1
-#   st7_running_user_totals graded r3; same streaming_ops churn —
-#                           covers ST7+W4
+# SENTINEL LANE, ROUND 11 (standing policy below): with the pool taking
+# 48 slots, 2 slots re-grade previously-green names whose source
+# churned after their grade — VERDICT r10 §Next 1's named picks:
+#   w5_last_ignorenulls  graded r5; windows.py churned r10 at the
+#                        first/last-carry region itself (the j7/j15
+#                        struct-carry rewrites) — covers W5
+#   l2_dup_clusters      graded r3; the round-10 iter_ckpt rewrite
+#                        landed inside its own fixpoint loop — covers
+#                        the connected-components / L2 surface
+#
+# TAG COVERAGE, AMENDED FOR THE ENDGAME: a window drawn from a shrinking
+# pool cannot carry a representative of every §2 tag (the 48 below span
+# 25 of 68 tags). tests/test_plan_shapes.py::
+# test_driver_window_covers_all_tags now enforces the real invariant:
+# every registry tag has a representative EITHER in the window OR among
+# names the driver has already hash-graded green (ledger union checked
+# in at the repo root) — so a tag can never silently lose its driver
+# correctness signal, which was always the point.
+#
+# ROUND-12+ WINDOW POLICY (decided now, per VERDICT r10 §Next 4 —
+# round 11 exhausts the never-graded pool, so from round 12 the window
+# is majority-sentinel):
+#   1. AUTOMATIC picks, in order: (a) any name whose oracle or operator
+#      body an ADVICE finding touched this round; (b) any name REWRITTEN
+#      this round (the j7/j15 precedent); (c) j4_anti_join FIRST in
+#      round 12 specifically — VERDICT r10 flagged that j19's anti-gate
+#      is vacuous at this fixture, so J4's freshest non-degenerate grade
+#      is r6 against since-reorganized source.
+#   2. CHURN-RANKED sentinels fill the rest: for each graded name,
+#      compute (last round its defining file was touched) − (round of
+#      its latest grade); pick the largest-staleness names first,
+#      tie-broken toward (a) names whose tags have the OLDEST freshest
+#      grade anywhere (tag-level staleness), then (b) headline bench
+#      queries. ~5 slots should stay reserved for brand-new twins minted
+#      by capability work (never-graded names always outrank sentinels).
+#   3. The tag-coverage invariant (window ∪ graded-green must span every
+#      tag) and the all-oracled rule (no rows-only names in the window)
+#      are unchanged and remain machine-checked.
 #
 # SENTINEL RE-GRADE POLICY (standing, effective round 8): once the
 # never-graded pool can no longer fill 50 slots — or from round 8
@@ -84,76 +106,70 @@ ALL_MODULES = (
 # SENTINELS: previously-green names whose source or shared helpers
 # changed since their grade, chosen each round by diffing the
 # operators/ tree against the round the name was graded in.
-#
-# TAG ARITHMETIC forcing this round's 10 twins: entering round 10, 38
-# of the 69 registry tags had NO oracled never-graded carrier (A4 A5
-# A6 A9 F6 F7 F9 J3 J4 J6 J7 L3 O1 O3 O4 O5 O6 P1 P3 P4 P5 S2 S4 S5
-# S6 ST1-ST7 U1-U5 W5 — ROUND9_NOTES §8's precomputed list). The five
-# churn sentinels above cover 7 organically (J7 W5 L3 ST5 ST7 + L1
-# W2-adjacent); the remaining 31 get the ten round-10 twins (o12 s13
-# p13 a57 j19 f29 u18 st38 st39 st40 — registry 478→488), each a
-# multi-tag composite per the recipe that has now worked three rounds.
 DRIVER_WINDOW = (
-    # round-10 tag twins (all first-timers; see TAG ARITHMETIC above):
-    "o12_channel_ledger",
-    "s13_sink_relay",
-    "p13_part_shaping",
-    "a57_priority_cube_modes",
-    "j19_clean_hot_price_bands",
-    "f29_user_geo_profile",
-    "u18_five_crossing_bridge",
-    "st38_daily_segment_revenue",
-    "st39_emitted_daily_hops",
-    "st40_segment_session_dwell",
     # churn sentinels (see SENTINEL LANE above):
-    "j7_asof_join",
-    "j15_nearest_event_join",
-    "l3_knn_block_matmul",
-    "st5_dedup_first",
-    "st7_running_user_totals",
-    # thin-tag carriers the verdict named (the LAST never-graded
-    # carrier of F2 / L2 / W2 respectively) plus the round-10
-    # carry-sweep's newly-proven w8:
-    "l4_readability",
-    "l2_lsh_bucket_health",
-    "w27_top_movers",
-    "w8_gap_fill_calendar",
-    # greedy tag-cover picks (each the never-graded carrier of tags no
-    # other window entry covers):
-    "a28_two_proportion_test",
-    "l6_quantile_transform",
-    "a14_copurchase_pairs",
-    "f18_parameterized_sql",
-    "m0_binary_ingest",
-    "q11_market_share",
-    "s11_temporal_split",
-    "l4_vocab_coverage",
-    "l1_block_dedup_census",
-    "q35_mom_growth",
-    "a25_entropy_profile",
-    # strength fillers (remaining never-graded names spread across the
-    # window/stats/SQL-frontend/source/function families so one broken
-    # module cannot take out a whole window):
-    "q27_ltv_curves",
-    "q29_event_transitions",
-    "l6_int8_quantize",
-    "w13_time_weighted_avg",
-    "w14_dist_functions",
-    "w18_cusum_changepoint",
-    "x11_sql_variables",
-    "x13_filter_clause_sql",
-    "s20_range_source",
-    "s24_importance_sample",
-    "f16_bitwise",
-    "f25_edit_distance_battery",
-    "dq7_benford_audit",
-    "g5_powerlaw_alpha",
-    "g8_clustering_by_degree",
-    "l4_oov_rate",
-    "q34_pareto_share",
-    "a32_hhi_concentration",
-    "a34_segment_beta",
-    "q44_dense_monthly_spine",
+    "w5_last_ignorenulls",
+    "l2_dup_clusters",
+    # the entire remaining never-graded oracled pool (48 names),
+    # including the seven thin-tag carriers VERDICT r10 named:
+    # a26 (A8), w7 (F3), a47 (J2), q46 (J5), l4_score_calibration (L1),
+    # m8 (L5), s33 (S1).
+    # — text/corpus battery:
+    "l4_k_anonymity",
+    "l4_corpus_report",
+    "l4_blocklist_filter",
+    "l4_mixture_plan",
+    "l4_lexicon_sentiment",
+    "l4_score_calibration",
+    "l4_score_auc",
+    # — embedding math:
+    "l6_prefix_energy",
+    "l6_centroid_drift",
+    "l6_feature_standardize",
+    # — aggregate/statistics family:
+    "a41_weighted_median",
+    "a43_user_entropy",
+    "a45_tukey_outliers",
+    "a48_trimmed_mean",
+    "a51_permutation_test",
+    "a52_price_indices",
+    "a53_xbar_control",
+    "a54_record_statistics",
+    "a19_histogram",
+    "a26_gini_concentration",
+    "a47_hazard_curve",
+    # — business-query composites:
+    "q46_share_of_parent",
+    "q47_interpurchase_distribution",
+    "q49_pareto_skyline",
+    "q53_abc_xyz",
+    "q54_sla_attainment",
+    "q57_receivables_aging",
+    "q60_rate_volume_decomposition",
+    # — functions / error-handling:
+    "f14_try_arithmetic",
+    "f20_presence_bitmap",
+    "f26_try_battery",
+    # — sources / multimodal / data-ops:
+    "m8_mime_sniff_router",
+    "s33_corrupt_file_resilience",
+    "dp1_column_profile",
+    "dq12_cross_table_volume_drift",
+    "d8_compaction_planner",
+    # — SQL frontend:
+    "x12_parameterized_sql",
+    "x15_lateral_alias_sql",
+    # — window family:
+    "w6_rank_fractions",
+    "w7_range_interval_frame",
+    "w24_runs_test",
+    "w35_rolling_median",
+    "w37_weighted_moving_average",
+    "w39_hampel_repair",
+    "w41_mase",
+    "w42_peak_census",
+    "w44_drawdown_duration",
+    "w45_burstiness",
 )
 
 assert len(DRIVER_WINDOW) == 50, len(DRIVER_WINDOW)
