@@ -18,6 +18,7 @@ every §2 relational operator stays UDF-free.
 from __future__ import annotations
 
 import math
+import re
 
 from collections.abc import Iterator
 
@@ -143,6 +144,17 @@ def u3_grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _split_tag_parts(key: str):
+    """u5's row generator: (part, position) per colon segment — the
+    Python mirror of DuckDB's parallel ``unnest(string_split(key, ':'))
+    / generate_series`` zip (literal-separator split, empties KEPT —
+    battery-pinned)."""
+    if key is None:
+        return
+    for i, part in enumerate(key.split(":")):
+        yield (part, i)
+
+
 def _make_tag_splitter():
     from pyspark.sql.functions import udtf
 
@@ -153,10 +165,7 @@ def _make_tag_splitter():
         a generator UDTF."""
 
         def eval(self, key: str):
-            if key is None:
-                return
-            for i, part in enumerate(key.split(":")):
-                yield (part, i)
+            yield from _split_tag_parts(key)
 
     return TagSplitter
 
@@ -203,20 +212,23 @@ def u5_udtf_tag_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STREET_SUFFIX = {"St.": "Street", "St": "Street", "Ave": "Avenue", "Rd.": "Road"}
 
 
+def _normalize_suffix_py(name: str) -> str:
+    """The reference's dictionary-based last-word normalization as a
+    plain Python function (shared by u1's pickled and u1b's Arrow
+    transports, and battery-pinned against a DuckDB mirror in
+    tests/test_udf_battery.py). Pure literal-space splitting — no
+    Unicode-sensitive operation anywhere."""
+    if name is None:
+        return None
+    words = name.split(" ")
+    words[-1] = _STREET_SUFFIX.get(words[-1], words[-1])
+    return " ".join(words)
+
+
 def _make_normalize_suffix():
     from pyspark.sql.functions import udf
 
-    @udf("string")
-    def normalize_suffix(name: str) -> str:
-        """The reference's dictionary-based last-word normalization as a
-        plain Python function — per-row pickle round trip, no Arrow."""
-        if name is None:
-            return None
-        words = name.split(" ")
-        words[-1] = _STREET_SUFFIX.get(words[-1], words[-1])
-        return " ".join(words)
-
-    return normalize_suffix
+    return udf(_normalize_suffix_py, "string")
 
 
 _U1_ORACLE = """
@@ -273,14 +285,7 @@ def u1b_arrow_udf_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     expressions (p5) where expressible; this rung exists for logic that
     genuinely needs Python but is written per-row.
     """
-    def normalize_suffix(name: str) -> str:
-        if name is None:
-            return None
-        words = name.split(" ")
-        words[-1] = _STREET_SUFFIX.get(words[-1], words[-1])
-        return " ".join(words)
-
-    fn = F.udf(normalize_suffix, "string", useArrow=True)
+    fn = F.udf(_normalize_suffix_py, "string", useArrow=True)
     part = load_table(spark, sf_dir, "part")
     addr = F.concat_ws(" ", F.col("p_name"), F.lit("St."))
     return part.select(
@@ -569,6 +574,22 @@ def u2b_pandas_iter_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# RE2's \s (the class DuckDB's string_split_regex compiles) is exactly
+# [\t\n\f\r ] — NO \v (0x0b), no Unicode whitespace. Python str.split()
+# splits on ALL Unicode whitespace (\xa0, \x85,  , \v, ...), so the
+# obvious `text.split()` body is the u18 latency class: green on the
+# space-only fixture, divergent on exotic text (probed live: 'a\xa0b'
+# stays one token in DuckDB, two in Python). Mirror the oracle's
+# operation, not its paraphrase. Pinned by tests/test_udf_battery.py.
+_RE2_WS_SPLIT = re.compile(r"[\t\n\f\r ]+")
+
+
+def _first_tokens_py(text: str) -> list:
+    """u9's tokenizer: the Python mirror of DuckDB
+    ``list_filter(string_split_regex(text, '\\s+'), x -> x != '')``."""
+    return [t for t in _RE2_WS_SPLIT.split(text or "") if t]
+
+
 def _make_first_tokens():
     from pyspark.sql.functions import udtf
     from pyspark.sql.types import StringType, StructType
@@ -590,7 +611,7 @@ def _make_first_tokens():
             return AnalyzeResult(schema=schema)
 
         def eval(self, text: str, k: int):
-            toks = [t for t in (text or "").split() if t]
+            toks = _first_tokens_py(text)
             yield tuple(toks[i] if i < len(toks) else None for i in range(k))
 
     return udtf(FirstTokens)
@@ -1006,6 +1027,27 @@ def u13_cogrouped_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 # UDFs, closed here for table functions.
 # ---------------------------------------------------------------------------
 
+def _split_space_words(text: str):
+    """Literal-space word splitter, empties skipped — the Python mirror
+    of ``unnest(string_split(text, ' ')) ... WHERE word <> ''`` shared
+    by the u14/u18 splitters (battery-pinned)."""
+    if text:
+        for w in text.split(" "):
+            if w:
+                yield w
+
+
+def _split_with_pos_py(text: str):
+    """u16's row generator: (word, original split index), empties
+    skipped AFTER enumeration — mirrors the oracle's parallel-unnest
+    zip + WHERE word <> '' (the round-6 F.split gotcha;
+    battery-pinned)."""
+    if text:
+        for i, w in enumerate(text.split(" ")):
+            if w:
+                yield (w, i)
+
+
 _U14_ORACLE = """
 WITH ex AS (
   SELECT p_partkey,
@@ -1039,10 +1081,8 @@ def u14_arrow_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="word string", useArrow=True)
     class SplitWords:
         def eval(self, text: str):
-            if text:
-                for w in text.split(" "):
-                    if w:
-                        yield (w,)
+            for w in _split_space_words(text):
+                yield (w,)
 
     part = load_table(spark, sf_dir, "part")
     spark.udtf.register("u14_split_words", SplitWords)
@@ -1065,6 +1105,27 @@ def u14_arrow_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the two-stage plan (BatchEvalPython below the shuffle, AggregateInPandas
 # above it) and a genuinely non-decomposable statistic (median).
 # ---------------------------------------------------------------------------
+
+def _cohort_of_py(name):
+    """u15's cohort key: Python mirror of the oracle's
+    ``TRY_CAST(NULLIF(regexp_extract(name, '(\\d+)$', 1), '') AS BIGINT)
+    % 7``. Three RE2/BIGINT behaviors the naive ``re.search(r'(\\d+)$')
+    ... int(...) % 7`` body silently diverges on (all probed live):
+    RE2 \\d is ASCII [0-9] (Python \\d matches Unicode digits, and
+    int() PARSES them); RE2 $ anchors at end-of-TEXT (Python $ also
+    matches before a trailing newline — \\Z is the mirror); and
+    TRY_CAST returns NULL past int64 range (Python ints never
+    overflow). Pinned by tests/test_udf_battery.py."""
+    if name is None:
+        return None
+    m = re.search(r"([0-9]+)\Z", name)
+    if not m:
+        return None
+    v = int(m.group(1))
+    if v > 0x7FFFFFFFFFFFFFFF:
+        return None
+    return v % 7
+
 
 _U15_ORACLE = """
 SELECT CAST(TRY_CAST(NULLIF(regexp_extract(c_name, '(\\d+)$', 1), '') AS BIGINT)
@@ -1098,16 +1159,9 @@ def u15_udf_keyed_median_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cohort's cents column as Arrow and cannot partial-aggregate, so
     cohort cardinality (7) bounds state, not input size.
     """
-    import re
-
     from pyspark.sql.functions import udf
 
-    @udf("long")
-    def cohort_of(name):
-        if name is None:
-            return None
-        m = re.search(r"(\d+)$", name)
-        return int(m.group(1)) % 7 if m else None
+    cohort_of = udf(_cohort_of_py, "long")
 
     @pandas_udf("double")
     def median_cents(cents: pd.Series) -> float:
@@ -1138,7 +1192,34 @@ def u15_udf_keyed_median_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # where a fan-out bug and a normalization bug are distinguishable.
 # ---------------------------------------------------------------------------
 
-_U16_ORACLE = """
+_ASCII_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_ASCII_LOWER = "abcdefghijklmnopqrstuvwxyz"
+_ASCII_LOWER_TABLE = str.maketrans(_ASCII_UPPER, _ASCII_LOWER)
+
+
+def _signature_py(word):
+    """u16's devowelled signature: strip ASCII vowels (both cases),
+    then ASCII-lowercase what remains — every step a codepoint-level
+    operation both engines define identically. The previous
+    ``re.sub('[aeiou]', '', word.lower())`` paired with DuckDB
+    ``regexp_replace(lower(word), ...)`` was the u18 latency class:
+    Python .lower() applies Unicode FULL case mapping ('İ' → 'i' +
+    U+0307) while DuckDB's utf8proc applies SIMPLE mapping ('İ' → 'i'),
+    so the signatures diverged on dotted-İ text (probed live; green on
+    the ASCII fixture only). On pure ASCII the two formulations agree,
+    so golden values are unchanged. Pinned by tests/test_udf_battery.py.
+    """
+    if word is None:
+        return None
+    return re.sub(r"[aeiouAEIOU]", "", word).translate(_ASCII_LOWER_TABLE)
+
+
+_U16_SIGNATURE_SQL = (
+    "translate(regexp_replace({col}, '[aeiouAEIOU]', '', 'g'), "
+    f"'{_ASCII_UPPER}', '{_ASCII_LOWER}')"
+)
+
+_U16_ORACLE = f"""
 WITH s AS (
   SELECT p_partkey, string_split(p_name, ' ') AS parts FROM part
 ), w AS (
@@ -1147,7 +1228,7 @@ WITH s AS (
          unnest(generate_series(0, len(parts) - 1)) AS pos
   FROM s
 )
-SELECT regexp_replace(lower(word), '[aeiou]', '', 'g') AS signature,
+SELECT {_U16_SIGNATURE_SQL.format(col='word')} AS signature,
        CAST(COUNT(*) AS BIGINT) AS n_words,
        CAST(SUM(pos) AS BIGINT) AS pos_sum,
        CAST(MIN(p_partkey) AS BIGINT) AS first_part
@@ -1187,21 +1268,9 @@ def u16_udtf_signature_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="word string, pos bigint")
     class SplitWithPos:
         def eval(self, text: str):
-            if text:
-                # original split indices, empties skipped AFTER
-                # enumeration — mirrors the oracle's parallel-unnest
-                # zip + WHERE word <> '' (round-6 F.split gotcha)
-                for i, w in enumerate(text.split(" ")):
-                    if w:
-                        yield (w, i)
+            yield from _split_with_pos_py(text)
 
-    import re
-
-    @udf("string")
-    def signature(word: str) -> str:
-        if word is None:
-            return None
-        return re.sub(r"[aeiou]", "", word.lower())
+    signature = udf(_signature_py, "string")
 
     part = load_table(spark, sf_dir, "part")
     spark.udtf.register("u16_split_pos", SplitWithPos)
@@ -1232,6 +1301,23 @@ def u16_udtf_signature_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Python-boundary pipeline (fan-out → rekey → Arrow aggregate) is one
 # graded observable rather than three pairwise ones.
 # ---------------------------------------------------------------------------
+
+def _shape_key_py(word: str):
+    """u17's shape key: first letter of ``word.lower()`` + length capped
+    at 6, the Python mirror of ``substring(lower(word), 1, 1) ||
+    LEAST(length(word), 6)``. Cross-engine soundness argument (battery-
+    pinned on dotted-İ/Kelvin/combining-mark inputs): Python .lower()
+    applies Unicode FULL case mapping and DuckDB's utf8proc SIMPLE
+    mapping, but the two can only differ by TRAILING combining marks on
+    the first character (U+0130 → 'i'+U+0307 vs 'i'), so the FIRST code
+    point — all this key reads — agrees; and both engines count length
+    in code points of the ORIGINAL word."""
+    if word is None:
+        return None
+    # [:1] not [0]: total on '' like SQL substring ('' → shape key '0'),
+    # though u17's splitter never feeds an empty word
+    return f"{word.lower()[:1]}{min(len(word), 6)}"
+
 
 _U17_ORACLE = """
 WITH s AS (
@@ -1283,16 +1369,10 @@ def u17_udtf_keyed_median_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="doc_id bigint, word string, pos bigint")
     class SplitDocWords:
         def eval(self, doc_id, text: str):
-            if text:
-                for i, w in enumerate(text.split(" ")):
-                    if w:
-                        yield (doc_id, w, i)
+            for w, i in _split_with_pos_py(text):
+                yield (doc_id, w, i)
 
-    @udf("string")
-    def shape_key(word: str):
-        if word is None:
-            return None
-        return f"{word.lower()[0]}{min(len(word), 6)}"
+    shape_key = udf(_shape_key_py, "string")
 
     @pandas_udf("double")
     def median_pos(pos: pd.Series) -> float:
@@ -1333,6 +1413,31 @@ def u17_udtf_keyed_median_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
 # feeding the next — the full bridge surface a Python-heavy corpus
 # pipeline actually exercises, value-graded end to end.
 # ---------------------------------------------------------------------------
+
+def _skeleton_py(word: str):
+    """u18's a–z skeleton: strip FIRST, lower SECOND — the Python
+    mirror of ``lower(regexp_replace(word, '[^a-zA-Z]', '', 'g'))``
+    operation-for-operation. The lower-then-strip order is LATENTLY
+    divergent: Python .lower() maps some non-ASCII points INTO [a-z]
+    (Kelvin sign U+212A → 'k', 'İ' → 'i'+combining dot) which SQL's
+    ASCII class strips — green on the fixture, wrong on exotic text
+    (the j17 latency class, caught in round-10 self-review; now
+    battery-pinned in tests/test_udf_battery.py). After the strip only
+    ASCII letters remain, where Python and utf8proc lowercasing are
+    identical."""
+    if word is None:
+        return None
+    return re.sub(r"[^a-zA-Z]", "", word).lower()
+
+
+def _vowel_score_pd(norm: "pd.Series") -> "pd.Series":
+    """u18's integer word score — length + 2·vowels — the Python mirror
+    of ``length(norm) + 2*(length(norm) - length(regexp_replace(norm,
+    '[aeiou]', '', 'g')))``. Input is _skeleton_py output (pure a–z),
+    where pandas str.len/str.count and SQL length/regexp agree exactly;
+    battery-pinned on raw adversarial text as well."""
+    return (norm.str.len() + 2 * norm.str.count("[aeiou]")).astype("int64")
+
 
 _U18_ORACLE = """
 WITH s AS (
@@ -1399,29 +1504,14 @@ def u18_five_crossing_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="lang string, word string")
     class SplitLangWords:
         def eval(self, lang, text: str):
-            if text:
-                for w in text.split(" "):
-                    if w:
-                        yield (lang, w)
+            for w in _split_space_words(text):
+                yield (lang, w)
 
-    @udf("string")
-    def skeleton(word: str):
-        if word is None:
-            return None
-        import re
-
-        # strip FIRST, lower SECOND — mirrors the oracle's
-        # lower(regexp_replace(word, '[^a-zA-Z]', '', 'g')) exactly.
-        # The lower-then-strip order is LATENTLY divergent: Python
-        # .lower() maps some non-ASCII points INTO [a-z] (Kelvin sign
-        # U+212A → 'k', 'İ' → 'i'+combining dot) which SQL's ASCII
-        # class strips — green on this fixture, wrong on exotic text
-        # (the j17 latency class, caught in round-10 self-review).
-        return re.sub(r"[^a-zA-Z]", "", word).lower()
+    skeleton = udf(_skeleton_py, "string")
 
     @pandas_udf("long")
     def vowel_score(norm: pd.Series) -> pd.Series:
-        return (norm.str.len() + 2 * norm.str.count("[aeiou]")).astype("int64")
+        return _vowel_score_pd(norm)
 
     def center(key, g: pd.DataFrame) -> pd.DataFrame:
         n = len(g)

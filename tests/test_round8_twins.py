@@ -40,7 +40,14 @@ def test_u16_matches_builtin_formulation(spark):
         .select(
             "p_partkey",
             F.col("pos").cast("bigint").alias("pos"),
-            F.regexp_replace(F.lower("word"), "[aeiou]", "").alias("signature"),
+            # round-11 formulation: ASCII-translate lowercasing, never a
+            # Unicode lower() (full-vs-simple case mapping diverges
+            # cross-engine on e.g. dotted İ — see _signature_py)
+            F.translate(
+                F.regexp_replace(F.col("word"), "[aeiouAEIOU]", ""),
+                "ABCDEFGHIJKLMNOPQRSTUVWXYZ",
+                "abcdefghijklmnopqrstuvwxyz",
+            ).alias("signature"),
         )
         .groupBy("signature")
         .agg(
