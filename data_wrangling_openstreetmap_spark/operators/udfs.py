@@ -303,6 +303,16 @@ def u1b_arrow_udf_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the right tool when the custom statistic is one column deep.
 # ---------------------------------------------------------------------------
 
+def _weighted_avg_pd(price: "pd.Series", weight: "pd.Series") -> float:
+    """u4b's GROUPED_AGG body: Σ(p·w)/Σw rounded at 6 dp. Python
+    round() is banker's and SQL ROUND half-away, but no double sits
+    exactly on a 6-dp half boundary ((2k+1)·5·10⁻⁷ is never dyadic), so
+    the two agree on every representable quotient; the float folds
+    underneath are exact for the battery's dyadic values and
+    error-below-the-round for fixture money (battery-pinned)."""
+    return round(float((price * weight).sum() / weight.sum()), 6)
+
+
 _U4B_ORACLE = """
 SELECT o_orderpriority,
        ROUND(SUM(o_totalprice * (o_orderkey % 10 + 1))
@@ -340,7 +350,7 @@ def u4b_grouped_agg_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @pandas_udf("double")
     def weighted_avg(price: pd.Series, weight: pd.Series) -> float:
-        return round(float((price * weight).sum() / weight.sum()), 6)
+        return _weighted_avg_pd(price, weight)
 
     @pandas_udf("long")
     def group_count(price: pd.Series) -> int:
@@ -759,13 +769,9 @@ def _make_type_stats():
         def eval(self, row):
             self._key = row["event_type"]
             self._n += 1
-            # half-away-from-zero, matching F.round/DuckDB round (the
-            # built-in round() is banker's half-to-even — divergent on
-            # exact half-cents, though the fixture never produces one)
-            v = row["value"] * 100
-            self._units += int(math.floor(v + 0.5)) if v >= 0 else int(
-                math.ceil(v - 0.5)
-            )
+            # half-away-from-zero, matching F.round/DuckDB round
+            # (battery-pinned shared rule — see _half_away_cents)
+            self._units += _half_away_cents(row["value"])
             ts = row["ts"]
             if self._min_ts is None or ts < self._min_ts:
                 self._min_ts = ts
@@ -1106,6 +1112,24 @@ def u14_arrow_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # above it) and a genuinely non-decomposable statistic (median).
 # ---------------------------------------------------------------------------
 
+def _median_float_pd(s: "pd.Series") -> float:
+    """Shared GROUPED_AGG median body (u15/u17/u18): pandas
+    Series.median vs DuckDB/SQL median agree bit-for-bit on int64
+    inputs within the documented envelope — an odd-count median IS one
+    of the values, an even-count median is the midpoint of two, exact
+    in double below 2^53 (battery-pinned incl. ±2^50 and negatives)."""
+    return float(s.median())
+
+
+def _half_away_cents(v: float) -> int:
+    """u11's per-row money rule: value·100 rounded HALF AWAY FROM ZERO
+    — the Python mirror of SQL ``CAST(round(v * 100) AS BIGINT)``
+    (built-in round() is banker's half-to-even, divergent on exact
+    binary halves like 0.125·100; battery-pinned on those)."""
+    u = v * 100
+    return int(math.floor(u + 0.5)) if u >= 0 else int(math.ceil(u - 0.5))
+
+
 def _cohort_of_py(name):
     """u15's cohort key: Python mirror of the oracle's
     ``TRY_CAST(NULLIF(regexp_extract(name, '(\\d+)$', 1), '') AS BIGINT)
@@ -1165,7 +1189,7 @@ def u15_udf_keyed_median_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @pandas_udf("double")
     def median_cents(cents: pd.Series) -> float:
-        return float(cents.median())
+        return _median_float_pd(cents)
 
     @pandas_udf("long")
     def n_rows(cents: pd.Series) -> int:
@@ -1376,7 +1400,7 @@ def u17_udtf_keyed_median_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @pandas_udf("double")
     def median_pos(pos: pd.Series) -> float:
-        return float(pos.median())
+        return _median_float_pd(pos)
 
     @pandas_udf("long")
     def n_distinct_docs(doc_ids: pd.Series) -> int:
@@ -1522,7 +1546,7 @@ def u18_five_crossing_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @pandas_udf("double")
     def median_centered(c: pd.Series) -> float:
-        return float(c.median())
+        return _median_float_pd(c)
 
     @pandas_udf("long")
     def n_rows(c: pd.Series) -> int:

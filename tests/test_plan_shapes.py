@@ -534,6 +534,140 @@ def test_aggregate_fold_allowlist():
     assert not gone, f"stale fold allowlist entries: {sorted(gone)}"
 
 
+# Every JVM↔Python crossing constructor in the package, frozen with an
+# audited justification — the u18-class analogue of AGGREGATE_FOLD_SITES
+# (VERDICT r10 §Next 2). Categories:
+#   battery:<name>   — adversarial-input parity vs the DuckDB mirror in
+#                      tests/test_udf_battery.py::UDF_BATTERY[<name>]
+#                      (the REAL production function object)
+#   shared:<name>    — the line is a passthrough around a module-level
+#                      body that battery entry <name> pins
+#   numeric-exact    — exact integer/dyadic recipe or 6-dp-rounded float
+#                      documented at the site, value-graded vs DuckDB at
+#                      two SFs (text semantics n/a)
+#   count            — len(series)/nunique mirror of COUNT(*)/COUNT
+#                      (DISTINCT) — no transform to diverge
+#   codec-parity     — deterministic byte-level fake codec, value-graded
+#                      via the m1b/m2b/m3b/m5 Arrow-crossing parity twins
+#   stateful         — streaming state kernel (integer accumulation),
+#                      graded via st7/st16; transformWithState env-gated
+UDF_CROSSING_SITES = {
+    ("operators/llm.py", 'partials = tagged.groupBy("qb", "ib").applyInPandas(', 1): "numeric-exact",  # l3 block matmul: float32 matmul + local top-k, graded + benched
+    ("operators/llm.py", 'return e.mapInPandas(topk, "vec_id bigint, neighbor_id bigint, cosine double")', 1): "numeric-exact",  # q10 broadcast matmul, 6-dp both sides
+    ("operators/multimodal.py", 'feats = payload.mapInPandas(fake_feature_batch, FEATURE_SCHEMA)', 2): "codec-parity",
+    ("operators/multimodal.py", 'frames = payload.mapInPandas(fake_pcm_frames_batch, VAD_SCHEMA)', 1): "codec-parity",
+    ("operators/multimodal.py", 'frames = payload.mapInPandas(fake_scene_frames_batch, SCENE_SCHEMA)', 1): "codec-parity",
+    ("operators/multimodal.py", 'return payload.mapInPandas(_decode_resize_batch, M5_SCHEMA)', 1): "codec-parity",
+    ("operators/multimodal.py", 'return payload.mapInPandas(fake_decode_batch, DECODED_SCHEMA)', 1): "codec-parity",
+    ("operators/multimodal.py", 'return payload.mapInPandas(fake_frame_sample_batch, FRAME_SCHEMA)', 1): "codec-parity",
+    ("operators/multimodal.py", 'return payload.mapInPandas(fake_resize_batch, RESIZE_SCHEMA)', 1): "codec-parity",
+    ("operators/udfs.py", '.applyInArrow(', 1): "numeric-exact",  # u13 cogrouped cents reconcile (half_towards_infinity rule, graded)
+    ("operators/udfs.py", '.applyInPandas(_asof_match_cogroup, _U12_SCHEMA)', 1): "numeric-exact",  # u12 merge_asof vs DuckDB native ASOF, tie-invariant
+    ("operators/udfs.py", '@pandas_udf("double")', 6): "battery:u2_sigmoid_pandas",  # + u2b/u4b/median×3 — all six bodies battery-pinned (u2b_sigmoid_iter, u4b_weighted_avg_grouped_agg, u_median_grouped_agg)
+    ("operators/udfs.py", '@pandas_udf("long")', 6): "battery:u18_skeleton_vowel_chain",  # vowel_score battery-pinned; the other five are len()/nunique count mirrors
+    ("operators/udfs.py", '@udtf(returnType="doc_id bigint, word string, pos bigint")', 1): "shared:u16_split_with_pos_udtf",  # u17 passthrough around _split_with_pos_py
+    ("operators/udfs.py", '@udtf(returnType="lang string, word string")', 1): "shared:u14_split_space_words_udtf",  # u18 passthrough around _split_space_words
+    ("operators/udfs.py", '@udtf(returnType="part string, position int")', 1): "battery:u5_tag_splitter_udtf",
+    ("operators/udfs.py", '@udtf(returnType="word string", useArrow=True)', 1): "shared:u14_split_space_words_udtf",
+    ("operators/udfs.py", '@udtf(returnType="word string, pos bigint")', 1): "shared:u16_split_with_pos_udtf",
+    ("operators/udfs.py", 'centered = scored.groupBy("lang").applyInPandas(', 1): "numeric-exact",  # u18 integer centering score·n − Σscore
+    ("operators/udfs.py", 'cohort_of = udf(_cohort_of_py, "long")', 1): "battery:u15_cohort_of_scalar",
+    ("operators/udfs.py", 'fn = F.udf(_normalize_suffix_py, "string", useArrow=True)', 1): "battery:u1b_normalize_suffix_arrow",
+    ("operators/udfs.py", 'mapped = li.mapInArrow(kernel, "l_returnflag string, disc_cents long")', 1): "numeric-exact",  # u6 pyarrow cents (half_towards_infinity rule documented)
+    ("operators/udfs.py", 'return customer.groupBy("c_mktsegment").applyInArrow(', 1): "numeric-exact",  # u10 exact-integer-moment z-score
+    ("operators/udfs.py", 'return customer.groupBy("c_mktsegment").applyInPandas(', 1): "numeric-exact",  # u3 same recipe
+    ("operators/udfs.py", 'return udf(_normalize_suffix_py, "string")', 1): "battery:u1_normalize_suffix_pickled",
+    ("operators/udfs.py", 'return udtf(', 1): "numeric-exact",  # u11 TypeStats: order-independent sums/min/max; cents rule battery-pinned (u11_half_away_cents)
+    ("operators/udfs.py", 'return udtf(FirstTokens)', 1): "battery:u9_first_tokens_udtf",
+    ("operators/udfs.py", 'shape_key = udf(_shape_key_py, "string")', 1): "battery:u17_shape_key_scalar",
+    ("operators/udfs.py", 'signature = udf(_signature_py, "string")', 1): "battery:u16_signature_scalar",
+    ("operators/udfs.py", 'skeleton = udf(_skeleton_py, "string")', 1): "battery:u18_skeleton_scalar",
+    ("operators/udfs.py", 'spark.udtf.register("first_tokens", ft)', 1): "shared:u9_first_tokens_udtf",
+    ("operators/udfs.py", 'spark.udtf.register("tag_splitter", TagSplitter)', 1): "shared:u5_tag_splitter_udtf",
+    ("operators/udfs.py", 'spark.udtf.register("type_stats", _make_type_stats())', 1): "numeric-exact",  # u11 registration line
+    ("operators/udfs.py", 'spark.udtf.register("u14_split_words", SplitWords)', 1): "shared:u14_split_space_words_udtf",
+    ("operators/udfs.py", 'spark.udtf.register("u16_split_pos", SplitWithPos)', 1): "shared:u16_split_with_pos_udtf",
+    ("operators/udfs.py", 'spark.udtf.register("u17_split_doc_words", SplitDocWords)', 1): "shared:u16_split_with_pos_udtf",
+    ("operators/udfs.py", 'spark.udtf.register("u18_split_lang_words", SplitLangWords)', 1): "shared:u14_split_space_words_udtf",
+    ("streaming/stateful.py", 'return events.groupBy("user_id").applyInPandasWithState(', 1): "stateful",
+    ("streaming/stateful.py", 'return events.groupBy("user_id").transformWithStateInPandas(', 1): "stateful",
+}
+
+_UDF_CROSSING_PATTERNS = (
+    r"(?<![\w.])udf\(",
+    r"\bF\.udf\(",
+    r"\bpandas_udf\(",
+    r"(?<![\w.])udtf\(",
+    r"\.applyInPandas\(",
+    r"\.applyInArrow\(",
+    r"\.mapInPandas\(",
+    r"\.mapInArrow\(",
+    r"\.applyInPandasWithState\(",
+    r"\.transformWithStateInPandas\(",
+    r"\.udtf\.register\(",
+)
+
+
+def test_udf_crossing_allowlist():
+    """Every JVM↔Python crossing constructor in the package must be
+    frozen in UDF_CROSSING_SITES with an audited justification — the
+    u18 class (a Python body that paraphrases its oracle instead of
+    mirroring it) produced three latent divergences in two rounds;
+    this makes the fourth a failing test the moment it is written.
+    A new crossing fails here until it is audited and (for any text
+    or value transform) given a UDF_BATTERY entry."""
+    import collections
+    import re as _re
+
+    import data_wrangling_openstreetmap_spark as pkg
+
+    pats = [_re.compile(p) for p in _UDF_CROSSING_PATTERNS]
+    root = os.path.dirname(os.path.abspath(pkg.__file__))
+    counts: collections.Counter = collections.Counter()
+    for dirpath, _dirs, files in os.walk(root):
+        for fname in files:
+            if not fname.endswith(".py"):
+                continue
+            path = os.path.join(dirpath, fname)
+            rel = os.path.relpath(path, root).replace(os.sep, "/")
+            with open(path, encoding="utf-8") as fh:
+                for line in fh:
+                    stripped = line.strip()
+                    if stripped.startswith("#"):
+                        continue
+                    if any(p.search(stripped) for p in pats):
+                        counts[(rel, stripped)] += 1
+    found = {(rel, line, n) for (rel, line), n in counts.items()}
+    frozen = set(UDF_CROSSING_SITES)
+    new = found - frozen
+    gone = frozen - found
+    assert not new, f"unaudited Python-crossing sites (see header): {sorted(new)}"
+    assert not gone, f"stale crossing allowlist entries: {sorted(gone)}"
+
+
+def test_udf_crossing_battery_refs_resolve():
+    """Every battery:/shared: category must name a real UDF_BATTERY
+    entry — a renamed or deleted battery entry must not leave a
+    crossing claiming coverage it no longer has."""
+    from tests.test_udf_battery import UDF_BATTERY
+
+    for site, cat in UDF_CROSSING_SITES.items():
+        if cat.startswith(("battery:", "shared:")):
+            name = cat.split(":", 1)[1]
+            assert name in UDF_BATTERY, f"{site} references missing battery entry {name}"
+    # and the named adversarial classes stay covered (the inline
+    # annotations above claim these specific entries exist)
+    for required in (
+        "u2b_sigmoid_iter",
+        "u4b_weighted_avg_grouped_agg",
+        "u_median_grouped_agg",
+        "u11_half_away_cents",
+    ):
+        from tests.test_udf_battery import UDF_BATTERY as _b
+
+        assert required in _b, required
+
+
 def test_fold_fixture_preconditions():
     """The 'precond'-class fold sites above rely on these fixture
     invariants; if the generator ever emits empty/NULL text, NULL event
