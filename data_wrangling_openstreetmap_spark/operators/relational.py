@@ -12,6 +12,8 @@ codegen end to end, no Python in the hot path. Filters are sargable
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -5115,14 +5117,22 @@ def s13_sink_relay(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_nationkey bigint, n_name string, r_name string"
     ).json(json_path)
 
-    spark.sql("DROP TABLE IF EXISTS s13_nation_relay")
+    # Table name derived from the construction's own mkdtemp suffix:
+    # a fixed session-global name races when one suite interleaves
+    # builds at different SFs (golden sf0.001 / parity sf0.01 / sweep
+    # sf0.1) or two sessions share a warehouse — the catalog hop stays
+    # the graded surface, but each build owns its table (ADVICE r10).
+    table = "s13_nation_relay_" + os.path.basename(root).removeprefix(
+        "dwos_s13_"
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
     (
         hop3.write.mode("overwrite")
         .format("parquet")
         .option("path", root + "/hop4_table")
-        .saveAsTable("s13_nation_relay")
+        .saveAsTable(table)
     )
-    final = spark.table("s13_nation_relay")
+    final = spark.table(table)
     return final.groupBy("r_name").agg(
         F.count("*").alias("n_nations"),
         F.min("n_name").alias("first_nation"),

@@ -17,6 +17,7 @@ from .window_orders import (
     WindowHazard,
     aggregate_order_hazards,
     checkpoint_opaque,
+    logical_rdd_ids,
     window_order_hazards,
 )
 
@@ -29,5 +30,6 @@ __all__ = [
     "WindowHazard",
     "aggregate_order_hazards",
     "checkpoint_opaque",
+    "logical_rdd_ids",
     "window_order_hazards",
 ]

@@ -640,6 +640,21 @@ def checkpoint_opaque(df: DataFrame) -> int:
     return len(_walk_class(plan, "LogicalRDD", []))
 
 
+def logical_rdd_ids(df: DataFrame) -> list:
+    """The RDD ids behind every ``LogicalRDD`` leaf of the optimized
+    plan. A checkpointed frame's id survives plan composition unchanged
+    (probed live), so a sweep that records the POST-checkpoint frames'
+    ids can classify each leaf of a final plan EXACTLY: id ∈ recorded →
+    a walked iter_ckpt/ckpt truncation; id ∉ recorded → something else
+    (by test_no_direct_local_checkpoint, only a bounded createDataFrame
+    literal frame) that must be allowlisted. Classifying by leaf
+    identity instead of ``opaque and not caps`` fixes the ADVICE r10
+    conflation: a query that both iterates through iter_ckpt AND
+    carries a literal leaf now has its literal leaf enumerated."""
+    plan = df._jdf.queryExecution().optimizedPlan()
+    return [leaf.rdd().id() for leaf in _walk_class(plan, "LogicalRDD", [])]
+
+
 def _scan_expr_collects(expr, under_sort: bool, collects: list, picks: list):
     """Recursive expression walk: record bare (unsorted) collect_list /
     collect_set aggregate calls, and every first/last/any_value call

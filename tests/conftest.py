@@ -44,6 +44,20 @@ class SmokeBuilds:
       rewrites explain() output to the final adaptive plan, which
       would otherwise make sweep assertions depend on module order.
 
+    A third invariant the sharing leans on (ADVICE r10): NO RE-COLLECT
+    AFTER A LATER REBUILD. Construction has side effects for the
+    sink/catalog queries (temp views, external sink paths, the s13
+    catalog table) and mutates os.environ around each build; a
+    memoized frame stays correct only because (a) modules consume it
+    in the current serial, alphabetical order, and (b) no module
+    re-collects a memoized frame after another path (a fresh-plan test
+    or a later SF) rebuilds the same query and re-points its shared
+    names. s13 now derives a unique catalog table per construction
+    (removing the sharpest instance), but temp-view names are still
+    session-global — if a future module needs to rebuild-and-collect
+    the same sink query at another SF, collect-and-cache rows at build
+    time here instead of re-reading the memoized frame.
+
     Tests that must construct FRESH plans (arrival scrambles,
     hostile-config probes, sf0.1 order sweeps) keep calling
     ``REGISTRY[name].fn`` directly."""

@@ -163,7 +163,7 @@ def test_registry_order_determinism(spark, monkeypatch):
     from data_wrangling_openstreetmap_spark.operators import _helpers
     from data_wrangling_openstreetmap_spark.plans.window_orders import (
         aggregate_order_hazards,
-        checkpoint_opaque,
+        logical_rdd_ids,
         multi_carry_hazards,
         sort_limit_hazards,
     )
@@ -198,15 +198,28 @@ def test_registry_order_determinism(spark, monkeypatch):
         if name in SKIP:
             continue
         _helpers.PRECKPT_CAPTURE = []
+        _helpers.CKPT_RESULTS = []
         try:
             df = spec.fn(spark, SWEEP_SF)
             caps = _helpers.PRECKPT_CAPTURE
+            ckpt_ids = {
+                rid
+                for post in _helpers.CKPT_RESULTS
+                for rid in logical_rdd_ids(post)
+            }
         finally:
             _helpers.PRECKPT_CAPTURE = None
-        if checkpoint_opaque(df) and not caps:
-            # LogicalRDD leaves with NO captured truncation behind them
-            # — by test_no_direct_local_checkpoint these can only be
-            # createDataFrame literal frames
+            _helpers.CKPT_RESULTS = None
+        # Classify every LogicalRDD leaf of the FINAL plan by identity
+        # (ADVICE r10: `opaque and not caps` conflated the two causes —
+        # a query that both iterates through iter_ckpt AND carries a
+        # literal frame hid its literal leaf from this enumeration).
+        # A leaf whose rdd-id matches a captured checkpoint RESULT is a
+        # walked truncation (its pre-frame is hazard-checked below);
+        # any other LogicalRDD leaf is — by
+        # test_no_direct_local_checkpoint — a bounded createDataFrame
+        # literal frame and must be allowlisted.
+        if any(rid not in ckpt_ids for rid in logical_rdd_ids(df)):
             opaque.append(name)
         check(name, df)
         captured_frames += len(caps)
