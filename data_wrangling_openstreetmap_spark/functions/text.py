@@ -12,10 +12,21 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+# Java regex \s is [ \t\n\x0B\f\r] while DuckDB's RE2 \s is [\t\n\f\r ]
+# — they disagree on VERTICAL TAB (\x0B), so a Spark `split(text,'\s+')`
+# paired with an oracle `string_split_regex(text,'\s+')` is latently
+# divergent (the u18 class at the EXPRESSION level, found by the
+# round-11 battery work; green on the space-only fixture). Every shared
+# tokenizer spells the class out so both engines compile the same set.
+_RE2_WS = "[\\t\\n\\f\\r ]"
+
+
 def tokens(text: Column) -> Column:
     """Whitespace tokenization; empty string → empty array (split of ''
-    yields [''], which we filter)."""
-    return F.filter(F.split(text, r"\s+"), lambda t: t != "")
+    yields [''], which we filter). The whitespace class is the explicit
+    RE2 \\s set — see _RE2_WS — so DuckDB '\\s+' oracles mirror
+    exactly."""
+    return F.filter(F.split(text, _RE2_WS + "+"), lambda t: t != "")
 
 
 def bpe_ish_tokens(text: Column) -> Column:
@@ -31,10 +42,14 @@ def bpe_ish_tokens(text: Column) -> Column:
     "and"] pre-filter). Result = maximal word runs + maximal
     punctuation runs, exactly regexp_extract_all('\\w+|[^\\w\\s]+')
     (the l4_token_counts oracle form, parity-stress-tested on messy
-    text in test_llm_ops.py)."""
+    text in test_llm_ops.py). Whitespace is the explicit RE2 \\s class
+    (_RE2_WS): Java \\s additionally matches \\x0B, which RE2's
+    [^\\w\\s] would keep as a punctuation token — the engines must
+    agree on which characters ARE whitespace before they can agree on
+    the token set."""
     return F.filter(
-        F.split(text, r"(?<=\W)(?=\w)|(?<=\w)(?=\W)|\s+"),
-        lambda t: ~t.rlike(r"^\s*$"),
+        F.split(text, r"(?<=\W)(?=\w)|(?<=\w)(?=\W)|" + _RE2_WS + "+"),
+        lambda t: ~t.rlike("^" + _RE2_WS + "*$"),
     )
 
 
