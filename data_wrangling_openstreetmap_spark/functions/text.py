@@ -49,7 +49,7 @@ def bpe_ish_tokens(text: Column) -> Column:
     the token set."""
     return F.filter(
         F.split(text, r"(?<=\W)(?=\w)|(?<=\w)(?=\W)|" + _RE2_WS + "+"),
-        lambda t: ~t.rlike("^" + _RE2_WS + "*$"),
+        lambda t: ~t.rlike("^" + _RE2_WS + "*\\z"),
     )
 
 

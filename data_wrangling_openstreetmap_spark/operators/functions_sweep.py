@@ -114,8 +114,8 @@ def f2_regex_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier")
     return s.select(
         "s_suppkey",
-        F.regexp_extract("s_name", r"([0-9]+)$", 1).alias("trailing_digits"),
-        F.regexp_extract("s_name", r"([0-9]+)$", 1)
+        F.regexp_extract("s_name", r"([0-9]+)\z", 1).alias("trailing_digits"),
+        F.regexp_extract("s_name", r"([0-9]+)\z", 1)
         .cast("long")
         .alias("supplier_num"),
         F.regexp_replace("s_name", r"[^0-9]+", "").alias("digits_only"),

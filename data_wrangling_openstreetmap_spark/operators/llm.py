@@ -4719,9 +4719,9 @@ def _canonical_url(raw: DataFrame) -> DataFrame:
         scheme.alias("scheme"),
         path.alias("path"),
         F.regexp_replace(
-            F.lower(F.regexp_replace(authority, ":[0-9]+$", "")), r"^www\.", ""
+            F.lower(F.regexp_replace(authority, ":[0-9]+\\z", "")), r"^www\.", ""
         ).alias("host"),
-        F.regexp_extract(authority, ":([0-9]+)$", 1).alias("port"),
+        F.regexp_extract(authority, ":([0-9]+)\\z", 1).alias("port"),
         F.array_join(
             F.sort_array(
                 F.filter(

@@ -538,7 +538,7 @@ def m0_binary_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             fh.write(r.text.encode("utf-8"))
     blobs = spark.read.format("binaryFile").load(stage)
     parsed = blobs.select(
-        F.regexp_extract(F.col("path"), r"(\d+)\.bin$", 1)
+        F.regexp_extract(F.col("path"), r"(\d+)\.bin\z", 1)
         .cast("bigint")
         .alias("doc_id"),
         F.col("length").alias("file_len"),

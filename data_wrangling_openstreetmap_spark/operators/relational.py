@@ -347,8 +347,8 @@ def p3_regex_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     part.p_type. Chained when() == CASE; rlike == regexp_matches."""
     part = load_table(spark, sf_dir, "part")
     key_class = (
-        F.when(F.col("p_type").rlike("^[a-z_]+$"), "lower")
-        .when(F.col("p_type").rlike("^[a-z_]+:[a-z_]+$"), "lower_colon")
+        F.when(F.col("p_type").rlike("^[a-z_]+\\z"), "lower")
+        .when(F.col("p_type").rlike("^[a-z_]+:[a-z_]+\\z"), "lower_colon")
         .when(F.col("p_type").rlike("[=\\+/&<>;'\"\\?%#$@,. \\t\\r\\n]"), "problemchars")
         .otherwise("other")
     )
@@ -370,7 +370,7 @@ def p4_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     name (the reference audits street types with exactly this regex
     shape), grouped and counted."""
     part = load_table(spark, sf_dir, "part")
-    last_word = F.regexp_extract(F.col("p_name"), r"(\S+)$", 1)
+    last_word = F.regexp_extract(F.col("p_name"), r"([^\t\n\f\r ]+)\z", 1)
     return part.groupBy(last_word.alias("last_word")).agg(F.count("*").alias("n"))
 
 
@@ -1922,7 +1922,7 @@ def p3b_name_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     part = load_table(spark, sf_dir, "part")
     name_class = (
-        F.when(F.col("p_name").rlike("(bolt|rod|ring)$"), "fastener")
+        F.when(F.col("p_name").rlike("(bolt|rod|ring)\\z"), "fastener")
         .when(F.col("p_name").rlike("^(hot|cold) "), "thermal")
         .when(F.col("p_name").rlike("^[aeiou]"), "vowel_start")
         .otherwise("other")
@@ -4049,7 +4049,7 @@ def p7_part_noun_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("other")
     )
     brand_bucket = (
-        F.regexp_extract(F.col("p_brand"), r"#(\d+)$", 1).cast("bigint") % 5
+        F.regexp_extract(F.col("p_brand"), r"#(\d+)\z", 1).cast("bigint") % 5
     )
     return (
         part.select(
@@ -4219,7 +4219,7 @@ def p9_anchored_type_noun(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("p_type").rlike(r"^(LARGE|SMALL|MEDIUM)"), "sized")
         .otherwise("standard")
     )
-    last_noun = F.regexp_extract(F.col("p_name"), r"(\w+)\s*$", 1)
+    last_noun = F.regexp_extract(F.col("p_name"), r"(\w+)[\t\n\f\r ]*\z", 1)
     return (
         part.select(tier.alias("tier"), last_noun.alias("last_noun"), "p_size")
         .groupBy("tier", "last_noun")
@@ -4500,7 +4500,7 @@ def p11_chained_parse_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("p_type").rlike("ECO"), F.lit("eco"))
         .otherwise(F.lit("spot"))
     )
-    noun = F.regexp_extract(F.col("p_name"), r"(\w+)\s*$", 1)
+    noun = F.regexp_extract(F.col("p_name"), r"(\w+)[\t\n\f\r ]*\z", 1)
     dept_map = F.create_map(
         F.lit("widget"), F.lit("assembly"),
         F.lit("bolt"), F.lit("fasteners"),
@@ -4510,7 +4510,7 @@ def p11_chained_parse_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # try_cast, not cast: ANSI mode is on, and a digitless brand makes
     # regexp_extract return '' — the oracle's TRY_CAST yields NULL, so
     # the Spark side must degrade identically instead of erroring
-    brand_num = F.regexp_extract(F.col("p_brand"), r"#(\d+)$", 1).try_cast(
+    brand_num = F.regexp_extract(F.col("p_brand"), r"#(\d+)\z", 1).try_cast(
         "bigint"
     )
     return (
@@ -4923,7 +4923,7 @@ def p12_customer_profile_shaping(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 400)
     seg_class = (
         F.when(F.col("c_mktsegment").rlike("^(AUTO|MACH)"), F.lit("industrial"))
-        .when(F.col("c_mktsegment").rlike("HOLD$"), F.lit("consumer"))
+        .when(F.col("c_mktsegment").rlike("HOLD\\z"), F.lit("consumer"))
         .otherwise(F.lit("commercial"))
     )
     channel_map = F.create_map(
@@ -4934,7 +4934,7 @@ def p12_customer_profile_shaping(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cust.select(
         F.col("c_custkey").alias("customer_key"),
         F.upper("c_name").alias("display_name"),
-        F.regexp_extract(F.col("c_name"), r"(\d+)$", 1)
+        F.regexp_extract(F.col("c_name"), r"(\d+)\z", 1)
         .try_cast("bigint")
         .alias("cust_num"),
         seg_class.alias("seg_class"),
@@ -5204,7 +5204,7 @@ def p13_part_shaping(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_partkey").alias("part_key"),
         F.upper("p_name").alias("display_name"),
         tone.alias("tone"),
-        F.regexp_extract(F.col("p_name"), r"([a-z]+)$", 1).alias("noun"),
+        F.regexp_extract(F.col("p_name"), r"([a-z]+)\z", 1).alias("noun"),
         F.coalesce(tier_map[F.col("p_type")], F.lit("other")).alias("tier"),
         cents("p_retailprice").alias("price_cents"),
     )

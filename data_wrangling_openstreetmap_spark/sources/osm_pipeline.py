@@ -126,7 +126,7 @@ def audit_street_types(tags: DataFrame) -> DataFrame:
     )
     return (
         streets.select(
-            F.regexp_extract(F.col("value"), r"(\S+\.?)$", 1).alias("street_type")
+            F.regexp_extract(F.col("value"), r"([^\t\n\f\r ]+\.?)\z", 1).alias("street_type")
         )
         .groupBy("street_type")
         .agg(F.count("*").alias("n"))
@@ -148,7 +148,7 @@ def clean_streets(spark: SparkSession, tags: DataFrame) -> DataFrame:
     is_street = (F.col("type") == "addr") & (F.col("key") == "street")
     typed = tags.withColumn(
         "street_type",
-        F.when(is_street, F.regexp_extract(F.col("value"), r"(\S+\.?)$", 1)),
+        F.when(is_street, F.regexp_extract(F.col("value"), r"([^\t\n\f\r ]+\.?)\z", 1)),
     )
     mapped = typed.join(
         F.broadcast(mapping_df(spark)),
@@ -171,7 +171,7 @@ def clean_postcodes(tags: DataFrame) -> DataFrame:
     """Postcode standardization: keep 5-digit codes, null out the rest
     (the reference nulls non-conforming postcodes for review)."""
     is_post = (F.col("type") == "addr") & (F.col("key") == "postcode")
-    five = F.regexp_extract(F.col("value"), r"^(\d{5})$", 1)
+    five = F.regexp_extract(F.col("value"), r"^(\d{5})\z", 1)
     return tags.withColumn(
         "value",
         F.when(is_post, F.when(five != "", five)).otherwise(F.col("value")),

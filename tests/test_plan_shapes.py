@@ -668,6 +668,86 @@ def test_udf_crossing_battery_refs_resolve():
         assert required in _b, required
 
 
+def _dollar_outside_class(pattern: str) -> bool:
+    """True if `pattern` contains a `$` that is a real end-anchor:
+    not backslash-escaped and not inside a [...] character class."""
+    in_class = False
+    esc = False
+    for ch in pattern:
+        if esc:
+            esc = False
+            continue
+        if ch == "\\":
+            esc = True
+        elif ch == "[" and not in_class:
+            in_class = True
+        elif ch == "]" and in_class:
+            in_class = False
+        elif ch == "$" and not in_class:
+            return True
+    return False
+
+
+def test_spark_regex_literals_mirror_re2():
+    """The u18 class at the EXPRESSION level (round 11): Spark compiles
+    java.util.regex while the oracles compile RE2, and the two disagree
+    on \\s (Java adds \\x0B) and on `$` (Java matches BEFORE a final
+    line terminator; RE2 means end-of-text — probed live:
+    regexp_extract('Brand#12\\n', '#(\\d+)$') is '12' in Spark and ''
+    in DuckDB). Sixteen Spark-side sites carried the latent class until
+    round 11; this lint keeps it extinct: every regex literal on a
+    Spark regex-call line must use explicit whitespace classes (never
+    \\s/\\S) and \\z (Java end-of-input — exactly RE2's $), never a
+    bare $ anchor. Scope: literals on the same source line as the call
+    (the repo convention); oracle SQL strings never share a line with
+    these call tokens, so they are untouched — RE2's $ is correct
+    there."""
+    import re as _re
+
+    import data_wrangling_openstreetmap_spark as pkg
+
+    call_tokens = (
+        "F.regexp_extract(",
+        "F.regexp_replace(",
+        "F.regexp_count(",
+        "F.regexp_like(",
+        "F.regexp_instr(",
+        "F.regexp_substr(",
+        ".rlike(",
+        "F.split(",
+    )
+    literal = _re.compile(r'r?"((?:[^"\\]|\\.)*)"')
+    root = os.path.dirname(os.path.abspath(pkg.__file__))
+    bad = []
+    for dirpath, _dirs, files in os.walk(root):
+        for fname in files:
+            if not fname.endswith(".py"):
+                continue
+            path = os.path.join(dirpath, fname)
+            rel = os.path.relpath(path, root).replace(os.sep, "/")
+            with open(path, encoding="utf-8") as fh:
+                for lineno, line in enumerate(fh, 1):
+                    stripped = line.strip()
+                    if stripped.startswith("#"):
+                        continue
+                    if not any(t in stripped for t in call_tokens):
+                        continue
+                    for m in literal.finditer(stripped):
+                        pat = m.group(1)
+                        if "\\s" in pat or "\\S" in pat:
+                            bad.append(
+                                f"{rel}:{lineno}: \\s/\\S shorthand in {pat!r}"
+                                " (Java adds \\x0B vs RE2 — spell the class)"
+                            )
+                        if _dollar_outside_class(pat):
+                            bad.append(
+                                f"{rel}:{lineno}: bare $ anchor in {pat!r}"
+                                " (Java matches before a trailing newline —"
+                                " use \\z)"
+                            )
+    assert not bad, "Java-vs-RE2 divergent regex literals:\n" + "\n".join(bad)
+
+
 def test_fold_fixture_preconditions():
     """The 'precond'-class fold sites above rely on these fixture
     invariants; if the generator ever emits empty/NULL text, NULL event
