@@ -3,7 +3,13 @@ JVM↔Python crossings, Arrow-batched, for logic built-ins can't express.
 
 Fully oracle-graded since round 2: each Python-side computation is
 paired with a DuckDB SQL formulation of the identical math. String
-logic (U1, U5) is trivially engine-identical; U3's z-score uses an
+logic (U1, U5) is NOT "trivially" engine-identical — Python str
+methods and regexes differ from RE2 on Unicode case mapping, \\d/\\s
+classes, $-anchors, and int64 overflow (three latent instances fixed
+in round 11) — so every text-transforming body here is a module-level
+named function adversarially battery-pinned against its DuckDB mirror
+in tests/test_udf_battery.py, and every crossing is frozen in
+tests/test_plan_shapes.py::UDF_CROSSING_SITES. U3's z-score uses an
 exact integer recipe — z = (cents·n − Σcents) / √(n·Σcents² − (Σcents)²)
 evaluated with arbitrary-precision integers Python-side and HUGEINT
 SQL-side, so the one double division and sqrt are bit-identical on
@@ -1125,9 +1131,16 @@ def _half_away_cents(v: float) -> int:
     """u11's per-row money rule: value·100 rounded HALF AWAY FROM ZERO
     — the Python mirror of SQL ``CAST(round(v * 100) AS BIGINT)``
     (built-in round() is banker's half-to-even, divergent on exact
-    binary halves like 0.125·100; battery-pinned on those)."""
-    u = v * 100
-    return int(math.floor(u + 0.5)) if u >= 0 else int(math.ceil(u - 0.5))
+    binary halves like 0.125·100; battery-pinned on those). Compare the
+    FRACTION to 0.5 instead of the classic ``floor(u + 0.5)``: the
+    addition rounds u = 0.49999999999999994 UP to 1.0 (its float
+    neighbor), which SQL round() never does — floor and the subtraction
+    below are exact for |u| < 2^52, so this form has no such boundary.
+    """
+    u = abs(v) * 100
+    q = math.floor(u)
+    mag = q + 1 if u - q >= 0.5 else q
+    return int(-mag if v < 0 else mag)
 
 
 def _cohort_of_py(name):
@@ -1271,16 +1284,18 @@ def u16_udtf_signature_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UDTF → scalar-UDF chain: a Python UDTF explodes p_name into
     (word, pos) rows with the word's 0-based position (U5 — the
     fan-out and the positional state live in Python), then a pickled
-    scalar UDF collapses each word to its devowelled lowercase
-    signature (U1), which becomes the aggregation key for a count /
-    position-mass / first-part rollup. A fan-out error shifts pos_sum,
-    a normalization error reroutes whole groups — the two Python
-    stages are separately observable in the result.
+    scalar UDF collapses each word to its devowelled ASCII-lowered
+    signature (U1 — strip [aeiouAEIOU], then translate A–Z→a–z; see
+    _signature_py for why a Unicode lower() can't sit on this path),
+    which becomes the aggregation key for a count / position-mass /
+    first-part rollup. A fan-out error shifts pos_sum, a normalization
+    error reroutes whole groups — the two Python stages are separately
+    observable in the result.
 
     Oracle: LATERAL unnest(string_split(...)) with ROW_NUMBER()-derived
-    positions and the same regexp normalization in SQL. The UDTF skips
-    empty tokens exactly as the WHERE word <> '' does (F.split-style
-    empty artifacts; the round-6 gotcha).
+    positions and the identical strip-then-translate normalization in
+    SQL. The UDTF skips empty tokens exactly as the WHERE word <> ''
+    does (F.split-style empty artifacts; the round-6 gotcha).
 
     Scale: the UDTF is one Python crossing streaming name-length rows
     (fan-out inside the worker, not an explode-shuffle); the scalar

@@ -37,8 +37,6 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf, udf, udtf
 
 from data_wrangling_openstreetmap_spark.operators.udfs import (
-    _ASCII_LOWER,
-    _ASCII_UPPER,
     _cohort_of_py,
     _first_tokens_py,
     _half_away_cents,
