@@ -1,8 +1,26 @@
 """Replicates the driver's DuckDB-oracle comparison for every registered
 query, at sf0.001 by default (fast; set DWOS_TEST_SF_DIR=/root/testdata/sf0.01
-to run the exact graded scale)."""
+to run the exact graded scale).
+
+Execution model (round-11 suite-time lever): all ~490 checks run once
+inside a session-scoped fixture on a small thread pool — Spark job
+submission and DuckDB both release the GIL, so the per-query latency
+(job scheduling + Arrow collect + oracle run) overlaps across workers
+while local[8] keeps the cores busy. Each per-query test then asserts
+its own cached verdict, so pytest granularity and failure messages are
+unchanged. DWOS_SUITE_THREADS=1 restores strictly sequential checking.
+Thread-safety audit: every temp view / temp function / UDTF / variable
+name in the package is query-unique (grepped, round 11); the two
+catalog writers (Derby DDL is the one shared mutable resource) are
+serialized on a lock; s13's table name is per-construction since the
+round-11 ADVICE fix.
+"""
 
 from __future__ import annotations
+
+import os
+import threading
+from concurrent.futures import ThreadPoolExecutor
 
 import pytest
 
@@ -12,6 +30,72 @@ from data_wrangling_openstreetmap_spark.registry import REGISTRY, _ensure_loaded
 
 _ensure_loaded()
 QUERY_NAMES = sorted(REGISTRY)
+
+_THREADS = max(1, int(os.environ.get("DWOS_SUITE_THREADS", "6")))
+
+# Queries whose construction issues catalog DDL (embedded Derby
+# metastore — the one resource concurrent constructions share).
+_CATALOG_WRITERS = {"s6_table_roundtrip", "s13_sink_relay"}
+_CATALOG_LOCK = threading.Lock()
+
+
+def _check_one(spark, sf_dir: str, name: str):
+    """The exact per-query driver-strict check; returns None on parity,
+    else the failure message. Mirrors the historical test body."""
+    spec = REGISTRY[name]
+    try:
+        if name in _CATALOG_WRITERS:
+            with _CATALOG_LOCK:
+                df = spec.fn(spark, sf_dir)
+        else:
+            df = spec.fn(spark, sf_dir)
+        if spec.oracle is None:
+            spark_rows = [tuple(r) for r in df.collect()]
+            assert len(spark_rows) >= 0  # rows-only check, as the driver
+            return None
+        # Driver-strict comparison: toPandas() vs duckdb .df(),
+        # dtype-family equality + stringified-cell equality + array-cell
+        # rejection — strictly stronger than the value-level compare,
+        # which therefore runs only on failure for its friendlier
+        # message (the round-9 single-execution trim).
+        pdf = df.toPandas()
+        odf = orc.run_oracle_df(spec.oracle, sf_dir)
+        strict = orc.strict_compare_frames(pdf, odf)
+        if strict:
+            spark_cols = df.columns
+            spark_rows = [tuple(r) for r in df.collect()]
+            o_cols, o_rows = orc.run_oracle(spec.oracle, sf_dir)
+            problems = orc.compare(spark_cols, spark_rows, o_cols, o_rows)
+            if problems:
+                return f"{name}: " + "; ".join(problems)
+            return f"{name} [driver-strict]: " + "; ".join(strict)
+        return None
+    except Exception as ex:  # surface construction/compare crashes per query
+        return f"{name}: raised {type(ex).__name__}: {ex}"
+
+
+def _selected_names(request, test_name: str) -> list:
+    """Only the names pytest actually collected for `test_name` — so a
+    `-k one_query` run pays for one query, not the whole registry."""
+    picked = set()
+    for item in request.session.items:
+        callspec = getattr(item, "callspec", None)
+        if callspec is None or not item.name.startswith(test_name):
+            continue
+        name = callspec.params.get("name")
+        if name is not None:
+            picked.add(name)
+    return sorted(picked) or QUERY_NAMES
+
+
+@pytest.fixture(scope="session")
+def parity_verdicts(request, spark, sf_dir):
+    names = _selected_names(request, "test_query_matches_oracle")
+    if _THREADS == 1:
+        return {n: _check_one(spark, sf_dir, n) for n in names}
+    with ThreadPoolExecutor(max_workers=_THREADS) as ex:
+        futs = {n: ex.submit(_check_one, spark, sf_dir, n) for n in names}
+        return {n: f.result() for n, f in futs.items()}
 
 
 def test_contract_shape():
@@ -29,33 +113,6 @@ def test_entry_smoke(spark):
 
 
 @pytest.mark.parametrize("name", QUERY_NAMES)
-def test_query_matches_oracle(spark, sf_dir, name):
-    spec = REGISTRY[name]
-    df = spec.fn(spark, sf_dir)
-    if spec.oracle is None:
-        spark_rows = [tuple(r) for r in df.collect()]
-        assert len(spark_rows) >= 0  # rows-only check, mirrors the driver
-        # rows-only queries must still not crash the driver's collector:
-        # no array/map cells are required only on the oracle path, so
-        # nothing further to assert here.
-        return
-    # Driver-strict comparison: toPandas() vs duckdb .df(), dtype-family
-    # equality + stringified-cell equality + array-cell rejection. This
-    # is the gate that reproduces round 1's entire red class locally.
-    # It is strictly STRONGER than the value-level compare (identical
-    # stringified cells ⇒ rounded-value multiset equality), so the
-    # friendlier diagnostic below runs only on failure — one Spark
-    # execution + one DuckDB execution per query instead of two each
-    # (round-9 suite-time trim, VERDICT r8 §Next #6).
-    pdf = df.toPandas()
-    odf = orc.run_oracle_df(spec.oracle, sf_dir)
-    strict = orc.strict_compare_frames(pdf, odf)
-    if strict:
-        # Value-level diagnostic comparison (friendlier failure
-        # messages) — re-executes both sides, acceptable on failure.
-        spark_cols = df.columns
-        spark_rows = [tuple(r) for r in df.collect()]
-        o_cols, o_rows = orc.run_oracle(spec.oracle, sf_dir)
-        problems = orc.compare(spark_cols, spark_rows, o_cols, o_rows)
-        assert not problems, f"{name}: " + "; ".join(problems)
-    assert not strict, f"{name} [driver-strict]: " + "; ".join(strict)
+def test_query_matches_oracle(parity_verdicts, name):
+    verdict = parity_verdicts[name]
+    assert verdict is None, verdict
