@@ -2174,6 +2174,120 @@ def l2_substring_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SCRUB_ORACLE = f"""
+WITH tt AS (SELECT doc_id, {_ORACLE_TOKS} AS toks FROM documents),
+g AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(toks[i:i + {_SPAN_K} - 1], ' ') AS gram
+  FROM tt, LATERAL unnest(generate_series(1, len(toks) - {_SPAN_K} + 1)) AS u(i)
+  WHERE len(toks) >= {_SPAN_K}),
+stats AS (
+  SELECT gram, MIN(doc_id) AS first_doc, COUNT(DISTINCT doc_id) AS nd
+  FROM g GROUP BY gram),
+dup AS (
+  SELECT g.doc_id, g.pos, g.gram
+  FROM g JOIN stats USING (gram)
+  WHERE nd BETWEEN 2 AND {_SPAN_DF_CAP} AND g.doc_id > first_doc),
+cov AS (
+  SELECT DISTINCT doc_id, tk FROM (
+    SELECT doc_id,
+           unnest(generate_series(pos, pos + {_SPAN_K} - 1)) AS tk
+    FROM dup)),
+sc AS (SELECT doc_id, COUNT(*) AS tokens_scrubbed FROM cov GROUP BY doc_id),
+gr AS (SELECT doc_id, COUNT(DISTINCT gram) AS n_dup_grams FROM dup GROUP BY doc_id)
+SELECT sc.doc_id,
+       CAST(len(tt.toks) AS BIGINT) AS n_tokens,
+       CAST(sc.tokens_scrubbed AS BIGINT) AS tokens_scrubbed,
+       CAST(len(tt.toks) - sc.tokens_scrubbed AS BIGINT) AS tokens_kept,
+       CAST(gr.n_dup_grams AS BIGINT) AS n_dup_grams
+FROM sc JOIN gr USING (doc_id) JOIN tt USING (doc_id)
+"""
+
+
+@register(
+    "l1_span_scrub_census",
+    oracle=_SCRUB_ORACLE,
+    tags=("L1", "L2", "L4"),
+)
+def l1_span_scrub_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup ACTION on top of l2_substring_span_pairs' report: a
+    keep-first span scrub. A token position of doc d is scrubbed when
+    some K-gram anchor covering it also occurs in a LOWER-doc_id
+    document (the kept copy) — the Lee et al. remove-duplicated-spans
+    transform expressed as set algebra: anchor occurrences → per-gram
+    (first_doc, df) stats → duplicate-side occurrences → DISTINCT
+    covered token positions → per-doc census (total / scrubbed / kept
+    tokens, distinct duplicated anchors). Deterministic keep-first
+    policy (min doc_id owns each gram), same df-cap as the pair report
+    so boilerplate never scrubs. One row per affected document.
+
+    Scale: two shuffles on the gram (stats + re-join — the second
+    reuses the first's hash partitioning), one explode that fans out
+    ≤ K× the duplicate-side occurrences (bounded by the df-cap), and
+    two doc-keyed aggregates. No windows, no driver state; the actual
+    text rewrite at 100 TB is a map-side `filter(tokens, (t, i) -> NOT
+    covered(i))` against this relation broadcast per doc-shard or
+    joined on doc_id.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", T.tokens(F.col("text")).alias("toks")
+    )
+    sized = toks.select("doc_id", "toks", F.size("toks").alias("n_tokens"))
+    g = (
+        sized.filter(F.col("n_tokens") >= _SPAN_K)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.col("n_tokens") - _SPAN_K + 1),
+                    lambda i: F.array_join(
+                        F.slice(F.col("toks"), i, _SPAN_K), " "
+                    ),
+                )
+            ).alias("pos0", "gram"),
+        )
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "gram")
+    )
+    stats = (
+        g.groupBy("gram")
+        .agg(
+            F.min("doc_id").alias("first_doc"),
+            F.countDistinct("doc_id").alias("nd"),
+        )
+        .filter((F.col("nd") >= 2) & (F.col("nd") <= _SPAN_DF_CAP))
+        .select(F.col("gram").alias("kept_gram"), "first_doc")
+    )
+    dup = (
+        g.join(stats, g.gram == stats.kept_gram)
+        .filter(F.col("doc_id") > F.col("first_doc"))
+        .select("doc_id", "pos", "gram")
+    )
+    cov = dup.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.col("pos"), F.col("pos") + _SPAN_K - 1)
+        ).alias("tk"),
+    ).distinct()
+    sc = cov.groupBy("doc_id").agg(F.count("*").alias("tokens_scrubbed"))
+    gr = dup.groupBy("doc_id").agg(
+        F.countDistinct("gram").alias("n_dup_grams")
+    )
+    return (
+        sc.join(gr, "doc_id")
+        .join(sized.select("doc_id", "n_tokens"), "doc_id")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            "tokens_scrubbed",
+            (F.col("n_tokens") - F.col("tokens_scrubbed"))
+            .cast("bigint")
+            .alias("tokens_kept"),
+            "n_dup_grams",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # L4 — sequence packing census: concat-then-chunk assignment of docs to
 # fixed token-budget bins (the pre-training batch-construction step).

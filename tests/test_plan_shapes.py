@@ -668,9 +668,9 @@ def test_udf_crossing_battery_refs_resolve():
         assert required in _b, required
 
 
-def _dollar_outside_class(pattern: str) -> bool:
-    """True if `pattern` contains a `$` that is a real end-anchor:
-    not backslash-escaped and not inside a [...] character class."""
+def _naked_outside_class(pattern: str, target: str) -> bool:
+    """True if `pattern` contains `target` ('$' or '.') un-escaped and
+    outside a [...] character class — i.e. as a real anchor / any-char."""
     in_class = False
     esc = False
     for ch in pattern:
@@ -683,9 +683,13 @@ def _dollar_outside_class(pattern: str) -> bool:
             in_class = True
         elif ch == "]" and in_class:
             in_class = False
-        elif ch == "$" and not in_class:
+        elif ch == target and not in_class:
             return True
     return False
+
+
+def _dollar_outside_class(pattern: str) -> bool:
+    return _naked_outside_class(pattern, "$")
 
 
 def test_spark_regex_literals_mirror_re2():
@@ -744,6 +748,12 @@ def test_spark_regex_literals_mirror_re2():
                                 f"{rel}:{lineno}: bare $ anchor in {pat!r}"
                                 " (Java matches before a trailing newline —"
                                 " use \\z)"
+                            )
+                        if _naked_outside_class(pat, "."):
+                            bad.append(
+                                f"{rel}:{lineno}: naked . in {pat!r}"
+                                " (Java . excludes \\r/NEL/LSEP, RE2 ."
+                                " excludes only \\n — spell the class)"
                             )
     assert not bad, "Java-vs-RE2 divergent regex literals:\n" + "\n".join(bad)
 

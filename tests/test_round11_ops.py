@@ -72,6 +72,74 @@ def _brute_force(texts: dict[int, str]):
     return expected
 
 
+def _brute_force_scrub(texts: dict[int, str]):
+    """Independent keep-first span scrub: set algebra in plain loops."""
+    occ: dict[int, list[tuple[int, str]]] = {}
+    doc_sets: dict[str, set[int]] = defaultdict(set)
+    n_tokens: dict[int, int] = {}
+    for doc_id, text in texts.items():
+        toks = [t for t in _WS.split(text or "") if t]
+        n_tokens[doc_id] = len(toks)
+        if len(toks) < K:
+            continue
+        rows = []
+        for i in range(len(toks) - K + 1):
+            gram = " ".join(toks[i : i + K])
+            rows.append((i + 1, gram))
+            doc_sets[gram].add(doc_id)
+        occ[doc_id] = rows
+    first = {g: min(ds) for g, ds in doc_sets.items()}
+    kept = {g for g, ds in doc_sets.items() if 2 <= len(ds) <= DF_CAP}
+    expected = {}
+    for doc_id, rows in occ.items():
+        covered: set[int] = set()
+        grams: set[str] = set()
+        for pos, gram in rows:
+            if gram in kept and doc_id > first[gram]:
+                covered.update(range(pos, pos + K))
+                grams.add(gram)
+        if covered:
+            expected[doc_id] = (
+                n_tokens[doc_id],
+                len(covered),
+                n_tokens[doc_id] - len(covered),
+                len(grams),
+            )
+    return expected
+
+
+def test_l1_span_scrub_census_matches_python_reimplementation(spark):
+    _ensure_loaded()
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, SF, "documents").select("doc_id", "text").collect()
+    }
+    expected = _brute_force_scrub(texts)
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"],
+            r["tokens_scrubbed"],
+            r["tokens_kept"],
+            r["n_dup_grams"],
+        )
+        for r in REGISTRY["l1_span_scrub_census"].fn(spark, SF).collect()
+    }
+    assert got == expected
+    assert len(got) >= 5  # non-degenerate fixture
+    # conservation + sanity: scrubbed+kept == total, every scrub >= K
+    for n, scrubbed, kept_t, grams in got.values():
+        assert scrubbed + kept_t == n
+        assert scrubbed >= K and grams >= 1
+    # cross-operator consistency: every duplicate side (doc_b) of the
+    # pair report must appear in the scrub census — the report and the
+    # action agree on who holds duplicated spans
+    pair_bs = {
+        r["doc_b"]
+        for r in REGISTRY["l2_substring_span_pairs"].fn(spark, SF).collect()
+    }
+    assert pair_bs <= set(got)
+
+
 def test_l2_substring_span_pairs_matches_python_reimplementation(spark):
     _ensure_loaded()
     texts = {
