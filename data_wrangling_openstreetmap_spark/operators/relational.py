@@ -23,6 +23,7 @@ from ..sources.pyds import ledger_oracle_cte
 from ._helpers import (
     cents,
     davg,
+    register_pyds,
     dsum,
     money,
     oracle_cents,
@@ -2922,7 +2923,7 @@ def s27_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     if not _S27_AVAILABLE:  # pragma: no cover
         raise NotImplementedError("pyspark.sql.datasource requires Spark 4")
-    spark.dataSource.register(SynthTelemetryDataSource)
+    register_pyds(spark, SynthTelemetryDataSource)
     feed = (
         spark.read.format("dwos_synth")
         .option("partitions", _S27_PARTS)
@@ -3069,7 +3070,7 @@ def s28_pushdown_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     # other Python sources implement no pushFilters, so their behavior
     # is unchanged either way).
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
-    spark.dataSource.register(SynthPushdownDataSource)
+    register_pyds(spark, SynthPushdownDataSource)
     feed = (
         spark.read.format("dwos_synth_pushdown")
         .option("partitions", _S27_PARTS)
@@ -3199,7 +3200,7 @@ def s29_python_datasink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     if not _S27_AVAILABLE:  # pragma: no cover
         raise NotImplementedError("pyspark.sql.datasource requires Spark 4")
-    spark.dataSource.register(JsonlSinkDataSource)
+    register_pyds(spark, JsonlSinkDataSource)
     orders = load_table(spark, sf_dir, "orders")
     path = tempfile.mkdtemp(prefix="dwos_s29_") + "/orders_jsonl"
     (
@@ -3326,7 +3327,7 @@ def st24_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     if not _S27_AVAILABLE:  # pragma: no cover
         raise NotImplementedError("pyspark.sql.datasource requires Spark 4")
-    spark.dataSource.register(SynthTelemetryDataSource)
+    register_pyds(spark, SynthTelemetryDataSource)
     feed = (
         spark.read.format("dwos_synth")
         .option("partitions", _S27_PARTS)
@@ -3541,7 +3542,7 @@ def st25_partitioned_stream_source(spark: SparkSession, sf_dir: str) -> DataFram
     """
     if not _S27_AVAILABLE:  # pragma: no cover
         raise NotImplementedError("pyspark.sql.datasource requires Spark 4")
-    spark.dataSource.register(SynthTelemetryDataSource)
+    register_pyds(spark, SynthTelemetryDataSource)
     feed = (
         spark.read.format("dwos_synth")
         .option("partitions", _S27_PARTS)

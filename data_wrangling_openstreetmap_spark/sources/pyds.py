@@ -119,7 +119,8 @@ class LedgerDataSource(DataSource):
 
 def register_ledger_source(spark: SparkSession) -> None:
     """Idempotent per-session registration of the custom format."""
-    spark.dataSource.register(LedgerDataSource)
+    from ..operators._helpers import register_pyds
+    register_pyds(spark, LedgerDataSource)
 
 
 # The oracle-side regeneration of the same ledger, for graded queries.

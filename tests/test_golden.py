@@ -51,7 +51,11 @@ def golden_verdicts(request, spark, built_smoke):
     frames = {n: built_smoke.df(n) for n in names}  # serial, memoized
     if _THREADS == 1:
         return {n: _snapshot_verdict(frames[n], n) for n in names}
-    with ThreadPoolExecutor(max_workers=_THREADS) as ex:
+    from tests.test_oracle_parity import _bind_active_session
+
+    with ThreadPoolExecutor(
+        max_workers=_THREADS, initializer=_bind_active_session, initargs=(spark,)
+    ) as ex:
         futs = {n: ex.submit(_snapshot_verdict, frames[n], n) for n in names}
         return {n: f.result() for n, f in futs.items()}
 

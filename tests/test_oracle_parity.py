@@ -88,12 +88,28 @@ def _selected_names(request, test_name: str) -> list:
     return sorted(picked) or QUERY_NAMES
 
 
+def _bind_active_session(spark):
+    """JVM-side SparkSession.getActiveSession is a THREAD-LOCAL, and
+    py4j's pinned-thread mode maps each Python thread to its own JVM
+    thread — so a worker thread has NO active session, and any code
+    path that resolves through it (the Python DataSource registry
+    lookup in DataFrameWriter.save, observed live: DATA_SOURCE_NOT_
+    FOUND for dwos_jsonl_sink right after its own registration) fails.
+    Each pool worker binds the test session once."""
+    jvm = spark.sparkContext._jvm
+    jvm.org.apache.spark.sql.classic.SparkSession.setActiveSession(
+        spark._jsparkSession
+    )
+
+
 @pytest.fixture(scope="session")
 def parity_verdicts(request, spark, sf_dir):
     names = _selected_names(request, "test_query_matches_oracle")
     if _THREADS == 1:
         return {n: _check_one(spark, sf_dir, n) for n in names}
-    with ThreadPoolExecutor(max_workers=_THREADS) as ex:
+    with ThreadPoolExecutor(
+        max_workers=_THREADS, initializer=_bind_active_session, initargs=(spark,)
+    ) as ex:
         futs = {n: ex.submit(_check_one, spark, sf_dir, n) for n in names}
         return {n: f.result() for n, f in futs.items()}
 
