@@ -13,6 +13,7 @@ codegen end to end, no Python in the hot path. Filters are sargable
 from __future__ import annotations
 
 import os
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -5063,6 +5064,37 @@ GROUP BY r_name
 """
 
 
+# Live s13 artifacts for THIS process: per-construction table names and
+# temp roots that a concurrently-running build (threaded golden/parity
+# fixtures build s13 at several SFs at once) may still be reading.
+# Stale-artifact cleanup (ADVICE r11: the per-construction names never
+# collide but accumulate one catalog table + temp dir per build across
+# suite runs sharing a warehouse) must never drop a live one, so the
+# sweep removes only names absent from this set — i.e. leftovers from
+# PREVIOUS processes.
+_S13_LIVE_TABLES: set = set()
+_S13_LIVE_ROOTS: set = set()
+_S13_LOCK = threading.Lock()
+
+
+def _s13_sweep_stale(spark: SparkSession) -> None:
+    import shutil
+    import tempfile
+
+    for t in spark.catalog.listTables():
+        name = t.name
+        if (
+            name.startswith("s13_nation_relay_")
+            and name not in _S13_LIVE_TABLES
+        ):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+    tmp = tempfile.gettempdir()
+    for entry in os.listdir(tmp):
+        path = os.path.join(tmp, entry)
+        if entry.startswith("dwos_s13_") and path not in _S13_LIVE_ROOTS:
+            shutil.rmtree(path, ignore_errors=True)
+
+
 @register(
     "s13_sink_relay", oracle=_S13_ORACLE, tags=("S2", "S4", "S5", "S6")
 )
@@ -5087,7 +5119,10 @@ def s13_sink_relay(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = nation.join(
         region, nation.n_regionkey == region.r_regionkey
     ).select("n_nationkey", "n_name", "r_name")
-    root = tempfile.mkdtemp(prefix="dwos_s13_")
+    with _S13_LOCK:
+        _s13_sweep_stale(spark)
+        root = tempfile.mkdtemp(prefix="dwos_s13_")
+        _S13_LIVE_ROOTS.add(root)
 
     xml_path = root + "/hop1_xml"
     base.write.format("xml").option("rowTag", "row").mode("overwrite").save(
@@ -5126,6 +5161,8 @@ def s13_sink_relay(spark: SparkSession, sf_dir: str) -> DataFrame:
     table = "s13_nation_relay_" + os.path.basename(root).removeprefix(
         "dwos_s13_"
     )
+    with _S13_LOCK:
+        _S13_LIVE_TABLES.add(table)
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     (
         hop3.write.mode("overwrite")

@@ -76,7 +76,12 @@ def _check_one(spark, sf_dir: str, name: str):
 
 def _selected_names(request, test_name: str) -> list:
     """Only the names pytest actually collected for `test_name` — so a
-    `-k one_query` run pays for one query, not the whole registry."""
+    `-k one_query` run pays for one query, not the whole registry.
+
+    The fixture can only have been instantiated BY a collected
+    instance of `test_name`, so an empty pick means the hardcoded
+    prefix drifted from the actual test name — fail loudly instead of
+    silently running the full registry (ADVICE r11)."""
     picked = set()
     for item in request.session.items:
         callspec = getattr(item, "callspec", None)
@@ -85,7 +90,11 @@ def _selected_names(request, test_name: str) -> list:
         name = callspec.params.get("name")
         if name is not None:
             picked.add(name)
-    return sorted(picked) or QUERY_NAMES
+    assert picked, (
+        f"no collected test item matches prefix {test_name!r} — the "
+        "test was renamed without updating _selected_names callers"
+    )
+    return sorted(picked)
 
 
 def _bind_active_session(spark):
