@@ -5153,10 +5153,13 @@ _HTML_DUCK = _HTML_SPARK.replace("AS STRING", "AS VARCHAR")
 #   4. collapse whitespace runs, trim
 # NB: one pattern per element, NOT `<(script|style)…</\1>` — DuckDB's
 # RE2 has no backreferences and silently never matches that form.
-_STRIP_SCRIPT = r"<script[^>]*>.*?</script>"
-_STRIP_STYLE = r"<style[^>]*>.*?</style>"
+# Explicit classes, not `.`/`\s` (Java-vs-RE2 divergence: Java's `.`
+# additionally excludes \r/NEL/LSEP and Java's \s adds \x0B) —
+# `[^\n]` IS RE2's `.`, spelled identically in both engines.
+_STRIP_SCRIPT = r"<script[^>]*>[^\n]*?</script>"
+_STRIP_STYLE = r"<style[^>]*>[^\n]*?</style>"
 _STRIP_TAGS = r"<[^>]+>"
-_WS_RUNS = r"\s+"
+_WS_RUNS = r"[\t\n\f\r ]+"
 
 _L4_HTML_ORACLE = f"""
 WITH raw AS (SELECT doc_id, {_HTML_DUCK} AS html FROM documents),

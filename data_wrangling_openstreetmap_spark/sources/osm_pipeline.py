@@ -55,8 +55,10 @@ STREET_MAPPING = {
     "Ln": "Lane",
 }
 
-LOWER_RE = r"^[a-z_]+$"
-LOWER_COLON_RE = r"^[a-z_]+:[a-z_]+$"
+# \z not $: Java's $ matches BEFORE a trailing newline, so a raw key
+# "name\n" would classify as lower instead of problemchars.
+LOWER_RE = r"^[a-z_]+\z"
+LOWER_COLON_RE = r"^[a-z_]+:[a-z_]+\z"
 PROBLEM_RE = r"[=\+/&<>;'\"\?%#$@\,\. \t\r\n]"
 
 

@@ -1,0 +1,235 @@
+"""Property tests for the exact-substring span-dedup family
+(VERDICT r11 §Next 4): the operators were fixture-tuned
+(K = 8 anchor width, df-cap = 50), so this module plants ADVERSARIAL
+corpora that sit exactly on those knobs and runs BOTH engines
+(the driver-strict parity check) plus semantic assertions the fixture
+could never exercise:
+
+- cap saturation: a K-gram in df-cap + 1 documents must vanish from
+  the pair report AND the scrub (boilerplate never scrubs);
+- exact-cap boundary: df == cap keeps all C(cap, 2) pairs;
+- K boundary: a shared run of exactly K tokens is one anchor / span K;
+  a shared run of K − 1 tokens is invisible;
+- multi-span pairs, long-run span arithmetic (run + K − 1);
+- periodic self-similar documents (the Lee-et-al pathological case:
+  one token repeated — every in-doc position anchors the same gram);
+- a seeded random small-vocabulary corpus for blind cross-engine
+  parity where shared grams are dense and overlapping.
+"""
+
+from __future__ import annotations
+
+import random
+import shutil
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from tests.test_oracle_parity import _check_one
+
+SPAN_K = 8
+DF_CAP = 50
+SRC_SF = "/root/testdata/sf0.001"
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def _mk_sf_dir(tmp_path_factory, name: str, docs: list[tuple[int, str]]) -> str:
+    """A driver-shaped sf_dir whose documents table is the planted
+    corpus (other tables copied from sf0.001 so oracle view
+    registration binds)."""
+    d = tmp_path_factory.mktemp(name)
+    for t in TABLES:
+        shutil.copy(f"{SRC_SF}/{t}.parquet", d / f"{t}.parquet")
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([i for i, _ in docs], pa.int64()),
+            "text": pa.array([t for _, t in docs], pa.string()),
+            "lang": pa.array(["en"] * len(docs), pa.string()),
+            "source": pa.array(["planted"] * len(docs), pa.string()),
+            "n_chars": pa.array([len(t) for _, t in docs], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, d / "documents.parquet")
+    return str(d)
+
+
+def _words(prefix: str, n: int) -> list[str]:
+    return [f"{prefix}{i}" for i in range(n)]
+
+
+def _doc(doc_id: int, *chunks: list[str]) -> tuple[int, str]:
+    toks: list[str] = []
+    for c in chunks:
+        toks.extend(c)
+    return doc_id, " ".join(toks)
+
+
+def _filler(doc_id: int, n: int) -> list[str]:
+    """Doc-unique tokens — can never form a cross-doc shared gram."""
+    return [f"f{doc_id}x{i}" for i in range(n)]
+
+
+@pytest.fixture(scope="module")
+def planted_sf(tmp_path_factory):
+    docs: list[tuple[int, str]] = []
+    # K boundary: docs 1/2 share EXACTLY K contiguous tokens.
+    s = _words("s", SPAN_K)
+    docs.append(_doc(1, _filler(1, 5), s, _filler(1, 5)[::-1]))
+    docs.append(_doc(2, _filler(2, 4), s, _filler(2, 6)[::-1]))
+    # Below the floor: docs 3/4 share EXACTLY K-1 contiguous tokens.
+    t = _words("t", SPAN_K - 1)
+    docs.append(_doc(3, _filler(3, 6), t, _filler(3, 4)[::-1]))
+    docs.append(_doc(4, _filler(4, 3), t, _filler(4, 7)[::-1]))
+    # Long run: docs 5/6 share 12 contiguous tokens -> span 12,
+    # 12 - K + 1 = 5 shared anchors.
+    u = _words("u", 12)
+    docs.append(_doc(5, _filler(5, 2), u, _filler(5, 2)[::-1]))
+    docs.append(_doc(6, _filler(6, 3), u, _filler(6, 1)[::-1]))
+    # Two DISJOINT K-spans in one pair: docs 7/8.
+    v, w = _words("v", SPAN_K), _words("w", SPAN_K)
+    docs.append(_doc(7, v, _filler(7, 5), w))
+    docs.append(_doc(8, w, _filler(8, 6), v))
+    # Periodic pathology: docs 9/10 are one repeated token.
+    docs.append(_doc(9, ["p"] * 10))
+    docs.append(_doc(10, ["p"] * 10))
+    # Cap saturation: DF_CAP + 1 docs all carry the same K-run.
+    b = _words("b", SPAN_K)
+    for i in range(DF_CAP + 1):
+        docs.append(_doc(100 + i, _filler(100 + i, 3), b))
+    # Exact cap boundary: DF_CAP docs all carry the same K-run.
+    c = _words("c", SPAN_K)
+    for i in range(DF_CAP):
+        docs.append(_doc(300 + i, _filler(300 + i, 3), c))
+    return _mk_sf_dir(tmp_path_factory, "span_planted", docs)
+
+
+@pytest.fixture(scope="module")
+def random_sf(tmp_path_factory):
+    rng = random.Random(0xD12)
+    vocab = [f"z{i}" for i in range(5)]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(8, 40))))
+        for i in range(1, 31)
+    ]
+    return _mk_sf_dir(tmp_path_factory, "span_random", docs)
+
+
+def _collect(spark, sf_dir, name):
+    from data_wrangling_openstreetmap_spark.registry import REGISTRY
+
+    df = REGISTRY[name].fn(spark, sf_dir)
+    return {tuple(r) for r in df.collect()}, df.columns
+
+
+def test_span_pairs_planted_parity(spark, planted_sf):
+    assert _check_one(spark, planted_sf, "l2_substring_span_pairs") is None
+
+
+def test_span_scrub_planted_parity(spark, planted_sf):
+    assert _check_one(spark, planted_sf, "l1_span_scrub_census") is None
+
+
+def test_span_pairs_planted_semantics(spark, planted_sf):
+    rows, cols = _collect(spark, planted_sf, "l2_substring_span_pairs")
+    by_pair = {
+        (r[cols.index("doc_a")], r[cols.index("doc_b")]): r for r in rows
+    }
+
+    def field(pair, col):
+        return by_pair[pair][cols.index(col)]
+
+    # K boundary: exactly-K share -> one anchor, span K.
+    assert field((1, 2), "n_shared_grams") == 1
+    assert field((1, 2), "longest_span_tokens") == SPAN_K
+    assert field((1, 2), "witness_gram") == " ".join(_words("s", SPAN_K))
+    # K-1 share is invisible.
+    assert (3, 4) not in by_pair
+    # Long run: span 12, 5 anchors.
+    assert field((5, 6), "longest_span_tokens") == 12
+    assert field((5, 6), "n_shared_grams") == 12 - SPAN_K + 1
+    # Two disjoint K-spans: 2 anchors, longest still K.
+    assert field((7, 8), "n_shared_grams") == 2
+    assert field((7, 8), "longest_span_tokens") == SPAN_K
+    # Periodic docs: the single gram 'p'*K anchors at every in-doc
+    # position; the main diagonal carries a 3-run -> span 10 (the
+    # whole doc), and there is exactly ONE distinct gram.
+    assert field((9, 10), "n_shared_grams") == 1
+    assert field((9, 10), "longest_span_tokens") == 10
+    # Cap saturation: df = cap+1 docs sharing the b-run produce NO pair.
+    saturated = [p for p in by_pair if 100 <= p[0] <= 100 + DF_CAP]
+    assert saturated == []
+    # Exact cap: df = cap keeps every pair among the 50 carriers.
+    boundary = [p for p in by_pair if 300 <= p[0] <= 300 + DF_CAP]
+    assert len(boundary) == DF_CAP * (DF_CAP - 1) // 2
+    # and nothing else leaked.
+    assert len(by_pair) == 4 + len(boundary)
+
+
+def test_span_scrub_planted_semantics(spark, planted_sf):
+    rows, cols = _collect(spark, planted_sf, "l1_span_scrub_census")
+    by_doc = {r[cols.index("doc_id")]: r for r in rows}
+
+    def field(doc, col):
+        return by_doc[doc][cols.index(col)]
+
+    # Keep-first: the min-doc_id owner of each gram is never scrubbed.
+    for owner in (1, 3, 5, 7, 9, 300):
+        assert owner not in by_doc, f"span owner {owner} was scrubbed"
+    # Doc 2 loses exactly the K shared positions.
+    assert field(2, "tokens_scrubbed") == SPAN_K
+    assert field(2, "tokens_kept") == field(2, "n_tokens") - SPAN_K
+    # K-1 sharers are untouched.
+    assert 4 not in by_doc
+    # Doc 6 loses the full 12-token run.
+    assert field(6, "tokens_scrubbed") == 12
+    # Doc 8 carries BOTH spans of the (7, 8) pair -> 2K positions, and
+    # doc 7 owns both grams (7 < 8) so it keeps everything.
+    assert field(8, "tokens_scrubbed") == 2 * SPAN_K
+    assert field(8, "n_dup_grams") == 2
+    # Periodic doc 10 is scrubbed WHOLE (every position covered).
+    assert field(10, "tokens_scrubbed") == field(10, "n_tokens") == 10
+    assert field(10, "tokens_kept") == 0
+    # Cap saturation: none of the df = cap+1 carriers is scrubbed.
+    assert not any(100 <= d <= 100 + DF_CAP for d in by_doc)
+    # Exact cap: every non-first carrier loses exactly the K-run.
+    for i in range(1, DF_CAP):
+        assert field(300 + i, "tokens_scrubbed") == SPAN_K
+    # Scrubbed token mass == DISTINCT covered positions, recomputed
+    # independently in DuckDB from the raw corpus (not via the oracle).
+    con = duckdb.connect()
+    total = con.execute(
+        f"""
+        WITH t AS (
+          SELECT doc_id,
+                 string_split(trim(text), ' ') AS toks
+          FROM read_parquet('{planted_sf}/documents.parquet')),
+        g AS (
+          SELECT doc_id, i AS pos,
+                 array_to_string(toks[i:i + {SPAN_K} - 1], ' ') AS gram
+          FROM t, LATERAL unnest(generate_series(1, len(toks) - {SPAN_K} + 1)) AS u(i)
+          WHERE len(toks) >= {SPAN_K}),
+        st AS (SELECT gram, MIN(doc_id) AS fd, COUNT(DISTINCT doc_id) AS nd
+               FROM g GROUP BY gram),
+        dup AS (SELECT g.* FROM g JOIN st USING (gram)
+                WHERE nd BETWEEN 2 AND {DF_CAP} AND doc_id > fd),
+        cov AS (SELECT DISTINCT doc_id,
+                       unnest(generate_series(pos, pos + {SPAN_K} - 1)) AS tk
+                FROM dup)
+        SELECT COUNT(*) FROM cov
+        """
+    ).fetchone()[0]
+    con.close()
+    assert sum(field(d, "tokens_scrubbed") for d in by_doc) == total
+
+
+def test_span_family_random_corpus_parity(spark, random_sf):
+    """Dense overlapping shared grams from a 5-token vocabulary:
+    every diagonal/island/dedup edge case the planted corpus spells
+    out individually occurs here at once — blind cross-engine check."""
+    assert _check_one(spark, random_sf, "l2_substring_span_pairs") is None
+    assert _check_one(spark, random_sf, "l1_span_scrub_census") is None
