@@ -50,45 +50,41 @@ ALL_MODULES = (
 # value-hash-graded, none rows-only. Order within the window is
 # thematic, not significance-ranked — only membership matters.
 #
-# ROUND-11 ROTATION — THE POOL-CLOSING ROUND: 48 of the 50 slots are
-# the ENTIRE remaining never-driver-graded oracled pool (438 unique
-# names carry driver signal from rounds 1-10, all green at their latest
-# grade; the 48 below are exactly the oracled registry minus that union
-# — recomputed from CORRECTNESS_r01–r10 when this window was built, and
-# matching VERDICT r10 / ROUND10_NOTES §10 to the name). If this window
-# grades green, cumulative unique = 486 and EVERY full-oracle query has
-# been driver-hash-graded at least once; the only never-graded names
-# left are the two rows-only multimodal codec stubs (m3_image_resize,
-# m4_feature_extract — no oracle by design, env-gated codecs).
+# ROUND-12 ROTATION — the first MAJORITY-SENTINEL window, built by the
+# policy below (written round 11, endorsed by VERDICT r11 §Next 1):
 #
-# SENTINEL LANE, ROUND 11 (standing policy below): with the pool taking
-# 48 slots, 2 slots re-grade previously-green names whose source
-# churned after their grade — VERDICT r10 §Next 1's named picks:
-#   w5_last_ignorenulls  graded r5; windows.py churned r10 at the
-#                        first/last-carry region itself (the j7/j15
-#                        struct-carry rewrites) — covers W5
-#   l2_dup_clusters      graded r3; the round-10 iter_ckpt rewrite
-#                        landed inside its own fixpoint loop — covers
-#                        the connected-components / L2 surface
+# AUTOMATIC picks (6):
+#   u16_udtf_signature_rollup   its ORACLE was edited in round 11 — the
+#                               checked-in r8 grade certifies dead text
+#   j4_anti_join                VERDICT r10 #3 carry-over (j19's anti
+#                               gate is vacuous at this fixture; J4's
+#                               freshest non-degenerate grade is r6)
+#   l2_substring_span_pairs     never-graded round-11 first-timer
+#   l1_span_scrub_census        never-graded round-11 first-timer
+#   l1_incremental_span_scrub   NEW round 12 (ingestion-time span
+#                               scrub) — never graded
+#   l3_ann_recall_contract      oracle AND body edited round 12 (floor
+#                               0.45 → 0.70 after the LSH/IVF tuning)
 #
-# TAG COVERAGE, AMENDED FOR THE ENDGAME: a window drawn from a shrinking
-# pool cannot carry a representative of every §2 tag (the 48 below span
-# 25 of 68 tags). tests/test_plan_shapes.py::
-# test_driver_window_covers_all_tags now enforces the real invariant:
-# every registry tag has a representative EITHER in the window OR among
-# names the driver has already hash-graded green (ledger union checked
-# in at the repo root) — so a tag can never silently lose its driver
-# correctness signal, which was always the point.
+# CHURN SENTINELS (44), staleness-ranked per the policy:
+#   - the ENTIRE udfs.py surface (19): the module was rewritten
+#     wholesale in round 11 (battery-driven body rewrites, +324
+#     lines); every grade in it predates that rewrite.
+#   - the regex-closure consumers (12): the sixteen \z/explicit-class
+#     expression rewrites of round 11 plus l4_html_extract, whose
+#     shared pattern constants were fixed THIS round by the AST lint
+#     (naked-dot / \s classes) — oracles unchanged, bodies not.
+#   - the tokenizer consumers (2): q9_text_stats and l4_token_counts
+#     ride functions/text.py, whose whitespace class changed r11.
+#   - oldest-grade names (11): graded r1–r3 in files that churned many
+#     rounds since, tie-broken toward headline bench queries
+#     (q1/q2/q10) and thin-tag carriers per the policy.
 #
-# ROUND-12+ WINDOW POLICY (decided now, per VERDICT r10 §Next 4 —
-# round 11 exhausts the never-graded pool, so from round 12 the window
-# is majority-sentinel):
+# ROUND-13+ WINDOW POLICY (standing, decided round 11 per VERDICT r10
+# §Next 4 — kept verbatim so the next rotation follows it):
 #   1. AUTOMATIC picks, in order: (a) any name whose oracle or operator
 #      body an ADVICE finding touched this round; (b) any name REWRITTEN
-#      this round (the j7/j15 precedent); (c) j4_anti_join FIRST in
-#      round 12 specifically — VERDICT r10 flagged that j19's anti-gate
-#      is vacuous at this fixture, so J4's freshest non-degenerate grade
-#      is r6 against since-reorganized source.
+#      this round (the j7/j15 precedent); (c) never-graded new names.
 #   2. CHURN-RANKED sentinels fill the rest: for each graded name,
 #      compute (last round its defining file was touched) − (round of
 #      its latest grade); pick the largest-staleness names first,
@@ -99,77 +95,62 @@ ALL_MODULES = (
 #   3. The tag-coverage invariant (window ∪ graded-green must span every
 #      tag) and the all-oracled rule (no rows-only names in the window)
 #      are unchanged and remain machine-checked.
-#
-# SENTINEL RE-GRADE POLICY (standing, effective round 8): once the
-# never-graded pool can no longer fill 50 slots — or from round 8
-# regardless, for ~5 slots — the window reserves slots for CHURN
-# SENTINELS: previously-green names whose source or shared helpers
-# changed since their grade, chosen each round by diffing the
-# operators/ tree against the round the name was graded in.
 DRIVER_WINDOW = (
-    # churn sentinels (see SENTINEL LANE above):
-    "w5_last_ignorenulls",
-    "l2_dup_clusters",
-    # the entire remaining never-graded oracled pool (48 names),
-    # including the seven thin-tag carriers VERDICT r10 named:
-    # a26 (A8), w7 (F3), a47 (J2), q46 (J5), l4_score_calibration (L1),
-    # m8 (L5), s33 (S1).
-    # — text/corpus battery:
-    "l4_k_anonymity",
-    "l4_corpus_report",
-    "l4_blocklist_filter",
-    "l4_mixture_plan",
-    "l4_lexicon_sentiment",
-    "l4_score_calibration",
-    "l4_score_auc",
-    # — embedding math:
-    "l6_prefix_energy",
-    "l6_centroid_drift",
-    "l6_feature_standardize",
-    # — aggregate/statistics family:
-    "a41_weighted_median",
-    "a43_user_entropy",
-    "a45_tukey_outliers",
-    "a48_trimmed_mean",
-    "a51_permutation_test",
-    "a52_price_indices",
-    "a53_xbar_control",
-    "a54_record_statistics",
-    "a19_histogram",
-    "a26_gini_concentration",
-    "a47_hazard_curve",
-    # — business-query composites:
-    "q46_share_of_parent",
-    "q47_interpurchase_distribution",
-    "q49_pareto_skyline",
-    "q53_abc_xyz",
-    "q54_sla_attainment",
-    "q57_receivables_aging",
-    "q60_rate_volume_decomposition",
-    # — functions / error-handling:
-    "f14_try_arithmetic",
-    "f20_presence_bitmap",
-    "f26_try_battery",
-    # — sources / multimodal / data-ops:
-    "m8_mime_sniff_router",
-    "s33_corrupt_file_resilience",
-    "dp1_column_profile",
-    "dq12_cross_table_volume_drift",
-    "d8_compaction_planner",
-    # — SQL frontend:
-    "x12_parameterized_sql",
-    "x15_lateral_alias_sql",
-    # — window family:
-    "w6_rank_fractions",
-    "w7_range_interval_frame",
-    "w24_runs_test",
-    "w35_rolling_median",
-    "w37_weighted_moving_average",
-    "w39_hampel_repair",
-    "w41_mase",
-    "w42_peak_census",
-    "w44_drawdown_duration",
-    "w45_burstiness",
+    # automatic picks:
+    "u16_udtf_signature_rollup",
+    "j4_anti_join",
+    "l2_substring_span_pairs",
+    "l1_span_scrub_census",
+    "l1_incremental_span_scrub",
+    "l3_ann_recall_contract",
+    # udfs.py module-rewrite sentinels:
+    "u1_scalar_udf_normalize",
+    "u1b_arrow_udf_normalize",
+    "u2_pandas_udf_score",
+    "u2b_pandas_iter_udf",
+    "u3_grouped_map_zscore",
+    "u4b_grouped_agg_udaf",
+    "u5_udtf_tag_split",
+    "u6_map_in_arrow",
+    "u7_sql_udf",
+    "u8_sql_udtf",
+    "u9_polymorphic_udtf",
+    "u10_apply_in_arrow",
+    "u11_udtf_table_arg",
+    "u12_cogrouped_asof",
+    "u13_cogrouped_arrow",
+    "u14_arrow_udtf",
+    "u15_udf_keyed_median_udaf",
+    "u17_udtf_keyed_median_chain",
+    "u18_five_crossing_bridge",
+    # regex-closure consumers (r11 \z rewrites + r12 l4_html_extract):
+    "p3_regex_classify",
+    "p4_regex_extract",
+    "p3b_name_classify",
+    "p7_part_noun_brand",
+    "p9_anchored_type_noun",
+    "p11_chained_parse_normalize",
+    "p12_customer_profile_shaping",
+    "p13_part_shaping",
+    "f2_regex_standardize",
+    "l4_url_normalize",
+    "m0_binary_ingest",
+    "l4_html_extract",
+    # tokenizer consumers (functions/text.py changed r11):
+    "q9_text_stats",
+    "l4_token_counts",
+    # oldest-grade sentinels (graded r1–r3; headline + thin tags first):
+    "q10_cosine_topk",
+    "q1_pricing_summary",
+    "q2_join_chain",
+    "l1_exact_dedup",
+    "l4_lang_id",
+    "l4_quality_score",
+    "l2_ngram_jaccard",
+    "l3_cosine_topk_hof",
+    "a6_grouping_sets",
+    "f1_string_funcs",
+    "q16_funnel",
 )
 
 assert len(DRIVER_WINDOW) == 50, len(DRIVER_WINDOW)

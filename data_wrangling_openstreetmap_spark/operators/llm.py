@@ -1033,24 +1033,28 @@ def _hyperplanes(n_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
 @register("l3_ann_lsh", oracle=None, tags=("L3",))
 def l3_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 cosine neighbors via random-hyperplane LSH with
-    OR-amplification: 6 independent hash tables × 4 sign bits (16
+    OR-amplification: 12 independent hash tables × 4 sign bits (16
     buckets each); candidates meet if they collide in ANY table.
 
     Scale: replaces q10's O(n²·d) with O(tables · Σ bucket²·d) — at 16
-    buckets/table that's ~6/16 ≈ 3/8 the exact cost here and shrinks
-    quadratically as buckets grow with n (planes ≈ log2(n/target_bucket)).
+    buckets/table that's ~12/16 = 3/4 the exact cost here but shrinks
+    quadratically as buckets grow with n (planes ≈ log2(n/target_bucket);
+    the table count buys recall INDEPENDENTLY of the per-table bucket
+    count, so at scale the same 12 tables ride finer bucketing).
     Everything up to the bucket self-join is a projection; the join
-    shuffles on (table, bucket) — a narrow int pair. More tables raise
-    recall (tests measure it against q10: ~0.6 at this setting, vs 1/16
-    chance); DuckDB can't express meet-in-bucket, hence rows-only
-    grading with the exact form as the in-repo recall oracle.
+    shuffles on (table, bucket) — a narrow int pair. Table count tuned
+    round 12 (VERDICT r11 §Next 7): 6×4 measured recall@5 0.576
+    (sf0.01) / 0.614 (sf0.1); 12×4 measures 0.812 / 0.855 — the ≥ 0.70
+    contract floor holds with margin at both SFs. DuckDB can't express
+    meet-in-bucket, hence rows-only grading with the exact form as the
+    in-repo recall oracle.
 
     Oracle conversion CLOSED (VERDICT r7 §Next #6): the model is a
     sampled/probabilistic index whose value contract is recall, and
     that contract IS driver-graded via l3_ann_recall_contract.
     """
     e = load_table(spark, sf_dir, "embeddings")
-    n_tables, n_planes = 6, 4
+    n_tables, n_planes = 12, 4
     tables = [
         _hyperplanes(n_planes, 64, seed=1000 + t) for t in range(n_tables)
     ]
@@ -1116,24 +1120,30 @@ def l3_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("l3_ann_ivf", oracle=None, tags=("L3",))
 def l3_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 cosine neighbors via IVF: a coarse k-means
-    quantizer (16 cells) trained with pyspark.ml KMeans **on a seeded
-    sample**, each query probing its `nprobe`=4 nearest cells;
-    candidates meet in an equi-join on cell id.
+    quantizer (32 cells) trained with pyspark.ml KMeans **on a seeded
+    sample**, each index vector assigned to its `nassign`=2 nearest
+    cells (multi-assignment — the standard boundary-case fix: a true
+    neighbor straddling a cell border is reachable through either
+    copy), each query probing its `nprobe`=8 nearest cells; candidates
+    meet in an equi-join on cell id, deduped before scoring.
 
     Scale contract (every stage distributed — nothing collects the
     table):
-    - quantizer: ``df.sample(seed)`` caps the training set; only the 16
-      centroid vectors (16×64 doubles) ever reach the driver, then
+    - quantizer: ``df.sample(seed)`` caps the training set; only the 32
+      centroid vectors (32×64 doubles) ever reach the driver, then
       broadcast back as a literal dimension frame;
-    - assignment + probes: one broadcast nested-loop over 16 centroids
-      (n×16 rows), dot products as JVM higher-order functions, ranked
+    - assignment + probes: one broadcast nested-loop over 32 centroids
+      (n×32 rows), dot products as JVM higher-order functions, ranked
       per vector — a projection, no shuffle of the vectors themselves;
     - candidates: equi-join probes×assignments on cell id — cost
-      Σ(probed cells × cell size) instead of n²; each vector belongs to
-      exactly one cell so no pair dedup is needed;
+      Σ(probes·assigns per cell) ≤ (nprobe·nassign/n_cells)·n² instead
+      of n²; multi-assignment duplicates a pair that meets in two
+      shared cells, collapsed by one narrow DISTINCT before scoring;
     - top-k: row_number window per query id.
-    Raising nprobe trades cost for recall (tests measure recall against
-    the exact q10).
+    nprobe/nassign trade cost for recall; round-12 tuning (VERDICT r11
+    §Next 7) measured recall@5 vs exact: 16 cells/nprobe 4/nassign 1
+    (the prior setting) 0.547 sf0.01 / 0.554 sf0.1; the shipped
+    32/8/2 measures 0.830 / 0.818 — ≥ 0.70 with margin at both SFs.
 
     Oracle conversion CLOSED (VERDICT r7 §Next #6): the quantizer is a
     sampled KMeans model with no DuckDB image; the value contract
@@ -1147,7 +1157,7 @@ def l3_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    n_cells, nprobe, k = 16, 4, 5
+    n_cells, nprobe, nassign, k = 32, 8, 2, 5
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     unit = e.select("vec_id", V.l2_normalize(F.col("embedding")).alias("u"))
 
@@ -1177,14 +1187,22 @@ def l3_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w_cell = Window.partitionBy("vec_id").orderBy(F.col("score").desc(), "cell")
     ranked = scored.withColumn("rk", F.row_number().over(w_cell))
-    assign = ranked.filter(F.col("rk") == 1).select(
+    assign = ranked.filter(F.col("rk") <= nassign).select(
         F.col("vec_id").alias("i_id"), F.col("u").alias("i_u"), "cell"
     )
     probes = ranked.filter(F.col("rk") <= nprobe).select(
         F.col("vec_id").alias("q_id"), F.col("u").alias("q_u"), "cell"
     )
 
-    cand = probes.join(assign, "cell").filter(F.col("q_id") != F.col("i_id"))
+    # Multi-assignment means one (query, index) pair can meet in up to
+    # nassign cells — collapse before scoring so the top-k window never
+    # sees duplicate candidate rows.
+    cand = (
+        probes.join(assign, "cell")
+        .filter(F.col("q_id") != F.col("i_id"))
+        .select("q_id", "q_u", "i_id", "i_u")
+        .distinct()
+    )
     cos = F.round(V.dot(F.col("q_u"), F.col("i_u")), 6)
     pairs = cand.select(
         F.col("q_id").alias("vec_id"),
@@ -2289,6 +2307,143 @@ def l1_span_scrub_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# L1/L2 — INCREMENTAL span scrub (round 12, VERDICT r11 §Next 7b): the
+# ingestion-time image of l1_span_scrub_census — an arriving batch is
+# scrubbed against the KEPT corpus's K-gram anchor index, composing
+# l1_cross_corpus_dedup's corpus/incoming split (doc-level) with the
+# round-11 span machinery (span-level). Same parity convention: even
+# doc_ids = established corpus, odd = the incoming snapshot.
+# ---------------------------------------------------------------------------
+
+_INCR_SCRUB_ORACLE = f"""
+WITH tt AS (SELECT doc_id, {_ORACLE_TOKS} AS toks FROM documents),
+g AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(toks[i:i + {_SPAN_K} - 1], ' ') AS gram
+  FROM tt, LATERAL unnest(generate_series(1, len(toks) - {_SPAN_K} + 1)) AS u(i)
+  WHERE len(toks) >= {_SPAN_K}),
+idx AS (
+  SELECT gram FROM g WHERE doc_id % 2 = 0
+  GROUP BY gram HAVING COUNT(DISTINCT doc_id) <= {_SPAN_DF_CAP}),
+hit AS (
+  SELECT g.doc_id, g.pos, g.gram
+  FROM g JOIN idx USING (gram) WHERE g.doc_id % 2 = 1),
+cov AS (
+  SELECT DISTINCT doc_id, tk FROM (
+    SELECT doc_id, unnest(generate_series(pos, pos + {_SPAN_K} - 1)) AS tk
+    FROM hit)),
+src AS (
+  SELECT h.doc_id, COUNT(DISTINCT c.doc_id) AS n_src_docs
+  FROM (SELECT DISTINCT doc_id, gram FROM hit) h
+  JOIN (SELECT DISTINCT doc_id, gram FROM g WHERE doc_id % 2 = 0) c
+    USING (gram)
+  GROUP BY h.doc_id),
+sc AS (SELECT doc_id, COUNT(*) AS tokens_scrubbed FROM cov GROUP BY doc_id),
+gr AS (SELECT doc_id, COUNT(DISTINCT gram) AS n_hit_grams FROM hit GROUP BY doc_id)
+SELECT sc.doc_id,
+       CAST(len(tt.toks) AS BIGINT) AS n_tokens,
+       CAST(sc.tokens_scrubbed AS BIGINT) AS tokens_scrubbed,
+       CAST(len(tt.toks) - sc.tokens_scrubbed AS BIGINT) AS tokens_kept,
+       CAST(gr.n_hit_grams AS BIGINT) AS n_hit_grams,
+       CAST(src.n_src_docs AS BIGINT) AS n_src_docs
+FROM sc JOIN gr USING (doc_id) JOIN src USING (doc_id) JOIN tt USING (doc_id)
+"""
+
+
+@register(
+    "l1_incremental_span_scrub",
+    oracle=_INCR_SCRUB_ORACLE,
+    tags=("L1", "L2", "J1"),
+)
+def l1_incremental_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-time span scrub: an arriving snapshot (odd doc_ids)
+    is scrubbed against the KEPT corpus's (even doc_ids) K-gram anchor
+    index — a token position of an arriving document is scrubbed when
+    some K-gram covering it already exists in the corpus. Per affected
+    arrival: token census (total / scrubbed / kept), distinct index
+    hits, and how many corpus documents those anchors trace back to
+    (the provenance count a contamination report needs). The corpus
+    always wins (arrivals never scrub each other — that is the WITHIN-
+    batch job, l1_span_scrub_census); the same df-cap as the span
+    family keeps corpus boilerplate out of the index.
+
+    Scale: the anchor index is the PERSISTED artifact of this design —
+    at 100 TB it lives as a bucketed table keyed by the gram (or its
+    Karp–Rabin hash, shrinking shuffle bytes), built once and appended
+    after each admission, so an arriving batch joins stream-static
+    against it (exactly the st6 shape under readStream) and only the
+    batch's grams ever shuffle. Per-batch cost: one equi-join on the
+    gram, one K-bounded explode, one DISTINCT, three doc-keyed
+    aggregates — nothing rescans the corpus text.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", T.tokens(F.col("text")).alias("toks"))
+    sized = toks.select("doc_id", "toks", F.size("toks").alias("n_tokens"))
+    g = (
+        sized.filter(F.col("n_tokens") >= _SPAN_K)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.col("n_tokens") - _SPAN_K + 1),
+                    lambda i: F.array_join(
+                        F.slice(F.col("toks"), i, _SPAN_K), " "
+                    ),
+                )
+            ).alias("pos0", "gram"),
+        )
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "gram")
+    )
+    corp_g = g.filter(F.col("doc_id") % 2 == 0)
+    idx = (
+        corp_g.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") <= _SPAN_DF_CAP)
+        .select(F.col("gram").alias("kept_gram"))
+    )
+    hit = (
+        g.filter(F.col("doc_id") % 2 == 1)
+        .join(idx, g.gram == idx.kept_gram)
+        .select("doc_id", "pos", "gram")
+    )
+    cov = hit.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.col("pos"), F.col("pos") + _SPAN_K - 1)
+        ).alias("tk"),
+    ).distinct()
+    src = (
+        hit.select("doc_id", "gram")
+        .distinct()
+        .join(
+            corp_g.select(F.col("doc_id").alias("src_doc"), "gram").distinct(),
+            "gram",
+        )
+        .groupBy("doc_id")
+        .agg(F.countDistinct("src_doc").alias("n_src_docs"))
+    )
+    sc = cov.groupBy("doc_id").agg(F.count("*").alias("tokens_scrubbed"))
+    gr = hit.groupBy("doc_id").agg(
+        F.countDistinct("gram").alias("n_hit_grams")
+    )
+    return (
+        sc.join(gr, "doc_id")
+        .join(src, "doc_id")
+        .join(sized.select("doc_id", "n_tokens"), "doc_id")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            "tokens_scrubbed",
+            (F.col("n_tokens") - F.col("tokens_scrubbed"))
+            .cast("bigint")
+            .alias("tokens_kept"),
+            "n_hit_grams",
+            "n_src_docs",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # L4 — sequence packing census: concat-then-chunk assignment of docs to
 # fixed token-budget bins (the pre-training batch-construction step).
 # ---------------------------------------------------------------------------
@@ -2721,7 +2876,7 @@ def l2_simhash_invariance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ANN_RECALL_ORACLE = """
 SELECT 'ivf' AS method, CAST(COUNT(*) AS BIGINT) AS n_queries,
-       TRUE AS recall_ge_045
+       TRUE AS recall_ge_070
 FROM embeddings
 UNION ALL
 SELECT 'lsh', CAST(COUNT(*) AS BIGINT), TRUE FROM embeddings
@@ -2731,11 +2886,13 @@ SELECT 'lsh', CAST(COUNT(*) AS BIGINT), TRUE FROM embeddings
 @register("l3_ann_recall_contract", oracle=_ANN_RECALL_ORACLE, tags=("L3", "A4"))
 def l3_ann_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Accuracy contract for l3_ann_lsh and l3_ann_ivf: top-5 recall
-    against the exact broadcast-matmul k-NN (q10) must stay ≥ 0.45 per
-    method (measured at sf0.01: LSH 0.576, IVF 0.547 — both
-    deterministic under their fixed seeds; the floor leaves margin for
-    fixture regeneration). Recall here is micro-averaged: |ANN ∩
-    exact| / |exact| over all (query, neighbor) pairs.
+    against the exact broadcast-matmul k-NN (q10) must stay ≥ 0.70 per
+    method (floor raised from 0.45 in round 12 per VERDICT r11 §Next 7
+    after tuning: LSH 12 tables × 4 planes measures 0.812 at sf0.01 /
+    0.855 at sf0.1; IVF 32 cells, nprobe=8, nassign=2 measures 0.830 /
+    0.818 — both deterministic under their fixed seeds, both with
+    ≥ 0.11 margin at both graded SFs). Recall here is micro-averaged:
+    |ANN ∩ exact| / |exact| over all (query, neighbor) pairs.
 
     Scale: the contract reuses each method's own plan; the comparison
     itself is two left-semi joins on (vec_id, neighbor_id) int pairs —
@@ -2763,8 +2920,8 @@ def l3_ann_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(method).alias("method"),
                 "n_queries",
                 (
-                    F.col("n_match").cast("double") / F.col("n_exact") >= 0.45
-                ).alias("recall_ge_045"),
+                    F.col("n_match").cast("double") / F.col("n_exact") >= 0.70
+                ).alias("recall_ge_070"),
             )
         )
         out = row if out is None else out.unionAll(row)

@@ -124,16 +124,19 @@ def test_ann_lsh_subset_of_exact_and_recall(spark):
     approx_pairs = {(r.vec_id, r.neighbor_id) for r in approx}
     hits = len(exact & approx_pairs)
     recall = hits / len(exact)
-    # 4 hyperplanes / 16 buckets on 500 docs: measured ~0.5; chance ≈ 1/16.
-    assert recall > 0.25, f"ANN recall collapsed: {recall:.3f}"
+    # 12 tables x 4 planes (round-12 tuning): measured 0.825 at
+    # sf0.001 / 0.812 sf0.01 / 0.855 sf0.1; contract floor is 0.70.
+    assert recall > 0.7, f"ANN recall collapsed: {recall:.3f}"
     # ANN never invents a neighbor id outside the table
     ids = {r.vec_id for r in approx}
     assert ids  # every bucket produced candidates for someone
 
 
 def test_ann_ivf_recall_beats_lsh_floor(spark):
-    """IVF with nprobe=4/16 cells should recall most exact neighbors
-    (multi-probe covers the cell-boundary cases LSH misses)."""
+    """IVF (32 cells, nprobe=8, nassign=2 multi-assignment) should
+    recall most exact neighbors (multi-probe + multi-assignment cover
+    the cell-boundary cases; measured 0.811 at sf0.001 / 0.830 sf0.01 /
+    0.818 sf0.1 after the round-12 tuning)."""
     exact = {
         (r.vec_id, r.neighbor_id) for r in q10_cosine_topk(spark, SF_SMALL).collect()
     }
@@ -141,7 +144,7 @@ def test_ann_ivf_recall_beats_lsh_floor(spark):
         (r.vec_id, r.neighbor_id) for r in l3_ann_ivf(spark, SF_SMALL).collect()
     }
     recall = len(exact & approx) / len(exact)
-    assert recall > 0.5, f"IVF recall collapsed: {recall:.3f}"
+    assert recall > 0.7, f"IVF recall collapsed: {recall:.3f}"
     # determinism: rerun produces identical candidates
     again = {
         (r.vec_id, r.neighbor_id) for r in l3_ann_ivf(spark, SF_SMALL).collect()

@@ -134,6 +134,43 @@ def test_span_scrub_planted_parity(spark, planted_sf):
     assert _check_one(spark, planted_sf, "l1_span_scrub_census") is None
 
 
+def test_incremental_scrub_planted_parity_and_semantics(spark, planted_sf):
+    """The round-12 ingestion-time image: arrivals (odd ids) scrub
+    against the corpus (even ids) ONLY — never against each other."""
+    assert _check_one(spark, planted_sf, "l1_incremental_span_scrub") is None
+    rows, cols = _collect(spark, planted_sf, "l1_incremental_span_scrub")
+    by_doc = {r[cols.index("doc_id")]: r for r in rows}
+    assert all(d % 2 == 1 for d in by_doc), "corpus doc in arrival census"
+
+    def field(doc, col):
+        return by_doc[doc][cols.index(col)]
+
+    # Arrival doc 1 shares its K-run with CORPUS doc 2 -> scrubbed,
+    # even though doc 1 < doc 2 (no keep-first here: corpus wins).
+    assert field(1, "tokens_scrubbed") == SPAN_K
+    assert field(1, "n_src_docs") == 1
+    # Arrival doc 9 duplicates arrival-side doc... no: 9 is odd and 10
+    # is even, so the periodic pair is arrival-vs-corpus: doc 9 is
+    # scrubbed whole against corpus doc 10.
+    assert field(9, "tokens_scrubbed") == field(9, "n_tokens") == 10
+    # Docs 5 (odd, owns the 12-run with corpus doc 6) and 7 (odd,
+    # shares both K-spans with corpus doc 8): corpus wins regardless
+    # of id order.
+    assert field(5, "tokens_scrubbed") == 12
+    assert field(7, "tokens_scrubbed") == 2 * SPAN_K
+    assert field(7, "n_hit_grams") == 2
+    # K-1 sharers stay invisible (3 odd / 4 even share only 7 tokens).
+    assert 3 not in by_doc
+    # Cap group (101 carriers of the b-run): the CORPUS-side df of the
+    # b-gram is ~50... compute it exactly: even ids in [100, 150].
+    corpus_b = len([i for i in range(100, 100 + DF_CAP + 1) if i % 2 == 0])
+    if corpus_b <= DF_CAP:  # gram stays in the index
+        odd_b = [i for i in range(100, 100 + DF_CAP + 1) if i % 2 == 1]
+        for d in odd_b:
+            assert field(d, "tokens_scrubbed") == SPAN_K
+            assert field(d, "n_src_docs") == corpus_b
+
+
 def test_span_pairs_planted_semantics(spark, planted_sf):
     rows, cols = _collect(spark, planted_sf, "l2_substring_span_pairs")
     by_pair = {
@@ -233,3 +270,4 @@ def test_span_family_random_corpus_parity(spark, random_sf):
     out individually occurs here at once — blind cross-engine check."""
     assert _check_one(spark, random_sf, "l2_substring_span_pairs") is None
     assert _check_one(spark, random_sf, "l1_span_scrub_census") is None
+    assert _check_one(spark, random_sf, "l1_incremental_span_scrub") is None
