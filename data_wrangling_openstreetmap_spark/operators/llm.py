@@ -2374,7 +2374,12 @@ def l1_incremental_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     against it (exactly the st6 shape under readStream) and only the
     batch's grams ever shuffle. Per-batch cost: one equi-join on the
     gram, one K-bounded explode, one DISTINCT, three doc-keyed
-    aggregates — nothing rescans the corpus text.
+    aggregates — nothing rescans the corpus text. The streaming image
+    is PROVEN, not just claimed: tests/test_round12_props.py::
+    test_incremental_scrub_streaming_image replays the arrival
+    snapshot through a 3-micro-batch file stream, joins stream-static
+    against the batch-built index, and reproduces this operator's
+    census exactly with one stateful aggregation.
     """
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", T.tokens(F.col("text")).alias("toks"))

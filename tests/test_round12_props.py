@@ -264,6 +264,117 @@ def test_span_scrub_planted_semantics(spark, planted_sf):
     assert sum(field(d, "tokens_scrubbed") for d in by_doc) == total
 
 
+def test_incremental_scrub_streaming_image(spark, planted_sf, tmp_path):
+    """The operator's docstring claims the ingestion-time scrub 'joins
+    stream-static against the anchor index (exactly the st6 shape under
+    readStream)' — this proves it: the arriving snapshot (odd ids)
+    replays as a file-source stream in 3 micro-batches, grams explode
+    STATELESSLY, the stream-static join hits the batch-built index, and
+    ONE stateful complete-mode aggregation per doc (collect_set sizes —
+    no chained stateful ops, the Spark 4.1 dedup→agg trap) reproduces
+    the batch census exactly."""
+    from pyspark.sql import functions as F
+
+    from data_wrangling_openstreetmap_spark.functions import text as T
+    from data_wrangling_openstreetmap_spark.operators.llm import (
+        _SPAN_DF_CAP,
+        _SPAN_K,
+    )
+    from data_wrangling_openstreetmap_spark.registry import REGISTRY
+    from data_wrangling_openstreetmap_spark.streaming.replay import (
+        run_to_memory,
+        write_ordered_chunks,
+    )
+
+    docs = spark.read.parquet(f"{planted_sf}/documents.parquet")
+
+    def grams(df):
+        toks = df.select(
+            "doc_id", T.tokens(F.col("text")).alias("toks")
+        ).select("doc_id", "toks", F.size("toks").alias("n_tokens"))
+        return (
+            toks.filter(F.col("n_tokens") >= _SPAN_K)
+            .select(
+                "doc_id",
+                "n_tokens",
+                F.posexplode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.col("n_tokens") - _SPAN_K + 1),
+                        lambda i: F.array_join(
+                            F.slice(F.col("toks"), i, _SPAN_K), " "
+                        ),
+                    )
+                ).alias("pos0", "gram"),
+            )
+            .select(
+                "doc_id", "n_tokens", (F.col("pos0") + 1).alias("pos"), "gram"
+            )
+        )
+
+    # Static side: the (gram, src_doc) anchor index with the df-cap.
+    corp_g = grams(docs.filter(F.col("doc_id") % 2 == 0))
+    kept = (
+        corp_g.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") <= _SPAN_DF_CAP)
+        .select("gram")
+    )
+    idx = (
+        corp_g.select(F.col("doc_id").alias("src_doc"), "gram")
+        .distinct()
+        .join(kept, "gram")
+    )
+
+    # Stream side: arrivals replayed as 3 file chunks.
+    arrivals = docs.filter(F.col("doc_id") % 2 == 1).orderBy("doc_id")
+    replay = str(tmp_path / "doc_replay")
+    n = arrivals.count()
+    per = (n + 2) // 3
+    chunks = [
+        spark.createDataFrame(
+            arrivals.collect()[c * per : (c + 1) * per], docs.schema
+        )
+        for c in range(3)
+    ]
+    write_ordered_chunks(chunks, replay)
+
+    def census(stream_docs):
+        hit = grams(stream_docs).join(idx, "gram")  # stream-static
+        tk = hit.select(
+            "doc_id",
+            "n_tokens",
+            "gram",
+            "src_doc",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + _SPAN_K - 1)
+            ).alias("tk"),
+        )
+        return tk.groupBy("doc_id").agg(
+            F.max("n_tokens").cast("bigint").alias("n_tokens"),
+            F.size(F.collect_set("tk")).cast("bigint").alias("tokens_scrubbed"),
+            (F.max("n_tokens") - F.size(F.collect_set("tk")))
+            .cast("bigint")
+            .alias("tokens_kept"),
+            F.size(F.collect_set("gram")).cast("bigint").alias("n_hit_grams"),
+            F.size(F.collect_set("src_doc")).cast("bigint").alias("n_src_docs"),
+        )
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay)
+    )
+    run_to_memory(stream, census, "sink_incr_scrub", output_mode="complete")
+    got = sorted(tuple(r) for r in spark.table("sink_incr_scrub").collect())
+    want = sorted(
+        tuple(r)
+        for r in REGISTRY["l1_incremental_span_scrub"]
+        .fn(spark, planted_sf)
+        .collect()
+    )
+    assert got == want
+
+
 def test_span_family_random_corpus_parity(spark, random_sf):
     """Dense overlapping shared grams from a 5-token vocabulary:
     every diagonal/island/dedup edge case the planted corpus spells
