@@ -1125,7 +1125,8 @@ def l3_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells (multi-assignment — the standard boundary-case fix: a true
     neighbor straddling a cell border is reachable through either
     copy), each query probing its `nprobe`=8 nearest cells; candidates
-    meet in an equi-join on cell id, deduped before scoring.
+    meet in an equi-join on cell id, scored map-side, then deduped on
+    the narrow (ids, cosine) row.
 
     Scale contract (every stage distributed — nothing collects the
     table):
@@ -1138,7 +1139,8 @@ def l3_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     - candidates: equi-join probes×assignments on cell id — cost
       Σ(probes·assigns per cell) ≤ (nprobe·nassign/n_cells)·n² instead
       of n²; multi-assignment duplicates a pair that meets in two
-      shared cells, collapsed by one narrow DISTINCT before scoring;
+      shared cells — scored map-side first (identical rounded double
+      per copy), then collapsed by one DISTINCT over (ids, cosine);
     - top-k: row_number window per query id.
     nprobe/nassign trade cost for recall; round-12 tuning (VERDICT r11
     §Next 7) measured recall@5 vs exact: 16 cells/nprobe 4/nassign 1
@@ -1195,19 +1197,21 @@ def l3_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # Multi-assignment means one (query, index) pair can meet in up to
-    # nassign cells — collapse before scoring so the top-k window never
-    # sees duplicate candidate rows.
-    cand = (
+    # nassign cells — score FIRST (map-side, duplicates recompute the
+    # identical rounded double), then collapse on the narrow
+    # (ids, cosine) row so the dedup exchange never carries the two
+    # 64-double vectors (round-12 self-review: distinct over the
+    # vector payload is ~60× the shuffle bytes of the id-pair form).
+    cos = F.round(V.dot(F.col("q_u"), F.col("i_u")), 6)
+    pairs = (
         probes.join(assign, "cell")
         .filter(F.col("q_id") != F.col("i_id"))
-        .select("q_id", "q_u", "i_id", "i_u")
+        .select(
+            F.col("q_id").alias("vec_id"),
+            F.col("i_id").alias("neighbor_id"),
+            cos.alias("cosine"),
+        )
         .distinct()
-    )
-    cos = F.round(V.dot(F.col("q_u"), F.col("i_u")), 6)
-    pairs = cand.select(
-        F.col("q_id").alias("vec_id"),
-        F.col("i_id").alias("neighbor_id"),
-        cos.alias("cosine"),
     )
     w_top = Window.partitionBy("vec_id").orderBy(F.col("cosine").desc(), "neighbor_id")
     return (

@@ -5070,29 +5070,50 @@ GROUP BY r_name
 # Stale-artifact cleanup (ADVICE r11: the per-construction names never
 # collide but accumulate one catalog table + temp dir per build across
 # suite runs sharing a warehouse) must never drop a live one, so the
-# sweep removes only names absent from this set — i.e. leftovers from
-# PREVIOUS processes.
+# sweep removes only names absent from this set AND older than
+# _S13_STALE_AGE_S: the live set only covers THIS process, but /tmp
+# and the warehouse are shared — a sibling process (suite + driver
+# simulation on one box) may be mid-build, and an s13 build lives for
+# seconds, so the age guard is the cross-process safety margin
+# (round-12 self-review).
 _S13_LIVE_TABLES: set = set()
 _S13_LIVE_ROOTS: set = set()
 _S13_LOCK = threading.Lock()
+_S13_STALE_AGE_S = 2 * 3600
 
 
 def _s13_sweep_stale(spark: SparkSession) -> None:
     import shutil
     import tempfile
+    import time
 
-    for t in spark.catalog.listTables():
-        name = t.name
-        if (
-            name.startswith("s13_nation_relay_")
-            and name not in _S13_LIVE_TABLES
-        ):
-            spark.sql(f"DROP TABLE IF EXISTS {name}")
+    cutoff = time.time() - _S13_STALE_AGE_S
     tmp = tempfile.gettempdir()
+    stale_suffixes = set()
     for entry in os.listdir(tmp):
         path = os.path.join(tmp, entry)
         if entry.startswith("dwos_s13_") and path not in _S13_LIVE_ROOTS:
+            try:
+                if os.path.getmtime(path) >= cutoff:
+                    continue
+            except OSError:
+                continue
+            stale_suffixes.add(entry.removeprefix("dwos_s13_"))
             shutil.rmtree(path, ignore_errors=True)
+    for t in spark.catalog.listTables():
+        name = t.name
+        if not name.startswith("s13_nation_relay_"):
+            continue
+        if name in _S13_LIVE_TABLES:
+            continue
+        suffix = name.removeprefix("s13_nation_relay_")
+        # Drop a table when its temp root was just aged out above, or
+        # is already gone entirely (orphan from a cleaned /tmp) — a
+        # sibling process's LIVE table always still has a fresh root.
+        if suffix in stale_suffixes or not os.path.exists(
+            os.path.join(tmp, "dwos_s13_" + suffix)
+        ):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
 
 
 @register(

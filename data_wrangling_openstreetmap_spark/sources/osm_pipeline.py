@@ -55,8 +55,11 @@ STREET_MAPPING = {
     "Ln": "Lane",
 }
 
-# \z not $: Java's $ matches BEFORE a trailing newline, so a raw key
-# "name\n" would classify as lower instead of problemchars.
+# \z not $: Java's $ matches BEFORE a trailing line terminator. A key
+# ending in \n or \r is already caught by PROBLEM_RE (checked first in
+# the when-chain), but the terminators PROBLEM_RE lacks — \x85 (NEL),
+# \u2028, \u2029 — would classify 'name<NEL>' as lower under $; \z
+# anchors at true end-of-input.
 LOWER_RE = r"^[a-z_]+\z"
 LOWER_COLON_RE = r"^[a-z_]+:[a-z_]+\z"
 PROBLEM_RE = r"[=\+/&<>;'\"\?%#$@\,\. \t\r\n]"

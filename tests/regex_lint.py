@@ -26,7 +26,18 @@ regex-argument position of each Spark regex call, resolving:
 - ``+`` concatenations and f-strings of resolvable parts,
 - ``F.lit(x)`` wrappers,
 - one inter-procedural level: a pattern that is a function PARAMETER
-  is resolved at every package-internal call site of that function.
+  is resolved at every package-internal call site of that function,
+  with each argument resolved in the CALLER's module environment
+  (round-12 self-review: resolving caller nodes in the callee's
+  environment silently matched the wrong constants). A bare function
+  name defined in more than one module poisons its parameters to
+  unresolved instead of unioning unrelated call sites.
+
+Call-site spellings in scope: ``F.<fn>``, ``<alias>.<fn>`` where the
+alias binds ``pyspark.sql.functions`` (``import pyspark.sql.functions
+as sf`` / ``from pyspark.sql import functions as sf``), bare names
+bound by ``from pyspark.sql.functions import <fn>``, any bare
+``regexp_*`` call, and ``<expr>.rlike``.
 
 A site whose pattern cannot be statically resolved (e.g. a
 user-supplied pattern) is reported as *unresolved* and must appear in
@@ -40,10 +51,11 @@ import os
 from dataclasses import dataclass
 
 # Spark DataFrame-API regex entry points -> index of the pattern
-# argument.  ``split``/``regexp_*`` are matched only as ``F.<name>``
-# (str.split / re.split are different engines, out of scope — Python
-# UDF bodies are pinned by tests/test_udf_battery.py); ``rlike`` only
-# exists on Columns so any ``<expr>.rlike(pat)`` is in scope.
+# argument.  ``split`` is matched only through a pyspark.sql.functions
+# binding (str.split / re.split are different engines, out of scope —
+# Python UDF bodies are pinned by tests/test_udf_battery.py);
+# ``rlike`` only exists on Columns so any ``<expr>.rlike(pat)`` is in
+# scope; bare ``regexp_*`` names are unambiguous and always in scope.
 _F_CALLS = {
     "regexp_extract": 1,
     "regexp_replace": 1,
@@ -55,7 +67,9 @@ _F_CALLS = {
     "split": 1,
 }
 _METHOD_CALLS = {"rlike": 0}
+_PYSPARK_FUNCTIONS = ("pyspark.sql.functions",)
 _MAX_CANDIDATES = 64  # cap the concat cross-product
+_POISONED = object()  # parameter whose call sites cannot be trusted
 
 
 @dataclass(frozen=True)
@@ -129,6 +143,10 @@ class _ModuleInfo:
         self.mod_aliases: dict[str, str] = {}
         # local name -> (module rel path, remote name) for from-imports
         self.from_imports: dict[str, tuple[str, str]] = {}
+        # aliases that bind pyspark.sql.functions itself
+        self.pyspark_f_aliases: set[str] = set()
+        # bare name -> canonical pyspark.sql.functions function name
+        self.pyspark_fn_names: dict[str, str] = {}
 
 
 def _target_names(node: ast.stmt):
@@ -160,10 +178,11 @@ class _Linter:
         self.modules = modules
         self.violations: list[Violation] = []
         self.unresolved: list[UnresolvedSite] = []
-        # (rel, func_name) -> list of (param_index_map, call nodes) for
-        # one-level inter-procedural resolution
-        self._func_defs: dict[tuple[str, str], ast.FunctionDef] = {}
-        self._calls_of: dict[str, list[tuple[str, ast.Call, dict]]] = {}
+        # bare function name -> list of (rel, FunctionDef)
+        self._defs_by_name: dict[str, list[tuple[str, ast.FunctionDef]]] = {}
+        # bare function name -> list of (caller rel, Call node)
+        self._calls_of: dict[str, list[tuple[str, ast.Call]]] = {}
+        self._param_cache: dict[tuple[str, str], dict] = {}
 
     # -- environment construction -------------------------------------
     def _collect(self) -> None:
@@ -171,7 +190,26 @@ class _Linter:
             for node in info.tree.body:
                 for name, value in _target_names(node):
                     info.consts.setdefault(name, []).append(value)
-                if isinstance(node, ast.ImportFrom):
+                if isinstance(node, ast.Import):
+                    for alias in node.names:
+                        if alias.name in _PYSPARK_FUNCTIONS:
+                            info.pyspark_f_aliases.add(
+                                alias.asname or alias.name.split(".")[-1]
+                            )
+                elif isinstance(node, ast.ImportFrom):
+                    if node.level == 0:
+                        if node.module == "pyspark.sql":
+                            for alias in node.names:
+                                if alias.name == "functions":
+                                    info.pyspark_f_aliases.add(
+                                        alias.asname or alias.name
+                                    )
+                        elif node.module in _PYSPARK_FUNCTIONS:
+                            for alias in node.names:
+                                info.pyspark_fn_names[
+                                    alias.asname or alias.name
+                                ] = alias.name
+                        continue
                     target = _rel_for_import(rel, node.module, node.level)
                     if target is None:
                         continue
@@ -184,7 +222,9 @@ class _Linter:
                             info.from_imports[bound] = (target, alias.name)
             for fn in ast.walk(info.tree):
                 if isinstance(fn, (ast.FunctionDef, ast.AsyncFunctionDef)):
-                    self._func_defs[(rel, fn.name)] = fn
+                    self._defs_by_name.setdefault(fn.name, []).append(
+                        (rel, fn)
+                    )
 
     def _find_module(self, rel_no_ext: str) -> _ModuleInfo | None:
         for cand in (rel_no_ext + ".py", rel_no_ext + "/__init__.py"):
@@ -198,7 +238,7 @@ class _Linter:
         node: ast.expr,
         info: _ModuleInfo,
         local_env: dict[str, list[ast.expr]],
-        params: dict[str, list[ast.expr]],
+        params: dict,
         depth: int = 0,
     ) -> list[str] | None:
         """All statically-known string values of `node`, or None."""
@@ -209,7 +249,12 @@ class _Linter:
         if isinstance(node, ast.Name):
             cands = local_env.get(node.id) or info.consts.get(node.id)
             if cands is None and node.id in params:
-                cands = params[node.id]
+                resolved = params[node.id]
+                # Already-resolved strings from the callers' environments
+                # (or _POISONED when the call-site set is untrustworthy).
+                if resolved is _POISONED or resolved is None:
+                    return None
+                return list(resolved)[:_MAX_CANDIDATES]
             if cands is None and node.id in info.from_imports:
                 target, remote = info.from_imports[node.id]
                 mod = self._find_module(target)
@@ -281,30 +326,52 @@ class _Linter:
             self._walk_scope(info.tree.body, info, {}, "<module>", {})
 
     def _index_calls(self) -> None:
-        """Package-internal call sites by bare function name, with the
-        local env of the enclosing scope — for one-level parameter
-        resolution."""
+        """Package-internal call sites by bare function name, keeping
+        the CALLER's module — arguments are later resolved in that
+        caller's environment (module consts only; a function-local
+        argument fails resolution and poisons the parameter, which is
+        reported, never silently passed)."""
         for rel, info in self.modules.items():
             for node in ast.walk(info.tree):
                 if isinstance(node, ast.Call) and isinstance(node.func, ast.Name):
                     self._calls_of.setdefault(node.func.id, []).append(
-                        (rel, node, {})
+                        (rel, node)
                     )
 
-    def _param_candidates(
-        self, rel: str, fn: ast.FunctionDef
-    ) -> dict[str, list[ast.expr]]:
-        """Arguments passed to `fn` at package-internal call sites,
-        mapped to parameter names (one inter-procedural level)."""
+    def _param_candidates(self, rel: str, fn: ast.FunctionDef) -> dict:
+        """Pre-resolved string candidates per parameter of `fn`, from
+        package-internal call sites. _POISONED when any site's argument
+        cannot be resolved in ITS caller's module environment, or when
+        the bare name is defined in more than one module (call sites
+        cannot be attributed)."""
+        key = (rel, fn.name)
+        if key in self._param_cache:
+            return self._param_cache[key]
+        out: dict = {}
+        if len(self._defs_by_name.get(fn.name, [])) > 1:
+            out = {a.arg: _POISONED for a in fn.args.args}
+            self._param_cache[key] = out
+            return out
         arg_names = [a.arg for a in fn.args.args]
-        out: dict[str, list[ast.expr]] = {}
-        for site_rel, call, _env in self._calls_of.get(fn.name, []):
+
+        def feed(pname: str, value_node: ast.expr, caller_rel: str) -> None:
+            if out.get(pname) is _POISONED:
+                return
+            caller_info = self.modules[caller_rel]
+            r = self._resolve(value_node, caller_info, {}, {})
+            if r is None:
+                out[pname] = _POISONED
+            else:
+                out.setdefault(pname, []).extend(r)
+
+        for site_rel, call in self._calls_of.get(fn.name, []):
             for i, arg in enumerate(call.args):
                 if i < len(arg_names):
-                    out.setdefault(arg_names[i], []).append(arg)
+                    feed(arg_names[i], arg, site_rel)
             for kw in call.keywords:
                 if kw.arg:
-                    out.setdefault(kw.arg, []).append(kw.value)
+                    feed(kw.arg, kw.value, site_rel)
+        self._param_cache[key] = out
         return out
 
     def _walk_scope(self, body, info, local_env, scope_name, params):
@@ -326,31 +393,39 @@ class _Linter:
                 self._check_call(child, info, local_env, scope_name, params)
             self._visit(child, info, local_env, scope_name, params)
 
-    def _check_call(self, call, info, local_env, scope_name, params):
+    def _spark_fn_call(self, call: ast.Call, info: _ModuleInfo):
+        """(canonical fn name, pattern arg index) when `call` is a
+        pyspark.sql.functions regex call under any in-scope spelling."""
         f = call.func
-        pat_node = None
-        call_name = None
         if isinstance(f, ast.Attribute):
-            if (
-                f.attr in _F_CALLS
-                and isinstance(f.value, ast.Name)
-                and f.value.id == "F"
-            ):
-                call_name = f.attr
-                idx = _F_CALLS[f.attr]
-                if len(call.args) > idx:
-                    pat_node = call.args[idx]
-                else:
-                    for kw in call.keywords:
-                        if kw.arg == "pattern":
-                            pat_node = kw.value
-            elif f.attr in _METHOD_CALLS:
-                call_name = f.attr
-                idx = _METHOD_CALLS[f.attr]
-                if len(call.args) > idx:
-                    pat_node = call.args[idx]
-        if call_name is None:
+            if f.attr in _F_CALLS and isinstance(f.value, ast.Name):
+                alias = f.value.id
+                if alias == "F" or alias in info.pyspark_f_aliases:
+                    return f.attr, _F_CALLS[f.attr]
+            if f.attr in _METHOD_CALLS:
+                return f.attr, _METHOD_CALLS[f.attr]
+            return None
+        if isinstance(f, ast.Name):
+            canonical = info.pyspark_fn_names.get(f.id)
+            if canonical in _F_CALLS:
+                return canonical, _F_CALLS[canonical]
+            # bare regexp_* is unambiguous regardless of import style
+            if f.id in _F_CALLS and f.id.startswith("regexp_"):
+                return f.id, _F_CALLS[f.id]
+        return None
+
+    def _check_call(self, call, info, local_env, scope_name, params):
+        hit = self._spark_fn_call(call, info)
+        if hit is None:
             return
+        call_name, idx = hit
+        pat_node = None
+        if len(call.args) > idx:
+            pat_node = call.args[idx]
+        else:
+            for kw in call.keywords:
+                if kw.arg == "pattern":
+                    pat_node = kw.value
         if pat_node is None:
             self.unresolved.append(
                 UnresolvedSite(info.rel, scope_name, call_name)

@@ -775,11 +775,74 @@ def test_regex_lint_mutation_evidence():
         }
     )
     assert v, "cross-module constant resolution failed"
-    # and the clean forms stay clean
+    # 7. caller-environment resolution (round-12 self-review false
+    # negative, confirmed by execution pre-fix): the callee's module
+    # holds a CLEAN constant under the same name the caller passes —
+    # the dirty caller-side value must still be flagged.
+    v, _u = lint_sources(
+        {
+            "pkg/__init__.py": "",
+            "pkg/helper.py": (
+                'PAT = r"clean[a-z]+"\n'
+                "def scrub(df, F, pat):\n"
+                "    return df.where(df.x.rlike(pat))\n"
+            ),
+            "pkg/caller.py": (
+                'PAT = "end$"\n'
+                "from .helper import scrub\n"
+                "def q(df, F):\n"
+                "    return scrub(df, F, PAT)\n"
+            ),
+        }
+    )
+    assert v, "caller-env parameter resolution failed"
+    # 8. same-named functions in two modules poison parameter
+    # resolution to UNRESOLVED (never a silent pass via the other
+    # function's clean call sites).
+    _v, u = lint_sources(
+        {
+            "pkg/__init__.py": "",
+            "pkg/a.py": (
+                "def scrub(df, F, pat):\n"
+                "    return df.where(df.x.rlike(pat))\n"
+            ),
+            "pkg/b.py": (
+                "def scrub(df, F, pat):\n"
+                '    return df.where(df.y.rlike("[0-9]+"))\n'
+                "def q(df, F):\n"
+                '    return scrub(df, F, "[a-z]+")\n'
+            ),
+        }
+    )
+    assert any(s.key() == ("pkg/a.py", "scrub", "rlike") for s in u), u
+    # 9. non-F spellings are in scope: a functions-module alias and a
+    # bare from-import (both were silently out of scope pre-fix).
+    v, _u = lint_sources(
+        {
+            "planted/alias.py": (
+                "from pyspark.sql import functions as sf\n"
+                "def q(df):\n"
+                "    return df.select(sf.regexp_extract(df.x, 'a.c', 1))\n"
+            )
+        }
+    )
+    assert v, "sf-alias call escaped the lint"
+    v, _u = lint_sources(
+        {
+            "planted/bare.py": (
+                "from pyspark.sql.functions import regexp_replace as rr\n"
+                "def q(df):\n"
+                '    return df.select(rr(df.x, "\\\\s+", " "))\n'
+            )
+        }
+    )
+    assert v, "bare from-import call escaped the lint"
+    # and the clean forms stay clean (PAT resolves to the REAL \\z
+    # anchor — '(\\d+)\\z' — not a literal backslash-z)
     clean_v, clean_u = lint_sources(
         {
             "planted/clean.py": (
-                'PAT = r"(\\d+)\\\\z"\n'
+                'PAT = "(\\\\d+)\\\\z"\n'
                 'WS = "[\\\\t\\\\n\\\\f\\\\r ]+"\n'
                 "def q(df, F):\n"
                 "    a = df.where(df.x.rlike(PAT))\n"

@@ -326,14 +326,11 @@ def test_incremental_scrub_streaming_image(spark, planted_sf, tmp_path):
     )
 
     # Stream side: arrivals replayed as 3 file chunks.
-    arrivals = docs.filter(F.col("doc_id") % 2 == 1).orderBy("doc_id")
     replay = str(tmp_path / "doc_replay")
-    n = arrivals.count()
-    per = (n + 2) // 3
+    rows = docs.filter(F.col("doc_id") % 2 == 1).orderBy("doc_id").collect()
+    per = (len(rows) + 2) // 3
     chunks = [
-        spark.createDataFrame(
-            arrivals.collect()[c * per : (c + 1) * per], docs.schema
-        )
+        spark.createDataFrame(rows[c * per : (c + 1) * per], docs.schema)
         for c in range(3)
     ]
     write_ordered_chunks(chunks, replay)
