@@ -83,6 +83,7 @@ delegating.
 
 from __future__ import annotations
 
+import itertools
 import re
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
@@ -299,6 +300,18 @@ def asof_join(
     return filled.select(*out)
 
 
+
+# Lowered-subquery temp views need PER-INVOCATION unique names: the
+# alias-derived form (__asof_p_c) is shared by every query written
+# with the same aliases, and the threaded suite constructs x1 (inner)
+# and x1b (left) concurrently — thread A's spark.sql(rewritten) then
+# resolves the view thread B just replaced, cross-wiring the join mode
+# (observed round 12: x1b returned x1's 178 inner rows against its
+# 202-row left oracle). next(_VIEW_SEQ) is atomic under the GIL; the
+# view is dropped right after the eager analysis inlines it.
+_VIEW_SEQ = itertools.count()
+
+
 def _lower_asof(spark: SparkSession, query: str, m: re.Match) -> DataFrame:
     la, ra = m.group("la"), m.group("ra")
     amap = {la.lower(): la, ra.lower(): ra}
@@ -339,10 +352,12 @@ def _lower_asof(spark: SparkSession, query: str, m: re.Match) -> DataFrame:
         left_prefix=la,
         right_prefix=ra,
     )
-    view = f"__asof_{la}_{ra}"
+    view = f"__asof_{la}_{ra}_{next(_VIEW_SEQ)}"
     joined.createOrReplaceTempView(view)
     rewritten = _qualify(query[: m.start()] + f"FROM {view}" + query[m.end() :], amap)
-    return spark.sql(rewritten)
+    out = spark.sql(rewritten)  # eager analysis inlines the view
+    spark.catalog.dropTempView(view)
+    return out
 
 
 def _lower_similarity(spark: SparkSession, query: str, m: re.Match) -> DataFrame:
@@ -393,10 +408,12 @@ def _lower_similarity(spark: SparkSession, query: str, m: re.Match) -> DataFrame
         .filter(F.col("similarity") >= thr)
         .select(f"{lo}_{id_col}", f"{hi}_{id_col}", "similarity")
     )
-    view = f"__sim_{la}_{ra}"
+    view = f"__sim_{la}_{ra}_{next(_VIEW_SEQ)}"
     lowered.createOrReplaceTempView(view)
     rewritten = _qualify(query[: m.start()] + f"FROM {view}" + query[m.end() :], amap)
-    return spark.sql(rewritten)
+    out = spark.sql(rewritten)  # eager analysis inlines the view
+    spark.catalog.dropTempView(view)
+    return out
 
 
 def sql(spark: SparkSession, query: str) -> DataFrame:

@@ -75,6 +75,43 @@ def _catalog_ddl(spark, table):
         spark.sql(f"DROP TABLE IF EXISTS {table}")
 
 
+def test_concurrent_asof_lowering_no_crosswire(spark):
+    """Round-12 regression, found by the threaded suite itself: the
+    extended-SQL ASOF lowering materialized its rewritten query through
+    a temp view named only by the query's ALIASES (__asof_p_c) — shared
+    by x1_asof_sql (inner) and x1b_asof_left_sql (left). Two workers
+    constructing them concurrently could cross-wire the join mode
+    inside the create-view→spark.sql window (observed: x1b returned
+    x1's 178 inner rows against its 202-row left oracle). The fix is a
+    per-invocation unique view name; this hammers the exact interleave
+    10×."""
+    from data_wrangling_openstreetmap_spark.registry import (
+        REGISTRY,
+        _ensure_loaded,
+    )
+
+    _ensure_loaded()
+    sf = "/root/testdata/sf0.001"
+    want = {
+        name: sorted(tuple(r) for r in REGISTRY[name].fn(spark, sf).collect())
+        for name in ("x1_asof_sql", "x1b_asof_left_sql")
+    }
+    assert len(want["x1_asof_sql"]) != len(want["x1b_asof_left_sql"])
+
+    def build_and_collect(name):
+        _bind_active_session(spark)
+        df = REGISTRY[name].fn(spark, sf)
+        return sorted(tuple(r) for r in df.collect())
+
+    for _ in range(10):
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            futs = {
+                name: ex.submit(build_and_collect, name) for name in want
+            }
+            for name, f in futs.items():
+                assert f.result() == want[name], f"{name} cross-wired"
+
+
 def test_concurrent_pyds_and_catalog_stress(spark, tmp_path):
     # s28's production prerequisite (session-global, set once there too)
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
