@@ -80,6 +80,30 @@ single-shot ``_helpers.ckpt`` truncations vanish (ADVICE r8 #1: windows
 below a checkpoint were silently unswept); the UNCONDITIONAL iterative
 checkpoints (graph loops) remain and must be explicitly allowlisted by
 the caller, so the blind spot is loud instead of silent.
+
+:func:`float_fold_sites` (round 12) enumerates the FIFTH
+order-nondeterminism class — folds whose EXACT value depends on the
+physical order partial aggregates are combined in, which the first four
+checkers deliberately classify as "commutative": floating-point
+addition is only approximately associative, so ``SUM``/``AVG`` over a
+``double``/``float`` input, every moment-family aggregate (stddev /
+variance / skewness / kurtosis / corr / covar — double M2/co-moment
+buffers regardless of input type), and merge-order-sensitive sketches
+(``approx_percentile``) can shift in their low-order bits when the scan
+layout, partition count, or AQE coalescing changes. The repo's
+defenses are (a) the integer-unit money recipe — exact long/decimal
+sums for anything value-like, (b) ROUND(…, 6) on both engines before
+hashing, with fixture magnitudes keeping absolute FP error orders of
+magnitude below the 0.5e-6 decision boundary, and (c) the empirical
+arrival audit, which scrambles the input layout and re-hashes every
+query. This function makes the residual exposure ENUMERABLE: the
+registry sweep freezes each query's site set
+(``tests/float_fold_freeze.json``), so a new raw-double fold must be
+reviewed against (a)–(c) before it can land. Ordered-window folds are
+excluded by design: their combine order is the window sort order, which
+checker #1 proves value-deterministic (tie classes are value-identical,
+and folding equal values in either order is bit-identical); ORDERLESS
+window frames fold in arrival order and are enumerated like group-bys.
 """
 
 from __future__ import annotations
@@ -1030,3 +1054,96 @@ def multi_carry_hazards(
 
     stats.hazards.extend(hazards)
     return hazards
+
+
+# ---------------------------------------------------------------------------
+# 5th class (round 12): layout-order-sensitive numeric folds.
+# ---------------------------------------------------------------------------
+
+# Aggregates whose buffers are floating-point REGARDLESS of input type:
+# Welford/M2 co-moment updates divide and subtract doubles, so even
+# integer inputs produce combine-order-dependent low bits.
+_MOMENT_AGGS = {
+    "StddevSamp",
+    "StddevPop",
+    "VarianceSamp",
+    "VariancePop",
+    "Skewness",
+    "Kurtosis",
+    "Corr",
+    "CovPopulation",
+    "CovSample",
+    "CentralMomentAgg",
+    "RegrSlope",
+    "RegrIntercept",
+    "RegrR2",
+    "RegrSXY",
+}
+
+# Sketches whose MERGE is not provably commutative-exact (unlike HLL,
+# whose register-max merge is): quantile summaries compress based on
+# insertion/merge order.
+_SKETCH_AGGS = {"ApproximatePercentile", "HistogramNumeric"}
+
+# Exact over int/long (long buffer, or integer-valued doubles < 2^53
+# never arise: Spark sums integral types in LongType / Decimal in
+# DecimalType) — order-sensitive ONLY when the input itself is
+# floating-point.
+_SUM_LIKE_AGGS = {"Sum", "Average", "TrySum", "TryAverage"}
+
+_FLOAT_TYPES = ("double", "float")
+
+
+def _fold_descriptor(prefix: str, inner: str, fn) -> str:
+    args = ", ".join(c.sql() for c in _seq(fn.children()))
+    s = f"{prefix}:{inner}({args})"
+    if len(s) > 160:
+        s = s[:140] + f"…+{len(s) - 140}"
+    return s
+
+
+def _scan_float_folds(expr, acc: list, prefix: str) -> None:
+    cls = expr.getClass().getSimpleName()
+    if cls == "AggregateExpression":
+        fn = expr.aggregateFunction()
+        inner = fn.getClass().getSimpleName()
+        kids = _seq(fn.children())
+        if inner in _MOMENT_AGGS or inner in _SKETCH_AGGS:
+            acc.append(_fold_descriptor(prefix, inner, fn))
+        elif inner in _SUM_LIKE_AGGS and kids:
+            try:
+                dt = kids[0].dataType().catalogString()
+            except Exception:
+                dt = "?"
+            if dt in _FLOAT_TYPES or dt == "?":
+                acc.append(_fold_descriptor(prefix, f"{inner}[{dt}]", fn))
+    for child in _seq(expr.children()):
+        _scan_float_folds(child, acc, prefix)
+
+
+def float_fold_sites(df: DataFrame, *, stats: Optional[SweepStats] = None) -> tuple:
+    """Sorted, deduplicated descriptors of every layout-order-sensitive
+    numeric fold in ``df``'s optimized plan (see module docstring).
+    Purely static — no fixture evaluation; callers freeze the per-query
+    site sets so new raw-float folds force a review. Returned as a SET
+    (not multiset) so iterative queries whose per-round pre-checkpoint
+    frames repeat the same shapes freeze identically at every scale
+    factor / convergence round count."""
+    stats = stats if stats is not None else SweepStats()
+    plan = df._jdf.queryExecution().optimizedPlan()
+    acc: list = []
+    for node in _walk_class(plan, "Aggregate", []):
+        stats.windows_seen += 1
+        for named in _seq(node.aggregateExpressions()):
+            _scan_float_folds(named, acc, "agg")
+    for node in _walk_windows(plan, []):
+        stats.windows_seen += 1
+        if _seq(node.orderSpec()):
+            # ordered frame: combine order == window sort order, proven
+            # value-deterministic by window_order_hazards (checker #1)
+            stats.windows_safe_by_shape += 1
+            continue
+        for alias in _seq(node.windowExpressions()):
+            _scan_float_folds(alias, acc, "window-unordered")
+    stats.windows_checked += len(acc)
+    return tuple(sorted(set(acc)))

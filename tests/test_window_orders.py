@@ -167,6 +167,50 @@ def test_checker_passes_fixed_w36(spark):
     assert not hazards, [str(h) for h in hazards]
 
 
+def test_float_fold_checker_classes(spark):
+    """Mutation evidence for the 5th checker (float_fold_sites): each
+    hazard class is seen, each exact-arithmetic shape is NOT — so the
+    freeze can neither silently miss a raw-double fold nor drown the
+    review in exact integer/decimal noise."""
+    from data_wrangling_openstreetmap_spark.plans.window_orders import (
+        float_fold_sites,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10, 1.5), (1, 20, 2.5), (2, 30, 3.5)], "k int, i long, d double"
+    )
+
+    # raw double SUM / AVG in a group-by: flagged
+    sites = float_fold_sites(df.groupBy("k").agg(F.sum("d"), F.avg("d")))
+    assert any(s.startswith("agg:Sum[double]") for s in sites), sites
+    assert any(s.startswith("agg:Average[double]") for s in sites), sites
+
+    # integral SUM (LongType buffer, exact): clean
+    assert float_fold_sites(df.groupBy("k").agg(F.sum("i"), F.count("d"))) == ()
+
+    # moment family flags REGARDLESS of input type (double M2 buffers)
+    sites = float_fold_sites(df.groupBy("k").agg(F.stddev("i")))
+    assert any("StddevSamp" in s for s in sites), sites
+
+    # merge-order-sensitive sketch: flagged
+    sites = float_fold_sites(
+        df.groupBy("k").agg(F.expr("approx_percentile(d, 0.5)"))
+    )
+    assert any("ApproximatePercentile" in s for s in sites), sites
+
+    # ORDERED window fold: combine order is the (tie-checked) sort
+    # order — excluded by design
+    w_ord = Window.partitionBy("k").orderBy("i")
+    assert float_fold_sites(df.select(F.sum("d").over(w_ord))) == ()
+
+    # ORDERLESS window fold over a double: arrival-order combine, flagged
+    w_bare = Window.partitionBy("k")
+    sites = float_fold_sites(df.select(F.sum("d").over(w_bare)))
+    assert any(s.startswith("window-unordered:Sum[double]") for s in sites), sites
+    # same orderless frame over a long: exact, clean
+    assert float_fold_sites(df.select(F.sum("i").over(w_bare))) == ()
+
+
 # collect_list/collect_set sites allowed to stay UNSORTED inside an
 # Aggregate, each with its consumed-order-insensitively justification
 # (the machine check replaces ROUND8_NOTES §10's grep convention; a
@@ -214,13 +258,15 @@ CKPT_OPAQUE_ALLOWLIST = {
 
 @pytest.mark.timeout(2400)
 def test_registry_order_determinism(spark, monkeypatch):
-    """The full sweep, ALL THREE checkers in one pass over the registry
+    """The full sweep, ALL FIVE checkers in one pass over the registry
     (each query is constructed at sf0.1 exactly once): every Window
     node is tie-safe, every global Sort+LIMIT cuts at a class edge or
-    inside a value-identical tie class, and every Aggregate's
-    collect_* is sort-wrapped / first-last-any_value argument is
-    constant per group. 'skipped' entries fail too — a site the
-    checker cannot evaluate is a hole, not a pass.
+    inside a value-identical tie class, every Aggregate's collect_* is
+    sort-wrapped / first-last-any_value argument is constant per
+    group, every ≥2-pick ignorenulls carry is provably NULL-synced,
+    and every layout-order-sensitive numeric fold is enumerated in the
+    reviewed freeze. 'skipped' entries fail too — a site the checker
+    cannot evaluate is a hole, not a pass.
 
     Runs under DWOS_FULL_PLAN=1 (ADVICE r8 #1): _helpers.ckpt
     truncates lineage to a LogicalRDD leaf, so windows computed below
@@ -237,6 +283,7 @@ def test_registry_order_determinism(spark, monkeypatch):
     from data_wrangling_openstreetmap_spark.operators import _helpers
     from data_wrangling_openstreetmap_spark.plans.window_orders import (
         aggregate_order_hazards,
+        float_fold_sites,
         logical_rdd_ids,
         multi_carry_hazards,
         sort_limit_hazards,
@@ -252,9 +299,11 @@ def test_registry_order_determinism(spark, monkeypatch):
     lstats = SweepStats()
     astats = SweepStats()
     cstats = SweepStats()
+    fstats = SweepStats()
     failures = []
     opaque = []
     captured_frames = 0
+    float_sites: dict[str, set] = {}
 
     def check(name, frame):
         for hz in window_order_hazards(frame, cache=cache, stats=wstats):
@@ -270,6 +319,11 @@ def test_registry_order_determinism(spark, monkeypatch):
         # on the NULL-free fixture)
         for hz in multi_carry_hazards(frame, cache=cache, stats=cstats):
             failures.append(f"{name}: {hz}")
+        # 5th class (round 12): layout-order-sensitive numeric folds,
+        # frozen per query below (purely static — no fixture probe)
+        float_sites.setdefault(name, set()).update(
+            float_fold_sites(frame, stats=fstats)
+        )
 
     for name, spec in REGISTRY.items():
         if name in SKIP:
@@ -318,6 +372,43 @@ def test_registry_order_determinism(spark, monkeypatch):
     )
     stale = CKPT_OPAQUE_ALLOWLIST - set(opaque)
     assert not stale, f"allowlist entries no longer opaque (remove): {sorted(stale)}"
+    # 5th class: compare the per-query float-fold site sets against the
+    # reviewed freeze (tests/float_fold_freeze.json). The sites are
+    # LEGAL — each is justified by the module-docstring argument
+    # (integer-unit recipe for values, ROUND(…,6) both engines,
+    # arrival-audit layout scramble) — but the SET is frozen so a new
+    # raw-double fold, a new moment aggregate, or a sketch in a new
+    # query must be reviewed against those defenses before it lands.
+    # Regenerate with DWOS_REGEN_FLOAT_FOLD=1 and review the diff.
+    import json
+
+    freeze_path = os.path.join(os.path.dirname(__file__), "float_fold_freeze.json")
+    actual = {k: sorted(v) for k, v in sorted(float_sites.items()) if v}
+    if os.environ.get("DWOS_REGEN_FLOAT_FOLD") == "1":
+        tmp = freeze_path + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump(actual, fh, indent=1, sort_keys=True)
+        os.replace(tmp, freeze_path)
+    with open(freeze_path, encoding="utf-8") as fh:
+        frozen = json.load(fh)
+    fold_diffs = []
+    for name in sorted(set(actual) | set(frozen)):
+        a, f = set(actual.get(name, ())), set(frozen.get(name, ()))
+        if a != f:
+            fold_diffs.append(
+                f"{name}: +{sorted(a - f)} -{sorted(f - a)}"
+            )
+    assert not fold_diffs, (
+        "float-fold site sets changed — audit each new site against the "
+        "integer-unit/ROUND(…,6)/arrival-audit defenses (see "
+        "plans/window_orders.py module docstring), then regenerate the "
+        "freeze with DWOS_REGEN_FLOAT_FOLD=1 and review the diff:\n"
+        + "\n".join(fold_diffs)
+    )
+    # the walker must have actually enumerated the known surface — a
+    # silently-broken expression walk would freeze an empty map
+    assert fstats.windows_checked >= 50, fstats
+    assert sum(len(v) for v in actual.values()) >= 30, len(actual)
     # the capture path must have actually fired (4 iterative queries,
     # ≥1 pre-checkpoint frame each round) — a broken hook would
     # silently regress to the round-9 blind spot
