@@ -299,6 +299,60 @@ def _mh_band_key_sql(b: int) -> str:
     return expr
 
 
+def _mh_banded(docs: DataFrame, carry: tuple = ()) -> DataFrame:
+    """(doc_id, *carry, band, key) LSH band rows for the
+    oracle-expressible MinHash family (16 hashes, 4 bands × 4 rows) —
+    the shared shingle → signature → band-key projection behind
+    l2_minhash_lsh and l2_incremental_minhash_dedup. One map-side
+    projection, no shuffle: the caller decides what to join on
+    (band, key). ``carry`` columns pass through untouched — a
+    STREAMING caller needs its payload (e.g. the arrival's shingle
+    set) to ride the projection, since re-attaching it by doc_id
+    would be a stream-stream self-join."""
+    hs = docs.select(
+        "doc_id",
+        *carry,
+        F.transform(T.shingles(F.col("text"), k=3), _codepoint_fold).alias("hv"),
+    )
+
+    def seeded_min(i: int):
+        # NB: a plain `lambda h, i=i:` would NOT work here — F.transform
+        # treats a two-argument lambda as (element, index) and binds the
+        # element INDEX over the default, silently corrupting the seed.
+        a_i, b_i = _MH_A[i], _MH_B[i]
+        return F.array_min(
+            F.transform(F.col("hv"), lambda h: (F.lit(a_i) * h + F.lit(b_i)) % _MH_P)
+        ).alias(f"s{i}")
+
+    sig = hs.select("doc_id", *carry, *[seeded_min(i) for i in range(16)])
+
+    def band_key(b: int):
+        expr = F.lit(b).cast("long")
+        for r in range(4):
+            expr = (expr * _MH_BANDKEY_MULT + F.col(f"s{4 * b + r}")) % _MH_P
+        return expr
+
+    return sig.select(
+        "doc_id",
+        *carry,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"), band_key(b).alias("key")
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select(
+        "doc_id",
+        *carry,
+        F.col("bk.band").alias("band"),
+        F.col("bk.key").alias("key"),
+    )
+
+
 _MINHASH_LSH_ORACLE = f"""
 WITH t AS (SELECT doc_id, {_ORACLE_TOKS} AS toks FROM documents),
 sh AS (
@@ -346,42 +400,7 @@ def l2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct multiplier. Every intermediate fits BIGINT (a_i·h <
     2^51), so the DuckDB oracle reproduces the exact candidate set.
     """
-    docs = load_table(spark, sf_dir, "documents")
-
-    hs = docs.select(
-        "doc_id",
-        F.transform(T.shingles(F.col("text"), k=3), _codepoint_fold).alias("hv"),
-    )
-    def seeded_min(i: int):
-        # NB: a plain `lambda h, i=i:` would NOT work here — F.transform
-        # treats a two-argument lambda as (element, index) and binds the
-        # element INDEX over the default, silently corrupting the seed.
-        a_i, b_i = _MH_A[i], _MH_B[i]
-        return F.array_min(
-            F.transform(F.col("hv"), lambda h: (F.lit(a_i) * h + F.lit(b_i)) % _MH_P)
-        ).alias(f"s{i}")
-
-    sig = hs.select("doc_id", *[seeded_min(i) for i in range(16)])
-
-    def band_key(b: int):
-        expr = F.lit(b).cast("long")
-        for r in range(4):
-            expr = (expr * _MH_BANDKEY_MULT + F.col(f"s{4 * b + r}")) % _MH_P
-        return expr
-
-    banded = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"), band_key(b).alias("key")
-                    )
-                    for b in range(4)
-                ]
-            )
-        ).alias("bk"),
-    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    banded = _mh_banded(load_table(spark, sf_dir, "documents"))
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -2449,6 +2468,194 @@ def l1_incremental_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_hit_grams",
             "n_src_docs",
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# L2 — INCREMENTAL MinHash-LSH near-dup gate (round 12): the
+# ingestion-time image of l2_minhash_lsh, composing the corpus/arrival
+# split of l1_incremental_span_scrub (even doc_ids = kept corpus, odd =
+# arriving snapshot) with the oracle-exact MinHash band index. The
+# admission decision a training-data pipeline makes per arriving doc.
+# ---------------------------------------------------------------------------
+
+# Band buckets holding more corpus docs than this are boilerplate
+# (identical headers/footers, empty shells) — they cannot separate
+# near-dups and their |bucket|² candidate fan-out is the entire
+# worst-case cost, so both engines drop them BEFORE the candidate join
+# (the span family's df-cap, applied to LSH buckets).
+_MH_BUCKET_CAP = 50
+# is_dup threshold: Jaccard ≥ 0.7, decided by integer cross-
+# multiplication (10·common ≥ 7·union) — no float comparison on the
+# graded path.
+_INCR_MH_NUM, _INCR_MH_DEN = 7, 10
+
+_INCR_MINHASH_ORACLE = f"""
+WITH t AS (SELECT doc_id, {_ORACLE_TOKS} AS toks FROM documents),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+              ELSE list_transform(range(1, len(toks) - 1),
+                                  i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+         END AS shs
+  FROM t),
+hs AS (
+  SELECT doc_id, list_transform(shs, s -> {_MH_BASE_HASH_SQL}) AS hv
+  FROM sh),
+sig AS (
+  SELECT doc_id,
+         {", ".join(f"list_min(list_transform(hv, h -> ({_MH_A[i]} * h + {_MH_B[i]}) % {_MH_P})) AS s{i}" for i in range(16))}
+  FROM hs),
+banded AS (
+  {" UNION ALL ".join(f"SELECT doc_id, {b} AS band, {_mh_band_key_sql(b)} AS key FROM sig" for b in range(4))}
+),
+live AS (
+  SELECT band, key FROM banded WHERE doc_id % 2 = 0
+  GROUP BY band, key HAVING COUNT(*) <= {_MH_BUCKET_CAP}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_id, c.doc_id AS cand_doc
+  FROM banded a
+  JOIN live USING (band, key)
+  JOIN banded c ON a.band = c.band AND a.key = c.key
+  WHERE a.doc_id % 2 = 1 AND c.doc_id % 2 = 0),
+ss AS (SELECT DISTINCT doc_id, unnest(shs) AS s FROM sh),
+nsz AS (SELECT doc_id, COUNT(*) AS n FROM ss GROUP BY doc_id),
+com0 AS (
+  SELECT cand.doc_id, cand.cand_doc, COUNT(*) AS common
+  FROM cand
+  JOIN ss x ON x.doc_id = cand.doc_id
+  JOIN ss y ON y.doc_id = cand.cand_doc AND y.s = x.s
+  GROUP BY 1, 2),
+scored AS (
+  SELECT cand.doc_id, cand.cand_doc,
+         COALESCE(com0.common, 0) AS common,
+         na.n + nc.n - COALESCE(com0.common, 0) AS u
+  FROM cand
+  LEFT JOIN com0 ON com0.doc_id = cand.doc_id AND com0.cand_doc = cand.cand_doc
+  JOIN nsz na ON na.doc_id = cand.doc_id
+  JOIN nsz nc ON nc.doc_id = cand.cand_doc),
+ranked AS (
+  SELECT doc_id, cand_doc, common, u,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY (1000000000 * common) // u DESC,
+                                     cand_doc ASC) AS rn
+  FROM scored),
+ncand AS (SELECT doc_id, COUNT(*) AS n_candidates FROM cand GROUP BY doc_id)
+SELECT r.doc_id,
+       CAST(ncand.n_candidates AS BIGINT) AS n_candidates,
+       r.cand_doc AS best_match,
+       CAST((1000000 * r.common) // r.u AS BIGINT) AS best_jaccard_ppm,
+       CAST({_INCR_MH_DEN} * r.common >= {_INCR_MH_NUM} * r.u AS INTEGER) AS is_dup
+FROM ranked r JOIN ncand USING (doc_id) WHERE r.rn = 1
+"""
+
+
+@register(
+    "l2_incremental_minhash_dedup",
+    oracle=_INCR_MINHASH_ORACLE,
+    tags=("L2", "W2", "J1"),
+)
+def l2_incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-time near-dup admission gate: each arriving document
+    (odd doc_ids) is looked up in the KEPT corpus's (even doc_ids)
+    MinHash-LSH band index (the oracle-exact 16-hash / 4-band family of
+    l2_minhash_lsh via the shared ``_mh_banded`` projection); every
+    band collision is then VERIFIED with exact shingle-set Jaccard.
+    Per affected arrival: candidate count, best-matching corpus doc,
+    its Jaccard (exact integer parts-per-million), and the admission
+    verdict at the 0.7 threshold.
+
+    Determinism: NO floating point on the graded path — candidates are
+    ranked by the exact integer ``(10⁹·common) div union`` (equal
+    rationals compare equal on both engines; sub-ppb distinctions
+    collapse into the unique ``cand_doc`` tiebreak identically on both
+    engines), ``best_jaccard_ppm`` is exact integer division, and
+    ``is_dup`` is the integer cross-multiplication 10·common ≥ 7·union
+    (the ROUND-half-tie gotcha never arises).
+
+    Scale: the band index is the PERSISTED artifact — at 100 TB it
+    lives bucketed by (band, key), appended after each admission; an
+    arriving batch computes signatures map-side and joins
+    stream-static against it, so only the batch's band rows ever
+    shuffle (the st6 shape under readStream, like
+    l1_incremental_span_scrub). The corpus-side bucket cap (50) bounds
+    candidate fan-out at |bucket|·cap regardless of corpus size —
+    boilerplate shells that defeat LSH separation are dropped on BOTH
+    engines before the join. Verification joins touch only candidate
+    docs' shingle sets (semi-join pushdown via the candidate list),
+    keyed by (doc, shingle): cost ∝ candidate pairs × avg shingles,
+    never corpus².
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    banded = _mh_banded(docs)
+    live = (
+        banded.filter(F.col("doc_id") % 2 == 0)
+        .groupBy("band", "key")
+        .agg(F.count("*").alias("nb"))
+        .filter(F.col("nb") <= _MH_BUCKET_CAP)
+        .select("band", "key")
+    )
+    arr = banded.filter(F.col("doc_id") % 2 == 1).alias("a")
+    corp = banded.filter(F.col("doc_id") % 2 == 0).alias("c")
+    cand = (
+        arr.join(live, ["band", "key"])
+        .join(corp, ["band", "key"])
+        .select(
+            F.col("a.doc_id").alias("doc_id"),
+            F.col("c.doc_id").alias("cand_doc"),
+        )
+        .distinct()
+    )
+    ss = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(T.shingles(F.col("text"), k=3))
+        ).alias("s"),
+    )
+    nsz = ss.groupBy("doc_id").agg(F.count("*").alias("n"))
+    com0 = (
+        cand.join(
+            ss.select(F.col("doc_id").alias("doc_id"), F.col("s")), "doc_id"
+        )
+        .join(
+            ss.select(F.col("doc_id").alias("cand_doc"), F.col("s")),
+            ["cand_doc", "s"],
+        )
+        .groupBy("doc_id", "cand_doc")
+        .agg(F.count("*").alias("common"))
+    )
+    scored = (
+        cand.join(com0, ["doc_id", "cand_doc"], "left")
+        .withColumn("common", F.coalesce(F.col("common"), F.lit(0)))
+        .join(nsz.select(F.col("doc_id"), F.col("n").alias("na")), "doc_id")
+        .join(
+            nsz.select(F.col("doc_id").alias("cand_doc"), F.col("n").alias("nc")),
+            "cand_doc",
+        )
+        .withColumn("u", F.col("na") + F.col("nc") - F.col("common"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.expr("(1000000000 * common) DIV u").desc(), F.col("cand_doc").asc()
+    )
+    ranked = scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    ncand = cand.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_candidates")
+    )
+    return ranked.join(ncand, "doc_id").select(
+        "doc_id",
+        "n_candidates",
+        F.col("cand_doc").alias("best_match"),
+        F.expr("CAST((1000000 * common) DIV u AS BIGINT)").alias(
+            "best_jaccard_ppm"
+        ),
+        (
+            F.lit(_INCR_MH_DEN) * F.col("common")
+            >= F.lit(_INCR_MH_NUM) * F.col("u")
+        )
+        .cast("int")
+        .alias("is_dup"),
     )
 
 
