@@ -291,6 +291,27 @@ SELECT rid, word FROM w WHERE word <> ''
 """
 
 
+def _build_u14_words_pickled(spark):
+    # u18's SplitLangWords consumes the SAME _split_space_words body
+    # through the PICKLED udtf transport (no useArrow) — pickled and
+    # Arrow UDTFs convert values differently, so the shared body is
+    # battery-pinned through BOTH transports (closure machine-checked
+    # by test_plan_shapes.py::test_battery_covers_each_crossing_transport,
+    # VERDICT r11 What's-missing #3).
+    @udtf(returnType="word string")
+    class SplitWordsPickled:
+        def eval(self, text: str):
+            for w in _split_space_words(text):
+                yield (w,)
+
+    spark.udtf.register("battery_split_words_pickled", SplitWordsPickled)
+    _text_df(spark).createOrReplaceTempView("battery_u14p")
+    return spark.sql(
+        "SELECT b.rid, s.word FROM battery_u14p b,"
+        " LATERAL battery_split_words_pickled(b.v) s"
+    )
+
+
 def _build_u16_pos(spark):
     # Same passthrough shape as u16/u17's production classes around the
     # shared _split_with_pos_py body.
@@ -481,6 +502,8 @@ UDF_BATTERY = {
     "u9_first_tokens_udtf": (_build_u9, _U9_DUCK, _text_values, None),
     "u14_split_space_words_udtf": (
         _build_u14_words, _U14_DUCK, _text_values, None),
+    "u14_split_space_words_udtf_pickled": (
+        _build_u14_words_pickled, _U14_DUCK, _text_values, None),
     "u16_split_with_pos_udtf": (
         _build_u16_pos, _U16_POS_DUCK, _text_values, None),
     "u15_cohort_of_scalar": (_build_u15, _U15_DUCK, _text_values, None),
@@ -538,3 +561,88 @@ def test_battery_carries_the_verdicts_adversarial_classes():
     assert None in ADV_DOUBLES
     assert 0.125 in ADV_MONEY and -0.125 in ADV_MONEY, "exact binary halves"
     assert any(v >= (1 << 50) for _, v in ADV_INTS), "large int64 midpoints"
+
+
+# ---------------------------------------------------------------------------
+# Per-TRANSPORT coverage closure (round 12, VERDICT r11 What's-missing
+# #3): a battery entry pins a BODY through the transport its builder
+# constructs — but a production crossing that reuses a pinned body
+# through a DIFFERENT transport (pickled vs Arrow UDTF, pickled vs
+# Arrow scalar) crosses a different serialization boundary with its own
+# conversion semantics. TRANSPORTS declares what each entry exercises;
+# the declarations are kept honest by classifying each builder's (and
+# production factory's) actual source below, and
+# test_plan_shapes.py::test_battery_covers_each_crossing_transport
+# closes the loop: every battery:/shared: crossing line's transport
+# must be exercised by its referenced entry.
+# ---------------------------------------------------------------------------
+
+import inspect
+import re as _re
+
+from data_wrangling_openstreetmap_spark.operators import udfs as _udfs_mod
+
+
+def classify_transports(src: str) -> frozenset:
+    """Transport(s) a source fragment constructs. Understands decorator
+    and constructor forms; `spark.udtf.register(...)` lines classify
+    EMPTY on purpose — registration reuses a function object whose
+    transport was decided (and is separately frozen) at its decorator."""
+    out = set()
+    if "applyInPandasWithState" in src or "transformWithStateInPandas" in src:
+        out.add("stateful")
+    if "applyInArrow" in src or "mapInArrow" in src:
+        out.add("arrow-batch")
+    if _re.search(r"applyInPandas\b", src) or "mapInPandas" in src:
+        out.add("pandas-batch")
+    if "pandas_udf" in src:
+        out.add("pandas-udf")
+    if "udtf(" in src:  # "@udtf(" / "udtf(Cls)" — NOT ".udtf.register("
+        out.add("arrow-udtf" if "useArrow=True" in src else "pickled-udtf")
+    if _re.search(r"(?<![a-z_])udf\(", src):  # excludes pandas_udf(/udtf(
+        out.add("arrow-udf" if "useArrow=True" in src else "pickled-udf")
+    return frozenset(out)
+
+
+TRANSPORTS = {
+    "u1_normalize_suffix_pickled": frozenset({"pickled-udf"}),
+    "u1b_normalize_suffix_arrow": frozenset({"arrow-udf"}),
+    "u5_tag_splitter_udtf": frozenset({"pickled-udtf"}),
+    "u9_first_tokens_udtf": frozenset({"pickled-udtf"}),
+    "u14_split_space_words_udtf": frozenset({"arrow-udtf"}),
+    "u14_split_space_words_udtf_pickled": frozenset({"pickled-udtf"}),
+    "u16_split_with_pos_udtf": frozenset({"pickled-udtf"}),
+    "u15_cohort_of_scalar": frozenset({"pickled-udf"}),
+    "u16_signature_scalar": frozenset({"pickled-udf"}),
+    "u17_shape_key_scalar": frozenset({"pickled-udf"}),
+    "u18_skeleton_scalar": frozenset({"pickled-udf"}),
+    "u18_skeleton_vowel_chain": frozenset({"pickled-udf", "pandas-udf"}),
+    "u2_sigmoid_pandas": frozenset({"pandas-udf"}),
+    "u2b_sigmoid_iter": frozenset({"pandas-udf"}),
+    "u11_half_away_cents": frozenset({"pickled-udf"}),
+    "u_median_grouped_agg": frozenset({"pandas-udf"}),
+    "u4b_weighted_avg_grouped_agg": frozenset({"pandas-udf"}),
+}
+
+# Builders that construct through a production FACTORY — the transport
+# lives in the factory's source, not the builder's.
+_FACTORY_SOURCES = {
+    "u1_normalize_suffix_pickled": (_udfs_mod._make_normalize_suffix,),
+    "u5_tag_splitter_udtf": (_udfs_mod._make_tag_splitter,),
+    "u9_first_tokens_udtf": (_udfs_mod._make_first_tokens,),
+    "u2_sigmoid_pandas": (_udfs_mod._sigmoid_balance_udf,),
+    "u2b_sigmoid_iter": (_udfs_mod._sigmoid_balance_iter_udf,),
+}
+
+
+def test_battery_transport_declarations_match_builders():
+    """TRANSPORTS is load-bearing for the crossing-closure test, so it
+    must not drift from what the builders actually construct: classify
+    each builder's (plus production factory's) real source."""
+    assert set(TRANSPORTS) == set(UDF_BATTERY)
+    for name, (build, _sql, _vals, _decls) in UDF_BATTERY.items():
+        src = inspect.getsource(build)
+        for factory in _FACTORY_SOURCES.get(name, ()):
+            src += inspect.getsource(factory)
+        assert classify_transports(src) == TRANSPORTS[name], (
+            name, classify_transports(src), TRANSPORTS[name])
