@@ -99,11 +99,16 @@ arrival audit, which scrambles the input layout and re-hashes every
 query. This function makes the residual exposure ENUMERABLE: the
 registry sweep freezes each query's site set
 (``tests/float_fold_freeze.json``), so a new raw-double fold must be
-reviewed against (a)–(c) before it can land. Ordered-window folds are
-excluded by design: their combine order is the window sort order, which
-checker #1 proves value-deterministic (tie classes are value-identical,
-and folding equal values in either order is bit-identical); ORDERLESS
-window frames fold in arrival order and are enumerated like group-bys.
+reviewed against (a)–(c) before it can land. Window folds are in scope
+except the ONE shape another checker genuinely covers: an
+order-SENSITIVE windowed aggregate (ROWS prefix/sliding frame) is
+tie-class-probed by checker #1, which proves ties value-identical —
+and folding equal values in either tie order is bit-identical — so it
+is skipped here; commutative aggregates over RANGE/unbounded frames
+are SKIPPED BY checker #1 (frame contents are order-value-determined,
+no probe runs), yet still fold the partition in physical tie order, so
+their float instances are enumerated (``window-ordered:``), as are
+ORDERLESS window frames (``window-unordered:``, arrival-order folds).
 """
 
 from __future__ import annotations
@@ -1078,6 +1083,11 @@ _MOMENT_AGGS = {
     "RegrIntercept",
     "RegrR2",
     "RegrSXY",
+    "RegrSXX",
+    "RegrSYY",
+    "RegrAvgX",
+    "RegrAvgY",
+    "Product",  # double multiply buffer — same combine-order exposure
 }
 
 # Sketches whose MERGE is not provably commutative-exact (unlike HLL,
@@ -1095,10 +1105,16 @@ _FLOAT_TYPES = ("double", "float")
 
 
 def _fold_descriptor(prefix: str, inner: str, fn) -> str:
+    import hashlib
+
     args = ", ".join(c.sql() for c in _seq(fn.children()))
     s = f"{prefix}:{inner}({args})"
     if len(s) > 160:
-        s = s[:140] + f"…+{len(s) - 140}"
+        # hash suffix keeps truncated descriptors collision-free: two
+        # distinct long expressions sharing a 140-char prefix (and even
+        # a length) must not freeze-match each other
+        digest = hashlib.sha256(s.encode()).hexdigest()[:10]
+        s = s[:140] + f"…{digest}"
     return s
 
 
@@ -1138,12 +1154,32 @@ def float_fold_sites(df: DataFrame, *, stats: Optional[SweepStats] = None) -> tu
             _scan_float_folds(named, acc, "agg")
     for node in _walk_windows(plan, []):
         stats.windows_seen += 1
-        if _seq(node.orderSpec()):
-            # ordered frame: combine order == window sort order, proven
-            # value-deterministic by window_order_hazards (checker #1)
-            stats.windows_safe_by_shape += 1
+        ordered = bool(_seq(node.orderSpec()))
+        if not ordered:
+            for alias in _seq(node.windowExpressions()):
+                _scan_float_folds(alias, acc, "window-unordered")
             continue
+        # Ordered window: a fold is out of scope here ONLY if checker
+        # #1 actually probes it — i.e. _fn_order_sensitive classifies
+        # it order-SENSITIVE (ROWS prefix/sliding frames), in which
+        # case the tie-class probe proves value-identical ties and
+        # equal values fold bit-identically in any tie order. The
+        # shapes checker #1 skips WITHOUT probing — commutative
+        # aggregates over RANGE or unbounded frames — still fold the
+        # partition in physical tie order, so their float instances
+        # belong in the freeze (round-12 self-review finding #1: the
+        # first version skipped every ordered window on a premise
+        # checker #1 does not establish).
         for alias in _seq(node.windowExpressions()):
-            _scan_float_folds(alias, acc, "window-unordered")
+            if alias.getClass().getSimpleName() != "Alias":
+                continue
+            wexpr = alias.child()
+            if wexpr.getClass().getSimpleName() != "WindowExpression":
+                continue
+            sensitive, _label = _fn_order_sensitive(wexpr)
+            if sensitive:
+                stats.windows_safe_by_shape += 1
+                continue
+            _scan_float_folds(wexpr, acc, "window-ordered")
     stats.windows_checked += len(acc)
     return tuple(sorted(set(acc)))

@@ -36,6 +36,7 @@ import pyarrow.parquet as pq
 import pytest
 from pyspark.sql import functions as F
 
+from data_wrangling_openstreetmap_spark.operators.llm import _MH_BUCKET_CAP
 from tests.test_oracle_parity import _check_one
 
 SRC_SF = "/root/testdata/sf0.001"
@@ -43,7 +44,7 @@ TABLES = (
     "region nation customer supplier part orders lineitem events "
     "documents embeddings"
 ).split()
-CAP = 50  # operators.llm._MH_BUCKET_CAP
+CAP = _MH_BUCKET_CAP  # the planted cap-boundary groups sit exactly on it
 
 
 def _mk_sf_dir(tmp_path_factory, name, docs):

@@ -198,10 +198,27 @@ def test_float_fold_checker_classes(spark):
     )
     assert any("ApproximatePercentile" in s for s in sites), sites
 
-    # ORDERED window fold: combine order is the (tie-checked) sort
-    # order — excluded by design
+    # ORDERED window, RANGE (default) frame: checker #1 skips this
+    # shape WITHOUT a tie probe (commutative agg, frame contents
+    # order-value-determined), so the double fold still combines in
+    # physical tie order — flagged (round-12 self-review finding #1:
+    # the first version skipped every ordered window)
     w_ord = Window.partitionBy("k").orderBy("i")
-    assert float_fold_sites(df.select(F.sum("d").over(w_ord))) == ()
+    sites = float_fold_sites(df.select(F.sum("d").over(w_ord)))
+    assert any(s.startswith("window-ordered:Sum[double]") for s in sites), sites
+    # same RANGE shape over a long: exact arithmetic, clean
+    assert float_fold_sites(df.select(F.sum("i").over(w_ord))) == ()
+
+    # ORDERED window, ROWS prefix frame: order-SENSITIVE, so checker
+    # #1 probes its tie classes (value-identical ties ⇒ equal values
+    # fold bit-identically in any tie order) — the one window shape
+    # legitimately out of scope here
+    w_rows = (
+        Window.partitionBy("k")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    assert float_fold_sites(df.select(F.sum("d").over(w_rows))) == ()
 
     # ORDERLESS window fold over a double: arrival-order combine, flagged
     w_bare = Window.partitionBy("k")
