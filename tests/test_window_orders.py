@@ -228,6 +228,92 @@ def test_float_fold_checker_classes(spark):
     assert float_fold_sites(df.select(F.sum("i").over(w_bare))) == ()
 
 
+def test_float_fold_hazard_is_real(spark):
+    """Executable evidence that the 5th checker's hazard class exists
+    (the w36 revert-evidence pattern): the SAME double multiset folded
+    under two partition layouts produces sums that differ at the
+    ROUND(…, 6) decision level — catastrophic cancellation makes the
+    combine order observable. [1e16, 1, -1e16] in one partition folds
+    (1e16 + 1) − 1e16 = 0.0 (the +1 is absorbed: 1e16 + 1 == 1e16 in
+    double); pre-aggregated per element it folds (1e16 − 1e16) + 1 =
+    1.0. Every value, partial, and total is exactly representable, so
+    both outcomes are deterministic PER LAYOUT — which is precisely
+    why the freeze forces raw float folds through the integer-unit /
+    rounded-6-with-magnitude-bound review."""
+    # layout A: physical row order [1e16, 1, −1e16] — folds
+    # (1e16 + 1) − 1e16; the +1 is absorbed into 1e16, sum = 0.0
+    one = (
+        spark.createDataFrame(
+            [(0, 1e16), (1, 1.0), (2, -1e16)], "id long, d double"
+        )
+        .repartition(1)
+        .sortWithinPartitions("id")
+        .agg(F.round(F.sum("d"), 6).alias("s"))
+        .collect()[0]
+        .s
+    )
+    # layout B: the cancellation pair arrives FIRST (coalesced union
+    # legs pin the physical order [1e16, −1e16, 1]) — folds
+    # (1e16 − 1e16) + 1 = 1.0 exactly, whether the legs stay separate
+    # partitions (exact partials 0.0 and 1.0) or concatenate
+    legA = spark.createDataFrame([(1e16,), (-1e16,)], "d double").coalesce(1)
+    legB = spark.createDataFrame([(1.0,)], "d double").coalesce(1)
+    spread = (
+        legA.union(legB)
+        .agg(F.round(F.sum("d"), 6).alias("s"))
+        .collect()[0]
+        .s
+    )
+    assert (one, spread) == (0.0, 1.0), (one, spread)
+
+
+# Per-query justification for every float_fold_freeze.json entry —
+# keys must exactly match the freeze (asserted in the registry sweep),
+# so a new frozen query forces an explicit audit, not just a regen:
+# - "rounded-6": the fold feeds outputs rounded to 6 dp on BOTH
+#   engines, with fixture magnitudes keeping absolute FP error orders
+#   of magnitude below the 0.5e-6 decision boundary (and the arrival
+#   audit's layout scramble re-hashes them bit-stable every round);
+# - "integer-valued-exact": the summed doubles are integer-valued and
+#   all partials stay ≪ 2^53, so the fold is EXACT in any order;
+# - "dyadic-exact": the summed doubles are dyadic rationals (k·2^-m,
+#   e.g. quarter-degree grid coordinates) with bounded exponent
+#   spread — sums are exact in any order, the final divide is one
+#   correctly-rounded op;
+# - "contract": graded as an accuracy contract (exact value + in-band
+#   verdict), so low-bit drift cannot flip the hash by design.
+FLOAT_FOLD_JUSTIFICATIONS = {
+    "a10b_approx_percentile_contract": "contract",
+    "a11_stats_agg": "rounded-6",
+    "a41_weighted_median": "integer-valued-exact",  # l_quantity weights
+    "a43_user_entropy": "rounded-6",
+    "f9d_bbox_grid_density": "dyadic-exact",  # quarter-degree lat/lon
+    "g2_triangle_count": "integer-valued-exact",  # d(d−1)/2 wedges
+    "l0_clean_pipeline": "rounded-6",
+    "l3_bm25_topk": "rounded-6",
+    "l3_hybrid_rrf": "rounded-6",
+    "l4_bigram_logprob": "rounded-6",
+    "l4_corpus_report": "rounded-6",
+    "l4_dsir_selection": "rounded-6",
+    "l4_lexicon_sentiment": "rounded-6",
+    "l4_quality_deciles": "rounded-6",
+    "l4_unigram_logprob": "rounded-6",
+    "l4_zipf_slope": "rounded-6",
+    "l5_multimodal_join": "rounded-6",
+    "l6_centroid_distances": "rounded-6",
+    "l6_centroids": "rounded-6",
+    "l6_covariance_matrix": "rounded-6",
+    "l6_feature_standardize": "rounded-6",
+    "l6_power_iteration": "rounded-6",
+    "l6_prefix_energy": "rounded-6",
+    "s21_orc_roundtrip": "integer-valued-exact",  # l_quantity rollup
+    "s9_temperature_resample": "rounded-6",
+    "w11_ewma": "rounded-6",
+    "w13_time_weighted_avg": "rounded-6",
+}
+_FOLD_CATEGORIES = {"rounded-6", "integer-valued-exact", "dyadic-exact", "contract"}
+
+
 # collect_list/collect_set sites allowed to stay UNSORTED inside an
 # Aggregate, each with its consumed-order-insensitively justification
 # (the machine check replaces ROUND8_NOTES §10's grep convention; a
@@ -422,6 +508,14 @@ def test_registry_order_determinism(spark, monkeypatch):
         "freeze with DWOS_REGEN_FLOAT_FOLD=1 and review the diff:\n"
         + "\n".join(fold_diffs)
     )
+    # every frozen query carries an explicit per-query justification —
+    # a regen alone cannot admit a new fold without its audit category
+    assert set(actual) == set(FLOAT_FOLD_JUSTIFICATIONS), (
+        "FLOAT_FOLD_JUSTIFICATIONS drifted from the freeze: "
+        f"missing={sorted(set(actual) - set(FLOAT_FOLD_JUSTIFICATIONS))} "
+        f"stale={sorted(set(FLOAT_FOLD_JUSTIFICATIONS) - set(actual))}"
+    )
+    assert set(FLOAT_FOLD_JUSTIFICATIONS.values()) <= _FOLD_CATEGORIES
     # the walker must have actually enumerated the known surface — a
     # silently-broken expression walk would freeze an empty map
     assert fstats.windows_checked >= 50, fstats
