@@ -188,3 +188,84 @@ def lang_id(text: Column) -> Column:
     # larger lang wins ties — deterministic.
     best = F.array_max(F.array(*scored))
     return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+# ---------------------------------------------------------------------------
+# Dense-regime token-set masks (optimization round 12).
+# ---------------------------------------------------------------------------
+
+# A token-set similarity join has two regimes. SPARSE (real corpora:
+# zipfian vocabularies of 10^5+ types): the inverted-index join — meet
+# in per-token buckets, df-cap the hot head — is the scale-safe shape.
+# DENSE (small closed vocabularies: tag sets, category codes, zones,
+# this fixture's 31-word synthetic corpus): EVERY token bucket holds
+# ~all documents, so inverted-index candidate generation degenerates to
+# Ω(n²) pair rows WITH |vocab|-fold duplication that a pair-count
+# aggregate must then shuffle back down (measured round 12: 148 s for
+# l2_jaccard_pairs at sf0.1 — 5 000 docs × ~31 shared tokens ≈ 190M
+# intermediate rows). When the GLOBAL vocabulary fits 64 bits, each
+# document's token set folds into one BIGINT and |A∩B| is a single
+# AND+POPCOUNT — the same n²/2 pairs evaluate as a broadcast pair scan
+# of narrow mask rows with no explode, no duplication and no pair-count
+# shuffle. The probe that picks the regime is one bounded job
+# (limit cap+1 over distinct tokens).
+DENSE_VOCAB_CAP = 64
+
+
+def dense_token_masks(df, id_col: str, text_col: str = "text"):
+    """(id, __mask, __n) per document when the global distinct-token
+    vocabulary of ``df[text_col]`` fits ``DENSE_VOCAB_CAP`` bits, else
+    ``None`` (caller keeps its sparse inverted-index plan).
+
+    ``__mask`` ORs ``1 << pos(token)`` over the document's tokens
+    (duplicate tokens vanish in the OR — no pre-distinct pass);
+    ``__n`` = bit_count(__mask) = |distinct tokens|. Documents with
+    zero tokens produce no mask row, mirroring what ``explode`` does
+    in the sparse plan. Bit positions come from the sorted global
+    vocabulary, so masks are deterministic; all downstream quantities
+    (popcounts) are permutation-invariant anyway.
+
+    Scale: the probe is a distinct-aggregate capped at cap+1 rows —
+    bounded driver work by construction; the mask build is one shuffle
+    of (id, 8-byte mask) partial bit_or aggregates. At 100 TB with a
+    real open vocabulary the probe exceeds the cap on the first
+    partition statistics and the caller's inverted-index/df-cap/LSH
+    path runs instead.
+    """
+    toks = distinct_tokens(F.col(text_col))
+    probe = df.select(F.explode(toks).alias("__tok")).distinct().limit(
+        DENSE_VOCAB_CAP + 1
+    )
+    vocab = sorted(r[0] for r in probe.collect())  # bounded: limit(cap+1) above
+    if len(vocab) > DENSE_VOCAB_CAP:
+        return None
+    pos_map = F.create_map(
+        *[c for i, t in enumerate(vocab) for c in (F.lit(t), F.lit(i))]
+    )
+    return (
+        df.select(F.col(id_col), F.explode(toks).alias("__tok"))
+        .select(id_col, F.element_at(pos_map, F.col("__tok")).alias("__pos"))
+        .groupBy(id_col)
+        .agg(F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), __pos)")).alias("__mask"))
+        .select(id_col, "__mask", F.bit_count("__mask").alias("__n"))
+    )
+
+
+def mask_pair_scan(masks, id_col: str, spark):
+    """Self pair scan over a dense-mask table: all (a, b) with
+    a.id < b.id, as a deliberate BroadcastNestedLoopJoin — the stream
+    side is round-robin repartitioned to the session's default
+    parallelism so the n²/2 popcount evaluations spread across cores
+    instead of landing on the one AQE-coalesced post-aggregate
+    partition. Returns the joined frame with both sides aliased a/b;
+    callers add their own measure + threshold.
+
+    Scale: right while DISTINCT DOCUMENTS fit a broadcast (~10⁷ rows of
+    16 B); past that, block the pair grid (QB×IB on id hash —
+    l3_knn_block_matmul's shape). With a dense tiny vocabulary that
+    O(n²) is unavoidable in ANY plan — every pair collides in some
+    token — so the mask scan is the cheapest exact form, not a
+    shortcut."""
+    a = masks.repartition(spark.sparkContext.defaultParallelism).alias("a")
+    b = masks.alias("b")
+    return a.join(F.broadcast(b), F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))

@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from ..functions.geospatial import euclidean_deg, grid_cell, haversine_m, in_bbox
 from ..io import load_table
 from ..registry import register
-from ._helpers import cents
+from ._helpers import cents, spread
 
 # ---------------------------------------------------------------------------
 # q6 — JSON extraction + aggregation (F7). Headline bench query.
@@ -601,12 +601,19 @@ def f14_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     surviving ratios round to 6 dp on both engines; the oracle spells
     the same semantics with NULLIF and DuckDB's try_cast.
 
-    Scale: pure map-side projections + one low-cardinality agg. The
+    Scale: pure map-side projections + one low-cardinality agg;
+    `spread` (on just the three needed columns) parallelizes the
+    try_cast battery past the fixture's single-row-group scan
+    (6.2 → ~0.6 s at sf0.1, optimization r12). The
     operational point: under ANSI mode these are the ONLY safe spellings
     for data you don't control — a plain divide or cast is a job-killer
     on row one of bad input, and a silent LEGACY-mode cast is worse.
     """
-    li = load_table(spark, sf_dir, "lineitem")
+    li = spread(
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_returnflag", "l_extendedprice", "l_quantity"
+        )
+    )
     ratio = F.try_divide(F.col("l_extendedprice"), F.col("l_quantity") - 30)
     parsed = (
         F.when(

@@ -29,7 +29,7 @@ from ..functions import text as T
 from ..functions import vectors as V
 from ..io import load_table
 from ..registry import register
-from ._helpers import ckpt, iter_ckpt
+from ._helpers import ckpt, iter_ckpt, spread
 
 # DuckDB expression for the same token array Spark's T.tokens() builds.
 _ORACLE_TOKS = r"list_filter(string_split_regex(text, '\s+'), x -> x != '')"
@@ -121,24 +121,47 @@ WHERE jaccard >= 0.9
 
 @register("l2_jaccard_pairs", oracle=_L2_JACCARD_ORACLE, tags=("L2", "J8"))
 def l2_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate pairs by distinct-token Jaccard ≥ 0.9, computed as
-    an inverted-index join (explode tokens → self-join on token → count
-    common per pair) — never materializes the O(n²) cross product the
-    oracle's pairwise form implies.
+    """Near-duplicate pairs by distinct-token Jaccard ≥ 0.9. Two exact
+    regimes, picked by a bounded vocabulary probe
+    (T.dense_token_masks):
 
-    Scale: shuffle is by token; hot tokens (stopwords) are the skew
-    risk — at 100 TB drop tokens with document frequency above a cap
-    (they can't distinguish near-dups) or switch to the registered
-    MinHash-LSH variant. Jaccard here is exact integer-ratio math, so
-    both engines produce bit-identical doubles — no rounding needed.
+    DENSE (global vocab ≤ 64 — this fixture's 31-word synthetic corpus
+    at every SF): each doc's token set folds into one BIGINT mask,
+    |A∩B| = bit_count(a & b), and the n²/2 pairs evaluate as a
+    broadcast pair scan of narrow mask rows. The r1–r11 inverted-index
+    form degenerated here — every token bucket held ~all docs, so it
+    generated the SAME Ω(n²) pairs ~31× over (~190M intermediate rows,
+    148 s at sf0.1) and paid a pair-count shuffle to collapse them;
+    the mask scan is the identical result at one AND+POPCOUNT per pair
+    (optimization r12, ~37×).
 
-    NB: the synthetic corpus draws from a 31-word vocabulary, so at
-    sf0.1 EVERY token is hot and ~1M pairs genuinely clear the 0.9
-    threshold — the exact join is inherently ~O(n²) there (real
-    corpora have zipfian tails that the df-cap/prefix-filter exploits).
-    Graded scale (sf0.01) runs sub-second.
+    SPARSE (real zipfian corpora): the inverted-index join — explode
+    tokens → self-join on token → count common per pair — never the
+    O(n²) cross product; hot tokens df-cap (they can't distinguish
+    near-dups) or route to the registered MinHash-LSH variant.
+    Jaccard is exact integer-ratio math in both regimes, so both
+    engines produce bit-identical doubles — no rounding needed
+    (branch equivalence test: tests/test_round12_opt.py).
     """
     docs = load_table(spark, sf_dir, "documents")
+    masks = T.dense_token_masks(docs, "doc_id")
+    if masks is None:
+        return _l2_jaccard_pairs_sparse(docs)
+    common = F.bit_count(F.col("a.__mask").bitwiseAND(F.col("b.__mask")))
+    jac = common.cast("double") / (F.col("a.__n") + F.col("b.__n") - common)
+    return (
+        T.mask_pair_scan(masks, "doc_id", spark)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.9)
+    )
+
+
+def _l2_jaccard_pairs_sparse(docs: DataFrame) -> DataFrame:
+    """Inverted-index regime of l2_jaccard_pairs (see its docstring)."""
     toks = docs.select(
         F.col("doc_id"),
         F.size(T.distinct_tokens(F.col("text"))).alias("n_toks"),
@@ -400,7 +423,7 @@ def l2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct multiplier. Every intermediate fits BIGINT (a_i·h <
     2^51), so the DuckDB oracle reproduces the exact candidate set.
     """
-    banded = _mh_banded(load_table(spark, sf_dir, "documents"))
+    banded = _mh_banded(spread(load_table(spark, sf_dir, "documents")))
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -532,28 +555,53 @@ def l2_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cosine ≥ 0.4 — sized to
     the fixture, whose max pairwise cosine is ~0.51).
 
-    Scale: the exact pair join is O(n²); at 100 TB the same threshold
-    query runs on l3_ann_lsh buckets (random-hyperplane partitioning)
-    instead — registered separately so the exact form stays gradable.
-    Norms are computed once per row before the join, not per pair.
+    Optimization r12: the r1–r11 form was the pure-Catalyst pair join
+    (BNLJ + 64-element zip_with/aggregate fold per pair — 2M pairs ×
+    interpreted HOF lambdas, measured 35.6 s at sf0.1). This is
+    exactly q10's 'small index, huge query side' regime, so it now
+    rides the same guarded broadcast-matmul kernel: the normalized
+    index broadcasts once (size-guarded — fails loudly past
+    Q10_INDEX_CAP_ROWS), queries stream through mapInPandas in Arrow
+    batches, each batch one BLAS matmul, emitting only upper-triangle
+    pairs over the threshold. Scores round to 6 dp — numpy blocked
+    summation, Spark's fold and DuckDB's list_cosine_similarity agree
+    well past 1e-9 (the q10/l3_cosine_topk_hof shared-oracle
+    precedent). Measured 0.35 s warm (~100×), parity-verified at all
+    three SFs.
+
+    Scale: past the broadcast cap the threshold query runs on
+    l3_ann_lsh buckets (random-hyperplane partitioning) instead —
+    registered separately so the exact form stays gradable; the
+    pure-Catalyst pairwise formulation survives as
+    l3_cosine_topk_hof's documented reference shape.
     """
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "embedding", V.norm(F.col("embedding")).alias("nrm")
-    )
-    a, b = e.alias("a"), e.alias("b")
-    cos = F.round(
-        V.dot(F.col("a.embedding"), F.col("b.embedding"))
-        / (F.col("a.nrm") * F.col("b.nrm")),
-        6,
-    )
-    return (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            cos.alias("cosine"),
-        )
-        .filter(F.col("cosine") >= 0.4)
+    import numpy as np
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    ids_idx = _guarded_index_arrays(e)
+    bc = spark.sparkContext.broadcast(ids_idx)
+
+    def neardup_pairs(batches):
+        import pandas as pd
+
+        all_ids, idx = bc.value
+        for pdf in batches:
+            q_ids = pdf["vec_id"].to_numpy()
+            Q = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            Q /= np.linalg.norm(Q, axis=1, keepdims=True)
+            S = np.round(Q @ idx.T, 6)
+            # upper triangle only (vec_a < vec_b), threshold inline
+            qi, ii = np.nonzero((S >= 0.4) & (q_ids[:, None] < all_ids[None, :]))
+            yield pd.DataFrame(
+                {
+                    "vec_a": q_ids[qi],
+                    "vec_b": all_ids[ii],
+                    "cosine": S[qi, ii],
+                }
+            )
+
+    return e.mapInPandas(
+        neardup_pairs, "vec_a bigint, vec_b bigint, cosine double"
     )
 
 
@@ -880,6 +928,29 @@ def _guarded_index_arrays(e: DataFrame, cap_rows: int = Q10_INDEX_CAP_ROWS):
     return np.asarray(ids, dtype=np.int64), index
 
 
+def _vectorized_topk(q_ids, all_ids, S, k):
+    """Per-row top-k of a rounded score matrix by (score desc, id asc),
+    excluding self-pairs — ONE vectorized lexsort over the whole matrix
+    instead of a Python loop of per-row lexsorts (optimization r12: the
+    row loop was ~60% of q10's batch time at sf0.1; identical output —
+    the self row is driven to −inf so it can only surface when a block
+    holds fewer than k non-self candidates, and the final keep-mask
+    drops exactly those, mirroring the old mask-then-sort).
+
+    Returns (query_ids, neighbor_ids, scores) flat arrays.
+    """
+    import numpy as np
+
+    S = S.copy()
+    S[q_ids[:, None] == all_ids[None, :]] = -np.inf
+    order = np.lexsort((np.broadcast_to(all_ids, S.shape), -S), axis=1)[:, :k]
+    rows = np.repeat(np.arange(S.shape[0]), order.shape[1])
+    cols = order.ravel()
+    keep = all_ids[cols] != q_ids[rows]
+    rows, cols = rows[keep], cols[keep]
+    return q_ids[rows], all_ids[cols], S[rows, cols]
+
+
 @register("q10_cosine_topk", oracle=_Q10_ORACLE, tags=("L3", "U2", "W2"))
 def q10_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact k-NN: top-5 cosine neighbors for every embedding, computed
@@ -915,14 +986,7 @@ def q10_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             Q = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
             Q /= np.linalg.norm(Q, axis=1, keepdims=True)
             S = np.round(Q @ idx.T, 6)
-            out_q, out_n, out_c = [], [], []
-            for i in range(S.shape[0]):
-                mask = all_ids != q_ids[i]
-                cand_ids, cand = all_ids[mask], S[i][mask]
-                order = np.lexsort((cand_ids, -cand))[:k]  # score desc, id asc
-                out_q.extend([q_ids[i]] * len(order))
-                out_n.extend(cand_ids[order])
-                out_c.extend(cand[order])
+            out_q, out_n, out_c = _vectorized_topk(q_ids, all_ids, S, k)
             yield pd.DataFrame(
                 {"vec_id": out_q, "neighbor_id": out_n, "cosine": out_c}
             )
@@ -1015,14 +1079,7 @@ def l3_knn_block_matmul(spark: SparkSession, sf_dir: str) -> DataFrame:
         Q /= np.linalg.norm(Q, axis=1, keepdims=True)
         X /= np.linalg.norm(X, axis=1, keepdims=True)
         S = np.round(Q @ X.T, 6)
-        out_q, out_n, out_c = [], [], []
-        for r in range(S.shape[0]):
-            mask = i_ids != q_ids[r]
-            cand_ids, cand = i_ids[mask], S[r][mask]
-            order = np.lexsort((cand_ids, -cand))[:k]  # score desc, id asc
-            out_q.extend([q_ids[r]] * len(order))
-            out_n.extend(cand_ids[order])
-            out_c.extend(cand[order])
+        out_q, out_n, out_c = _vectorized_topk(q_ids, i_ids, S, k)
         return pd.DataFrame({"vec_id": out_q, "neighbor_id": out_n, "cosine": out_c})
 
     partials = tagged.groupBy("qb", "ib").applyInPandas(
@@ -1102,23 +1159,32 @@ def l3_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         V.norm(F.col("embedding")).alias("nrm"),
         F.explode(bucket_entries).alias("bk"),
     ).select("vec_id", "embedding", "nrm", "bk.tbl", "bk.bucket")
-    a, b = e.alias("a"), e.alias("b")
-    cos = F.round(
-        V.dot(F.col("a.embedding"), F.col("b.embedding"))
-        / (F.col("a.nrm") * F.col("b.nrm")),
-        6,
-    )
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.tbl") == F.col("b.tbl"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") != F.col("b.vec_id")),
+
+    # Score each bucket's ordered pairs as ONE dense BLAS matmul per
+    # (table, bucket) group (optimization r12): the r1–r11 bucket
+    # self-join evaluated ~1.5M pair cosines through interpreted
+    # zip_with/aggregate HOF lambdas (~100M element ops — 40 s at
+    # sf0.1); the grouped Arrow kernel computes the identical rounded
+    # doubles (dot/(nrm_a·nrm_b), JVM-computed norms ride along so the
+    # formula matches term for term) in ~3 s. Same narrow
+    # (ids, cosine) rows flow to the same distinct + window.
+    def bucket_pairs(pdf):
+        import numpy as np
+        import pandas as pd
+
+        ids = pdf["vec_id"].to_numpy()
+        E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        N = pdf["nrm"].to_numpy().astype(np.float64)
+        S = np.round((E @ E.T) / np.outer(N, N), 6)
+        qi, ii = np.nonzero(ids[:, None] != ids[None, :])
+        return pd.DataFrame(
+            {"vec_id": ids[qi], "neighbor_id": ids[ii], "cosine": S[qi, ii]}
         )
-        .select(
-            F.col("a.vec_id").alias("vec_id"),
-            F.col("b.vec_id").alias("neighbor_id"),
-            cos.alias("cosine"),
+
+    pairs = (
+        e.groupBy("tbl", "bucket")
+        .applyInPandas(
+            bucket_pairs, "vec_id bigint, neighbor_id bigint, cosine double"
         )
         .distinct()  # collapse multi-table collisions of the same pair
     )
@@ -1144,8 +1210,10 @@ def l3_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells (multi-assignment — the standard boundary-case fix: a true
     neighbor straddling a cell border is reachable through either
     copy), each query probing its `nprobe`=8 nearest cells; candidates
-    meet in an equi-join on cell id, scored map-side, then deduped on
-    the narrow (ids, cosine) row.
+    meet per cell group — one dense Arrow matmul per cell (optimization
+    r12; was an equi-join scoring ~2M pair dots through interpreted HOF
+    lambdas, 27 s at sf0.1) — then dedup on the narrow (ids, cosine)
+    row.
 
     Scale contract (every stage distributed — nothing collects the
     table):
@@ -1216,19 +1284,47 @@ def l3_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # Multi-assignment means one (query, index) pair can meet in up to
-    # nassign cells — score FIRST (map-side, duplicates recompute the
-    # identical rounded double), then collapse on the narrow
-    # (ids, cosine) row so the dedup exchange never carries the two
-    # 64-double vectors (round-12 self-review: distinct over the
-    # vector payload is ~60× the shuffle bytes of the id-pair form).
-    cos = F.round(V.dot(F.col("q_u"), F.col("i_u")), 6)
+    # nassign cells — score FIRST (duplicates recompute the identical
+    # rounded double), then collapse on the narrow (ids, cosine) row so
+    # the dedup exchange never carries the two 64-double vectors
+    # (round-12 self-review: distinct over the vector payload is ~60×
+    # the shuffle bytes of the id-pair form). Optimization r12: the
+    # per-cell probes×assigns scoring is ONE dense BLAS matmul per
+    # cell group (the l3_knn cell kernel) — the r1–r11 equi-join
+    # evaluated ~2M pair dots through interpreted HOF lambdas
+    # (27 s at sf0.1); identical rounded doubles, same distinct+window.
+    tagged = probes.select(
+        "cell", F.lit("q").alias("side"), F.col("q_id").alias("vid"), F.col("q_u").alias("u")
+    ).unionByName(
+        assign.select(
+            "cell", F.lit("i").alias("side"), F.col("i_id").alias("vid"), F.col("i_u").alias("u")
+        )
+    )
+
+    def cell_pairs(pdf):
+        import numpy as np
+        import pandas as pd
+
+        q = pdf[pdf["side"] == "q"]
+        i = pdf[pdf["side"] == "i"]
+        if q.empty or i.empty:
+            return pd.DataFrame(
+                {"vec_id": [], "neighbor_id": [], "cosine": []}
+            ).astype({"vec_id": "int64", "neighbor_id": "int64", "cosine": "float64"})
+        q_ids = q["vid"].to_numpy()
+        i_ids = i["vid"].to_numpy()
+        S = np.round(
+            np.stack(q["u"].to_numpy()) @ np.stack(i["u"].to_numpy()).T, 6
+        )
+        qi, ii = np.nonzero(q_ids[:, None] != i_ids[None, :])
+        return pd.DataFrame(
+            {"vec_id": q_ids[qi], "neighbor_id": i_ids[ii], "cosine": S[qi, ii]}
+        )
+
     pairs = (
-        probes.join(assign, "cell")
-        .filter(F.col("q_id") != F.col("i_id"))
-        .select(
-            F.col("q_id").alias("vec_id"),
-            F.col("i_id").alias("neighbor_id"),
-            cos.alias("cosine"),
+        tagged.groupBy("cell")
+        .applyInPandas(
+            cell_pairs, "vec_id bigint, neighbor_id bigint, cosine double"
         )
         .distinct()
     )
@@ -3006,7 +3102,7 @@ def l2_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     join shape as l2_jaccard_pairs (explode shingles → join on shingle
     → count common), so the contract itself never materializes O(n²).
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     sh = docs.select(
         "doc_id",
         F.array_distinct(T.shingles(F.col("text"), k=3)).alias("sh"),
@@ -3067,10 +3163,12 @@ def l2_simhash_invariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     would mean the vote pipeline broke). The oracle pins the document
     count and expects both verdicts true.
 
-    Scale: two map-side projections and one global bool_and — no
-    shuffle of document contents.
+    Scale: two map-side projections and one global bool_and; `spread`
+    parallelizes the 124-lane vote projection past the fixture's
+    single-row-group scan (12.8 → ~1 s at sf0.1, optimization r12) —
+    the only shuffle carries the raw text once.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     toks = T.tokens(F.col("text"))
     per_doc = docs.select(
         T.simhash64(toks).alias("h1"),
@@ -3530,35 +3628,49 @@ def l6_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     (n−1) is the same expression tree on both engines, rounded at 6 dp
     (double fold order differs at ~1e-13).
 
+    Optimization r12: the r1–r11 form emitted all 2080 upper-triangle
+    cells as 5-field struct rows through nested interpreted HOF
+    transforms (4.16M structs at sf0.1 — 21 s, almost all lambda
+    interpretation). Now one ``posexplode`` emits (dim_i, x, vec) rows
+    and the 64 per-dim_j products are 64 plain whole-stage-codegen'd
+    SUM aggregates (sx and n ride the same groupBy; sy is dim_j's sx,
+    re-attached by a 64-row broadcast self-join); the full d×d product
+    matrix costs 2× the triangle's multiplies but every op is codegen
+    — measured ~14× faster. Identical cov expression, same 6-dp
+    rounding.
+
     Scale: one pass, one narrow shuffle — the classic distributed
-    second-moment pattern; at 1000 dims the triangle (≈500 k cells)
-    still partial-aggregates the same way, and the eigen-solve on the
-    64×64 (or 1000×1000) result is a driver-side O(d³) afterthought.
+    second-moment pattern; at 1000 dims the per-group aggregate list
+    grows to d columns (the shuffle still carries d² cells ×
+    partitions, not × rows), and the eigen-solve on the 64×64 (or
+    1000×1000) result is a driver-side O(d³) afterthought.
     """
+    d = 64
     e = load_table(spark, sf_dir, "embeddings")
     v = F.col("embedding").cast("array<double>")
-    cells = F.flatten(
-        F.transform(
-            F.sequence(F.lit(1), F.lit(64)),
-            lambda i: F.transform(
-                F.sequence(i, F.lit(64)),
-                lambda j: F.struct(
-                    i.alias("dim_i"),
-                    j.alias("dim_j"),
-                    (F.element_at(v, i) * F.element_at(v, j)).alias("xy"),
-                    F.element_at(v, i).alias("x"),
-                    F.element_at(v, j).alias("y"),
-                ),
+    ex = e.select(F.posexplode(v).alias("pos", "x"), v.alias("vec"))
+    m = ex.groupBy((F.col("pos") + 1).alias("dim_i")).agg(
+        F.sum("x").alias("sx"),
+        F.count("*").alias("n"),
+        *[
+            F.sum(F.col("x") * F.element_at(F.col("vec"), j)).alias(f"_s{j}")
+            for j in range(1, d + 1)
+        ],
+    )
+    long = (
+        m.select(
+            "dim_i",
+            "sx",
+            "n",
+            F.posexplode(F.array(*[F.col(f"_s{j}") for j in range(1, d + 1)])).alias(
+                "pos_j", "sxy"
             ),
         )
+        .withColumn("dim_j", F.col("pos_j") + 1)
+        .filter(F.col("dim_j") >= F.col("dim_i"))
     )
-    exploded = e.select(F.explode(cells).alias("c")).select("c.*")
-    agg = exploded.groupBy("dim_i", "dim_j").agg(
-        F.sum("xy").alias("sxy"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.count("*").alias("n"),
-    )
+    sy = m.select(F.col("dim_i").alias("dim_j"), F.col("sx").alias("sy"))
+    agg = long.join(F.broadcast(sy), "dim_j")
     cov = (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")) / (
         F.col("n") - 1
     )
@@ -3613,11 +3725,26 @@ def j9_fuzzy_name_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     are out of scope by definition (the blocking is the spec; PassJoin
     segment blocking is the lossless generalization when needed).
 
+    Optimization r12 (55 s → per-block map-side at sf0.1): the name
+    vocabulary is 16 words, so each word block holds ~1/16 of all
+    parts and the two blocks generate ~25M candidates — the cost was
+    never the DP but UNION+DISTINCT shuffling 25M wide (two-name) rows
+    twice before filtering. Now each block is a BroadcastHashJoin
+    (the name table broadcasts at this tier), candidates prune
+    map-side by the exact length bound (|len a − len b| ≤ ed ⇐
+    levenshtein ≤ ed), the DP is the THRESHOLDED form
+    (levenshtein(a, b, ed): banded O(len·ed) instead of O(len²),
+    returns −1 above the bound — values ≤ ed are the exact distance),
+    and only surviving (key, key, dist) rows — the result set ×2 —
+    reach the union+distinct. Distance is deterministic per pair, so
+    dedup-after-filter is set-identical to the oracle's
+    dedup-then-filter.
+
     Scale: shuffle keys are single words — the hot-word skew cap from
     l2_ngram_jaccard applies verbatim (drop words with df above a
-    bound, or salt); Levenshtein cost is bounded by short name
-    lengths. Both engines run the identical integer DP, so edit_dist
-    grades exactly with no tolerance.
+    bound, or salt); past the broadcast tier the same code runs as
+    shuffled equi-joins. Both engines run the identical integer DP on
+    survivors, so edit_dist grades exactly with no tolerance.
     """
     p = load_table(spark, sf_dir, "part").select(
         "p_partkey",
@@ -3625,29 +3752,37 @@ def j9_fuzzy_name_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split(F.col("p_name"), " ").getItem(0).alias("w1"),
         F.split(F.col("p_name"), " ").getItem(1).alias("w2"),
     )
-    a, b = p.alias("a"), p.alias("b")
+    # The fixture writes part.parquet as one row group → a 1-task scan;
+    # without a spread the broadcast join evaluates all ~25M candidate
+    # DPs on that one task (measured: 45 s). Round-robin the stream
+    # side across the session's parallelism — at 100 TB multi-row-group
+    # files make this a no-op-sized exchange relative to the scan.
+    a = p.repartition(spark.sparkContext.defaultParallelism).alias("a")
+    b = F.broadcast(p.alias("b"))
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"), _FUZZY_ED)
 
     def block(word: str):
         return (
             a.join(
                 b,
                 (F.col(f"a.{word}") == F.col(f"b.{word}"))
-                & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+                & (F.col("a.p_partkey") < F.col("b.p_partkey"))
+                & (
+                    F.abs(
+                        F.length(F.col("a.p_name")) - F.length(F.col("b.p_name"))
+                    )
+                    <= _FUZZY_ED
+                ),
             )
+            .filter(dist >= 0)
             .select(
                 F.col("a.p_partkey").alias("key_a"),
                 F.col("b.p_partkey").alias("key_b"),
-                F.col("a.p_name").alias("name_a"),
-                F.col("b.p_name").alias("name_b"),
+                dist.cast("long").alias("edit_dist"),
             )
         )
 
-    cand = block("w1").union(block("w2")).distinct()
-    dist = F.levenshtein(F.col("name_a"), F.col("name_b"))
-    return (
-        cand.filter(dist <= _FUZZY_ED)
-        .select("key_a", "key_b", dist.cast("long").alias("edit_dist"))
-    )
+    return block("w1").union(block("w2")).distinct()
 
 
 # ---------------------------------------------------------------------------
@@ -4708,15 +4843,45 @@ def l2_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     directed (contained → container); integer-ratio math needs no
     rounding.
 
-    Scale: the same inverted-index shape as l2_jaccard_pairs (explode
-    distinct tokens → equi-join on token → count common per pair) —
-    never the O(n²) cross product. The size-asymmetry predicate
-    (|A| < |B|) is also the classic prefix-filter accelerant: at
-    100 TB, candidates additionally prune on the smallest
-    (1−t)·|A|+1 tokens of each doc, and hot tokens df-cap exactly as
-    the Jaccard twin documents.
+    Regime split (optimization r12, same probe as l2_jaccard_pairs —
+    the r1–r11 inverted-index form measured 133 s at sf0.1 on the
+    dense 31-word fixture vocabulary): when the global vocab fits 64
+    bits the containment evaluates as a broadcast mask pair scan
+    (common = bit_count(a & b), na = bit_count(a)), identical result,
+    no token explode and no pair-count shuffle.
+
+    Scale (sparse regime): the same inverted-index shape as
+    l2_jaccard_pairs (explode distinct tokens → equi-join on token →
+    count common per pair) — never the O(n²) cross product. The
+    size-asymmetry predicate (|A| < |B|) is also the classic
+    prefix-filter accelerant: at 100 TB, candidates additionally prune
+    on the smallest (1−t)·|A|+1 tokens of each doc, and hot tokens
+    df-cap exactly as the Jaccard twin documents.
     """
     docs = load_table(spark, sf_dir, "documents")
+    masks = T.dense_token_masks(docs, "doc_id")
+    if masks is not None:
+        # The id-ordered pair scan visits each unordered pair once; the
+        # DIRECTION comes from the strict size asymmetry (the smaller
+        # set is the contained side — both directions can never hold),
+        # so a conditional swap recovers the oracle's (a.id <> b.id,
+        # |a| < |b|) enumeration exactly.
+        a_small = F.col("a.__n") < F.col("b.__n")
+        common = F.bit_count(F.col("a.__mask").bitwiseAND(F.col("b.__mask")))
+        cont = common.cast("double") / F.least(F.col("a.__n"), F.col("b.__n"))
+        return (
+            T.mask_pair_scan(masks, "doc_id", spark)
+            .filter((F.col("a.__n") != F.col("b.__n")) & (cont >= _CONTAIN_T))
+            .select(
+                F.when(a_small, F.col("a.doc_id"))
+                .otherwise(F.col("b.doc_id"))
+                .alias("contained_doc"),
+                F.when(a_small, F.col("b.doc_id"))
+                .otherwise(F.col("a.doc_id"))
+                .alias("container_doc"),
+                cont.alias("containment"),
+            )
+        )
     toks = docs.select(
         F.col("doc_id"),
         F.size(T.distinct_tokens(F.col("text"))).alias("n_toks"),
@@ -6208,42 +6373,52 @@ WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= {_TRAJ_MIN_JAC}
 @register("j13_trajectory_similarity", oracle=_J13_ORACLE, tags=("J8", "F9", "L2"))
 def j13_trajectory_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Users with near-identical movement footprints: each user's
-    trajectory reduces to its DISTINCT visited-zone set, candidate
-    pairs form only where two users share a zone (inverted index on
-    zone), and set-Jaccard ≥ 0.7 keeps the matches — exact integer-
-    ratio math, no rounding. The l2_jaccard_pairs machinery applied to
-    the trajectory domain.
+    trajectory reduces to its DISTINCT visited-zone set, and set-
+    Jaccard ≥ 0.7 keeps the matches — exact integer-ratio math, no
+    rounding.
 
-    Scale: shuffle by zone; a hot zone (downtown) is the skew risk —
-    the same df-cap/LSH degradations as the text family apply, and
-    REPOSE-style local reference points are exactly a smarter zone
-    blocking. Never O(users²).
+    The zone universe is FIXED at ``_TRAJ_ZONES`` = 40 < 64, so each
+    user's zone set folds into ONE 64-bit mask (``bit_or(1 << zone)``
+    — duplicates vanish in the OR, so no pre-distinct shuffle is paid)
+    and |A∩B| is a single ``bit_count(mask_a & mask_b)``. The r1–r11
+    inverted-index form (meet-in-zone self-join) degenerates on this
+    dense tiny universe: ~32 of 40 zones per user meant every zone
+    bucket held ~80% of all users, exploding ~30M candidate rows into
+    a pair-count aggregate (measured 6.09 s warm at sf0.1). The mask
+    form evaluates the same |users|²/2 pairs as a broadcast pair scan
+    of 1 500 mask rows — one AND+POPCOUNT each, no explode, no
+    pair-count shuffle (optimization r12; 5 exchanges → 1).
+
+    Scale: the deliberate pair scan is right while DISTINCT USERS fit
+    a broadcast (~10⁷ rows of 16 B); past that, block the pair grid
+    (QB×IB on user hash, l3_knn_block_matmul's shape) — still
+    O(users²) bit-ops but distributed, which a 40-zone universe makes
+    unavoidable: with zones ≪ users, ANY two dense users collide in
+    some zone, so inverted-index candidate generation is itself
+    Ω(users²) rows (and ~40× that in duplicates). A LARGE sparse zone
+    universe (real geohash grids) inverts the trade and the
+    meet-in-zone form (git history, r11) wins again; REPOSE-style
+    local reference points are exactly a smarter zone blocking.
     """
     ev = load_table(spark, sf_dir, "events")
     zone = (F.col("event_id") * 2654435761 + F.col("user_id") * 7) % _TRAJ_ZONES
-    cells = ev.select("user_id", zone.alias("zone")).distinct()
-    sizes = cells.groupBy("user_id").agg(F.count("*").alias("n"))
-    cs = cells.join(sizes, "user_id")
-    a, b = cs.alias("a"), cs.alias("b")
-    common = (
-        a.join(
-            b,
-            (F.col("a.zone") == F.col("b.zone"))
-            & (F.col("a.user_id") < F.col("b.user_id")),
-        )
-        .groupBy(
+    masks = (
+        ev.select("user_id", zone.cast("int").alias("zone"))
+        .groupBy("user_id")
+        .agg(F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), zone)")).alias("mask"))
+        .select("user_id", "mask", F.bit_count("mask").alias("n"))
+    )
+    a, b = masks.alias("a"), masks.alias("b")
+    common = F.bit_count(F.col("a.mask").bitwiseAND(F.col("b.mask")))
+    jac = common.cast("double") / (F.col("a.n") + F.col("b.n") - common)
+    return (
+        a.join(F.broadcast(b), F.col("a.user_id") < F.col("b.user_id"))
+        .select(
             F.col("a.user_id").alias("user_a"),
             F.col("b.user_id").alias("user_b"),
-            F.col("a.n").alias("na"),
-            F.col("b.n").alias("nb"),
+            jac.alias("zone_jaccard"),
         )
-        .agg(F.count("*").alias("common"))
-    )
-    jac = F.col("common").cast("double") / (F.col("na") + F.col("nb") - F.col("common"))
-    return (
-        common.withColumn("zone_jaccard", jac)
         .filter(F.col("zone_jaccard") >= _TRAJ_MIN_JAC)
-        .select("user_a", "user_b", "zone_jaccard")
     )
 
 
@@ -7625,25 +7800,42 @@ def l4_trigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     further ingestion buys deduplication work, not information.
 
     Scale: one shuffle to (trigram, min doc) — the inverted index the
-    dedup family already builds — then a trigram-keyed join back;
-    never an all-pairs comparison. The arrival order is doc_id here;
-    a real pipeline substitutes crawl timestamp, same plan.
+    dedup family already builds. Optimization r12: the r1–r11 plan
+    joined that table BACK to the exploded shingles on the trigram key
+    (a second 750k-string-row shuffle) only to re-count what is
+    already known — |doc's distinct trigrams| is size(shs) map-side,
+    and a doc's novel count is just ``f`` grouped by first_doc (an
+    O(docs) aggregate that broadcasts back). Identical output
+    (the joined count per doc WAS |shs|; the conditional sum WAS the
+    first_doc multiplicity), measured 16.8 s → ~3 s. The arrival
+    order is doc_id here; a real pipeline substitutes crawl
+    timestamp, same plan.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     toks = T.tokens(F.col("text"))
     g = docs.select(
         "doc_id", F.array_distinct(T.shingles(F.col("text"), 3)).alias("shs")
     ).filter(F.size(toks) >= 3)
     s = g.select("doc_id", F.explode("shs").alias("sh"))
     f = s.groupBy("sh").agg(F.min("doc_id").alias("first_doc"))
-    j = s.join(f, "sh")
-    novel = F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
-    return j.groupBy("doc_id").agg(
-        F.count("*").alias("n_trigrams"),
-        F.sum(novel).cast("bigint").alias("n_novel"),
-        F.round(
-            F.sum(novel).cast("double") / F.count("*"), 6
-        ).alias("novelty"),
+    novel_counts = f.groupBy(F.col("first_doc").alias("doc_id")).agg(
+        F.count("*").alias("_nn")
+    )
+    n_novel = F.coalesce(F.col("_nn"), F.lit(0)).cast("bigint")
+    return (
+        # no broadcast hint: novel_counts is O(docs) — fixture-tiny (AQE
+        # auto-broadcasts it) but unbounded at 100 TB, where this is a
+        # doc-keyed shuffle join of two O(docs) relations
+        g.select("doc_id", F.size("shs").cast("bigint").alias("n_trigrams"))
+        .join(novel_counts, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_trigrams",
+            n_novel.alias("n_novel"),
+            F.round(
+                n_novel.cast("double") / F.col("n_trigrams"), 6
+            ).alias("novelty"),
+        )
     )
 
 

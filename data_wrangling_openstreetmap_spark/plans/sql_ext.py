@@ -383,31 +383,52 @@ def _lower_similarity(spark: SparkSession, query: str, m: re.Match) -> DataFrame
     thr = float(m.group("thr"))
 
     src = spark.table(m.group("lt"))
-    toks_arr = _text.distinct_tokens(F.col(text_col))
-    toks = src.select(
-        F.col(id_col).alias("__id"),
-        F.size(toks_arr).alias("__n"),
-        F.explode(toks_arr).alias("__tok"),
-    )
-    a, b = toks.alias("a"), toks.alias("b")
-    common = (
-        a.join(b, (F.col("a.__tok") == F.col("b.__tok")) & (F.col("a.__id") < F.col("b.__id")))
-        .groupBy(
-            F.col("a.__id").alias(f"{lo}_{id_col}"),
-            F.col("b.__id").alias(f"{hi}_{id_col}"),
-            F.col("a.__n").alias("__na"),
-            F.col("b.__n").alias("__nb"),
+    masks = _text.dense_token_masks(src, id_col, text_col)
+    if masks is not None:
+        # Dense regime (optimization r12): global vocab ≤ 64 bits, so
+        # the lowering emits the broadcast mask pair scan instead of
+        # the inverted-index join — same exact semantics (bit_count
+        # intersection / integer-ratio Jaccard), no token explode, no
+        # pair-count shuffle. See functions/text.py::dense_token_masks
+        # for the regime argument; sparse vocabularies keep the
+        # inverted-index lowering below.
+        common = F.bit_count(F.col("a.__mask").bitwiseAND(F.col("b.__mask")))
+        sim = common.cast("double") / (F.col("a.__n") + F.col("b.__n") - common)
+        lowered = (
+            _text.mask_pair_scan(masks, id_col, spark)
+            .select(
+                F.col(f"a.{id_col}").alias(f"{lo}_{id_col}"),
+                F.col(f"b.{id_col}").alias(f"{hi}_{id_col}"),
+                sim.alias("similarity"),
+            )
+            .filter(F.col("similarity") >= thr)
         )
-        .agg(F.count("*").alias("__common"))
-    )
-    sim = F.col("__common").cast("double") / (
-        F.col("__na") + F.col("__nb") - F.col("__common")
-    )
-    lowered = (
-        common.withColumn("similarity", sim)
-        .filter(F.col("similarity") >= thr)
-        .select(f"{lo}_{id_col}", f"{hi}_{id_col}", "similarity")
-    )
+    else:
+        toks_arr = _text.distinct_tokens(F.col(text_col))
+        toks = src.select(
+            F.col(id_col).alias("__id"),
+            F.size(toks_arr).alias("__n"),
+            F.explode(toks_arr).alias("__tok"),
+        )
+        a, b = toks.alias("a"), toks.alias("b")
+        common = (
+            a.join(b, (F.col("a.__tok") == F.col("b.__tok")) & (F.col("a.__id") < F.col("b.__id")))
+            .groupBy(
+                F.col("a.__id").alias(f"{lo}_{id_col}"),
+                F.col("b.__id").alias(f"{hi}_{id_col}"),
+                F.col("a.__n").alias("__na"),
+                F.col("b.__n").alias("__nb"),
+            )
+            .agg(F.count("*").alias("__common"))
+        )
+        sim = F.col("__common").cast("double") / (
+            F.col("__na") + F.col("__nb") - F.col("__common")
+        )
+        lowered = (
+            common.withColumn("similarity", sim)
+            .filter(F.col("similarity") >= thr)
+            .select(f"{lo}_{id_col}", f"{hi}_{id_col}", "similarity")
+        )
     view = f"__sim_{la}_{ra}_{next(_VIEW_SEQ)}"
     lowered.createOrReplaceTempView(view)
     rewritten = _qualify(query[: m.start()] + f"FROM {view}" + query[m.end() :], amap)

@@ -42,6 +42,8 @@ def full_plan_visibility(monkeypatch):
 # the search itself is pure JVM (HOF dot products + cell equi-join).
 PYTHON_ALLOWED = {
     "q10_cosine_topk",
+    "l2_embedding_neardup",  # optimization r12: q10's guarded broadcast-matmul
+    # kernel (was a 2M-pair BNLJ × interpreted HOF dot fold, 35.6 s at sf0.1)
     "l3_knn_block_matmul",  # distributed exact kNN: Arrow matmul per block cell
     "l3_mmr_rerank",  # intentional driver-side crossing: collects a BOUNDED
     # candidate pool (size-capped by construction) and runs the greedy MMR
@@ -49,6 +51,10 @@ PYTHON_ALLOWED = {
     # nodes, so the plan sweep can't see it — listed here so the allowlist
     # documents the crossing instead of the sweep passing vacuously.
     "l3_ann_recall_contract",  # grades ANN recall against q10's matmul
+    "l3_ann_lsh",  # optimization r12: per-(table, bucket) Arrow matmul scoring
+    # (was a bucket self-join × interpreted HOF dot fold, 40 s at sf0.1)
+    "l3_ann_ivf",  # optimization r12: per-cell Arrow matmul scoring (was an
+    # equi-join × interpreted HOF dot fold, 27 s at sf0.1)
     "m1_multimodal_decode",
     "m1b_decode_parity",  # m1's crossing minus the crc32 column — the graded twin
     "m5_decode_parity",
@@ -410,6 +416,13 @@ BOUNDED_COLLECT_SITES = {
     ("operators/composites.py", 'max_key = cust.agg(F.max("c_custkey")).collect()[0][0]', 1),
     # OSM demo XML generator: .limit(max_nodes) two lines above
     ("sources/osm_gen.py", ".collect()", 1),
+    # dense-regime vocabulary probe: cap+1 rows by the limit() in
+    # `probe` (functions/text.py::dense_token_masks — optimization r12)
+    (
+        "functions/text.py",
+        "vocab = sorted(r[0] for r in probe.collect())  # bounded: limit(cap+1) above",
+        1,
+    ),
 }
 # (.first()/.head(n)/.take(n) are bounded by construction — ≤ n rows —
 # so they are not scanned; a16's freqItems .first() is the one site.)
@@ -553,7 +566,9 @@ def test_aggregate_fold_allowlist():
 #                      graded via st7/st16; transformWithState env-gated
 UDF_CROSSING_SITES = {
     ("operators/llm.py", 'partials = tagged.groupBy("qb", "ib").applyInPandas(', 1): "numeric-exact",  # l3 block matmul: float32 matmul + local top-k, graded + benched
+    ("operators/llm.py", '.applyInPandas(', 2): "numeric-exact",  # l3_ann_lsh bucket / l3_ann_ivf cell matmul scoring (opt r12): 6-dp rounded doubles, recall contract driver-graded
     ("operators/llm.py", 'return e.mapInPandas(topk, "vec_id bigint, neighbor_id bigint, cosine double")', 1): "numeric-exact",  # q10 broadcast matmul, 6-dp both sides
+    ("operators/llm.py", 'return e.mapInPandas(', 1): "numeric-exact",  # l2_embedding_neardup: same guarded broadcast matmul, 6-dp, value-graded vs DuckDB at 3 SFs
     ("operators/multimodal.py", 'feats = payload.mapInPandas(fake_feature_batch, FEATURE_SCHEMA)', 2): "codec-parity",
     ("operators/multimodal.py", 'frames = payload.mapInPandas(fake_pcm_frames_batch, VAD_SCHEMA)', 1): "codec-parity",
     ("operators/multimodal.py", 'frames = payload.mapInPandas(fake_scene_frames_batch, SCENE_SCHEMA)', 1): "codec-parity",
