@@ -50,3 +50,13 @@ def euclidean(a: Column, b: Column) -> Column:
     return F.sqrt(
         F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x * x)
     )
+# NOTE (optimization r13, negative result worth keeping): a flat
+# unrolled fixed-64 dot — lit(0.0) + a₁·b₁ + … left-associated, each
+# element cast to double first, bit-identical to ``dot``'s fold — was
+# implemented and measured for the O(n²) pair scans. It ran 3× SLOWER
+# than the interpreted HOF fold (l3_cosine_topk_hof 35.1 → 98.7 s warm
+# at sf0.1): the 128-element_at expression never reached whole-stage
+# codegen under the BroadcastNestedLoopJoin, and the interpreted
+# recursive eval of a depth-64 Add chain (boxing per node) loses badly
+# to the fold's tight specialized loop. Reverted; symmetric halving in
+# l3_cosine_topk_hof recovers the win instead.

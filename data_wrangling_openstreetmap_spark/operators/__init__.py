@@ -50,35 +50,44 @@ ALL_MODULES = (
 # value-hash-graded, none rows-only. Order within the window is
 # thematic, not significance-ranked — only membership matters.
 #
-# ROUND-12 ROTATION — the first MAJORITY-SENTINEL window, built by the
-# policy below (written round 11, endorsed by VERDICT r11 §Next 1):
+# ROUND-13 ROTATION — built by the standing policy below (verbatim from
+# round 11; second majority-sentinel window):
 #
-# AUTOMATIC picks (6):
-#   u16_udtf_signature_rollup   its ORACLE was edited in round 11 — the
-#                               checked-in r8 grade certifies dead text
-#   j4_anti_join                VERDICT r10 #3 carry-over (j19's anti
-#                               gate is vacuous at this fixture; J4's
-#                               freshest non-degenerate grade is r6)
-#   l2_substring_span_pairs     never-graded round-11 first-timer
-#   l1_span_scrub_census        never-graded round-11 first-timer
-#   l1_incremental_span_scrub   NEW round 12 (ingestion-time span
-#                               scrub) — never graded
-#   l3_ann_recall_contract      oracle AND body edited round 12 (floor
-#                               0.45 → 0.70 after the LSH/IVF tuning)
+# AUTOMATIC picks (37) — every ORACLED name whose body changed this
+# optimization round (policy 1a/1b; the rows-only l3_ann_lsh/l3_ann_ivf
+# carry ADVICE-r12 and r13 rewrites but cannot enter an all-oracled
+# window — their oracled image l3_ann_recall_contract stands in):
+#   - ANN/kernel tiling + min-agg dedup + ADVICE r12 #1/#2:
+#     q10_cosine_topk, l3_knn_block_matmul, l2_embedding_neardup,
+#     l3_ann_recall_contract, l2_semdedup
+#   - composed shingle fold / prefix filter / long-format winnow packs
+#     / spread (VERDICT r12 §Next #2/#4): l2_minhash_lsh,
+#     l2_incremental_minhash_dedup, l2_minhash_recall, l2_bbit_minhash,
+#     l2_lsh_bucket_health, l4_winnow_fingerprint, l2_simhash
+#   - dense-mask probe/ckpt (VERDICT r12 §Next #7, ADVICE r12 #3):
+#     l2_jaccard_pairs, l2_containment_join, x2_similarity_sql
+#   - NTZ epoch migration (VERDICT r12 §Next #3, the st14 class):
+#     j7_asof_join, w3_lag_lead, w13_time_weighted_avg,
+#     w16_ohlc_resample, w21_ewma_irregular, j15_nearest_event_join,
+#     j17_error_free_attribution, dq9_duplicate_payments,
+#     dq10_freshness_audit, q50_max_concurrency, q51_rfm_segmentation,
+#     q59_capped_sessions, q61_attribution_lasttouch,
+#     st4_late_data_policy, st19_session_stats_rollup,
+#     st20_watermark_survivors, st23_gap_monitor,
+#     st26_sliding_watermark_extrema, st40_segment_session_dwell,
+#     x1_asof_sql, x1b_asof_left_sql, x1c_asof_multikey_sql
 #
-# CHURN SENTINELS (44), staleness-ranked per the policy:
-#   - the ENTIRE udfs.py surface (19): the module was rewritten
-#     wholesale in round 11 (battery-driven body rewrites, +324
-#     lines); every grade in it predates that rewrite.
-#   - the regex-closure consumers (12): the sixteen \z/explicit-class
-#     expression rewrites of round 11 plus l4_html_extract, whose
-#     shared pattern constants were fixed THIS round by the AST lint
-#     (naked-dot / \s classes) — oracles unchanged, bodies not.
-#   - the tokenizer consumers (2): q9_text_stats and l4_token_counts
-#     ride functions/text.py, whose whitespace class changed r11.
-#   - oldest-grade names (11): graded r1–r3 in files that churned many
-#     rounds since, tie-broken toward headline bench queries
-#     (q1/q2/q10) and thin-tag carriers per the policy.
+# CHURN SENTINELS (13), staleness-ranked per the policy (grade round
+# from the checked-in CORRECTNESS ledgers vs last file churn = r12/r13):
+#   - rewritten r12, never regraded since: j9_fuzzy_name_join (r3),
+#     j13_trajectory_similarity (r4), l6_covariance_matrix (r3), and
+#     st14_lateness_profile (r4 grade; its r12 session-TZ FIX has never
+#     been driver-graded — the highest-priority sentinel in the repo)
+#   - oldest grades (r1) in files churned this round:
+#     l2_fingerprint_dupsets, l4_word_freq, l6_centroid_distances,
+#     q14_promo_share, q15_top_supplier, q18_large_volume_customers,
+#     q19_disjunctive_revenue, f4_math; plus l4_trigram_novelty
+#     (rewritten r12, grade r9) — 13 sentinels total
 #
 # ROUND-13+ WINDOW POLICY (standing, decided round 11 per VERDICT r10
 # §Next 4 — kept verbatim so the next rotation follows it):
@@ -96,61 +105,59 @@ ALL_MODULES = (
 #      tag) and the all-oracled rule (no rows-only names in the window)
 #      are unchanged and remain machine-checked.
 DRIVER_WINDOW = (
-    # automatic picks:
-    "u16_udtf_signature_rollup",
-    "j4_anti_join",
-    "l2_substring_span_pairs",
-    "l1_span_scrub_census",
-    "l1_incremental_span_scrub",
-    "l3_ann_recall_contract",
-    # udfs.py module-rewrite sentinels:
-    "u1_scalar_udf_normalize",
-    "u1b_arrow_udf_normalize",
-    "u2_pandas_udf_score",
-    "u2b_pandas_iter_udf",
-    "u3_grouped_map_zscore",
-    "u4b_grouped_agg_udaf",
-    "u5_udtf_tag_split",
-    "u6_map_in_arrow",
-    "u7_sql_udf",
-    "u8_sql_udtf",
-    "u9_polymorphic_udtf",
-    "u10_apply_in_arrow",
-    "u11_udtf_table_arg",
-    "u12_cogrouped_asof",
-    "u13_cogrouped_arrow",
-    "u14_arrow_udtf",
-    "u15_udf_keyed_median_udaf",
-    "u17_udtf_keyed_median_chain",
-    "u18_five_crossing_bridge",
-    # regex-closure consumers (r11 \z rewrites + r12 l4_html_extract):
-    "p3_regex_classify",
-    "p4_regex_extract",
-    "p3b_name_classify",
-    "p7_part_noun_brand",
-    "p9_anchored_type_noun",
-    "p11_chained_parse_normalize",
-    "p12_customer_profile_shaping",
-    "p13_part_shaping",
-    "f2_regex_standardize",
-    "l4_url_normalize",
-    "m0_binary_ingest",
-    "l4_html_extract",
-    # tokenizer consumers (functions/text.py changed r11):
-    "q9_text_stats",
-    "l4_token_counts",
-    # oldest-grade sentinels (graded r1–r3; headline + thin tags first):
+    # automatic picks — r13 rewrites (kernels/hashing/masks):
     "q10_cosine_topk",
-    "q1_pricing_summary",
-    "q2_join_chain",
-    "l1_exact_dedup",
-    "l4_lang_id",
-    "l4_quality_score",
-    "l2_ngram_jaccard",
-    "l3_cosine_topk_hof",
-    "a6_grouping_sets",
-    "f1_string_funcs",
-    "q16_funnel",
+    "l3_knn_block_matmul",
+    "l2_embedding_neardup",
+    "l3_ann_recall_contract",
+    "l2_semdedup",
+    "l2_minhash_lsh",
+    "l2_incremental_minhash_dedup",
+    "l2_minhash_recall",
+    "l2_bbit_minhash",
+    "l2_lsh_bucket_health",
+    "l4_winnow_fingerprint",
+    "l2_simhash",
+    "l2_jaccard_pairs",
+    "l2_containment_join",
+    "x2_similarity_sql",
+    # automatic picks — NTZ epoch migration sites:
+    "j7_asof_join",
+    "w3_lag_lead",
+    "w13_time_weighted_avg",
+    "w16_ohlc_resample",
+    "w21_ewma_irregular",
+    "j15_nearest_event_join",
+    "j17_error_free_attribution",
+    "dq9_duplicate_payments",
+    "dq10_freshness_audit",
+    "q50_max_concurrency",
+    "q51_rfm_segmentation",
+    "q59_capped_sessions",
+    "q61_attribution_lasttouch",
+    "st4_late_data_policy",
+    "st19_session_stats_rollup",
+    "st20_watermark_survivors",
+    "st23_gap_monitor",
+    "st26_sliding_watermark_extrema",
+    "st40_segment_session_dwell",
+    "x1_asof_sql",
+    "x1b_asof_left_sql",
+    "x1c_asof_multikey_sql",
+    # churn sentinels (staleness-ranked):
+    "st14_lateness_profile",
+    "j9_fuzzy_name_join",
+    "j13_trajectory_similarity",
+    "l6_covariance_matrix",
+    "l2_fingerprint_dupsets",
+    "l4_word_freq",
+    "l6_centroid_distances",
+    "q14_promo_share",
+    "q15_top_supplier",
+    "q18_large_volume_customers",
+    "q19_disjunctive_revenue",
+    "f4_math",
+    "l4_trigram_novelty",
 )
 
 assert len(DRIVER_WINDOW) == 50, len(DRIVER_WINDOW)

@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from ..io import load_table
 from ..registry import register
-from ._helpers import cents, ckpt, dsum, oracle_cents, oracle_dsum
+from ._helpers import cents, ckpt, dsum, ntz_epoch_us, oracle_cents, oracle_dsum
 
 # ---------------------------------------------------------------------------
 # q13 — order-count distribution (the TPC-H Q13 shape): left outer join
@@ -4043,7 +4043,7 @@ def q50_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("e.ts").alias("ts"), F.col("e.delta").alias("delta"), "user_id"
     ).transform(ckpt)  # ckpt tier-2 (O(2*sessions) edges): see _helpers.ckpt contract
 
-    day_bkt = F.unix_micros(F.col("ts").cast("timestamp"))
+    day_bkt = ntz_epoch_us("ts")
     lvl = scalable_running_sum(
         edges,
         order_cols=["ts", "delta", "user_id"],
@@ -4127,7 +4127,7 @@ def q51_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # documented family trade-off) and the final key spine — 16
     # exchanges without truncation.
     base = orders.groupBy("o_custkey").agg(
-        F.unix_micros(F.max("o_orderdate").cast("timestamp")).alias(
+        ntz_epoch_us(F.max("o_orderdate")).alias(
             "last_order"
         ),
         F.count("*").alias("freq"),
@@ -5004,7 +5004,7 @@ def q59_capped_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    us = ntz_epoch_us("ts")
     prev_us = F.lag(us).over(w)
     wrun = (
         Window.partitionBy("user_id")
@@ -5032,8 +5032,8 @@ def q59_capped_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").over(wanchor).alias("gap_start"),
     )
     sub = F.expr(
-        "(unix_micros(cast(ts as timestamp))"
-        " - unix_micros(cast(gap_start as timestamp)))"
+        "(timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"
+        " - timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', gap_start))"
         " div 14400000000"  # 4h in µs as a BIGINT literal (ANSI: 4*3600*1000000 overflows INT)
     )
     sess = (
@@ -5042,8 +5042,8 @@ def q59_capped_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_events"),
             F.expr(
-                "(unix_micros(cast(max(ts) as timestamp))"
-                " - unix_micros(cast(min(ts) as timestamp))) div 1000000"
+                "(timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', max(ts))"
+                " - timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', min(ts))) div 1000000"
             ).alias("span_s"),
         )
     )
@@ -5233,8 +5233,8 @@ def q61_attribution_lasttouch(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("string"),
         ).alias("campaign"),
     )
-    us = F.unix_micros(F.col("ts").cast("timestamp"))
-    cus = F.unix_micros(F.col("c_ts").cast("timestamp"))
+    us = ntz_epoch_us("ts")
+    cus = ntz_epoch_us("c_ts")
     cand = p.join(
         c,
         (F.col("user_id") == F.col("c_user"))

@@ -322,6 +322,102 @@ def _mh_band_key_sql(b: int) -> str:
     return expr
 
 
+# --- Composed shingle fold (optimization r13, VERDICT r12 §Next #2) ---
+#
+# ``_codepoint_fold`` over a k-word shingle string re-walks every
+# character of every word k times (each word sits in up to k shingles)
+# AND pays the shingle string's construction (array_join) plus a
+# per-shingle split back into characters. But the fold is a linear
+# recurrence — fold(A ⧺ B) = (fold(A)·31^len(B) + fold(B)) mod p — so
+# per-token partial folds compose into every shingle hash EXACTLY:
+#
+#   h(t₁‥tₖ joined by ' ') = fold over tokens of
+#       h' = ((h·31 + 32) mod p · pw(t) + f(t)) mod p      (32 = ' ')
+#
+# where f(t) is the token's own fold and pw(t) = 31^len(t) mod p. Each
+# character is now folded ONCE per document (inside its token), and
+# each shingle costs O(k) BIGINT ops with no string building. The
+# integer VALUES are identical by the recurrence above (every
+# intermediate < 2^63: (p−1)² < 2^62) — the DuckDB oracles keep
+# evaluating the plain string fold and the parity suite pins equality
+# at three SFs, including astral-plane text (pw counts CODEPOINTS
+# because it advances inside the same per-element fold, never via
+# UTF-16 length()).
+#
+# (f, pw) pack into one long — f·2³¹ + pw, both < 2³¹ — so the
+# per-character accumulator stays a primitive (a struct accumulator
+# allocates per character; measured ~2× slower).
+
+_MH_TWO31 = 2147483648  # 2^31
+_MH_MASK31 = 2147483647  # low 31 bits (pw < p = 2^31 − 1 always fits)
+
+
+def _token_fold_pow(t):
+    """Packed (codepoint fold)·2³¹ + (31^len mod p) of one token."""
+    return F.aggregate(
+        F.filter(F.split(t, ""), lambda ch: ch != ""),
+        F.lit(1).cast("long"),  # h = 0, pw = 1
+        lambda acc, ch: (
+            (F.shiftright(acc, 31) * 31 + F.ascii(ch)) % _MH_P
+        )
+        * _MH_TWO31
+        + (acc.bitwiseAND(F.lit(_MH_MASK31)) * 31) % _MH_P,
+    )
+
+
+def _compose_shingle_hash(tp_slice):
+    """fold(array_join(tokens, ' ')) from the tokens' packed partial
+    folds — the linear-recurrence composition above. Sentinel −1 marks
+    'no token folded yet' (real folds are ≥ 0); an empty token list
+    composes to 0 = fold('')."""
+    return F.aggregate(
+        tp_slice,
+        F.lit(-1).cast("long"),
+        lambda acc, tp: F.when(acc < 0, F.shiftright(tp, 31)).otherwise(
+            (
+                ((acc * 31 + 32) % _MH_P)
+                * tp.bitwiseAND(F.lit(_MH_MASK31))
+                + F.shiftright(tp, 31)
+            )
+            % _MH_P
+        ),
+        lambda acc: F.greatest(acc, F.lit(0).cast("long")),
+    )
+
+
+def _token_folds(text):
+    """Projection producing the per-token packed partial folds
+    (``_token_fold_pow`` over ``T.tokens``). MUST be aliased into its
+    own select before ``_shingle_hash_col`` consumes it — see there."""
+    return F.transform(T.tokens(text), _token_fold_pow)
+
+
+def _shingle_hash_col(tp, k: int = 3):
+    """array<long> of k-gram shingle folds from a MATERIALIZED
+    per-token packed-fold column — value-identical to
+    ``F.transform(T.shingles(text, k), _codepoint_fold)`` (equality
+    pinned by test_round13_opt and the MinHash parity suite).
+
+    ``tp`` MUST be a projected ATTRIBUTE (``_token_folds`` aliased in a
+    parent select), never the transform expression inline: every
+    reference from inside the per-shingle lambda re-evaluates an inline
+    expression PER SHINGLE INDEX — the substr-in-HOF O(L²) gotcha class
+    (memory list) — which re-folds every character of the document
+    once per shingle and measured 3–5× SLOWER than the string fold
+    this replaces (l2_minhash_lsh 0.94 → 2.94 s warm at sf0.1; caught
+    by the r13 same-batch before/after sweep). As an attribute the
+    token fold runs once per document and each shingle costs O(k)
+    primitive ops."""
+
+    def one(i):
+        return _compose_shingle_hash(F.slice(tp, i, k))
+
+    n = F.size(tp)
+    return F.when(n <= k, F.array(_compose_shingle_hash(tp))).otherwise(
+        F.transform(F.sequence(F.lit(1), n - k + 1), one)
+    )
+
+
 def _mh_banded(docs: DataFrame, carry: tuple = ()) -> DataFrame:
     """(doc_id, *carry, band, key) LSH band rows for the
     oracle-expressible MinHash family (16 hashes, 4 bands × 4 rows) —
@@ -335,7 +431,11 @@ def _mh_banded(docs: DataFrame, carry: tuple = ()) -> DataFrame:
     hs = docs.select(
         "doc_id",
         *carry,
-        F.transform(T.shingles(F.col("text"), k=3), _codepoint_fold).alias("hv"),
+        _token_folds(F.col("text")).alias("__tp"),
+    ).select(
+        "doc_id",
+        *carry,
+        _shingle_hash_col(F.col("__tp"), k=3).alias("hv"),
     )
 
     def seeded_min(i: int):
@@ -501,8 +601,11 @@ def l2_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     for the same reason). The downstream near-dup join buckets on
     16-bit fingerprint chunks (pigeonhole: hamming ≤ 3 ⇒ at least one
     of 4 chunks identical), same meet-in-bucket shape as MinHash-LSH.
+    `spread` (r13): the 62-lane vote projection is the heavy map work
+    and the fixture scan is one row group (guide §2.5); the exchange
+    moves only (doc_id, text) once.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
 
     def lane(seed_a: int, seed_b: int):
         def xf(t):
@@ -582,23 +685,15 @@ def l2_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     bc = spark.sparkContext.broadcast(ids_idx)
 
     def neardup_pairs(batches):
-        import pandas as pd
-
         all_ids, idx = bc.value
         for pdf in batches:
             q_ids = pdf["vec_id"].to_numpy()
             Q = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
             Q /= np.linalg.norm(Q, axis=1, keepdims=True)
-            S = np.round(Q @ idx.T, 6)
-            # upper triangle only (vec_a < vec_b), threshold inline
-            qi, ii = np.nonzero((S >= 0.4) & (q_ids[:, None] < all_ids[None, :]))
-            yield pd.DataFrame(
-                {
-                    "vec_a": q_ids[qi],
-                    "vec_b": all_ids[ii],
-                    "cosine": S[qi, ii],
-                }
-            )
+            # upper triangle only (vec_a < vec_b), threshold inline;
+            # index-column tiled (r13) so neither the score block nor
+            # the emission ever materializes whole per batch
+            yield from _neardup_tiles(q_ids, all_ids, Q, idx, 0.4)
 
     return e.mapInPandas(
         neardup_pairs, "vec_a bigint, vec_b bigint, cosine double"
@@ -951,6 +1046,202 @@ def _vectorized_topk(q_ids, all_ids, S, k):
     return q_ids[rows], all_ids[cols], S[rows, cols]
 
 
+# ---------------------------------------------------------------------------
+# In-kernel score-matrix tiling (optimization r13, VERDICT r12 §Next #1
+# / §What's-wrong #1): no Arrow kernel may materialize an unbounded
+# dense score block. The r12 kernels computed ONE B×B (or batch×index)
+# float64 matrix per group — fine at sf0.1 where B is a few hundred,
+# a guaranteed worker OOM at 100 TB for a hot LSH bucket, a fat IVF
+# cell, or a capped-but-large broadcast index (4M rows × 10k-row batch
+# = 320 GB of scores). Every matmul now runs in tiles of at most
+# _KERNEL_TILE_CELLS score cells (128 MiB of float64); whenever a group
+# fits one tile — every group of every fixture SF does — the tile slice
+# is a full-array numpy view, so the gemm call and therefore every
+# rounded double is BIT-IDENTICAL to the untiled r12 kernel (goldens
+# pin this). Multi-tile groups additionally cap what one group may
+# RETURN (_KERNEL_PAIR_EMIT_CAP): the all-pairs kernels' output is
+# inherently O(B²) rows held in the worker until Arrow ships them, so a
+# group that would emit more than the cap fails loudly with routing
+# advice instead of silently OOM-killing the executor (the
+# _guarded_index_arrays pattern).
+# ---------------------------------------------------------------------------
+
+_KERNEL_TILE_CELLS = 4096 * 4096  # ≤ 128 MiB of float64 per score tile
+
+_KERNEL_PAIR_EMIT_CAP = 100_000_000  # pair rows one group may return (~2.4 GB)
+
+
+def _tile_steps(n_rows: int, n_cols: int):
+    """Row ranges [r0, r1) tiling an (n_rows × n_cols) score matrix so
+    each tile holds ≤ _KERNEL_TILE_CELLS cells (one range when the whole
+    matrix fits — the bit-identity fast path; single-row tiles when
+    n_cols alone exceeds the budget)."""
+    step = max(1, _KERNEL_TILE_CELLS // max(1, n_cols))
+    for r0 in range(0, n_rows, step):
+        yield r0, min(n_rows, r0 + step)
+
+
+def _guard_pair_emit(n_pairs: int, what: str, advice: str):
+    if n_pairs > _KERNEL_PAIR_EMIT_CAP:
+        raise ValueError(
+            f"{what}: one group would emit ~{n_pairs} candidate pairs "
+            f"(> {_KERNEL_PAIR_EMIT_CAP}). {advice}"
+        )
+
+
+def _bucket_pair_frame(ids, E, N):
+    """All ordered non-self pairs of one LSH bucket with rounded cosine
+    = (E·Eᵀ)/outer(N,N), row-tiled (l3_ann_lsh kernel core)."""
+    import numpy as np
+    import pandas as pd
+
+    B = len(ids)
+    _guard_pair_emit(
+        B * (B - 1),
+        "l3_ann_lsh",
+        "This bucket is degenerately hot — add hyperplanes (finer "
+        "buckets) or more tables; an all-pairs scan of it cannot fit "
+        "one worker.",
+    )
+    chunks = []
+    for r0, r1 in _tile_steps(B, B):
+        S = np.round((E[r0:r1] @ E.T) / np.outer(N[r0:r1], N), 6)
+        qi, ii = np.nonzero(ids[r0:r1, None] != ids[None, :])
+        chunks.append(
+            pd.DataFrame(
+                {"vec_id": ids[r0 + qi], "neighbor_id": ids[ii], "cosine": S[qi, ii]}
+            )
+        )
+    return pd.concat(chunks, ignore_index=True)
+
+
+def _cell_pair_frame(q_ids, i_ids, Qu, Iu):
+    """All (probe, assignment) non-self pairs of one IVF cell with
+    rounded cosine = Qu·Iuᵀ over unit vectors, row-tiled
+    (l3_ann_ivf kernel core)."""
+    import numpy as np
+    import pandas as pd
+
+    _guard_pair_emit(
+        len(q_ids) * len(i_ids),
+        "l3_ann_ivf",
+        "This cell is degenerately fat — raise n_cells (finer "
+        "quantizer) or lower nprobe/nassign; its probes×assignments "
+        "grid cannot fit one worker.",
+    )
+    chunks = []
+    for r0, r1 in _tile_steps(len(q_ids), len(i_ids)):
+        S = np.round(Qu[r0:r1] @ Iu.T, 6)
+        qi, ii = np.nonzero(q_ids[r0:r1, None] != i_ids[None, :])
+        chunks.append(
+            pd.DataFrame(
+                {
+                    "vec_id": q_ids[r0 + qi],
+                    "neighbor_id": i_ids[ii],
+                    "cosine": S[qi, ii],
+                }
+            )
+        )
+    return pd.concat(chunks, ignore_index=True)
+
+
+def _semdedup_dropped_frame(ids, E, N, threshold):
+    """Ids dropped within one SemDeDup cell: vec y is dropped iff some
+    x with x.vec_id < y.vec_id has rounded cosine ≥ threshold —
+    computed as a row-tiled (E·Eᵀ)/outer(N,N) scan marking hit columns
+    (l2_semdedup kernel core). Output already distinct per group, and
+    cells partition the vectors, so no cross-group dedup is needed."""
+    import numpy as np
+    import pandas as pd
+
+    B = len(ids)
+    dropped = np.zeros(B, dtype=bool)
+    for r0, r1 in _tile_steps(B, B):
+        S = np.round((E[r0:r1] @ E.T) / np.outer(N[r0:r1], N), 6)
+        hit = (S >= threshold) & (ids[r0:r1, None] < ids[None, :])
+        dropped |= hit.any(axis=0)
+    return pd.DataFrame({"vec_id": ids[dropped]})
+
+
+def _neardup_tiles(q_ids, all_ids, Q, idx, threshold):
+    """Upper-triangle (q < i) pairs with rounded cosine ≥ threshold,
+    generated one index-column tile at a time (l2_embedding_neardup
+    kernel core) — emission streams per tile through mapInPandas, so
+    neither the score block NOR the output ever materializes whole."""
+    import numpy as np
+    import pandas as pd
+
+    for c0, c1 in _tile_steps(idx.shape[0], max(1, len(q_ids))):
+        S = np.round(Q @ idx[c0:c1].T, 6)
+        qi, ii = np.nonzero(
+            (S >= threshold) & (q_ids[:, None] < all_ids[None, c0:c1])
+        )
+        yield pd.DataFrame(
+            {"vec_a": q_ids[qi], "vec_b": all_ids[c0 + ii], "cosine": S[qi, ii]}
+        )
+
+
+def _tiled_topk(q_ids, all_ids, Q, X, k):
+    """Top-k by (rounded cosine desc, id asc) of Q·Xᵀ over unit rows,
+    excluding self-pairs, never materializing more than one score tile.
+
+    Single-tile inputs (every fixture group/batch) take the exact
+    untiled r12 path — one gemm over full-array views + _vectorized_topk
+    — so results are bit-identical to the previous kernels. Multi-tile
+    inputs fold a running 2k-wide merge: the global top-k is the top-k
+    of per-tile top-ks (tiles partition the candidate set; order keys
+    and self-masking are per-tile identical), padded with −inf scores /
+    sentinel ids that can never outrank a real candidate.
+
+    Returns (query_ids, neighbor_ids, scores) flat arrays.
+    """
+    import numpy as np
+
+    n_idx = X.shape[0]
+    step = max(1, _KERNEL_TILE_CELLS // max(1, len(q_ids)))
+    if step >= n_idx:
+        S = np.round(Q @ X.T, 6)
+        return _vectorized_topk(q_ids, all_ids, S, k)
+
+    sent_id = np.iinfo(np.int64).max  # ties at −inf lose to any real id
+
+    def local_topk_padded(c0, c1):
+        S = np.round(Q @ X[c0:c1].T, 6)
+        ids_t = all_ids[c0:c1]
+        S = S.copy()
+        S[q_ids[:, None] == ids_t[None, :]] = -np.inf
+        kk = min(k, S.shape[1])
+        order = np.lexsort((np.broadcast_to(ids_t, S.shape), -S), axis=1)[:, :kk]
+        sc = np.take_along_axis(S, order, axis=1)
+        idc = ids_t[order]
+        if kk < k:  # pad narrow tiles to k columns
+            pad = k - kk
+            sc = np.hstack([sc, np.full((sc.shape[0], pad), -np.inf)])
+            idc = np.hstack(
+                [idc, np.full((idc.shape[0], pad), sent_id, dtype=np.int64)]
+            )
+        idc = np.where(np.isneginf(sc), sent_id, idc)  # masked self slots
+        return sc, idc
+
+    best_s = best_i = None
+    for c0 in range(0, n_idx, step):
+        c1 = min(n_idx, c0 + step)
+        sc, idc = local_topk_padded(c0, c1)
+        if best_s is None:
+            best_s, best_i = sc, idc
+            continue
+        cat_s = np.hstack([best_s, sc])
+        cat_i = np.hstack([best_i, idc])
+        order = np.lexsort((cat_i, -cat_s), axis=1)[:, :k]
+        best_s = np.take_along_axis(cat_s, order, axis=1)
+        best_i = np.take_along_axis(cat_i, order, axis=1)
+    rows = np.repeat(np.arange(best_s.shape[0]), best_s.shape[1])
+    flat_s = best_s.ravel()
+    flat_i = best_i.ravel()
+    keep = ~np.isneginf(flat_s)
+    return q_ids[rows[keep]], flat_i[keep], flat_s[keep]
+
+
 @register("q10_cosine_topk", oracle=_Q10_ORACLE, tags=("L3", "U2", "W2"))
 def q10_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact k-NN: top-5 cosine neighbors for every embedding, computed
@@ -985,8 +1276,7 @@ def q10_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             q_ids = pdf["vec_id"].to_numpy()
             Q = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
             Q /= np.linalg.norm(Q, axis=1, keepdims=True)
-            S = np.round(Q @ idx.T, 6)
-            out_q, out_n, out_c = _vectorized_topk(q_ids, all_ids, S, k)
+            out_q, out_n, out_c = _tiled_topk(q_ids, all_ids, Q, idx, k)
             yield pd.DataFrame(
                 {"vec_id": out_q, "neighbor_id": out_n, "cosine": out_c}
             )
@@ -1002,6 +1292,25 @@ def l3_cosine_topk_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
     then neighbor id. Kept registered alongside the matmul form as the
     pure-Catalyst reference: O(n²·d) with no Python boundary, and the
     recall oracle for l3_ann_lsh.
+
+    Optimization r13 (VERDICT r12 §Next #6): SYMMETRIC HALVING — the
+    join scans a.vec_id < b.vec_id (half the pairs), scores each
+    unordered pair ONCE, and mirrors it with a 2-struct explode.
+    cos(a,b) is BIT-identical to cos(b,a): the per-element products of
+    the zip_with commute (IEEE multiply), the fold visits them in the
+    same order, and nrm_a·nrm_b commutes — so every (vec_id, neighbor)
+    cosine and every rank is unchanged (goldens + 3-SF oracle parity
+    pin it). The cosine is projected to an attribute BEFORE the
+    explode so it evaluates once per half-pair (CollapseProject keeps
+    a non-cheap alias referenced twice), and the explode takes the
+    inline array expression so InferFiltersFromGenerate cannot inline
+    anything below it (the l2_bbit_minhash r13 lesson). 35.1 → 19.9 s
+    warm at sf0.1 — the remaining cost is the interpreted HOF fold on
+    n²/2 pairs, which is this operator's documented point (the
+    all-builtin contrast to q10's Arrow kernel); an unrolled fixed-64
+    codegen dot was tried and measured 3× SLOWER (98.7 s — the flat
+    128-element_at expression never reaches whole-stage codegen under
+    the BNLJ), so the fold stays.
     """
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding", V.norm(F.col("embedding")).alias("nrm")
@@ -1012,11 +1321,27 @@ def l3_cosine_topk_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
         / (F.col("a.nrm") * F.col("b.nrm")),
         6,
     )
-    pairs = a.join(b, F.col("a.vec_id") != F.col("b.vec_id")).select(
-        F.col("a.vec_id").alias("vec_id"),
-        F.col("b.vec_id").alias("neighbor_id"),
+    half = a.join(b, F.col("a.vec_id") < F.col("b.vec_id")).select(
+        F.col("a.vec_id").alias("ida"),
+        F.col("b.vec_id").alias("idb"),
         cos.alias("cosine"),
     )
+    pairs = half.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("ida").alias("vec_id"),
+                    F.col("idb").alias("neighbor_id"),
+                    F.col("cosine"),
+                ),
+                F.struct(
+                    F.col("idb").alias("vec_id"),
+                    F.col("ida").alias("neighbor_id"),
+                    F.col("cosine"),
+                ),
+            )
+        ).alias("pr")
+    ).select("pr.vec_id", "pr.neighbor_id", "pr.cosine")
     w = Window.partitionBy("vec_id").orderBy(F.col("cosine").desc(), "neighbor_id")
     return (
         pairs.withColumn("rk", F.row_number().over(w))
@@ -1078,8 +1403,7 @@ def l3_knn_block_matmul(spark: SparkSession, sf_dir: str) -> DataFrame:
         X = np.stack(i["embedding"].to_numpy()).astype(np.float64)
         Q /= np.linalg.norm(Q, axis=1, keepdims=True)
         X /= np.linalg.norm(X, axis=1, keepdims=True)
-        S = np.round(Q @ X.T, 6)
-        out_q, out_n, out_c = _vectorized_topk(q_ids, i_ids, S, k)
+        out_q, out_n, out_c = _tiled_topk(q_ids, i_ids, Q, X, k)
         return pd.DataFrame({"vec_id": out_q, "neighbor_id": out_n, "cosine": out_c})
 
     partials = tagged.groupBy("qb", "ib").applyInPandas(
@@ -1167,26 +1491,29 @@ def l3_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sf0.1); the grouped Arrow kernel computes the identical rounded
     # doubles (dot/(nrm_a·nrm_b), JVM-computed norms ride along so the
     # formula matches term for term) in ~3 s. Same narrow
-    # (ids, cosine) rows flow to the same distinct + window.
+    # (ids, cosine) rows flow to the id-pair min-agg dedup + window.
     def bucket_pairs(pdf):
         import numpy as np
-        import pandas as pd
 
         ids = pdf["vec_id"].to_numpy()
         E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
         N = pdf["nrm"].to_numpy().astype(np.float64)
-        S = np.round((E @ E.T) / np.outer(N, N), 6)
-        qi, ii = np.nonzero(ids[:, None] != ids[None, :])
-        return pd.DataFrame(
-            {"vec_id": ids[qi], "neighbor_id": ids[ii], "cosine": S[qi, ii]}
-        )
+        return _bucket_pair_frame(ids, E, N)
 
+    # Collapse multi-table collisions of the same pair on the ID PAIR,
+    # not on (ids, cosine): per-group BLAS matmuls of different shapes
+    # can in principle differ in the last ulp, and a score within half
+    # an ulp of a 0.5e-6 rounding boundary would leave the same pair
+    # duplicated with two cosines under DISTINCT (ADVICE r12 #1; on the
+    # fixture all copies are value-identical — goldens pin that — so
+    # MIN returns the same double DISTINCT kept).
     pairs = (
         e.groupBy("tbl", "bucket")
         .applyInPandas(
             bucket_pairs, "vec_id bigint, neighbor_id bigint, cosine double"
         )
-        .distinct()  # collapse multi-table collisions of the same pair
+        .groupBy("vec_id", "neighbor_id")
+        .agg(F.min("cosine").alias("cosine"))
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("cosine").desc(), "neighbor_id")
     return (
@@ -1212,22 +1539,26 @@ def l3_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     copy), each query probing its `nprobe`=8 nearest cells; candidates
     meet per cell group — one dense Arrow matmul per cell (optimization
     r12; was an equi-join scoring ~2M pair dots through interpreted HOF
-    lambdas, 27 s at sf0.1) — then dedup on the narrow (ids, cosine)
-    row.
+    lambdas, 27 s at sf0.1) — then dedup on the id pair (min-agg,
+    ADVICE r12 #1).
 
     Scale contract (every stage distributed — nothing collects the
     table):
     - quantizer: ``df.sample(seed)`` caps the training set; only the 32
       centroid vectors (32×64 doubles) ever reach the driver, then
       broadcast back as a literal dimension frame;
-    - assignment + probes: one broadcast nested-loop over 32 centroids
-      (n×32 rows), dot products as JVM higher-order functions, ranked
-      per vector — a projection, no shuffle of the vectors themselves;
+    - assignment + probes: the 32×64 centroid matrix broadcasts to an
+      Arrow kernel that scores a whole batch per numpy pass and ranks
+      in-kernel (r13; scores accumulate dimension-by-dimension — the
+      exact fold order of the r12 HOF dot, so every double and every
+      rank is bit-identical) — a projection, no crossJoin expansion,
+      no window exchange, no shuffle of the vectors themselves;
     - candidates: equi-join probes×assignments on cell id — cost
       Σ(probes·assigns per cell) ≤ (nprobe·nassign/n_cells)·n² instead
       of n²; multi-assignment duplicates a pair that meets in two
       shared cells — scored map-side first (identical rounded double
-      per copy), then collapsed by one DISTINCT over (ids, cosine);
+      per copy), then collapsed by a min-agg on the id pair (r13,
+      ADVICE r12 #1 — robust to last-ulp gemm variance across cells);
     - top-k: row_number window per query id.
     nprobe/nassign trade cost for recall; round-12 tuning (VERDICT r11
     §Next 7) measured recall@5 vs exact: 16 cells/nprobe 4/nassign 1
@@ -1258,29 +1589,57 @@ def l3_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     kk = min(n_cells, train.count())
     model = KMeans(k=kk, seed=7, maxIter=8).fit(train)
-    centroids = spark.createDataFrame(
-        [
-            (i, [float(x) for x in c] )
-            for i, c in enumerate(model.clusterCenters())
-        ],
-        "cell int, centroid array<double>",
-    )
 
     # Rank every (vector, centroid) pair by dot product: rank 1 = the
     # vector's home cell, ranks 1..nprobe = the cells it probes.
-    scored = unit.crossJoin(F.broadcast(centroids)).select(
-        "vec_id",
-        "u",
-        "cell",
-        V.dot(F.col("u"), F.col("centroid")).alias("score"),
+    # Optimization r13 (VERDICT r12 §Next #5): the r12 form still scored
+    # the n×32 centroid crossJoin through the interpreted HOF dot and
+    # ranked it with a row_number window (an exchange of n×32 rows each
+    # carrying the 64-double vector). The Arrow kernel scores a whole
+    # batch against the 32×64 centroid matrix and ranks in-kernel — a
+    # pure projection, no crossJoin expansion and no window exchange.
+    # BIT-IDENTITY, not just closeness: scores accumulate dimension by
+    # dimension (S += u[:,d]·C[d,:]), the exact addition order of
+    # V.dot's sequential fold, so every double equals the old plan's
+    # and the (score desc, cell asc) ranks cannot move (goldens +
+    # recall contract pin it; -0.0 == 0.0 ties fall to the cell key on
+    # both engines).
+    import numpy as np
+
+    cmat = np.array(
+        [[float(x) for x in c] for c in model.clusterCenters()], dtype=np.float64
     )
-    w_cell = Window.partitionBy("vec_id").orderBy(F.col("score").desc(), "cell")
-    ranked = scored.withColumn("rk", F.row_number().over(w_cell))
-    assign = ranked.filter(F.col("rk") <= nassign).select(
-        F.col("vec_id").alias("i_id"), F.col("u").alias("i_u"), "cell"
-    )
-    probes = ranked.filter(F.col("rk") <= nprobe).select(
-        F.col("vec_id").alias("q_id"), F.col("u").alias("q_u"), "cell"
+    bc_c = spark.sparkContext.broadcast(cmat)
+    n_rank = min(nprobe, kk)
+
+    def assign_rank(batches):
+        import pandas as pd
+
+        C = bc_c.value
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            U = np.stack(pdf["u"].to_numpy()).astype(np.float64)
+            S = np.zeros((n, C.shape[0]), dtype=np.float64)
+            for d in range(C.shape[1]):  # sequential fold — see above
+                S += U[:, d : d + 1] * C[None, :, d]
+            cells_ax = np.arange(C.shape[0], dtype=np.int64)
+            order = np.lexsort((np.broadcast_to(cells_ax, S.shape), -S), axis=1)[
+                :, :n_rank
+            ]
+            rows = np.repeat(np.arange(n), n_rank)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy()[rows],
+                    "u": pdf["u"].to_numpy()[rows],
+                    "cell": order.ravel().astype(np.int32),
+                    "rk": np.tile(np.arange(1, n_rank + 1), n),
+                }
+            )
+
+    ranked = unit.mapInPandas(
+        assign_rank, "vec_id bigint, u array<double>, cell int, rk int"
     )
 
     # Multi-assignment means one (query, index) pair can meet in up to
@@ -1293,12 +1652,20 @@ def l3_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cell group (the l3_knn cell kernel) — the r1–r11 equi-join
     # evaluated ~2M pair dots through interpreted HOF lambdas
     # (27 s at sf0.1); identical rounded doubles, same distinct+window.
-    tagged = probes.select(
-        "cell", F.lit("q").alias("side"), F.col("q_id").alias("vid"), F.col("q_u").alias("u")
-    ).unionByName(
-        assign.select(
-            "cell", F.lit("i").alias("side"), F.col("i_id").alias("vid"), F.col("i_u").alias("u")
-        )
+    # One kernel evaluation feeds both roles: every emitted rank is a
+    # probe row ('q', rk ≤ nprobe by construction) and additionally an
+    # assignment row ('i') when rk ≤ nassign — the explode replaces the
+    # r12 probes/assign union whose two branches each re-derived the
+    # scoring (row multiset identical).
+    tagged = ranked.select(
+        "cell",
+        F.explode(
+            F.when(
+                F.col("rk") <= nassign, F.array(F.lit("q"), F.lit("i"))
+            ).otherwise(F.array(F.lit("q")))
+        ).alias("side"),
+        F.col("vec_id").alias("vid"),
+        F.col("u"),
     )
 
     def cell_pairs(pdf):
@@ -1313,20 +1680,20 @@ def l3_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).astype({"vec_id": "int64", "neighbor_id": "int64", "cosine": "float64"})
         q_ids = q["vid"].to_numpy()
         i_ids = i["vid"].to_numpy()
-        S = np.round(
-            np.stack(q["u"].to_numpy()) @ np.stack(i["u"].to_numpy()).T, 6
-        )
-        qi, ii = np.nonzero(q_ids[:, None] != i_ids[None, :])
-        return pd.DataFrame(
-            {"vec_id": q_ids[qi], "neighbor_id": i_ids[ii], "cosine": S[qi, ii]}
-        )
+        Qu = np.stack(q["u"].to_numpy())
+        Iu = np.stack(i["u"].to_numpy())
+        return _cell_pair_frame(q_ids, i_ids, Qu, Iu)
 
+    # id-pair dedup instead of DISTINCT over (ids, cosine) — see
+    # l3_ann_lsh (ADVICE r12 #1): collapses a multi-assignment copy even
+    # if two cells' gemms ever differ in the last rounded ulp.
     pairs = (
         tagged.groupBy("cell")
         .applyInPandas(
             cell_pairs, "vec_id bigint, neighbor_id bigint, cosine double"
         )
-        .distinct()
+        .groupBy("vec_id", "neighbor_id")
+        .agg(F.min("cosine").alias("cosine"))
     )
     w_top = Window.partitionBy("vec_id").orderBy(F.col("cosine").desc(), "neighbor_id")
     return (
@@ -1452,12 +1819,15 @@ def l4_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     row per distinct fingerprint member — because array-typed output
     columns crash the driver's pandas canonicalizer (round-1 `err`).
 
-    Scale: pure per-row higher-order-function arithmetic — no shuffle,
-    no Python; at 100 TB, explode the fingerprint and group by member
+    Scale: pure per-row higher-order-function arithmetic — no Python,
+    and the one exchange is `spread` (optimization r13: the heavy
+    rolling-hash projection sat on the fixture's single-row-group scan,
+    so it ran on one task — the r12 single-row-group pattern, guide
+    §2.5); at 100 TB, explode the fingerprint and group by member
     to build the candidate-pair index (the winnowed analogue of the
     MinHash band join in l2_minhash_lsh).
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     t = F.col("text")
 
     # One split to a codepoint array, then O(1) element_at per term:
@@ -3098,35 +3468,52 @@ def l2_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     (theory for 4 bands × 4 rows at s = 0.9: 1-(1-s⁴)⁴ ≈ 0.986;
     measured 1.0 at sf0.01 — candidates are exactly the 25 hi pairs).
 
-    The true hi pairs are computed in-plan with the same inverted-index
-    join shape as l2_jaccard_pairs (explode shingles → join on shingle
-    → count common), so the contract itself never materializes O(n²).
+    The true hi pairs are computed in-plan with PREFIX FILTERING at the
+    0.9 threshold (optimization r13, VERDICT r12 §Next #4 — exact, the
+    classic set-similarity-join bound): order every doc's distinct
+    shingles by one global (lexicographic) order; J(A,B) ≥ 0.9 forces
+    |A∩B| ≥ α = ⌈0.9·max(|A|,|B|)⌉, and two sets whose intersection is
+    ≥ α must share an element inside their first |X|−α+1 shingles (if
+    all common shingles sat outside X's prefix, the intersection would
+    fit in the last α−1 slots). Each side prunes with its own (longer)
+    bound |X|−⌈0.9·|X|⌉+1 — a superset of the lemma's prefixes — so the
+    candidate set provably contains every hi pair. Candidates are then
+    verified EXACTLY on the full shingle arrays (array_intersect size =
+    the old join-count integer; identical double comparison). The r12
+    form exploded every shingle into the self-join; the prefix explodes
+    ~|X|/10+1 of them, cutting the candidate shuffle ~100× at this
+    threshold. The ceil is integer ((9n+9) div 10) — no float on the
+    pruning path.
     """
     docs = spread(load_table(spark, sf_dir, "documents"))
     sh = docs.select(
         "doc_id",
-        F.array_distinct(T.shingles(F.col("text"), k=3)).alias("sh"),
+        F.sort_array(
+            F.array_distinct(T.shingles(F.col("text"), k=3))
+        ).alias("sh"),
     )
+    plen = F.col("n") - F.expr("(9 * n + 9) div 10") + 1
     g = sh.select(
-        "doc_id", F.size("sh").alias("n"), F.explode("sh").alias("s")
-    )
+        "doc_id", F.size("sh").alias("n"), F.col("sh")
+    ).select("doc_id", F.explode(F.slice("sh", F.lit(1), plen)).alias("s"))
     a, b = g.alias("a"), g.alias("b")
-    common = (
+    pcand = (
         a.join(
             b,
             (F.col("a.s") == F.col("b.s"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.n").alias("na"),
-            F.col("b.n").alias("nb"),
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
-        .agg(F.count("*").alias("c"))
+        .distinct()
     )
-    jac = F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c"))
-    hi = common.filter(jac >= 0.9).select("doc_a", "doc_b")
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb"))
+    verified = pcand.join(sa, "doc_a").join(sb, "doc_b")
+    c = F.size(F.array_intersect("sha", "shb"))
+    jac = c.cast("double") / (F.size("sha") + F.size("shb") - c)
+    hi = verified.filter(jac >= 0.9).select("doc_a", "doc_b")
     cand = l2_minhash_lsh(spark, sf_dir)
     recalled = hi.join(cand, ["doc_a", "doc_b"], "left_semi")
     stats = hi.agg(F.count("*").alias("n_hi")).crossJoin(
@@ -6109,22 +6496,26 @@ def l2_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = e.join(a1, "vec_id").select(
         "vec_id", F.col("c1").alias("cell"), "embedding", "nrm"
     )
-    x, y = cells.alias("x"), cells.alias("y")
-    cos = F.round(
-        V.dot(F.col("x.embedding"), F.col("y.embedding"))
-        / (F.col("x.nrm") * F.col("y.nrm")),
-        6,
-    )
-    dropped = (
-        x.join(
-            y,
-            (F.col("x.cell") == F.col("y.cell"))
-            & (F.col("x.vec_id") < F.col("y.vec_id")),
-        )
-        .filter(cos >= _SEMDEDUP_COS)
-        .select(F.col("y.vec_id").alias("vec_id"))
-        .distinct()
-    )
+
+    # Optimization r13: the within-cell pair join scored Σ|cell|² pairs
+    # through the interpreted zip_with/aggregate HOF dot (the exact
+    # class the r12 ANN kernels left this operator in — measured 4.4 s
+    # at sf0.1). One tiled Arrow matmul per cell now marks dropped ids
+    # directly (guide §4.2); scores are np.round of the gemm against
+    # the identical dot/(nrm·nrm) formula — the established
+    # q10/l2_embedding_neardup numeric-exact precedent, pinned by the
+    # unchanged golden + oracle parity at three SFs. Cells partition
+    # the vectors, so per-group-distinct dropped ids need no global
+    # DISTINCT exchange.
+    def drop_kernel(pdf):
+        import numpy as np
+
+        ids = pdf["vec_id"].to_numpy()
+        E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        N = pdf["nrm"].to_numpy().astype(np.float64)
+        return _semdedup_dropped_frame(ids, E, N, _SEMDEDUP_COS)
+
+    dropped = cells.groupBy("cell").applyInPandas(drop_kernel, "vec_id bigint")
     return (
         a1.join(dropped.withColumn("is_dup", F.lit(1)), "vec_id", "left")
         .select(
@@ -8024,12 +8415,19 @@ def l2_lsh_bucket_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-graded against DuckDB evaluating the identical arithmetic.
 
     Scale: signature construction is one codepoint-array projection
-    (the l4_winnow_fingerprint O(L) recipe — no substr-in-HOF O(L²));
-    the only shuffle is the O(docs·bands) groupBy on (band, key). The
-    census is O(buckets) — this diagnostic costs a scan even when the
-    banding it audits would not.
+    (the l4_winnow_fingerprint O(L) recipe — no substr-in-HOF O(L²))
+    feeding a gram explode + 16 whole-stage-codegen MIN aggregates
+    (optimization r13, the l6_covariance r12 pattern: the r5–r12 form
+    evaluated 16 interpreted affine `transform` copies of each gram
+    array — 16 array allocations per document; the exploded aggregate
+    computes the identical integer minima on primitive longs, and
+    partial aggregation collapses each task to |docs|×16 longs before
+    the doc_id exchange). `spread` first: the per-row gram build is the
+    heavy projection and the fixture scan is one row group. The band
+    groupBy is unchanged. The census is O(buckets) — this diagnostic
+    costs a scan even when the banding it audits would not.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     t = F.col("text")
     cps = F.transform(F.split(t, ""), lambda c: F.ascii(c).cast("long"))
 
@@ -8042,23 +8440,16 @@ def l2_lsh_bucket_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = F.transform(
         F.sequence(F.lit(1), F.size(F.col("cps")) - _WINNOW_K + 1), gram_hash
     )
-    # One-arg lambda via closure factory: a default-arg lambda reads as
-    # a 3-arg HOF lambda on Spark 4 (memory gotcha list).
-    def _perm(a: int, b: int):
-        return lambda x: (x * F.lit(a) + F.lit(b)) % _LSH_P
-
     sig = (
         docs.filter(F.length(t) >= _WINNOW_K)
         .select("doc_id", cps.alias("cps"))
-        .select("doc_id", grams.alias("grams"))
-        .select(
-            "doc_id",
+        .select("doc_id", F.explode(grams).alias("g"))
+        .groupBy("doc_id")
+        .agg(
             *[
-                F.array_min(F.transform(F.col("grams"), _perm(a, b))).alias(
-                    f"m{j}"
-                )
+                F.min((F.col("g") * a + b) % _LSH_P).alias(f"m{j}")
                 for j, (a, b) in enumerate(_LSH_AB)
-            ],
+            ]
         )
     )
     band_keys = F.array(
@@ -8959,14 +9350,24 @@ def l2_bbit_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     graded set informative. Identical texts agree on all 64 bits by
     construction; unrelated pairs hover near agree ≈ 32 (Ĵ ≈ 0).
 
-    Scale: signatures are 64 map-side HOF folds (one codepoint-array
-    pass, the winnow recipe) collapsing each document to 64 BITS — the
+    Scale: signatures are one exploded (gram × 64-seed broadcast) pass
+    through a NARROW codegen MIN aggregate keyed (doc_id, seed), then a
+    bit_or pack (optimization r13 — the r5–r12 form ran 64 interpreted
+    affine `transform` copies of each gram array; identical integer
+    minima, the l6_covariance long-format pattern; a 64-WIDE min
+    aggregate was measured onto a codegen cliff and rejected — see the
+    in-code note). The low bits pack
+    into ONE BIGINT, so per-pair agreement is a single XOR + POPCOUNT —
+    64 − bit_count(pack_a ^ pack_b) ≡ the 64 CASE-WHEN bit compares by
+    construction. The pack collapses each document to 64 BITS — the
     point of the technique: at 100 TB the pair phase ships 8-byte
     sketches, not gram sets. The all-pairs join here is bounded by the
     sample; production pairs come from LSH buckets
-    (l2_lsh_bucket_health audits those).
+    (l2_lsh_bucket_health audits those). The exact intersection is
+    projected ONCE per pair (uni derives from it) — the r12 form
+    evaluated array_intersect twice per pair.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     t = F.col("text")
     cps = F.transform(F.split(t, ""), lambda c: F.ascii(c).cast("long"))
 
@@ -8979,45 +9380,59 @@ def l2_bbit_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = F.transform(
         F.sequence(F.lit(1), F.size(F.col("cps")) - _WINNOW_K + 1), gram_hash
     )
-
-    def _bit(a: int, b: int):
-        return lambda x: (x * F.lit(a) + F.lit(b)) % _LSH_P
-
-    sig = (
-        docs.filter(
-            (F.col("doc_id") % _L2G_SAMPLE == 0)
-            & (F.length(t) >= _WINNOW_K)
-        )
-        .select("doc_id", cps.alias("cps"))
-        .select("doc_id", grams.alias("grams"))
+    cbase = docs.filter(
+        (F.col("doc_id") % _L2G_SAMPLE == 0) & (F.length(t) >= _WINNOW_K)
+    ).select("doc_id", cps.alias("cps"))
+    gsets = cbase.select("doc_id", F.array_distinct(grams).alias("gset"))
+    # LONG-format signature build: (gram × 64-seed broadcast) → one
+    # NARROW min aggregate keyed (doc_id, j) → bit_or-pack; all codegen
+    # primitive work, partial aggregation collapses each task to
+    # |docs|×64 rows before the exchange. Identical integer minima and
+    # bits. TWO plan hazards measured and dodged here (r13): a 64-WIDE
+    # min aggregate runs ~5.6 ms/ROW (44 s for 7 775 exploded grams at
+    # sf0.01 — far off the codegen path), and `explode` of a
+    # COLUMN-projected grams array lets InferFiltersFromGenerate push a
+    # size()>0 filter below the exchange with the whole gram expression
+    # INLINED — transform(split(text)) re-evaluated per element_at,
+    # O(L²·split) per document (437 s at sf0.1). Exploding the
+    # EXPRESSION directly (the l2_lsh_bucket_health shape) defeats the
+    # inference: the rule only fires on attribute inputs.
+    seeds = spark.createDataFrame(
+        [(j, a, b) for j, (a, b) in enumerate(_L2G_AB)], "j int, a long, b long"
+    )
+    packs = (
+        cbase.select("doc_id", F.explode(grams).alias("g"))
+        .crossJoin(F.broadcast(seeds))
         .select(
             "doc_id",
-            F.array_distinct("grams").alias("gset"),
-            *[
-                (
-                    F.array_min(F.transform(F.col("grams"), _bit(a, b))) % 2
-                ).alias(f"bit{j}")
-                for j, (a, b) in enumerate(_L2G_AB)
-            ],
+            "j",
+            ((F.col("g") * F.col("a") + F.col("b")) % _LSH_P).alias("h"),
         )
+        .groupBy("doc_id", "j")
+        .agg(F.min("h").alias("m"))
+        .groupBy("doc_id")
+        .agg(F.expr("bit_or(shiftleft(m % 2, j))").alias("pack"))
     )
+    sig = gsets.join(packs, "doc_id")
     a, b = sig.alias("a"), sig.alias("b")
-    agree = sum(
-        F.when(F.col(f"a.bit{j}") == F.col(f"b.bit{j}"), 1).otherwise(0)
-        for j in range(64)
+    agree = F.lit(64).cast("long") - F.bit_count(
+        F.col("a.pack").bitwiseXOR(F.col("b.pack"))
     )
     inter = F.size(F.array_intersect(F.col("a.gset"), F.col("b.gset"))).cast(
         "long"
     )
-    uni = (
-        F.size(F.col("a.gset")) + F.size(F.col("b.gset"))
-    ).cast("long") - inter
-    pairs = a.join(b, F.col("a.doc_id") < F.col("b.doc_id")).select(
-        F.col("a.doc_id").alias("doc_a"),
-        F.col("b.doc_id").alias("doc_b"),
-        inter.alias("inter"),
-        uni.alias("uni"),
-        agree.cast("long").alias("agree"),
+    pairs = (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            inter.alias("inter"),
+            (F.size(F.col("a.gset")) + F.size(F.col("b.gset")))
+            .cast("long")
+            .alias("stot"),
+            agree.cast("long").alias("agree"),
+        )
+        .withColumn("uni", F.col("stot") - F.col("inter"))
     )
     return pairs.where(
         (F.col("inter") > 0) | (F.col("agree") >= 48)

@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from ..io import load_table
 from ..registry import register
-from ._helpers import cents
+from ._helpers import cents, ntz_epoch_us
 
 # ---------------------------------------------------------------------------
 # dq1 — expectation suite: one row per named check with its violation
@@ -765,8 +765,8 @@ def dq9_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("units").alias("b_units"),
     )
     gap_us = F.abs(
-        F.unix_micros(F.col("b_ts").cast("timestamp"))
-        - F.unix_micros(F.col("a_ts").cast("timestamp"))
+        ntz_epoch_us("b_ts")
+        - ntz_epoch_us("a_ts")
     )
     diff_units = F.abs(F.col("a_units") - F.col("b_units"))
     return (
@@ -912,9 +912,7 @@ def dq10_freshness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
     )
     j = per.crossJoin(F.broadcast(hi))
-    lag_us = F.unix_micros(F.col("max_ts").cast("timestamp")) - F.unix_micros(
-        F.col("type_max_ts").cast("timestamp")
-    )
+    lag_us = ntz_epoch_us("max_ts") - ntz_epoch_us("type_max_ts")
     return j.select(
         "event_type",
         "type_max_ts",

@@ -66,8 +66,8 @@ def x1_asof_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT p.event_id AS purchase_id,
                p.user_id AS user_id,
-               CAST(unix_micros(CAST(p.ts AS TIMESTAMP))
-                    - unix_micros(CAST(c.ts AS TIMESTAMP)) AS BIGINT) AS us_since_click
+               CAST(timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', p.ts)
+                    - timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', c.ts) AS BIGINT) AS us_since_click
         FROM x1_purchases p ASOF JOIN x1_clicks c
           ON p.user_id = c.user_id AND p.ts >= c.ts
         """,
@@ -99,8 +99,8 @@ def x1b_asof_left_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT p.event_id AS purchase_id,
                p.user_id AS user_id,
                CAST(c.ts IS NOT NULL AS BIGINT) AS matched,
-               CAST(coalesce(unix_micros(CAST(p.ts AS TIMESTAMP))
-                    - unix_micros(CAST(c.ts AS TIMESTAMP)), -1) AS BIGINT) AS us_since_click
+               CAST(coalesce(timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', p.ts)
+                    - timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', c.ts), -1) AS BIGINT) AS us_since_click
         FROM x1_purchases p ASOF LEFT JOIN x1_clicks c
           ON p.user_id = c.user_id AND p.ts >= c.ts
         """,
@@ -196,8 +196,8 @@ def x1c_asof_multikey_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT p.event_id AS purchase_id,
                p.user_id AS user_id,
-               CAST(unix_micros(CAST(p.ts AS TIMESTAMP))
-                    - unix_micros(CAST(c.ts AS TIMESTAMP)) AS BIGINT) AS us_since_click
+               CAST(timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', p.ts)
+                    - timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', c.ts) AS BIGINT) AS us_since_click
         FROM x1c_purchases p ASOF JOIN x1c_clicks c
           ON p.user_id = c.user_id AND p.day = c.day AND p.ts >= c.ts
         """,

@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 from ..io import load_table
 from ..registry import register
 from ..streaming import transforms as TR
-from ._helpers import cents, dsum, money, oracle_dsum
+from ._helpers import cents, dsum, money, ntz_epoch_us, oracle_dsum
 
 # ---------------------------------------------------------------------------
 # q7 / ST1 — tumbling window aggregation. Headline bench query.
@@ -311,7 +311,7 @@ def st4_late_data_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     hour_bkt = F.floor(
-        F.unix_micros(F.col("arrival_ts").cast("timestamp")) / (3600 * 1000000)
+        ntz_epoch_us("arrival_ts") / (3600 * 1000000)
     )
     arr = scalable_running_max(
         j,
@@ -846,8 +846,8 @@ def st19_session_stats_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.session_window("ts", "45 minutes").alias("w"), "user_id"
     ).agg(F.count("*").alias("n_ev"))
     dur_us = (
-        F.unix_micros(F.col("w.end").cast("timestamp"))
-        - F.unix_micros(F.col("w.start").cast("timestamp"))
+        ntz_epoch_us("w.end")
+        - ntz_epoch_us("w.start")
         - gap_us
     )
     return (
@@ -915,7 +915,7 @@ def st20_watermark_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     hour_bkt = F.floor(
-        F.unix_micros(F.col("arrival_ts").cast("timestamp")) / (3600 * 1000000)
+        ntz_epoch_us("arrival_ts") / (3600 * 1000000)
     )
     arr = scalable_running_max(
         j,
@@ -924,9 +924,7 @@ def st20_watermark_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucket=hour_bkt,
         out="hi",
     )
-    behind_us = F.unix_micros(F.col("hi").cast("timestamp")) - F.unix_micros(
-        F.col("ts").cast("timestamp")
-    )
+    behind_us = ntz_epoch_us("hi") - ntz_epoch_us("ts")
     dropped = behind_us > F.lit(900000000).cast("long")
     return (
         arr.select("event_type", "value", dropped.alias("dropped"))
@@ -1064,9 +1062,7 @@ def st23_gap_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     w_order = Window.partitionBy("user_id").orderBy("ts", "event_id")
     w_frame = w_order.rowsBetween(Window.unboundedPreceding, 0)
-    gap_us = F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(
-        F.lag("ts").over(w_order).cast("timestamp")
-    )
+    gap_us = ntz_epoch_us("ts") - ntz_epoch_us(F.lag("ts").over(w_order))
     df = events.select("event_id", "user_id", "ts", gap_us.alias("gap_us"))
     return df.select(
         "event_id",
@@ -1153,7 +1149,7 @@ def st26_sliding_watermark_extrema(spark: SparkSession, sf_dir: str) -> DataFram
         ),
     )
     hour_bkt = F.floor(
-        F.unix_micros(F.col("arrival_ts").cast("timestamp")) / (3600 * 1000000)
+        ntz_epoch_us("arrival_ts") / (3600 * 1000000)
     )
     arr = scalable_running_max(
         j,
@@ -1162,9 +1158,7 @@ def st26_sliding_watermark_extrema(spark: SparkSession, sf_dir: str) -> DataFram
         bucket=hour_bkt,
         out="hi",
     )
-    behind_us = F.unix_micros(F.col("hi").cast("timestamp")) - F.unix_micros(
-        F.col("ts").cast("timestamp")
-    )
+    behind_us = ntz_epoch_us("hi") - ntz_epoch_us("ts")
     kept = arr.filter(behind_us <= F.lit(600000000).cast("long")).select("ts", "value")
     return (
         kept.groupBy(F.window("ts", "1 hour", "20 minutes").alias("w"))
@@ -2215,8 +2209,8 @@ def st40_segment_session_dwell(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.session_window("ts", "40 minutes").alias("w"), "user_id"
     ).agg(F.count("*").alias("n_ev"))
     dur_us = (
-        F.unix_micros(F.col("w.end").cast("timestamp"))
-        - F.unix_micros(F.col("w.start").cast("timestamp"))
+        ntz_epoch_us("w.end")
+        - ntz_epoch_us("w.start")
         - gap_us
     )
     per_sess = sess.select("user_id", "n_ev", dur_us.alias("dur_us"))

@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from ..io import load_table
 from ..registry import register
-from ._helpers import cents, ckpt, dsum, money
+from ._helpers import cents, ckpt, dsum, money, ntz_epoch_us
 
 # ---------------------------------------------------------------------------
 # q3 — top-k per group (W1 + W2). Headline bench query.
@@ -125,7 +125,7 @@ def w3_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     the final division, so sums are exact and order-independent."""
     events = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    ts_us = ntz_epoch_us("ts")
     return (
         events.select("user_id", "event_id", "ts")
         .withColumn("gap_us", ts_us - F.lag(ts_us).over(w))
@@ -379,7 +379,7 @@ def j7_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts", "kind", "purchase_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    ts_us = ntz_epoch_us("ts")
     # single-struct carry (round 10, the j17 discipline): the click's
     # (id, ts) travel as ONE value, so a hypothetical NULL click_id
     # yields a NULL FIELD inside the still-carried struct instead of
@@ -1286,7 +1286,7 @@ def w13_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("event_type").orderBy("ts", "event_id")
-    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    ts_us = ntz_epoch_us("ts")
     seq = ev.select(
         "event_type",
         "value",
@@ -1623,7 +1623,7 @@ def w16_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load_table(spark, sf_dir, "events")
     cents_v = F.round(F.col("value") * 100).cast("long")
-    key = F.unix_micros(F.col("ts").cast("timestamp"))
+    key = ntz_epoch_us("ts")
     return (
         ev.groupBy(
             "event_type", F.date_trunc("day", "ts").alias("day")
@@ -2077,12 +2077,12 @@ def j15_nearest_event_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "ts",
         "kind",
-        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        ntz_epoch_us("ts").alias("us"),
         F.when(
             F.col("kind") == 0,
             F.struct(
                 F.col("click_id").alias("cid"),
-                F.unix_micros(F.col("ts").cast("timestamp")).alias("cus"),
+                ntz_epoch_us("ts").alias("cus"),
             ),
         ).alias("c_rec"),
         F.when(F.col("kind") == 1, F.col("click_id")).alias("p_id"),
@@ -2372,7 +2372,7 @@ def w21_ewma_irregular(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     rows = ev.select(
         "user_id",
-        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        ntz_epoch_us("ts").alias("us"),
         F.col("event_id").alias("eid"),
         F.round(F.col("value") * 100).cast("long").alias("v"),
     )
@@ -4487,7 +4487,7 @@ def j17_error_free_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts", "kind", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    ts_us = ntz_epoch_us("ts")
     # single-struct carry: the view's (id, ts, cents) travel as ONE
     # value, so a NULL vvalue yields a NULL cents FIELD inside a
     # non-null struct — the struct itself is still carried, exactly

@@ -54,7 +54,10 @@ PYTHON_ALLOWED = {
     "l3_ann_lsh",  # optimization r12: per-(table, bucket) Arrow matmul scoring
     # (was a bucket self-join × interpreted HOF dot fold, 40 s at sf0.1)
     "l3_ann_ivf",  # optimization r12: per-cell Arrow matmul scoring (was an
-    # equi-join × interpreted HOF dot fold, 27 s at sf0.1)
+    # equi-join × interpreted HOF dot fold, 27 s at sf0.1); r13 adds the
+    # assignment kernel (bit-identical sequential-fold dots, in-kernel rank)
+    "l2_semdedup",  # optimization r13: within-cell Arrow matmul marks dropped
+    # ids (was a cell self-join × interpreted HOF dot fold, 3.9 s at sf0.1)
     "m1_multimodal_decode",
     "m1b_decode_parity",  # m1's crossing minus the crc32 column — the graded twin
     "m5_decode_parity",
@@ -499,7 +502,7 @@ AGGREGATE_FOLD_SITES = {
     ("operators/llm.py", 'F.aggregate(', 2),  # total: fixed-dim zip_with (ann seed + l6 slices)
     ("operators/llm.py", 'fold = F.aggregate(', 1),  # guarded: size()==0 -> NULL by design (documented at site)
     ("operators/llm.py", 'lsum = F.aggregate(', 1),  # mirrored: empty fold = 0.0 sentinel documented at site
-    ("operators/llm.py", 'return F.aggregate(', 3),  # total ×2 (_pq_sqdist/_int_dot fixed-dim) + mirrored+precond (rolling hash: oracle same recurrence, empty -> 0 both)
+    ("operators/llm.py", 'return F.aggregate(', 5),  # total ×2 (_pq_sqdist/_int_dot fixed-dim) + mirrored+precond (rolling hash: oracle same recurrence, empty -> 0 both) + mirrored ×2 (r13 composed shingle fold: _token_fold_pow over non-empty tokens, init = packed identity; _compose_shingle_hash finish maps empty -> 0 = fold('') — value identity with the oracle's string fold pinned in test_round13_opt + MinHash parity at 3 SFs)
     ("operators/llm.py", 'sq_sum = lambda arr: F.aggregate(  # noqa: E731', 1),  # total (fixed-dim)
     ("operators/llm.py", 'sum_len = F.aggregate(', 1),  # precond: n>=1 tokens (0/0 under ANSI otherwise)
     ("operators/llm.py", 'vote = F.aggregate(F.col(lane_col), F.lit(0), vote_for_bit(b))', 1),  # mirrored+precond (simhash lanes)
@@ -566,7 +569,9 @@ def test_aggregate_fold_allowlist():
 #                      graded via st7/st16; transformWithState env-gated
 UDF_CROSSING_SITES = {
     ("operators/llm.py", 'partials = tagged.groupBy("qb", "ib").applyInPandas(', 1): "numeric-exact",  # l3 block matmul: float32 matmul + local top-k, graded + benched
-    ("operators/llm.py", '.applyInPandas(', 2): "numeric-exact",  # l3_ann_lsh bucket / l3_ann_ivf cell matmul scoring (opt r12): 6-dp rounded doubles, recall contract driver-graded
+    ("operators/llm.py", '.applyInPandas(', 2): "numeric-exact",  # l3_ann_lsh bucket / l3_ann_ivf cell matmul scoring (opt r12, tiled r13): 6-dp rounded doubles, recall contract driver-graded
+    ("operators/llm.py", 'dropped = cells.groupBy("cell").applyInPandas(drop_kernel, "vec_id bigint")', 1): "numeric-exact",  # l2_semdedup within-cell matmul (opt r13): 6-dp rounded threshold vs DuckDB oracle at 3 SFs, golden unchanged
+    ("operators/llm.py", 'ranked = unit.mapInPandas(', 1): "numeric-exact",  # l3_ann_ivf assignment kernel (opt r13): bit-identical sequential-fold dots (test_round13_opt), recall contract driver-graded
     ("operators/llm.py", 'return e.mapInPandas(topk, "vec_id bigint, neighbor_id bigint, cosine double")', 1): "numeric-exact",  # q10 broadcast matmul, 6-dp both sides
     ("operators/llm.py", 'return e.mapInPandas(', 1): "numeric-exact",  # l2_embedding_neardup: same guarded broadcast matmul, 6-dp, value-graded vs DuckDB at 3 SFs
     ("operators/multimodal.py", 'feats = payload.mapInPandas(fake_feature_batch, FEATURE_SCHEMA)', 2): "codec-parity",
