@@ -341,13 +341,13 @@ COLLECT_ALLOWLIST = {
 # operator can mint an uncaptured truncation outside the helpers.
 CKPT_OPAQUE_ALLOWLIST = {
     # bounded sampled-model / pooled literal frames (collected rows →
-    # createDataFrame; sizes: 16×64 centroids, pool+pool² sims, k·d
-    # vocab dims):
-    "l3_ann_ivf",
-    "l3_ann_recall_contract",
+    # createDataFrame; sizes: pool+pool² sims, k·d vocab dims).
+    # l3_ann_ivf / l3_ann_recall_contract left r13: the centroid literal
+    # frame became a numpy broadcast into the assignment kernel.
     "l3_mmr_rerank",
     "l4_vocab_coverage",
     # driver-local literal frames (bounded createDataFrame inputs):
+    "l2_bbit_minhash",  # 64-row (j, a, b) seed table (r13 long-format build)
     "m9_modality_quota_mixer",
     "l0_multimodal_curation",
     "dq4_observed_metrics",
